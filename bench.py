@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully executed (collect) but collect sizes are bounded —
+the headline set returns aggregates/top-k, not raw scans. A warmup run
+of q01 absorbs JVM/codegen startup so per-query numbers measure the
+plan, not the JIT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # relational core
+    "q01_pricing_summary",
+    "q30_multiway_join",
+    "q31_left_join_agg",
+    "q40_ranking",
+    "q42_running_frames",
+    "q26_percentiles",
+    "q22_rollup",
+    "q06_topk",
+    # composed operators
+    "q37_asof_join",
+    # north-star LLM ops
+    "d1_exact_dedup",
+    "d3_minhash_lsh",
+    "s1_ann_brute_force",
+    "t2_quality_score",
+    # materials domain
+    "m04_born_trace_invariant",
+    "m11_site_explode_agg",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from __spark_entry__ import queries
+    from oxi_diel_db_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = queries()
+
+    # warmup: JVM + codegen + parquet footer caches
+    qs["q01_pricing_summary"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        rows = qs[name](spark, sf_dir).collect()
+        timings[name] = round(time.time() - t0, 3)
+        assert rows is not None
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

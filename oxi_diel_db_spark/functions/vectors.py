@@ -1,0 +1,44 @@
+"""Vector math over array<float|double> embedding columns (north-star
+similarity-search support; SURVEY.md §2.3 J8).
+
+All JVM-side higher-order functions — no UDF crossing — so dot products
+run inside whole-stage codegen over the raw parquet arrays. Elements
+are cast to double first: the source column is float32 and both engines
+must widen identically before any arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def as_double(v: Column | str) -> Column:
+    c = F.col(v) if isinstance(v, str) else v
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i, accumulated left-to-right (index order) — the same
+    order DuckDB's list_dot_product uses, so results are bit-stable."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+# DuckDB twins ({a}/{b} must already be DOUBLE[] — cast with ::DOUBLE[])
+SQL_DOT = "list_dot_product({a}, {b})"
+SQL_COSINE = (
+    "(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"
+)

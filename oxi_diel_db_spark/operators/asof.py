@@ -1,0 +1,94 @@
+"""As-of join (SURVEY.md §2.3 J6): for each probe row, the most recent
+build row with build.ts <= probe.ts, per key.
+
+Spark has no native ASOF JOIN. The scalable recipe here is the
+union-and-carry-forward merge:
+
+1. tag build rows 0 and probe rows 1, union them;
+2. one shuffle: window partitioned by key, ordered by (ts, tag);
+3. ``last(build_payload_struct, ignorenulls=True)`` carries the latest
+   build row's payload forward onto every probe row (a single struct so
+   all payload columns come from the SAME build row, even with NULLs);
+4. filter back to probe rows.
+
+Cost: ONE shuffle of |build| + |probe| rows (the window sort), no
+row-multiplication, no range explosion — this is the plan a
+merge-join-based engine (DuckDB ASOF) effectively runs, expressed in
+Spark operators. The naive alternative (equi-join on key + filter +
+max-per-probe) multiplies rows by the per-key build count and skews on
+hot keys; avoided by construction. Per-key skew here is bounded by the
+window sort, which spills; for a pathological single hot key, pre-split
+by time-bucketing the key before the window.
+
+Tie semantics: build.ts == probe.ts matches (inclusive), because build
+rows sort before probe rows at equal ts via the tag. This matches
+DuckDB's ``ASOF JOIN ... ON probe.ts >= build.ts``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_TAG = "__asof_tag"
+_TS = "__asof_ts"
+_PAY = "__asof_payload"
+
+
+def asof_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str | list[str],
+    probe_ts: str,
+    build_ts: str,
+    payload: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Return ``probe`` with ``payload`` columns from the latest ``build``
+    row at-or-before each probe row's timestamp, matching on ``on`` keys.
+
+    how='left' keeps unmatched probe rows (payload NULL); how='inner'
+    drops them.
+    """
+    if how not in ("left", "inner"):
+        raise ValueError(f"asof_join: how must be 'left' or 'inner', got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    probe_cols = probe.columns
+    pay_type = build.select(F.struct(*payload).alias(_PAY)).schema[0].dataType
+
+    b = build.select(
+        *keys,
+        F.col(build_ts).alias(_TS),
+        F.struct(*payload).alias(_PAY),
+        F.lit(0).alias(_TAG),
+        *[
+            F.lit(None).cast(probe.schema[c].dataType).alias(c)
+            for c in probe_cols
+            if c not in keys
+        ],
+    )
+    p = probe.select(
+        *probe_cols,
+        F.col(probe_ts).alias(_TS),
+        F.lit(None).cast(pay_type).alias(_PAY),
+        F.lit(1).alias(_TAG),
+    )
+    unioned = p.unionByName(b)
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(_TS).asc(), F.col(_TAG).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *probe_cols,
+        _TAG,
+        F.last(_PAY, ignorenulls=True).over(w).alias(_PAY),
+    )
+    probes = carried.filter(F.col(_TAG) == 1)
+    if how == "inner":
+        # carried payload is NULL iff no build row preceded this probe row
+        probes = probes.filter(F.col(_PAY).isNotNull())
+    return probes.select(
+        *probe_cols, *[F.col(f"{_PAY}.{c}").alias(c) for c in payload]
+    )

@@ -1,0 +1,242 @@
+"""Deduplication operator family (north star; SURVEY.md §2.3 J8).
+
+Five dedup strategies over a documents table, ordered by cost/recall:
+
+* exact        — hash-groupBy on a content fingerprint; one shuffle.
+* ngram_jaccard— inverted-index candidate join on word shingles +
+                 exact Jaccard verify. Exact, but posting lists of hot
+                 shingles can explode; at 100 TB cap/df-filter them.
+* minhash_lsh  — MinHash signatures + banded LSH bucketing; candidates
+                 only where a band collides. The 100 TB default: cost
+                 is O(docs·k) + a shuffle per band on short keys.
+* simhash      — 64-bit fingerprints, near-dup = small Hamming
+                 distance; pandas_udf (bit math), block on 16-bit
+                 prefixes.
+* embedding    — cosine over embedding vectors (semantic near-dup).
+
+MinHash here is md5-based, engine-portable and seed-stable: the DuckDB
+oracle computes the *identical* signature (min over md5(seed:shingle)),
+so LSH output is hash-checked exactly — stronger than the usual
+"approx → rows-only" cop-out.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from oxi_diel_db_spark.functions.text import norm_words, shingles, fingerprint
+
+N_MINHASH = 8  # signature length
+N_BANDS = 4  # → rows-per-band = 2
+
+
+def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Group docs by bag-of-words fingerprint; keep_id = min id per group.
+    One hash shuffle on the 32-hex fingerprint — the classic exact dedup."""
+    return (
+        docs.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """(id, shingle) distinct — the inverted-index base relation."""
+    return (
+        docs.select(F.col(id_col), F.explode(shingles(norm_words(text_col), n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact Jaccard near-dup pairs via inverted-index candidate join.
+
+    |inter| comes from the self-join on shingle; |union| = |A|+|B|-|inter|.
+    Only pairs sharing ≥1 shingle are ever materialized — no O(n²) pass.
+    """
+    sh = doc_shingles(docs, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = N_MINHASH
+) -> DataFrame:
+    """(id, sig array<string>[k]): sig[s] = min(md5(s || ':' || shingle)).
+
+    md5-min is a valid MinHash family (each seed permutes the shingle
+    space independently) and — unlike Spark's MinHashLSH — is portable:
+    the oracle recomputes it bit-identically in SQL.
+    """
+    sh = doc_shingles(docs, id_col, text_col)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("seed")
+    per_seed = (
+        sh.select(id_col, "shingle", seeds)
+        .select(
+            id_col,
+            "seed",
+            F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle"))).alias("h"),
+        )
+        .groupBy(id_col, "seed")
+        .agg(F.min("h").alias("mh"))
+    )
+    return per_seed.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("seed", "mh"))), lambda s: s["mh"]
+        ).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.25,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = N_MINHASH,
+    bands: int = N_BANDS,
+) -> DataFrame:
+    """Banded-LSH candidate pairs + signature-estimated Jaccard.
+
+    Bucket key = md5(concat of the band's signature slice); candidates
+    share ≥1 bucket. est_jaccard = (# equal signature slots)/k.
+    One shuffle per band on 32-byte keys — scales linearly in docs.
+    """
+    rows = k // bands
+    sig = minhash_signatures(docs, id_col, text_col, k)
+    band_hash = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.md5(
+            F.concat_ws(
+                "", *[F.element_at(F.col("sig"), (b * rows + r + 1).cast("int")) for r in range(rows)]
+            )
+        ),
+    )
+    banded = sig.select(
+        id_col, "sig", F.posexplode(band_hash).alias("band", "bh")
+    )
+    a = banded.select(
+        F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bh"
+    )
+    b = banded.select(
+        F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b"), "band", "bh"
+    )
+    cand = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    est = (
+        F.aggregate(
+            F.zip_with(
+                F.col("sig_a"), F.col("sig_b"), lambda x, y: F.when(x == y, 1).otherwise(0)
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        / F.lit(float(k))
+    )
+    return cand.select(
+        "doc_a", "doc_b", F.round(est, 6).alias("est_jaccard")
+    ).filter(F.col("est_jaccard") >= threshold)
+
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash fingerprints (pandas_udf — bit math needs Python).
+
+    Per doc: md5 each token → 64 bits; sum ±1 per bit position weighted
+    by term frequency; sign → fingerprint bit. Near-dups have small
+    Hamming distance. Arrow-batched; at scale, block on the top 16 bits
+    to find candidate pairs without O(n²).
+    """
+    import hashlib
+
+    @F.pandas_udf("long")
+    def _simhash(texts: pd.Series) -> pd.Series:
+        import re
+
+        out = []
+        for t in texts:
+            words = [w for w in re.split(r"[^a-z0-9]+", (t or "").lower()) if w]
+            acc = [0] * 64
+            for w in words:
+                h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+                for i in range(64):
+                    acc[i] += 1 if (h >> i) & 1 else -1
+            v = 0
+            for i in range(64):
+                if acc[i] > 0:
+                    v |= 1 << i
+            # to signed 64-bit
+            out.append(v - (1 << 64) if v >= (1 << 63) else v)
+        return pd.Series(out)
+
+    return docs.select(F.col(id_col), _simhash(F.col(text_col)).alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 8, id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs by Hamming distance, blocked on the high 16 bits
+    (docs differing there can still be near-dups — standard multi-probe
+    uses 4 rotations; one block kept here for clarity)."""
+    sh = simhash64(docs, id_col)
+    blocked = sh.withColumn("block", F.shiftrightunsigned(F.col("simhash"), 48))
+    a = blocked.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("h_a"), "block")
+    b = blocked.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("h_b"), "block")
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        a.join(b, "block")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame, threshold: float, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Semantic near-dup: pairs with cosine ≥ threshold.
+
+    Exact all-pairs here (fine for dims up to ~10⁴ rows); the 100 TB
+    path is operators/similarity.py's LSH-bucketed variant — same
+    output columns, candidate generation swapped.
+    """
+    from oxi_diel_db_spark.functions.vectors import as_double, cosine
+
+    base = emb.select(F.col(id_col), as_double(vec_col).alias("v"))
+    a = base.select(F.col(id_col).alias("vec_a"), F.col("v").alias("va"))
+    b = base.select(F.col(id_col).alias("vec_b"), F.col("v").alias("vb"))
+    cos = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

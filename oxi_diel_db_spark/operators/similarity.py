@@ -1,0 +1,136 @@
+"""Similarity search over embedding columns (north star; SURVEY.md J8).
+
+Two tiers:
+
+* brute_force_topk — exact cosine top-k: probe ⨯ corpus, per-probe
+  heap via window rank. The correctness baseline; cost O(|probe|·|corpus|).
+  Fine when |probe| is small (interactive search) even on a huge corpus,
+  because the corpus side streams: no shuffle of the corpus, probes are
+  broadcast.
+
+* lsh_topk — random-hyperplane LSH (sign bits of r fixed projections →
+  bucket). Only same-bucket candidates are scored; multi-probe over
+  Hamming-1 neighbor buckets recovers recall. Cost drops by ~2^r.
+  Hyperplanes are seeded (numpy RandomState) and broadcast — fully
+  deterministic run-to-run; recall vs brute force asserted in tests.
+
+The IVF shape (cluster → route probes to nearest centroids) is the same
+plumbing with learned centroids; LSH chosen here because it needs no
+training pass and stays deterministic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from oxi_diel_db_spark.functions.vectors import as_double, cosine
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by cosine for each probe row.
+
+    Ranking ties break on candidate id; cosine is rounded to 6 dp BEFORE
+    ranking so the rank order is identical across engines.
+    """
+    c = corpus.select(F.col(id_col), as_double(vec_col).alias("cv"))
+    p = probes.select(
+        F.col(probe_id_col).alias("query_id"), as_double(vec_col).alias("pv")
+    )
+    cos = F.round(cosine(F.col("pv"), F.col("cv")), 6)
+    scored = (
+        F.broadcast(p)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col(id_col))
+        .select("query_id", F.col(id_col).alias("neighbor_id"), cos.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos", "rn")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).tolist()
+
+
+def lsh_bucket(vec: F.Column, planes: list[list[float]]) -> F.Column:
+    """Sign-bit bucket id: bit_i = 1 if vec · plane_i > 0."""
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        d = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(x)) for x in plane]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "query_id",
+    multiprobe: bool = True,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only candidates in the probe's LSH bucket
+    (plus Hamming-1 neighbor buckets when multiprobe=True)."""
+    dim = len(
+        corpus.select(F.col(vec_col)).limit(1).collect()[0][0]
+    )  # driver reads ONE row for the dimension — not a data pass
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    c = corpus.select(F.col(id_col), as_double(vec_col).alias("cv"))
+    c = c.withColumn("bucket", lsh_bucket(F.col("cv"), planes))
+    p = probes.select(
+        F.col(probe_id_col).alias("query_id"), as_double(vec_col).alias("pv")
+    )
+    p = p.withColumn("bucket0", lsh_bucket(F.col("pv"), planes))
+    if multiprobe:
+        flips = F.array(
+            F.col("bucket0"),
+            *[F.col("bucket0").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+        )
+    else:
+        flips = F.array(F.col("bucket0"))
+    p = p.select("query_id", "pv", F.explode(flips).alias("bucket"))
+
+    cos = F.round(cosine(F.col("pv"), F.col("cv")), 6)
+    scored = (
+        F.broadcast(p)
+        .join(c, "bucket")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select("query_id", F.col(id_col).alias("neighbor_id"), cos.alias("cos"))
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos", "rn")
+    )

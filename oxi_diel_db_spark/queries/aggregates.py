@@ -1,0 +1,209 @@
+"""Aggregation operators (SURVEY.md §2.4: A8-A11).
+
+All shapes are partial+final hash aggregates in Spark — map-side combine
+happens automatically, so the shuffle carries one row per (partition,
+group), not per input row. ROLLUP/CUBE expand grouping sets before the
+aggregate; Spark plans a single Expand + HashAggregate (no N scans).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oxi_diel_db_spark.queries import register
+from oxi_diel_db_spark.queries._util import sql_sum_money, sum_money, t
+
+
+@register(
+    "q20_count_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*)                   AS n_orders,
+           COUNT(DISTINCT o_custkey)  AS n_customers,
+           COUNT(DISTINCT o_orderstatus) AS n_statuses
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q20_count_distinct(spark, sf_dir):
+    """Distinct aggregates (A9). Spark rewrites multi-distinct via Expand;
+    each distinct column gets its own partial dedup — no row explosion on
+    the shuffle beyond distinct keys."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+    )
+
+
+@register("q21_approx_distinct", oracle=None)  # approximate → rows-only check
+def q21_approx_distinct(spark, sf_dir):
+    """approx_count_distinct (A9, HLL++). At 100 TB this replaces exact
+    COUNT(DISTINCT) for dashboards: constant memory per group, one pass,
+    mergeable sketches. rsd=0.01. Correctness vs exact is asserted in
+    tests/test_aggregates.py (±5%)."""
+    l = t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey", 0.01).alias("approx_supps"),
+    )
+
+
+@register(
+    "q22_rollup",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n,
+           {sql_sum_money('o_totalprice')} AS total_price,
+           GROUPING(o_orderstatus)    AS g_status,
+           GROUPING(o_orderpriority)  AS g_priority
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def q22_rollup(spark, sf_dir):
+    """ROLLUP subtotal lattice (A10) with GROUPING() disambiguation of
+    real NULLs vs subtotal rows."""
+    o = t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        sum_money("o_totalprice", "total_price"),
+        F.grouping("o_orderstatus").cast("long").alias("g_status"),
+        F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+    )
+
+
+@register(
+    "q23_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q23_cube(spark, sf_dir):
+    """CUBE over two dims (A10): 4 grouping sets in one Expand pass."""
+    l = t(spark, sf_dir, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+    )
+
+
+@register(
+    "q24_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, YEAR(o_orderdate) AS order_year, COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (order_year), ())
+    """,
+)
+def q24_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS via the SQL surface (spark.sql) — proves the
+    engine exposes full SQL, not just the DataFrame DSL."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, YEAR(o_orderdate) AS order_year, COUNT(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (YEAR(o_orderdate)), ())
+        """
+    )
+
+
+@register(
+    "q25_stat_aggs",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(STDDEV_POP(l_quantity), 4)              AS std_qty,
+           ROUND(VAR_POP(l_quantity), 4)                 AS var_qty,
+           ROUND(STDDEV_SAMP(l_discount), 6) + 0         AS stds_disc,
+           ROUND(CORR(l_quantity, l_extendedprice), 6) + 0 AS corr_qty_price,
+           ROUND(COVAR_POP(l_quantity, l_discount), 6) + 0 AS covar_qty_disc,
+           MIN(l_extendedprice)                          AS min_price,
+           MAX(l_extendedprice)                          AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q25_stat_aggs(spark, sf_dir):
+    """Statistical aggregates (A11). Note the reference's np.std is
+    ddof=0 → STDDEV_POP, not Spark's sample-std default (SURVEY §2.4 A1);
+    both variants are exercised here."""
+    l = t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.stddev_pop("l_quantity"), 4).alias("std_qty"),
+        F.round(F.var_pop("l_quantity"), 4).alias("var_qty"),
+        (F.round(F.stddev_samp("l_discount"), 6) + F.lit(0.0)).alias("stds_disc"),
+        (F.round(F.corr("l_quantity", "l_extendedprice"), 6) + F.lit(0.0)).alias("corr_qty_price"),
+        (F.round(F.covar_pop("l_quantity", "l_discount"), 6) + F.lit(0.0)).alias("covar_qty_disc"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+@register(
+    "q26_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.25), 4) AS p25,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.50), 4) AS p50,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.75), 4) AS p75,
+           ROUND(MEDIAN(o_totalprice), 4)              AS med
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q26_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (A11). At 100 TB swap to
+    percentile_approx (mergeable KLL-ish sketch); exact variant kept for
+    oracle parity and small dims."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("o_totalprice", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.75)), 4).alias("p75"),
+        F.round(F.median("o_totalprice"), 4).alias("med"),
+    )
+
+
+@register(
+    "q27_ordered_set_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           STRING_AGG(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q27_ordered_set_agg(spark, sf_dir):
+    """collect_set → deterministic string (A11 collect_list/set). Sorting
+    before concat makes the value order-independent, i.e. shuffle-safe."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("o_orderstatus"))).alias("statuses")
+    )
+
+
+@register(
+    "q28_conditional_agg",
+    oracle=f"""
+    SELECT l_linestatus,
+           SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)         AS n_returned,
+           {sql_sum_money("CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0 END")} AS discounted_revenue,
+           COUNT(CASE WHEN l_quantity >= 30 THEN 1 END)                AS n_bulk
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def q28_conditional_agg(spark, sf_dir):
+    """Conditional aggregation — one pass computing several filtered
+    measures (vs the reference's branch-per-config featurization,
+    ml_prediction.py:69,118,171: lazy CASE folds 4 passes into 1)."""
+    l = t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_linestatus").agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("n_returned"),
+        sum_money(
+            F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice")).otherwise(F.lit(0)),
+            "discounted_revenue",
+        ),
+        F.count(F.when(F.col("l_quantity") >= 30, 1)).alias("n_bulk"),
+    )

@@ -1,0 +1,292 @@
+"""Join operators (SURVEY.md §2.3: J1-J7).
+
+Join-strategy posture for 100 TB:
+
+* dims (region/nation/supplier/customer at TPC-H ratios) → broadcast
+  hash join, explicitly hinted where Catalyst's size estimate might
+  miss (post-filter sizes are what matter; AQE re-checks at runtime);
+* fact-to-fact (lineitem ⋈ orders) → sort-merge on the shuffled key;
+  at scale both sides should be bucketed by orderkey so this is a
+  zero-shuffle bucket join;
+* non-equi → banded/bucketed to avoid BroadcastNestedLoop blowup;
+* as-of → the one-shuffle union+window recipe in operators/asof.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oxi_diel_db_spark.operators.asof import asof_join
+from oxi_diel_db_spark.queries import register
+from oxi_diel_db_spark.queries._util import sql_sum_money, sum_money, t
+
+
+@register(
+    "q30_multiway_join",
+    oracle=f"""
+    SELECT n_name,
+           {sql_sum_money('l_extendedprice * (1 - l_discount)')} AS revenue,
+           COUNT(*) AS n_items
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA' AND o_orderdate >= DATE '1996-01-01'
+    GROUP BY n_name
+    """,
+)
+def q30_multiway_join(spark, sf_dir):
+    """TPC-H-Q5-shaped 5-way join (J3). lineitem⋈orders is the only
+    big-big edge (sort-merge / bucket join at scale); customer, nation,
+    region are broadcast — the region filter prunes before the join."""
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("date")
+    )
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            sum_money(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q31_left_join_agg",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           COUNT(o_orderkey) AS n_orders,
+           COALESCE({sql_sum_money('o_totalprice')}, 0.0) AS total_spent
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def q31_left_join_agg(spark, sf_dir):
+    """LEFT OUTER join preserving customers with zero orders (J3);
+    COUNT(col) counts only matched rows — null-correct outer-join agg."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")) / 100.0, F.lit(0.0)).alias(
+                "total_spent"
+            ),
+        )
+    )
+
+
+@register(
+    "q32_full_outer",
+    oracle="""
+    SELECT COALESCE(c.k, s.k) AS nationkey, c.n_cust, s.n_supp
+    FROM (SELECT c_nationkey AS k, COUNT(*) AS n_cust FROM customer WHERE c_acctbal > 9000 GROUP BY 1) c
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS k, COUNT(*) AS n_supp FROM supplier WHERE s_acctbal > 9000 GROUP BY 1) s
+    ON c.k = s.k
+    """,
+)
+def q32_full_outer(spark, sf_dir):
+    """FULL OUTER join (J3) of two filtered aggregates — either side may
+    be missing a key; COALESCE reconstructs the unified key."""
+    c = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .groupBy(F.col("s_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return c.join(s, c.k == s.k, "full").select(
+        F.coalesce(c.k, s.k).alias("nationkey"), "n_cust", "n_supp"
+    )
+
+
+@register(
+    "q33_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+)
+def q33_semi_join(spark, sf_dir):
+    """LEFT SEMI join = EXISTS (J4). Semi joins ship only the key of the
+    right side and stop at first match — never multiplies rows."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q34_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q34_anti_join(spark, sf_dir):
+    """LEFT ANTI join = NOT EXISTS (J4) — the J2 reference fixture shape
+    (12 mp_ids with no prediction; see materials.m08)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q35_range_join",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+        VALUES ('cheap', 0.0, 1200.0), ('mid', 1200.0, 1500.0),
+               ('premium', 1500.0, 1800.0), ('luxury', 1800.0, 1e18)
+    )
+    SELECT band, COUNT(*) AS n_parts,
+           ROUND(MIN(p_retailprice), 2) AS min_price,
+           ROUND(MAX(p_retailprice), 2) AS max_price
+    FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+    GROUP BY band
+    """,
+)
+def q35_range_join(spark, sf_dir):
+    """Theta/range join (J5): fact ⋈ band table on an interval predicate.
+    The band side is tiny → BroadcastNestedLoopJoin, which is the RIGHT
+    plan here: |bands| is O(10), so the 'nested loop' is a constant-cost
+    per-row band lookup, fully parallel, no shuffle of the fact."""
+    bands = spark.createDataFrame(
+        [
+            ("cheap", 0.0, 1200.0),
+            ("mid", 1200.0, 1500.0),
+            ("premium", 1500.0, 1800.0),
+            ("luxury", 1800.0, 1e18),
+        ],
+        "band string, lo double, hi double",
+    )
+    p = t(spark, sf_dir, "part")
+    return (
+        p.join(
+            F.broadcast(bands),
+            (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.min("p_retailprice"), 2).alias("min_price"),
+            F.round(F.max("p_retailprice"), 2).alias("max_price"),
+        )
+    )
+
+
+@register(
+    "q36_cross_join",
+    oracle="""
+    SELECT r_name, x.o_orderstatus AS status
+    FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) x
+    """,
+)
+def q36_cross_join(spark, sf_dir):
+    """Cartesian product of two small sets (J7). Only valid when one side
+    is provably tiny — the engine never cross-joins two facts."""
+    r = t(spark, sf_dir, "region").select("r_name")
+    st = t(spark, sf_dir, "orders").select(F.col("o_orderstatus").alias("status")).distinct()
+    return r.crossJoin(st)
+
+
+@register(
+    "q37_asof_join",
+    oracle="""
+    SELECT p.event_id, p.ts, p.user_id,
+           b.event_id AS prior_click_id, b.value AS prior_click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
+      ON p.user_id = b.user_id AND p.ts >= b.ts
+    """,
+)
+def q37_asof_join(spark, sf_dir):
+    """As-of join (J6): each purchase event matched to the user's latest
+    click at-or-before it. DuckDB's native ASOF JOIN is the oracle; the
+    Spark side runs the one-shuffle union+window recipe
+    (operators/asof.py)."""
+    e = t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("prior_click_id"),
+        F.col("value").alias("prior_click_value"),
+    )
+    return asof_join(
+        probe=purchases,
+        build=clicks,
+        on="user_id",
+        probe_ts="ts",
+        build_ts="click_ts",
+        payload=["prior_click_id", "prior_click_value"],
+        how="left",
+    )
+
+
+@register(
+    "q38_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) * 2 FROM orders)
+    """,
+)
+def q38_scalar_subquery(spark, sf_dir):
+    """Scalar subquery in a predicate (§4.2 subquery handling) via the
+    SQL surface — Catalyst plans the subquery as a broadcast scalar."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_ssq")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders_ssq
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) * 2 FROM orders_ssq)
+        """
+    )
+
+
+@register(
+    "q39_correlated_in",
+    oracle="""
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE s_nationkey IN (SELECT n_nationkey FROM nation
+                          JOIN region ON n_regionkey = r_regionkey
+                          WHERE r_name IN ('EUROPE', 'ASIA'))
+    """,
+)
+def q39_correlated_in(spark, sf_dir):
+    """IN-subquery (decorrelated to a semi join by Catalyst)."""
+    for name in ("supplier", "nation", "region"):
+        t(spark, sf_dir, name).createOrReplaceTempView(f"{name}_q39")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name FROM supplier_q39
+        WHERE s_nationkey IN (SELECT n_nationkey FROM nation_q39
+                              JOIN region_q39 ON n_regionkey = r_regionkey
+                              WHERE r_name IN ('EUROPE', 'ASIA'))
+        """
+    )

@@ -1,0 +1,280 @@
+"""North-star LLM-data-pipeline queries: dedup family, similarity
+search, text analysis, multimodal plumbing (SURVEY.md §2.3 J8, §2.8
+F10, BASELINE.json north_star).
+
+Exercised on the driver's ``documents`` / ``embeddings`` tables. The
+MinHash used here is md5-based specifically so the DuckDB oracle can
+recompute signatures bit-identically — even the LSH operators get full
+value-hash checks, not rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oxi_diel_db_spark.functions import text as TX
+from oxi_diel_db_spark.operators import dedup, similarity
+from oxi_diel_db_spark.queries import register
+from oxi_diel_db_spark.queries._util import t
+
+# Shared DuckDB CTEs for tokenized/shingled documents.
+_SQL_WORDS_CTE = f"""
+w AS (
+  SELECT doc_id, {TX.SQL_NORM_WORDS.format(t='text')} AS words
+  FROM documents
+)
+"""
+
+_SQL_SHINGLES_CTE = f"""
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest({TX.sql_shingles('words')}) AS shingle FROM w
+  )
+)
+"""
+
+
+@register(
+    "d1_exact_dedup",
+    oracle=f"""
+    WITH {_SQL_WORDS_CTE.strip()}
+    SELECT md5(array_to_string(list_sort(list_distinct(words)), ' ')) AS fp,
+           MIN(doc_id) AS keep_id,
+           COUNT(*)    AS n_docs
+    FROM w GROUP BY fp
+    """,
+)
+def d1_exact_dedup(spark, sf_dir):
+    """Exact dedup via content fingerprint (hash-groupBy). One shuffle on
+    a 32-hex key; the canonical first pass of any training-data pipeline."""
+    return dedup.exact_dedup_groups(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "d2_ngram_jaccard",
+    oracle=f"""
+    WITH {_SQL_WORDS_CTE.strip()},
+    {_SQL_SHINGLES_CTE.strip()},
+    sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+    FROM inter
+    JOIN sz sa ON doc_a = sa.doc_id
+    JOIN sz sb ON doc_b = sb.doc_id
+    WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.2
+    """,
+)
+def d2_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs (inverted-index join — only
+    pairs sharing a shingle are materialized, never all O(n²) pairs)."""
+    return dedup.ngram_jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.2)
+
+
+@register(
+    "d3_minhash_lsh",
+    oracle=f"""
+    WITH {_SQL_WORDS_CTE.strip()},
+    {_SQL_SHINGLES_CTE.strip()},
+    mh AS (
+      SELECT doc_id, s.seed, MIN(md5(s.seed::VARCHAR || ':' || shingle)) AS mh
+      FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed) s
+      GROUP BY doc_id, s.seed
+    ),
+    sig AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, sig, b.band,
+             md5(sig[2 * b.band + 1] || sig[2 * b.band + 2]) AS bh
+      FROM sig CROSS JOIN (SELECT unnest(range(4)) AS band) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.sig AS sig_a, b.sig AS sig_b
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(list_sum(list_transform(range(1, 9),
+                 i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)) / 8.0, 6)
+             AS est_jaccard
+    FROM cand
+    WHERE ROUND(list_sum(list_transform(range(1, 9),
+                i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)) / 8.0, 6) >= 0.25
+    """,
+)
+def d3_minhash_lsh(spark, sf_dir):
+    """MinHash + banded LSH near-dup pairs — the 100 TB dedup default.
+    md5-based signatures make this fully oracle-checkable (the usual
+    MinHashLSH would be rows-only)."""
+    return dedup.minhash_lsh_pairs(t(spark, sf_dir, "documents"), threshold=0.25)
+
+
+@register("d4_simhash", oracle=None)  # bit-level UDF — rows-only check
+def d4_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (Hamming ≤ 8 within 16-bit blocks).
+    Determinism asserted in tests/test_dedup.py."""
+    return dedup.simhash_pairs(t(spark, sf_dir, "documents"), max_hamming=8)
+
+
+@register(
+    "d5_embedding_neardup",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.9
+    """,
+)
+def d5_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (semantic dedup)."""
+    return dedup.embedding_neardup_pairs(t(spark, sf_dir, "embeddings"), threshold=0.9)
+
+
+@register(
+    "s1_ann_brute_force",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (SELECT vec_id AS query_id, v AS pv FROM e WHERE vec_id < 5),
+    scored AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             ROUND(list_dot_product(p.pv, c.v)
+                   / (sqrt(list_dot_product(p.pv, p.pv)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+      FROM p CROSS JOIN e c
+      WHERE c.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cos, rn FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= 10
+    """,
+)
+def s1_ann_brute_force(spark, sf_dir):
+    """Exact cosine top-10 for 5 probe vectors — the ANN correctness
+    baseline. Probes broadcast; corpus streams (no corpus shuffle)."""
+    emb = t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.brute_force_topk(emb, probes, k=10)
+
+
+@register("s2_ann_lsh", oracle=None)  # approximate — recall vs s1 tested in pytest
+def s2_ann_lsh(spark, sf_dir):
+    """LSH-bucketed ANN (the scale path): score only same/neighboring
+    bucket candidates — ~2^planes fan-in reduction vs brute force."""
+    emb = t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.lsh_topk(emb, probes, k=10, n_planes=4)
+
+
+@register(
+    "t1_lang_id",
+    oracle=f"""
+    WITH {_SQL_WORDS_CTE.strip()}
+    SELECT doc_id, {TX.sql_lang_id('words')} AS pred_lang
+    FROM w
+    """,
+)
+def t1_lang_id(spark, sf_dir):
+    """Stopword-profile language ID (deterministic heuristic; the corpus
+    text is synthetic so parity, not accuracy, is the check)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.lang_id(TX.norm_words("text")).alias("pred_lang"))
+
+
+@register(
+    "t2_quality_score",
+    oracle=f"""
+    SELECT doc_id, {TX.sql_quality_score('text')} AS quality
+    FROM documents
+    """,
+)
+def t2_quality_score(spark, sf_dir):
+    """Doc-quality scoring: stopword/alpha/length/punctuation mix — the
+    standard pre-training corpus filter signal."""
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.quality_score("text").alias("quality"))
+
+
+@register(
+    "t3_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           {TX.SQL_WS_TOKEN_COUNT.format(t='text')} AS ws_tokens,
+           {TX.SQL_TOKEN_COUNT.format(t='text')}    AS bpe_tokens,
+           length(text)                             AS n_chars
+    FROM documents
+    """,
+)
+def t3_token_count(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish regex tokenizations."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.ws_token_count("text").alias("ws_tokens"),
+        TX.token_count("text").alias("bpe_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+@register(
+    "t4_fingerprint",
+    oracle=f"""
+    SELECT doc_id, {TX.sql_fingerprint('text')} AS fp,
+           md5(text) AS raw_fp
+    FROM documents
+    """,
+)
+def t4_fingerprint(spark, sf_dir):
+    """Document fingerprints: bag-of-words md5 + raw md5."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.fingerprint("text").alias("fp"),
+        F.md5("text").alias("raw_fp"),
+    )
+
+
+@register(
+    "mm1_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text)                  AS content_md5,
+           n_chars
+    FROM documents
+    """,
+)
+def mm1_binary_meta(spark, sf_dir):
+    """Multimodal plumbing: text → opaque binary column + typed metadata
+    (the schema pattern for image/audio payloads; see
+    operators/multimodal.py for the decode/feature UDF plumbing)."""
+    d = t(spark, sf_dir, "documents")
+    bin_col = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(bin_col).alias("n_bytes"),
+        F.md5("text").alias("content_md5"),
+        "n_chars",
+    )
+
+
+@register("mm2_decode_features", oracle=None)  # stubbed decoder — rows-only
+def mm2_decode_features(spark, sf_dir):
+    """Multimodal decode/feature-extract over binary payloads via
+    mapInPandas (deterministic fake decoder — image libs not in this
+    container; the Spark plumbing is real: schema, Arrow batches,
+    partition-parallel)."""
+    from oxi_diel_db_spark.operators.multimodal import extract_features, to_binary_table
+
+    return extract_features(to_binary_table(t(spark, sf_dir, "documents")))

@@ -1,0 +1,304 @@
+"""Materials-domain queries — the REF operator rows of SURVEY.md §2
+(S1-S2, P1/P5, J1-J2, A2-A5, F3-F4, O1) on the ingested reference
+corpus.
+
+The corpus parquet is committed at data/materials.parquet (built once by
+scripts/ingest_materials.py from /root/reference — CC BY 4.0). Oracle
+SQL reads the SAME parquet via read_parquet(), so Spark and DuckDB see
+identical bits; sf_dir is ignored (the corpus has one scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oxi_diel_db_spark.functions import arrays as A
+from oxi_diel_db_spark.functions import formula as FM
+from oxi_diel_db_spark.queries import register
+from oxi_diel_db_spark.queries._util import r6
+from oxi_diel_db_spark.sources import materials as M
+
+_MAT = f"read_parquet('{M.MATERIALS_PARQUET}/*.parquet')"
+_PRED = f"read_parquet('{M.PREDICTIONS_PARQUET}/*.parquet')"
+
+
+@register(
+    "m01_point_lookup",
+    oracle=f"""
+    SELECT mp_id, formula, band_gap, nsites, nelements,
+           spacegroup.symbol AS sg_symbol, is_direct
+    FROM {_MAT} WHERE mp_id = 'mp-4747'
+    """,
+)
+def m01_point_lookup(spark, sf_dir):
+    """S2: point lookup by mp_id + nested projection (reference
+    main.py:26-29 opens exactly one record). The mp_id predicate prunes
+    parquet row groups; nested pruning reads only spacegroup.symbol."""
+    return M.materials(spark).filter(F.col("mp_id") == "mp-4747").select(
+        "mp_id",
+        "formula",
+        "band_gap",
+        "nsites",
+        "nelements",
+        F.col("spacegroup.symbol").alias("sg_symbol"),
+        "is_direct",
+    )
+
+
+@register(
+    "m02_eps_avg_invariant",
+    oracle=f"""
+    SELECT mp_id,
+           (dielectric.epsilon_electronic_eig[1] + dielectric.epsilon_electronic_eig[2]
+            + dielectric.epsilon_electronic_eig[3]) / 3.0 AS el_avg_calc,
+           dielectric.epsilon_electronic_avg AS el_avg_stored,
+           ABS((dielectric.epsilon_electronic_eig[1] + dielectric.epsilon_electronic_eig[2]
+            + dielectric.epsilon_electronic_eig[3]) / 3.0
+               - dielectric.epsilon_electronic_avg) < 1e-6 AS holds
+    FROM {_MAT}
+    """,
+)
+def m02_eps_avg_invariant(spark, sf_dir):
+    """A2 / invariant 1: epsilon_electronic_avg == mean(eig). Explicit
+    ((a+b)+c)/3 so the recomputation is bit-identical in both engines."""
+    m = M.materials(spark)
+    calc = A.mean3(F.col("dielectric.epsilon_electronic_eig"))
+    stored = F.col("dielectric.epsilon_electronic_avg")
+    return m.select(
+        "mp_id",
+        calc.alias("el_avg_calc"),
+        stored.alias("el_avg_stored"),
+        (F.abs(calc - stored) < 1e-6).alias("holds"),
+    )
+
+
+@register(
+    "m03_lowest_freq_invariant",
+    oracle=f"""
+    SELECT mp_id,
+           list_min(phonon.frequency) AS min_freq,
+           phonon.lowest_freq         AS stored_freq,
+           list_min(phonon.frequency) = phonon.lowest_freq AS holds,
+           len(phonon.frequency)      AS n_modes,
+           3 * nsites                 AS expected_modes
+    FROM {_MAT}
+    """,
+)
+def m03_lowest_freq_invariant(spark, sf_dir):
+    """A3 / invariants 3+5: lowest_freq == min(frequency), exactly, and
+    |frequency| == 3·nsites. array_min is exact — no tolerance needed."""
+    m = M.materials(spark)
+    return m.select(
+        "mp_id",
+        F.array_min("phonon.frequency").alias("min_freq"),
+        F.col("phonon.lowest_freq").alias("stored_freq"),
+        (F.array_min("phonon.frequency") == F.col("phonon.lowest_freq")).alias("holds"),
+        F.size("phonon.frequency").alias("n_modes"),
+        (3 * F.col("nsites")).alias("expected_modes"),
+    )
+
+
+@register(
+    "m04_born_trace_invariant",
+    oracle=f"""
+    SELECT mp_id,
+           ROUND(list_sum(list_transform(born_effective_charge.tensors,
+                    t -> abs((t[1][1] + t[2][2] + t[3][3]) / 3.0)))
+                 / len(born_effective_charge.tensors), 6) AS avg_abs_trace_calc,
+           ROUND(born_effective_charge.avg_abs_trace, 6)  AS avg_abs_trace_stored
+    FROM {_MAT}
+    """,
+)
+def m04_born_trace_invariant(spark, sf_dir):
+    """A4 / invariant 4: avg_abs_trace == mean over sites of |trace/3|,
+    computed entirely in higher-order functions over the 3-level nested
+    tensor array — no UDF, so nested pruning + codegen survive."""
+    m = M.materials(spark)
+    return m.select(
+        "mp_id",
+        F.round(A.avg_abs_trace3(F.col("born_effective_charge.tensors")), 6).alias(
+            "avg_abs_trace_calc"
+        ),
+        F.round(F.col("born_effective_charge.avg_abs_trace"), 6).alias(
+            "avg_abs_trace_stored"
+        ),
+    )
+
+
+@register(
+    "m05_counting_invariants",
+    oracle=f"""
+    SELECT mp_id,
+           len(elements)                    AS n_elem_calc,
+           nelements                        AS n_elem_stored,
+           len(structure.sites)             AS n_sites_calc,
+           nsites                           AS n_sites_stored,
+           len(born_effective_charge.tensors) AS n_tensors
+    FROM {_MAT}
+    """,
+)
+def m05_counting_invariants(spark, sf_dir):
+    """A5 / invariant 5: stored counts == collection sizes."""
+    m = M.materials(spark)
+    return m.select(
+        "mp_id",
+        F.size("elements").alias("n_elem_calc"),
+        F.col("nelements").alias("n_elem_stored"),
+        F.size("structure.sites").alias("n_sites_calc"),
+        F.col("nsites").alias("n_sites_stored"),
+        F.size("born_effective_charge.tensors").alias("n_tensors"),
+    )
+
+
+@register(
+    "m06_screening",
+    oracle=f"""
+    SELECT spacegroup.crystal_system AS crystal_system,
+           COUNT(*) AS n_materials,
+           ROUND(MIN(band_gap), 6) AS min_gap,
+           ROUND(MAX(band_gap), 6) AS max_gap,
+           SUM(CASE WHEN is_direct THEN 1 ELSE 0 END) AS n_direct
+    FROM {_MAT}
+    WHERE list_contains(elements, 'O') AND band_gap >= 0.5
+    GROUP BY 1
+    """,
+)
+def m06_screening(spark, sf_dir):
+    """P5: the corpus screening predicate (oxides, gapped — reference
+    README.md:24,50) + a grouped profile by crystal system."""
+    m = M.materials(spark)
+    return (
+        m.filter(F.array_contains("elements", "O") & (F.col("band_gap") >= 0.5))
+        .groupBy(F.col("spacegroup.crystal_system").alias("crystal_system"))
+        .agg(
+            F.count(F.lit(1)).alias("n_materials"),
+            F.round(F.min("band_gap"), 6).alias("min_gap"),
+            F.round(F.max("band_gap"), 6).alias("max_gap"),
+            F.sum(F.when(F.col("is_direct"), 1).otherwise(0)).alias("n_direct"),
+        )
+    )
+
+
+@register(
+    "m07_join_predictions",
+    oracle=f"""
+    SELECT m.mp_id,
+           ROUND(p.log10_eps, 6) AS pred_log10,
+           ROUND(LOG10(m.dielectric.epsilon_electronic_avg), 6) AS actual_log10
+    FROM {_MAT} m JOIN {_PRED} p ON m.mp_id = p.mp_id
+    WHERE p.model = 'el_comp'
+    """,
+)
+def m07_join_predictions(spark, sf_dir):
+    """J1: materials ⋈ golden predictions on mp_id (the reference's
+    dict-lookup join, prediction_result_el_comp.json) — broadcast hash
+    join: predictions are 1,266 rows."""
+    m = M.materials(spark)
+    p = M.predictions(spark).filter(F.col("model") == "el_comp")
+    return m.join(F.broadcast(p), "mp_id").select(
+        "mp_id",
+        F.round("log10_eps", 6).alias("pred_log10"),
+        F.round(F.log10("dielectric.epsilon_electronic_avg"), 6).alias("actual_log10"),
+    )
+
+
+@register(
+    "m08_unscored_anti_join",
+    oracle=f"""
+    SELECT mp_id, formula FROM {_MAT}
+    WHERE mp_id NOT IN (SELECT DISTINCT mp_id FROM {_PRED})
+    """,
+)
+def m08_unscored_anti_join(spark, sf_dir):
+    """J2: the 12 materials with no prediction in any model — the
+    reference's natural anti-join fixture (SURVEY §1.1), verified to
+    return exactly those 12 ids in tests/test_materials.py."""
+    m = M.materials(spark)
+    p = M.predictions(spark)
+    return m.join(F.broadcast(p), "mp_id", "left_anti").select("mp_id", "formula")
+
+
+@register(
+    "m09_parse_formula",
+    oracle=f"""
+    SELECT mp_id, formula,
+           {FM.sql_formula_canonical('formula')} AS parsed,
+           len(regexp_extract_all(formula, '[A-Z][a-z]?[0-9.]*')) = nelements AS token_count_ok
+    FROM {_MAT}
+    """,
+)
+def m09_parse_formula(spark, sf_dir):
+    """F4: Composition('SiO2')-style formula parsing (reference
+    main.py:33) as pure regexp expressions; canonical 'El:count' render."""
+    m = M.materials(spark)
+    return m.select(
+        "mp_id",
+        "formula",
+        FM.formula_canonical("formula").alias("parsed"),
+        (F.size(FM.formula_tokens("formula")) == F.col("nelements")).alias(
+            "token_count_ok"
+        ),
+    )
+
+
+@register("m10_tensor_eigvals", oracle=None)  # needs LAPACK — rows-only + pytest
+def m10_tensor_eigvals(spark, sf_dir):
+    """F3 / invariant 2: eigenvalues of the dielectric tensors via the
+    engine's vectorized tensor_eigvals pandas_udf, compared to the
+    stored eigenvalues (max|Δ| per record). Tolerance asserted in
+    tests/test_materials.py; here rows-only."""
+    m = M.materials(spark)
+    calc = A.tensor_eigvals(F.col("dielectric.epsilon_electronic"))
+    stored = F.array_sort(F.col("dielectric.epsilon_electronic_eig"))
+    diff = F.zip_with(calc, stored, lambda a, b: F.abs(a - b))
+    return m.select(
+        "mp_id",
+        F.array_max(diff).alias("max_eig_diff"),
+        (F.array_max(diff) < 1e-4).alias("within_tol"),
+    )
+
+
+@register(
+    "m11_site_explode_agg",
+    oracle=f"""
+    SELECT mp_id,
+           COUNT(*)                        AS n_sites,
+           ROUND(MAX(z), 6) + 0            AS max_z,
+           ROUND(MIN(z), 6) + 0            AS min_z,
+           ROUND(AVG(z), 6) + 0            AS mean_z,
+           ROUND(STDDEV_POP(z), 6) + 0     AS std_z
+    FROM (
+        SELECT mp_id, unnest(structure.sites).xyz[3] AS z FROM {_MAT}
+    )
+    GROUP BY mp_id
+    """,
+)
+def m11_site_explode_agg(spark, sf_dir):
+    """A1: the reference's explode-sites→aggregate pattern
+    (ml_prediction.py:44,50-51 builds a per-site feature matrix, then
+    reduces with np.max/min/mean/std). posexplode → groupBy(mp_id) with
+    STDDEV_POP (np.std is ddof=0 — SURVEY §2.11 numeric-parity warning)."""
+    m = M.materials(spark)
+    sites = m.select(
+        "mp_id", F.explode("structure.sites").alias("site")
+    ).select("mp_id", F.element_at("site.xyz", 3).alias("z"))
+    return sites.groupBy("mp_id").agg(
+        F.count(F.lit(1)).alias("n_sites"),
+        r6(F.max("z"), "max_z"),
+        r6(F.min("z"), "min_z"),
+        r6(F.avg("z"), "mean_z"),
+        r6(F.stddev_pop("z"), "std_z"),
+    )
+
+
+@register("m12_en_ordered_formula", oracle=None)  # domain lookup — rows-only
+def m12_en_ordered_formula(spark, sf_dir):
+    """O1: elements ordered by Pauling electronegativity (the reference's
+    formula convention, README.md:18) via a literal EN map — the
+    broadcast-lookup pattern every composition featurizer uses (§2.9)."""
+    m = M.materials(spark)
+    return m.select(
+        "mp_id",
+        "formula",
+        FM.en_ordered_formula("elements").alias("en_ordered_elements"),
+    )

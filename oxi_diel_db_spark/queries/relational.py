@@ -1,0 +1,382 @@
+"""Scans, projections, filters, sorts, limits, set ops, scalar functions.
+
+SURVEY.md §2.1 (S2, S8), §2.2 (P1, P4, P6), §2.6 (O2, O3), §2.7,
+§2.8 (F1, F2, F5, F9, F10, F11). Reference semantics sites are cited per
+query; execution is Spark-first (declarative plans, pushdown-friendly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oxi_diel_db_spark.queries import register
+from oxi_diel_db_spark.queries._util import (
+    avg_money,
+    sql_avg_money,
+    sql_sum_money,
+    sum_money,
+    t,
+)
+
+# --------------------------------------------------------------------------
+# Flagship: TPC-H-Q1-shaped pricing summary (S8 scan → P6 filter → A8 agg).
+# Scale posture: single scan, partial aggregation map-side, 6-group output;
+# the only shuffle is the tiny final agg. Filter + 7-column projection push
+# into the parquet reader (verified in tests/test_plans.py).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q01_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(l_quantity AS BIGINT))                          AS sum_qty,
+           {sql_sum_money('l_extendedprice')}                       AS sum_base_price,
+           {sql_sum_money('l_extendedprice * (1 - l_discount)')}    AS sum_disc_price,
+           {sql_sum_money('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {sql_avg_money('l_quantity')}                            AS avg_qty,
+           {sql_avg_money('l_extendedprice')}                       AS avg_price,
+           ROUND(AVG(l_discount), 6)                                AS avg_disc,
+           COUNT(*)                                                 AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark, sf_dir):
+    """Pricing summary report — the engine's flagship aggregation.
+
+    Reference parity: the explode→reduce feature aggregations of
+    ml_prediction.py:50-51 generalize to grouped SUM/AVG/COUNT; this is
+    the canonical Spark hash-aggregate (partial+final) shape.
+    """
+    l = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            sum_money("l_extendedprice", "sum_base_price"),
+            sum_money(disc_price, "sum_disc_price"),
+            sum_money(charge, "sum_charge"),
+            avg_money("l_quantity", "avg_qty"),
+            avg_money("l_extendedprice", "avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q02_point_lookup",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+    FROM orders WHERE o_orderkey = 7
+    """,
+)
+def q02_point_lookup(spark, sf_dir):
+    """Point lookup by key (S2: main.py:26-29 opens one record by mp_id).
+
+    Scale posture: the equality predicate pushes to parquet row-group
+    stats; on a key-partitioned/bucketed 100 TB table this prunes to one
+    file (partition pruning), mirroring the reference's one-file read.
+    """
+    return t(spark, sf_dir, "orders").filter(F.col("o_orderkey") == 7).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+
+
+@register(
+    "q03_predicates",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20
+      AND l_returnflag IN ('A', 'R')
+      AND l_shipdate >= DATE '1996-01-01'
+      AND (l_discount < 0.03 OR l_tax > 0.06)
+      AND l_extendedprice IS NOT NULL
+    """,
+)
+def q03_predicates(spark, sf_dir):
+    """Full predicate algebra (P6): BETWEEN/IN/>=/OR/IS NOT NULL.
+
+    All conjuncts are parquet-pushable (shown in PushedFilters); the OR
+    branch stays a scan-level filter. No shuffle at all.
+    """
+    l = t(spark, sf_dir, "lineitem")
+    return l.filter(
+        F.col("l_quantity").between(10, 20)
+        & F.col("l_returnflag").isin("A", "R")
+        & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & ((F.col("l_discount") < 0.03) | (F.col("l_tax") > 0.06))
+        & F.col("l_extendedprice").isNotNull()
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+
+
+@register(
+    "q04_case_buckets",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 150000 THEN 'medium'
+                ELSE 'large' END AS bucket,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers
+    FROM orders GROUP BY 1
+    """,
+)
+def q04_case_buckets(spark, sf_dir):
+    """CASE-based dispatch (P4: ml_prediction.py:64-67 validates/dispatches
+    on dielectric_type/model_type — re-expressed as vectorized CASE WHEN)."""
+    o = t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .otherwise("large")
+        .alias("bucket")
+    )
+    return o.groupBy(bucket).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+@register(
+    "q05_global_sort",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_orderdate, o_totalprice
+    FROM orders
+    ORDER BY o_orderpriority DESC NULLS LAST, o_orderdate ASC, o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def q05_global_sort(spark, sf_dir):
+    """Global multi-key sort + limit (O2). o_orderkey tie-break makes the
+    LIMIT row-set deterministic. Spark plans TakeOrderedAndProject —
+    per-partition top-k then merge, no full global sort at scale."""
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_orderdate", "o_totalprice")
+        .orderBy(
+            F.col("o_orderpriority").desc_nulls_last(),
+            F.col("o_orderdate").asc(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "q06_topk",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 50
+    """,
+)
+def q06_topk(spark, sf_dir):
+    """ORDER BY ... LIMIT k (O3) → TakeOrderedAndProject (heap per
+    partition, driver merge of k·P rows — scales to any row count)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(50)
+    )
+
+
+@register(
+    "q07_union_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
+    UNION ALL
+    SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier
+    """,
+)
+def q07_union_all(spark, sf_dir):
+    """UNION ALL (§2.7) — no shuffle, plain concatenation of scans."""
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("side")
+    )
+    s = t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("side")
+    )
+    return c.unionByName(s)
+
+
+@register(
+    "q08_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q08_intersect(spark, sf_dir):
+    """INTERSECT (distinct semantics) — hash-partitioned both sides."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "q09_except",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders
+    """,
+)
+def q09_except(spark, sf_dir):
+    """EXCEPT (distinct set semantics → subtract) — J2's id-set-difference
+    shape (12 unscored mp_ids) generalized: customers that never ordered."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return c.subtract(o)
+
+
+@register(
+    "q10_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_name)                                   AS name_upper,
+           LOWER(p_brand)                                  AS brand_lower,
+           SUBSTRING(p_type, 1, 3)                         AS type_prefix,
+           CONCAT(p_brand, ':', p_type)                    AS brand_type,
+           REPLACE(p_name, ' ', '_')                       AS name_snake,
+           LENGTH(p_name)                                  AS name_len,
+           CASE WHEN p_name LIKE '%gold%' THEN 1 ELSE 0 END AS has_gold,
+           REGEXP_EXTRACT(p_brand, '#(\\d+)', 1)           AS brand_num
+    FROM part
+    """,
+)
+def q10_string_funcs(spark, sf_dir):
+    """String function family (F10 surface; F5's regexp-id-extraction
+    pattern appears as brand_num)."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.substring("p_type", 1, 3).alias("type_prefix"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.length("p_name").alias("name_len"),
+        F.when(F.col("p_name").like("%gold%"), 1).otherwise(0).alias("has_gold"),
+        F.regexp_extract("p_brand", r"#(\d+)", 1).alias("brand_num"),
+    )
+
+
+@register(
+    "q11_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           YEAR(o_orderdate)                                    AS order_year,
+           MONTH(o_orderdate)                                   AS order_month,
+           DAYOFMONTH(o_orderdate)                              AS order_day,
+           CAST(DATE_TRUNC('month', o_orderdate) AS DATE)       AS month_start,
+           DATEDIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch_start,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE)          AS due_date,
+           CAST(EPOCH(o_orderdate) AS BIGINT)                   AS epoch_sec
+    FROM orders WHERE o_orderkey < 500
+    """,
+)
+def q11_datetime(spark, sf_dir):
+    """Date/time function family (F9) over the orders timestamps."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("order_year"),
+        F.month(d).alias("order_month"),
+        F.dayofmonth(d).alias("order_day"),
+        F.date_trunc("month", d).cast("date").alias("month_start"),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch_start"
+        ),
+        F.date_add(d.cast("date"), 30).alias("due_date"),
+        F.unix_timestamp(d).alias("epoch_sec"),
+    )
+
+
+@register(
+    "q12_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(REGEXP_EXTRACT(props, '"k":\\s*(-?\\d+)', 1) AS INTEGER) AS prop_k
+    FROM events WHERE event_id < 1000
+    """,
+)
+def q12_json_extract(spark, sf_dir):
+    """JSON extraction (F11: events.props is a JSON string). Spark side
+    uses the real JSON path expression; the oracle mirrors it with a
+    regexp so the check does not depend on DuckDB's json extension."""
+    e = t(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+    )
+
+
+@register(
+    "q13_null_handling",
+    oracle="""
+    SELECT c_custkey,
+           COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'OTHER') AS segment_or_other,
+           CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS nonneg_bal,
+           c_acctbal IS NULL                                    AS bal_is_null,
+           IFNULL(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, 0.0) AS bal_or_zero
+    FROM customer
+    """,
+)
+def q13_null_handling(spark, sf_dir):
+    """NULL algebra: NULLIF/COALESCE/IS NULL/IFNULL (P4 fail-fast
+    validation re-expressed as null-safe expressions)."""
+    c = t(spark, sf_dir, "customer")
+    nonneg = F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(F.col("c_acctbal"))
+    return c.select(
+        "c_custkey",
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")), F.lit("OTHER")).alias(
+            "segment_or_other"
+        ),
+        nonneg.alias("nonneg_bal"),
+        F.isnull("c_acctbal").alias("bal_is_null"),
+        F.ifnull(nonneg, F.lit(0.0)).alias("bal_or_zero"),
+    )
+
+
+@register(
+    "q14_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(POW(10, l_discount), 6)        AS pow10_disc,
+           ROUND(LOG10(l_extendedprice), 6)     AS log10_price,
+           ABS(l_discount - l_tax)              AS abs_diff,
+           ROUND(SQRT(l_quantity), 6)           AS sqrt_qty,
+           ROUND(EXP(l_discount), 6)            AS exp_disc,
+           FLOOR(l_extendedprice)               AS floor_price,
+           CEIL(l_extendedprice)                AS ceil_price,
+           CAST(l_quantity AS BIGINT) % 7       AS qty_mod7
+    FROM lineitem WHERE l_orderkey < 200
+    """,
+)
+def q14_math_funcs(spark, sf_dir):
+    """Math scalar family. F1 is literal reference behavior: main.py:37
+    de-logs the model output with 10**pred → pow(10, x) here; log10 is
+    the label transform of the reference's training target."""
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.pow(F.lit(10), F.col("l_discount")), 6).alias("pow10_disc"),
+        F.round(F.log10("l_extendedprice"), 6).alias("log10_price"),
+        F.abs(F.col("l_discount") - F.col("l_tax")).alias("abs_diff"),
+        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
+        F.round(F.exp("l_discount"), 6).alias("exp_disc"),
+        F.floor("l_extendedprice").alias("floor_price"),
+        F.ceil("l_extendedprice").alias("ceil_price"),
+        (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod7"),
+    )

@@ -1,0 +1,117 @@
+"""Streaming queries (SURVEY.md §2.10 T1-T3). st1/st2 genuinely run
+Structured Streaming (file-source replay → memory sink) inside the
+queries() call; the oracle checks batch-equivalence, which is exactly
+the semantics Structured Streaming guarantees for event-time windows.
+st3 exercises session_window (batch mode; the gaps-and-islands SQL twin
+is the oracle)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oxi_diel_db_spark.queries import register
+from oxi_diel_db_spark.queries._util import t
+from oxi_diel_db_spark.streaming import ops
+
+
+@register(
+    "st1_tumbling_window",
+    oracle="""
+    SELECT DATE_TRUNC('hour', ts) AS win_start, event_type,
+           COUNT(*) AS n,
+           SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def st1_tumbling_window(spark, sf_dir):
+    """T1 tumbling window — REAL streaming execution: the events parquet
+    replays through a file source into a windowed agg and a memory sink;
+    the driver hashes the sink contents. Epoch-aligned 1h windows ==
+    DATE_TRUNC('hour')."""
+    stream = ops.read_events_stream(spark, sf_dir)
+    return ops.run_stream_to_memory(ops.tumbling_counts(stream, "1 hour"), spark)
+
+
+@register(
+    "st2_sliding_window",
+    oracle="""
+    WITH offsets(off) AS (VALUES (0), (30))
+    SELECT DATE_TRUNC('hour', ts - off * INTERVAL 1 MINUTE)
+             + off * INTERVAL 1 MINUTE AS win_start,
+           event_type, COUNT(*) AS n
+    FROM events CROSS JOIN offsets
+    GROUP BY 1, 2
+    """,
+)
+def st2_sliding_window(spark, sf_dir):
+    """T2 sliding window (1h width, 30min slide) via streaming replay.
+    Oracle: each event belongs to the two half-hour-offset hourly
+    windows — expressed as a cross join with offsets."""
+    stream = ops.read_events_stream(spark, sf_dir)
+    return ops.run_stream_to_memory(
+        ops.sliding_counts(stream, "1 hour", "30 minutes"), spark
+    )
+
+
+@register(
+    "st3_session_window",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER w >= INTERVAL 10 MINUTE OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM marked
+    )
+    SELECT MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 10 MINUTE AS session_end,
+           user_id,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def st3_session_window(spark, sf_dir):
+    """T3 session windows (10-minute gap) per user. Spark's native
+    session_window; the oracle is the classic gaps-and-islands rewrite —
+    session_end = last event + gap, matching Spark's definition."""
+    return ops.session_windows(t(spark, sf_dir, "events"), "10 minutes")
+
+
+@register("st4_stream_dedup", oracle=None)  # stateful streaming — rows-only
+def st4_stream_dedup(spark, sf_dir):
+    """T5 stateful dedup under watermark, streamed to a memory sink.
+    events has unique event_ids, so output row-count == input row-count;
+    the interesting assertion (dup injection) lives in
+    tests/test_streaming.py."""
+    stream = ops.read_events_stream(spark, sf_dir)
+    deduped = ops.deduped_stream(stream).select("event_id", "ts", "user_id", "event_type")
+    return ops.run_stream_to_memory(deduped, spark, mode="append")
+
+
+@register(
+    "st5_stream_static_join",
+    oracle="""
+    SELECT e.event_id, e.event_type, n.n_name
+    FROM events e
+    LEFT JOIN nation n ON CAST(e.user_id % 25 AS INTEGER) = n.n_nationkey
+    WHERE e.event_id < 2000
+    """,
+)
+def st5_stream_static_join(spark, sf_dir):
+    """T7 stream ⋈ static broadcast dim (user → synthetic nation key),
+    run through the streaming path with an append sink."""
+    stream = ops.read_events_stream(spark, sf_dir).filter(F.col("event_id") < 2000)
+    nation = t(spark, sf_dir, "nation")
+    keyed = stream.withColumn(
+        "n_nationkey", (F.col("user_id") % 25).cast("int")
+    )
+    joined = ops.stream_static_join(keyed, nation, "n_nationkey").select(
+        "event_id", "event_type", "n_name"
+    )
+    return ops.run_stream_to_memory(joined, spark, mode="append")

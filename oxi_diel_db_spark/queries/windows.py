@@ -1,0 +1,167 @@
+"""Window functions (SURVEY.md §2.5: W1-W4).
+
+Each window is ONE shuffle on its partition key, then a per-partition
+sort. Frames that sum doubles use exact integer cents so running totals
+are bit-stable across engines (segment-tree vs streaming accumulation
+would otherwise reorder FP additions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from oxi_diel_db_spark.queries import register
+from oxi_diel_db_spark.queries._util import cents, t
+
+
+@register(
+    "q40_ranking",
+    oracle="""
+    SELECT * FROM (
+        SELECT c_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER w AS rn,
+               RANK()       OVER w AS rnk,
+               DENSE_RANK() OVER w AS drnk
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WINDOW w AS (PARTITION BY c_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    ) WHERE rn <= 3
+    """,
+)
+def q40_ranking(spark, sf_dir):
+    """row_number/rank/dense_rank + top-N-per-group (W1 + W4). The
+    o_orderkey tie-break makes row_number deterministic. At scale this is
+    the standard 'top 3 orders per customer' pattern: one shuffle by
+    customer, heap-sort within."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "q41_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           LAG(value)  OVER w                         AS prev_value,
+           LEAD(value) OVER w                         AS next_value,
+           FIRST_VALUE(event_id) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_event,
+           value - LAG(value) OVER w                  AS delta
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q41_lag_lead(spark, sf_dir):
+    """lag/lead/first_value analytics per user timeline (W2). delta is a
+    per-row IEEE subtraction of identical inputs → hash-stable."""
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    wrows = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.first("event_id").over(wrows).alias("first_event"),
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+@register(
+    "q42_running_frames",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+               OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS running_revenue,
+           SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+               OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+             / (100.0 * COUNT(*) OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)) AS moving_avg4
+    FROM lineitem
+    WHERE l_suppkey <= 20
+    WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+    """,
+)
+def q42_running_frames(spark, sf_dir):
+    """Running total + moving average with explicit ROWS frames (W3).
+    Sums run on exact cents; the moving average divides two exact frame
+    aggregates, so both engines produce identical doubles."""
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 20)
+    w = W.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    mov = w.rowsBetween(-3, W.currentRow)
+    c = cents("l_extendedprice")
+    return l.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        (F.sum(c).over(run) / 100.0).alias("running_revenue"),
+        (F.sum(c).over(mov) / (100.0 * F.count(F.lit(1)).over(mov))).alias("moving_avg4"),
+    )
+
+
+@register(
+    "q43_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                          RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS n_within_10k
+    FROM orders WHERE o_orderkey <= 3000
+    """,
+)
+def q43_range_frame(spark, sf_dir):
+    """RANGE frame on a numeric ordering (W3): peers within a value
+    distance, not a row count. COUNT → exact across engines."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 3000)
+    w = (
+        W.partitionBy("o_orderstatus")
+        .orderBy(F.col("o_totalprice").asc())
+        .rangeBetween(-10000, W.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.count(F.lit(1)).over(w).alias("n_within_10k"),
+    )
+
+
+@register(
+    "q44_distribution",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           NTILE(10)      OVER w AS decile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST()    OVER w AS cume
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q44_distribution(spark, sf_dir):
+    """ntile/percent_rank/cume_dist (W1 distribution family). Exact
+    rationals k/(n-1) — identical doubles in both engines. Single
+    unpartitioned window: fine for dims; at 100 TB use approx quantiles
+    instead of a global ntile."""
+    c = t(spark, sf_dir, "customer")
+    w = W.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )

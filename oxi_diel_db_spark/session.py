@@ -1,0 +1,77 @@
+"""SparkSession builder with scale-ready defaults.
+
+The same builder serves local[*] tests and a real cluster: everything
+here is a *ratio/behavior* config (AQE, Arrow, nested pruning), not a
+host-size config. Size knobs (shuffle partitions) default to the local
+core count but are overridable via env for cluster submission.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Behavior configs that are correct at every scale.
+_BASE_CONF = {
+    # Runtime re-planning: coalesce tiny shuffle partitions, split skewed
+    # ones, switch sort-merge→broadcast when a side turns out small.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for every pandas_udf / toPandas crossing.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Prune nested struct fields through Parquet scans (materials table is
+    # deeply nested; without this a 2-field projection reads the whole doc).
+    "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",
+    # Deterministic timestamps vs the DuckDB oracle (naive-UTC).
+    "spark.sql.session.timeZone": "UTC",
+    # Broadcast threshold: dims (region/nation/predictions) are tiny; AQE
+    # also auto-broadcasts post-shuffle when sizes allow.
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # Parquet: vectorized reader on, filter pushdown on (defaults, pinned).
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.ansi.enabled": "false",
+    # events.parquet stores TIMESTAMP(NANOS) which Spark's reader rejects;
+    # read as long and convert (tables.load normalizes to microseconds).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(app_name: str = "oxi_diel_db_spark") -> SparkSession:
+    """Build (or reuse) the engine session.
+
+    Env overrides:
+      SPARK_GRAFT_CPUS      → local[N] parallelism (default: all cores)
+      SPARK_GRAFT_SHUFFLE   → spark.sql.shuffle.partitions (default: cpus)
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    shuffle = os.environ.get(
+        "SPARK_GRAFT_SHUFFLE", cpus if cpus != "*" else str(os.cpu_count() or 8)
+    )
+    builder = SparkSession.builder.appName(app_name)
+    active = SparkSession.getActiveSession()
+    if active is None:
+        # Only set master when we are creating the session (a driver that
+        # hands us a session keeps its own master/memory settings).
+        builder = builder.master(f"local[{cpus}]").config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        )
+    builder = builder.config("spark.sql.shuffle.partitions", shuffle)
+    for k, v in _BASE_CONF.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply the engine's behavior configs to an externally-created session
+    (e.g. the driver's). Only runtime-settable confs are applied."""
+    for k, v in _BASE_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on a running session — keep the session's value
+    return spark

@@ -1,0 +1,127 @@
+"""Streaming operator recipes T1-T8 (SURVEY.md §2.10) on the events
+table, written so the SAME transformation builder runs on a batch or a
+streaming DataFrame — batch/stream equivalence is the correctness
+contract (tests/test_streaming.py runs both and diffs).
+
+Source for tests/driver: file source replaying the events parquet.
+In production the source line changes to Kafka; everything below the
+source is identical (that is the point of Structured Streaming).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oxi_diel_db_spark.queries._util import cents
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source replay of the events table (T8 source side).
+
+    The trailing ``*`` makes the path a glob so the file source treats
+    the parent dir as basePath (it rejects a bare file path); ts arrives
+    as long nanos (see session nanosAsLong) and is normalized to a real
+    timestamp column before any event-time operator sees it.
+    """
+    from oxi_diel_db_spark.tables import normalize_event_ts
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{sf_dir}/events.parquet*")
+    )
+    return normalize_event_ts(raw)
+
+
+# ---- transformation builders (batch/stream agnostic) ----------------------
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """T1: tumbling event-time window aggregation."""
+    return (
+        events.groupBy(F.window("ts", width).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(cents("value")) / 100.0).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame, width: str = "1 hour", slide: str = "30 minutes") -> DataFrame:
+    """T2: sliding (hopping) window — each event lands in width/slide windows."""
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n")
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
+    """T3: session windows per user (gap-based)."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def deduped_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """T5: stateful dedup by event_id under a watermark (streaming only)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def stream_static_join(events: DataFrame, dim: DataFrame, on) -> DataFrame:
+    """T7: stream ⋈ static broadcast dim."""
+    return events.join(F.broadcast(dim), on, "left")
+
+
+# ---- execution helpers -----------------------------------------------------
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, spark: SparkSession, mode: str = "complete"
+) -> DataFrame:
+    """Drive a streaming DF to completion against the file source and
+    return the materialized result (memory sink). Synchronous:
+    processAllAvailable drains every available file, then the query stops
+    — deterministic, suited to tests and the driver's collect."""
+    name = f"st_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return spark.table(name)
+
+
+def watermarked_tumbling(events: DataFrame, width: str = "1 hour", late: str = "15 minutes") -> DataFrame:
+    """T4: watermarked windowed agg — rows later than `late` beyond the
+    max seen event time are dropped; append-mode emits only finalized
+    windows."""
+    return (
+        events.withWatermark("ts", late)
+        .groupBy(F.window("ts", width).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n")
+    )

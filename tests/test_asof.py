@@ -1,0 +1,88 @@
+"""asof_join correctness vs pandas merge_asof (the well-known reference
+implementation) on synthetic keyed timelines, plus edge semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+
+from oxi_diel_db_spark.operators.asof import asof_join
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ts(minutes):
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+def test_asof_matches_pandas(spark):
+    build = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 2, 2, 3],
+            "bts": [_ts(0), _ts(10), _ts(20), _ts(5), _ts(15), _ts(100)],
+            "val": [10.0, 11.0, 12.0, 20.0, 21.0, 30.0],
+        }
+    )
+    probe = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 2, 2, 3, 4],
+            "pts": [_ts(-1), _ts(10), _ts(25), _ts(4), _ts(16), _ts(50), _ts(9)],
+        }
+    )
+    got = (
+        asof_join(
+            spark.createDataFrame(probe),
+            spark.createDataFrame(build),
+            on="k",
+            probe_ts="pts",
+            build_ts="bts",
+            payload=["val"],
+            how="left",
+        )
+        .toPandas()
+        .sort_values(["k", "pts"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        pd.merge_asof(
+            probe.sort_values("pts"),
+            build.sort_values("bts"),
+            left_on="pts",
+            right_on="bts",
+            by="k",
+            direction="backward",  # <= semantics, inclusive — same as ours
+        )
+        .drop(columns=["bts"])
+        .sort_values(["k", "pts"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["k", "pts", "val"]], exp[["k", "pts", "val"]])
+
+
+def test_asof_inner_drops_unmatched(spark):
+    build = spark.createDataFrame(
+        pd.DataFrame({"k": [1], "bts": [_ts(10)], "val": [1.0]})
+    )
+    probe = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1, 2], "pts": [_ts(5), _ts(15), _ts(15)]})
+    )
+    rows = asof_join(
+        probe, build, on="k", probe_ts="pts", build_ts="bts",
+        payload=["val"], how="inner",
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["val"] == 1.0
+
+
+def test_asof_tie_is_inclusive(spark):
+    """build.ts == probe.ts must match (DuckDB ASOF >= semantics)."""
+    build = spark.createDataFrame(
+        pd.DataFrame({"k": [1], "bts": [_ts(10)], "val": [7.0]})
+    )
+    probe = spark.createDataFrame(pd.DataFrame({"k": [1], "pts": [_ts(10)]}))
+    rows = asof_join(
+        probe, build, on="k", probe_ts="pts", build_ts="bts",
+        payload=["val"], how="left",
+    ).collect()
+    assert rows[0]["val"] == 7.0

@@ -1,0 +1,73 @@
+"""Dedup-family correctness on handmade documents with known overlap."""
+
+from __future__ import annotations
+
+import pytest
+
+from oxi_diel_db_spark.operators import dedup
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+    (2, "completely different content about spark engines and shuffles"),
+    (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (4, "spark engines shuffle data across executors in stages"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(spark, docs_df):
+    groups = {r["keep_id"]: r["n_docs"] for r in dedup.exact_dedup_groups(docs_df).collect()}
+    assert groups[0] == 2  # docs 0 and 3 share a fingerprint
+    assert sum(groups.values()) == 5
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs_df):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs_df, threshold=0.3).collect()
+    }
+    assert (0, 3) in pairs and pairs[(0, 3)] == 1.0  # exact dup
+    assert (0, 1) in pairs and 0.4 < pairs[(0, 1)] < 1.0  # near dup
+    assert (0, 2) not in pairs
+
+
+def test_minhash_identical_docs_identical_sigs(spark, docs_df):
+    sigs = {r["doc_id"]: r["sig"] for r in dedup.minhash_signatures(docs_df).collect()}
+    assert sigs[0] == sigs[3]
+    assert sigs[0] != sigs[2]
+    assert len(sigs[0]) == dedup.N_MINHASH
+
+
+def test_minhash_lsh_pairs(spark, docs_df):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in dedup.minhash_lsh_pairs(docs_df, threshold=0.25).collect()
+    }
+    assert pairs[(0, 3)] == 1.0
+
+
+def test_simhash_deterministic_and_close(spark, docs_df):
+    h1 = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(docs_df).collect()}
+    h2 = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(docs_df).collect()}
+    assert h1 == h2  # deterministic across runs
+    assert h1[0] == h1[3]  # exact dups → identical fingerprints
+    ham_near = bin(h1[0] ^ h1[1]).count("1")
+    ham_far = bin(h1[0] ^ h1[2]).count("1")
+    assert ham_near < ham_far
+
+
+def test_embedding_neardup(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),  # near 0
+        (2, [0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r["vec_a"], r["vec_b"]) for r in
+             dedup.embedding_neardup_pairs(emb, threshold=0.99).collect()}
+    assert pairs == {(0, 1)}

@@ -1,0 +1,87 @@
+"""Plan-shape assertions — the 100 TB posture checks (SURVEY §4.2).
+
+Correctness tests prove the small-SF answer; these prove the PLAN is
+the one that survives a 1000-executor / 100 TB scale-up: filters reach
+the parquet scan, projections prune columns (including nested fields),
+dim joins broadcast, top-k avoids a global sort.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from oxi_diel_db_spark.queries import load_registry
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    reg = load_registry()
+    df = reg[name].build(spark, SF)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_filter_pushdown_to_parquet(spark):
+    plan = plan_of(spark, "q03_predicates")
+    assert "PushedFilters:" in plan
+    # the BETWEEN bounds and IN set must reach the scan
+    assert "GreaterThanOrEqual(l_quantity,10.0)" in plan
+    assert "In(l_returnflag" in plan
+
+
+def test_column_pruning(spark):
+    plan = plan_of(spark, "q06_topk")
+    # ReadSchema must contain only the 3 projected columns
+    read = [line for line in plan.splitlines() if "ReadSchema" in line][0]
+    assert "l_extendedprice" in read and "l_quantity" not in read and "l_tax" not in read
+
+
+def test_topk_plans_take_ordered(spark):
+    plan = plan_of(spark, "q06_topk")
+    assert "TakeOrderedAndProject" in plan  # no global sort for ORDER+LIMIT
+
+
+def test_dim_joins_broadcast(spark):
+    plan = plan_of(spark, "q30_multiway_join")
+    assert plan.count("BroadcastHashJoin") >= 3  # customer, nation, region
+
+
+def test_point_lookup_pushes_key(spark):
+    plan = plan_of(spark, "q02_point_lookup")
+    assert "EqualTo(o_orderkey,7)" in plan
+
+
+def test_nested_schema_pruning(spark):
+    """m01 projects one struct field; the scan must not read the full
+    spacegroup struct (nestedSchemaPruning)."""
+    plan = plan_of(spark, "m01_point_lookup")
+    read = [line for line in plan.splitlines() if "ReadSchema" in line][0]
+    assert "symbol" in read
+    assert "crystal_system" not in read  # sibling field pruned
+    assert "structure" not in read  # untouched big struct pruned entirely
+
+
+def test_asof_join_single_shuffle(spark):
+    """The as-of recipe must not multiply rows: exactly one Exchange for
+    the window (plus scan-side exchanges are absent — union is free)."""
+    plan = plan_of(spark, "q37_asof_join")
+    n_exchange = plan.count(") Exchange")
+    assert n_exchange == 1, plan
+
+
+def test_agg_is_partial_then_final(spark):
+    plan = plan_of(spark, "q01_pricing_summary")
+    assert plan.count("HashAggregate") >= 2  # map-side combine present
+
+
+def test_agg_runs_in_whole_stage_codegen(spark):
+    """Codegen spans only materialize in the executed (post-AQE) plan."""
+    reg = load_registry()
+    df = reg["q01_pricing_summary"].build(spark, SF)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    # '*(n)' prefixes mark whole-stage-codegen'd operators
+    assert "*(1)" in executed and "partial_sum" in executed

@@ -1,0 +1,65 @@
+"""ANN: brute-force exactness on a known geometry + LSH recall."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from oxi_diel_db_spark.operators import similarity
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.RandomState(7)
+    base = rng.randn(20, 16)
+    vecs = rng.randn(200, 16) * 0.1 + base[rng.randint(0, 20, 200)]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk_matches_numpy(spark, emb):
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = similarity.brute_force_topk(emb, probes, k=5).collect()
+    mat = np.array(
+        [r["embedding"] for r in emb.orderBy("vec_id").collect()], dtype=np.float64
+    )
+    norms = np.linalg.norm(mat, axis=1)
+    for q in range(3):
+        cos = mat @ mat[q] / (norms * norms[q])
+        cos[q] = -np.inf
+        expected = set(np.argsort(-np.round(cos, 6), kind="stable")[:5])
+        got_q = {r["neighbor_id"] for r in got if r["query_id"] == q}
+        # allow tie-boundary slack of one element
+        assert len(expected & got_q) >= 4
+
+
+def test_lsh_recall_vs_brute_force(spark, emb):
+    probes = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.brute_force_topk(emb, probes, k=5).collect()
+    approx = similarity.lsh_topk(emb, probes, k=5, n_planes=4).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5  # multiprobe LSH, 4 planes
+
+
+def test_lsh_deterministic(spark, emb):
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = sorted(map(tuple, similarity.lsh_topk(emb, probes, k=5).collect()))
+    b = sorted(map(tuple, similarity.lsh_topk(emb, probes, k=5).collect()))
+    assert a == b

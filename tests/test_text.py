@@ -1,0 +1,52 @@
+"""Text-analysis function family on handmade sentences."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oxi_diel_db_spark.functions import text as TX
+
+
+def _one(spark, text, col):
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(col.alias("v")).collect()[0]["v"]
+
+
+def test_lang_id_real_sentences(spark):
+    cases = {
+        "the cat sat on the mat and looked to the door": "en",
+        "der hund und die katze sind nicht das problem": "de",
+        "le chat et la souris sont dans les champs": "fr",
+        "el perro y los gatos que viven por una casa": "es",
+        "xyzzy plugh 12345": "und",
+    }
+    for sentence, expected in cases.items():
+        got = _one(spark, sentence, TX.lang_id(TX.norm_words(F.col("text"))))
+        assert got == expected, f"{sentence!r}: {got} != {expected}"
+
+
+def test_shingles(spark):
+    got = _one(spark, "a b c d", TX.shingles(TX.norm_words(F.col("text")), 3))
+    assert got == ["a b c", "b c d"]
+    assert _one(spark, "a b", TX.shingles(TX.norm_words(F.col("text")), 3)) == []
+
+
+def test_token_counts(spark):
+    assert _one(spark, "hello world", TX.ws_token_count("text")) == 2
+    # BPE-ish: 'hello' ',' 'world' '42' '!'
+    assert _one(spark, "hello, world 42!", TX.token_count("text")) == 5
+
+
+def test_quality_score_range_and_order(spark):
+    good = "the quick brown fox and the lazy dog went to the market in town"
+    bad = "!!! ??? ,,,"
+    qg = _one(spark, good, TX.quality_score("text"))
+    qb = _one(spark, bad, TX.quality_score("text"))
+    assert 0.0 <= qb < qg <= 1.0
+
+
+def test_fingerprint_order_insensitive(spark):
+    a = _one(spark, "alpha beta gamma", TX.fingerprint("text"))
+    b = _one(spark, "gamma alpha beta", TX.fingerprint("text"))
+    c = _one(spark, "alpha beta delta", TX.fingerprint("text"))
+    assert a == b != c

@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Local replica of the driver's t2 correctness gate.
+
+Runs every queries() entry on Spark and its oracle_sql() twin on DuckDB
+at the given sf dir, compares row count, column-name sets, and an
+order-insensitive value hash (columns sorted by name, rows sorted,
+floats rounded to 9 significant-ish decimals before hashing).
+
+Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2:])
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def norm_val(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.9g}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_val(x) for x in v) + "]"
+    return str(v)
+
+
+def table_hash(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(norm_val(r[i]) for i in order) for r in rows)
+    h = hashlib.md5()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main() -> None:
+    import duckdb
+
+    from __spark_entry__ import oracle_sql, queries
+    from oxi_diel_db_spark.session import get_spark
+
+    spark = get_spark("check_oracle")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    qs, os_ = queries(), oracle_sql()
+    results = {}
+    for name, fn in qs.items():
+        if ONLY and name not in ONLY:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            results[name] = f"SPARK-ERROR: {type(e).__name__}: {e}"
+            print(f"{name:28s} SPARK-ERROR {e}", flush=True)
+            continue
+        if name not in os_:
+            results[name] = f"rows-only ({len(srows)} rows)"
+            print(f"{name:28s} rows-only    {len(srows):6d} rows  {time.time()-t0:5.1f}s", flush=True)
+            continue
+        try:
+            rel = con.sql(os_[name])
+            dcols = [d[0] for d in rel.description]
+            drows = rel.fetchall()
+        except Exception as e:  # noqa: BLE001
+            results[name] = f"DUCK-ERROR: {type(e).__name__}: {e}"
+            print(f"{name:28s} DUCK-ERROR  {e}", flush=True)
+            continue
+        problems = []
+        if len(srows) != len(drows):
+            problems.append(f"rowcount {len(srows)} vs {len(drows)}")
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"schema {sorted(scols)} vs {sorted(dcols)}")
+        if not problems:
+            hs, hd = table_hash(scols, srows), table_hash(dcols, drows)
+            if hs != hd:
+                problems.append("value-hash mismatch")
+                # show a few differing lines for debugging
+                order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+                order_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
+                ls = sorted("|".join(norm_val(r[i]) for i in order_s) for r in srows)
+                ld = sorted("|".join(norm_val(r[i]) for i in order_d) for r in drows)
+                diffs = [(a, b) for a, b in zip(ls, ld) if a != b][:3]
+                for a, b in diffs:
+                    print(f"    spark: {a[:160]}")
+                    print(f"    duck : {b[:160]}")
+        status = "OK" if not problems else "; ".join(problems)
+        results[name] = status
+        print(f"{name:28s} {status:12s} {len(srows):6d} rows  {time.time()-t0:5.1f}s", flush=True)
+
+    n_ok = sum(1 for v in results.values() if v == "OK")
+    n_ro = sum(1 for v in results.values() if str(v).startswith("rows-only"))
+    n_bad = len(results) - n_ok - n_ro
+    print(f"\n{n_ok} OK, {n_ro} rows-only, {n_bad} FAILING of {len(results)}")
+    if n_bad:
+        for k, v in results.items():
+            if v != "OK" and not str(v).startswith("rows-only"):
+                print(f"  FAIL {k}: {v}")
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
