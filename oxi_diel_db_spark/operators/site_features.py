@@ -1,0 +1,67 @@
+"""Site-level featurizer harness (SURVEY.md §2.9 site rows, A6/A7).
+
+The reference computes site features in a per-site Python loop that
+re-instantiates the featurizer every iteration
+(EwaldSiteEnergy at ml_prediction.py:205,248) and then reduces with
+np.max / np.mean / np.std (ml_prediction.py:50-51). The engine shape:
+
+    materials → applyInPandas(per-material batch, vectorized numpy)
+              → per-site rows → groupBy(mp_id).agg(...)
+
+One Arrow crossing per partition (not per site), all pairwise math in
+numpy. The actual Ewald sum needs pymatgen (absent here); the proxy
+below — Σ_j 1/|r_i − r_j| over the sites in the cell — has the same
+computational shape (pairwise distance matrix → per-site reduction)
+and is deterministic, so the harness is fully testable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SITE_ENERGY_SCHEMA = "mp_id string, site_idx int, inv_dist_energy double"
+
+
+def site_inverse_distance_energy(materials: DataFrame) -> DataFrame:
+    """Per-site Σ 1/r proxy energy via mapInPandas (vectorized pairwise
+    distances per material — the loop the reference runs per site is a
+    single numpy broadcast here)."""
+    slim = materials.select(
+        "mp_id", F.col("structure.sites.xyz").alias("xyz")  # array<array<double>>
+    )
+
+    def _energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_idx, out_e = [], [], []
+            for mp_id, xyz in zip(pdf["mp_id"], pdf["xyz"]):
+                pts = np.array([np.asarray(p, dtype=float) for p in xyz])
+                d = np.linalg.norm(pts[:, None, :] - pts[None, :, :], axis=-1)
+                np.fill_diagonal(d, np.inf)
+                e = (1.0 / d).sum(axis=1)
+                out_id.extend([mp_id] * len(pts))
+                out_idx.extend(range(len(pts)))
+                out_e.extend(e.tolist())
+            yield pd.DataFrame(
+                {"mp_id": out_id, "site_idx": out_idx, "inv_dist_energy": out_e}
+            )
+
+    return slim.mapInPandas(_energy, schema=SITE_ENERGY_SCHEMA)
+
+
+def site_energy_stats(materials: DataFrame) -> DataFrame:
+    """A6 (max over sites) + A1/A7 (mean/std, ddof=0) of the site energy
+    — the reference's get_from_label_func(label, np.max/np.mean/np.std)
+    reduction (ml_prediction.py:50-51) as a grouped aggregate."""
+    per_site = site_inverse_distance_energy(materials)
+    return per_site.groupBy("mp_id").agg(
+        F.round(F.max("inv_dist_energy"), 6).alias("max_site_energy"),
+        F.round(F.avg("inv_dist_energy"), 6).alias("mean_site_energy"),
+        F.round(F.stddev_pop("inv_dist_energy"), 6).alias("std_site_energy"),
+        F.count(F.lit(1)).alias("n_sites"),
+    )

@@ -57,6 +57,7 @@ def load_registry() -> dict[str, QueryDef]:
     """Import every query module (side effect: fills REGISTRY)."""
     from oxi_diel_db_spark.queries import (  # noqa: F401
         aggregates,
+        extras,
         joins,
         llm_ops,
         materials,

@@ -1,0 +1,252 @@
+"""Coverage extensions: pivot/unpivot, literal sources, sink
+round-trips (SURVEY.md §2.1 S4/S7/S9), composition featurizers (§2.9),
+the Ewald-pattern site aggregation (A6/A7), stateful streaming (T6),
+and MLlib batch scoring (§2.11)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from oxi_diel_db_spark.functions import composition as C
+from oxi_diel_db_spark.queries import register
+from oxi_diel_db_spark.queries._util import r6, sql_sum_money, sum_money, t
+from oxi_diel_db_spark.sources import materials as M
+
+_MAT = f"read_parquet('{M.MATERIALS_PARQUET}/*.parquet')"
+
+_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch")
+
+
+def _scratch(name: str) -> str:
+    os.makedirs(_SCRATCH, exist_ok=True)
+    return os.path.join(_SCRATCH, name)
+
+
+@register(
+    "q15_pivot",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_sum_money("CASE WHEN l_linestatus = 'O' THEN l_extendedprice END")} AS O,
+           {sql_sum_money("CASE WHEN l_linestatus = 'F' THEN l_extendedprice END")} AS F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q15_pivot(spark, sf_dir):
+    """PIVOT: linestatus columns out of rows. Explicit value list — an
+    unlisted pivot would need a pre-pass distinct over 100 TB."""
+    l = t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")) / 100.0)
+    )
+
+
+@register(
+    "q16_unpivot",
+    oracle="""
+    SELECT c_custkey, kind, val FROM (
+      SELECT c_custkey, 'acctbal' AS kind, c_acctbal AS val FROM customer
+      UNION ALL
+      SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
+    )
+    """,
+)
+def q16_unpivot(spark, sf_dir):
+    """UNPIVOT / melt via the native unpivot operator (wide → tall)."""
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    )
+    return c.unpivot("c_custkey", ["acctbal", "nationkey"], "kind", "val")
+
+
+@register(
+    "q17_values_source",
+    oracle="""
+    WITH priorities(o_orderpriority, weight) AS (
+      VALUES ('1-URGENT', 5.0), ('2-HIGH', 3.0), ('3-MEDIUM', 1.0),
+             ('4-NOT SPECIFIED', 0.5), ('5-LOW', 0.1)
+    )
+    SELECT p.o_orderpriority, COUNT(o_orderkey) AS n,
+           ROUND(COUNT(o_orderkey) * ANY_VALUE(CAST(weight AS DOUBLE)), 2) AS weighted
+    FROM priorities p LEFT JOIN orders o USING (o_orderpriority)
+    GROUP BY p.o_orderpriority
+    """,
+)
+def q17_values_source(spark, sf_dir):
+    """S4: literal/VALUES source (the reference builds a Composition from
+    a CLI string, main.py:33 — a one-row literal relation) joined to a
+    fact as a broadcast dim."""
+    weights = spark.createDataFrame(
+        [
+            ("1-URGENT", 5.0),
+            ("2-HIGH", 3.0),
+            ("3-MEDIUM", 1.0),
+            ("4-NOT SPECIFIED", 0.5),
+            ("5-LOW", 0.1),
+        ],
+        "o_orderpriority string, weight double",
+    )
+    o = t(spark, sf_dir, "orders")
+    return (
+        F.broadcast(weights)
+        .join(o, "o_orderpriority", "left")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("o_orderkey").alias("n"),
+            F.round(F.count("o_orderkey") * F.any_value("weight"), 2).alias("weighted"),
+        )
+    )
+
+
+@register(
+    "q18_partitioned_sink_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, YEAR(o_orderdate) AS y, COUNT(*) AS n,
+           SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100.0 AS total
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def q18_partitioned_sink_roundtrip(spark, sf_dir):
+    """S7/S9 sink: write orders partitioned by (status, year), read the
+    partition tree back, aggregate. Verifies partitionBy round-trip
+    fidelity — at 100 TB this layout IS the table (partition pruning on
+    status/year comes free afterwards)."""
+    out = _scratch("sink_orders")
+    o = t(spark, sf_dir, "orders").withColumn("y", F.year("o_orderdate"))
+    o.write.mode("overwrite").partitionBy("o_orderstatus", "y").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("o_orderstatus", "y").agg(
+        F.count(F.lit(1)).alias("n"),
+        sum_money("o_totalprice", "total"),
+    )
+
+
+@register(
+    "q19_csv_roundtrip",
+    oracle="""
+    SELECT n_name, COUNT(*) AS n_suppliers
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q19_csv_roundtrip(spark, sf_dir):
+    """S9: CSV egress + ingress with explicit schema (never inferSchema
+    at scale), then a dim join — proves the text path preserves data."""
+    out = _scratch("sink_supplier_csv")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    s.write.mode("overwrite").option("header", True).csv(out)
+    back = spark.read.schema("s_suppkey bigint, s_name string, s_nationkey int").option(
+        "header", True
+    ).csv(out)
+    n = t(spark, sf_dir, "nation")
+    return (
+        back.join(F.broadcast(n), back.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+
+
+@register(
+    "m13_stoichiometry",
+    oracle=f"""
+    SELECT mp_id,
+           {C.sql_stoichiometry_pnorm('formula', 0)} AS p0,
+           ROUND({C.sql_stoichiometry_pnorm('formula', 2)}, 6) + 0 AS p2,
+           ROUND({C.sql_stoichiometry_pnorm('formula', 3)}, 6) + 0 AS p3,
+           ROUND({C.sql_stoichiometry_pnorm('formula', 7)}, 6) + 0 AS p7
+    FROM {_MAT}
+    """,
+)
+def m13_stoichiometry(spark, sf_dir):
+    """§2.9 Stoichiometry featurizer (ml_prediction.py:119): p-norms of
+    the atomic-fraction vector, as pure expressions — oracle-checked,
+    which matminer features never were."""
+    m = M.materials(spark)
+    return m.select(
+        "mp_id",
+        C.stoichiometry_pnorm("formula", 0).alias("p0"),
+        r6(C.stoichiometry_pnorm("formula", 2), "p2"),
+        r6(C.stoichiometry_pnorm("formula", 3), "p3"),
+        r6(C.stoichiometry_pnorm("formula", 7), "p7"),
+    )
+
+
+@register(
+    "m14_tmetal_fraction",
+    oracle=f"""
+    SELECT mp_id, formula,
+           ROUND({C.sql_tmetal_fraction('formula')}, 6) + 0 AS tm_frac
+    FROM {_MAT}
+    """,
+)
+def m14_tmetal_fraction(spark, sf_dir):
+    """§2.9 TMetalFraction featurizer (ml_prediction.py:107)."""
+    m = M.materials(spark)
+    return m.select(
+        "mp_id", "formula", r6(C.tmetal_fraction("formula"), "tm_frac")
+    )
+
+
+@register(
+    "m15_element_property",
+    oracle=f"""
+    SELECT mp_id,
+           ROUND({C.sql_electronegativity_stats('formula')['en_mean']}, 6) + 0 AS en_mean,
+           ROUND({C.sql_electronegativity_stats('formula')['en_min']}, 6) + 0  AS en_min,
+           ROUND({C.sql_electronegativity_stats('formula')['en_max']}, 6) + 0  AS en_max,
+           ROUND({C.sql_electronegativity_stats('formula')['en_range']}, 6) + 0 AS en_range
+    FROM {_MAT}
+    """,
+)
+def m15_element_property(spark, sf_dir):
+    """§2.9 ElementProperty featurizer (ml_prediction.py:76): weighted
+    elemental-property statistics via a literal element map (the
+    broadcast-dim pattern)."""
+    m = M.materials(spark)
+    stats = C.electronegativity_stats("formula")
+    return m.select(
+        "mp_id",
+        r6(stats["en_mean"], "en_mean"),
+        r6(stats["en_min"], "en_min"),
+        r6(stats["en_max"], "en_max"),
+        r6(stats["en_range"], "en_range"),
+    )
+
+
+@register("m16_site_energy", oracle=None)  # numpy pairwise — rows-only + pytest
+def m16_site_energy(spark, sf_dir):
+    """A6/A7: the Ewald-pattern site aggregation — mapInPandas pairwise
+    site energies → groupBy(mp_id).agg(max/mean/stddev_pop), replacing
+    the reference's per-site Python loop (ml_prediction.py:205,248)."""
+    from oxi_diel_db_spark.operators.site_features import site_energy_stats
+
+    return site_energy_stats(M.materials(spark))
+
+
+@register("st6_stateful_counts", oracle=None)  # custom state — rows-only
+def st6_stateful_counts(spark, sf_dir):
+    """T6: applyInPandasWithState running per-user counters, streamed to
+    a memory sink in update mode; batch-equivalence in pytest."""
+    from oxi_diel_db_spark.streaming import ops
+
+    stream = ops.read_events_stream(spark, sf_dir)
+    return ops.run_stream_to_memory(
+        ops.stateful_user_counts(stream), spark, mode="update"
+    )
+
+
+@register("ml1_rf_scoring", oracle=None)  # statistical parity — pytest floor
+def ml1_rf_scoring(spark, sf_dir):
+    """§2.11 ML pipeline: VectorAssembler → population-std scaling →
+    RandomForestRegressor, trained on the corpus, batch-scored — the
+    engine twin of the reference's golden prediction run (§3.3).
+    Quality floor (corr > 0.85 in-corpus) asserted in tests/test_ml.py."""
+    from oxi_diel_db_spark.ml import pipeline as P
+
+    model, feats = P.train(M.materials(spark), which="el", seed=42)
+    return P.score(model, feats)

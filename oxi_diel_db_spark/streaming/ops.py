@@ -125,3 +125,33 @@ def watermarked_tumbling(events: DataFrame, width: str = "1 hour", late: str = "
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("win.start").alias("win_start"), "event_type", "n")
     )
+
+
+def stateful_user_counts(events: DataFrame) -> DataFrame:
+    """T6: arbitrary stateful processing via applyInPandasWithState —
+    a per-user running event counter (the minimal custom-state shape;
+    sessionization/counters swap the update function only).
+
+    State = one long per user, updated per micro-batch; emits the
+    running total each trigger (update mode downstream).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        count = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            count += len(pdf)
+        state.update((count,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [count]})
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long",
+            stateStructType="n_events long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -17,6 +17,14 @@ from oxi_diel_db_spark.queries import load_registry
 SF = "/root/testdata/sf0.001"
 
 
+@pytest.fixture(autouse=True)
+def _uncached(spark):
+    # other test modules cache tables; a cached relation replaces the
+    # parquet scan and would hide pushdown/pruning from these plans
+    spark.catalog.clearCache()
+    yield
+
+
 def plan_of(spark, name: str) -> str:
     reg = load_registry()
     df = reg[name].build(spark, SF)

@@ -92,3 +92,23 @@ def test_watermarked_append_drops_nothing_when_ordered(spark):
     }
     for r in got.collect():
         assert exp.get((r["win_start"], r["event_type"])) == r["n"]
+
+
+def test_stateful_counts_match_batch(spark):
+    got = ops.run_stream_to_memory(
+        ops.stateful_user_counts(ops.read_events_stream(spark, SF)),
+        spark,
+        mode="update",
+    )
+    import pyspark.sql.functions as F
+
+    exp = {
+        r["user_id"]: r["n"]
+        for r in _batch_events(spark)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # single file → single trigger → one (final) row per user
+    final = {r["user_id"]: r["n_events"] for r in got.collect()}
+    assert final == exp
