@@ -1,0 +1,86 @@
+"""Scale-posture operators (SURVEY.md §4.2, §7 step 7): skew-salted
+join and bucketed co-located join — the two techniques that decide
+whether a 100 TB join finishes.
+
+Salting: a hot key (one user with 10% of events, one null-heavy dim
+key) lands its entire partition on one reducer in a hash join. The
+salted recipe splits the hot side's keys into ``salt_buckets``
+sub-keys and replicates the small side per sub-key: the shuffle then
+spreads the hot key over ``salt_buckets`` reducers. AQE's skew-join
+handles *detected* skew in sort-merge joins; explicit salting is the
+deterministic fallback and works for aggregations too.
+
+Bucketing: two facts bucketed by the same key into the same bucket
+count join with ZERO shuffle — each task reads bucket i of both sides.
+At 100 TB that's the difference between an hour of network and none.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join robust to skew on ``key`` in ``big``.
+
+    big gets a random-but-deterministic salt (hash of the full row's
+    key + a per-row component via monotonically varying id is NOT
+    deterministic — use pmod(hash(key, secondary)) so re-runs agree);
+    small is replicated once per salt value (|small| × salt_buckets
+    rows — keep small actually small).
+    """
+    salted_big = big.withColumn(
+        "__salt",
+        F.pmod(F.hash(F.col(key), F.spark_partition_id()), F.lit(salt_buckets)),
+    )
+    salts = F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))).alias("__salt")
+    replicated_small = small.select("*", salts)
+    out = salted_big.join(replicated_small, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
+def salted_count(big: DataFrame, key: str, salt_buckets: int = 32) -> DataFrame:
+    """Two-phase skew-proof aggregation: partial count per (key, salt)
+    then final per key. Map-side combine already does this for simple
+    aggs — the explicit form matters for high-cardinality state like
+    collect_list, where one hot key would OOM a single reducer."""
+    return (
+        big.withColumn("__salt", F.pmod(F.hash(F.rand(seed=42)), F.lit(salt_buckets)))
+        .groupBy(key, "__salt")
+        .agg(F.count(F.lit(1)).alias("__partial"))
+        .groupBy(key)
+        .agg(F.sum("__partial").alias("n"))
+    )
+
+
+def write_bucketed(
+    df: DataFrame, table: str, key: str, n_buckets: int = 16, sort_by: str | None = None
+) -> None:
+    """Persist a fact bucketed (and optionally sorted) by its join key.
+    Later joins/aggs on ``key`` between tables bucketed with the same
+    count need no Exchange (verified in tests/test_scale.py)."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # a previous session may have left the managed location behind
+    # (catalog metadata is per-session; the directory is not)
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
+    w = df.write.mode("overwrite").bucketBy(n_buckets, key)
+    if sort_by:
+        w = w.sortBy(sort_by)
+    w.format("parquet").saveAsTable(table)
+
+
+def bucketed_join(spark: SparkSession, left_table: str, right_table: str, key: str) -> DataFrame:
+    """Join two co-bucketed tables — planner elides both shuffles."""
+    return spark.table(left_table).join(spark.table(right_table), key)

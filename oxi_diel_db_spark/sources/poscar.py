@@ -1,0 +1,87 @@
+"""POSCAR (VASP) structure-file source (SURVEY.md §2.1 S3).
+
+The reference accepts a POSCAR path and parses it with pymatgen
+(``Structure.from_file("POSCAR")``, reference main.py:31). The engine
+reads the file through Spark (``spark.read.text(wholetext=True)``) and
+parses the public POSCAR format directly — scaled lattice, element
+symbol/count lines, Direct or Cartesian coordinates — yielding one row
+per site, the same long format the site-featurizer harness consumes.
+
+Format reference: the VASP POSCAR spec (public documentation):
+  line 1  comment
+  line 2  global scaling factor
+  3-5     lattice vectors (3×3)
+  6       element symbols      (e.g. ``Ca Sn O``)
+  7       element counts       (e.g. ``2 1 4``)
+  8       'Direct'/'Cartesian' (optionally preceded by 'Selective dynamics')
+  9-      one coordinate triple per site
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+SITE_SCHEMA = (
+    "element string, site_idx int, frac_a double, frac_b double, frac_c double, "
+    "cart_x double, cart_y double, cart_z double"
+)
+
+
+def parse_poscar_text(text: str) -> pd.DataFrame:
+    lines = [ln.strip() for ln in text.splitlines() if ln.strip()]
+    scale = float(lines[1])
+    lattice = np.array([[float(x) for x in lines[i].split()[:3]] for i in (2, 3, 4)])
+    lattice *= scale
+    symbols = lines[5].split()
+    counts = [int(x) for x in lines[6].split()]
+    mode_idx = 7
+    if lines[mode_idx][0].lower() == "s":  # Selective dynamics
+        mode_idx += 1
+    cartesian = lines[mode_idx][0].lower() in ("c", "k")
+    coords = []
+    elements = []
+    i = mode_idx + 1
+    for sym, cnt in zip(symbols, counts):
+        for _ in range(cnt):
+            coords.append([float(x) for x in lines[i].split()[:3]])
+            elements.append(sym)
+            i += 1
+    coords = np.array(coords)
+    if cartesian:
+        cart = coords * scale
+        frac = cart @ np.linalg.inv(lattice)
+    else:
+        frac = coords
+        cart = frac @ lattice
+    return pd.DataFrame(
+        {
+            "element": elements,
+            "site_idx": range(len(elements)),
+            "frac_a": frac[:, 0],
+            "frac_b": frac[:, 1],
+            "frac_c": frac[:, 2],
+            "cart_x": cart[:, 0],
+            "cart_y": cart[:, 1],
+            "cart_z": cart[:, 2],
+        }
+    )
+
+
+def read_poscar(spark: SparkSession, path: str) -> DataFrame:
+    """POSCAR file(s) → one row per site. Reads through Spark's text
+    source (wholetext: one file = one record, like the reference's
+    one-structure-per-file model); parsing runs in executors via
+    mapInPandas, so a directory of millions of POSCARs scales out."""
+    raw = spark.read.text(path, wholetext=True)
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for text in pdf["value"]:
+                yield parse_poscar_text(text)
+
+    return raw.mapInPandas(_parse, schema=SITE_SCHEMA)

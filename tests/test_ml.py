@@ -50,3 +50,18 @@ def test_scoring_shape_matches_golden_run(spark, mats):
     out = P.score(model, feats)
     assert out.columns == ["mp_id", "pred_log10"]
     assert out.count() == 1278
+
+
+def test_model_artifact_save_load(spark, mats, tmp_path):
+    """S5: the reference loads fitted artifacts with joblib
+    (ml_prediction.py:277-280); the engine twin is MLlib model
+    save/load — predictions must survive the round-trip exactly."""
+    from pyspark.ml import PipelineModel
+
+    model, feats = P.train(mats, which="el", seed=7)
+    path = str(tmp_path / "rf_el")
+    model.write().overwrite().save(path)
+    loaded = PipelineModel.load(path)
+    a = sorted(map(tuple, P.score(model, feats).collect()))
+    b = sorted(map(tuple, P.score(loaded, feats).collect()))
+    assert a == b

@@ -1,0 +1,121 @@
+"""Scale-posture operators: salted join correctness + skew spreading,
+bucketed join shuffle elision."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from oxi_diel_db_spark.operators import scale
+
+
+def _executed(df) -> str:
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_salted_join_matches_plain_join(spark):
+    big = spark.range(0, 10000).select(
+        (F.col("id") % 5).alias("k"), F.col("id").alias("v")
+    )
+    small = spark.createDataFrame(
+        [(i, f"name{i}") for i in range(5)], "k long, name string"
+    )
+    plain = (
+        big.join(small, "k")
+        .groupBy("k", "name")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+    )
+    salted = (
+        scale.salted_join(big, small, "k", salt_buckets=8)
+        .groupBy("k", "name")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    big = spark.createDataFrame([(1, "a"), (99, "b")], "k long, v string")
+    small = spark.createDataFrame([(1, "one")], "k long, name string")
+    rows = {
+        r["k"]: r["name"]
+        for r in scale.salted_join(big, small, "k", 4, how="left").collect()
+    }
+    assert rows == {1: "one", 99: None}
+
+
+def test_salted_count_matches_plain(spark, sf_dir):
+    from oxi_diel_db_spark.tables import load
+
+    ev = load(spark, "events", sf_dir)
+    plain = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    salted = {
+        r["event_type"]: r["n"]
+        for r in scale.salted_count(ev, "event_type").collect()
+    }
+    assert salted == plain
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    # force the fact-fact strategy (sort-merge) that a 100 TB join would
+    # use — tiny test tables would otherwise broadcast
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        scale.write_bucketed(
+            o.withColumnRenamed("o_orderkey", "orderkey"), "t_orders_b", "orderkey", 8
+        )
+        scale.write_bucketed(
+            l.withColumnRenamed("l_orderkey", "orderkey"), "t_lineitem_b", "orderkey", 8
+        )
+        joined = scale.bucketed_join(spark, "t_orders_b", "t_lineitem_b", "orderkey")
+        agg = joined.groupBy("orderkey").agg(F.count(F.lit(1)).alias("n"))
+        plan = _executed(agg)
+        # co-bucketed: the join and the agg on the same key need NO
+        # shuffle (a BroadcastExchange would also be absent with SMJ)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        plain = (
+            o.join(l, o.o_orderkey == l.l_orderkey)
+            .groupBy("o_orderkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert agg.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_poscar_source_roundtrip(spark, tmp_path):
+    from oxi_diel_db_spark.sources.poscar import read_poscar
+
+    poscar = """Ca2SnO4 test
+1.0
+5.0 0.0 0.0
+0.0 6.0 0.0
+0.0 0.0 7.0
+Ca Sn O
+2 1 4
+Direct
+0.0 0.0 0.0
+0.5 0.5 0.5
+0.25 0.25 0.25
+0.1 0.0 0.0
+0.0 0.1 0.0
+0.0 0.0 0.1
+0.2 0.3 0.4
+"""
+    p = tmp_path / "POSCAR"
+    p.write_text(poscar)
+    df = read_poscar(spark, str(p))
+    rows = df.orderBy("site_idx").collect()
+    assert len(rows) == 7
+    assert [r["element"] for r in rows] == ["Ca", "Ca", "Sn", "O", "O", "O", "O"]
+    # fractional 0.5,0.5,0.5 in a 5/6/7 diagonal lattice → cart 2.5,3,3.5
+    assert (rows[1]["cart_x"], rows[1]["cart_y"], rows[1]["cart_z"]) == (2.5, 3.0, 3.5)
