@@ -153,3 +153,22 @@ def sql_electronegativity_stats(f: str) -> dict[str, str]:
         "en_max": f"list_max({ens})",
         "en_range": f"list_max({ens}) - list_min({ens})",
     }
+
+
+def band_center(formula: Column | str) -> Column:
+    """BandCenter featurizer (reference ml_prediction.py:112): the
+    count-weighted geometric mean of electronegativities,
+    exp(Σ c·ln(EN) / Σ c)."""
+    toks = _tok_counts(formula)
+    en_map = _en_map_expr()
+    tot = _fold_sum(toks, lambda s: s["cnt"])
+    lnsum = _fold_sum(toks, lambda s: s["cnt"] * F.log(en_map[s["el"]]))
+    return F.exp(lnsum / tot)
+
+
+def sql_band_center(f: str) -> str:
+    toks = _SQL_TOKS.format(f=f)
+    case = _sql_en_case()
+    tot = f"list_aggregate(list_transform({toks}, s -> s.cnt), 'sum')"
+    lnsum = f"list_aggregate(list_transform({toks}, s -> s.cnt * ln({case})), 'sum')"
+    return f"exp(({lnsum}) / ({tot}))"

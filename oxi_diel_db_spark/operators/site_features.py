@@ -65,3 +65,42 @@ def site_energy_stats(materials: DataFrame) -> DataFrame:
         F.round(F.stddev_pop("inv_dist_energy"), 6).alias("std_site_energy"),
         F.count(F.lit(1)).alias("n_sites"),
     )
+
+
+MIN_DIST_SCHEMA = "mp_id string, site_idx int, min_dist double"
+
+
+def site_min_distances(materials: DataFrame) -> DataFrame:
+    """MinimumRelativeDistances (§2.9; reference ml_prediction.py:185):
+    per-site nearest-neighbor distance — same mapInPandas pairwise
+    kernel as the energy proxy, different reduction."""
+    slim = materials.select("mp_id", F.col("structure.sites.xyz").alias("xyz"))
+
+    def _mind(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_idx, out_d = [], [], []
+            for mp_id, xyz in zip(pdf["mp_id"], pdf["xyz"]):
+                pts = np.array([np.asarray(p, dtype=float) for p in xyz])
+                if len(pts) == 1:
+                    out_id.append(mp_id); out_idx.append(0); out_d.append(float("nan"))
+                    continue
+                d = np.linalg.norm(pts[:, None, :] - pts[None, :, :], axis=-1)
+                np.fill_diagonal(d, np.inf)
+                md = d.min(axis=1)
+                out_id.extend([mp_id] * len(pts))
+                out_idx.extend(range(len(pts)))
+                out_d.extend(md.tolist())
+            yield pd.DataFrame({"mp_id": out_id, "site_idx": out_idx, "min_dist": out_d})
+
+    return slim.mapInPandas(_mind, schema=MIN_DIST_SCHEMA)
+
+
+def min_distance_stats(materials: DataFrame) -> DataFrame:
+    """A7: np.mean / np.std (ddof=0) over the per-site NN distances
+    (reference ml_prediction.py:201-202)."""
+    per_site = site_min_distances(materials)
+    return per_site.groupBy("mp_id").agg(
+        F.round(F.avg("min_dist"), 6).alias("mean_min_dist"),
+        F.round(F.stddev_pop("min_dist"), 6).alias("std_min_dist"),
+        F.round(F.min("min_dist"), 6).alias("global_min_dist"),
+    )

@@ -250,3 +250,57 @@ def ml1_rf_scoring(spark, sf_dir):
 
     model, feats = P.train(M.materials(spark), which="el", seed=42)
     return P.score(model, feats)
+
+
+@register(
+    "m17_band_center",
+    oracle=f"""
+    SELECT mp_id,
+           ROUND({{bc}}, 6) + 0 AS band_center
+    FROM {_MAT}
+    """.format(bc=C.sql_band_center("formula")),
+)
+def m17_band_center(spark, sf_dir):
+    """§2.9 BandCenter featurizer: weighted geometric-mean EN."""
+    m = M.materials(spark)
+    return m.select("mp_id", r6(C.band_center("formula"), "band_center"))
+
+
+@register("m18_min_rel_distances", oracle=None)  # numpy pairwise — pytest
+def m18_min_rel_distances(spark, sf_dir):
+    """§2.9 MinimumRelativeDistances + A7 (np.mean/np.std over NN
+    distances, reference ml_prediction.py:185,201-202)."""
+    from oxi_diel_db_spark.operators.site_features import min_distance_stats
+
+    return min_distance_stats(M.materials(spark))
+
+
+@register(
+    "m19_formula_udtf",
+    oracle=f"""
+    SELECT mp_id, u.el AS element, u.cnt
+    FROM (
+      SELECT mp_id, unnest(list_transform(
+        regexp_extract_all(formula, '[A-Z][a-z]?[0-9.]*'),
+        t -> struct_pack(
+          el := regexp_extract(t, '[A-Z][a-z]?'),
+          cnt := CAST(CASE WHEN regexp_extract(t, '[0-9.]+') = ''
+                      THEN '1' ELSE regexp_extract(t, '[0-9.]+') END AS DOUBLE)))) AS u
+      FROM {_MAT}
+    )
+    """,
+)
+def m19_formula_udtf(spark, sf_dir):
+    """§2.11 UDTF: one material row → one row per element via the
+    Python table-function API (LATERAL join in SQL) — the imperative
+    twin of the expression-based parse_formula."""
+    from oxi_diel_db_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    M.materials(spark).createOrReplaceTempView("materials_udtf")
+    return spark.sql(
+        """
+        SELECT m.mp_id, f.element, f.cnt
+        FROM materials_udtf m, LATERAL formula_explode(m.formula) f
+        """
+    )

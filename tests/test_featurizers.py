@@ -63,3 +63,36 @@ def test_site_energy_matches_numpy(spark):
     assert len(got) == len(pts)
     for i, e in enumerate(exp):
         assert abs(got[i] - e) < 1e-9
+
+
+def test_min_distances_match_numpy(spark):
+    from oxi_diel_db_spark.operators.site_features import site_min_distances
+    from oxi_diel_db_spark.sources import materials as M
+
+    mats = M.materials(spark).filter(F.col("mp_id") == "mp-4747")
+    got = {r["site_idx"]: r["min_dist"] for r in site_min_distances(mats).collect()}
+    xyz = mats.select(F.col("structure.sites.xyz").alias("x")).collect()[0]["x"]
+    pts = np.array(xyz)
+    d = np.linalg.norm(pts[:, None, :] - pts[None, :, :], axis=-1)
+    np.fill_diagonal(d, np.inf)
+    exp = d.min(axis=1)
+    for i, e in enumerate(exp):
+        assert abs(got[i] - e) < 1e-9
+
+
+def test_band_center_spot(spark):
+    # CaO: exp((ln 1.00 + ln 3.44)/2) = sqrt(1.00*3.44)
+    got = _one(spark, "CaO", C.band_center("formula"))
+    assert abs(got - np.sqrt(1.00 * 3.44)) < 1e-9
+
+
+def test_formula_udtf(spark):
+    from oxi_diel_db_spark.functions.udtfs import FormulaExplode, register_udtfs
+
+    register_udtfs(spark)
+    rows = spark.sql(
+        "SELECT * FROM formula_explode('Ca2SnO4')"
+    ).collect()
+    assert [(r["element"], r["cnt"]) for r in rows] == [
+        ("Ca", 2.0), ("Sn", 1.0), ("O", 4.0),
+    ]
