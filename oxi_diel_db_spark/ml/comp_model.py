@@ -1,0 +1,211 @@
+"""Composition/structure prediction models — the engine twin of the
+reference's four model configs (el/ion × comp/comp_st,
+ml_prediction.py:69-276).
+
+Unlike ml/pipeline.py (which uses database fields and exists for
+in-corpus analytics), these models use only features computable from
+the PREDICTION TARGET itself:
+
+* ``comp``    — formula-string features (Stoichiometry p-norms, EN
+  stats, BandCenter, TMetalFraction, atom count) — works for any
+  composition, like the reference's comp models.
+* ``comp_st`` — adds structure-derived features (volume/site, density,
+  NN-distance stats) — requires a structure (JSON record or POSCAR),
+  like the reference's comp_st models.
+
+Training data: the ingested corpus; labels log10(epsilon_*_avg) — the
+reference's training target (its trained artifacts are missing from
+the repo copy, .MISSING_LARGE_BLOBS:1-4, so retraining is the only
+executable path; parity is statistical, SURVEY §5.2).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml.feature import VectorAssembler
+from pyspark.ml.regression import RandomForestRegressor
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oxi_diel_db_spark.functions import composition as C
+from oxi_diel_db_spark.ml.pipeline import scale_features_pop
+
+COMP_FEATURES = [
+    "p0", "p2", "p3", "p7",
+    "tm_frac", "en_mean", "en_min", "en_max", "en_range",
+    "band_center", "total_atoms",
+]
+STRUCT_FEATURES = ["vol_per_site", "density_proxy", "mean_min_dist", "std_min_dist"]
+
+MODELS_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch", "models"
+)
+
+
+def comp_features(df: DataFrame, formula_col: str = "formula") -> DataFrame:
+    """Formula-only descriptor columns (P3 'wide derived projection')."""
+    en = C.electronegativity_stats(formula_col)
+    return df.withColumns(
+        {
+            "p0": C.stoichiometry_pnorm(formula_col, 0),
+            "p2": C.stoichiometry_pnorm(formula_col, 2),
+            "p3": C.stoichiometry_pnorm(formula_col, 3),
+            "p7": C.stoichiometry_pnorm(formula_col, 7),
+            "tm_frac": C.tmetal_fraction(formula_col),
+            "en_mean": en["en_mean"],
+            "en_min": en["en_min"],
+            "en_max": en["en_max"],
+            "en_range": en["en_range"],
+            "band_center": C.band_center(formula_col),
+            "total_atoms": C.total_atoms(formula_col),
+        }
+    )
+
+
+def struct_features_from_corpus(materials: DataFrame) -> DataFrame:
+    """Structure descriptors for every corpus record (used at training
+    time for comp_st)."""
+    from oxi_diel_db_spark.operators.site_features import min_distance_stats
+
+    base = materials.select(
+        "mp_id",
+        "formula",
+        (F.col("structure.lattice.volume") / F.col("nsites")).alias("vol_per_site"),
+        (F.col("nsites") / F.col("structure.lattice.volume")).alias("density_proxy"),
+        F.log10("dielectric.epsilon_electronic_avg").alias("label_el"),
+        F.log10("dielectric.epsilon_ionic_avg").alias("label_ion"),
+    )
+    dist = min_distance_stats(materials).select(
+        "mp_id", "mean_min_dist", "std_min_dist"
+    )
+    return base.join(dist, "mp_id")
+
+
+def _labels(materials: DataFrame) -> DataFrame:
+    return materials.select(
+        "mp_id",
+        "formula",
+        F.log10("dielectric.epsilon_electronic_avg").alias("label_el"),
+        F.log10("dielectric.epsilon_ionic_avg").alias("label_ion"),
+    )
+
+
+def train_model(
+    materials: DataFrame,
+    diel: str = "el",
+    des: str = "comp",
+    num_trees: int = 100,
+    seed: int = 42,
+) -> PipelineModel:
+    """Train one of the four reference model configs."""
+    label = f"label_{diel}"
+    if des == "comp":
+        base = _labels(materials)
+        features = COMP_FEATURES
+    elif des == "comp_st":
+        base = struct_features_from_corpus(materials)
+        features = COMP_FEATURES + STRUCT_FEATURES
+    else:
+        raise ValueError(f"des must be 'comp' or 'comp_st', got {des!r}")
+    feats = scale_features_pop(comp_features(base), features).dropna(
+        subset=features + [label]
+    )
+    pipe = Pipeline(
+        stages=[
+            VectorAssembler(inputCols=features, outputCol="features"),
+            RandomForestRegressor(
+                featuresCol="features",
+                labelCol=label,
+                predictionCol="pred_log10",
+                numTrees=num_trees,
+                maxDepth=12,
+                seed=seed,
+            ),
+        ]
+    )
+    return pipe.fit(feats)
+
+
+def _scaling_stats(materials: DataFrame, des: str) -> DataFrame:
+    """The population-std scaler is fit on the TRAINING corpus; single
+    predictions must reuse those stats (the reference persists its
+    fitted StandardScalers, prediction_model/*_scaler.joblib)."""
+    features = COMP_FEATURES + (STRUCT_FEATURES if des == "comp_st" else [])
+    base = _labels(materials) if des == "comp" else struct_features_from_corpus(materials)
+    df = comp_features(base)
+    return df.agg(
+        *[F.avg(c).alias(f"{c}__mu") for c in features],
+        *[F.stddev_pop(c).alias(f"{c}__sd") for c in features],
+    )
+
+
+def predict_log10_eps(
+    spark: SparkSession,
+    materials: DataFrame,
+    target: dict,
+    dielectric_type: str = "el",
+    model_type: str = "comp",
+    num_trees: int = 100,
+) -> float:
+    """Engine twin of the reference's library API
+    (``predict_log10_eps(target, dielectric_type, model_type) -> float``,
+    ml_prediction.py:54-57).
+
+    ``target``: {"formula": str} for comp; add {"vol_per_site":,
+    "density_proxy":, "mean_min_dist":, "std_min_dist":} for comp_st
+    (computed by the CLI from a structure JSON/POSCAR).
+
+    Accepts both the documented and the implemented spelling of the
+    dielectric type — the reference's CLI advertises "electronic"/
+    "ionic" but its library only accepts "el"/"ion" (main.py:11-12 vs
+    ml_prediction.py:64-65); the engine accepts all four.
+    """
+    diel = {"electronic": "el", "ionic": "ion", "el": "el", "ion": "ion"}.get(
+        dielectric_type
+    )
+    if diel is None:
+        raise ValueError(
+            f"dielectric_type must be one of el/electronic/ion/ionic, got {dielectric_type!r}"
+        )
+    if model_type not in ("comp", "comp_st"):
+        raise ValueError(f"model_type must be 'comp' or 'comp_st', got {model_type!r}")
+
+    model = load_or_train(spark, materials, diel, model_type, num_trees)
+    features = COMP_FEATURES + (STRUCT_FEATURES if model_type == "comp_st" else [])
+
+    row = {"formula": target["formula"]}
+    for c in STRUCT_FEATURES:
+        if model_type == "comp_st":
+            row[c] = float(target[c])
+    tdf = comp_features(spark.createDataFrame([row]))
+    stats = _scaling_stats(materials, model_type).collect()[0]
+    for c in features:
+        mu, sd = stats[f"{c}__mu"], stats[f"{c}__sd"]
+        sd = sd if sd and sd > 0 else 1.0
+        tdf = tdf.withColumn(c, (F.col(c) - F.lit(mu)) / F.lit(sd))
+    return float(model.transform(tdf).select("pred_log10").collect()[0][0])
+
+
+def load_or_train(
+    spark: SparkSession,
+    materials: DataFrame,
+    diel: str,
+    des: str,
+    num_trees: int = 100,
+) -> PipelineModel:
+    """Model artifact cache (S5: the reference ships fitted .joblib
+    artifacts; the engine persists MLlib models under .scratch/models)."""
+    path = os.path.join(MODELS_DIR, f"{diel}_{des}_{num_trees}")
+    if os.path.exists(path):
+        try:
+            return PipelineModel.load(path)
+        except Exception:
+            pass  # stale/corrupt artifact → retrain
+    model = train_model(materials, diel, des, num_trees)
+    os.makedirs(MODELS_DIR, exist_ok=True)
+    model.write().overwrite().save(path)
+    return model
