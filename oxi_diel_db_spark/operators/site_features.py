@@ -104,3 +104,34 @@ def min_distance_stats(materials: DataFrame) -> DataFrame:
         F.round(F.stddev_pop("min_dist"), 6).alias("std_min_dist"),
         F.round(F.min("min_dist"), 6).alias("global_min_dist"),
     )
+
+
+GSF_SCHEMA = "mp_id string, site_idx int, g_eta_05 double, g_eta_4 double"
+
+
+def gaussian_symm_func(materials: DataFrame, etas=(0.5, 4.0), cutoff: float = 6.0) -> DataFrame:
+    """GaussianSymmFunc featurizer (§2.9; reference ml_prediction.py:188):
+    per-site radial symmetry functions G2 = Σ_j exp(-η(r_ij/σ)²) within
+    a cutoff — the third reduction over the same pairwise-distance
+    kernel (energy proxy, NN distance, now Gaussian-weighted shells)."""
+    slim = materials.select("mp_id", F.col("structure.sites.xyz").alias("xyz"))
+
+    def _gsf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"mp_id": [], "site_idx": [], "g_eta_05": [], "g_eta_4": []}
+            for mp_id, xyz in zip(pdf["mp_id"], pdf["xyz"]):
+                pts = np.array([np.asarray(p, dtype=float) for p in xyz])
+                d = np.linalg.norm(pts[:, None, :] - pts[None, :, :], axis=-1)
+                np.fill_diagonal(d, np.inf)
+                within = d <= cutoff
+                g = []
+                for eta in etas:
+                    w = np.exp(-eta * (d / cutoff) ** 2) * within
+                    g.append(w.sum(axis=1))
+                out["mp_id"].extend([mp_id] * len(pts))
+                out["site_idx"].extend(range(len(pts)))
+                out["g_eta_05"].extend(g[0].tolist())
+                out["g_eta_4"].extend(g[1].tolist())
+            yield pd.DataFrame(out)
+
+    return slim.mapInPandas(_gsf, schema=GSF_SCHEMA)

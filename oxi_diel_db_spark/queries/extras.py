@@ -304,3 +304,74 @@ def m19_formula_udtf(spark, sf_dir):
         FROM materials_udtf m, LATERAL formula_explode(m.formula) f
         """
     )
+
+
+@register(
+    "m20_gaussian_symm",
+    oracle=None,  # numpy pairwise kernel — rows-only + pytest
+)
+def m20_gaussian_symm(spark, sf_dir):
+    """§2.9 GaussianSymmFunc: per-site radial symmetry functions reduced
+    to per-material stats (A1 pattern over a site featurizer)."""
+    from oxi_diel_db_spark.operators.site_features import gaussian_symm_func
+
+    per_site = gaussian_symm_func(M.materials(spark))
+    return per_site.groupBy("mp_id").agg(
+        r6(F.avg("g_eta_05"), "mean_g05"),
+        r6(F.stddev_pop("g_eta_05"), "std_g05"),
+        r6(F.max("g_eta_4"), "max_g4"),
+    )
+
+
+@register(
+    "m21_density",
+    oracle=f"""
+    SELECT mp_id,
+           ROUND(cell_mass / volume * 1.66053906660, 6) AS density_g_cm3,
+           ROUND(volume / n_sites, 6) AS vol_per_atom
+    FROM (
+      SELECT mp_id,
+             ANY_VALUE(structure.lattice.volume) AS volume,
+             COUNT(*) AS n_sites,
+             SUM({{mass_case}}) AS cell_mass
+      FROM (
+        SELECT mp_id, structure, unnest(structure.sites) AS site FROM {_MAT}
+      ) AS exploded,
+      LATERAL (SELECT site.species[1].element AS el) AS species
+      GROUP BY mp_id
+    )
+    """.format(mass_case=C.sql_mass_case("el")),
+)
+def m21_density(spark, sf_dir):
+    """§2.9 DensityFeatures (reference ml_prediction.py:184): mass
+    density + volume per atom from the actual cell contents — explode
+    sites, broadcast-map atomic masses, divide by lattice volume.
+
+    Mass sums fold over sites in cell order in both engines; ROUND(6)
+    absorbs any libm residue."""
+    m = M.materials(spark)
+    sites = m.select(
+        "mp_id",
+        F.col("structure.lattice.volume").alias("volume"),
+        F.explode("structure.sites").alias("site"),
+    ).select(
+        "mp_id",
+        "volume",
+        F.element_at(F.col("site.species"), 1)["element"].alias("el"),
+    )
+    mass = C.mass_map_expr()
+    return (
+        sites.groupBy("mp_id")
+        .agg(
+            F.any_value("volume").alias("volume"),
+            F.count(F.lit(1)).alias("n_sites"),
+            F.sum(mass[F.col("el")]).alias("cell_mass"),
+        )
+        .select(
+            "mp_id",
+            F.round(
+                F.col("cell_mass") / F.col("volume") * C.AMU_PER_A3_TO_G_CM3, 6
+            ).alias("density_g_cm3"),
+            F.round(F.col("volume") / F.col("n_sites"), 6).alias("vol_per_atom"),
+        )
+    )

@@ -96,3 +96,70 @@ def test_formula_udtf(spark):
     assert [(r["element"], r["cnt"]) for r in rows] == [
         ("Ca", 2.0), ("Sn", 1.0), ("O", 4.0),
     ]
+
+
+def test_gaussian_symm_matches_numpy(spark):
+    from oxi_diel_db_spark.operators.site_features import gaussian_symm_func
+    from oxi_diel_db_spark.sources import materials as M
+
+    mats = M.materials(spark).filter(F.col("mp_id") == "mp-4747")
+    got = {r["site_idx"]: (r["g_eta_05"], r["g_eta_4"])
+           for r in gaussian_symm_func(mats).collect()}
+    xyz = mats.select(F.col("structure.sites.xyz").alias("x")).collect()[0]["x"]
+    pts = np.array(xyz)
+    d = np.linalg.norm(pts[:, None, :] - pts[None, :, :], axis=-1)
+    np.fill_diagonal(d, np.inf)
+    within = d <= 6.0
+    for eta, slot in ((0.5, 0), (4.0, 1)):
+        exp = (np.exp(-eta * (d / 6.0) ** 2) * within).sum(axis=1)
+        for i, e in enumerate(exp):
+            assert abs(got[i][slot] - e) < 1e-9
+
+
+def test_density_spot_value(spark):
+    """mp-4747 (Ca2SnO4-family cell): density from per-site masses must
+    match a hand numpy computation."""
+    from oxi_diel_db_spark.queries import load_registry
+    from oxi_diel_db_spark.sources import materials as M
+    from oxi_diel_db_spark.functions.composition import ATOMIC_MASS, AMU_PER_A3_TO_G_CM3
+
+    reg = load_registry()
+    row = [r for r in reg["m21_density"].build(spark, "unused").collect()
+           if r["mp_id"] == "mp-4747"][0]
+    rec = M.materials(spark).filter(F.col("mp_id") == "mp-4747").collect()[0]
+    els = [s["species"][0]["element"] for s in rec["structure"]["sites"]]
+    vol = rec["structure"]["lattice"]["volume"]
+    exp = sum(ATOMIC_MASS[e] for e in els) / vol * AMU_PER_A3_TO_G_CM3
+    assert abs(row["density_g_cm3"] - exp) < 1e-5
+
+
+def test_parse_formula_map(spark):
+    from oxi_diel_db_spark.functions.formula import parse_formula
+
+    df = spark.createDataFrame([("Ca2SnO4",)], "formula string")
+    row = df.select(
+        parse_formula("formula").alias("m"),
+        F.map_keys(parse_formula("formula")).alias("ks"),
+    ).collect()[0]
+    assert row["m"] == {"Ca": 2.0, "Sn": 1.0, "O": 4.0}
+    assert row["ks"] == ["Ca", "Sn", "O"]
+
+
+def test_input_file_name_id_extraction(spark):
+    """F5: mp_id from the source filename (one file per record,
+    reference data layout README.md:15)."""
+    from oxi_diel_db_spark.sources.materials import MATERIALS_SCHEMA
+
+    df = (
+        spark.read.schema(MATERIALS_SCHEMA)
+        .option("multiLine", True)
+        .json("/root/reference/oxi_diel_db/data/mp-4747.json")
+        .select(
+            "mp_id",
+            F.regexp_extract(F.input_file_name(), r"(m[pv][c]?-\d+)\.json$", 1).alias(
+                "file_id"
+            ),
+        )
+    )
+    row = df.collect()[0]
+    assert row["mp_id"] == row["file_id"] == "mp-4747"
