@@ -46,7 +46,7 @@ def brute_force_topk(
     p = probes.select(
         F.col(probe_id_col).alias("query_id"), as_double(vec_col).alias("pv")
     )
-    cos = F.round(cosine(F.col("pv"), F.col("cv")), 6)
+    cos = F.round(cosine(F.col("pv"), F.col("cv")), 6) + F.lit(0.0)  # -0.0 → +0.0
     scored = (
         F.broadcast(p)
         .crossJoin(c)
@@ -118,7 +118,7 @@ def lsh_topk(
         flips = F.array(F.col("bucket0"))
     p = p.select("query_id", "pv", F.explode(flips).alias("bucket"))
 
-    cos = F.round(cosine(F.col("pv"), F.col("cv")), 6)
+    cos = F.round(cosine(F.col("pv"), F.col("cv")), 6) + F.lit(0.0)  # -0.0 → +0.0
     scored = (
         F.broadcast(p)
         .join(c, "bucket")

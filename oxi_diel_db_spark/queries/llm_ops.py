@@ -145,7 +145,7 @@ def d5_embedding_neardup(spark, sf_dir):
     scored AS (
       SELECT p.query_id, c.vec_id AS neighbor_id,
              ROUND(list_dot_product(p.pv, c.v)
-                   / (sqrt(list_dot_product(p.pv, p.pv)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+                   / (sqrt(list_dot_product(p.pv, p.pv)) * sqrt(list_dot_product(c.v, c.v))), 6) + 0 AS cos
       FROM p CROSS JOIN e c
       WHERE c.vec_id <> p.query_id
     )
