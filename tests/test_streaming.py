@@ -112,3 +112,54 @@ def test_stateful_counts_match_batch(spark):
     # single file → single trigger → one (final) row per user
     final = {r["user_id"]: r["n_events"] for r in got.collect()}
     assert final == exp
+
+
+def test_parquet_sink_with_checkpoint(spark, tmp_path):
+    """T8: file sink + checkpoint — the durable exactly-once path."""
+    stream = ops.read_events_stream(spark, SF)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        stream.select("event_id", "ts", "event_type")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    back = spark.read.parquet(out)
+    assert back.count() == _batch_events(spark).count()
+    # restart with same checkpoint: no files left to process → no dups
+    q2 = (
+        stream.select("event_id", "ts", "event_type")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    q2.awaitTermination()
+    assert spark.read.parquet(out).count() == _batch_events(spark).count()
+
+
+def test_foreach_batch_sink(spark):
+    """T8: foreachBatch — arbitrary exactly-once-per-epoch sink logic."""
+    seen = {}
+
+    def sink(df, epoch_id):
+        seen[epoch_id] = df.count()
+
+    q = (
+        ops.read_events_stream(spark, SF)
+        .writeStream.foreachBatch(sink)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    assert sum(seen.values()) == _batch_events(spark).count()
