@@ -1,0 +1,143 @@
+"""Reproducible sampling / shuffling / packing for training-data
+pipelines (north star).
+
+The common thread: randomness comes from **content hashes**
+(md5 of seed:key), never from RNG state — so results are identical
+across runs, engines, partitionings, and cluster sizes. `df.sample()`
+can't promise that (partition-dependent); hash-gating can, and it
+composes with incremental ingest (a re-run over grown data keeps every
+previous decision).
+
+Implementation detail that keeps every op oracle-checkable: the hash
+is used as its lowercase-hex STRING — lexicographic order on fixed-
+width hex equals numeric order, and string comparison is identical in
+every engine, so no integer conversion is ever needed.
+
+* hash_sample            — keep rows where hex8(md5) < hex8(rate·2^32).
+* stratified_hash_sample — per-stratum thresholds, same gate.
+* deterministic_shuffle  — global rank by the hash: a reproducible
+  permutation (ORDER BY = range-partitioned sample sort — scalable).
+* pack_sequences         — greedy streaming packing of documents into
+  fixed-token-budget bins in shuffle order: running cumsum of clamped
+  token counts, bin id = floor((cumsum - tokens)/budget). One window
+  pass; at 100 TB partition the window by a hash prefix (bins then
+  never span partitions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_hex8(key, seed: int) -> Column:
+    """First 8 hex chars of md5('seed:key') — a uniform [0, 2^32) draw
+    rendered as a sortable fixed-width string."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.substring(
+        F.md5(F.concat_ws(":", F.lit(str(seed)), c.cast("string"))), 1, 8
+    )
+
+
+def sql_hash_hex8(key: str, seed: int) -> str:
+    return f"substring(md5('{seed}:' || CAST({key} AS VARCHAR)), 1, 8)"
+
+
+def rate_threshold(rate: float) -> str:
+    """hex8 threshold such that P(hash < threshold) ≈ rate."""
+    return format(min(int(rate * (1 << 32)), (1 << 32) - 1), "08x")
+
+
+def hash_sample(df: DataFrame, key: str, rate: float, seed: int = 42) -> DataFrame:
+    """Keep ~rate of rows, decided by content hash — reproducible and
+    stable under data growth."""
+    return df.filter(hash_hex8(key, seed) < F.lit(rate_threshold(rate)))
+
+
+def stratified_hash_sample(
+    df: DataFrame, key: str, stratum: str, rates: dict[str, float], seed: int = 42
+) -> DataFrame:
+    """Per-stratum sampling rates (e.g. downsample dominant languages),
+    same hash gate. Strata absent from ``rates`` are dropped."""
+    thresh = F.lit("00000000")
+    for value, rate in rates.items():
+        thresh = F.when(
+            F.col(stratum) == value, F.lit(rate_threshold(rate))
+        ).otherwise(thresh)
+    return df.filter(hash_hex8(key, seed) < thresh)
+
+
+def deterministic_shuffle(df: DataFrame, key: str, seed: int = 42) -> DataFrame:
+    """Attach a reproducible permutation rank (1..N)."""
+    return df.withColumn(
+        "shuffle_rank",
+        F.row_number().over(
+            Window.orderBy(hash_hex8(key, seed).asc(), F.col(key).asc())
+        ),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    key: str,
+    token_col: str,
+    budget: int = 4096,
+    seed: int = 42,
+) -> DataFrame:
+    """Cumsum sequence packing: consecutive docs in shuffle order are
+    bucketed at budget boundaries of the running token total. One
+    window pass of exact integer math → deterministic and
+    oracle-checkable. A bin whose last doc straddles the boundary can
+    exceed the budget by < that doc's (clamped) size — i.e. every bin
+    total < 2·budget; use pack_sequences_greedy for a strict cap.
+    """
+    w = Window.orderBy(hash_hex8(key, seed).asc(), F.col(key).asc())
+    clamped = F.least(F.col(token_col).cast("bigint"), F.lit(budget))
+    cum = F.sum(clamped).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return df.withColumn("bin_id", F.floor((cum - clamped) / budget))
+
+
+def pack_sequences_greedy(
+    df: DataFrame,
+    key: str,
+    token_col: str,
+    budget: int = 4096,
+    seed: int = 42,
+    shards: int = 1,
+) -> DataFrame:
+    """Exact greedy packing: a bin closes when the next doc would push
+    it past the budget — every bin total ≤ budget, guaranteed.
+
+    Sequential state → applyInPandas per shard (shard = hash prefix of
+    the key; bins never span shards, so the packing parallelizes while
+    staying deterministic). shards=1 for exact global order.
+    """
+    import pandas as pd
+
+    h = hash_hex8(key, seed)
+    prepared = df.withColumn("__h", h).withColumn(
+        "__shard", (F.conv(F.substring(h, 1, 2), 16, 10) % shards).cast("int")
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["__h", key]).reset_index(drop=True)
+        bins, used, cur = [], 0, 0
+        for tok in pdf[token_col]:
+            tok = min(int(tok), budget)
+            if used + tok > budget:
+                cur += 1
+                used = 0
+            used += tok
+            bins.append(cur)
+        pdf["bin_id"] = [f"{int(s)}_{b}" for s, b in zip(pdf["__shard"], bins)]
+        return pdf.drop(columns=["__h"])
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    out_schema = f"{schema}, __shard int, bin_id string"
+    return (
+        prepared.groupBy("__shard")
+        .applyInPandas(_pack, schema=out_schema)
+        .drop("__shard")
+    )

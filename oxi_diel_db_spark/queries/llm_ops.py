@@ -278,3 +278,107 @@ def mm2_decode_features(spark, sf_dir):
     from oxi_diel_db_spark.operators.multimodal import extract_features, to_binary_table
 
     return extract_features(to_binary_table(t(spark, sf_dir, "documents")))
+
+
+@register(
+    "p1_hash_sample",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE substring(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8) < '4ccccccc'
+    """,
+)
+def p1_hash_sample(spark, sf_dir):
+    """Reproducible content-hash sampling at 30% (training pipelines
+    must re-derive the SAME sample across runs/engines/cluster sizes —
+    df.sample() can't; md5-gating can)."""
+    from oxi_diel_db_spark.operators.sampling import hash_sample
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return hash_sample(d, "doc_id", rate=0.3, seed=42)
+
+
+@register(
+    "p2_stratified_sample",
+    oracle="""
+    SELECT lang, COUNT(*) AS n
+    FROM documents
+    WHERE substring(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 8)
+          < CASE WHEN lang = 'en' THEN '33333333'
+                 WHEN lang = 'de' THEN 'e6666666'
+                 WHEN lang = 'fr' THEN 'e6666666'
+                 ELSE '00000000' END
+    GROUP BY lang
+    """,
+)
+def p2_stratified_sample(spark, sf_dir):
+    """Stratified hash sampling: downsample the dominant language (en →
+    20%), upsample-keep the rest (90%), drop unlisted strata — the
+    language-balance pass of a pre-training corpus."""
+    from oxi_diel_db_spark.operators.sampling import stratified_hash_sample
+
+    d = t(spark, sf_dir, "documents")
+    sampled = stratified_hash_sample(
+        d, "doc_id", "lang", {"en": 0.2, "de": 0.9, "fr": 0.9}, seed=7
+    )
+    return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "p3_deterministic_shuffle",
+    oracle="""
+    SELECT doc_id,
+           ROW_NUMBER() OVER (
+             ORDER BY substring(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+           ) AS shuffle_rank
+    FROM documents
+    """,
+)
+def p3_deterministic_shuffle(spark, sf_dir):
+    """Reproducible global shuffle: permutation rank from the content
+    hash. ORDER BY in Spark is a range-partitioned sample sort — the
+    shuffle scales out while staying bit-reproducible."""
+    from oxi_diel_db_spark.operators.sampling import deterministic_shuffle
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_shuffle(d, "doc_id", seed=42)
+
+
+@register(
+    "p4_sequence_packing",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             LEAST(CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT), 2048) AS n_tok,
+             substring(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+      FROM documents
+    )
+    SELECT doc_id, n_tok,
+           CAST(FLOOR((SUM(n_tok) OVER (ORDER BY h, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
+                      / 2048) AS BIGINT) AS bin_id
+    FROM toks
+    """,
+)
+def p4_sequence_packing(spark, sf_dir):
+    """Greedy sequence packing into 2048-token bins in shuffle order —
+    the batch-construction step of a training pipeline, as one window
+    pass of exact integer math."""
+    from oxi_diel_db_spark.operators.sampling import pack_sequences
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", TX.ws_token_count("text").alias("n_tok")
+    )
+    return pack_sequences(d, "doc_id", "n_tok", budget=2048, seed=42)
+
+
+@register("p5_greedy_packing", oracle=None)  # sequential state — pytest-verified
+def p5_greedy_packing(spark, sf_dir):
+    """Exact greedy packing (strict ≤ budget per bin) via sharded
+    applyInPandas — the stateful twin of p4's cumsum packing."""
+    from oxi_diel_db_spark.operators.sampling import pack_sequences_greedy
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", TX.ws_token_count("text").alias("n_tok")
+    )
+    return pack_sequences_greedy(d, "doc_id", "n_tok", budget=2048, seed=42, shards=4)

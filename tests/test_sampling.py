@@ -1,0 +1,77 @@
+"""Hash-based sampling/shuffle/packing properties."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oxi_diel_db_spark.operators import sampling
+
+
+def test_hash_sample_rate_and_stability(spark):
+    df = spark.range(0, 20000).withColumnRenamed("id", "k")
+    s = sampling.hash_sample(df, "k", rate=0.3, seed=1)
+    n = s.count()
+    assert abs(n / 20000 - 0.3) < 0.02
+    # growth stability: sampling a superset keeps every prior decision
+    bigger = spark.range(0, 40000).withColumnRenamed("id", "k")
+    s2 = set(r["k"] for r in sampling.hash_sample(bigger, "k", 0.3, seed=1).collect())
+    s1 = set(r["k"] for r in s.collect())
+    assert s1 <= s2
+    # different seed → different sample
+    s3 = set(r["k"] for r in sampling.hash_sample(df, "k", 0.3, seed=2).collect())
+    assert s1 != s3
+
+
+def test_stratified_rates(spark):
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(10000)]
+    df = spark.createDataFrame(rows, "k long, lang string")
+    out = sampling.stratified_hash_sample(
+        df, "k", "lang", {"en": 0.1, "de": 0.8}, seed=3
+    )
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert abs(counts["en"] / 5000 - 0.1) < 0.03
+    assert abs(counts["de"] / 5000 - 0.8) < 0.03
+
+
+def test_shuffle_is_permutation_and_reproducible(spark):
+    df = spark.range(0, 5000).withColumnRenamed("id", "k")
+    a = sampling.deterministic_shuffle(df, "k", seed=5)
+    ranks = [r["shuffle_rank"] for r in a.collect()]
+    assert sorted(ranks) == list(range(1, 5001))
+    b = {r["k"]: r["shuffle_rank"] for r in sampling.deterministic_shuffle(df.repartition(7), "k", seed=5).collect()}
+    a_map = {r["k"]: r["shuffle_rank"] for r in a.collect()}
+    assert a_map == b  # partitioning-independent
+
+
+def test_packing_respects_budget(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    rows = [(i, int(rng.randint(10, 900))) for i in range(2000)]
+    df = spark.createDataFrame(rows, "k long, n_tok long")
+    packed = sampling.pack_sequences(df, "k", "n_tok", budget=1000, seed=9)
+    per_bin = (
+        packed.groupBy("bin_id").agg(F.sum("n_tok").alias("tot")).collect()
+    )
+    # cumsum packing: a straddling doc can overshoot, bounded by 2x
+    assert all(r["tot"] < 2000 for r in per_bin)
+    ids = sorted(r["bin_id"] for r in per_bin)
+    assert ids == list(range(len(ids)))  # contiguous, no empty bins
+
+
+def test_greedy_packing_strict_budget(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(1)
+    rows = [(i, int(rng.randint(10, 900))) for i in range(2000)]
+    df = spark.createDataFrame(rows, "k long, n_tok long")
+    packed = sampling.pack_sequences_greedy(df, "k", "n_tok", budget=1000, seed=9, shards=4)
+    per_bin = packed.groupBy("bin_id").agg(F.sum("n_tok").alias("tot")).collect()
+    assert all(r["tot"] <= 1000 for r in per_bin)
+    assert packed.count() == 2000
+    # deterministic across repartitioning
+    a = sorted(map(tuple, packed.select("k", "bin_id").collect()))
+    b = sorted(map(tuple, sampling.pack_sequences_greedy(
+        df.repartition(11), "k", "n_tok", budget=1000, seed=9, shards=4
+    ).select("k", "bin_id").collect()))
+    assert a == b
