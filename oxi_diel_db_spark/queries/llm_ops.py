@@ -382,3 +382,29 @@ def p5_greedy_packing(spark, sf_dir):
         "doc_id", TX.ws_token_count("text").alias("n_tok")
     )
     return pack_sequences_greedy(d, "doc_id", "n_tok", budget=2048, seed=42, shards=4)
+
+
+@register(
+    "d6_fuzzy_levenshtein",
+    oracle="""
+    SELECT a.n_name AS name_a, b.n_name AS name_b,
+           levenshtein(a.n_name, b.n_name) AS dist
+    FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+    WHERE levenshtein(a.n_name, b.n_name) <= 5
+    """,
+)
+def d6_fuzzy_levenshtein(spark, sf_dir):
+    """Fuzzy string matching (edit distance ≤ 5 name pairs) — the
+    record-linkage primitive of entity dedup. Exact edit distance is
+    O(n²) in pairs: at scale, candidate pairs come from an LSH/blocking
+    pass first (d3) and levenshtein only verifies survivors."""
+    n = t(spark, sf_dir, "nation")
+    a = n.select(F.col("n_nationkey").alias("ka"), F.col("n_name").alias("name_a"))
+    b = n.select(F.col("n_nationkey").alias("kb"), F.col("n_name").alias("name_b"))
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("ka") < F.col("kb"))
+        .select("name_a", "name_b", dist.alias("dist"))
+        .filter(F.col("dist") <= 5)
+    )
