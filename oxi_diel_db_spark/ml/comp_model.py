@@ -23,8 +23,6 @@ from __future__ import annotations
 
 import os
 
-import numpy as np
-
 from pyspark.ml import Pipeline, PipelineModel
 from pyspark.ml.feature import VectorAssembler
 from pyspark.ml.regression import RandomForestRegressor

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from oxi_diel_db_spark.functions.text import norm_words, shingles, fingerprint
