@@ -1,0 +1,148 @@
+"""Valence-electron featurizer support (SURVEY.md §2.9 ValenceOrbital,
+reference ml_prediction.py:77).
+
+Valence s/p/d/f electron counts are COMPUTED from the Aufbau filling
+order plus the textbook exception set — public periodic-table physics,
+derived in code rather than hand-entered, so the table is auditable.
+Valence shell definition matches the usual featurizer convention:
+electrons outside the preceding noble-gas core (for d/f elements this
+includes the open (n-1)d / (n-2)f subshells).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Z for the elements the corpus uses (subset of PAULING_EN's keys).
+_Z = {
+    "H": 1, "Li": 3, "Be": 4, "B": 5, "C": 6, "N": 7, "O": 8, "F": 9,
+    "Na": 11, "Mg": 12, "Al": 13, "Si": 14, "P": 15, "S": 16, "Cl": 17,
+    "K": 19, "Ca": 20, "Sc": 21, "Ti": 22, "V": 23, "Cr": 24, "Mn": 25,
+    "Fe": 26, "Co": 27, "Ni": 28, "Cu": 29, "Zn": 30, "Ga": 31, "Ge": 32,
+    "As": 33, "Se": 34, "Br": 35, "Rb": 37, "Sr": 38, "Y": 39, "Zr": 40,
+    "Nb": 41, "Mo": 42, "Tc": 43, "Ru": 44, "Rh": 45, "Pd": 46, "Ag": 47,
+    "Cd": 48, "In": 49, "Sn": 50, "Sb": 51, "Te": 52, "I": 53, "Cs": 55,
+    "Ba": 56, "La": 57, "Ce": 58, "Pr": 59, "Nd": 60, "Sm": 62, "Eu": 63,
+    "Gd": 64, "Tb": 65, "Dy": 66, "Ho": 67, "Er": 68, "Tm": 69, "Yb": 70,
+    "Lu": 71, "Hf": 72, "Ta": 73, "W": 74, "Re": 75, "Os": 76, "Ir": 77,
+    "Pt": 78, "Au": 79, "Hg": 80, "Tl": 81, "Pb": 82, "Bi": 83,
+    "Th": 90, "U": 92,
+}
+
+# Aufbau order: (n, l) by n+l then n.
+_AUFBAU = [
+    (1, 0), (2, 0), (2, 1), (3, 0), (3, 1), (4, 0), (3, 2), (4, 1),
+    (5, 0), (4, 2), (5, 1), (6, 0), (4, 3), (5, 2), (6, 1), (7, 0),
+    (5, 3), (6, 2), (7, 1),
+]
+_CAP = {0: 2, 1: 6, 2: 10, 3: 14}
+_NOBLE_Z = [2, 10, 18, 36, 54, 86]
+
+# Textbook ground-state exceptions (moved electron: s→d / s→f etc.).
+# {element: {(n,l): delta}} applied after Aufbau filling.
+_EXCEPTIONS = {
+    "Cr": {(4, 0): -1, (3, 2): +1}, "Cu": {(4, 0): -1, (3, 2): +1},
+    "Nb": {(5, 0): -1, (4, 2): +1}, "Mo": {(5, 0): -1, (4, 2): +1},
+    "Ru": {(5, 0): -1, (4, 2): +1}, "Rh": {(5, 0): -1, (4, 2): +1},
+    "Pd": {(5, 0): -2, (4, 2): +2}, "Ag": {(5, 0): -1, (4, 2): +1},
+    "Pt": {(6, 0): -1, (5, 2): +1}, "Au": {(6, 0): -1, (5, 2): +1},
+    "La": {(4, 3): -1, (5, 2): +1}, "Ce": {(4, 3): -1, (5, 2): +1},
+    "Gd": {(4, 3): -1, (5, 2): +1}, "Th": {(5, 3): -2, (6, 2): +2},
+    "U": {(5, 3): -1, (6, 2): +1},
+}
+
+
+def electron_configuration(el: str) -> dict[tuple[int, int], int]:
+    z = _Z[el]
+    conf: dict[tuple[int, int], int] = {}
+    left = z
+    for n, l in _AUFBAU:
+        if left <= 0:
+            break
+        take = min(_CAP[l], left)
+        conf[(n, l)] = take
+        left -= take
+    for shell, delta in _EXCEPTIONS.get(el, {}).items():
+        conf[shell] = conf.get(shell, 0) + delta
+        if conf[shell] == 0:
+            del conf[shell]
+    return conf
+
+
+def valence_spdf(el: str) -> tuple[int, int, int, int]:
+    """Valence electrons per orbital type: everything beyond the
+    largest noble-gas core that fits."""
+    z = _Z[el]
+    core = max((nz for nz in _NOBLE_Z if nz < z), default=0)
+    conf = electron_configuration(el)
+    # remove the core by re-deriving it with the same filler
+    core_conf: dict[tuple[int, int], int] = {}
+    left = core
+    for n, l in _AUFBAU:
+        if left <= 0:
+            break
+        take = min(_CAP[l], left)
+        core_conf[(n, l)] = take
+        left -= take
+    out = [0, 0, 0, 0]
+    for (n, l), cnt in conf.items():
+        cnt -= core_conf.get((n, l), 0)
+        if cnt > 0:
+            out[l] += cnt
+    return tuple(out)
+
+
+VALENCE_TABLE = {el: valence_spdf(el) for el in _Z}
+
+
+def _map_expr(idx: int) -> Column:
+    kv = [
+        x
+        for el, v in sorted(VALENCE_TABLE.items())
+        for x in (F.lit(el), F.lit(float(v[idx])))
+    ]
+    return F.create_map(*kv)
+
+
+def sql_valence_case(var: str, idx: int) -> str:
+    whens = " ".join(
+        f"WHEN '{el}' THEN {float(v[idx])}" for el, v in sorted(VALENCE_TABLE.items())
+    )
+    return f"CAST((CASE {var} {whens} ELSE NULL END) AS DOUBLE)"
+
+
+def valence_fractions(formula: Column | str) -> dict[str, Column]:
+    """ValenceOrbital featurizer: count-weighted average valence
+    electrons per orbital type + the s/p/d/f fractions."""
+    from oxi_diel_db_spark.functions.composition import _fold_sum, _tok_counts
+
+    toks = _tok_counts(formula)
+    tot = _fold_sum(toks, lambda s: s["cnt"])
+    avg = {}
+    for idx, name in enumerate("spdf"):
+        m = _map_expr(idx)
+        avg[f"avg_{name}"] = _fold_sum(toks, lambda s, m=m: m[s["el"]] * s["cnt"]) / tot
+    total_val = avg["avg_s"] + avg["avg_p"] + avg["avg_d"] + avg["avg_f"]
+    out = dict(avg)
+    for name in "spdf":
+        out[f"frac_{name}"] = avg[f"avg_{name}"] / total_val
+    return out
+
+
+def sql_valence_fractions(f: str) -> dict[str, str]:
+    from oxi_diel_db_spark.functions.composition import _SQL_TOKS
+
+    toks = _SQL_TOKS.format(f=f)
+    tot = f"list_aggregate(list_transform({toks}, s -> s.cnt), 'sum')"
+    avg = {}
+    for idx, name in enumerate("spdf"):
+        case = sql_valence_case("s.el", idx)
+        avg[f"avg_{name}"] = (
+            f"(list_aggregate(list_transform({toks}, s -> {case} * s.cnt), 'sum') / ({tot}))"
+        )
+    total = " + ".join(avg[f"avg_{n}"] for n in "spdf")
+    out = dict(avg)
+    for name in "spdf":
+        out[f"frac_{name}"] = f"({avg[f'avg_{name}']}) / ({total})"
+    return out

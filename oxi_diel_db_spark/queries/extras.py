@@ -375,3 +375,50 @@ def m21_density(spark, sf_dir):
             F.round(F.col("volume") / F.col("n_sites"), 6).alias("vol_per_atom"),
         )
     )
+
+
+@register(
+    "m22_valence_orbital",
+    oracle=None,  # placeholder replaced below at import time
+)
+def m22_valence_orbital(spark, sf_dir):
+    """§2.9 ValenceOrbital featurizer (ml_prediction.py:77): weighted
+    s/p/d/f valence-electron averages and fractions; the element table
+    is DERIVED in code from Aufbau + textbook exceptions, not
+    hand-entered."""
+    from oxi_diel_db_spark.functions.valence import valence_fractions
+
+    m = M.materials(spark)
+    v = valence_fractions("formula")
+    return m.select(
+        "mp_id",
+        r6(v["avg_s"], "avg_s"),
+        r6(v["avg_d"], "avg_d"),
+        r6(v["frac_s"], "frac_s"),
+        r6(v["frac_p"], "frac_p"),
+        r6(v["frac_d"], "frac_d"),
+        r6(v["frac_f"], "frac_f"),
+    )
+
+
+def _m22_oracle() -> str:
+    from oxi_diel_db_spark.functions.valence import sql_valence_fractions
+
+    v = sql_valence_fractions("formula")
+    return f"""
+    SELECT mp_id,
+           ROUND({v['avg_s']}, 6) + 0 AS avg_s,
+           ROUND({v['avg_d']}, 6) + 0 AS avg_d,
+           ROUND({v['frac_s']}, 6) + 0 AS frac_s,
+           ROUND({v['frac_p']}, 6) + 0 AS frac_p,
+           ROUND({v['frac_d']}, 6) + 0 AS frac_d,
+           ROUND({v['frac_f']}, 6) + 0 AS frac_f
+    FROM {_MAT}
+    """
+
+
+# patch the registered oracle (computed SQL is too large for the decorator line)
+from oxi_diel_db_spark.queries import REGISTRY as _REG
+from dataclasses import replace as _replace
+
+_REG["m22_valence_orbital"] = _replace(_REG["m22_valence_orbital"], oracle=_m22_oracle())

@@ -163,3 +163,30 @@ def test_input_file_name_id_extraction(spark):
     )
     row = df.collect()[0]
     assert row["mp_id"] == row["file_id"] == "mp-4747"
+
+
+def test_valence_table_textbook_values():
+    from oxi_diel_db_spark.functions.valence import VALENCE_TABLE
+
+    # (s, p, d, f) beyond the noble-gas core — pymatgen/matminer convention
+    assert VALENCE_TABLE["O"] == (2, 4, 0, 0)
+    assert VALENCE_TABLE["Fe"] == (2, 0, 6, 0)
+    assert VALENCE_TABLE["Cr"] == (1, 0, 5, 0)   # Aufbau exception
+    assert VALENCE_TABLE["Cu"] == (1, 0, 10, 0)  # Aufbau exception
+    assert VALENCE_TABLE["Pd"] == (0, 0, 10, 0)  # Aufbau exception
+    assert VALENCE_TABLE["Ca"] == (2, 0, 0, 0)
+    assert VALENCE_TABLE["Sn"] == (2, 2, 10, 0)  # filled 4d beyond Kr core
+    assert VALENCE_TABLE["W"] == (2, 0, 4, 14)   # filled 4f beyond Xe core
+    assert VALENCE_TABLE["Gd"] == (2, 0, 1, 7)
+
+
+def test_valence_fractions_spot(spark):
+    from oxi_diel_db_spark.functions.valence import valence_fractions
+
+    v = valence_fractions("formula")
+    df = spark.createDataFrame([("MgO",)], "formula string")
+    row = df.select(
+        v["avg_s"].alias("s"), v["avg_p"].alias("p"), v["frac_p"].alias("fp")
+    ).collect()[0]
+    # Mg (2,0,0,0) + O (2,4,0,0) → avg_s = 2, avg_p = 2, frac_p = 2/4
+    assert row["s"] == 2.0 and row["p"] == 2.0 and row["fp"] == 0.5
