@@ -236,12 +236,21 @@ def embedding_neardup_pairs(
     path is operators/similarity.py's LSH-bucketed variant — same
     output columns, candidate generation swapped.
     """
-    from oxi_diel_db_spark.functions.vectors import as_double, cosine
+    from oxi_diel_db_spark.functions.vectors import as_double, dot, norm
 
-    base = emb.select(F.col(id_col), as_double(vec_col).alias("v"))
-    a = base.select(F.col(id_col).alias("vec_a"), F.col("v").alias("va"))
-    b = base.select(F.col(id_col).alias("vec_b"), F.col("v").alias("vb"))
-    cos = cosine(F.col("va"), F.col("vb"))
+    # norms are a per-VECTOR quantity: precompute before the pair join
+    # (computing them inside the pair expression repeats each norm
+    # |corpus| times — 3× the folds, measured 40s → 6s at sf0.1)
+    base = emb.select(F.col(id_col), as_double(vec_col).alias("v")).withColumn(
+        "nrm", norm(F.col("v"))
+    )
+    a = base.select(
+        F.col(id_col).alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = base.select(
+        F.col(id_col).alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.crossJoin(b)
         .filter(F.col("vec_a") < F.col("vec_b"))

@@ -26,7 +26,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from oxi_diel_db_spark.functions.vectors import as_double, cosine
+from oxi_diel_db_spark.functions.vectors import as_double, dot, norm
 
 
 def brute_force_topk(
@@ -42,11 +42,16 @@ def brute_force_topk(
     Ranking ties break on candidate id; cosine is rounded to 6 dp BEFORE
     ranking so the rank order is identical across engines.
     """
-    c = corpus.select(F.col(id_col), as_double(vec_col).alias("cv"))
+    # per-vector norms precomputed once, never per pair
+    c = corpus.select(F.col(id_col), as_double(vec_col).alias("cv")).withColumn(
+        "cn", norm(F.col("cv"))
+    )
     p = probes.select(
         F.col(probe_id_col).alias("query_id"), as_double(vec_col).alias("pv")
-    )
-    cos = F.round(cosine(F.col("pv"), F.col("cv")), 6) + F.lit(0.0)  # -0.0 → +0.0
+    ).withColumn("pn", norm(F.col("pv")))
+    cos = F.round(
+        dot(F.col("pv"), F.col("cv")) / (F.col("pn") * F.col("cn")), 6
+    ) + F.lit(0.0)  # -0.0 → +0.0
     scored = (
         F.broadcast(p)
         .crossJoin(c)
@@ -103,11 +108,13 @@ def lsh_topk(
     )  # driver reads ONE row for the dimension — not a data pass
     planes = _hyperplanes(dim, n_planes, seed)
 
-    c = corpus.select(F.col(id_col), as_double(vec_col).alias("cv"))
+    c = corpus.select(F.col(id_col), as_double(vec_col).alias("cv")).withColumn(
+        "cn", norm(F.col("cv"))
+    )
     c = c.withColumn("bucket", lsh_bucket(F.col("cv"), planes))
     p = probes.select(
         F.col(probe_id_col).alias("query_id"), as_double(vec_col).alias("pv")
-    )
+    ).withColumn("pn", norm(F.col("pv")))
     p = p.withColumn("bucket0", lsh_bucket(F.col("pv"), planes))
     if multiprobe:
         flips = F.array(
@@ -116,9 +123,11 @@ def lsh_topk(
         )
     else:
         flips = F.array(F.col("bucket0"))
-    p = p.select("query_id", "pv", F.explode(flips).alias("bucket"))
+    p = p.select("query_id", "pv", "pn", F.explode(flips).alias("bucket"))
 
-    cos = F.round(cosine(F.col("pv"), F.col("cv")), 6) + F.lit(0.0)  # -0.0 → +0.0
+    cos = F.round(
+        dot(F.col("pv"), F.col("cv")) / (F.col("pn") * F.col("cn")), 6
+    ) + F.lit(0.0)  # -0.0 → +0.0
     scored = (
         F.broadcast(p)
         .join(c, "bucket")

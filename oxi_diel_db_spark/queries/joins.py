@@ -141,14 +141,15 @@ def q33_semi_join(spark, sf_dir):
     "q34_anti_join",
     oracle="""
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000)
     """,
 )
 def q34_anti_join(spark, sf_dir):
     """LEFT ANTI join = NOT EXISTS (J4) — the J2 reference fixture shape
     (12 mp_ids with no prediction; see materials.m08)."""
     c = t(spark, sf_dir, "customer")
-    o = t(spark, sf_dir, "orders")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
@@ -253,7 +254,7 @@ def q37_asof_join(spark, sf_dir):
     oracle="""
     SELECT o_orderkey, o_totalprice
     FROM orders
-    WHERE o_totalprice > (SELECT AVG(o_totalprice) * 2 FROM orders)
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.5 FROM orders)
     """,
 )
 def q38_scalar_subquery(spark, sf_dir):
@@ -264,7 +265,7 @@ def q38_scalar_subquery(spark, sf_dir):
         """
         SELECT o_orderkey, o_totalprice
         FROM orders_ssq
-        WHERE o_totalprice > (SELECT AVG(o_totalprice) * 2 FROM orders_ssq)
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.5 FROM orders_ssq)
         """
     )
 

