@@ -225,17 +225,21 @@ def q08_intersect(spark, sf_dir):
 @register(
     "q09_except",
     oracle="""
-    SELECT c_custkey AS custkey FROM customer
-    EXCEPT
     SELECT o_custkey AS custkey FROM orders
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
     """,
 )
 def q09_except(spark, sf_dir):
     """EXCEPT (distinct set semantics → subtract) — J2's id-set-difference
-    shape (12 unscored mp_ids) generalized: customers that never ordered."""
-    c = t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
-    o = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
-    return c.subtract(o)
+    shape (12 unscored mp_ids) generalized: customers who ordered but
+    never had an 'F'-status order (non-empty at every SF)."""
+    o = t(spark, sf_dir, "orders")
+    all_c = o.select(F.col("o_custkey").alias("custkey"))
+    f_c = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return all_c.subtract(f_c)
 
 
 @register(
