@@ -291,3 +291,45 @@ def q39_correlated_in(spark, sf_dir):
                               WHERE r_name IN ('EUROPE', 'ASIA'))
         """
     )
+
+
+@register(
+    "q45_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {sql_sum_money('l_extendedprice * (1 - l_discount)')} AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < DATE '1998-01-01'
+      AND l_shipdate > DATE '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q45_shipping_priority(spark, sf_dir):
+    """TPC-H-Q3-shaped composition: selective dim filter → two joins →
+    group-by → top-10 by aggregate. The final ORDER BY an AGGREGATE is
+    the interesting part: it needs the agg to finish, then
+    TakeOrderedAndProject — revenue is exact cents so the top-10 set is
+    deterministic cross-engine (ties break on date+key)."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("date")
+    )
+    l = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("date")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            sum_money(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )

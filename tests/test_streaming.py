@@ -163,3 +163,39 @@ def test_foreach_batch_sink(spark):
     q.stop()
     q.awaitTermination()
     assert sum(seen.values()) == _batch_events(spark).count()
+
+
+def test_stream_stream_join(spark):
+    """Stream-stream inner join with watermarks + time-range condition:
+    purchases joined to the same user's clicks within the prior hour.
+    Result must equal the equivalent batch join."""
+    import pyspark.sql.functions as F
+
+    def split(df):
+        purchases = df.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        clicks = df.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("c_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        return purchases, clicks
+
+    cond = lambda p, c: (  # noqa: E731
+        (p.p_user == c.c_user)
+        & (c.c_ts <= p.p_ts)
+        & (c.c_ts >= p.p_ts - F.expr("INTERVAL 1 HOUR"))
+    )
+
+    sp, sc = split(ops.read_events_stream(spark, SF))
+    sc = sc.withWatermark("c_ts", "2 hours")
+    sp = sp.withWatermark("p_ts", "2 hours")
+    streamed = ops.run_stream_to_memory(
+        sp.join(sc, cond(sp, sc), "inner").select("p_id", "c_id"), spark, mode="append"
+    )
+    bp, bc = split(_batch_events(spark))
+    batch = bp.join(bc, cond(bp, bc), "inner").select("p_id", "c_id")
+    assert sorted(map(tuple, streamed.collect())) == sorted(map(tuple, batch.collect()))
