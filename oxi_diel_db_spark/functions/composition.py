@@ -210,3 +210,88 @@ def sql_mass_case(var: str) -> str:
         f"WHEN '{el}' THEN {m}" for el, m in sorted(ATOMIC_MASS.items())
     )
     return f"CAST((CASE {var} {whens} ELSE NULL END) AS DOUBLE)"
+
+
+def en_diff_to_oxygen(formula: Column | str) -> Column:
+    """ElectronegativityDiff-style feature (reference ml_prediction.py:79,
+    oxidation-state-aware in matminer; here the anion is O by
+    construction — the corpus is oxides, README.md:50): count-weighted
+    mean EN difference between O and each cation."""
+    toks = _tok_counts(formula)
+    en_map = _en_map_expr()
+    en_o = F.lit(PAULING_EN["O"])
+    cation_cnt = _fold_sum(
+        toks, lambda s: F.when(s["el"] != "O", s["cnt"]).otherwise(0.0)
+    )
+    diff_sum = _fold_sum(
+        toks,
+        lambda s: F.when(s["el"] != "O", (en_o - en_map[s["el"]]) * s["cnt"]).otherwise(0.0),
+    )
+    return diff_sum / cation_cnt
+
+
+def sql_en_diff_to_oxygen(f: str) -> str:
+    toks = _SQL_TOKS.format(f=f)
+    case = _sql_en_case()
+    en_o = PAULING_EN["O"]
+    cation = (
+        f"list_aggregate(list_transform({toks}, "
+        f"s -> CASE WHEN s.el <> 'O' THEN s.cnt ELSE 0.0 END), 'sum')"
+    )
+    diff = (
+        f"list_aggregate(list_transform({toks}, "
+        f"s -> CASE WHEN s.el <> 'O' THEN ({en_o} - {case}) * s.cnt ELSE 0.0 END), 'sum')"
+    )
+    return f"({diff}) / ({cation})"
+
+
+def avg_ionic_character(formula: Column | str) -> Column:
+    """IonProperty featurizer (reference ml_prediction.py:78): Pauling's
+    average ionic character Σᵢⱼ xᵢxⱼ·(1 − exp(−ΔEN²/4)) over element
+    pairs (i<j), normalized by Σᵢⱼ xᵢxⱼ — a nested fold over the token
+    list, still a pure expression."""
+    toks = _tok_counts(formula)
+    en_map = _en_map_expr()
+    tot = _fold_sum(toks, lambda s: s["cnt"])
+
+    def pair_terms(outer):
+        return _fold_sum(
+            toks,
+            lambda inner: F.when(
+                inner["el"] != outer["el"],
+                (outer["cnt"] / tot)
+                * (inner["cnt"] / tot)
+                * (1 - F.exp(-F.pow(en_map[outer["el"]] - en_map[inner["el"]], 2) / 4)),
+            ).otherwise(0.0),
+        )
+
+    def pair_weights(outer):
+        return _fold_sum(
+            toks,
+            lambda inner: F.when(
+                inner["el"] != outer["el"], (outer["cnt"] / tot) * (inner["cnt"] / tot)
+            ).otherwise(0.0),
+        )
+
+    num = _fold_sum(toks, pair_terms)
+    den = _fold_sum(toks, pair_weights)
+    return F.when(den > 0, num / den).otherwise(F.lit(0.0))
+
+
+def sql_avg_ionic_character(f: str) -> str:
+    toks = _SQL_TOKS.format(f=f)
+    tot = f"list_aggregate(list_transform({toks}, s -> s.cnt), 'sum')"
+    case_o = _sql_en_case().replace("s.el", "o.el")
+    case_i = _sql_en_case().replace("s.el", "i.el")
+    num = (
+        f"list_aggregate(list_transform({toks}, o -> "
+        f"list_aggregate(list_transform({toks}, i -> "
+        f"CASE WHEN i.el <> o.el THEN (o.cnt / ({tot})) * (i.cnt / ({tot})) "
+        f"* (1 - exp(-pow({case_o} - {case_i}, 2) / 4)) ELSE 0.0 END), 'sum')), 'sum')"
+    )
+    den = (
+        f"list_aggregate(list_transform({toks}, o -> "
+        f"list_aggregate(list_transform({toks}, i -> "
+        f"CASE WHEN i.el <> o.el THEN (o.cnt / ({tot})) * (i.cnt / ({tot})) ELSE 0.0 END), 'sum')), 'sum')"
+    )
+    return f"(CASE WHEN ({den}) > 0 THEN ({num}) / ({den}) ELSE 0.0 END)"

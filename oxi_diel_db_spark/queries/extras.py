@@ -422,3 +422,33 @@ from oxi_diel_db_spark.queries import REGISTRY as _REG
 from dataclasses import replace as _replace
 
 _REG["m22_valence_orbital"] = _replace(_REG["m22_valence_orbital"], oracle=_m22_oracle())
+
+
+@register(
+    "m23_en_diff",
+    oracle=f"""
+    SELECT mp_id,
+           ROUND({C.sql_en_diff_to_oxygen('formula')}, 6) + 0 AS mean_en_diff
+    FROM {_MAT}
+    """,
+)
+def m23_en_diff(spark, sf_dir):
+    """§2.9 ElectronegativityDiff: weighted mean EN gap between the O
+    anion and the cations (the corpus is oxides — anion fixed)."""
+    m = M.materials(spark)
+    return m.select("mp_id", r6(C.en_diff_to_oxygen("formula"), "mean_en_diff"))
+
+
+@register(
+    "m24_ion_property",
+    oracle=f"""
+    SELECT mp_id,
+           ROUND({C.sql_avg_ionic_character('formula')}, 6) + 0 AS avg_ionic_char
+    FROM {_MAT}
+    """,
+)
+def m24_ion_property(spark, sf_dir):
+    """§2.9 IonProperty: Pauling average ionic character — a nested
+    pair fold over the composition, pure expressions in both engines."""
+    m = M.materials(spark)
+    return m.select("mp_id", r6(C.avg_ionic_character("formula"), "avg_ionic_char"))

@@ -190,3 +190,17 @@ def test_valence_fractions_spot(spark):
     ).collect()[0]
     # Mg (2,0,0,0) + O (2,4,0,0) → avg_s = 2, avg_p = 2, frac_p = 2/4
     assert row["s"] == 2.0 and row["p"] == 2.0 and row["fp"] == 0.5
+
+
+def test_en_diff_and_ionic_character_spot(spark):
+    import math
+
+    # SiO2: ΔEN(O−Si) = 3.44 − 1.90 = 1.54
+    got = _one(spark, "SiO2", C.en_diff_to_oxygen("formula"))
+    assert abs(got - 1.54) < 1e-9
+    # avg ionic character: all cross pairs share the same ΔEN → the
+    # weighted average equals 1 − exp(−1.54²/4)
+    ic = _one(spark, "SiO2", C.avg_ionic_character("formula"))
+    assert abs(ic - (1 - math.exp(-(1.54**2) / 4))) < 1e-9
+    # single-element formula → zero ionic character (no pairs)
+    assert _one(spark, "O2", C.avg_ionic_character("formula")) == 0.0
