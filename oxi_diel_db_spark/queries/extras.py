@@ -452,3 +452,38 @@ def m24_ion_property(spark, sf_dir):
     pair fold over the composition, pure expressions in both engines."""
     m = M.materials(spark)
     return m.select("mp_id", r6(C.avg_ionic_character("formula"), "avg_ionic_char"))
+
+
+@register(
+    "m25_oxidation_balance",
+    oracle=f"""
+    SELECT mp_id,
+           ROUND(2.0 * n_o / NULLIF(n_cat, 0), 6) AS mean_cation_oxidation
+    FROM (
+      SELECT mp_id,
+             list_aggregate(list_transform({C._SQL_TOKS.format(f='formula')},
+               s -> CASE WHEN s.el = 'O' THEN s.cnt ELSE 0.0 END), 'sum') AS n_o,
+             list_aggregate(list_transform({C._SQL_TOKS.format(f='formula')},
+               s -> CASE WHEN s.el <> 'O' THEN s.cnt ELSE 0.0 END), 'sum') AS n_cat
+      FROM {_MAT}
+    )
+    """,
+)
+def m25_oxidation_balance(spark, sf_dir):
+    """§2.9 OxidationStates analog for an oxide corpus: with O fixed at
+    -2 (the convention the reference's oxidation-state guess resolves
+    to for these compounds, ml_prediction.py:74), charge balance gives
+    the mean cation oxidation state = 2·n_O / n_cations directly from
+    the formula."""
+    from oxi_diel_db_spark.functions.composition import _fold_sum, _tok_counts
+
+    m = M.materials(spark)
+    toks = _tok_counts(F.col("formula"))
+    n_o = _fold_sum(toks, lambda s: F.when(s["el"] == "O", s["cnt"]).otherwise(0.0))
+    n_cat = _fold_sum(toks, lambda s: F.when(s["el"] != "O", s["cnt"]).otherwise(0.0))
+    return m.select(
+        "mp_id",
+        F.round(2.0 * n_o / F.nullif(n_cat, F.lit(0.0)), 6).alias(
+            "mean_cation_oxidation"
+        ),
+    )
