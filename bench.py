@@ -33,12 +33,17 @@ HEADLINE = [
     "q37_asof_join",
     # north-star LLM ops
     "d1_exact_dedup",
+    "d2_ngram_jaccard",
     "d3_minhash_lsh",
+    "d5_embedding_neardup",
     "s1_ann_brute_force",
     "t2_quality_score",
+    "p3_deterministic_shuffle",
+    "p4_sequence_packing",
     # materials domain
     "m04_born_trace_invariant",
     "m11_site_explode_agg",
+    "m21_density",
 ]
 
 

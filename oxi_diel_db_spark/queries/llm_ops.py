@@ -135,8 +135,11 @@ def d4_simhash(spark, sf_dir):
 def d5_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (semantic dedup). The
     threshold sits at the ~99.9th percentile of this corpus's pairwise
-    cosine distribution so the check is non-trivial at every SF."""
-    return dedup.embedding_neardup_pairs(t(spark, sf_dir, "embeddings"), threshold=0.35)
+    cosine distribution so the check is non-trivial at every SF.
+    Block-matmul execution (see embedding_neardup_pairs_blocked)."""
+    return dedup.embedding_neardup_pairs_blocked(
+        t(spark, sf_dir, "embeddings"), threshold=0.35
+    )
 
 
 @register(

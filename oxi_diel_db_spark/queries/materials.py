@@ -291,7 +291,15 @@ def m11_site_explode_agg(spark, sf_dir):
     )
 
 
-@register("m12_en_ordered_formula", oracle=None)  # domain lookup — rows-only
+@register(
+    "m12_en_ordered_formula",
+    oracle=f"""
+    SELECT mp_id, formula,
+           array_to_string(list_transform(list_sort(list_transform(elements,
+             e -> struct_pack(k := CAST((CASE e WHEN 'Ag' THEN 1.93 WHEN 'Al' THEN 1.61 WHEN 'As' THEN 2.18 WHEN 'Au' THEN 2.54 WHEN 'B' THEN 2.04 WHEN 'Ba' THEN 0.89 WHEN 'Be' THEN 1.57 WHEN 'Bi' THEN 2.02 WHEN 'Br' THEN 2.96 WHEN 'C' THEN 2.55 WHEN 'Ca' THEN 1.0 WHEN 'Cd' THEN 1.69 WHEN 'Ce' THEN 1.12 WHEN 'Cl' THEN 3.16 WHEN 'Co' THEN 1.88 WHEN 'Cr' THEN 1.66 WHEN 'Cs' THEN 0.79 WHEN 'Cu' THEN 1.9 WHEN 'Dy' THEN 1.22 WHEN 'Er' THEN 1.24 WHEN 'Eu' THEN 1.2 WHEN 'F' THEN 3.98 WHEN 'Fe' THEN 1.83 WHEN 'Ga' THEN 1.81 WHEN 'Gd' THEN 1.2 WHEN 'Ge' THEN 2.01 WHEN 'H' THEN 2.2 WHEN 'Hf' THEN 1.3 WHEN 'Hg' THEN 2.0 WHEN 'Ho' THEN 1.23 WHEN 'I' THEN 2.66 WHEN 'In' THEN 1.78 WHEN 'Ir' THEN 2.2 WHEN 'K' THEN 0.82 WHEN 'La' THEN 1.1 WHEN 'Li' THEN 0.98 WHEN 'Lu' THEN 1.27 WHEN 'Mg' THEN 1.31 WHEN 'Mn' THEN 1.55 WHEN 'Mo' THEN 2.16 WHEN 'N' THEN 3.04 WHEN 'Na' THEN 0.93 WHEN 'Nb' THEN 1.6 WHEN 'Nd' THEN 1.14 WHEN 'Ni' THEN 1.91 WHEN 'O' THEN 3.44 WHEN 'Os' THEN 2.2 WHEN 'P' THEN 2.19 WHEN 'Pb' THEN 2.33 WHEN 'Pd' THEN 2.2 WHEN 'Pr' THEN 1.13 WHEN 'Pt' THEN 2.28 WHEN 'Rb' THEN 0.82 WHEN 'Re' THEN 1.9 WHEN 'Rh' THEN 2.28 WHEN 'Ru' THEN 2.2 WHEN 'S' THEN 2.58 WHEN 'Sb' THEN 2.05 WHEN 'Sc' THEN 1.36 WHEN 'Se' THEN 2.55 WHEN 'Si' THEN 1.9 WHEN 'Sm' THEN 1.17 WHEN 'Sn' THEN 1.96 WHEN 'Sr' THEN 0.95 WHEN 'Ta' THEN 1.5 WHEN 'Tb' THEN 1.1 WHEN 'Tc' THEN 1.9 WHEN 'Te' THEN 2.1 WHEN 'Th' THEN 1.3 WHEN 'Ti' THEN 1.54 WHEN 'Tl' THEN 1.62 WHEN 'Tm' THEN 1.25 WHEN 'U' THEN 1.38 WHEN 'V' THEN 1.63 WHEN 'W' THEN 2.36 WHEN 'Y' THEN 1.22 WHEN 'Yb' THEN 1.1 WHEN 'Zn' THEN 1.65 WHEN 'Zr' THEN 1.33 ELSE NULL END) AS DOUBLE), e := e))), s -> s.e), '-') AS en_ordered_elements
+    FROM {_MAT}
+""",
+)
 def m12_en_ordered_formula(spark, sf_dir):
     """O1: elements ordered by Pauling electronegativity (the reference's
     formula convention, README.md:18) via a literal EN map — the

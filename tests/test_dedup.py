@@ -71,3 +71,22 @@ def test_embedding_neardup(spark):
     pairs = {(r["vec_a"], r["vec_b"]) for r in
              dedup.embedding_neardup_pairs(emb, threshold=0.99).collect()}
     assert pairs == {(0, 1)}
+
+
+def test_blocked_embedding_neardup_matches_simple(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    simple = {
+        (r["vec_a"], r["vec_b"]): r["cos"]
+        for r in dedup.embedding_neardup_pairs(emb, 0.5).collect()
+    }
+    blocked = {
+        (r["vec_a"], r["vec_b"]): r["cos"]
+        for r in dedup.embedding_neardup_pairs_blocked(emb, 0.5, n_blocks=5).collect()
+    }
+    assert set(simple) == set(blocked)
+    for k in simple:
+        assert abs(simple[k] - blocked[k]) < 2e-6  # both rounded at 1e-6
