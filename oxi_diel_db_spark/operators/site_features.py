@@ -135,3 +135,41 @@ def gaussian_symm_func(materials: DataFrame, etas=(0.5, 4.0), cutoff: float = 6.
             yield pd.DataFrame(out)
 
     return slim.mapInPandas(_gsf, schema=GSF_SCHEMA)
+
+
+LPD_SCHEMA = "mp_id string, site_idx int, local_en_diff double"
+
+
+def local_property_difference(materials: DataFrame, cutoff: float = 5.0) -> DataFrame:
+    """LocalPropertyDifference featurizer (§2.9; reference
+    ml_prediction.py:189, 'ward-prb-2017' preset): per site, the
+    1/d²-weighted mean |Δ electronegativity| to neighbors within the
+    cutoff — the same pairwise kernel, now consuming the element column
+    and a broadcast property map."""
+    from oxi_diel_db_spark.functions.formula import PAULING_EN
+
+    slim = materials.select(
+        "mp_id",
+        F.col("structure.sites.xyz").alias("xyz"),
+        F.expr("transform(structure.sites, s -> s.species[0].element)").alias("els"),
+    )
+
+    def _lpd(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"mp_id": [], "site_idx": [], "local_en_diff": []}
+            for mp_id, xyz, els in zip(pdf["mp_id"], pdf["xyz"], pdf["els"]):
+                pts = np.array([np.asarray(p, dtype=float) for p in xyz])
+                chi = np.array([PAULING_EN.get(e, np.nan) for e in els])
+                d = np.linalg.norm(pts[:, None, :] - pts[None, :, :], axis=-1)
+                np.fill_diagonal(d, np.inf)
+                w = np.where(d <= cutoff, 1.0 / (d * d), 0.0)
+                dchi = np.abs(chi[:, None] - chi[None, :])
+                wsum = w.sum(axis=1)
+                with np.errstate(invalid="ignore"):
+                    lpd = np.where(wsum > 0, (w * dchi).sum(axis=1) / wsum, 0.0)
+                out["mp_id"].extend([mp_id] * len(pts))
+                out["site_idx"].extend(range(len(pts)))
+                out["local_en_diff"].extend(lpd.tolist())
+            yield pd.DataFrame(out)
+
+    return slim.mapInPandas(_lpd, schema=LPD_SCHEMA)

@@ -487,3 +487,17 @@ def m25_oxidation_balance(spark, sf_dir):
             "mean_cation_oxidation"
         ),
     )
+
+
+@register("m26_local_property_diff", oracle=None)  # pairwise kernel — pytest
+def m26_local_property_diff(spark, sf_dir):
+    """§2.9 LocalPropertyDifference: inverse-square-weighted neighbor
+    |ΔEN| per site, reduced to per-material stats (A1 pattern)."""
+    from oxi_diel_db_spark.operators.site_features import local_property_difference
+
+    per_site = local_property_difference(M.materials(spark))
+    return per_site.groupBy("mp_id").agg(
+        r6(F.avg("local_en_diff"), "mean_lpd"),
+        r6(F.stddev_pop("local_en_diff"), "std_lpd"),
+        r6(F.max("local_en_diff"), "max_lpd"),
+    )

@@ -204,3 +204,26 @@ def test_en_diff_and_ionic_character_spot(spark):
     assert abs(ic - (1 - math.exp(-(1.54**2) / 4))) < 1e-9
     # single-element formula → zero ionic character (no pairs)
     assert _one(spark, "O2", C.avg_ionic_character("formula")) == 0.0
+
+
+def test_local_property_difference_numpy(spark):
+    from oxi_diel_db_spark.operators.site_features import local_property_difference
+    from oxi_diel_db_spark.functions.formula import PAULING_EN
+    from oxi_diel_db_spark.sources import materials as M
+
+    mats = M.materials(spark).filter(F.col("mp_id") == "mp-4747")
+    got = {r["site_idx"]: r["local_en_diff"]
+           for r in local_property_difference(mats).collect()}
+    rec = mats.select(
+        F.col("structure.sites.xyz").alias("x"),
+        F.expr("transform(structure.sites, s -> s.species[0].element)").alias("e"),
+    ).collect()[0]
+    pts = np.array(rec["x"])
+    chi = np.array([PAULING_EN[e] for e in rec["e"]])
+    d = np.linalg.norm(pts[:, None, :] - pts[None, :, :], axis=-1)
+    np.fill_diagonal(d, np.inf)
+    w = np.where(d <= 5.0, 1.0 / (d * d), 0.0)
+    dchi = np.abs(chi[:, None] - chi[None, :])
+    exp = (w * dchi).sum(axis=1) / w.sum(axis=1)
+    for i, e in enumerate(exp):
+        assert abs(got[i] - e) < 1e-9
