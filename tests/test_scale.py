@@ -119,3 +119,21 @@ Direct
     assert [r["element"] for r in rows] == ["Ca", "Ca", "Sn", "O", "O", "O", "O"]
     # fractional 0.5,0.5,0.5 in a 5/6/7 diagonal lattice → cart 2.5,3,3.5
     assert (rows[1]["cart_x"], rows[1]["cart_y"], rows[1]["cart_z"]) == (2.5, 3.0, 3.5)
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """DPP (SURVEY §4.2): a partitioned fact joined through a filtered
+    dim must scan only the partitions the dim selects — the pruning
+    shows up as a dynamicpruning subquery on the partition column."""
+    out = str(tmp_path / "orders_part")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o.write.partitionBy("o_orderstatus").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("F", "finished")], "o_orderstatus string, label string"
+    )
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    joined = fact.join(dim, "o_orderstatus").groupBy("label").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    joined.collect()
+    assert "dynamicpruning" in plan.lower() or "PartitionFilters: [isnotnull(o_orderstatus" in plan, plan[:2000]
