@@ -56,7 +56,9 @@ def asof_join(
     probe_cols = probe.columns
     pay_type = build.select(F.struct(*payload).alias(_PAY)).schema[0].dataType
 
-    b = build.select(
+    # a NULL build timestamp would sort nulls-first and be carried as
+    # the "earliest" build row — it can never legitimately match
+    b = build.filter(F.col(build_ts).isNotNull()).select(
         *keys,
         F.col(build_ts).alias(_TS),
         F.struct(*payload).alias(_PAY),

@@ -333,3 +333,28 @@ def q45_shipping_priority(spark, sf_dir):
         .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
         .limit(10)
     )
+
+
+@register(
+    "q46_correlated_scalar",
+    oracle="""
+    SELECT p_partkey, p_brand, p_retailprice
+    FROM part p1
+    WHERE p_retailprice > 1.1 * (SELECT AVG(p_retailprice) FROM part p2
+                                 WHERE p2.p_brand = p1.p_brand)
+    """,
+)
+def q46_correlated_scalar(spark, sf_dir):
+    """Correlated scalar subquery (§4.2 decorrelation): parts priced
+    >10% above their brand average. Catalyst rewrites the correlation
+    into an aggregate + join — verified by the passing plan, not by a
+    hand-decorrelated reimplementation."""
+    t(spark, sf_dir, "part").createOrReplaceTempView("part_q46")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_brand, p_retailprice
+        FROM part_q46 p1
+        WHERE p_retailprice > 1.1 * (SELECT AVG(p_retailprice) FROM part_q46 p2
+                                     WHERE p2.p_brand = p1.p_brand)
+        """
+    )

@@ -86,3 +86,22 @@ def test_asof_tie_is_inclusive(spark):
         payload=["val"], how="left",
     ).collect()
     assert rows[0]["val"] == 7.0
+
+
+def test_asof_null_build_ts_never_matches(spark):
+    import pandas as pd
+
+    build = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1], "bts": [None, _ts(10)], "val": [99.0, 1.0]}),
+        "k long, bts timestamp, val double",
+    )
+    probe = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1], "pts": [_ts(5), _ts(15)]}),
+        "k long, pts timestamp",
+    )
+    rows = {r["pts"]: r["val"] for r in asof_join(
+        probe, build, on="k", probe_ts="pts", build_ts="bts",
+        payload=["val"], how="left",
+    ).collect()}
+    assert rows[_ts(5)] is None    # no build row at/before
+    assert rows[_ts(15)] == 1.0    # null-ts row never carried
