@@ -207,3 +207,45 @@ def load_or_train(
     os.makedirs(MODELS_DIR, exist_ok=True)
     model.write().overwrite().save(path)
     return model
+
+
+def train_test_split(df: DataFrame, key: str = "mp_id", test_rate: float = 0.2, seed: int = 42):
+    """Deterministic content-hash split (operators/sampling.hash_sample
+    mechanism): reproducible across runs/partitionings, and rows keep
+    their side when the corpus grows — unlike randomSplit."""
+    from oxi_diel_db_spark.operators.sampling import hash_hex8, rate_threshold
+
+    gate = hash_hex8(key, seed) < F.lit(rate_threshold(test_rate))
+    return df.filter(~gate), df.filter(gate)
+
+
+def evaluate(materials: DataFrame, diel: str = "el", des: str = "comp",
+             num_trees: int = 100, seed: int = 42) -> dict:
+    """Held-out evaluation of one model config: train on ~80%, report
+    corr/RMSE on the unseen 20% — the generalization check the
+    reference never ran (its golden files are in-corpus predictions)."""
+    label = f"label_{diel}"
+    base = _labels(materials) if des == "comp" else struct_features_from_corpus(materials)
+    features = COMP_FEATURES + (STRUCT_FEATURES if des == "comp_st" else [])
+    feats = scale_features_pop(comp_features(base), features).dropna(
+        subset=features + [label]
+    )
+    train_df, test_df = train_test_split(feats, "mp_id", 0.2, seed)
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import RandomForestRegressor
+
+    pipe = Pipeline(stages=[
+        VectorAssembler(inputCols=features, outputCol="features"),
+        RandomForestRegressor(featuresCol="features", labelCol=label,
+                              predictionCol="pred_log10",
+                              numTrees=num_trees, maxDepth=12, seed=seed),
+    ])
+    model = pipe.fit(train_df)
+    scored = model.transform(test_df)
+    row = scored.agg(
+        F.corr("pred_log10", label).alias("corr"),
+        F.sqrt(F.avg(F.pow(F.col("pred_log10") - F.col(label), 2))).alias("rmse"),
+        F.count(F.lit(1)).alias("n_test"),
+    ).collect()[0]
+    return {"corr": row["corr"], "rmse": row["rmse"], "n_test": row["n_test"]}

@@ -65,3 +65,29 @@ def test_model_artifact_save_load(spark, mats, tmp_path):
     a = sorted(map(tuple, P.score(model, feats).collect()))
     b = sorted(map(tuple, P.score(loaded, feats).collect()))
     assert a == b
+
+
+def test_held_out_evaluation_all_configs(spark, mats):
+    """Generalization check across the four reference model configs
+    (el/ion × comp/comp_st) on a deterministic 20% hash-held-out set.
+    Expected ordering matches the reference's design: structural
+    descriptors improve both targets (that's why comp_st exists), and
+    the ionic response is harder than the electronic one.
+    Measured (60 trees): el_comp .67, el_comp_st .82, ion_comp .58,
+    ion_comp_st .73 — floors set with margin."""
+    from oxi_diel_db_spark.ml import comp_model as CM
+
+    floors = {
+        ("el", "comp"): 0.5,
+        ("el", "comp_st"): 0.65,
+        ("ion", "comp"): 0.4,
+        ("ion", "comp_st"): 0.55,
+    }
+    results = {}
+    for (diel, des), floor in floors.items():
+        r = CM.evaluate(mats, diel, des, num_trees=60)
+        results[(diel, des)] = r["corr"]
+        assert r["corr"] > floor, ((diel, des), r)
+        assert r["n_test"] > 200
+    assert results[("el", "comp_st")] > results[("el", "comp")]
+    assert results[("ion", "comp_st")] > results[("ion", "comp")]
