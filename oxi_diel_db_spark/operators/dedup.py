@@ -69,16 +69,33 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard near-dup pairs via inverted-index candidate join.
 
     |inter| comes from the self-join on shingle; |union| = |A|+|B|-|inter|.
     Only pairs sharing ≥1 shingle are ever materialized — no O(n²) pass.
+
+    max_doc_freq is the 100 TB safety valve: a shingle appearing in
+    df docs contributes df² candidate pairs, so one boilerplate phrase
+    can quadratically blow up the join. Capping drops shingles with
+    df > max_doc_freq from the intersection count: pairs sharing only
+    ubiquitous shingles disappear, and surviving pairs get a LOWER
+    BOUND on their true Jaccard (capped shingles no longer count as
+    shared) — conservative for dedup: nothing is merged that exact
+    Jaccard would not also merge. None disables the cap (exact mode —
+    the oracle-checked default here).
     """
     sh = doc_shingles(docs, id_col, text_col, n)
+    if max_doc_freq is not None:
+        df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        rare = df_counts.filter(F.col("__df") <= max_doc_freq).select("shingle")
+        sh_cand = sh.join(rare, "shingle")
+    else:
+        sh_cand = sh
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    a = sh_cand.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh_cand.select(F.col(id_col).alias("doc_b"), "shingle")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))

@@ -90,3 +90,27 @@ def test_blocked_embedding_neardup_matches_simple(spark):
     assert set(simple) == set(blocked)
     for k in simple:
         assert abs(simple[k] - blocked[k]) < 2e-6  # both rounded at 1e-6
+
+
+def test_ngram_jaccard_df_cap_is_conservative(spark, docs_df):
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs_df, threshold=0.3).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            docs_df, threshold=0.3, max_doc_freq=2
+        ).collect()
+    }
+    assert set(capped) <= set(exact)  # never invents pairs
+    for k, v in capped.items():
+        assert v <= exact[k] + 1e-9  # lower bound on true jaccard
+    # a huge cap must reproduce exact results
+    uncapped_hi = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            docs_df, threshold=0.3, max_doc_freq=10**6
+        ).collect()
+    }
+    assert uncapped_hi == exact
