@@ -72,3 +72,24 @@ def assert_clean(materials: DataFrame) -> None:
     bad = {k: v for k, v in invariant_violations(materials).items() if v}
     if bad:
         raise ValueError(f"materials failed ingest invariants: {bad}")
+
+
+def validated(materials: DataFrame) -> DataFrame:
+    """Fail-fast scan (SURVEY §4.1: the reference validates before any
+    compute, ml_prediction.py:64-67): returns the input with an inline
+    raise_error CHECK — the first violating row aborts the job with the
+    offending mp_id, instead of poisoning downstream aggregates.
+    Zero-cost when clean: the check is one codegen'd branch per row."""
+    checks = _violations()
+    cond = None
+    for c in checks.values():
+        cond = c if cond is None else (cond | c)
+    # the guard lives in a FILTER: an unused withColumn would be pruned
+    # by Catalyst and the raise_error would never evaluate
+    guard = F.when(
+        cond,
+        F.raise_error(
+            F.concat(F.lit("materials invariant violated at mp_id="), F.col("mp_id"))
+        ).cast("boolean"),
+    ).otherwise(F.lit(True))
+    return materials.filter(guard)

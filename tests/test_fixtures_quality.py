@@ -62,3 +62,14 @@ def test_synthetic_schema_matches_real(spark, synth):
 
     # parquet round-trip relaxes nullability; compare type structure
     assert synth.schema.simpleString() == M.materials(spark).schema.simpleString()
+
+
+def test_validated_scan_passes_clean_and_raises_on_corrupt(spark, synth):
+    # clean corpus: validation is a pass-through
+    assert quality.validated(synth).count() == synth.count()
+    corrupted = synth.withColumn(
+        "band_gap",
+        F.when(F.col("mp_id").endswith("3"), -1.0).otherwise(F.col("band_gap")),
+    )
+    with pytest.raises(Exception, match="invariant violated at mp_id"):
+        quality.validated(corrupted).count()
