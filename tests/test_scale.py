@@ -137,3 +137,43 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     joined.collect()
     assert "dynamicpruning" in plan.lower() or "PartitionFilters: [isnotnull(o_orderstatus" in plan, plan[:2000]
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE skew handling (SURVEY §4.2): a hot key that dwarfs every
+    other partition must be split at runtime — the sort-merge join node
+    reports skew=true in the final adaptive plan."""
+    import pyspark.sql.functions as F
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+    # the downstream agg does not need the join's partitioning, but AQE
+    # is conservative about adding shuffles — force lets it split anyway
+    spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    try:
+        # 95% of left rows share key 0; right side uniform
+        left = spark.range(0, 400000).select(
+            F.when(F.col("id") % 20 != 0, 0).otherwise(F.col("id") % 100).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 100).select(
+            F.col("id").alias("k"), F.lit("x").alias("tag")
+        )
+        joined = left.join(right, "k").groupBy("tag").agg(F.sum("v").alias("s"))
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        for c in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.forceOptimizeSkewedJoin",
+        ):
+            spark.conf.unset(c)

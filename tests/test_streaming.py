@@ -199,3 +199,25 @@ def test_stream_stream_join(spark):
     bp, bc = split(_batch_events(spark))
     batch = bp.join(bc, cond(bp, bc), "inner").select("p_id", "c_id")
     assert sorted(map(tuple, streamed.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_available_now_trigger(spark):
+    """Trigger.AvailableNow — the recommended one-shot backfill trigger:
+    processes everything available in rate-limited batches, then stops
+    on its own (no processAllAvailable poke needed)."""
+    import uuid
+
+    stream = ops.read_events_stream(spark, SF)
+    name = f"an_{uuid.uuid4().hex[:8]}"
+    q = (
+        ops.tumbling_counts(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.table(name).collect()))
+    exp = sorted(map(tuple, ops.tumbling_counts(_batch_events(spark)).collect()))
+    assert got == exp
