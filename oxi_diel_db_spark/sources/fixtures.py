@@ -173,3 +173,107 @@ def generate_predictions(
         pd.DataFrame(out, columns=["mp_id", "model", "log10_eps"]),
         "mp_id string, model string, log10_eps double",
     )
+
+
+def generate_materials_distributed(
+    spark: SparkSession, n: int, seed: int = 42, partitions: int | None = None
+) -> DataFrame:
+    """Executor-side generation for big synthetic corpora: a range()
+    frame fans out to partitions, each builds its slice with a
+    deterministic per-row seed (seed + id) inside mapInPandas — the
+    generator that scales a load test to 10⁸ rows, no driver loop."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    parts = partitions or max(spark.sparkContext.defaultParallelism, 4)
+    idx = spark.range(0, n, 1, parts)
+
+    def _gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                one = _generate_one(int(i), seed)
+                rows.append(one)
+            yield pd.DataFrame({"json": [__import__("json").dumps(r) for r in rows]})
+
+    # rows serialize as JSON strings inside Arrow (nested structs with
+    # maps are awkward through pandas); from_json restores the schema.
+    raw = idx.mapInPandas(_gen, schema="json string")
+    return raw.select(
+        F.from_json("json", MATERIALS_SCHEMA).alias("r")
+    ).select("r.*")
+
+
+def _generate_one(i: int, seed: int) -> dict:
+    """One synthetic material (same construction as generate_materials,
+    factored per-row so executors can call it independently)."""
+    rng = np.random.RandomState(seed * 1_000_003 + i)
+    crystal_names = [c for c, _ in _CRYSTAL]
+    crystal_p = np.array([w for _, w in _CRYSTAL], dtype=float)
+    crystal_p /= crystal_p.sum()
+    nelements = int(rng.choice([2, 3, 4, 5], p=[0.05, 0.55, 0.35, 0.05]))
+    els = list(rng.choice(_ELEMENTS, size=nelements - 1, replace=False)) + ["O"]
+    nsites = int(rng.randint(2, 24))
+    lat = np.diag(rng.uniform(4, 12, 3)) + rng.uniform(-0.3, 0.3, (3, 3))
+    volume = float(abs(np.linalg.det(lat)))
+    abc_len = np.linalg.norm(lat, axis=1)
+    site_els = [els[rng.randint(0, len(els))] for _ in range(nsites)]
+    frac = rng.rand(nsites, 3)
+    cart = frac @ lat
+    diel = {}
+    for kind, lo, hi in (("electronic", 2.0, 12.0), ("ionic", 1.0, 40.0)):
+        t = _sym3(rng, lo, hi)
+        eig = np.sort(np.linalg.eigvalsh(t))
+        diel[f"epsilon_{kind}"] = [[float(x) for x in r] for r in t]
+        diel[f"epsilon_{kind}_eig"] = [float(x) for x in eig]
+        diel[f"epsilon_{kind}_avg"] = float(eig.mean())
+    freq = rng.uniform(-1, 25, 3 * nsites)
+    tensors = [_sym3(rng, 0.5, 4.0) for _ in range(nsites)]
+    counts: dict[str, int] = {}
+    for el in site_els:
+        counts[el] = counts.get(el, 0) + 1
+    return {
+        "mp_id": f"mp-{9_000_000 + i}",
+        "nelements": len(set(els)),
+        "nsites": nsites,
+        "elements": sorted(set(els)),
+        "structure": {
+            "@module": "pymatgen.core.structure",
+            "@class": "Structure",
+            "charge": None,
+            "lattice": {
+                "matrix": [[float(x) for x in r] for r in lat],
+                "a": float(abc_len[0]), "b": float(abc_len[1]), "c": float(abc_len[2]),
+                "alpha": 90.0, "beta": 90.0, "gamma": 90.0, "volume": volume,
+            },
+            "sites": [
+                {
+                    "species": [{"element": site_els[j], "occu": 1.0}],
+                    "abc": [float(x) for x in frac[j]],
+                    "xyz": [float(x) for x in cart[j]],
+                    "label": site_els[j],
+                    "properties": {},
+                }
+                for j in range(nsites)
+            ],
+        },
+        "spacegroup": {
+            "source": "spglib", "symbol": "P1",
+            "number": int(rng.randint(1, 231)), "point_group": "1",
+            "crystal_system": str(rng.choice(crystal_names, p=crystal_p)),
+            "hall": "P 1",
+        },
+        "dielectric": diel,
+        "phonon": {
+            "lowest_freq": float(freq.min()),
+            "frequency": [float(x) for x in freq],
+        },
+        "born_effective_charge": {
+            "avg_abs_trace": float(np.mean([abs(np.trace(t0) / 3.0) for t0 in tensors])),
+            "tensors": [[[float(x) for x in r] for r in t0] for t0 in tensors],
+        },
+        "band_gap": float(rng.uniform(0.503, 7.474)),
+        "is_direct": bool(rng.rand() < 0.19),
+        "formula": "".join(f"{el}{c if c > 1 else ''}" for el, c in sorted(counts.items())),
+    }

@@ -73,3 +73,19 @@ def test_validated_scan_passes_clean_and_raises_on_corrupt(spark, synth):
     )
     with pytest.raises(Exception, match="invariant violated at mp_id"):
         quality.validated(corrupted).count()
+
+
+def test_distributed_generator_scale_smoke(spark):
+    """20k synthetic materials generated executor-side: the invariant
+    gate and the explode-aggregate path must hold beyond the 1,278-row
+    real corpus (the shape a 100 TB load test scales up)."""
+    big = fixtures.generate_materials_distributed(spark, n=20000, seed=11)
+    assert big.count() == 20000
+    v = quality.invariant_violations(big)
+    assert all(x == 0 for x in v.values()), v
+    # explode-aggregate over ~250k sites
+    sites = big.select(F.explode("structure.sites").alias("s"))
+    n_sites = sites.count()
+    assert n_sites > 200000
+    per = big.groupBy("nelements").count().collect()
+    assert sum(r["count"] for r in per) == 20000
