@@ -358,3 +358,70 @@ def q46_correlated_scalar(spark, sf_dir):
                                      WHERE p2.p_brand = p1.p_brand)
         """
     )
+
+
+@register(
+    "q47_merge_upsert",
+    oracle="""
+    WITH source AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, 'VIP' AS c_mktsegment
+      FROM customer WHERE c_acctbal > 9000
+      UNION ALL
+      SELECT c_custkey + 1000000, c_name, c_nationkey, 0.0, 'NEW'
+      FROM customer WHERE c_custkey <= 20
+    )
+    SELECT * FROM source
+    UNION ALL
+    SELECT c.* FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.c_custkey = c.c_custkey)
+    """,
+)
+def q47_merge_upsert(spark, sf_dir):
+    """MERGE INTO emulation (upsert): high-balance customers update to
+    a VIP segment, 20 synthetic customers insert — source wins on key,
+    untouched rows survive (operators/merge.merge_upsert)."""
+    from oxi_diel_db_spark.operators.merge import merge_upsert
+
+    c = t(spark, sf_dir, "customer")
+    updates = c.filter(F.col("c_acctbal") > 9000).withColumn(
+        "c_mktsegment", F.lit("VIP")
+    )
+    inserts = (
+        c.filter(F.col("c_custkey") <= 20)
+        .withColumn("c_custkey", F.col("c_custkey") + 1000000)
+        .withColumn("c_acctbal", F.lit(0.0))
+        .withColumn("c_mktsegment", F.lit("NEW"))
+    )
+    return merge_upsert(c, updates.unionByName(inserts), "c_custkey")
+
+
+@register(
+    "q48_scd2_intervals",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           o_orderdate AS valid_from,
+           LEAD(o_orderdate) OVER w AS valid_to,
+           LEAD(o_orderdate) OVER w IS NULL AS is_current
+    FROM orders
+    WHERE o_custkey <= 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q48_scd2_intervals(spark, sf_dir):
+    """SCD2 effectivity intervals from a version stream (each order =
+    a new version of the customer's latest-order state): valid_to =
+    next version's timestamp, NULL marks the current row — one window,
+    no self-join (operators/merge.scd2_intervals)."""
+    from oxi_diel_db_spark.operators.merge import scd2_intervals
+
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 100)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "o_orderdate")
+    )
+    return scd2_intervals(
+        o, key="o_custkey", ts_col="o_orderdate", tiebreak=["o_orderkey"]
+    ).select(
+        "o_custkey", "o_orderkey", "o_totalprice",
+        "valid_from", "valid_to", "is_current",
+    )

@@ -177,3 +177,37 @@ def test_aqe_splits_skewed_join(spark):
             "spark.sql.adaptive.forceOptimizeSkewedJoin",
         ):
             spark.conf.unset(c)
+
+
+def test_merge_upsert_semantics(spark):
+    from oxi_diel_db_spark.operators.merge import merge_delete, merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, name string, v double"
+    )
+    source = spark.createDataFrame(
+        [(2, "B", 99.0), (4, "d", 40.0)], "k long, name string, v double"
+    )
+    merged = {r["k"]: (r["name"], r["v"]) for r in merge_upsert(target, source, "k").collect()}
+    assert merged == {1: ("a", 10.0), 2: ("B", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+    deleted = {r["k"] for r in merge_delete(
+        target, spark.createDataFrame([(1,)], "k long"), "k").collect()}
+    assert deleted == {2, 3}
+
+
+def test_scd2_intervals_chain(spark):
+    import datetime as dt
+
+    from oxi_diel_db_spark.operators.merge import scd2_intervals
+
+    t0 = dt.datetime(2024, 1, 1)
+    versions = spark.createDataFrame(
+        [(1, t0, "v1"), (1, t0 + dt.timedelta(days=3), "v2"), (2, t0, "x")],
+        "k long, ts timestamp, state string",
+    )
+    rows = {(r["k"], r["state"]): r for r in
+            scd2_intervals(versions, "k", "ts").collect()}
+    assert rows[(1, "v1")]["valid_to"] == t0 + dt.timedelta(days=3)
+    assert not rows[(1, "v1")]["is_current"]
+    assert rows[(1, "v2")]["valid_to"] is None and rows[(1, "v2")]["is_current"]
+    assert rows[(2, "x")]["is_current"]
