@@ -84,3 +84,32 @@ def write_bucketed(
 def bucketed_join(spark: SparkSession, left_table: str, right_table: str, key: str) -> DataFrame:
     """Join two co-bucketed tables — planner elides both shuffles."""
     return spark.table(left_table).join(spark.table(right_table), key)
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, target_file_mb: int = 128
+) -> int:
+    """Small-files compaction — the maintenance job every long-lived
+    100 TB table needs (streaming sinks and fine-grained partitions
+    accrete kilobyte files; each costs a task + a footer read).
+
+    Reads the dataset, coalesces to ceil(bytes / target) files, and
+    rewrites atomically (temp dir + swap). Returns the new file count.
+    """
+    import math
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    size = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(size / (target_file_mb * 1024 * 1024)))
+    tmp = path.rstrip("/") + ".__compact_tmp"
+    df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n_files

@@ -211,3 +211,35 @@ def test_scd2_intervals_chain(spark):
     assert not rows[(1, "v1")]["is_current"]
     assert rows[(1, "v2")]["valid_to"] is None and rows[(1, "v2")]["is_current"]
     assert rows[(2, "x")]["is_current"]
+
+
+def test_compact_parquet_reduces_file_count(spark, sf_dir, tmp_path):
+    import glob
+
+    out = str(tmp_path / "fragmented")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o.repartition(64).write.parquet(out)  # simulate small-files accretion
+    before = len(glob.glob(f"{out}/*.parquet"))
+    assert before >= 32
+    n = scale.compact_parquet(spark, out, target_file_mb=128)
+    after = len(glob.glob(f"{out}/*.parquet"))
+    assert after == n <= 2
+    assert spark.read.parquet(out).count() == o.count()
+
+
+def test_cbo_statistics_feed_plans(spark, sf_dir):
+    """ANALYZE TABLE statistics reach the optimizer: rowCount appears in
+    the optimized plan's stats once computed (CBO input, SURVEY §4.2
+    join-reordering row)."""
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    scale.write_bucketed(o, "t_orders_stats", "o_orderkey", 4)
+    spark.sql("ANALYZE TABLE t_orders_stats COMPUTE STATISTICS")
+    stats = (
+        spark.table("t_orders_stats")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .stats()
+        .toString()
+    )
+    assert "rowCount" in stats, stats
