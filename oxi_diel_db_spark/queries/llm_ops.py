@@ -413,3 +413,40 @@ def d6_fuzzy_levenshtein(spark, sf_dir):
         .select("name_a", "name_b", dist.alias("dist"))
         .filter(F.col("dist") <= 5)
     )
+
+
+@register(
+    "d7_dedup_keep_best",
+    oracle=f"""
+    SELECT fp, doc_id, quality FROM (
+      SELECT md5(array_to_string(list_sort(list_distinct(
+               {TX.SQL_NORM_WORDS.format(t='text')})), ' ')) AS fp,
+             doc_id,
+             {TX.sql_quality_score('text')} AS quality,
+             ROW_NUMBER() OVER (
+               PARTITION BY md5(array_to_string(list_sort(list_distinct(
+                 {TX.SQL_NORM_WORDS.format(t='text')})), ' '))
+               ORDER BY {TX.sql_quality_score('text')} DESC, doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def d7_dedup_keep_best(spark, sf_dir):
+    """Dedup SURVIVOR SELECTION — the step after pair/group detection:
+    keep the highest-quality document per duplicate group (quality
+    score as the keep criterion, doc_id tie-break). Pipeline shape:
+    fingerprint → window rank within group → rn=1."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        TX.fingerprint("text").alias("fp"),
+        TX.quality_score("text").alias("quality"),
+    )
+    w = Window.partitionBy("fp").orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("fp", "doc_id", "quality")
+    )

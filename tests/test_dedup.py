@@ -56,8 +56,9 @@ def test_simhash_deterministic_and_close(spark, docs_df):
     h2 = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(docs_df).collect()}
     assert h1 == h2  # deterministic across runs
     assert h1[0] == h1[3]  # exact dups → identical fingerprints
-    ham_near = bin(h1[0] ^ h1[1]).count("1")
-    ham_far = bin(h1[0] ^ h1[2]).count("1")
+    mask = (1 << 64) - 1  # signed hashes: mask before popcount
+    ham_near = bin((h1[0] ^ h1[1]) & mask).count("1")
+    ham_far = bin((h1[0] ^ h1[2]) & mask).count("1")
     assert ham_near < ham_far
 
 
