@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from oxi_diel_db_spark.operators import dedup
 
 DOCS = [
@@ -115,3 +117,24 @@ def test_ngram_jaccard_df_cap_is_conservative(spark, docs_df):
         ).collect()
     }
     assert uncapped_hi == exact
+
+
+def test_edge_cases_empty_and_short_docs(spark):
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "one"), (2, "two words"), (3, "three words here"),
+         (4, "three words here")],
+        "doc_id long, text string",
+    )
+    # exact dedup handles empty/short docs (empty-string fingerprints group)
+    groups = dedup.exact_dedup_groups(docs)
+    assert groups.agg(F.sum("n_docs")).collect()[0][0] == 5
+    # docs with <3 words have no shingles: absent from signatures, never
+    # candidates — by design (can't be shingle-near-duplicates)
+    sigs = dedup.minhash_signatures(docs)
+    assert {r["doc_id"] for r in sigs.collect()} == {3, 4}
+    pairs = dedup.minhash_lsh_pairs(docs).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in pairs] == [(3, 4)]
+    # simhash of empty text is 0, not an error
+    h = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(docs).collect()}
+    assert h[0] == 0
+
