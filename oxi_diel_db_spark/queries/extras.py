@@ -218,7 +218,29 @@ def m15_element_property(spark, sf_dir):
     )
 
 
-@register("m16_site_energy", oracle=None)  # numpy pairwise — rows-only + pytest
+@register(
+    "m16_site_energy",
+    oracle=f"""
+    WITH s AS (
+      SELECT mp_id, t.idx AS idx, structure.sites[t.idx].xyz AS xyz
+      FROM {_MAT}, UNNEST(range(1, len(structure.sites) + 1)) AS t(idx)
+    ),
+    p AS (
+      SELECT a.mp_id, a.idx,
+             sqrt((a.xyz[1] - b.xyz[1]) * (a.xyz[1] - b.xyz[1])
+                + (a.xyz[2] - b.xyz[2]) * (a.xyz[2] - b.xyz[2])
+                + (a.xyz[3] - b.xyz[3]) * (a.xyz[3] - b.xyz[3])) AS d
+      FROM s a JOIN s b ON a.mp_id = b.mp_id AND a.idx <> b.idx
+    )
+    SELECT mp_id,
+           ROUND(MAX(e), 6) AS max_site_energy,
+           ROUND(AVG(e), 6) AS mean_site_energy,
+           ROUND(STDDEV_POP(e), 6) AS std_site_energy,
+           COUNT(*) AS n_sites
+    FROM (SELECT mp_id, idx, SUM(1.0 / d) AS e FROM p GROUP BY mp_id, idx)
+    GROUP BY mp_id
+    """,
+)
 def m16_site_energy(spark, sf_dir):
     """A6/A7: the Ewald-pattern site aggregation — mapInPandas pairwise
     site energies → groupBy(mp_id).agg(max/mean/stddev_pop), replacing
@@ -266,7 +288,28 @@ def m17_band_center(spark, sf_dir):
     return m.select("mp_id", r6(C.band_center("formula"), "band_center"))
 
 
-@register("m18_min_rel_distances", oracle=None)  # numpy pairwise — pytest
+@register(
+    "m18_min_rel_distances",
+    oracle=f"""
+    WITH s AS (
+      SELECT mp_id, t.idx AS idx, structure.sites[t.idx].xyz AS xyz
+      FROM {_MAT}, UNNEST(range(1, len(structure.sites) + 1)) AS t(idx)
+    ),
+    p AS (
+      SELECT a.mp_id, a.idx,
+             sqrt((a.xyz[1] - b.xyz[1]) * (a.xyz[1] - b.xyz[1])
+                + (a.xyz[2] - b.xyz[2]) * (a.xyz[2] - b.xyz[2])
+                + (a.xyz[3] - b.xyz[3]) * (a.xyz[3] - b.xyz[3])) AS d
+      FROM s a JOIN s b ON a.mp_id = b.mp_id AND a.idx <> b.idx
+    )
+    SELECT mp_id,
+           ROUND(AVG(md), 6) AS mean_min_dist,
+           ROUND(STDDEV_POP(md), 6) AS std_min_dist,
+           ROUND(MIN(md), 6) AS global_min_dist
+    FROM (SELECT mp_id, idx, MIN(d) AS md FROM p GROUP BY mp_id, idx)
+    GROUP BY mp_id
+    """,
+)
 def m18_min_rel_distances(spark, sf_dir):
     """§2.9 MinimumRelativeDistances + A7 (np.mean/np.std over NN
     distances, reference ml_prediction.py:185,201-202)."""
@@ -308,7 +351,30 @@ def m19_formula_udtf(spark, sf_dir):
 
 @register(
     "m20_gaussian_symm",
-    oracle=None,  # numpy pairwise kernel — rows-only + pytest
+    oracle=f"""
+    WITH s AS (
+      SELECT mp_id, t.idx AS idx, structure.sites[t.idx].xyz AS xyz
+      FROM {_MAT}, UNNEST(range(1, len(structure.sites) + 1)) AS t(idx)
+    ),
+    p AS (
+      SELECT a.mp_id, a.idx,
+             sqrt((a.xyz[1] - b.xyz[1]) * (a.xyz[1] - b.xyz[1])
+                + (a.xyz[2] - b.xyz[2]) * (a.xyz[2] - b.xyz[2])
+                + (a.xyz[3] - b.xyz[3]) * (a.xyz[3] - b.xyz[3])) AS d
+      FROM s a JOIN s b ON a.mp_id = b.mp_id AND a.idx <> b.idx
+    )
+    SELECT mp_id,
+           ROUND(AVG(g05), 6) + 0 AS mean_g05,
+           ROUND(STDDEV_POP(g05), 6) + 0 AS std_g05,
+           ROUND(MAX(g4), 6) + 0 AS max_g4
+    FROM (
+      SELECT mp_id, idx,
+             SUM(CASE WHEN d <= 6.0 THEN exp(-0.5 * (d / 6.0) * (d / 6.0)) ELSE 0.0 END) AS g05,
+             SUM(CASE WHEN d <= 6.0 THEN exp(-4.0 * (d / 6.0) * (d / 6.0)) ELSE 0.0 END) AS g4
+      FROM p GROUP BY mp_id, idx
+    )
+    GROUP BY mp_id
+    """,
 )
 def m20_gaussian_symm(spark, sf_dir):
     """§2.9 GaussianSymmFunc: per-site radial symmetry functions reduced
@@ -489,7 +555,36 @@ def m25_oxidation_balance(spark, sf_dir):
     )
 
 
-@register("m26_local_property_diff", oracle=None)  # pairwise kernel — pytest
+@register(
+    "m26_local_property_diff",
+    oracle=f"""
+    WITH s AS (
+      SELECT mp_id, t.idx AS idx, structure.sites[t.idx].xyz AS xyz,
+             CAST((CASE structure.sites[t.idx].species[1].element WHEN 'Ag' THEN 1.93 WHEN 'Al' THEN 1.61 WHEN 'As' THEN 2.18 WHEN 'Au' THEN 2.54 WHEN 'B' THEN 2.04 WHEN 'Ba' THEN 0.89 WHEN 'Be' THEN 1.57 WHEN 'Bi' THEN 2.02 WHEN 'Br' THEN 2.96 WHEN 'C' THEN 2.55 WHEN 'Ca' THEN 1.0 WHEN 'Cd' THEN 1.69 WHEN 'Ce' THEN 1.12 WHEN 'Cl' THEN 3.16 WHEN 'Co' THEN 1.88 WHEN 'Cr' THEN 1.66 WHEN 'Cs' THEN 0.79 WHEN 'Cu' THEN 1.9 WHEN 'Dy' THEN 1.22 WHEN 'Er' THEN 1.24 WHEN 'Eu' THEN 1.2 WHEN 'F' THEN 3.98 WHEN 'Fe' THEN 1.83 WHEN 'Ga' THEN 1.81 WHEN 'Gd' THEN 1.2 WHEN 'Ge' THEN 2.01 WHEN 'H' THEN 2.2 WHEN 'Hf' THEN 1.3 WHEN 'Hg' THEN 2.0 WHEN 'Ho' THEN 1.23 WHEN 'I' THEN 2.66 WHEN 'In' THEN 1.78 WHEN 'Ir' THEN 2.2 WHEN 'K' THEN 0.82 WHEN 'La' THEN 1.1 WHEN 'Li' THEN 0.98 WHEN 'Lu' THEN 1.27 WHEN 'Mg' THEN 1.31 WHEN 'Mn' THEN 1.55 WHEN 'Mo' THEN 2.16 WHEN 'N' THEN 3.04 WHEN 'Na' THEN 0.93 WHEN 'Nb' THEN 1.6 WHEN 'Nd' THEN 1.14 WHEN 'Ni' THEN 1.91 WHEN 'O' THEN 3.44 WHEN 'Os' THEN 2.2 WHEN 'P' THEN 2.19 WHEN 'Pb' THEN 2.33 WHEN 'Pd' THEN 2.2 WHEN 'Pr' THEN 1.13 WHEN 'Pt' THEN 2.28 WHEN 'Rb' THEN 0.82 WHEN 'Re' THEN 1.9 WHEN 'Rh' THEN 2.28 WHEN 'Ru' THEN 2.2 WHEN 'S' THEN 2.58 WHEN 'Sb' THEN 2.05 WHEN 'Sc' THEN 1.36 WHEN 'Se' THEN 2.55 WHEN 'Si' THEN 1.9 WHEN 'Sm' THEN 1.17 WHEN 'Sn' THEN 1.96 WHEN 'Sr' THEN 0.95 WHEN 'Ta' THEN 1.5 WHEN 'Tb' THEN 1.1 WHEN 'Tc' THEN 1.9 WHEN 'Te' THEN 2.1 WHEN 'Th' THEN 1.3 WHEN 'Ti' THEN 1.54 WHEN 'Tl' THEN 1.62 WHEN 'Tm' THEN 1.25 WHEN 'U' THEN 1.38 WHEN 'V' THEN 1.63 WHEN 'W' THEN 2.36 WHEN 'Y' THEN 1.22 WHEN 'Yb' THEN 1.1 WHEN 'Zn' THEN 1.65 WHEN 'Zr' THEN 1.33 ELSE NULL END) AS DOUBLE) AS chi
+      FROM {_MAT}, UNNEST(range(1, len(structure.sites) + 1)) AS t(idx)
+    ),
+    p AS (
+      SELECT a.mp_id, a.idx,
+             sqrt((a.xyz[1] - b.xyz[1]) * (a.xyz[1] - b.xyz[1])
+                + (a.xyz[2] - b.xyz[2]) * (a.xyz[2] - b.xyz[2])
+                + (a.xyz[3] - b.xyz[3]) * (a.xyz[3] - b.xyz[3])) AS d,
+             abs(a.chi - b.chi) AS dchi
+      FROM s a JOIN s b ON a.mp_id = b.mp_id AND a.idx <> b.idx
+    ),
+    per_site AS (
+      SELECT mp_id, idx,
+             SUM(CASE WHEN d <= 5.0 THEN (1.0 / (d * d)) * dchi ELSE 0.0 END) AS num,
+             SUM(CASE WHEN d <= 5.0 THEN 1.0 / (d * d) ELSE 0.0 END) AS den
+      FROM p GROUP BY mp_id, idx
+    )
+    SELECT mp_id,
+           ROUND(AVG(lpd), 6) + 0 AS mean_lpd,
+           ROUND(STDDEV_POP(lpd), 6) + 0 AS std_lpd,
+           ROUND(MAX(lpd), 6) + 0 AS max_lpd
+    FROM (SELECT mp_id, idx, CASE WHEN den > 0 THEN num / den ELSE 0.0 END AS lpd FROM per_site)
+    GROUP BY mp_id
+    """,
+)
 def m26_local_property_diff(spark, sf_dir):
     """§2.9 LocalPropertyDifference: inverse-square-weighted neighbor
     |ΔEN| per site, reduced to per-material stats (A1 pattern)."""
