@@ -180,12 +180,30 @@ def predict_log10_eps(
         if model_type == "comp_st":
             row[c] = float(target[c])
     tdf = comp_features(spark.createDataFrame([row]))
-    stats = _scaling_stats(materials, model_type).collect()[0]
+    stats = _load_or_compute_scaler(spark, materials, model_type)
     for c in features:
         mu, sd = stats[f"{c}__mu"], stats[f"{c}__sd"]
         sd = sd if sd and sd > 0 else 1.0
         tdf = tdf.withColumn(c, (F.col(c) - F.lit(mu)) / F.lit(sd))
     return float(model.transform(tdf).select("pred_log10").collect()[0][0])
+
+
+def _load_or_compute_scaler(spark: SparkSession, materials: DataFrame, des: str) -> dict:
+    """Persisted scaling stats — the engine twin of the reference's
+    fitted StandardScaler artifacts (prediction_model/*_scaler.joblib):
+    fit once on the training corpus, reuse for every prediction (a
+    comp_st stats pass re-runs the pairwise site kernel otherwise)."""
+    import json
+
+    path = os.path.join(MODELS_DIR, f"scaler_{des}.json")
+    if os.path.exists(path):
+        with open(path) as fr:
+            return json.load(fr)
+    stats = _scaling_stats(materials, des).collect()[0].asDict()
+    os.makedirs(MODELS_DIR, exist_ok=True)
+    with open(path, "w") as fw:
+        json.dump(stats, fw)
+    return stats
 
 
 def load_or_train(
