@@ -24,3 +24,11 @@ Layout
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    if name == "Engine":  # lazy: avoid importing the ML stack at package import
+        from oxi_diel_db_spark.engine import Engine
+
+        return Engine
+    raise AttributeError(name)

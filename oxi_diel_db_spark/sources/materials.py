@@ -24,7 +24,6 @@ import os
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 REFERENCE_DATA_DIR = "/root/reference/oxi_diel_db/data"
