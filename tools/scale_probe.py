@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Scale probe: run the engine's core operator shapes on synthetic
+facts 30-100× larger than the driver's sf0.1 tables, to evidence the
+"would it hold at 1000×?" question with measurements rather than
+docstrings.
+
+Generates executor-side (spark.range + hash-derived columns — no
+driver loop, no disk unless --persist), then times:
+
+  q1_shape   : scan → filter → 8-agg groupBy (the flagship)
+  window     : per-key running sum over a keyed window
+  asof       : the union+window as-of recipe, probes ⋈ build
+  topk       : global ORDER BY ... LIMIT
+  hash_agg   : high-cardinality distinct count
+
+Usage: SPARK_GRAFT_CPUS=16 python tools/scale_probe.py [n_millions]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    n_m = float(sys.argv[1]) if len(sys.argv) > 1 else 20
+    n = int(n_m * 1_000_000)
+    from oxi_diel_db_spark.session import get_spark
+
+    spark = get_spark("scale_probe")
+
+    fact = (
+        spark.range(0, n)
+        .select(
+            F.col("id"),
+            (F.col("id") % 1_000_000).alias("key"),
+            F.pmod(F.hash("id"), F.lit(10000)).alias("qty"),
+            (F.pmod(F.hash("id", F.lit(1)), F.lit(1000000)) / 100.0).alias("price"),
+            (F.pmod(F.hash("id", F.lit(2)), F.lit(10)) / 100.0).alias("disc"),
+            F.pmod(F.hash("id", F.lit(3)), F.lit(6)).alias("flag"),
+            F.timestamp_micros(
+                F.lit(1704067200000000) + F.col("id") * 1000
+            ).alias("ts"),
+        )
+    )
+
+    timings: dict[str, float] = {}
+
+    def bench(name, df):
+        t0 = time.time()
+        df.collect() if name != "noop" else None
+        timings[name] = round(time.time() - t0, 2)
+
+    # warmup
+    fact.limit(10).collect()
+
+    bench(
+        "q1_shape",
+        fact.filter(F.col("qty") > 100)
+        .groupBy("flag")
+        .agg(
+            F.sum("qty").alias("sq"),
+            (F.sum(F.round(F.col("price") * 100, 0).cast("bigint")) / 100.0).alias("sp"),
+            F.avg("disc").alias("ad"),
+            F.count(F.lit(1)).alias("n"),
+        ),
+    )
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("key").orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    bench(
+        "window",
+        fact.filter(F.col("key") < 2000)  # 2k keys × ~n/1M rows each
+        .withColumn("run", F.sum("qty").over(w))
+        .groupBy("flag")
+        .agg(F.max("run").alias("m")),
+    )
+
+    from oxi_diel_db_spark.operators.asof import asof_join
+
+    probes = fact.filter(F.col("id") % 10 == 0).select(
+        F.col("id").alias("probe_id"), (F.col("key") % 1000).alias("k"), "ts"
+    )
+    build = fact.filter(F.col("id") % 3 == 0).select(
+        (F.col("key") % 1000).alias("k"),
+        F.col("ts").alias("bts"),
+        F.col("price").alias("val"),
+    )
+    asof = asof_join(
+        probes, build, on="k", probe_ts="ts", build_ts="bts", payload=["val"]
+    )
+    bench("asof", asof.groupBy().agg(F.count(F.lit(1)).alias("n"), F.avg("val")))
+
+    bench("topk", fact.orderBy(F.col("price").desc(), "id").limit(100))
+    bench(
+        "hash_agg",
+        fact.groupBy("flag").agg(F.countDistinct("key").alias("dk")),
+    )
+
+    print(
+        json.dumps(
+            {"metric": "scale_probe", "rows": n, "unit": "sec", "timings": timings}
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
