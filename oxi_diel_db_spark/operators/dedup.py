@@ -147,15 +147,27 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     k: int = N_MINHASH,
     bands: int = N_BANDS,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs + signature-estimated Jaccard.
 
     Bucket key = md5(concat of the band's signature slice); candidates
     share ≥1 bucket. est_jaccard = (# equal signature slots)/k.
     One shuffle per band on 32-byte keys — scales linearly in docs.
+
+    max_bucket_size is the hot-bucket guard (the LSH twin of d2's
+    document-frequency cap): a bucket holding b docs yields b² candidate
+    pairs, so low-entropy corpora (boilerplate, tiny vocabularies) can
+    quadratically explode a band. Capping skips those buckets during
+    candidate generation — pairs that collide ONLY in mega-buckets are
+    lost, everything else is unchanged. None = exact (the oracle-checked
+    default).
     """
     rows = k // bands
-    sig = minhash_signatures(docs, id_col, text_col, k)
+    # persist: the band self-join references signatures on BOTH sides —
+    # without it the whole shingle+md5 pipeline executes twice (the
+    # reference's manual-CSE-then-reuse pattern, SURVEY §4.1, as cache)
+    sig = minhash_signatures(docs, id_col, text_col, k).persist()
     band_hash = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.md5(
@@ -164,21 +176,28 @@ def minhash_lsh_pairs(
             )
         ),
     )
-    banded = sig.select(
-        id_col, "sig", F.posexplode(band_hash).alias("band", "bh")
-    )
-    a = banded.select(
-        F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bh"
-    )
-    b = banded.select(
-        F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b"), "band", "bh"
-    )
+    banded = sig.select(id_col, F.posexplode(band_hash).alias("band", "bh"))
+    if max_bucket_size is not None:
+        ok_buckets = (
+            banded.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("__b"))
+            .filter(F.col("__b") <= max_bucket_size)
+            .select("band", "bh")
+        )
+        banded = banded.join(ok_buckets, ["band", "bh"])
+    a = banded.select(F.col(id_col).alias("doc_a"), "band", "bh")
+    b = banded.select(F.col(id_col).alias("doc_b"), "band", "bh")
+    # dedup on the bare 16-byte pair key FIRST, then re-join the two
+    # signatures — distinct over rows carrying both sig arrays shuffles
+    # k× more bytes for nothing
     cand = (
         a.join(b, ["band", "bh"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .select("doc_a", "doc_b")
         .distinct()
     )
+    sa = sig.select(F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b"))
     est = (
         F.aggregate(
             F.zip_with(
@@ -189,9 +208,12 @@ def minhash_lsh_pairs(
         )
         / F.lit(float(k))
     )
-    return cand.select(
-        "doc_a", "doc_b", F.round(est, 6).alias("est_jaccard")
-    ).filter(F.col("est_jaccard") >= threshold)
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
 
 
 def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -138,3 +138,13 @@ def test_edge_cases_empty_and_short_docs(spark):
     h = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(docs).collect()}
     assert h[0] == 0
 
+
+def test_lsh_bucket_cap_is_conservative(spark, docs_df):
+    exact = {(r["doc_a"], r["doc_b"]) for r in
+             dedup.minhash_lsh_pairs(docs_df, threshold=0.25).collect()}
+    capped = {(r["doc_a"], r["doc_b"]) for r in
+              dedup.minhash_lsh_pairs(docs_df, threshold=0.25, max_bucket_size=2).collect()}
+    assert capped <= exact
+    big_cap = {(r["doc_a"], r["doc_b"]) for r in
+               dedup.minhash_lsh_pairs(docs_df, threshold=0.25, max_bucket_size=10**6).collect()}
+    assert big_cap == exact

@@ -111,5 +111,65 @@ def main() -> None:
     )
 
 
+
+
+def docs_probe(n_docs: int = 500_000) -> None:
+    """Dedup/packing pipeline at training-corpus document counts (the
+    driver's documents table caps at 5k rows; this generates word-salad
+    docs executor-side and times the north-star operators)."""
+    from oxi_diel_db_spark.session import get_spark
+
+    spark = get_spark("docs_probe")
+    vocab = [f"w{i:02d}" for i in range(50)]
+    vocab_arr = F.array(*[F.lit(w) for w in vocab])
+    docs = spark.range(0, n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(30) + F.pmod(F.hash("id"), F.lit(40))),
+                lambda i: F.element_at(
+                    vocab_arr, F.pmod(F.hash(F.col("id"), i), F.lit(50)) + 1
+                ),
+            ),
+        ).alias("text"),
+    )
+    timings = {}
+    from oxi_diel_db_spark.operators import dedup, sampling
+
+    docs.limit(5).collect()  # warmup
+
+    t0 = time.time()
+    n1 = dedup.exact_dedup_groups(docs).count()
+    timings["exact_dedup"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    n2 = dedup.minhash_signatures(docs).count()
+    timings["minhash_sigs"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    n3 = dedup.minhash_lsh_pairs(docs, threshold=0.5).count()
+    timings["minhash_lsh_pairs"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    from oxi_diel_db_spark.functions.text import ws_token_count
+
+    packed = sampling.pack_sequences(
+        docs.select("doc_id", ws_token_count("text").alias("n_tok")),
+        "doc_id", "n_tok", budget=2048,
+    )
+    n4 = packed.agg(F.max("bin_id")).collect()[0][0]
+    timings["pack_sequences"] = round(time.time() - t0, 2)
+
+    print(json.dumps({
+        "metric": "docs_probe", "docs": n_docs, "unit": "sec",
+        "timings": timings,
+        "counts": {"groups": n1, "sigs": n2, "lsh_pairs": n3, "bins": int(n4)},
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "docs":
+        docs_probe(int(float(sys.argv[2]) * 1000) if len(sys.argv) > 2 else 500_000)
+    else:
+        main()
