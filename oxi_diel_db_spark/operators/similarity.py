@@ -14,9 +14,14 @@ Two tiers:
   Hyperplanes are seeded (numpy RandomState) and broadcast — fully
   deterministic run-to-run; recall vs brute force asserted in tests.
 
-The IVF shape (cluster → route probes to nearest centroids) is the same
-plumbing with learned centroids; LSH chosen here because it needs no
-training pass and stays deterministic.
+* ivf_topk — inverted-file (IVF) index: corpus vectors are assigned to
+  their nearest of n_centroids "cells"; probes search only their nprobe
+  nearest cells. Centroids here are hash-seeded corpus vectors (a
+  deterministic stand-in for a k-means training pass — the routing and
+  cell-partition plumbing, which is what scales, is identical). The
+  centroid set is tiny and collected driver-side (that IS the IVF
+  index), so cell assignment compiles to a literal expression over the
+  scan: one pass, zero shuffle, whole-stage codegen.
 """
 
 from __future__ import annotations
@@ -134,6 +139,109 @@ def lsh_topk(
         .filter(F.col("query_id") != F.col(id_col))
         .select("query_id", F.col(id_col).alias("neighbor_id"), cos.alias("cos"))
         .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos", "rn")
+    )
+
+
+def _seed_centroids(
+    corpus: DataFrame, n_centroids: int, id_col: str, seed: int
+) -> list[tuple]:
+    """Deterministic centroid pick: the n corpus vectors with the
+    smallest md5('ivf<seed>:' || id) — a reproducible uniform sample
+    (same trick as operators/sampling.hash_sample), identically
+    expressible in the DuckDB oracle. Returns [(cent_id, vec, norm)].
+    The collect is the index-build step: n_centroids rows, not a scan
+    of the data (Spark plans a TakeOrdered over the hash)."""
+    rows = (
+        corpus.withColumn(
+            "__h", F.md5(F.concat(F.lit(f"ivf{seed}:"), F.col(id_col).cast("string")))
+        )
+        .orderBy("__h", id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col), "cv", "cn")
+        .collect()
+    )
+    return [(r[0], r["cv"], r["cn"]) for r in rows]
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via IVF cells (SURVEY.md J8 scale path).
+
+    Cell assignment / probe routing use cosine ROUNDed to 6 dp with
+    cent_id-ascending tie-break, so the partition of the corpus into
+    cells — and therefore the result — is bit-identical across engines
+    (full DuckDB oracle, unlike LSH's rows-only check).
+    """
+    c = corpus.select(F.col(id_col), as_double(vec_col).alias("cv")).withColumn(
+        "cn", norm(F.col("cv"))
+    )
+    cents = _seed_centroids(c, n_centroids, id_col, seed)
+
+    def cell_sims(vec: F.Column, vnorm: F.Column) -> F.Column:
+        # array<struct<sim, neg_id>>: array_max/array_sort compare
+        # lexicographically → max sim, then SMALLEST cent_id (negated)
+        return F.array(
+            *[
+                F.struct(
+                    (
+                        F.round(
+                            dot(vec, F.array(*[F.lit(x) for x in cv])) / (vnorm * F.lit(cn)),
+                            6,
+                        )
+                        + F.lit(0.0)
+                    ).alias("sim"),
+                    F.lit(-cid).alias("neg_id"),
+                )
+                for cid, cv, cn in cents
+            ]
+        )
+
+    assigned = c.withColumn(
+        "cell", -F.array_max(cell_sims(F.col("cv"), F.col("cn"))).getField("neg_id")
+    )
+    p = probes.select(
+        F.col(probe_id_col).alias("query_id"), as_double(vec_col).alias("pv")
+    ).withColumn("pn", norm(F.col("pv")))
+    routed = p.select(
+        "query_id",
+        "pv",
+        "pn",
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.reverse(F.array_sort(cell_sims(F.col("pv"), F.col("pn")))),
+                    1,
+                    nprobe,
+                ),
+                lambda s: -s.getField("neg_id"),
+            )
+        ).alias("cell"),
+    )
+    cos = F.round(
+        dot(F.col("pv"), F.col("cv")) / (F.col("pn") * F.col("cn")), 6
+    ) + F.lit(0.0)
+    scored = (
+        F.broadcast(routed)
+        .join(assigned, "cell")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select("query_id", F.col(id_col).alias("neighbor_id"), cos.alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()

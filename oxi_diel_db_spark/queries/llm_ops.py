@@ -182,6 +182,61 @@ def s2_ann_lsh(spark, sf_dir):
     return similarity.lsh_topk(emb, probes, k=10, n_planes=4)
 
 
+_SQL_COS = (
+    "ROUND(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
+@register(
+    "s3_ann_ivf",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (
+      SELECT vec_id AS cent_id, v AS centv
+      FROM e ORDER BY md5('ivf42:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+    ),
+    assign AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, c.cent_id AS cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_SQL_COS.format(a='e.v', b='c.centv')} DESC, c.cent_id) AS crn
+        FROM e CROSS JOIN cents c) WHERE crn = 1
+    ),
+    probes AS (SELECT vec_id AS query_id, v AS pv FROM e WHERE vec_id < 5),
+    routed AS (
+      SELECT query_id, pv, cell FROM (
+        SELECT p.query_id, p.pv, c.cent_id AS cell,
+               ROW_NUMBER() OVER (PARTITION BY p.query_id
+                 ORDER BY {_SQL_COS.format(a='p.pv', b='c.centv')} DESC, c.cent_id) AS prn
+        FROM probes p CROSS JOIN cents c) WHERE prn <= 2
+    ),
+    scored AS (
+      SELECT r.query_id, a.vec_id AS neighbor_id,
+             {_SQL_COS.format(a='r.pv', b='a.v')} + 0 AS cos
+      FROM routed r JOIN assign a USING (cell)
+      WHERE a.vec_id <> r.query_id
+    )
+    SELECT query_id, neighbor_id, cos, rn FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rn
+      FROM scored)
+    WHERE rn <= 10
+    """,
+)
+def s3_ann_ivf(spark, sf_dir):
+    """IVF-cell ANN (J8 scale path #2): hash-seeded centroids partition
+    the corpus into cells; probes search their 2 nearest of 8 cells.
+    Unlike LSH (rows-only), the cell partition is deterministic across
+    engines → full value-hash oracle. Assignment is a literal expression
+    over the scan (centroids broadcast as constants): zero shuffle."""
+    emb = t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk(emb, probes, k=10, n_centroids=8, nprobe=2, seed=42)
+
+
 @register(
     "t1_lang_id",
     oracle=f"""

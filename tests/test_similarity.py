@@ -63,3 +63,34 @@ def test_lsh_deterministic(spark, emb):
     a = sorted(map(tuple, similarity.lsh_topk(emb, probes, k=5).collect()))
     b = sorted(map(tuple, similarity.lsh_topk(emb, probes, k=5).collect()))
     assert a == b
+
+
+def test_ivf_recall_vs_brute_force(spark, emb):
+    probes = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.brute_force_topk(emb, probes, k=5).collect()
+    approx = similarity.ivf_topk(emb, probes, k=5, n_centroids=8, nprobe=3).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    # clustered fixture (20 true centers): nearest neighbors share the
+    # probe's cell almost always; 3-probe routing recovers the rest
+    assert sum(recalls) / len(recalls) >= 0.6
+
+
+def test_ivf_cells_partition_corpus(spark, emb):
+    from oxi_diel_db_spark.functions.vectors import as_double, norm
+
+    c = emb.select("vec_id", as_double("embedding").alias("cv")).withColumn(
+        "cn", norm(F.col("cv"))
+    )
+    cents = similarity._seed_centroids(c, 8, "vec_id", 42)
+    assert len(cents) == 8
+    assert len({cid for cid, _, _ in cents}) == 8
