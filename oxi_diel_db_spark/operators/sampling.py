@@ -141,3 +141,50 @@ def pack_sequences_greedy(
         .applyInPandas(_pack, schema=out_schema)
         .drop("__shard")
     )
+
+
+def mix_corpora(
+    df: DataFrame,
+    key: str,
+    source_col: str,
+    weights: dict[str, float],
+    seed: int = 42,
+) -> DataFrame:
+    """Weighted corpus mixing with epoch-aware oversampling: source with
+    weight w contributes floor(w) full passes over its documents plus a
+    frac(w) hash-sampled partial pass, each tagged with an ``epoch``
+    index. The pretraining mix step (oversample small high-quality
+    sources, downsample bulk web) as one deterministic operator.
+
+    The partial-epoch gate hashes ``seed:epoch:key``, so which docs the
+    fractional pass keeps is stable across runs/engines AND independent
+    across epochs. Sources not in ``weights`` are dropped. The plan is
+    a union of filtered scans — no shuffle at all; the usual follow-up
+    is deterministic_shuffle over (epoch, key).
+    """
+    max_full = max(int(w) for w in weights.values())
+    parts = []
+    for epoch in range(max_full + 1):
+        # sources whose weight covers this epoch fully
+        full = [s for s, w in weights.items() if int(w) > epoch]
+        # sources whose fractional remainder lands in this epoch
+        frac = {s: w - int(w) for s, w in weights.items() if int(w) == epoch and w > int(w)}
+        sel = df.filter(F.col(source_col).isin(list(full) + list(frac)))
+        if not full and not frac:
+            continue
+        gate = F.lit(False)
+        for s in full:
+            gate = gate | (F.col(source_col) == s)
+        for s, r in frac.items():
+            gate = gate | (
+                (F.col(source_col) == s)
+                & (
+                    hash_hex8(F.concat_ws(":", F.lit(str(epoch)), F.col(key).cast("string")), seed)
+                    < F.lit(rate_threshold(r))
+                )
+            )
+        parts.append(sel.filter(gate).withColumn("epoch", F.lit(epoch)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -596,3 +596,36 @@ def m26_local_property_diff(spark, sf_dir):
         r6(F.stddev_pop("local_en_diff"), "std_lpd"),
         r6(F.max("local_en_diff"), "max_lpd"),
     )
+
+
+@register(
+    "ml2_linear_regression",
+    oracle=f"""
+    SELECT spacegroup.crystal_system AS crystal_system,
+           COUNT(*) AS n,
+           ROUND(regr_slope(LOG10(dielectric.epsilon_electronic_avg), band_gap), 6) + 0 AS slope,
+           ROUND(regr_intercept(LOG10(dielectric.epsilon_electronic_avg), band_gap), 6) + 0 AS intercept,
+           ROUND(regr_r2(LOG10(dielectric.epsilon_electronic_avg), band_gap), 6) + 0 AS r2
+    FROM {_MAT}
+    GROUP BY 1
+    """,
+)
+def ml2_linear_regression(spark, sf_dir):
+    """§2.11 ML surface, the oracle-checkable tier: OLS of
+    log10(ε_electronic) on band_gap per crystal system via the regr_*
+    aggregate family (closed-form moments — unlike RF, exact enough to
+    value-hash against DuckDB after 6dp rounding). The physics: ε and
+    gap anticorrelate (Penn model), so slopes come out negative.
+    Runs as one hash-aggregate: partial moments map-side, no second
+    pass — the 100 TB plan is the same single shuffle as any groupBy."""
+    m = M.materials(spark)
+    y = F.log10(F.col("dielectric.epsilon_electronic_avg"))
+    x = F.col("band_gap")
+    return m.groupBy(
+        F.col("spacegroup.crystal_system").alias("crystal_system")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.round(F.regr_slope(y, x), 6) + F.lit(0.0)).alias("slope"),
+        (F.round(F.regr_intercept(y, x), 6) + F.lit(0.0)).alias("intercept"),
+        (F.round(F.regr_r2(y, x), 6) + F.lit(0.0)).alias("r2"),
+    )

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from oxi_diel_db_spark.operators.asof import asof_join
 from oxi_diel_db_spark.queries import register
-from oxi_diel_db_spark.queries._util import sql_sum_money, sum_money, t
+from oxi_diel_db_spark.queries._util import cents, sql_sum_money, sum_money, t
 
 
 @register(
@@ -424,4 +424,156 @@ def q48_scd2_intervals(spark, sf_dir):
     ).select(
         "o_custkey", "o_orderkey", "o_totalprice",
         "valid_from", "valid_to", "is_current",
+    )
+
+
+@register(
+    "q49_market_share",
+    oracle=f"""
+    SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
+           ROUND(CAST(SUM(CASE WHEN sn.n_name = 'NATION_5'
+                               THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)
+                               ELSE 0 END) AS DOUBLE)
+                 / SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)), 6) + 0
+             AS mkt_share,
+           {sql_sum_money('l_extendedprice * (1 - l_discount)')} AS total_rev
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN region   ON cn.n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    GROUP BY 1
+    """,
+)
+def q49_market_share(spark, sf_dir):
+    """TPC-H-Q8-shaped market share: NATION_5 suppliers' slice of PROMO
+    part revenue sold to ASIA customers, per year. Exercises a 7-way
+    join with the SAME dim (nation) entering twice under different
+    roles, plus a ratio-of-conditional-aggregates — the share divides
+    two exact cent-sums, so the double quotient is bit-identical
+    cross-engine. lineitem⋈orders stays the one big-big edge; part,
+    supplier, both nations, customer, region all broadcast."""
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = t(spark, sf_dir, "supplier")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    sn = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("sn_name")
+    )
+    cn = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_rkey")
+    )
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev_cents = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    nation5_cents = F.when(F.col("sn_name") == "NATION_5", rev_cents).otherwise(
+        F.lit(0).cast("bigint")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_rkey") == F.col("r_regionkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.round(
+                    F.sum(nation5_cents).cast("double") / F.sum(rev_cents), 6
+                )
+                + F.lit(0.0)
+            ).alias("mkt_share"),
+            sum_money(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_rev"),
+        )
+    )
+
+
+@register(
+    "q50_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name,
+           {sql_sum_money('l_extendedprice * (1 - l_discount)')} AS revenue,
+           COUNT(*) AS n_items
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1998-01-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q50_returned_items(spark, sf_dir):
+    """TPC-H-Q10-shaped returned-item report: top-20 customers by lost
+    revenue (returnflag 'R') in one order-year. Selective fact filter →
+    join → group → TakeOrderedAndProject; exact cent revenue makes the
+    top-20 cutoff deterministic (ties break on custkey)."""
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+    )
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            sum_money(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q51_large_volume",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+           big.total_qty
+    FROM (SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS total_qty
+          FROM lineitem GROUP BY 1
+          HAVING SUM(CAST(l_quantity AS BIGINT)) > 250) big
+    JOIN orders   ON o_orderkey = big.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q51_large_volume(spark, sf_dir):
+    """TPC-H-Q18-shaped large-volume-customer: orders whose total
+    quantity exceeds a threshold, with their customers, by price. The
+    Spark plan aggregates lineitem FIRST (partial sums map-side), then
+    joins the ~200 surviving orders — the aggregate-before-join rewrite
+    that Q18's IN-subquery form decorrelates to; at 100 TB the
+    pre-aggregation is what keeps the join input small. Quantities are
+    integral doubles → BIGINT sums, exact in both engines."""
+    l = t(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "o_totalprice", "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
     )

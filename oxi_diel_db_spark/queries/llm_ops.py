@@ -505,3 +505,47 @@ def d7_dedup_keep_best(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("fp", "doc_id", "quality")
     )
+
+
+_MIX_WEIGHTS = {"src0": 2.5, "src1": 1.0, "src2": 0.5, "src3": 2.0}
+
+
+def _mix_oracle_sql(weights: dict[str, float], seed: int) -> str:
+    """DuckDB twin of sampling.mix_corpora, generated from the same
+    weights so the two can never drift."""
+    from oxi_diel_db_spark.operators.sampling import rate_threshold
+
+    parts = []
+    max_full = max(int(w) for w in weights.values())
+    for epoch in range(max_full + 1):
+        full = sorted(s for s, w in weights.items() if int(w) > epoch)
+        frac = {s: w - int(w) for s, w in sorted(weights.items())
+                if int(w) == epoch and w > int(w)}
+        preds = []
+        if full:
+            quoted = ", ".join(f"'{s}'" for s in full)
+            preds.append(f"source IN ({quoted})")
+        for s, r in frac.items():
+            preds.append(
+                f"(source = '{s}' AND substring(md5('{seed}:{epoch}:' "
+                f"|| CAST(doc_id AS VARCHAR)), 1, 8) < '{rate_threshold(r)}')"
+            )
+        if preds:
+            parts.append(
+                f"SELECT doc_id, source, {epoch} AS epoch FROM documents "
+                f"WHERE {' OR '.join(preds)}"
+            )
+    return "\nUNION ALL\n".join(parts)
+
+
+@register("p6_corpus_mixing", oracle=_mix_oracle_sql(_MIX_WEIGHTS, seed=42))
+def p6_corpus_mixing(spark, sf_dir):
+    """Weighted corpus mixing with epoch-aware oversampling (the
+    pretraining mix step): weight 2.5 → two full passes + a hash-gated
+    half pass, each row tagged with its epoch. Pure union-of-filtered-
+    scans — zero shuffle; the oracle SQL is generated from the SAME
+    weight dict as the Spark plan."""
+    from oxi_diel_db_spark.operators.sampling import mix_corpora
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    return mix_corpora(d, "doc_id", "source", _MIX_WEIGHTS, seed=42)

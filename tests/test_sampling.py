@@ -75,3 +75,26 @@ def test_greedy_packing_strict_budget(spark):
         df.repartition(11), "k", "n_tok", budget=1000, seed=9, shards=4
     ).select("k", "bin_id").collect()))
     assert a == b
+
+
+def test_mix_corpora_epoch_structure(spark):
+    rows = [(i, f"src{i % 4}") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    weights = {"src0": 2.5, "src1": 1.0, "src2": 0.5}  # src3 dropped
+    mixed = sampling.mix_corpora(df, "doc_id", "source", weights, seed=7)
+    got = mixed.groupBy("source", "epoch").count().collect()
+    by = {(r["source"], r["epoch"]): r["count"] for r in got}
+    # full epochs are complete copies
+    assert by[("src0", 0)] == 100 and by[("src0", 1)] == 100
+    assert by[("src1", 0)] == 100
+    # fractional epochs are ~rate-sized, strictly partial
+    assert 0 < by[("src0", 2)] < 100
+    assert 0 < by[("src2", 0)] < 100
+    # dropped source contributes nothing; epochs never exceed ceil(w)
+    assert not any(s == "src3" for s, _ in by)
+    assert max(e for _, e in by) == 2
+    # deterministic: same decisions on a re-run over repartitioned data
+    again = sampling.mix_corpora(
+        df.repartition(13), "doc_id", "source", weights, seed=7
+    )
+    assert sorted(map(tuple, mixed.collect())) == sorted(map(tuple, again.collect()))
