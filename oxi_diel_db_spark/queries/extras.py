@@ -629,3 +629,25 @@ def ml2_linear_regression(spark, sf_dir):
         (F.round(F.regr_intercept(y, x), 6) + F.lit(0.0)).alias("intercept"),
         (F.round(F.regr_r2(y, x), 6) + F.lit(0.0)).alias("r2"),
     )
+
+
+@register("ml3_feature_importances", oracle=None)  # model internals — rows-only
+def ml3_feature_importances(spark, sf_dir):
+    """RF feature importances for the el model, ranked — the engine twin
+    of the reference's implicit descriptor ranking (its 34-dim el_comp
+    vector ordering, ml_prediction.py:82-117). Seeded training makes
+    the ranking reproducible run-to-run; importances are model
+    internals with no SQL form → rows-only check, floor asserted in
+    tests/test_ml.py (band_gap-derived features must carry nonzero
+    weight)."""
+    from oxi_diel_db_spark.ml import pipeline as P
+
+    model, _ = P.train(M.materials(spark), which="el", seed=42)
+    rf = model.stages[-1]
+    imps = rf.featureImportances.toArray()
+    rows = [(name, float(w)) for name, w in zip(P.FEATURES, imps)]
+    out = spark.createDataFrame(rows, "feature string, importance double")
+    from pyspark.sql import Window
+
+    rank_w = Window.orderBy(F.col("importance").desc(), F.col("feature"))
+    return out.withColumn("rank", F.row_number().over(rank_w))

@@ -549,3 +549,57 @@ def p6_corpus_mixing(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents").select("doc_id", "source")
     return mix_corpora(d, "doc_id", "source", _MIX_WEIGHTS, seed=42)
+
+
+@register(
+    "t5_tfidf_topterms",
+    oracle=f"""
+    WITH {_SQL_WORDS_CTE.strip()},
+    tok AS (SELECT doc_id, unnest(words) AS word FROM w),
+    tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.word,
+             ROUND(tf.tf * (LN((n.n + 1) / (df.df + 1)) + 1), 6) + 0 AS tfidf
+      FROM tf JOIN df USING (word) CROSS JOIN n
+    )
+    SELECT doc_id, word, tfidf, rn FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, word) AS rn
+      FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def t5_tfidf_topterms(spark, sf_dir):
+    """TF-IDF top-3 terms per document (F10) as exact DataFrame algebra
+    — term frequency × smoothed idf (ln((N+1)/(df+1))+1, the
+    sklearn-style smoothing), rounded before ranking so the top-3 set
+    is deterministic cross-engine. The MLlib HashingTF/IDF pair gives
+    the same pipeline with hashed features at scale; this exact variant
+    is the one an oracle can check. df is a word-level aggregate
+    (vocabulary-sized, broadcastable); tf stays partitioned by doc —
+    the join broadcasts the small side."""
+    d = t(spark, sf_dir, "documents")
+    n_docs = d.count()
+    tok = d.select("doc_id", F.explode(TX.norm_words("text")).alias("word"))
+    tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df), "word").select(
+        "doc_id",
+        "word",
+        (
+            F.round(
+                F.col("tf") * (F.log((F.lit(n_docs) + 1) / (F.col("df") + 1)) + 1), 6
+            )
+            + F.lit(0.0)
+        ).alias("tfidf"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("word"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "word", "tfidf", "rn")
+    )

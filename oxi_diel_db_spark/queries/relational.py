@@ -384,3 +384,37 @@ def q14_math_funcs(spark, sf_dir):
         F.ceil("l_extendedprice").alias("ceil_price"),
         (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod7"),
     )
+
+
+@register(
+    "q52_intersect_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q52_intersect_all(spark, sf_dir):
+    """INTERSECT ALL (§2.7 multiset semantics): each nationkey survives
+    min(count_customer, count_supplier) times — the bag variant q08's
+    distinct semantics collapses. Spark plans both set ops the same
+    shuffle; only the dedup/count logic differs."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersectAll(s)
+
+
+@register(
+    "q53_except_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q53_except_all(spark, sf_dir):
+    """EXCEPT ALL (multiset difference): each nationkey survives
+    max(0, count_customer - count_supplier) times."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.exceptAll(s)

@@ -91,3 +91,17 @@ def test_held_out_evaluation_all_configs(spark, mats):
         assert r["n_test"] > 200
     assert results[("el", "comp_st")] > results[("el", "comp")]
     assert results[("ion", "comp_st")] > results[("ion", "comp")]
+
+
+def test_feature_importances_ranked_and_reproducible(spark):
+    from oxi_diel_db_spark.queries import load_registry
+
+    q = load_registry()["ml3_feature_importances"].build
+    a = q(spark, "ignored").collect()
+    assert len(a) == len(P.FEATURES)
+    assert sum(r["importance"] for r in a) == pytest.approx(1.0, abs=1e-6)
+    ranks = sorted(r["rank"] for r in a)
+    assert ranks == list(range(1, len(a) + 1))
+    # seeded training → identical ranking on a second run
+    b = q(spark, "ignored").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
