@@ -165,3 +165,101 @@ def q44_distribution(spark, sf_dir):
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+@register(
+    "q54_funnel",
+    oracle="""
+    WITH u1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    u2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN u1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > u1.t1 GROUP BY 1
+    ),
+    u3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN u2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > u2.t2 GROUP BY 1
+    )
+    SELECT * FROM (
+      SELECT 1 AS step, 'view' AS event_type, COUNT(*) AS n_users FROM u1
+      UNION ALL
+      SELECT 2, 'click', COUNT(*) FROM u2
+      UNION ALL
+      SELECT 3, 'purchase', COUNT(*) FROM u3
+    )
+    """,
+)
+def q54_funnel(spark, sf_dir):
+    """Ordered conversion funnel view → click → purchase: a user reaches
+    step k only via an event strictly after their step-k-1 time (the
+    strict-sequence semantics product funnels need — an early purchase
+    before any view does NOT count). Each stage is one per-user
+    aggregate; all three shuffle on user_id, so AQE/co-partitioning
+    reuses the same exchange — at 100 TB this is 'shuffle events by
+    user once, fold three times'."""
+    e = t(spark, sf_dir, "events")
+    u1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    u2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(u1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    u3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(u2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    rows = [
+        u1.agg(F.lit(1).alias("step"), F.lit("view").alias("event_type"),
+               F.count(F.lit(1)).alias("n_users")),
+        u2.agg(F.lit(2).alias("step"), F.lit("click").alias("event_type"),
+               F.count(F.lit(1)).alias("n_users")),
+        u3.agg(F.lit(3).alias("step"), F.lit("purchase").alias("event_type"),
+               F.count(F.lit(1)).alias("n_users")),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+@register(
+    "q55_event_transitions",
+    oracle="""
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+    FROM (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def q55_event_transitions(spark, sf_dir):
+    """Event-to-event transition matrix (per-user Markov counts): lag
+    over the user's time-ordered stream, then count (prev, next) pairs.
+    event_id breaks timestamp ties so the sequence — and the matrix —
+    is deterministic. One shuffle on user_id feeds both the window and
+    (via partial aggregation) the final count."""
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        e.select(
+            "user_id", "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
