@@ -93,3 +93,45 @@ def test_agg_runs_in_whole_stage_codegen(spark):
     executed = df._jdf.queryExecution().executedPlan().toString()
     # '*(n)' prefixes mark whole-stage-codegen'd operators
     assert "*(1)" in executed and "partial_sum" in executed
+
+
+def test_q51_aggregates_before_join(spark):
+    """Q18 shape: the lineitem aggregate must sit BELOW the join with
+    orders (aggregate-before-join keeps the join input ~200 rows at any
+    scale; joining 100 TB of raw lineitem first would be the wrong
+    plan)."""
+    plan = plan_of(spark, "q51_large_volume")
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+    # the tree prints the join with the aggregate indented beneath it
+    # (child = runs first); a plan that joined raw lineitem would show
+    # the join under the aggregate instead
+    tree = plan.split("\n\n")[0]
+    agg_line = next(ln for ln in tree.splitlines() if "HashAggregate" in ln)
+    join_line = next(
+        ln for ln in tree.splitlines() if "MergeJoin" in ln or "BroadcastHashJoin" in ln
+    )
+    assert tree.index(join_line) < tree.index(agg_line)
+    # and the aggregate really is the orderkey rollup (details section)
+    assert "Keys [1]: [l_orderkey" in plan
+
+
+def test_tfidf_df_side_broadcasts(spark):
+    """t5: the vocabulary-sized document-frequency aggregate joins the
+    doc-partitioned tf side via broadcast — no shuffle of tf."""
+    plan = plan_of(spark, "t5_tfidf_topterms")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ivf_corpus_side_streams(spark):
+    """s3: cell assignment is a literal expression over the scan; the
+    corpus never shuffles before the (broadcast) cell join. The only
+    Exchanges allowed are for the tiny routed/probe side and the final
+    per-query window."""
+    plan = plan_of(spark, "s3_ann_ivf")
+    assert "BroadcastHashJoin" in plan
+    # corpus side: scan feeds the join through project/filter only —
+    # no Exchange may sit between the embeddings scan and the join.
+    # Cheap proxy: exactly one SortMergeJoin-free plan with <= 3
+    # Exchanges total (probe broadcast + window partitioning).
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange") <= 6  # formatted mode double-counts
