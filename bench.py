@@ -37,9 +37,11 @@ HEADLINE = [
     "d3_minhash_lsh",
     "d5_embedding_neardup",
     "s1_ann_brute_force",
+    "s3_ann_ivf",
     "t2_quality_score",
     "p3_deterministic_shuffle",
     "p4_sequence_packing",
+    "c1_curation_pipeline",
     # materials domain
     "m04_born_trace_invariant",
     "m11_site_explode_agg",

@@ -603,3 +603,65 @@ def t5_tfidf_topterms(spark, sf_dir):
         .filter(F.col("rn") <= 3)
         .select("doc_id", "word", "tfidf", "rn")
     )
+
+
+@register(
+    "c1_curation_pipeline",
+    oracle=f"""
+    WITH {_SQL_WORDS_CTE.strip()},
+    s AS (
+      SELECT d.doc_id,
+             {TX.sql_lang_id('w.words')} AS lang_pred,
+             {TX.sql_quality_score('d.text')} AS quality,
+             {TX.sql_fingerprint('d.text')} AS fp,
+             {TX.SQL_WS_TOKEN_COUNT.format(t='d.text')} AS n_tok
+      FROM documents d JOIN w ON d.doc_id = w.doc_id
+    ),
+    f AS (
+      SELECT * FROM s WHERE lang_pred = 'en' AND quality >= CAST(0.45 AS DOUBLE)
+    ),
+    surv AS (
+      SELECT doc_id, quality, n_tok FROM (
+        SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS keep FROM f
+      ) WHERE doc_id = keep
+    )
+    SELECT doc_id, quality, n_tok,
+           CAST(FLOOR((SUM(LEAST(n_tok, 1024)) OVER (
+                  ORDER BY substring(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - LEAST(n_tok, 1024)) / 1024) AS BIGINT) AS bin_id
+    FROM surv
+    """,
+)
+def c1_curation_pipeline(spark, sf_dir):
+    """End-to-end corpus curation as ONE Catalyst plan: language-ID →
+    quality gate → exact-dedup survivor selection → token counting →
+    sequence packing. The composition is the point — five north-star
+    operators fuse into scan → project(all scores in one pass) →
+    filter → fingerprint-window → pack-window, with the scan read
+    once. At 100 TB each step is either per-row (pipelined, no
+    barrier) or a keyed/ordered window (one shuffle each); nothing
+    materializes between steps. Fully oracle-checked because every
+    stage is deterministic by construction."""
+    from oxi_diel_db_spark.operators.sampling import pack_sequences
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id",
+        TX.lang_id(TX.norm_words("text")).alias("lang_pred"),
+        TX.quality_score("text").alias("quality"),
+        TX.fingerprint("text").alias("fp"),
+        TX.ws_token_count("text").alias("n_tok"),
+    )
+    filtered = staged.filter(
+        (F.col("lang_pred") == "en") & (F.col("quality") >= F.lit(0.45))
+    )
+    surv = (
+        filtered.withColumn("keep", F.min("doc_id").over(Window.partitionBy("fp")))
+        .filter(F.col("doc_id") == F.col("keep"))
+        .select("doc_id", "quality", "n_tok")
+    )
+    return pack_sequences(surv, "doc_id", "n_tok", budget=1024, seed=42).select(
+        "doc_id", "quality", "n_tok", "bin_id"
+    )
