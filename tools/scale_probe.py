@@ -161,10 +161,34 @@ def docs_probe(n_docs: int = 500_000) -> None:
     n4 = packed.agg(F.max("bin_id")).collect()[0][0]
     timings["pack_sequences"] = round(time.time() - t0, 2)
 
+    # the fused curation plan (lang-id -> quality -> dedup -> pack),
+    # same composition as the c1_curation_pipeline query
+    from pyspark.sql import Window
+    from oxi_diel_db_spark.functions import text as TX
+
+    t0 = time.time()
+    staged = docs.select(
+        "doc_id",
+        TX.lang_id(TX.norm_words("text")).alias("lang_pred"),
+        TX.quality_score("text").alias("quality"),
+        TX.fingerprint("text").alias("fp"),
+        ws_token_count("text").alias("n_tok"),
+    ).filter(F.col("quality") >= 0.2)
+    surv = (
+        staged.withColumn("keep", F.min("doc_id").over(Window.partitionBy("fp")))
+        .filter(F.col("doc_id") == F.col("keep"))
+        .select("doc_id", "n_tok")
+    )
+    n5 = sampling.pack_sequences(surv, "doc_id", "n_tok", budget=2048).agg(
+        F.max("bin_id"), F.count(F.lit(1))
+    ).collect()[0][1]
+    timings["curation_pipeline"] = round(time.time() - t0, 2)
+
     print(json.dumps({
         "metric": "docs_probe", "docs": n_docs, "unit": "sec",
         "timings": timings,
-        "counts": {"groups": n1, "sigs": n2, "lsh_pairs": n3, "bins": int(n4)},
+        "counts": {"groups": n1, "sigs": n2, "lsh_pairs": n3, "bins": int(n4),
+                   "curated": n5},
     }))
 
 
