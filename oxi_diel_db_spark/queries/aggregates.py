@@ -207,3 +207,47 @@ def q28_conditional_agg(spark, sf_dir):
         ),
         F.count(F.when(F.col("l_quantity") >= 30, 1)).alias("n_bulk"),
     )
+
+
+@register(
+    "q56_time_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS TIMESTAMP)  AS day_bucket,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_bucket,
+           COUNT(*) AS n,
+           SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS total_value
+    FROM events
+    GROUP BY GROUPING SETS (
+      (event_type, CAST(date_trunc('day', ts) AS TIMESTAMP),
+       CAST(date_trunc('hour', ts) AS TIMESTAMP)),
+      (event_type, CAST(date_trunc('day', ts) AS TIMESTAMP)),
+      (event_type),
+      ()
+    )
+    """,
+)
+def q56_time_rollup(spark, sf_dir):
+    """Hypertable-style multi-resolution time rollup (the continuous-
+    aggregate shape): hour, day, per-type, and grand totals from ONE
+    pass via ROLLUP over (event_type, day, hour). The hierarchy is what
+    a 100 TB metrics store maintains incrementally; batch form is a
+    single shuffle with partial aggregation at the finest grain, and
+    coarser grains derive from the partials — Spark's expand+aggregate
+    does exactly that."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_type",
+            F.date_trunc("day", "ts").alias("day_bucket"),
+            F.date_trunc("hour", "ts").alias("hour_bucket"),
+            "value",
+        )
+        .rollup("event_type", "day_bucket", "hour_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("value") * 100, 0).cast("bigint")) / 100.0).alias(
+                "total_value"
+            ),
+        )
+    )
