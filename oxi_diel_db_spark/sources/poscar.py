@@ -85,3 +85,66 @@ def read_poscar(spark: SparkSession, path: str) -> DataFrame:
                 yield parse_poscar_text(text)
 
     return raw.mapInPandas(_parse, schema=SITE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 Python DataSource wrapper: spark.read.format("poscar")
+# ---------------------------------------------------------------------------
+
+try:  # pyspark >= 4.0
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class PoscarDataSource(DataSource):
+        """``spark.read.format("poscar").load(path)`` — the same parser
+        as read_poscar exposed through the Python DataSource API (the
+        idiomatic Spark-4 form of a custom file source). One input
+        partition per file: a directory of millions of POSCARs
+        parallelizes across executors with no driver-side parsing; the
+        driver only lists paths."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "poscar"
+
+        def schema(self) -> str:
+            return SITE_SCHEMA + ", source_file string"
+
+        def reader(self, schema):
+            return _PoscarReader(self.options)
+
+    class _PoscarReader(DataSourceReader):
+        def __init__(self, options):
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("poscar source requires a path: .load(path)")
+
+        def partitions(self):
+            import glob
+            import os
+
+            if os.path.isdir(self.path):
+                files = sorted(
+                    f
+                    for f in glob.glob(os.path.join(self.path, "*"))
+                    if os.path.isfile(f)
+                )
+            else:
+                files = sorted(glob.glob(self.path)) or [self.path]
+            return [InputPartition(f) for f in files]
+
+        def read(self, partition):
+            path = partition.value
+            with open(path) as fh:
+                pdf = parse_poscar_text(fh.read())
+            pdf["source_file"] = path
+            yield from pdf.itertuples(index=False)
+
+    def register_poscar_source(spark: SparkSession) -> None:
+        spark.dataSource.register(PoscarDataSource)
+
+except ImportError:  # pragma: no cover — pyspark < 4 has no DataSource API
+
+    def register_poscar_source(spark: SparkSession) -> None:
+        raise NotImplementedError(
+            "Python DataSource API requires pyspark >= 4.0; use read_poscar()"
+        )

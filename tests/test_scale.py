@@ -243,3 +243,41 @@ def test_cbo_statistics_feed_plans(spark, sf_dir):
         .toString()
     )
     assert "rowCount" in stats, stats
+
+
+def test_poscar_python_datasource(spark, tmp_path):
+    """The DataSource-API form must agree with the mapInPandas reader."""
+    from oxi_diel_db_spark.sources import poscar as P
+
+    text = """Ca2SnO4 test
+1.0
+  5.0 0.0 0.0
+  0.0 5.0 0.0
+  0.0 0.0 6.0
+Ca Sn O
+2 1 4
+Direct
+  0.0 0.0 0.0
+  0.5 0.5 0.0
+  0.5 0.0 0.5
+  0.1 0.2 0.3
+  0.9 0.8 0.7
+  0.25 0.75 0.5
+  0.75 0.25 0.5
+"""
+    d = tmp_path / "poscars"
+    d.mkdir()
+    (d / "POSCAR_a").write_text(text)
+    (d / "POSCAR_b").write_text(text)
+    P.register_poscar_source(spark)
+    df = spark.read.format("poscar").load(str(d))
+    rows = df.collect()
+    assert len(rows) == 14  # 7 sites x 2 files
+    assert {r["source_file"].split("/")[-1] for r in rows} == {"POSCAR_a", "POSCAR_b"}
+    base = P.read_poscar(spark, str(d / "POSCAR_a")).collect()
+    got = sorted(
+        (r["element"], r["site_idx"], r["cart_x"]) for r in rows
+        if r["source_file"].endswith("POSCAR_a")
+    )
+    want = sorted((r["element"], r["site_idx"], r["cart_x"]) for r in base)
+    assert got == want
