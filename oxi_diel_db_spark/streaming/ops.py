@@ -85,6 +85,22 @@ def deduped_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def deduped_stream_within_watermark(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """T5 variant (Spark 3.5+): dropDuplicatesWithinWatermark — dedups
+    rows whose event times fall within the watermark delay of each
+    other WITHOUT keying state on exact event time, so state for a key
+    is dropped once the watermark passes it. The production choice when
+    duplicates arrive close together (retries, at-least-once sources):
+    bounded state regardless of stream length, which plain
+    dropDuplicates(["event_id"]) cannot guarantee (its state never
+    expires unless the ts column is part of the key)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def stream_static_join(events: DataFrame, dim: DataFrame, on) -> DataFrame:
     """T7: stream ⋈ static broadcast dim."""
     return events.join(F.broadcast(dim), on, "left")

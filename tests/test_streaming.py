@@ -221,3 +221,17 @@ def test_available_now_trigger(spark):
     got = sorted(map(tuple, spark.table(name).collect()))
     exp = sorted(map(tuple, ops.tumbling_counts(_batch_events(spark)).collect()))
     assert got == exp
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates landing within the
+    watermark delay collapse to one row; state is bounded (semantics
+    identical to st4 here because all duplicates are immediate)."""
+    ev = _batch_events(spark).limit(200)
+    dup_dir = str(tmp_path / "dupw_events")
+    ev.union(ev).write.parquet(dup_dir)
+    stream = spark.readStream.schema(ev.schema).parquet(dup_dir)
+    deduped = ops.deduped_stream_within_watermark(stream).select("event_id")
+    got = ops.run_stream_to_memory(deduped, spark, mode="append")
+    assert got.count() == 200
+    assert got.distinct().count() == 200
