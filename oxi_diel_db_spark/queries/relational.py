@@ -418,3 +418,54 @@ def q53_except_all(spark, sf_dir):
     c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.exceptAll(s)
+
+
+@register(
+    "q57_recursive_date_spine",
+    oracle="""
+    WITH RECURSIVE spine(m) AS (
+      SELECT DATE '1995-01-01'
+      UNION ALL
+      SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM spine
+      WHERE m < DATE '2001-12-01'
+    ),
+    monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+             COUNT(*) AS n_orders,
+             SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100.0 AS total_price
+      FROM orders GROUP BY 1
+    )
+    SELECT spine.m AS month,
+           COALESCE(monthly.n_orders, 0) AS n_orders,
+           COALESCE(monthly.total_price, 0.0) AS total_price
+    FROM spine LEFT JOIN monthly ON spine.m = monthly.m
+    """,
+)
+def q57_recursive_date_spine(spark, sf_dir):
+    """Gap-filled monthly order series over a recursive-CTE calendar
+    spine (WITH RECURSIVE landed in Spark 4.0) — the time-series
+    completeness pattern: months with zero orders still appear, which
+    no GROUP BY over the fact alone can produce. The spine is 84 rows
+    built driver-free in SQL; the fact aggregates once and broadcasts
+    against it. Identical recursion runs in DuckDB as the oracle."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_q57")
+    return spark.sql(
+        """
+        WITH RECURSIVE spine(m) AS (
+          SELECT DATE '1995-01-01'
+          UNION ALL
+          SELECT add_months(m, 1) FROM spine WHERE m < DATE '2001-12-01'
+        ),
+        monthly AS (
+          SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                 COUNT(*) AS n_orders,
+                 SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                   / CAST(100.0 AS DOUBLE) AS total_price
+          FROM orders_q57 GROUP BY 1
+        )
+        SELECT spine.m AS month,
+               COALESCE(monthly.n_orders, 0) AS n_orders,
+               COALESCE(monthly.total_price, CAST(0.0 AS DOUBLE)) AS total_price
+        FROM spine LEFT JOIN monthly ON spine.m = monthly.m
+        """
+    )
