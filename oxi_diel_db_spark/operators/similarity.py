@@ -171,51 +171,64 @@ def _seed_centroids(
     return [(r[0], r["cv"], r["cn"]) for r in rows]
 
 
-def ivf_topk(
+def _cell_sims(cents: list[tuple], vec: F.Column, vnorm: F.Column) -> F.Column:
+    # array<struct<sim, neg_id>>: array_max/array_sort compare
+    # lexicographically → max sim, then SMALLEST cent_id (negated)
+    return F.array(
+        *[
+            F.struct(
+                (
+                    F.round(
+                        dot(vec, F.array(*[F.lit(x) for x in cv])) / (vnorm * F.lit(cn)),
+                        6,
+                    )
+                    + F.lit(0.0)
+                ).alias("sim"),
+                F.lit(-cid).alias("neg_id"),
+            )
+            for cid, cv, cn in cents
+        ]
+    )
+
+
+def ivf_index(
     corpus: DataFrame,
-    probes: DataFrame,
-    k: int = 10,
     n_centroids: int = 8,
-    nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    probe_id_col: str = "query_id",
     seed: int = 42,
-) -> DataFrame:
-    """Approximate top-k via IVF cells (SURVEY.md J8 scale path).
-
-    Cell assignment / probe routing use cosine ROUNDed to 6 dp with
-    cent_id-ascending tie-break, so the partition of the corpus into
-    cells — and therefore the result — is bit-identical across engines
-    (full DuckDB oracle, unlike LSH's rows-only check).
-    """
+) -> tuple[DataFrame, list[tuple]]:
+    """IVF index build: returns (assigned corpus with a ``cell`` column,
+    centroid list). The assignment is the expensive pass — O(|corpus| ×
+    n_centroids) dot products — and is what an IVF deployment builds
+    ONCE, persists, and amortizes over every query batch; ``.persist()``
+    or write the returned DataFrame. Single-shot callers can use
+    ivf_topk, but for one batch of probes a brute-force scan is often
+    cheaper than building the index (measured in tools/scale_probe.py
+    vectors mode) — IVF's win is the amortized query path."""
     c = corpus.select(F.col(id_col), as_double(vec_col).alias("cv")).withColumn(
         "cn", norm(F.col("cv"))
     )
     cents = _seed_centroids(c, n_centroids, id_col, seed)
-
-    def cell_sims(vec: F.Column, vnorm: F.Column) -> F.Column:
-        # array<struct<sim, neg_id>>: array_max/array_sort compare
-        # lexicographically → max sim, then SMALLEST cent_id (negated)
-        return F.array(
-            *[
-                F.struct(
-                    (
-                        F.round(
-                            dot(vec, F.array(*[F.lit(x) for x in cv])) / (vnorm * F.lit(cn)),
-                            6,
-                        )
-                        + F.lit(0.0)
-                    ).alias("sim"),
-                    F.lit(-cid).alias("neg_id"),
-                )
-                for cid, cv, cn in cents
-            ]
-        )
-
     assigned = c.withColumn(
-        "cell", -F.array_max(cell_sims(F.col("cv"), F.col("cn"))).getField("neg_id")
+        "cell", -F.array_max(_cell_sims(cents, F.col("cv"), F.col("cn"))).getField("neg_id")
     )
+    return assigned, cents
+
+
+def ivf_search(
+    assigned: DataFrame,
+    cents: list[tuple],
+    probes: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    probe_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query side of the IVF index: route each probe to its nprobe
+    nearest centroids, score only those cells' members. Cost per query
+    batch ≈ |probes| × |corpus| × nprobe / n_centroids pair scores."""
     p = probes.select(
         F.col(probe_id_col).alias("query_id"), as_double(vec_col).alias("pv")
     ).withColumn("pn", norm(F.col("pv")))
@@ -226,7 +239,7 @@ def ivf_topk(
         F.explode(
             F.transform(
                 F.slice(
-                    F.reverse(F.array_sort(cell_sims(F.col("pv"), F.col("pn")))),
+                    F.reverse(F.array_sort(_cell_sims(cents, F.col("pv"), F.col("pn")))),
                     1,
                     nprobe,
                 ),
@@ -250,4 +263,30 @@ def ivf_topk(
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cos", "rn")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Single-shot IVF top-k (index build + search in one plan; see
+    ivf_index for the amortized deployment shape).
+
+    Cell assignment / probe routing use cosine ROUNDed to 6 dp with
+    cent_id-ascending tie-break, so the partition of the corpus into
+    cells — and therefore the result — is bit-identical across engines
+    (full DuckDB oracle, unlike LSH's rows-only check).
+    """
+    assigned, cents = ivf_index(corpus, n_centroids, id_col, vec_col, seed)
+    return ivf_search(
+        assigned, cents, probes, k=k, nprobe=nprobe,
+        id_col=id_col, probe_id_col=probe_id_col, vec_col=vec_col,
     )

@@ -192,8 +192,54 @@ def docs_probe(n_docs: int = 500_000) -> None:
     }))
 
 
+def vectors_probe(n_vecs: int = 200_000, dim: int = 64, n_probes_q: int = 100) -> None:
+    """ANN crossover evidence: brute-force vs IVF at corpus sizes where
+    the cell routing pays (the driver's embeddings table is only 5k
+    rows at sf0.1, where brute force rightly wins)."""
+    from oxi_diel_db_spark.session import get_spark
+    from oxi_diel_db_spark.operators import similarity
+
+    spark = get_spark("vectors_probe")
+    vecs = spark.range(0, n_vecs).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda i: (F.pmod(F.hash(F.col("id"), i), F.lit(1000)) / 500.0 - 1.0),
+        ).alias("embedding"),
+    )
+    probes = vecs.filter(F.col("vec_id") < n_probes_q).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    vecs.limit(5).collect()  # warmup
+    timings, counts = {}, {}
+    t0 = time.time()
+    counts["brute"] = similarity.brute_force_topk(vecs, probes, k=10).count()
+    timings["brute_force"] = round(time.time() - t0, 2)
+    # the deployment shape: build the IVF index once (persist), then
+    # amortize it over query batches
+    t0 = time.time()
+    assigned, cents = similarity.ivf_index(vecs, n_centroids=64)
+    assigned = assigned.persist()
+    assigned.count()
+    timings["ivf_build"] = round(time.time() - t0, 2)
+    for run in (1, 2):
+        t0 = time.time()
+        counts["ivf"] = similarity.ivf_search(
+            assigned, cents, probes, k=10, nprobe=4
+        ).count()
+        timings[f"ivf_query_batch{run}"] = round(time.time() - t0, 2)
+    assigned.unpersist()
+    print(json.dumps({
+        "metric": "vectors_probe", "vecs": n_vecs, "dim": dim,
+        "probe_queries": n_probes_q, "unit": "sec",
+        "timings": timings, "counts": counts,
+    }))
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "docs":
         docs_probe(int(float(sys.argv[2]) * 1000) if len(sys.argv) > 2 else 500_000)
+    elif len(sys.argv) > 1 and sys.argv[1] == "vectors":
+        vectors_probe(int(float(sys.argv[2]) * 1000) if len(sys.argv) > 2 else 200_000)
     else:
         main()
