@@ -171,3 +171,80 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---- incremental rollup maintenance (delta + compaction) -------------------
+
+
+def rollup_delta_sink(
+    events_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    width: str = "1 hour",
+):
+    """Maintain a continuous aggregate incrementally: each micro-batch
+    writes its OWN partial aggregate (batch-local groupBy — no
+    streaming state, no watermark) as an append-only delta file. The
+    reader re-aggregates partials; compact_rollup folds them back to
+    one row per group. This is the delta+compaction design every
+    100 TB metrics store uses: late data just lands in a later delta,
+    correctness never depends on watermark tuning, and the sink is a
+    plain parquet append (idempotent per epochId via the checkpoint).
+
+    Returns the StreamingQuery; caller drives it (processAllAvailable
+    in tests, run forever in production).
+    """
+
+    def _write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.groupBy(
+                F.window("ts", width).alias("win"), "event_type"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(cents(F.col("value"))).alias("value_cents"),
+            )
+            .select(
+                F.col("win.start").alias("win_start"),
+                "event_type",
+                "n",
+                "value_cents",
+            )
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    return (
+        events_stream.writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def read_rollup(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Merge-on-read over the delta partials: the same schema whether
+    one delta or ten thousand exist. Cheap because partials are already
+    tiny (one row per (window, type) per batch)."""
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("win_start", "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("value_cents").alias("value_cents"),
+        )
+    )
+
+
+def compact_rollup(spark: SparkSession, out_dir: str) -> None:
+    """Fold all deltas into one partial per group (read → re-aggregate
+    → atomic-ish rewrite). Run periodically; readers see the same
+    result before and after because read_rollup re-aggregates anyway."""
+    import shutil
+    import tempfile
+
+    compacted = read_rollup(spark, out_dir)
+    tmp = tempfile.mkdtemp(prefix="rollup_compact_")
+    compacted.write.mode("overwrite").parquet(tmp)
+    # swap: re-write compacted data over out_dir
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(out_dir)
+    shutil.rmtree(tmp, ignore_errors=True)

@@ -235,3 +235,47 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     got = ops.run_stream_to_memory(deduped, spark, mode="append")
     assert got.count() == 200
     assert got.distinct().count() == 200
+
+
+def test_rollup_delta_sink_equals_batch(spark, tmp_path):
+    """Incremental rollup (delta-per-microbatch + merge-on-read) must
+    equal the one-shot batch aggregate, across multiple micro-batches
+    and after compaction."""
+    ev = _batch_events(spark)
+    src = str(tmp_path / "ev_src")
+    # 4 files -> 4 micro-batches with maxFilesPerTrigger=1
+    ev.repartition(4).write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    q = ops.rollup_delta_sink(stream, out, ckpt, width="1 hour")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    import glob
+
+    n_deltas = len(glob.glob(out + "/*.parquet"))
+    assert n_deltas >= 4  # one delta set per micro-batch
+
+    exp = {
+        (r["win_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in ops.tumbling_counts(ev).collect()
+    }
+    got = {
+        (r["win_start"], r["event_type"]): (r["n"], r["value_cents"] / 100.0)
+        for r in ops.read_rollup(spark, out).collect()
+    }
+    assert got == exp
+
+    ops.compact_rollup(spark, out)
+    after = {
+        (r["win_start"], r["event_type"]): (r["n"], r["value_cents"] / 100.0)
+        for r in ops.read_rollup(spark, out).collect()
+    }
+    assert after == exp
+    assert len(glob.glob(out + "/*.parquet")) < n_deltas
