@@ -115,3 +115,37 @@ def st5_stream_static_join(spark, sf_dir):
         "event_id", "event_type", "n_name"
     )
     return ops.run_stream_to_memory(joined, spark, mode="append")
+
+
+@register(
+    "st7_incremental_rollup",
+    oracle="""
+    SELECT DATE_TRUNC('hour', ts) AS win_start, event_type,
+           COUNT(*) AS n,
+           SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS value_cents
+    FROM events GROUP BY 1, 2
+    """,
+)
+def st7_incremental_rollup(spark, sf_dir):
+    """Continuous-aggregate maintenance, end to end INSIDE the query:
+    the events parquet replays through a file stream; every micro-batch
+    appends its own partial aggregate (stateless foreachBatch delta);
+    merge-on-read re-aggregates the deltas. The oracle is the one-shot
+    batch GROUP BY — equality IS the delta-design's correctness claim
+    (late data lands in later deltas, no watermark tuning involved).
+    Scratch dirs are uuid'd per invocation so repeated driver calls
+    never share checkpoints."""
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="st7_rollup_")
+    stream = ops.read_events_stream(spark, sf_dir)
+    q = ops.rollup_delta_sink(
+        stream, f"{work}/rollup", f"{work}/ckpt", width="1 hour"
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    ops.compact_rollup(spark, f"{work}/rollup")
+    return ops.read_rollup(spark, f"{work}/rollup")
