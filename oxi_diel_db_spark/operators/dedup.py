@@ -369,3 +369,61 @@ def embedding_neardup_pairs_blocked(
     return combos.mapInPandas(
         _score, schema="vec_a long, vec_b long, cos double"
     )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs: every doc in a
+    transitively-connected group gets the group's MINIMUM doc id as its
+    cluster id — the clustering step that turns pairwise dedup output
+    into keep-one-per-cluster decisions (a pair list alone under-deletes:
+    A~B and B~C must collapse to ONE survivor, not two).
+
+    Algorithm: iterative min-label propagation (the DataFrame form of
+    GraphX connectedComponents). Each round every node takes the min of
+    its own label and its neighbors' labels; rounds = graph diameter
+    (near-dup clusters are shallow — a handful). Each round is one
+    shuffle on node id; the driver only checks a convergence count.
+    Deterministic: min() over ids has a unique fixpoint regardless of
+    partitioning or iteration order.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("__changed"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)  # truncate the lineage
+        n_changed = updated.filter(F.col("__changed")).count()
+        labels = updated.select("node", "label")
+        if n_changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

@@ -665,3 +665,48 @@ def c1_curation_pipeline(spark, sf_dir):
     return pack_sequences(surv, "doc_id", "n_tok", budget=1024, seed=42).select(
         "doc_id", "quality", "n_tok", "bin_id"
     )
+
+
+@register(
+    "d8_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_WORDS_CTE.strip()},
+    {_SQL_SHINGLES_CTE.strip()},
+    sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sz sa ON doc_a = sa.doc_id
+      JOIN sz sb ON doc_b = sb.doc_id
+      WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.2
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+    """,
+)
+def d8_dedup_clusters(spark, sf_dir):
+    """Duplicate CLUSTERS from near-dup pairs (the step after d2/d3 in a
+    real dedup pipeline — A~B and B~C must yield one survivor, which a
+    pair list alone cannot express). Spark runs iterative min-label
+    propagation (DataFrame connected components, one shuffle per round,
+    rounds = cluster diameter); DuckDB verifies via a recursive-CTE
+    transitive closure. Both converge to the same unique fixpoint:
+    every member labeled with the cluster's min doc_id."""
+    p = dedup.ngram_jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.2)
+    return dedup.dedup_clusters(p)

@@ -148,3 +148,25 @@ def test_lsh_bucket_cap_is_conservative(spark, docs_df):
     big_cap = {(r["doc_a"], r["doc_b"]) for r in
                dedup.minhash_lsh_pairs(docs_df, threshold=0.25, max_bucket_size=10**6).collect()}
     assert big_cap == exact
+
+
+def test_dedup_clusters_transitive_chain(spark):
+    # chain 1-2, 2-3, plus island 10-11; transitivity must collapse the
+    # chain to ONE cluster labeled with its min id
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup.dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    # long chain exercises multiple propagation rounds
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(20, 30)], "doc_a long, doc_b long"
+    )
+    got2 = {r["doc_id"]: r["cluster_id"] for r in dedup.dedup_clusters(chain).collect()}
+    assert set(got2.values()) == {20}
+    # partitioning-independent
+    got3 = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dedup_clusters(chain.repartition(7)).collect()
+    }
+    assert got3 == got2
