@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.ml import Pipeline, PipelineModel
 from pyspark.ml.feature import VectorAssembler
 from pyspark.ml.regression import RandomForestRegressor
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from oxi_diel_db_spark.functions import arrays as A
@@ -108,3 +108,60 @@ def score(model: PipelineModel, feats: DataFrame) -> DataFrame:
     return model.transform(feats).select(
         "mp_id", F.round("pred_log10", 6).alias("pred_log10")
     )
+
+
+def cross_validate(
+    materials: DataFrame,
+    which: str = "el",
+    max_depths: tuple[int, ...] = (4, 8),
+    n_folds: int = 2,
+    num_trees: int = 20,
+    seed: int = 42,
+) -> DataFrame:
+    """Hyperparameter search via CrossValidator (§2.11 ML surface):
+    k-fold CV over the RF depth grid, RMSE objective. Seeded splits +
+    seeded forests → avgMetrics are reproducible run-to-run (asserted
+    in tests). The grid here is deliberately small — the point is the
+    distributed evaluation harness (each fold's fit/score is a Spark
+    job; folds × grid parallelize across the cluster via
+    CrossValidator's parallelism), not squeezing the last RMSE digit.
+    Returns one row per grid point with its cross-validated RMSE.
+    """
+    from pyspark.ml.evaluation import RegressionEvaluator
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    label = f"label_{which}"
+    feats = scale_features_pop(featurize(materials), FEATURES).dropna(
+        subset=FEATURES + [label]
+    )
+    assembler = VectorAssembler(inputCols=FEATURES, outputCol="features")
+    rf = RandomForestRegressor(
+        featuresCol="features",
+        labelCol=label,
+        predictionCol="pred_log10",
+        numTrees=num_trees,
+        seed=seed,
+    )
+    pipe = Pipeline(stages=[assembler, rf])
+    grid = ParamGridBuilder().addGrid(rf.maxDepth, list(max_depths)).build()
+    cv = CrossValidator(
+        estimator=pipe,
+        estimatorParamMaps=grid,
+        evaluator=RegressionEvaluator(
+            labelCol=label, predictionCol="pred_log10", metricName="rmse"
+        ),
+        numFolds=n_folds,
+        parallelism=4,
+        seed=seed,
+    )
+    fitted = cv.fit(feats)
+    spark = materials.sparkSession
+    rows = [
+        (int(pm[rf.maxDepth]), float(m))
+        for pm, m in zip(grid, fitted.avgMetrics)
+    ]
+    out = spark.createDataFrame(rows, "max_depth int, cv_rmse double")
+    w = Window.orderBy(F.col("cv_rmse").asc(), F.col("max_depth"))
+    return out.select(
+        "max_depth", F.round("cv_rmse", 6).alias("cv_rmse")
+    ).withColumn("rank", F.row_number().over(w))

@@ -651,3 +651,13 @@ def ml3_feature_importances(spark, sf_dir):
 
     rank_w = Window.orderBy(F.col("importance").desc(), F.col("feature"))
     return out.withColumn("rank", F.row_number().over(rank_w))
+
+
+@register("ml4_cross_validation", oracle=None)  # model selection — rows-only
+def ml4_cross_validation(spark, sf_dir):
+    """k-fold CV over the RF depth grid (rows-only: fold metrics are
+    model internals). Seeded splits/forests make the grid table
+    reproducible; determinism asserted in tests/test_ml.py."""
+    from oxi_diel_db_spark.ml import pipeline as P
+
+    return P.cross_validate(M.materials(spark), which="el")

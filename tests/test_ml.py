@@ -105,3 +105,14 @@ def test_feature_importances_ranked_and_reproducible(spark):
     # seeded training → identical ranking on a second run
     b = q(spark, "ignored").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_cross_validation_grid_reproducible(spark):
+    a = P.cross_validate(M.materials(spark), which="el").collect()
+    assert len(a) == 2
+    assert {r["max_depth"] for r in a} == {4, 8}
+    assert all(r["cv_rmse"] > 0 for r in a)
+    ranks = sorted(r["rank"] for r in a)
+    assert ranks == [1, 2]
+    b = P.cross_validate(M.materials(spark), which="el").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
