@@ -110,3 +110,50 @@ def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
             yield pdf  # pragma: no cover
 
     return media.mapInPandas(_resize, schema=media.schema)
+
+
+FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx int, frame_ts_ms int, frame_md5 string"
+)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame sampling for video-as-binary: ONE media row fans out to
+    its sampled frames (the one-to-many multimodal shape; decode is the
+    same stub policy as extract_features). A real implementation seeks
+    the container every ``every_ms`` and decodes keyframes; the fake
+    derives a deterministic duration from the payload digest and emits
+    one row per sampled timestamp with a stable per-frame digest, so
+    the fan-out cardinality and values are exactly testable — and SQL-
+    expressible, which gives this mapInPandas stage a full oracle.
+
+    Fake semantics (mirrored in m m3's oracle SQL):
+      duration_ms = 1000 + (n_bytes % 5000)
+      frames at t = 0, every_ms, 2·every_ms, ... < duration_ms
+      frame_md5   = md5(content_md5 || ':' || frame_idx)
+    """
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_ts_ms": [], "frame_md5": []}
+            for doc_id, n_bytes, cmd5 in zip(
+                pdf["doc_id"], pdf["n_bytes"], pdf["content_md5"]
+            ):
+                duration_ms = 1000 + (int(n_bytes) % 5000)
+                for idx, ts in enumerate(range(0, duration_ms, every_ms)):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["frame_ts_ms"].append(ts)
+                    out["frame_md5"].append(
+                        hashlib.md5(f"{cmd5}:{idx}".encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                    "frame_ts_ms": pd.Series(out["frame_ts_ms"], dtype="int32"),
+                    "frame_md5": pd.Series(out["frame_md5"], dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(_sample, schema=FRAME_SCHEMA)

@@ -710,3 +710,36 @@ def d8_dedup_clusters(spark, sf_dir):
     every member labeled with the cluster's min doc_id."""
     p = dedup.ngram_jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.2)
     return dedup.dedup_clusters(p)
+
+
+@register(
+    "mm3_frame_sampling",
+    oracle="""
+    WITH media AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS n_bytes,
+             md5(text) AS content_md5
+      FROM documents
+    ),
+    frames AS (
+      SELECT doc_id, content_md5,
+             unnest(range(0, 1000 + (n_bytes % 5000), 1000)) AS frame_ts_ms
+      FROM media
+    )
+    SELECT doc_id,
+           CAST(frame_ts_ms / 1000 AS INT) AS frame_idx,
+           CAST(frame_ts_ms AS INT) AS frame_ts_ms,
+           md5(content_md5 || ':' || CAST(frame_ts_ms / 1000 AS INT)) AS frame_md5
+    FROM frames
+    """,
+)
+def mm3_frame_sampling(spark, sf_dir):
+    """Video frame-sampling plumbing: one binary row fans out to its
+    sampled frames through mapInPandas (the one-to-many multimodal
+    shape mm2's per-row decode doesn't cover). The stubbed decode's
+    fan-out arithmetic is mirrored in SQL, so even this Python stage is
+    value-hash-checked — the schema/batching/partitioning would be
+    unchanged under a real libav decoder."""
+    from oxi_diel_db_spark.operators.multimodal import sample_frames, to_binary_table
+
+    return sample_frames(to_binary_table(t(spark, sf_dir, "documents")), every_ms=1000)

@@ -46,3 +46,21 @@ def test_resize_stub_raises(spark):
     media = MM.to_binary_table(docs)
     with pytest.raises(Exception, match="NotImplementedError|image codec"):
         MM.resize_stub(media, 32, 32).collect()
+
+
+def test_frame_sampling_fanout(spark):
+    from oxi_diel_db_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 10), (2, "y" * 3500)], "doc_id long, text string"
+    )
+    frames = MM.sample_frames(MM.to_binary_table(docs), every_ms=1000).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # duration = 1000 + n_bytes % 5000 → doc1: 1010ms → 2 frames; doc2: 4500ms → 5
+    assert len(by_doc[1]) == 2
+    assert len(by_doc[2]) == 5
+    f0 = sorted(by_doc[2], key=lambda r: r["frame_idx"])
+    assert [r["frame_ts_ms"] for r in f0] == [0, 1000, 2000, 3000, 4000]
+    assert len({r["frame_md5"] for r in frames}) == 7  # all distinct
