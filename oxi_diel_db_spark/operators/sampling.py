@@ -188,3 +188,28 @@ def mix_corpora(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def capped_sample_per_key(
+    df: DataFrame,
+    key: str,
+    id_col: str,
+    max_rows: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Reproducible per-key reservoir: keep at most ``max_rows`` rows
+    per key, chosen by content-hash rank (NOT arrival order). The
+    contribution-capping pass of a training pipeline — no single
+    user/source/domain may dominate — with the same stability
+    guarantees as hash_sample: the kept set is identical across runs,
+    engines, partitionings, and (for keys under the cap) data growth.
+    One shuffle on the key; the rank never materializes more than the
+    window needs."""
+    w = Window.partitionBy(key).orderBy(
+        hash_hex8(id_col, seed).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= max_rows)
+        .drop("__rk")
+    )

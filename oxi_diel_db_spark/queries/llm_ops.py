@@ -743,3 +743,28 @@ def mm3_frame_sampling(spark, sf_dir):
     from oxi_diel_db_spark.operators.multimodal import sample_frames, to_binary_table
 
     return sample_frames(to_binary_table(t(spark, sf_dir, "documents")), every_ms=1000)
+
+
+@register(
+    "p7_capped_per_key",
+    oracle="""
+    SELECT user_id, event_id, event_type FROM (
+      SELECT user_id, event_id, event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY substring(md5('42:' || CAST(event_id AS VARCHAR)), 1, 8),
+                        event_id
+             ) AS rk
+      FROM events
+    ) WHERE rk <= 20
+    """,
+)
+def p7_capped_per_key(spark, sf_dir):
+    """Per-key contribution cap (reproducible reservoir): at most 20
+    events per user, selected by content-hash rank so the kept set is
+    stable across runs/engines/partitionings — the no-user-dominates
+    pass of a training pipeline."""
+    from oxi_diel_db_spark.operators.sampling import capped_sample_per_key
+
+    e = t(spark, sf_dir, "events").select("user_id", "event_id", "event_type")
+    return capped_sample_per_key(e, "user_id", "event_id", max_rows=20)

@@ -98,3 +98,18 @@ def test_mix_corpora_epoch_structure(spark):
         df.repartition(13), "doc_id", "source", weights, seed=7
     )
     assert sorted(map(tuple, mixed.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_capped_sample_per_key(spark):
+    rows = [(i, i % 7) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, k int")
+    capped = sampling.capped_sample_per_key(df, "k", "id", max_rows=10, seed=3)
+    per_key = capped.groupBy("k").count().collect()
+    assert all(r["count"] == 10 for r in per_key)  # every key hits the cap
+    # stability: keys under the cap keep ALL rows; kept sets reproducible
+    small = spark.createDataFrame([(1, 0), (2, 0), (3, 1)], "id long, k int")
+    kept = sampling.capped_sample_per_key(small, "k", "id", max_rows=10).collect()
+    assert len(kept) == 3
+    a = sorted(r["id"] for r in sampling.capped_sample_per_key(df, "k", "id", 10, seed=3).collect())
+    b = sorted(r["id"] for r in sampling.capped_sample_per_key(df.repartition(9), "k", "id", 10, seed=3).collect())
+    assert a == b
