@@ -78,7 +78,7 @@ def q22_rollup(spark, sf_dir):
     oracle="""
     SELECT l_returnflag, l_linestatus,
            COUNT(*) AS n,
-           SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
@@ -188,7 +188,7 @@ def q27_ordered_set_agg(spark, sf_dir):
     "q28_conditional_agg",
     oracle=f"""
     SELECT l_linestatus,
-           SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)         AS n_returned,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
            {sql_sum_money("CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0 END")} AS discounted_revenue,
            COUNT(CASE WHEN l_quantity >= 30 THEN 1 END)                AS n_bulk
     FROM lineitem GROUP BY l_linestatus

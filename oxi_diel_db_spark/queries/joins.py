@@ -542,7 +542,7 @@ def q50_returned_items(spark, sf_dir):
     oracle="""
     SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
            big.total_qty
-    FROM (SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS total_qty
+    FROM (SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
           FROM lineitem GROUP BY 1
           HAVING SUM(CAST(l_quantity AS BIGINT)) > 250) big
     JOIN orders   ON o_orderkey = big.l_orderkey

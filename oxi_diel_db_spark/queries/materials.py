@@ -157,7 +157,7 @@ def m05_counting_invariants(spark, sf_dir):
            COUNT(*) AS n_materials,
            ROUND(MIN(band_gap), 6) AS min_gap,
            ROUND(MAX(band_gap), 6) AS max_gap,
-           SUM(CASE WHEN is_direct THEN 1 ELSE 0 END) AS n_direct
+           CAST(SUM(CASE WHEN is_direct THEN 1 ELSE 0 END) AS BIGINT) AS n_direct
     FROM {_MAT}
     WHERE list_contains(elements, 'O') AND band_gap >= 0.5
     GROUP BY 1

@@ -30,7 +30,7 @@ from oxi_diel_db_spark.queries._util import (
     "q01_pricing_summary",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           SUM(CAST(l_quantity AS BIGINT))                          AS sum_qty,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)          AS sum_qty,
            {sql_sum_money('l_extendedprice')}                       AS sum_base_price,
            {sql_sum_money('l_extendedprice * (1 - l_discount)')}    AS sum_disc_price,
            {sql_sum_money('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,

@@ -122,7 +122,7 @@ def st5_stream_static_join(spark, sf_dir):
     oracle="""
     SELECT DATE_TRUNC('hour', ts) AS win_start, event_type,
            COUNT(*) AS n,
-           SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS value_cents
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
     FROM events GROUP BY 1, 2
     """,
 )

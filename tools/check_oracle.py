@@ -84,12 +84,23 @@ def main() -> None:
         try:
             rel = con.sql(os_[name])
             dcols = [d[0] for d in rel.description]
+            dtypes = [str(x) for x in rel.types]
             drows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             results[name] = f"DUCK-ERROR: {type(e).__name__}: {e}"
             print(f"{name:28s} DUCK-ERROR  {e}", flush=True)
             continue
         problems = []
+        # The driver fetches through pandas/arrow, where HUGEINT/DECIMAL
+        # become float64/object and hash differently than Spark's int64.
+        # Our fetchall() path hides that — flag the types explicitly.
+        bad_types = [
+            f"{c}:{ty}"
+            for c, ty in zip(dcols, dtypes)
+            if ty in ("HUGEINT", "UHUGEINT") or ty.startswith("DECIMAL")
+        ]
+        if bad_types:
+            problems.append(f"oracle-type {','.join(bad_types)} (cast to BIGINT/DOUBLE)")
         if len(srows) != len(drows):
             problems.append(f"rowcount {len(srows)} vs {len(drows)}")
         if sorted(scols) != sorted(dcols):
