@@ -16,7 +16,11 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from oxi_diel_db_spark.functions.formula import PAULING_EN, formula_tokens
+from oxi_diel_db_spark.functions.formula import (
+    PAULING_EN,
+    formula_pairs,
+    sql_formula_pairs,
+)
 
 # Transition metals (public periodic-table fact; matminer's
 # TMetalFraction uses the same d-block set — ml_prediction.py:107).
@@ -28,27 +32,21 @@ TRANSITION_METALS = [
 
 
 def _tok_counts(formula: Column | str) -> Column:
-    """array<struct<el,cnt>> in formula order."""
-    toks = formula_tokens(formula)
-    return F.transform(
-        toks,
-        lambda t0: F.struct(
-            F.regexp_extract(t0, "[A-Z][a-z]?", 0).alias("el"),
-            F.coalesce(
-                F.nullif(F.regexp_extract(t0, "[0-9.]+", 0), F.lit("")), F.lit("1")
-            )
-            .cast("double")
-            .alias("cnt"),
-        ),
-    )
+    """array<struct<el,cnt>> in expansion order (paren groups expanded —
+    ADVICE r1: 189/1,278 corpus formulas carry a group multiplier)."""
+    return formula_pairs(formula)
 
 
-_SQL_TOKS = (
-    "list_transform(regexp_extract_all({f}, '[A-Z][a-z]?[0-9.]*'), t -> struct_pack("
-    "el := regexp_extract(t, '[A-Z][a-z]?'), "
-    "cnt := CAST(CASE WHEN regexp_extract(t, '[0-9.]+') = '' THEN '1' "
-    "ELSE regexp_extract(t, '[0-9.]+') END AS DOUBLE)))"
-)
+class _SqlToks:
+    """Shim keeping the `_SQL_TOKS.format(f=...)` call sites working while
+    delegating to the group-aware sql_formula_pairs()."""
+
+    @staticmethod
+    def format(f: str) -> str:
+        return sql_formula_pairs(f)
+
+
+_SQL_TOKS = _SqlToks()
 
 
 def _fold_sum(arr: Column, fn) -> Column:
@@ -60,7 +58,9 @@ def total_atoms(formula: Column | str) -> Column:
 
 
 SQL_TOTAL_ATOMS = (
-    "list_aggregate(list_transform(" + _SQL_TOKS + ", s -> s.cnt), 'sum')"
+    "list_aggregate(list_transform("
+    + sql_formula_pairs("{f}")
+    + ", s -> s.cnt), 'sum')"
 )
 
 

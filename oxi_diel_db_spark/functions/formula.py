@@ -15,53 +15,158 @@ from pyspark.sql import functions as F
 
 # element token: capital + optional lowercase + optional count (int/float)
 _TOKEN_RE = "[A-Z][a-z]?[0-9.]*"
+# depth-1 parenthesized group with optional multiplier: '(SiO4)2'
+_GROUP_RE = r"\([^()]*\)[0-9.]*"
 
 
 def formula_tokens(formula: Column | str) -> Column:
+    """Raw element tokens of a PAREN-FREE formula string. Kept for token
+    counting; composition math must use formula_pairs (group-aware)."""
     c = F.col(formula) if isinstance(formula, str) else formula
     return F.regexp_extract_all(c, F.lit(_TOKEN_RE), 0)
 
 
-def parse_formula(formula: Column | str) -> Column:
-    """'Ca2SnO4' → map<string,double> {Ca:2.0, Sn:1.0, O:4.0}."""
-    toks = formula_tokens(formula)
-    elems = F.transform(toks, lambda t0: F.regexp_extract(t0, "[A-Z][a-z]?", 0))
-    counts = F.transform(
+def _token_pairs(s: Column) -> Column:
+    """array<struct<el,cnt>> from a paren-free token string."""
+    toks = F.regexp_extract_all(s, F.lit(_TOKEN_RE), 0)
+    return F.transform(
         toks,
-        lambda t0: F.coalesce(
-            F.nullif(F.regexp_extract(t0, "[0-9.]+", 0), F.lit("")), F.lit("1")
-        ).cast("double"),
+        lambda t0: F.struct(
+            F.regexp_extract(t0, "[A-Z][a-z]?", 0).alias("el"),
+            F.coalesce(
+                F.nullif(F.regexp_extract(t0, "[0-9.]+", 0), F.lit("")), F.lit("1")
+            )
+            .cast("double")
+            .alias("cnt"),
+        ),
     )
-    return F.map_from_arrays(elems, counts)
+
+
+def formula_pairs(formula: Column | str) -> Column:
+    """array<struct<el,cnt>> with parenthesized groups expanded (depth 1,
+    pymatgen Composition semantics): 'Ba(AuO2)2' → [(Ba,1),(Au,2),(O,4)].
+
+    Order is outside tokens in formula order, then group tokens in formula
+    order — the DuckDB twins fold the SAME order, so left-fold double sums
+    stay bit-identical cross-engine. The corpus has no nested groups
+    (verified over all 1,278 reference formulas); nested input would leave
+    the inner group unexpanded rather than erroring.
+    """
+    c = F.col(formula) if isinstance(formula, str) else formula
+    outside = _token_pairs(F.regexp_replace(c, _GROUP_RE, ""))
+    groups = F.regexp_extract_all(c, F.lit(_GROUP_RE), 0)
+    grp_pairs = F.flatten(
+        F.transform(
+            groups,
+            lambda g: F.transform(
+                _token_pairs(F.regexp_extract(g, r"\(([^()]*)\)", 1)),
+                lambda s: F.struct(
+                    s["el"].alias("el"),
+                    (
+                        s["cnt"]
+                        * F.coalesce(
+                            F.nullif(
+                                F.regexp_extract(g, r"\)([0-9.]*)$", 1), F.lit("")
+                            ),
+                            F.lit("1"),
+                        ).cast("double")
+                    ).alias("cnt"),
+                ),
+            ),
+        )
+    )
+    return F.concat(outside, grp_pairs)
+
+
+def parse_formula(formula: Column | str) -> Column:
+    """'Ba(AuO2)2' → map<string,double> {Ba:1.0, Au:2.0, O:4.0}.
+    Duplicate element symbols sum (pymatgen Composition semantics)."""
+    pairs = formula_pairs(formula)
+    empty = F.map_from_arrays(
+        F.array().cast("array<string>"), F.array().cast("array<double>")
+    )
+    return F.aggregate(
+        pairs,
+        empty,
+        lambda acc, x: F.map_concat(
+            F.map_filter(acc, lambda k, _v: k != x["el"]),
+            F.create_map(
+                x["el"],
+                F.coalesce(F.try_element_at(acc, x["el"]), F.lit(0.0)) + x["cnt"],
+            ),
+        ),
+    )
+
+
+def _cnt_str(c: Column) -> Column:
+    """Canonical count rendering: integral doubles render bare ('2'),
+    fractional round to 6 dp — identical logic in the SQL twin."""
+    return F.when(c == F.floor(c), c.cast("bigint").cast("string")).otherwise(
+        F.round(c, 6).cast("string")
+    )
 
 
 def formula_canonical(formula: Column | str) -> Column:
     """Deterministic canonical form: 'El:count' sorted by element symbol,
-    joined with spaces — the hash-comparable rendering of parse_formula."""
-    toks = formula_tokens(formula)
-    pairs = F.transform(
-        toks,
-        lambda t0: F.concat_ws(
-            ":",
-            F.regexp_extract(t0, "[A-Z][a-z]?", 0),
-            F.coalesce(
-                F.nullif(F.regexp_extract(t0, "[0-9.]+", 0), F.lit("")), F.lit("1")
-            ),
-        ),
+    joined with spaces — the hash-comparable rendering of parse_formula
+    (group-expanded, duplicates summed)."""
+    m = parse_formula(formula)
+    rendered = F.transform(
+        F.array_sort(F.map_keys(m)),
+        lambda k: F.concat_ws(":", k, _cnt_str(F.try_element_at(m, k))),
     )
-    return F.concat_ws(" ", F.array_sort(pairs))
+    return F.concat_ws(" ", rendered)
+
+
+# DuckDB twins of the group expansion. {col} must be a bare column name.
+_SQL_INNER_TOKS = (
+    "list_transform(regexp_extract_all({src}, '[A-Z][a-z]?[0-9.]*'), "
+    "t -> struct_pack("
+    "el := regexp_extract(t, '[A-Z][a-z]?'), "
+    "cnt := CAST(CASE WHEN regexp_extract(t, '[0-9.]+') = '' THEN '1' "
+    "ELSE regexp_extract(t, '[0-9.]+') END AS DOUBLE)))"
+)
+
+_SQL_GROUP_MULT = (
+    "CAST(CASE WHEN regexp_extract(g, '\\)([0-9.]*)$', 1) = '' THEN '1' "
+    "ELSE regexp_extract(g, '\\)([0-9.]*)$', 1) END AS DOUBLE)"
+)
+
+
+def sql_formula_pairs(col: str) -> str:
+    """DuckDB twin of formula_pairs(): list<struct(el,cnt)>, outside
+    tokens first then expanded group tokens — same order as Spark."""
+    outside = _SQL_INNER_TOKS.format(
+        src=f"regexp_replace({col}, '\\([^()]*\\)[0-9.]*', '', 'g')"
+    )
+    inner = _SQL_INNER_TOKS.format(
+        src="regexp_extract(g, '\\(([^()]*)\\)', 1)"
+    )
+    grp = (
+        f"flatten(list_transform(regexp_extract_all({col}, '\\([^()]*\\)[0-9.]*'), "
+        f"g -> list_transform({inner}, "
+        f"s -> struct_pack(el := s.el, cnt := s.cnt * {_SQL_GROUP_MULT}))))"
+    )
+    return f"list_concat({outside}, {grp})"
 
 
 def sql_formula_canonical(col: str) -> str:
     """DuckDB twin of formula_canonical()."""
+    pairs = sql_formula_pairs(col)
+    csum = (
+        f"list_aggregate(list_transform(list_filter({pairs}, p -> p.el = e), "
+        "p -> p.cnt), 'sum')"
+    )
+    cnt_str = (
+        f"CASE WHEN ({csum}) = floor({csum}) "
+        f"THEN CAST(CAST(({csum}) AS BIGINT) AS VARCHAR) "
+        f"ELSE CAST(ROUND(({csum}), 6) AS VARCHAR) END"
+    )
     return f"""
-    array_to_string(list_sort(list_transform(
-        regexp_extract_all({col}, '[A-Z][a-z]?[0-9.]*'),
-        t -> regexp_extract(t, '[A-Z][a-z]?')
-             || ':' ||
-             CASE WHEN regexp_extract(t, '[0-9.]+') = ''
-                  THEN '1' ELSE regexp_extract(t, '[0-9.]+') END
-    )), ' ')
+    array_to_string(list_transform(
+        list_sort(list_distinct(list_transform({pairs}, p -> p.el))),
+        e -> e || ':' || ({cnt_str})
+    ), ' ')
     """
 
 

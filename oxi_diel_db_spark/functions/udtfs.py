@@ -16,18 +16,28 @@ from pyspark.sql.functions import udtf
 
 _TOKEN = re.compile(r"[A-Z][a-z]?[0-9.]*")
 _EL = re.compile(r"[A-Z][a-z]?")
+_GROUP = re.compile(r"\(([^()]*)\)([0-9.]*)")
+
+
+def _flat_tokens(s: str, mult: float):
+    for tok in _TOKEN.findall(s):
+        el = _EL.match(tok).group(0)
+        num = tok[len(el):]
+        yield el, (float(num) if num else 1.0) * mult
 
 
 @udtf(returnType="element string, cnt double")
 class FormulaExplode:
-    """'Ca2SnO4' → rows (Ca,2.0), (Sn,1.0), (O,4.0) — the UDTF twin of
-    functions.formula.parse_formula (same token grammar)."""
+    """'Ba(AuO2)2' → rows (Ba,1.0), (Au,2.0), (O,4.0) — the UDTF twin of
+    functions.formula.parse_formula (same grammar incl. depth-1 group
+    multipliers; outside tokens first, then group tokens, matching
+    formula_pairs' expansion order)."""
 
     def eval(self, formula: str):  # noqa: D102
-        for tok in _TOKEN.findall(formula or ""):
-            el = _EL.match(tok).group(0)
-            num = tok[len(el):]
-            yield el, float(num) if num else 1.0
+        f = formula or ""
+        yield from _flat_tokens(_GROUP.sub("", f), 1.0)
+        for m in _GROUP.finditer(f):
+            yield from _flat_tokens(m.group(1), float(m.group(2) or "1"))
 
 
 def register_udtfs(spark) -> None:

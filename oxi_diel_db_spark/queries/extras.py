@@ -10,6 +10,7 @@ import os
 from pyspark.sql import functions as F
 
 from oxi_diel_db_spark.functions import composition as C
+from oxi_diel_db_spark.functions import formula as FM
 from oxi_diel_db_spark.queries import register
 from oxi_diel_db_spark.queries._util import r6, sql_sum_money, sum_money, t
 from oxi_diel_db_spark.sources import materials as M
@@ -323,12 +324,7 @@ def m18_min_rel_distances(spark, sf_dir):
     oracle=f"""
     SELECT mp_id, u.el AS element, u.cnt
     FROM (
-      SELECT mp_id, unnest(list_transform(
-        regexp_extract_all(formula, '[A-Z][a-z]?[0-9.]*'),
-        t -> struct_pack(
-          el := regexp_extract(t, '[A-Z][a-z]?'),
-          cnt := CAST(CASE WHEN regexp_extract(t, '[0-9.]+') = ''
-                      THEN '1' ELSE regexp_extract(t, '[0-9.]+') END AS DOUBLE)))) AS u
+      SELECT mp_id, unnest({FM.sql_formula_pairs('formula')}) AS u
       FROM {_MAT}
     )
     """,

@@ -223,7 +223,7 @@ def m08_unscored_anti_join(spark, sf_dir):
     oracle=f"""
     SELECT mp_id, formula,
            {FM.sql_formula_canonical('formula')} AS parsed,
-           len(regexp_extract_all(formula, '[A-Z][a-z]?[0-9.]*')) = nelements AS token_count_ok
+           len({FM.sql_formula_pairs('formula')}) = nelements AS token_count_ok
     FROM {_MAT}
     """,
 )
@@ -235,7 +235,7 @@ def m09_parse_formula(spark, sf_dir):
         "mp_id",
         "formula",
         FM.formula_canonical("formula").alias("parsed"),
-        (F.size(FM.formula_tokens("formula")) == F.col("nelements")).alias(
+        (F.size(FM.formula_pairs("formula")) == F.col("nelements")).alias(
             "token_count_ok"
         ),
     )

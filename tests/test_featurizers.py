@@ -227,3 +227,37 @@ def test_local_property_difference_numpy(spark):
     exp = (w * dchi).sum(axis=1) / w.sum(axis=1)
     for i, e in enumerate(exp):
         assert abs(got[i] - e) < 1e-9
+
+
+def test_paren_group_expansion(spark):
+    """ADVICE r1 (high): paren groups must multiply inner counts —
+    'Ba(AuO2)2' is {Ba:1, Au:2, O:4}, not {Ba:1, Au:1, O:2}."""
+    from oxi_diel_db_spark.functions import formula as FM
+
+    df = spark.createDataFrame([("Ba(AuO2)2",)], "formula string")
+    m = df.select(FM.parse_formula("formula").alias("m")).collect()[0]["m"]
+    assert m == {"Ba": 1.0, "Au": 2.0, "O": 4.0}
+    assert _one(spark, "Ba(AuO2)2", C.total_atoms("formula")) == 7.0
+    # tmetal: Au is 2 of 7 atoms
+    assert abs(_one(spark, "Ba(AuO2)2", C.tmetal_fraction("formula")) - 2 / 7) < 1e-12
+
+
+def test_paren_corpus_atom_totals(spark):
+    """All 1,278 corpus formulas (189 with paren groups): the parsed
+    atom total must divide nsites exactly (formula is the reduced cell;
+    nsites = total × Z for integer Z ≥ 1). The round-1 tokenizer failed
+    this for the paren subset."""
+    from oxi_diel_db_spark.functions import composition as C2
+    from oxi_diel_db_spark.sources import materials as M
+
+    mats = M.materials(spark).select(
+        "formula", "nsites", C2.total_atoms("formula").alias("tot")
+    )
+    bad = mats.filter(
+        (F.col("tot") <= 0)
+        | (F.col("tot") != F.floor("tot"))
+        | (F.col("nsites") % F.col("tot").cast("bigint") != 0)
+    )
+    assert bad.count() == 0, bad.limit(5).collect()
+    n_paren = mats.filter(F.col("formula").contains("(")).count()
+    assert n_paren == 189
