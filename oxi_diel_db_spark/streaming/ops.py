@@ -211,7 +211,7 @@ def rollup_delta_sink(
                 "value_cents",
             )
             .write.mode("append")
-            .parquet(out_dir)
+            .parquet(f"{out_dir}/deltas")
         )
 
     return (
@@ -221,30 +221,121 @@ def rollup_delta_sink(
     )
 
 
+# Rollup dataset layout (manifest-pointer protocol, ADVICE r1 medium —
+# a directory-overwrite compaction deletes deltas appended mid-compact
+# and a crash mid-overwrite loses the dataset):
+#
+#   out_dir/deltas/part-*.parquet     append-only delta partials (sink)
+#   out_dir/compacted/<uuid>/         compaction outputs, one dir per run
+#   out_dir/MANIFEST-<n>.json         {"compacted_dir", "consumed": [...]}
+#
+# The manifest is committed by a same-directory os.rename (atomic on
+# POSIX). Readers see: latest manifest's compacted base + every delta
+# file NOT in its consumed list — so deltas appended at ANY point during
+# compaction stay visible, and a crash anywhere leaves the previous
+# manifest (and all its files) intact. Physical deletion of consumed
+# deltas/old bases happens only AFTER the manifest commit; a crash
+# before deletion just leaves garbage that the next compaction removes.
+
+
+def _rollup_state(out_dir: str):
+    """(manifest_n, compacted_dir_abs_or_None, consumed_set, live_delta_paths)."""
+    import json
+    import os
+
+    manifests = sorted(
+        (f for f in os.listdir(out_dir) if f.startswith("MANIFEST-") and f.endswith(".json"))
+        if os.path.isdir(out_dir)
+        else [],
+        key=lambda f: int(f[len("MANIFEST-"):-len(".json")]),
+    )
+    n, compacted, consumed = 0, None, set()
+    if manifests:
+        latest = manifests[-1]
+        n = int(latest[len("MANIFEST-"):-len(".json")])
+        with open(os.path.join(out_dir, latest)) as fh:
+            m = json.load(fh)
+        compacted = os.path.join(out_dir, m["compacted_dir"])
+        consumed = set(m["consumed"])
+    delta_dir = os.path.join(out_dir, "deltas")
+    live = []
+    if os.path.isdir(delta_dir):
+        live = [
+            os.path.join(delta_dir, f)
+            for f in sorted(os.listdir(delta_dir))
+            if f.endswith(".parquet") and not f.startswith(("_", ".")) and f not in consumed
+        ]
+    return n, compacted, consumed, live
+
+
 def read_rollup(spark: SparkSession, out_dir: str) -> DataFrame:
-    """Merge-on-read over the delta partials: the same schema whether
-    one delta or ten thousand exist. Cheap because partials are already
-    tiny (one row per (window, type) per batch)."""
-    return (
-        spark.read.parquet(out_dir)
-        .groupBy("win_start", "event_type")
-        .agg(
-            F.sum("n").alias("n"),
-            F.sum("value_cents").alias("value_cents"),
-        )
+    """Merge-on-read over the delta partials + compacted base: the same
+    schema whether one delta or ten thousand exist. Cheap because
+    partials are already tiny (one row per (window, type) per batch)."""
+    _, compacted, _, live = _rollup_state(out_dir)
+    parts = ([spark.read.parquet(compacted)] if compacted else []) + (
+        [spark.read.parquet(*live)] if live else []
+    )
+    if not parts:
+        # legacy/empty layout: read the directory as-is
+        parts = [spark.read.parquet(out_dir)]
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df.groupBy("win_start", "event_type").agg(
+        F.sum("n").alias("n"),
+        F.sum("value_cents").alias("value_cents"),
     )
 
 
 def compact_rollup(spark: SparkSession, out_dir: str) -> None:
-    """Fold all deltas into one partial per group (read → re-aggregate
-    → atomic-ish rewrite). Run periodically; readers see the same
-    result before and after because read_rollup re-aggregates anyway."""
+    """Fold the current base + all visible deltas into one partial per
+    group, then atomically advance the manifest pointer. Deltas appended
+    while the compaction runs are NOT consumed and stay visible; a crash
+    at any step leaves the previous manifest's view intact (orphaned
+    output dirs are swept by the next successful run)."""
+    import json
+    import os
     import shutil
-    import tempfile
 
-    compacted = read_rollup(spark, out_dir)
-    tmp = tempfile.mkdtemp(prefix="rollup_compact_")
-    compacted.write.mode("overwrite").parquet(tmp)
-    # swap: re-write compacted data over out_dir
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(out_dir)
-    shutil.rmtree(tmp, ignore_errors=True)
+    n, compacted, consumed, live = _rollup_state(out_dir)
+    if not live and compacted:
+        return  # nothing new since the last compaction
+    inputs = ([compacted] if compacted else []) + live
+    if not inputs:
+        return
+    new_rel = os.path.join("compacted", uuid.uuid4().hex)
+    new_abs = os.path.join(out_dir, new_rel)
+    (
+        spark.read.parquet(*inputs)
+        .groupBy("win_start", "event_type")
+        .agg(F.sum("n").alias("n"), F.sum("value_cents").alias("value_cents"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(new_abs)
+    )
+    # consumed accumulates prior manifests' lists: if a post-commit delete
+    # failed, the stale file must stay excluded forever, not double-count.
+    manifest = {
+        "compacted_dir": new_rel,
+        "consumed": sorted(consumed | {os.path.basename(p) for p in live}),
+    }
+    tmp = os.path.join(out_dir, f".MANIFEST-{n + 1}.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.rename(tmp, os.path.join(out_dir, f"MANIFEST-{n + 1}.json"))  # commit point
+    # post-commit garbage collection (safe: no manifest references these)
+    for p in live:
+        try:
+            os.remove(p)
+        except OSError:
+            pass
+    comp_root = os.path.join(out_dir, "compacted")
+    for d in os.listdir(comp_root):
+        if os.path.join(comp_root, d) != new_abs:
+            shutil.rmtree(os.path.join(comp_root, d), ignore_errors=True)
+    if n:
+        try:
+            os.remove(os.path.join(out_dir, f"MANIFEST-{n}.json"))
+        except OSError:
+            pass

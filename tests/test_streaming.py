@@ -259,23 +259,62 @@ def test_rollup_delta_sink_equals_batch(spark, tmp_path):
 
     import glob
 
-    n_deltas = len(glob.glob(out + "/*.parquet"))
+    n_deltas = len(glob.glob(out + "/deltas/*.parquet"))
     assert n_deltas >= 4  # one delta set per micro-batch
 
     exp = {
         (r["win_start"], r["event_type"]): (r["n"], r["total_value"])
         for r in ops.tumbling_counts(ev).collect()
     }
-    got = {
-        (r["win_start"], r["event_type"]): (r["n"], r["value_cents"] / 100.0)
-        for r in ops.read_rollup(spark, out).collect()
-    }
-    assert got == exp
+
+    def current():
+        return {
+            (r["win_start"], r["event_type"]): (r["n"], r["value_cents"] / 100.0)
+            for r in ops.read_rollup(spark, out).collect()
+        }
+
+    assert current() == exp
 
     ops.compact_rollup(spark, out)
-    after = {
-        (r["win_start"], r["event_type"]): (r["n"], r["value_cents"] / 100.0)
-        for r in ops.read_rollup(spark, out).collect()
+    assert current() == exp
+    assert len(glob.glob(out + "/deltas/*.parquet")) < n_deltas
+
+
+def test_rollup_compaction_keeps_concurrent_deltas(spark, tmp_path):
+    """ADVICE r1 (medium): deltas appended while a compaction runs must
+    survive it, and a crash mid-compaction must not change the view."""
+    import glob
+    import os
+
+    ev = _batch_events(spark)
+    out = str(tmp_path / "rollup")
+    half = ev.filter(F.col("event_id") % 2 == 0)
+    rest = ev.filter(F.col("event_id") % 2 != 0)
+    delta1 = ops.tumbling_counts(half).select(
+        "win_start", "event_type", "n",
+        F.round(F.col("total_value") * 100, 0).cast("bigint").alias("value_cents"),
+    )
+    delta1.write.mode("append").parquet(out + "/deltas")
+    ops.compact_rollup(spark, out)
+    assert glob.glob(out + "/MANIFEST-1.json")
+
+    # a crash mid-compaction = an orphan output dir with no manifest
+    os.makedirs(out + "/compacted/deadbeef_orphan")
+
+    # late delta lands AFTER the snapshot (simulates the in-flight sink)
+    delta2 = ops.tumbling_counts(rest).select(
+        "win_start", "event_type", "n",
+        F.round(F.col("total_value") * 100, 0).cast("bigint").alias("value_cents"),
+    )
+    delta2.write.mode("append").parquet(out + "/deltas")
+
+    exp = {
+        (r["win_start"], r["event_type"], r["n"],
+         int(round(r["total_value"] * 100)))
+        for r in ops.tumbling_counts(ev).collect()
     }
-    assert after == exp
-    assert len(glob.glob(out + "/*.parquet")) < n_deltas
+    assert {tuple(r) for r in ops.read_rollup(spark, out).collect()} == exp
+    ops.compact_rollup(spark, out)  # consumes delta2, sweeps the orphan
+    assert {tuple(r) for r in ops.read_rollup(spark, out).collect()} == exp
+    assert not os.path.exists(out + "/compacted/deadbeef_orphan")
+    assert not glob.glob(out + "/deltas/*.parquet")
