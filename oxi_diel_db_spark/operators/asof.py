@@ -67,8 +67,15 @@ def asof_join(
     pay_type = build.select(F.struct(*payload).alias(_PAY)).schema[0].dataType
 
     # a NULL build timestamp would sort nulls-first and be carried as
-    # the "earliest" build row — it can never legitimately match
-    b = build.filter(F.col(build_ts).isNotNull()).select(
+    # the "earliest" build row — it can never legitimately match.
+    # NULL-key build rows are dropped too: Window.partitionBy groups
+    # NULLs together, but SQL/DuckDB ASOF equality never matches NULL
+    # keys, so a NULL-key probe must see NULL payload, not the NULL-key
+    # build rows' (ADVICE r1).
+    null_key_guard = F.lit(True)
+    for k in ([on] if isinstance(on, str) else list(on)):
+        null_key_guard = null_key_guard & F.col(k).isNotNull()
+    b = build.filter(F.col(build_ts).isNotNull() & null_key_guard).select(
         *keys,
         F.col(build_ts).alias(_TS),
         F.struct(*payload).alias(_PAY),

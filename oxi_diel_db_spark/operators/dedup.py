@@ -384,12 +384,16 @@ def dedup_clusters(
     A~B and B~C must collapse to ONE survivor, not two).
 
     Algorithm: iterative min-label propagation (the DataFrame form of
-    GraphX connectedComponents). Each round every node takes the min of
-    its own label and its neighbors' labels; rounds = graph diameter
-    (near-dup clusters are shallow — a handful). Each round is one
-    shuffle on node id; the driver only checks a convergence count.
-    Deterministic: min() over ids has a unique fixpoint regardless of
-    partitioning or iteration order.
+    GraphX connectedComponents) plus a pointer-doubling step each round
+    (label ← label-of-label), so convergence is O(log diameter) rounds
+    rather than diameter — a 1M-node path graph converges in ~20 rounds
+    instead of 1M. Each round is two shuffles on node id; the driver
+    only checks a convergence count. Deterministic: min() over ids has
+    a unique fixpoint regardless of partitioning or iteration order.
+
+    Raises RuntimeError if max_iters rounds pass without convergence
+    (returning partially-converged labels would silently split clusters
+    and under-delete — ADVICE r1).
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -403,6 +407,7 @@ def dedup_clusters(
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    converged = False
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -419,11 +424,33 @@ def dedup_clusters(
                 (F.col("nbr_label") < F.col("label")).alias("__changed"),
             )
         )
+        # pointer doubling: label ← label's current label. Each round
+        # halves every label-chain, so long thin components converge in
+        # O(log diameter) rounds instead of O(diameter).
+        lab2 = updated.select(F.col("node").alias("n2"), F.col("label").alias("l2"))
+        updated = (
+            updated.join(lab2, updated.label == lab2.n2, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("l2"), F.col("label"))
+                ).alias("label"),
+                (F.col("__changed") | (F.col("l2") < F.col("label"))).alias(
+                    "__changed"
+                ),
+            )
+        )
         updated = updated.localCheckpoint(eager=True)  # truncate the lineage
         n_changed = updated.filter(F.col("__changed")).count()
         labels = updated.select("node", "label")
         if n_changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters: no convergence after {max_iters} rounds — "
+            "component diameter exceeds 2^max_iters; raise max_iters"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -94,7 +94,14 @@ def compact_parquet(
     accrete kilobyte files; each costs a task + a footer read).
 
     Reads the dataset, coalesces to ceil(bytes / target) files, and
-    rewrites atomically (temp dir + swap). Returns the new file count.
+    rewrites with a rename-aside swap: the old dir is renamed out of the
+    way (atomic on the same filesystem), the new data renamed in, THEN
+    the old data deleted — a crash between steps leaves either the old
+    or the new complete dataset recoverable, never neither (ADVICE r1:
+    rmtree-then-rename lost the canonical path on a crash between the
+    two). Temp dirs live beside ``path``, so the renames stay on one
+    filesystem (os.rename cannot cross filesystems). Returns the new
+    file count.
     """
     import math
     import os
@@ -108,8 +115,11 @@ def compact_parquet(
         if f.endswith(".parquet")
     )
     n_files = max(1, math.ceil(size / (target_file_mb * 1024 * 1024)))
-    tmp = path.rstrip("/") + ".__compact_tmp"
+    base = path.rstrip("/")
+    tmp = base + ".__compact_tmp"
+    old = base + ".__compact_old"
     df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    os.rename(base, old)  # crash here: data intact under .__compact_old
+    os.rename(tmp, base)  # crash here: new data live, old recoverable
+    shutil.rmtree(old)
     return n_files

@@ -105,3 +105,30 @@ def test_asof_null_build_ts_never_matches(spark):
     ).collect()}
     assert rows[_ts(5)] is None    # no build row at/before
     assert rows[_ts(15)] == 1.0    # null-ts row never carried
+
+
+def test_asof_null_key_never_matches(spark):
+    """ADVICE r1: NULL probe keys must NOT receive NULL-key build
+    payload (SQL equality semantics — NULL never equals NULL)."""
+    import pandas as pd
+
+    build = spark.createDataFrame(
+        pd.DataFrame({"k": [None, 1], "bts": [_ts(1), _ts(1)],
+                      "val": [99.0, 1.0]}),
+        "k long, bts timestamp, val double",
+    )
+    probe = spark.createDataFrame(
+        pd.DataFrame({"k": [None, 1], "pts": [_ts(5), _ts(5)]}),
+        "k long, pts timestamp",
+    )
+    left = {r["k"]: r["val"] for r in asof_join(
+        probe, build, on="k", probe_ts="pts", build_ts="bts",
+        payload=["val"], how="left",
+    ).collect()}
+    assert left[None] is None   # NULL key: kept, payload NULL
+    assert left[1] == 1.0
+    inner = asof_join(
+        probe, build, on="k", probe_ts="pts", build_ts="bts",
+        payload=["val"], how="inner",
+    ).collect()
+    assert [r["k"] for r in inner] == [1]

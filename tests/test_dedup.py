@@ -170,3 +170,29 @@ def test_dedup_clusters_transitive_chain(spark):
         for r in dedup.dedup_clusters(chain.repartition(7)).collect()
     }
     assert got3 == got2
+
+
+def test_dedup_clusters_long_chain_pointer_doubling(spark):
+    """A 120-node path converges well inside 50 rounds only because of
+    the pointer-doubling step (plain neighbor-min needs ~120 rounds)."""
+    from oxi_diel_db_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dedup.dedup_clusters(pairs, max_iters=15).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == 121
+
+
+def test_dedup_clusters_raises_on_non_convergence(spark):
+    import pytest as _pytest
+
+    from oxi_diel_db_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "doc_a long, doc_b long"
+    )
+    with _pytest.raises(RuntimeError, match="no convergence"):
+        dedup.dedup_clusters(pairs, max_iters=2)
