@@ -225,10 +225,18 @@ def ivf_search(
     id_col: str = "vec_id",
     probe_id_col: str = "query_id",
     vec_col: str = "embedding",
+    broadcast_probes: bool = True,
 ) -> DataFrame:
     """Query side of the IVF index: route each probe to its nprobe
     nearest centroids, score only those cells' members. Cost per query
-    batch ≈ |probes| × |corpus| × nprobe / n_centroids pair scores."""
+    batch ≈ |probes| × |corpus| × nprobe / n_centroids pair scores.
+
+    broadcast_probes=True ships the routed probe batch to every executor
+    (right for the common case: probe batches of thousands against a
+    large corpus). For probe batches in the millions the broadcast
+    would OOM the driver — pass False to shuffle-hash-join on cell
+    instead (both sides exchange on the ~n_centroids cell keys; a hot
+    cell is AQE skew-join territory, or raise n_centroids)."""
     p = probes.select(
         F.col(probe_id_col).alias("query_id"), as_double(vec_col).alias("pv")
     ).withColumn("pn", norm(F.col("pv")))
@@ -250,9 +258,9 @@ def ivf_search(
     cos = F.round(
         dot(F.col("pv"), F.col("cv")) / (F.col("pn") * F.col("cn")), 6
     ) + F.lit(0.0)
+    left = F.broadcast(routed) if broadcast_probes else routed.hint("shuffle_hash")
     scored = (
-        F.broadcast(routed)
-        .join(assigned, "cell")
+        left.join(assigned, "cell")
         .filter(F.col("query_id") != F.col(id_col))
         .select("query_id", F.col(id_col).alias("neighbor_id"), cos.alias("cos"))
     )

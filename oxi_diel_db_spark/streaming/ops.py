@@ -40,6 +40,80 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- transformation builders (batch/stream agnostic) ----------------------
 
 
+EVENTS_JSON_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def parse_kafka_events(raw: DataFrame) -> DataFrame:
+    """Kafka wire format → events rows: the value payload is a JSON
+    event document; malformed payloads land with NULL fields rather
+    than killing the stream (from_json is PERMISSIVE), and the Kafka
+    ingest timestamp is kept as kafka_ts for lag monitoring.
+
+    Split out from read_events_kafka so the parse logic is testable
+    without a broker (tests feed a manufactured key/value frame)."""
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), EVENTS_JSON_SCHEMA).alias("e"),
+        F.col("timestamp").alias("kafka_ts"),
+    ).select("e.*", "kafka_ts")
+
+
+def read_events_kafka(
+    spark: SparkSession,
+    brokers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+) -> DataFrame:
+    """Production source line for the events stream (T8): swap this for
+    read_events_stream and every operator below runs unchanged — that
+    is Structured Streaming's source abstraction doing its job.
+
+    Requires org.apache.spark:spark-sql-kafka-0-10 on the classpath
+    (--packages); not bundled with pyspark, so this path is exercised
+    in tests only through parse_kafka_events. maxOffsetsPerTrigger is
+    the batch-size governor at scale: without it the first trigger
+    after downtime reads the whole backlog into one micro-batch."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    return parse_kafka_events(reader.load())
+
+
+def read_rate_events(
+    spark: SparkSession, rows_per_second: int = 1000, partitions: int = 4
+) -> DataFrame:
+    """Rate-source synthetic events — the built-in load generator, used
+    to smoke-test the streaming operator chain end-to-end with no
+    external system. Deterministic per (value) row: event fields derive
+    from the monotonic counter, so a given prefix of the stream always
+    contains the same events."""
+    raw = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .option("numPartitions", str(partitions))
+        .load()
+    )
+    return raw.select(
+        F.col("value").alias("event_id"),
+        F.col("timestamp").alias("ts"),
+        (F.col("value") % 97).alias("user_id"),
+        F.element_at(
+            F.array(F.lit("view"), F.lit("click"), F.lit("purchase")),
+            (F.col("value") % 3 + 1).cast("int"),
+        ).alias("event_type"),
+        (F.col("value") % 1000 / 10.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+
+
 def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
     """T1: tumbling event-time window aggregation."""
     return (

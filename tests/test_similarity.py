@@ -94,3 +94,20 @@ def test_ivf_cells_partition_corpus(spark, emb):
     cents = similarity._seed_centroids(c, 8, "vec_id", 42)
     assert len(cents) == 8
     assert len({cid for cid, _, _ in cents}) == 8
+
+
+def test_ivf_shuffled_probe_join_matches_broadcast(spark, emb):
+    """broadcast_probes=False (the million-probe scale path: shuffle-hash
+    join on cell) must return exactly the broadcast path's results."""
+    probes = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    assigned, cents = similarity.ivf_index(emb, n_centroids=8)
+    bc = similarity.ivf_search(assigned, cents, probes, k=5, nprobe=3)
+    sh = similarity.ivf_search(
+        assigned, cents, probes, k=5, nprobe=3, broadcast_probes=False
+    )
+    assert sorted(map(tuple, bc.collect())) == sorted(map(tuple, sh.collect()))
+    # the scale path must not contain a broadcast of the probe side
+    plan = sh._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan

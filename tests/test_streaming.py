@@ -318,3 +318,57 @@ def test_rollup_compaction_keeps_concurrent_deltas(spark, tmp_path):
     assert {tuple(r) for r in ops.read_rollup(spark, out).collect()} == exp
     assert not os.path.exists(out + "/compacted/deadbeef_orphan")
     assert not glob.glob(out + "/deltas/*.parquet")
+
+
+def test_parse_kafka_events(spark):
+    """Kafka JSON payload parse (the broker-free half of the Kafka
+    source): good payloads land typed, malformed ones land NULL."""
+    import json
+
+    good = json.dumps({"event_id": 7, "ts": "2024-01-01T10:30:00",
+                       "user_id": 3, "event_type": "click",
+                       "value": 1.5, "props": "{}"})
+    raw = spark.createDataFrame(
+        [(b"k1", good.encode(), dt.datetime(2024, 1, 1, 10, 30, 5)),
+         (b"k2", b"not json at all", dt.datetime(2024, 1, 1, 10, 30, 6))],
+        "key binary, value binary, timestamp timestamp",
+    )
+    rows = {r["event_id"]: r for r in ops.parse_kafka_events(raw).collect()}
+    assert rows[7]["event_type"] == "click"
+    assert rows[7]["value"] == 1.5
+    assert rows[7]["ts"] == dt.datetime(2024, 1, 1, 10, 30)
+    assert rows[7]["kafka_ts"] == dt.datetime(2024, 1, 1, 10, 30, 5)
+    assert None in rows  # malformed payload → NULL fields, stream alive
+
+
+def test_rate_source_feeds_operator_chain(spark):
+    """The rate source drives the same tumbling aggregate used on the
+    file/Kafka sources — end-to-end streaming smoke with no external
+    system. The source is unbounded, so the query runs for a bounded
+    wall-clock window and is then stopped (no processAllAvailable)."""
+    import time
+    import uuid
+
+    ev = ops.read_rate_events(spark, rows_per_second=500)
+    agg = ops.tumbling_counts(ev, width="1 minute")
+    name = f"rate_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        deadline = time.time() + 45
+        rows = []
+        while time.time() < deadline:
+            rows = spark.table(name).collect()
+            if rows and sum(r["n"] for r in rows) >= 500:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    assert rows, "rate source produced no micro-batch output"
+    assert {r["event_type"] for r in rows} <= {"view", "click", "purchase"}
+    assert all(r["n"] > 0 for r in rows)
