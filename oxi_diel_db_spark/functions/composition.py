@@ -199,6 +199,44 @@ ATOMIC_MASS = {
 
 AMU_PER_A3_TO_G_CM3 = 1.66053906660  # 1 amu/Å³ in g/cm³
 
+# Covalent radii in Å (public tabulated values, Cordero et al. 2008,
+# "Covalent radii revisited", Dalton Trans.; low-spin values for the
+# spin-dependent 3d metals Mn/Fe/Co). Backs the packing-fraction
+# featurizer — the AtomicPackingEfficiency-analog of SURVEY §2.9 that
+# was data-blocked in round 1.
+COVALENT_RADIUS = {
+    "H": 0.31, "Li": 1.28, "Be": 0.96, "B": 0.84, "C": 0.76, "N": 0.71,
+    "O": 0.66, "F": 0.57, "Na": 1.66, "Mg": 1.41, "Al": 1.21, "Si": 1.11,
+    "P": 1.07, "S": 1.05, "Cl": 1.02, "K": 2.03, "Ca": 1.76, "Sc": 1.70,
+    "Ti": 1.60, "V": 1.53, "Cr": 1.39, "Mn": 1.39, "Fe": 1.32, "Co": 1.26,
+    "Ni": 1.24, "Cu": 1.32, "Zn": 1.22, "Ga": 1.22, "Ge": 1.20, "As": 1.19,
+    "Se": 1.20, "Br": 1.20, "Rb": 2.20, "Sr": 1.95, "Y": 1.90, "Zr": 1.75,
+    "Nb": 1.64, "Mo": 1.54, "Tc": 1.47, "Ru": 1.46, "Rh": 1.42, "Pd": 1.39,
+    "Ag": 1.45, "Cd": 1.44, "In": 1.42, "Sn": 1.39, "Sb": 1.39, "Te": 1.38,
+    "I": 1.39, "Cs": 2.44, "Ba": 2.15, "La": 2.07, "Ce": 2.04, "Pr": 2.03,
+    "Nd": 2.01, "Sm": 1.98, "Eu": 1.98, "Gd": 1.96, "Tb": 1.94, "Dy": 1.92,
+    "Ho": 1.92, "Er": 1.89, "Tm": 1.90, "Yb": 1.87, "Lu": 1.87, "Hf": 1.75,
+    "Ta": 1.70, "W": 1.62, "Re": 1.51, "Os": 1.44, "Ir": 1.41, "Pt": 1.36,
+    "Au": 1.36, "Hg": 1.32, "Tl": 1.45, "Pb": 1.46, "Bi": 1.48, "Th": 2.06,
+    "U": 1.96,
+}
+
+
+def radius_map_expr() -> Column:
+    kv = [
+        x
+        for el, r in sorted(COVALENT_RADIUS.items())
+        for x in (F.lit(el), F.lit(r))
+    ]
+    return F.create_map(*kv)
+
+
+def sql_radius_case(var: str) -> str:
+    whens = " ".join(
+        f"WHEN '{el}' THEN {r}" for el, r in sorted(COVALENT_RADIUS.items())
+    )
+    return f"CAST((CASE {var} {whens} ELSE NULL END) AS DOUBLE)"
+
 
 def mass_map_expr() -> Column:
     kv = [x for el, m in sorted(ATOMIC_MASS.items()) for x in (F.lit(el), F.lit(m))]

@@ -627,6 +627,66 @@ def ml2_linear_regression(spark, sf_dir):
     )
 
 
+@register(
+    "m27_packing_fraction",
+    oracle=f"""
+    SELECT mp_id,
+           ROUND(sphere_vol / volume, 6) AS packing_fraction,
+           ROUND(sphere_vol / n_sites, 6) AS mean_atom_vol
+    FROM (
+      SELECT mp_id,
+             ANY_VALUE(structure.lattice.volume) AS volume,
+             COUNT(*) AS n_sites,
+             SUM(4.0 / 3.0 * pi() * pow({{rad_case}}, 3)) AS sphere_vol
+      FROM (
+        SELECT mp_id, structure, unnest(structure.sites) AS site FROM {_MAT}
+      ) AS exploded,
+      LATERAL (SELECT site.species[1].element AS el) AS species
+      GROUP BY mp_id
+    )
+    """.format(rad_case=C.sql_radius_case("el")),
+)
+def m27_packing_fraction(spark, sf_dir):
+    """§2.9 AtomicPackingEfficiency analog (data-blocked in round 1;
+    now backed by the public Cordero-2008 covalent radii in
+    composition.COVALENT_RADIUS): Σ_sites (4/3)π r³ / cell volume, plus
+    the mean atomic sphere volume. Covalent spheres overlap in bonded
+    solids, so the fraction is a RELATIVE compactness feature (ranking/
+    model input), not a physical sphere-packing density. Same plan as
+    m21: explode sites, literal-map radius lookup, one hash aggregate."""
+    m = M.materials(spark)
+    sites = m.select(
+        "mp_id",
+        F.col("structure.lattice.volume").alias("volume"),
+        F.explode("structure.sites").alias("site"),
+    ).select(
+        "mp_id",
+        "volume",
+        F.element_at(F.col("site.species"), 1)["element"].alias("el"),
+    )
+    rad = C.radius_map_expr()
+    import math
+
+    sphere = F.lit(4.0 / 3.0 * math.pi) * F.pow(rad[F.col("el")], 3)
+    return (
+        sites.groupBy("mp_id")
+        .agg(
+            F.any_value("volume").alias("volume"),
+            F.count(F.lit(1)).alias("n_sites"),
+            F.sum(sphere).alias("sphere_vol"),
+        )
+        .select(
+            "mp_id",
+            F.round(F.col("sphere_vol") / F.col("volume"), 6).alias(
+                "packing_fraction"
+            ),
+            F.round(F.col("sphere_vol") / F.col("n_sites"), 6).alias(
+                "mean_atom_vol"
+            ),
+        )
+    )
+
+
 @register("ml3_feature_importances", oracle=None)  # model internals — rows-only
 def ml3_feature_importances(spark, sf_dir):
     """RF feature importances for the el model, ranked — the engine twin
@@ -657,3 +717,49 @@ def ml4_cross_validation(spark, sf_dir):
     from oxi_diel_db_spark.ml import pipeline as P
 
     return P.cross_validate(M.materials(spark), which="el")
+
+
+@register("ml5_kmeans_embeddings", oracle=None)  # iterative — rows-only
+def ml5_kmeans_embeddings(spark, sf_dir):
+    """MLlib clustering surface: seeded KMeans over the embedding
+    column, reporting per-cluster size and mean distance to centroid.
+    Iterative Lloyd refinement has no SQL form → rows-only; the
+    clustered fixture (20 true centers) is asserted in tests/test_ml.py
+    (k=20 must recover near-balanced clusters). At 100 TB this is the
+    centroid-train step of the IVF index build: train on a sample,
+    assign the full corpus with the literal-centroid expressions of
+    operators/similarity.ivf_index."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    from oxi_diel_db_spark.functions.vectors import as_double
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(as_double("embedding")).alias("features")
+    )
+    km = KMeans(k=20, seed=42, maxIter=10, initMode="k-means||")
+    model = km.fit(emb)
+    pred = model.transform(emb)
+    centers = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "prediction int, center array<double>",
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                vector_to_array("features"),
+                F.col("center"),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        pred.join(F.broadcast(centers), "prediction")
+        .groupBy(F.col("prediction").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(dist), 6).alias("mean_dist"),
+        )
+    )

@@ -577,3 +577,107 @@ def q51_large_volume(spark, sf_dir):
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
     )
+
+
+@register(
+    "q58_volume_shipping",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {sql_sum_money('volume')} AS revenue,
+           COUNT(*) AS n_items
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             YEAR(l_shipdate) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q58_volume_shipping(spark, sf_dir):
+    """TPC-H-Q7-shaped volume shipping (J3): the nation dim enters the
+    join TWICE (supplier's and customer's nation) with a symmetric OR
+    pair condition. Each nation side pre-filters to the two names of
+    interest BEFORE its broadcast join (the IN-filter is pushable even
+    though the OR pair condition is not), so the broadcast tables carry
+    2 rows, and the pair condition runs as a cheap post-join filter.
+    lineitem⋈orders stays the only big-big edge."""
+    two = ["NATION_1", "NATION_2"]
+    n1 = t(spark, sf_dir, "nation").filter(F.col("n_name").isin(two)).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t(spark, sf_dir, "nation").filter(F.col("n_name").isin(two)).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    s = t(spark, sf_dir, "supplier")
+    c = t(spark, sf_dir, "customer")
+    l = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1996-01-01", "1997-12-31")
+    )
+    o = t(spark, sf_dir, "orders")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            sum_money(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q59_promo_revenue",
+    oracle=f"""
+    SELECT YEAR(l_shipdate) AS l_year, MONTH(l_shipdate) AS l_month,
+           CAST({sql_sum_money("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")} AS DOUBLE) AS promo_revenue,
+           {sql_sum_money('l_extendedprice * (1 - l_discount)')} AS total_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-07-01'
+    GROUP BY 1, 2
+    """,
+)
+def q59_promo_revenue(spark, sf_dir):
+    """TPC-H-Q14-shaped promo revenue (J3 + A11): fact-to-dim join on
+    partkey with a conditional revenue split by part type, monthly. The
+    part dim broadcasts (pruned to partkey+type by column pruning); the
+    promo/total ratio is left to the reader so both sums stay exact
+    cents (a ratio of exact cent-sums is bit-identical cross-engine,
+    but keeping the addends is the more reusable shape)."""
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("date"))
+    )
+    p = t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(
+            F.year("l_shipdate").alias("l_year"),
+            F.month("l_shipdate").alias("l_month"),
+        )
+        .agg(
+            sum_money(
+                F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)),
+                "promo_revenue",
+            ),
+            sum_money(rev, "total_revenue"),
+        )
+    )

@@ -261,3 +261,33 @@ def test_paren_corpus_atom_totals(spark):
     assert bad.count() == 0, bad.limit(5).collect()
     n_paren = mats.filter(F.col("formula").contains("(")).count()
     assert n_paren == 189
+
+
+def test_packing_fraction_matches_numpy(spark):
+    """m27 vs a direct numpy computation for one material."""
+    from oxi_diel_db_spark.queries.extras import m27_packing_fraction
+    from oxi_diel_db_spark.sources import materials as M
+
+    got = {
+        r["mp_id"]: r
+        for r in m27_packing_fraction(spark, None)
+        .filter(F.col("mp_id") == "mp-4747")
+        .collect()
+    }["mp-4747"]
+    rec = (
+        M.materials(spark)
+        .filter(F.col("mp_id") == "mp-4747")
+        .select(
+            F.col("structure.lattice.volume").alias("vol"),
+            F.expr("transform(structure.sites, s -> s.species[0].element)").alias("els"),
+        )
+        .collect()[0]
+    )
+    sphere = sum(
+        4 / 3 * np.pi * C.COVALENT_RADIUS[e] ** 3 for e in rec["els"]
+    )
+    assert abs(got["packing_fraction"] - round(sphere / rec["vol"], 6)) < 2e-6
+    assert abs(got["mean_atom_vol"] - round(sphere / len(rec["els"]), 6)) < 2e-6
+    # sanity: covalent spheres overlap, but the fraction must be a
+    # plausible compactness number for an oxide, not garbage
+    assert 0.05 < got["packing_fraction"] < 1.5

@@ -116,3 +116,17 @@ def test_cross_validation_grid_reproducible(spark):
     assert ranks == [1, 2]
     b = P.cross_validate(M.materials(spark), which="el").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_kmeans_recovers_clustered_fixture(spark):
+    """ml5: the embeddings fixture has 20 true centers; seeded k=20
+    KMeans must produce 20 non-degenerate clusters with tight spread."""
+    from oxi_diel_db_spark.queries.extras import ml5_kmeans_embeddings
+
+    rows = ml5_kmeans_embeddings(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 20
+    n_total = sum(r["n"] for r in rows)
+    assert all(r["n"] > 0 for r in rows)
+    # near-balanced: no cluster hoards more than 3x its fair share
+    assert max(r["n"] for r in rows) <= 3 * n_total / 20
+    assert all(r["mean_dist"] >= 0 for r in rows)
