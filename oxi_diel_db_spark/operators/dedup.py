@@ -72,7 +72,12 @@ def _exploded_shingles(
 
 def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
     """(id, shingle) distinct — the inverted-index base relation."""
-    return _exploded_shingles(docs, id_col, text_col, n).distinct()
+    # pre_shuffle=False: the distinct's own exchange already gives the
+    # downstream join full parallelism, and the extra doc-id exchange
+    # measured SLOWER here (4.1 s vs 2.3 s at sf0.1) — unlike the
+    # minhash path, where the chain feeds a groupBy directly and the
+    # pre-shuffle is the only thing spreading the regex work.
+    return _exploded_shingles(docs, id_col, text_col, n, pre_shuffle=False).distinct()
 
 
 def ngram_jaccard_pairs(
