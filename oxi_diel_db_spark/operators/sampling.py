@@ -16,13 +16,25 @@ every engine, so no integer conversion is ever needed.
 * hash_sample            — keep rows where hex8(md5) < hex8(rate·2^32).
 * stratified_hash_sample — per-stratum thresholds, same gate.
 * deterministic_shuffle  — global rank by the hash: a reproducible
-  permutation (ORDER BY = range-partitioned sample sort — scalable).
+  permutation, computed scale-out (bucketed two-pass, below).
 * pack_sequences         — greedy streaming packing of documents into
   fixed-token-budget bins in shuffle order: running cumsum of clamped
-  token counts, bin id = floor((cumsum - tokens)/budget). One window
-  pass; at 100 TB partition the window by a hash prefix (bins then
-  never span partitions).
-"""
+  token counts, bin id = floor((cumsum - tokens)/budget).
+
+Global-order scalability: a bare ``ROW_NUMBER() OVER (ORDER BY h)`` /
+global cumsum window collapses every row into ONE partition — fine at
+test scale, fatal at 100 TB. Both order-dependent ops here instead use
+a **deterministic bucketed two-pass**: bucket = integer value of the
+first k hex chars of the hash (a PREFIX of the sort key, so
+(bucket, h, key) order ≡ (h, key) order, and bucketing needs no
+data-dependent range sampling); pass 1 aggregates one count/sum per
+bucket (map-side-combined, 16^k rows); offsets = exclusive prefix sum
+over that tiny table (single-partition window over ≤16^k rows — the
+data itself never single-partitions); pass 2 broadcast-joins the
+offsets back and ranks/cumsums WITHIN each bucket. Output is
+bit-identical to the global window at every cluster size. Cost: the
+input is scanned twice (cache/persist upstream if it is expensive to
+recompute)."""
 
 from __future__ import annotations
 
@@ -67,13 +79,42 @@ def stratified_hash_sample(
     return df.filter(hash_hex8(key, seed) < thresh)
 
 
-def deterministic_shuffle(df: DataFrame, key: str, seed: int = 42) -> DataFrame:
-    """Attach a reproducible permutation rank (1..N)."""
-    return df.withColumn(
-        "shuffle_rank",
-        F.row_number().over(
-            Window.orderBy(hash_hex8(key, seed).asc(), F.col(key).asc())
-        ),
+def _bucket_col(h: Column, bucket_chars: int) -> Column:
+    """Bucket id = numeric value of the hash's first ``bucket_chars``
+    hex chars. A prefix of the sort key, so bucket order refines into
+    hash order — and it is a pure function of the row (no range
+    sampling, no nondeterminism between the two passes)."""
+    return F.conv(F.substring(h, 1, bucket_chars), 16, 10).cast("int")
+
+
+def _bucket_offsets(prepared: DataFrame, value: Column) -> DataFrame:
+    """(bucket, exclusive-prefix-sum of ``value`` over lower buckets).
+    The inner window runs over at most 16^bucket_chars aggregate rows,
+    never over the data — single-partition there is intentional."""
+    tot = prepared.groupBy("__b").agg(F.sum(value).alias("__n"))
+    w = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    return tot.select(
+        "__b", F.coalesce(F.sum("__n").over(w), F.lit(0)).alias("__off")
+    )
+
+
+def deterministic_shuffle(
+    df: DataFrame, key: str, seed: int = 42, bucket_chars: int = 2
+) -> DataFrame:
+    """Attach a reproducible permutation rank (1..N).
+
+    Scale-out global row-number: per-bucket counts → broadcast offsets
+    → row_number within bucket + offset (see module docstring). With
+    bucket_chars=2 the rank shuffle fans out over 256 hash buckets;
+    use 3-4 at cluster scale (4096/65536 buckets)."""
+    h = hash_hex8(key, seed)
+    prepared = df.withColumn("__h", h).withColumn("__b", _bucket_col(h, bucket_chars))
+    off = _bucket_offsets(prepared, F.lit(1))
+    w = Window.partitionBy("__b").orderBy(F.col("__h").asc(), F.col(key).asc())
+    return (
+        prepared.join(F.broadcast(off), "__b")
+        .withColumn("shuffle_rank", F.row_number().over(w) + F.col("__off"))
+        .drop("__b", "__h", "__off")
     )
 
 
@@ -83,18 +124,37 @@ def pack_sequences(
     token_col: str,
     budget: int = 4096,
     seed: int = 42,
+    bucket_chars: int = 2,
 ) -> DataFrame:
     """Cumsum sequence packing: consecutive docs in shuffle order are
-    bucketed at budget boundaries of the running token total. One
-    window pass of exact integer math → deterministic and
-    oracle-checkable. A bin whose last doc straddles the boundary can
-    exceed the budget by < that doc's (clamped) size — i.e. every bin
-    total < 2·budget; use pack_sequences_greedy for a strict cap.
-    """
-    w = Window.orderBy(hash_hex8(key, seed).asc(), F.col(key).asc())
+    bucketed at budget boundaries of the running token total. Exact
+    integer math → deterministic and oracle-checkable. A bin whose
+    last doc straddles the boundary can exceed the budget by < that
+    doc's (clamped) size — i.e. every bin total < 2·budget; use
+    pack_sequences_greedy for a strict cap.
+
+    The running total is the same bucketed two-pass as
+    deterministic_shuffle: per-bucket token sums → broadcast exclusive
+    offsets → within-bucket cumsum + offset. Identical bins at every
+    parallelism."""
+    h = hash_hex8(key, seed)
     clamped = F.least(F.col(token_col).cast("bigint"), F.lit(budget))
-    cum = F.sum(clamped).over(w.rowsBetween(Window.unboundedPreceding, 0))
-    return df.withColumn("bin_id", F.floor((cum - clamped) / budget))
+    prepared = (
+        df.withColumn("__h", h)
+        .withColumn("__b", _bucket_col(h, bucket_chars))
+        .withColumn("__ct", clamped)
+    )
+    off = _bucket_offsets(prepared, F.col("__ct"))
+    w = Window.partitionBy("__b").orderBy(F.col("__h").asc(), F.col(key).asc())
+    cum = (
+        F.sum("__ct").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        + F.col("__off")
+    )
+    return (
+        prepared.join(F.broadcast(off), "__b")
+        .withColumn("bin_id", F.floor((cum - F.col("__ct")) / budget))
+        .drop("__b", "__h", "__ct", "__off")
+    )
 
 
 def pack_sequences_greedy(

@@ -156,3 +156,20 @@ def test_asof_explicit_repartition_reused_by_window(spark):
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
     plan = df._jdf.queryExecution().explainString(mode)
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_deterministic_shuffle_rank_fans_out(spark):
+    """p3's global row-number must NOT single-partition the data: the
+    rank window partitions by the hash-prefix bucket (Exchange
+    hashpartitioning(__b)), and the only SinglePartition exchange in
+    the plan feeds the <=256-row bucket-offset aggregate."""
+    plan = plan_of(spark, "p3_deterministic_shuffle")
+    assert "hashpartitioning(__b" in plan  # data-side rank shuffle fans out
+    # offsets prefix-sum is the lone single-partition stage (tiny agg)
+    assert plan.count("SinglePartition") <= 1
+
+
+def test_pack_sequences_cumsum_fans_out(spark):
+    plan = plan_of(spark, "p4_sequence_packing")
+    assert "hashpartitioning(__b" in plan
+    assert plan.count("SinglePartition") <= 1

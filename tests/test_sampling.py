@@ -113,3 +113,38 @@ def test_capped_sample_per_key(spark):
     a = sorted(r["id"] for r in sampling.capped_sample_per_key(df, "k", "id", 10, seed=3).collect())
     b = sorted(r["id"] for r in sampling.capped_sample_per_key(df.repartition(9), "k", "id", 10, seed=3).collect())
     assert a == b
+
+
+def test_bucketed_rank_equals_global_window(spark):
+    """The bucketed two-pass must be bit-identical to the naive global
+    ORDER BY window it replaces, at any bucket width."""
+    from pyspark.sql import Window
+
+    from oxi_diel_db_spark.operators.sampling import (
+        deterministic_shuffle,
+        hash_hex8,
+        pack_sequences,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", F.length("text").alias("n_tok")
+    )
+    naive = docs.withColumn(
+        "shuffle_rank",
+        F.row_number().over(Window.orderBy(hash_hex8("doc_id", 7).asc(), F.col("doc_id").asc())),
+    )
+    for chars in (1, 2):
+        got = deterministic_shuffle(docs, "doc_id", seed=7, bucket_chars=chars)
+        assert got.exceptAll(naive).count() == 0 and naive.exceptAll(got).count() == 0
+
+    w = Window.orderBy(hash_hex8("doc_id", 7).asc(), F.col("doc_id").asc())
+    clamped = F.least(F.col("n_tok").cast("bigint"), F.lit(512))
+    naive_pack = docs.withColumn(
+        "bin_id",
+        F.floor(
+            (F.sum(clamped).over(w.rowsBetween(Window.unboundedPreceding, 0)) - clamped) / 512
+        ),
+    )
+    got_pack = pack_sequences(docs, "doc_id", "n_tok", budget=512, seed=7)
+    assert got_pack.exceptAll(naive_pack).count() == 0
+    assert naive_pack.exceptAll(got_pack).count() == 0
