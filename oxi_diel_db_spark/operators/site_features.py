@@ -173,3 +173,79 @@ def local_property_difference(materials: DataFrame, cutoff: float = 5.0) -> Data
             yield pd.DataFrame(out)
 
     return slim.mapInPandas(_lpd, schema=LPD_SCHEMA)
+
+
+OP_SCHEMA = "mp_id string, site_idx int, q4 double, q6 double, q_tet double"
+
+
+def site_order_parameters(materials: DataFrame, cutoff: float = 3.0) -> DataFrame:
+    """OPSiteFingerprint analog (§2.9; reference ml_prediction.py:186,226):
+    per-site bond-orientational order parameters, scipy-free.
+
+    * Steinhardt q4/q6 over neighbors within ``cutoff``, via the
+      spherical-harmonic addition theorem — Σ_m |⟨Y_lm⟩|² reduces to a
+      double sum of Legendre polynomials over neighbor-PAIR angles:
+      q_l = sqrt( Σ_{j,k∈N(i)} P_l(û_ij·û_ik) / |N(i)|² )  (j=k included,
+      P_l(1)=1), so only P4/P6 polynomials are needed, no Y_lm code.
+    * q_tet (Errington–Debenedetti) over the 4 nearest neighbors:
+      1 − 3/8 Σ_{j<k} (cosθ_jk + 1/3)².
+
+    Same in-cell (non-periodic) pairwise kernel as the other site
+    featurizers here. Every per-row float expression mirrors the SQL
+    oracle's shape exactly (dx*dx+dy*dy left-assoc, c*c not pow) so the
+    only cross-engine drift is aggregation order, absorbed by round-6.
+    NULL when a site has no neighbor in the cutoff (q4/q6) or fewer
+    than 2 other sites (q_tet)."""
+    slim = materials.select("mp_id", F.col("structure.sites.xyz").alias("xyz"))
+    third = 1.0 / 3.0
+
+    def _ops(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"mp_id": [], "site_idx": [], "q4": [], "q6": [], "q_tet": []}
+            for mp_id, xyz in zip(pdf["mp_id"], pdf["xyz"]):
+                pts = np.array([np.asarray(p, dtype=float) for p in xyz])
+                n = len(pts)
+                dx = pts[None, :, 0] - pts[:, None, 0]
+                dy = pts[None, :, 1] - pts[:, None, 1]
+                dz = pts[None, :, 2] - pts[:, None, 2]
+                d = np.sqrt(dx * dx + dy * dy + dz * dz)
+                np.fill_diagonal(d, np.inf)
+                for i in range(n):
+                    nbr = np.where(d[i] <= cutoff)[0]
+                    q4 = q6 = None
+                    if len(nbr):
+                        ux = dx[i, nbr] / d[i, nbr]
+                        uy = dy[i, nbr] / d[i, nbr]
+                        uz = dz[i, nbr] / d[i, nbr]
+                        c = (
+                            ux[:, None] * ux[None, :]
+                            + uy[:, None] * uy[None, :]
+                            + uz[:, None] * uz[None, :]
+                        )
+                        c2 = c * c
+                        p4 = (35.0 * c2 * c2 - 30.0 * c2 + 3.0) / 8.0
+                        p6 = (231.0 * c2 * c2 * c2 - 315.0 * c2 * c2 + 105.0 * c2 - 5.0) / 16.0
+                        m2 = float(len(nbr) * len(nbr))
+                        q4 = float(np.sqrt(max(p4.sum() / m2, 0.0)))
+                        q6 = float(np.sqrt(max(p6.sum() / m2, 0.0)))
+                    q_tet = None
+                    if n >= 3:
+                        order = np.lexsort((np.arange(n), d[i]))[: min(4, n - 1)]
+                        ux = dx[i, order] / d[i, order]
+                        uy = dy[i, order] / d[i, order]
+                        uz = dz[i, order] / d[i, order]
+                        acc = 0.0
+                        for a in range(len(order)):
+                            for b in range(a + 1, len(order)):
+                                cc = ux[a] * ux[b] + uy[a] * uy[b] + uz[a] * uz[b]
+                                t = cc + third
+                                acc += t * t
+                        q_tet = 1.0 - 3.0 / 8.0 * acc
+                    out["mp_id"].append(mp_id)
+                    out["site_idx"].append(i)
+                    out["q4"].append(q4)
+                    out["q6"].append(q6)
+                    out["q_tet"].append(q_tet)
+            yield pd.DataFrame(out)
+
+    return slim.mapInPandas(_ops, schema=OP_SCHEMA)

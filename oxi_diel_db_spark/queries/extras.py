@@ -386,6 +386,86 @@ def m20_gaussian_symm(spark, sf_dir):
 
 
 @register(
+    "m28_site_order_params",
+    oracle=f"""
+    WITH s AS (
+      SELECT mp_id, t.idx AS idx, structure.sites[t.idx].xyz AS xyz
+      FROM {_MAT}, UNNEST(range(1, len(structure.sites) + 1)) AS t(idx)
+    ),
+    p AS (
+      SELECT a.mp_id, a.idx AS i, b.idx AS j,
+             sqrt((b.xyz[1] - a.xyz[1]) * (b.xyz[1] - a.xyz[1])
+                + (b.xyz[2] - a.xyz[2]) * (b.xyz[2] - a.xyz[2])
+                + (b.xyz[3] - a.xyz[3]) * (b.xyz[3] - a.xyz[3])) AS d,
+             b.xyz[1] - a.xyz[1] AS vx,
+             b.xyz[2] - a.xyz[2] AS vy,
+             b.xyz[3] - a.xyz[3] AS vz
+      FROM s a JOIN s b ON a.mp_id = b.mp_id AND a.idx <> b.idx
+    ),
+    nbr AS (
+      SELECT mp_id, i, j, vx / d AS ux, vy / d AS uy, vz / d AS uz
+      FROM p WHERE d <= 3.0
+    ),
+    ql AS (
+      SELECT n1.mp_id, n1.i,
+             n1.ux * n2.ux + n1.uy * n2.uy + n1.uz * n2.uz AS c
+      FROM nbr n1 JOIN nbr n2 ON n1.mp_id = n2.mp_id AND n1.i = n2.i
+    ),
+    qs AS (
+      SELECT mp_id, i,
+             sqrt(GREATEST(SUM((35.0 * c2 * c2 - 30.0 * c2 + 3.0) / 8.0) / COUNT(*), 0.0)) AS q4,
+             sqrt(GREATEST(SUM((231.0 * c2 * c2 * c2 - 315.0 * c2 * c2 + 105.0 * c2 - 5.0) / 16.0) / COUNT(*), 0.0)) AS q6
+      FROM (SELECT mp_id, i, c * c AS c2 FROM ql)
+      GROUP BY mp_id, i
+    ),
+    rk AS (
+      SELECT mp_id, i, vx / d AS ux, vy / d AS uy, vz / d AS uz,
+             ROW_NUMBER() OVER (PARTITION BY mp_id, i ORDER BY d, j) AS rn
+      FROM p
+    ),
+    nn4 AS (SELECT * FROM rk WHERE rn <= 4),
+    tp AS (
+      SELECT a.mp_id, a.i,
+             (a.ux * b.ux + a.uy * b.uy + a.uz * b.uz + CAST(1 AS DOUBLE) / 3) AS t
+      FROM nn4 a JOIN nn4 b ON a.mp_id = b.mp_id AND a.i = b.i AND a.rn < b.rn
+    ),
+    tet AS (
+      SELECT mp_id, i, 1.0 - CAST(3 AS DOUBLE) / 8 * SUM(t * t) AS q_tet
+      FROM tp GROUP BY mp_id, i
+    )
+    SELECT s.mp_id,
+           ROUND(AVG(q4), 6) + 0 AS mean_q4,
+           ROUND(STDDEV_POP(q4), 6) + 0 AS std_q4,
+           ROUND(AVG(q6), 6) + 0 AS mean_q6,
+           ROUND(AVG(q_tet), 6) + 0 AS mean_tet,
+           COUNT(q_tet) AS n_tet_sites
+    FROM s
+    LEFT JOIN qs ON s.mp_id = qs.mp_id AND s.idx = qs.i
+    LEFT JOIN tet ON s.mp_id = tet.mp_id AND s.idx = tet.i
+    GROUP BY s.mp_id
+    """,
+)
+def m28_site_order_params(spark, sf_dir):
+    """§2.9 OPSiteFingerprint analog (scipy-blocked in round 1; now a
+    scipy-free kernel): Steinhardt q4/q6 bond-orientational order via
+    the Legendre addition theorem + Errington–Debenedetti q_tet over
+    the 4 nearest neighbors, reduced to per-material stats (A1). The
+    oracle replays the identical geometry as a site self-join — unit
+    bond vectors → neighbor-pair cosines → P4/P6 polynomial sums — so
+    even this heavy site featurizer is value-hash-checked."""
+    from oxi_diel_db_spark.operators.site_features import site_order_parameters
+
+    per_site = site_order_parameters(M.materials(spark))
+    return per_site.groupBy("mp_id").agg(
+        r6(F.avg("q4"), "mean_q4"),
+        r6(F.stddev_pop("q4"), "std_q4"),
+        r6(F.avg("q6"), "mean_q6"),
+        r6(F.avg("q_tet"), "mean_tet"),
+        F.count("q_tet").alias("n_tet_sites"),
+    )
+
+
+@register(
     "m21_density",
     oracle=f"""
     SELECT mp_id,

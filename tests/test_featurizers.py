@@ -291,3 +291,35 @@ def test_packing_fraction_matches_numpy(spark):
     # sanity: covalent spheres overlap, but the fraction must be a
     # plausible compactness number for an oxide, not garbage
     assert 0.05 < got["packing_fraction"] < 1.5
+
+
+def test_site_order_parameters_analytic(spark):
+    """Closed-form checks: a perfect tetrahedral cage gives the center
+    q_tet = 1; a perfect octahedral cage gives q4 = sqrt(7/12),
+    q6 = sqrt(1/8) (Legendre sums: P4(0)=3/8, P6(0)=-5/16), and
+    q_tet = 1/2 over its first four neighbors."""
+    import math
+
+    from oxi_diel_db_spark.operators.site_features import site_order_parameters
+
+    s3 = 2.0 / math.sqrt(3.0)
+    tet = [[0.0, 0.0, 0.0]] + [
+        [s3, s3, s3], [s3, -s3, -s3], [-s3, s3, -s3], [-s3, -s3, s3]
+    ]
+    octa = [[0.0, 0.0, 0.0]] + [
+        [2.0, 0.0, 0.0], [-2.0, 0.0, 0.0], [0.0, 2.0, 0.0],
+        [0.0, -2.0, 0.0], [0.0, 0.0, 2.0], [0.0, 0.0, -2.0],
+    ]
+    df = spark.createDataFrame(
+        [("tet", {"sites": [{"xyz": p} for p in tet]}),
+         ("oct", {"sites": [{"xyz": p} for p in octa]})],
+        "mp_id string, structure struct<sites: array<struct<xyz: array<double>>>>",
+    )
+    rows = {
+        (r["mp_id"], r["site_idx"]): r
+        for r in site_order_parameters(df, cutoff=3.0).collect()
+    }
+    assert abs(rows[("tet", 0)]["q_tet"] - 1.0) < 1e-9
+    assert abs(rows[("oct", 0)]["q4"] - math.sqrt(7.0 / 12.0)) < 1e-9
+    assert abs(rows[("oct", 0)]["q6"] - math.sqrt(1.0 / 8.0)) < 1e-9
+    assert abs(rows[("oct", 0)]["q_tet"] - 0.5) < 1e-9
