@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from oxi_diel_db_spark.operators.asof import asof_join
 from oxi_diel_db_spark.queries import register
-from oxi_diel_db_spark.queries._util import cents, sql_sum_money, sum_money, t
+from oxi_diel_db_spark.queries._util import avg_money, cents, sql_avg_money, sql_sum_money, sum_money, t
 
 
 @register(
@@ -679,5 +679,177 @@ def q59_promo_revenue(spark, sf_dir):
                 "promo_revenue",
             ),
             sum_money(rev, "total_revenue"),
+        )
+    )
+
+
+@register(
+    "q60_priority_late_ships",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q60_priority_late_ships(spark, sf_dir):
+    """TPC-H-Q4 shape (order-priority checking): correlated EXISTS with
+    an inequality on BOTH tables' columns → left-semi join whose
+    condition mixes the equi key with a derived date bound, then a
+    single-key count. The semi join shuffles once on the key; the date
+    predicate rides along in the join condition (no pre-join
+    materialization of the correlated column)."""
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    )
+    l = t(spark, sf_dir, "lineitem")
+    late = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey)
+        & (l.l_shipdate > F.date_add(o.o_orderdate, 60)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@register(
+    "q61_custorder_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q61_custorder_distribution(spark, sf_dir):
+    """TPC-H-Q13 shape (customer order distribution): outer join with a
+    residual predicate INSIDE the join condition (not a post-filter —
+    unmatched customers must survive with count 0), then a two-level
+    aggregate whose second GROUP BY key is itself an aggregate."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q62_small_qty_revenue",
+    oracle=f"""
+    SELECT {sql_sum_money('l_extendedprice')} / 7.0 AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < 0.2 * (SELECT AVG(l_quantity) FROM lineitem l2
+                              WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def q62_small_qty_revenue(spark, sf_dir):
+    """TPC-H-Q17 shape (small-quantity-order revenue): a correlated
+    scalar AVG decorrelated into a per-part aggregate broadcast back
+    onto the fact table. l_quantity is integer-valued, so its plain AVG
+    is exact (integer sums commute) and the 0.2x threshold compares
+    identically cross-engine; the revenue output goes through the exact
+    cent-sum. The per-part averages are |part|-sized -> broadcast."""
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    avgs = l.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(avgs), l.l_partkey == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg((sum_money("l_extendedprice", "rev") / F.lit(7.0)).alias("avg_yearly"))
+        .select(F.col("avg_yearly"))
+    )
+
+
+@register(
+    "q63_disjunctive_filter",
+    oracle=f"""
+    SELECT {sql_sum_money('l_extendedprice * (1 - l_discount)')} AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q63_disjunctive_filter(spark, sf_dir):
+    """TPC-H-Q19 shape (disjunctive join predicates): three OR'd
+    conjunct groups spanning both join sides. Catalyst extracts the
+    common join key and pushes the per-side disjunction residuals below
+    the join (part is dim-sized -> broadcast), instead of evaluating
+    the whole OR as a post-join filter."""
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#12") & s.between(1, 5) & q.between(1, 11))
+        | ((b == "Brand#23") & s.between(1, 10) & q.between(10, 20))
+        | ((b == "Brand#34") & s.between(1, 15) & q.between(20, 30))
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            sum_money(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q64_idle_rich_customers",
+    oracle=f"""
+    SELECT c_nationkey, COUNT(*) AS numcust,
+           {sql_sum_money('c_acctbal')} AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT {sql_avg_money('c_acctbal')} FROM customer
+                       WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= DATE '1999-01-01')
+    GROUP BY c_nationkey
+    """,
+)
+def q64_idle_rich_customers(spark, sf_dir):
+    """TPC-H-Q22 shape (global-sales-opportunity): an uncorrelated
+    scalar subquery (above-average balance, computed via the exact
+    cent-sum so the threshold is bit-identical cross-engine) gating an
+    anti join against recent orders ("rich but lapsed"), grouped by
+    nation. The scalar is a
+    1-row cross join (broadcast); the anti join shuffles on custkey."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    thresh = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(avg_money("c_acctbal", "avg_bal"))
+    )
+    return (
+        c.join(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            o.filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("date")),
+            c.c_custkey == o.o_custkey,
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            sum_money("c_acctbal", "totacctbal"),
         )
     )
