@@ -298,3 +298,150 @@ def ivf_topk(
         assigned, cents, probes, k=k, nprobe=nprobe,
         id_col=id_col, probe_id_col=probe_id_col, vec_col=vec_col,
     )
+
+
+def _l2sq(a: F.Column, b: list[float]) -> F.Column:
+    """Squared L2 distance of an array column against a literal vector —
+    elementwise (x−y)·(x−y) folded left-to-right from 0.0 (the shape the
+    SQL twin replays; round-6 absorbs fold-order drift)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            F.array(*[F.lit(float(x)) for x in b]),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_index(
+    corpus: DataFrame,
+    m: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Product-quantization index build: split each D-dim vector into m
+    subvectors; store only the id of the nearest codebook entry per
+    subspace. The encoded corpus is m small ints per vector —
+    D·8 bytes → m bytes-ish, the memory lever that lets a 100 TB
+    embedding corpus live in executor RAM for ADC scans.
+
+    Codebook entries are hash-seeded corpus vectors (deterministic
+    stand-in for a k-means training pass, exactly like ivf_index's
+    centroids — the encode/scan plumbing is what scales). Subspace
+    assignment: argmin of ROUND(l2², 6) with smallest-code tie-break →
+    the encoding is bit-identical across engines, so PQ search gets a
+    full value-hash oracle."""
+    c = corpus.select(F.col(id_col), as_double(vec_col).alias("cv"))
+    rows = (
+        c.withColumn(
+            "__h", F.md5(F.concat(F.lit(f"pq{seed}:"), F.col(id_col).cast("string")))
+        )
+        .orderBy("__h", id_col)
+        .limit(n_codes)
+        .select("cv")
+        .collect()
+    )
+    codebook = [list(r["cv"]) for r in rows]
+    dim = len(codebook[0])
+    d = dim // m
+    codes = []
+    for s in range(m):
+        arr = F.array(
+            *[
+                F.struct(
+                    F.round(
+                        _l2sq(F.slice(F.col("cv"), s * d + 1, d), cb[s * d : (s + 1) * d]), 6
+                    ).alias("dist"),
+                    F.lit(j).alias("j"),
+                )
+                for j, cb in enumerate(codebook)
+            ]
+        )
+        codes.append(F.array_min(arr).getField("j"))
+    encoded = c.select(F.col(id_col), F.array(*codes).alias("codes"))
+    return encoded, codebook
+
+
+def pq_search(
+    encoded: DataFrame,
+    codebook: list[list[float]],
+    probes: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    id_col: str = "vec_id",
+    probe_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) PQ scan: each probe precomputes an
+    m × n_codes distance table against the codebook (one small literal
+    expression), then every corpus row costs m table lookups + (m−1)
+    adds — no full-dimension math against the corpus at all. Probes
+    (with their tables) broadcast; the encoded corpus streams."""
+    dim = len(codebook[0])
+    d = dim // m
+    p = probes.select(
+        F.col(probe_id_col).alias("query_id"), as_double(vec_col).alias("pv")
+    )
+    dtab = F.array(
+        *[
+            F.array(
+                *[
+                    F.round(
+                        _l2sq(F.slice(F.col("pv"), s * d + 1, d), cb[s * d : (s + 1) * d]), 6
+                    )
+                    for cb in codebook
+                ]
+            )
+            for s in range(m)
+        ]
+    )
+    p = p.select("query_id", dtab.alias("dtab"))
+    adist = None
+    for s in range(m):
+        term = F.element_at(
+            F.element_at(F.col("dtab"), s + 1),
+            F.element_at(F.col("codes"), s + 1) + F.lit(1),
+        )
+        adist = term if adist is None else adist + term
+    scored = (
+        F.broadcast(p)
+        .crossJoin(encoded)
+        .filter(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(adist, 6).alias("adist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "adist", "rn")
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Single-shot PQ top-k (index build + ADC scan in one plan); see
+    pq_index for the amortized deployment shape."""
+    encoded, codebook = pq_index(corpus, m, n_codes, id_col, vec_col, seed)
+    return pq_search(
+        encoded, codebook, probes, k=k, m=m,
+        id_col=id_col, probe_id_col=probe_id_col, vec_col=vec_col,
+    )

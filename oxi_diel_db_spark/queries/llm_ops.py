@@ -237,6 +237,67 @@ def s3_ann_ivf(spark, sf_dir):
     return similarity.ivf_topk(emb, probes, k=10, n_centroids=8, nprobe=2, seed=42)
 
 
+_SQL_PQ_L2 = (
+    "ROUND(list_sum(list_transform(range(1, 17), "
+    "i -> ({a}[t.s * 16 + i] - {b}[t.s * 16 + i])"
+    " * ({a}[t.s * 16 + i] - {b}[t.s * 16 + i]))), 6)"
+)
+
+
+@register(
+    "s4_pq_adc",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cb AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS j, v
+      FROM (SELECT md5('pq42:' || CAST(vec_id AS VARCHAR)) AS h, vec_id, v
+            FROM e ORDER BY 1, 2 LIMIT 16)
+    ),
+    sub AS (SELECT s FROM range(0, 4) t(s)),
+    enc AS (
+      SELECT vec_id, s, j AS code FROM (
+        SELECT e.vec_id, t.s, cb.j,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id, t.s
+                 ORDER BY {{pql2_ev}}, cb.j) AS rn
+        FROM e, sub t, cb) WHERE rn = 1
+    ),
+    pd AS (
+      SELECT p.query_id, t.s, cb.j, {{pql2_pv}} AS dist
+      FROM (SELECT vec_id AS query_id, v AS pv FROM e WHERE vec_id < 5) p, sub t, cb
+    ),
+    adc AS (
+      SELECT pd.query_id, enc.vec_id AS neighbor_id, ROUND(SUM(pd.dist), 6) AS adist
+      FROM enc JOIN pd ON pd.s = enc.s AND pd.j = enc.code
+      WHERE enc.vec_id <> pd.query_id
+      GROUP BY pd.query_id, enc.vec_id
+    )
+    SELECT query_id, neighbor_id, adist, rn FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adist, neighbor_id) AS rn
+      FROM adc)
+    WHERE rn <= 10
+    """.format(
+        pql2_ev=_SQL_PQ_L2.format(a="e.v", b="cb.v"),
+        pql2_pv=_SQL_PQ_L2.format(a="p.pv", b="cb.v"),
+    ),
+)
+def s4_pq_adc(spark, sf_dir):
+    """Product-quantization ANN (J8 scale path #3): 64-dim vectors
+    compress to 4 subspace codes against a 16-entry hash-seeded
+    codebook; search is an asymmetric-distance (ADC) scan — per probe
+    an m x n_codes distance table, per corpus row m lookups + 3 adds.
+    The memory tier below IVF: the encoded corpus is ~2 orders of
+    magnitude smaller than the raw vectors, so at 100 TB the scan side
+    fits executor RAM. Encoding argmin uses ROUND(l2sq, 6) with
+    smallest-code tie-break -> bit-identical cells across engines ->
+    full value-hash oracle (like s3, unlike LSH)."""
+    emb = t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.pq_topk(emb, probes, k=10, m=4, n_codes=16, seed=42)
+
+
 @register(
     "t1_lang_id",
     oracle=f"""

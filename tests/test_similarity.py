@@ -111,3 +111,30 @@ def test_ivf_shuffled_probe_join_matches_broadcast(spark, emb):
     # the scale path must not contain a broadcast of the probe side
     plan = sh._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" not in plan
+
+
+def test_pq_twin_recovery_and_recall(spark, emb):
+    """PQ/ADC sanity on the clustered fixture: (1) an exact twin of a
+    corpus vector lands in the ADC top-10 (its ADC distance equals the
+    twin's own quantization error; same-cluster vectors may legitimately
+    rank closer); (2) recall@30 of the exact cosine top-10 is high —
+    clusters survive quantization (vs ~15% chance rate)."""
+    probes = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105)).select(
+        (F.col("vec_id") + 1000).alias("query_id"), "embedding"
+    )
+    top10 = similarity.pq_topk(emb, probes, k=10).collect()
+    hits = {(r.query_id, r.neighbor_id) for r in top10}
+    assert {(q + 1000, q) for q in range(100, 105)} <= hits
+
+    base = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(emb, base, k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.pq_topk(emb, base, k=30).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.8
