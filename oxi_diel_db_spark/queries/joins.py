@@ -853,3 +853,167 @@ def q64_idle_rich_customers(spark, sf_dir):
             sum_money("c_acctbal", "totacctbal"),
         )
     )
+
+
+@register(
+    "q65_forecast_revenue",
+    oracle=f"""
+    SELECT {sql_sum_money('l_extendedprice * l_discount')} AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q65_forecast_revenue(spark, sf_dir):
+    """TPC-H-Q6 shape (forecasting revenue change): the pure
+    scan-filter-aggregate — no join, no group key. All three predicates
+    (date range, discount band, quantity cap) push down to the parquet
+    scan; the whole query is one map-side partial sum + a 1-row final
+    reduce, the cheapest possible shape at 100 TB. The discount band
+    compares the stored doubles directly — both engines read the same
+    parquet bits, so the boundary rows agree."""
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return l.agg(
+        sum_money(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "q66_priority_ship_class",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_returnflag IN ('R', 'A')
+      AND l_shipdate >= o_orderdate + INTERVAL 30 DAY
+      AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def q66_priority_ship_class(spark, sf_dir):
+    """TPC-H-Q12 shape (shipping modes / order priority): fact-to-fact
+    join with a cross-table inequality (slow ships: l_shipdate ≥ 30
+    days past the order date — the testdata has no
+    commitdate/receiptdate, so the delay predicate stands in for
+    commit<receipt), then two complementary conditional counts per
+    class. The IN-list and date range prune lineitem before the join;
+    the join shuffles once on orderkey (bucket join at scale)."""
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "A")
+        & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, (l.l_orderkey == o.o_orderkey))
+        .filter(F.col("l_shipdate") >= F.date_add(F.col("o_orderdate"), 30))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q67_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey,
+             {sql_sum_money('l_extendedprice * (1 - l_discount)')} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q67_top_supplier(spark, sf_dir):
+    """TPC-H-Q15 shape (top supplier): a revenue "view" (quarterly
+    cent-exact sum per supplier), its global MAX as an uncorrelated
+    scalar, and an equality re-join back to the view — the
+    argmax-via-view pattern. The per-supplier revenue relation is
+    |supplier|-sized, so both the max (1 row) and the view broadcast;
+    the only real shuffle is the lineitem groupBy on suppkey. Cent-sums
+    make the MAX and the equality bit-deterministic cross-engine."""
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date"))
+    )
+    s = t(spark, sf_dir, "supplier")
+    revenue = l.groupBy("l_suppkey").agg(
+        sum_money(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        s.join(F.broadcast(revenue), s.s_suppkey == F.col("l_suppkey"))
+        .join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q68_waiting_suppliers",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier, lineitem l1, orders
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s_name
+    """,
+)
+def q68_waiting_suppliers(spark, sf_dir):
+    """TPC-H-Q21 shape (suppliers who kept orders waiting): the
+    sole-blame pattern — count late lines whose supplier is the ONLY
+    late supplier on a multi-supplier order. "Late" is ship > 90 days
+    past order date (the commit/receipt columns don't exist in the
+    testdata). The two correlated EXISTS decorrelate into ONE per-order
+    aggregate — distinct suppliers and distinct *late* suppliers — so
+    the whole query is two shuffles on orderkey (join + groupBy, and at
+    scale a bucket layout makes both co-located) instead of three
+    self-joins of the fact table."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    lo = l.join(o, l.l_orderkey == o.o_orderkey).withColumn(
+        "is_late", F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)
+    )
+    stats = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    blamed = (
+        lo.filter(F.col("is_late"))
+        .join(stats, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        blamed.join(F.broadcast(s), blamed.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
