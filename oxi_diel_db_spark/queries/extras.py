@@ -843,3 +843,58 @@ def ml5_kmeans_embeddings(spark, sf_dir):
             F.round(F.avg(dist), 6).alias("mean_dist"),
         )
     )
+
+
+from oxi_diel_db_spark.operators.scale import sql_zvalue as _sql_zvalue
+
+
+@register(
+    "q69_zorder_stats",
+    oracle=f"""
+    SELECT zval >> 12 AS zbucket, COUNT(*) AS n,
+           MIN(zval) AS zmin, MAX(zval) AS zmax
+    FROM (SELECT {_sql_zvalue(["l_partkey", "l_suppkey"], 11)} AS zval FROM lineitem)
+    GROUP BY 1
+    """,
+)
+def q69_zorder_stats(spark, sf_dir):
+    """Z-order (Morton) clustering value over (partkey, suppkey) with
+    per-Z-range occupancy stats — the computation behind
+    operators/scale.zorder_repartition's 100 TB layout story (see
+    test_scale.py for the footer-stats pruning proof). Pure codegen'd
+    bit arithmetic; integer math end-to-end -> full value-hash oracle."""
+    from oxi_diel_db_spark.operators import scale
+
+    l = t(spark, sf_dir, "lineitem")
+    return (
+        l.select(scale.zvalue(["l_partkey", "l_suppkey"], 11).alias("zval"))
+        .groupBy(F.shiftright(F.col("zval"), 12).alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("zval").alias("zmin"),
+            F.max("zval").alias("zmax"),
+        )
+    )
+
+
+@register(
+    "q70_orc_roundtrip",
+    oracle="""
+    SELECT p_brand, COUNT(*) AS n_parts,
+           SUM(CAST(ROUND(p_retailprice * 100, 0) AS BIGINT)) / 100.0 AS total_retail
+    FROM part GROUP BY p_brand
+    """,
+)
+def q70_orc_roundtrip(spark, sf_dir):
+    """S9: ORC egress + ingress (the other columnar format Spark ships
+    a vectorized reader for — ecosystems standardized on ORC swap one
+    format string). Write part as ORC, read it back, aggregate; proves
+    schema + values survive the format boundary."""
+    out = _scratch("sink_part_orc")
+    p = t(spark, sf_dir, "part")
+    p.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        sum_money("p_retailprice", "total_retail"),
+    )
