@@ -38,6 +38,7 @@ HEADLINE = [
     "d5_embedding_neardup",
     "s1_ann_brute_force",
     "s3_ann_ivf",
+    "s4_pq_adc",
     "t2_quality_score",
     "p3_deterministic_shuffle",
     "p4_sequence_packing",

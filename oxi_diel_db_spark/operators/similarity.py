@@ -300,18 +300,27 @@ def ivf_topk(
     )
 
 
-def _l2sq(a: F.Column, b: list[float]) -> F.Column:
-    """Squared L2 distance of an array column against a literal vector —
-    elementwise (x−y)·(x−y) folded left-to-right from 0.0 (the shape the
-    SQL twin replays; round-6 absorbs fold-order drift)."""
+def _l2sq(a: F.Column, b: F.Column) -> F.Column:
+    """Squared L2 distance of two array columns — elementwise
+    (x−y)·(x−y) folded left-to-right from 0.0 (the shape the SQL twin
+    replays; round-6 absorbs fold-order drift)."""
     return F.aggregate(
-        F.zip_with(
-            a,
-            F.array(*[F.lit(float(x)) for x in b]),
-            lambda x, y: (x - y) * (x - y),
-        ),
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda acc, x: acc + x,
+    )
+
+
+def _subspace_dists(cb_lit: F.Column, vec: F.Column, s: int, d: int) -> F.Column:
+    """Distances of ``vec``'s s-th subvector to every codebook entry's
+    s-th subvector: ONE transform over the codebook array literal. The
+    codebook enters the plan as a single nested-array Literal node —
+    with per-code literal vectors instead, Catalyst analysis of the
+    m × n_codes × dim leaf expressions dominated wall-clock (~5 s of
+    driver time for a scan whose execution takes milliseconds)."""
+    sub = F.slice(vec, s * d + 1, d)
+    return F.transform(
+        cb_lit, lambda cb: F.round(_l2sq(sub, F.slice(cb, s * d + 1, d)), 6)
     )
 
 
@@ -348,20 +357,13 @@ def pq_index(
     codebook = [list(r["cv"]) for r in rows]
     dim = len(codebook[0])
     d = dim // m
+    cb_lit = F.lit(codebook)
     codes = []
     for s in range(m):
-        arr = F.array(
-            *[
-                F.struct(
-                    F.round(
-                        _l2sq(F.slice(F.col("cv"), s * d + 1, d), cb[s * d : (s + 1) * d]), 6
-                    ).alias("dist"),
-                    F.lit(j).alias("j"),
-                )
-                for j, cb in enumerate(codebook)
-            ]
-        )
-        codes.append(F.array_min(arr).getField("j"))
+        dists = _subspace_dists(cb_lit, F.col("cv"), s, d)
+        # array_position finds the FIRST occurrence of the min —
+        # exactly the smallest-code tie-break the SQL twin replays
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
     encoded = c.select(F.col(id_col), F.array(*codes).alias("codes"))
     return encoded, codebook
 
@@ -386,18 +388,9 @@ def pq_search(
     p = probes.select(
         F.col(probe_id_col).alias("query_id"), as_double(vec_col).alias("pv")
     )
+    cb_lit = F.lit(codebook)
     dtab = F.array(
-        *[
-            F.array(
-                *[
-                    F.round(
-                        _l2sq(F.slice(F.col("pv"), s * d + 1, d), cb[s * d : (s + 1) * d]), 6
-                    )
-                    for cb in codebook
-                ]
-            )
-            for s in range(m)
-        ]
+        *[_subspace_dists(cb_lit, F.col("pv"), s, d) for s in range(m)]
     )
     p = p.select("query_id", dtab.alias("dtab"))
     adist = None
