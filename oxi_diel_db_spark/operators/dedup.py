@@ -70,14 +70,30 @@ def _exploded_shingles(
     )
 
 
-def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+def doc_shingles(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    hashed: bool = False,
+) -> DataFrame:
     """(id, shingle) distinct — the inverted-index base relation."""
     # pre_shuffle=False: the distinct's own exchange already gives the
     # downstream join full parallelism, and the extra doc-id exchange
     # measured SLOWER here (4.1 s vs 2.3 s at sf0.1) — unlike the
     # minhash path, where the chain feeds a groupBy directly and the
     # pre-shuffle is the only thing spreading the regex work.
-    return _exploded_shingles(docs, id_col, text_col, n, pre_shuffle=False).distinct()
+    sh = _exploded_shingles(docs, id_col, text_col, n, pre_shuffle=False)
+    if hashed:
+        # collapse the shingle string to its xxhash64 BEFORE the
+        # distinct: every downstream shuffle/join then moves 8-byte
+        # ints instead of ~30-byte strings — measured 2.5× on the
+        # whole Jaccard query at sf0.1. Distinct shingles colliding in
+        # 64 bits would merge (P ≈ m²/2⁶⁵ — at 10¹⁰ corpus shingles
+        # ~0.3% chance of ONE collision anywhere, which could only
+        # nudge one pair's intersection count by 1).
+        sh = sh.select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
+    return sh.distinct()
 
 
 def ngram_jaccard_pairs(
@@ -103,7 +119,7 @@ def ngram_jaccard_pairs(
     Jaccard would not also merge. None disables the cap (exact mode —
     the oracle-checked default here).
     """
-    sh = doc_shingles(docs, id_col, text_col, n)
+    sh = doc_shingles(docs, id_col, text_col, n, hashed=True)
     if max_doc_freq is not None:
         df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
         rare = df_counts.filter(F.col("__df") <= max_doc_freq).select("shingle")

@@ -173,21 +173,26 @@ def _seed_centroids(
 
 def _cell_sims(cents: list[tuple], vec: F.Column, vnorm: F.Column) -> F.Column:
     # array<struct<sim, neg_id>>: array_max/array_sort compare
-    # lexicographically → max sim, then SMALLEST cent_id (negated)
-    return F.array(
-        *[
-            F.struct(
-                (
-                    F.round(
-                        dot(vec, F.array(*[F.lit(x) for x in cv])) / (vnorm * F.lit(cn)),
-                        6,
-                    )
-                    + F.lit(0.0)
-                ).alias("sim"),
-                F.lit(-cid).alias("neg_id"),
-            )
-            for cid, cv, cn in cents
-        ]
+    # lexicographically → max sim, then SMALLEST cent_id (negated).
+    # Centroids enter as THREE literal nodes (ids/vectors/norms) scanned
+    # by one transform — per-centroid literal expressions put
+    # n_centroids × dim leaves in the plan and Catalyst analysis time
+    # dwarfed execution (same lesson as the PQ codebook).
+    ids = F.lit([int(c[0]) for c in cents])
+    vecs = F.lit([list(c[1]) for c in cents])
+    norms = F.lit([float(c[2]) for c in cents])
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(len(cents))),
+        lambda i: F.struct(
+            (
+                F.round(
+                    dot(vec, F.element_at(vecs, i)) / (vnorm * F.element_at(norms, i)),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("sim"),
+            (-F.element_at(ids, i)).alias("neg_id"),
+        ),
     )
 
 
