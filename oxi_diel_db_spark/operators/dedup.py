@@ -249,50 +249,97 @@ def minhash_lsh_pairs(
     )
 
 
+_MIN_LONG = -(1 << 63)
+
+
 def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash fingerprints (pandas_udf — bit math needs Python).
+    """64-bit SimHash fingerprints — pure JVM bit math, no UDF.
 
-    Per doc: md5 each token → 64 bits; sum ±1 per bit position weighted
-    by term frequency; sign → fingerprint bit. Near-dups have small
-    Hamming distance. Arrow-batched; at scale, block on the top 16 bits
-    to find candidate pairs without O(n²).
+    Per doc: md5 each token (tf-weighted: duplicates count); take the
+    first 16 hex chars (64 bits); per bit position sum ±1 across
+    tokens; sign → fingerprint bit. Bit k = bit (k mod 4) of hex char
+    k div 4, decoded via ascii() — every piece (md5/substr/ascii/
+    shift/and) exists verbatim in DuckDB, so the fingerprints are
+    bit-identical cross-engine and SimHash dedup is value-hash
+    checkable (the earlier pandas_udf formulation forced a rows-only
+    gate AND paid the Arrow crossing). Docs with no tokens get
+    fingerprint 0.
     """
-    import hashlib
+    w = docs.select(F.col(id_col), F.explode(norm_words(text_col)).alias("__w"))
+    w = w.withColumn("__h16", F.substring(F.md5("__w"), 1, 16))
+    # decode the 16 hex chars ONCE per token; the 64 bit-sums below
+    # read these columns (no CSE reliance across agg expressions)
+    hv = w.select(
+        F.col(id_col),
+        *[
+            F.when(
+                F.ascii(F.substring("__h16", i + 1, 1)) <= 57,
+                F.ascii(F.substring("__h16", i + 1, 1)) - 48,
+            )
+            .otherwise(F.ascii(F.substring("__h16", i + 1, 1)) - 87)
+            .alias(f"v{i}")
+            for i in range(16)
+        ],
+    )
+    sums = [
+        F.sum(
+            F.shiftright(F.col(f"v{k // 4}"), k % 4).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"b{k}")
+        for k in range(64)
+    ]
+    per = hv.groupBy(id_col).agg(*sums)
+    fp = F.lit(0).cast("long")
+    for k in range(63):
+        fp = fp + F.when(F.col(f"b{k}") > 0, F.lit(1 << k).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    fp = fp + F.when(F.col("b63") > 0, F.lit(_MIN_LONG)).otherwise(F.lit(0).cast("long"))
+    sim = per.select(F.col(id_col), fp.alias("simhash"))
+    return (
+        docs.select(id_col)
+        .join(sim, id_col, "left")
+        .select(F.col(id_col), F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash"))
+    )
 
-    import numpy as np
 
-    @F.pandas_udf("long")
-    def _simhash(texts: pd.Series) -> pd.Series:
-        import re
-
-        out = []
-        for t in texts:
-            words = [w for w in re.split(r"[^a-z0-9]+", (t or "").lower()) if w]
-            if not words:
-                out.append(0)
-                continue
-            # md5 per word stays a python loop; the 64-bit accumulation
-            # vectorizes via unpackbits (~10x over the bit loop)
-            digests = np.frombuffer(
-                b"".join(hashlib.md5(w.encode()).digest()[:8] for w in words),
-                dtype=np.uint8,
-            ).reshape(len(words), 8)
-            bits = np.unpackbits(digests, axis=1, bitorder="little")
-            acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-            v = int(np.packbits((acc > 0).astype(np.uint8), bitorder="little")
-                    .view(np.uint64)[0])
-            out.append(v - (1 << 64) if v >= (1 << 63) else v)
-        return pd.Series(out)
-
-    return docs.select(F.col(id_col), _simhash(F.col(text_col)).alias("simhash"))
+def sql_simhash_ctes(words_sql: str, table: str = "documents", id_col: str = "doc_id") -> str:
+    """DuckDB CTE chain ending in ``fp(doc_id, simhash)`` — the exact
+    twin of :func:`simhash64` (same hex-char bit decode, same ±1 sums,
+    same sign-bit assembly via the min-long literal, since DuckDB
+    refuses ``1 << 63``)."""
+    hexv = lambda i: (  # noqa: E731
+        f"CASE WHEN ascii(substr(h16, {i + 1}, 1)) <= 57"
+        f" THEN ascii(substr(h16, {i + 1}, 1)) - 48"
+        f" ELSE ascii(substr(h16, {i + 1}, 1)) - 87 END"
+    )
+    vcols = ", ".join(f"{hexv(i)} AS v{i}" for i in range(16))
+    bsums = ", ".join(
+        f"SUM(2 * ((v{k // 4} >> {k % 4}) & 1) - 1) AS b{k}" for k in range(64)
+    )
+    fbits = " + ".join(
+        f"CASE WHEN b{k} > 0 THEN {1 << k} ELSE 0 END" for k in range(63)
+    )
+    fbits += f" + CASE WHEN b63 > 0 THEN {_MIN_LONG} ELSE 0 END"
+    return f"""
+    sw AS (SELECT {id_col}, unnest({words_sql}) AS word FROM {table}),
+    hx AS (SELECT {id_col}, substr(md5(word), 1, 16) AS h16 FROM sw),
+    hv AS (SELECT {id_col}, {vcols} FROM hx),
+    sb AS (SELECT {id_col}, {bsums} FROM hv GROUP BY {id_col}),
+    fp0 AS (SELECT {id_col}, CAST({fbits} AS BIGINT) AS simhash FROM sb),
+    fp AS (SELECT d.{id_col}, COALESCE(fp0.simhash, 0) AS simhash
+           FROM {table} d LEFT JOIN fp0 USING ({id_col}))
+    """
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 8, id_col: str = "doc_id") -> DataFrame:
     """Near-dup pairs by Hamming distance, blocked on the high 16 bits
     (docs differing there can still be near-dups — standard multi-probe
-    uses 4 rotations; one block kept here for clarity)."""
+    uses 4 rotations; one block kept here for clarity). Block id uses
+    arithmetic-shift+mask, which both engines evaluate identically."""
     sh = simhash64(docs, id_col)
-    blocked = sh.withColumn("block", F.shiftrightunsigned(F.col("simhash"), 48))
+    blocked = sh.withColumn(
+        "block", F.shiftright(F.col("simhash"), 48).bitwiseAND(F.lit(0xFFFF))
+    )
     a = blocked.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("h_a"), "block")
     b = blocked.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("h_b"), "block")
     ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))

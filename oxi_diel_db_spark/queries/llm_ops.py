@@ -113,10 +113,24 @@ def d3_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_pairs(t(spark, sf_dir, "documents"), threshold=0.25)
 
 
-@register("d4_simhash", oracle=None)  # bit-level UDF — rows-only check
+@register(
+    "d4_simhash",
+    oracle=f"""
+    WITH {dedup.sql_simhash_ctes(TX.SQL_NORM_WORDS.format(t='text')).strip()},
+    blocked AS (
+      SELECT doc_id, simhash, (simhash >> 48) & 65535 AS block FROM fp
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM blocked a JOIN blocked b ON a.block = b.block AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+    """,
+)
 def d4_simhash(spark, sf_dir):
-    """SimHash near-dup pairs (Hamming ≤ 8 within 16-bit blocks).
-    Determinism asserted in tests/test_dedup.py."""
+    """SimHash near-dup pairs (Hamming ≤ 8 within 16-bit blocks). The
+    fingerprint is pure portable bit math (operators/dedup.simhash64),
+    so this is value-hash checked — an upgraded gate over the original
+    rows-only pandas_udf formulation."""
     return dedup.simhash_pairs(t(spark, sf_dir, "documents"), max_hamming=8)
 
 
