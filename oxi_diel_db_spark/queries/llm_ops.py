@@ -185,10 +185,48 @@ def s1_ann_brute_force(spark, sf_dir):
     return similarity.brute_force_topk(emb, probes, k=10)
 
 
-@register("s2_ann_lsh", oracle=None)  # approximate — recall vs s1 tested in pytest
+def _s2_oracle() -> str:
+    """SQL twin of s2: the SAME seeded hyperplanes (repr round-trips
+    doubles exactly) as literal arrays; sign-bit buckets, Hamming-1
+    multiprobe via unnest+xor, then the scored top-k. The sign of the
+    unrounded dot product is engine-stable because both engines fold
+    index-order (see functions/vectors.SQL_DOT)."""
+    planes = similarity._hyperplanes(64, 4, seed=42)
+    lits = ["[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]" for p in planes]
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {lit}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, lit in enumerate(lits)
+    )
+    cos = (
+        "ROUND(list_dot_product(p.pv, c.v) / "
+        "(sqrt(list_dot_product(p.pv, p.pv)) * sqrt(list_dot_product(c.v, c.v))), 6)"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+    p0 AS (SELECT vec_id AS query_id, v AS pv, bucket AS b0 FROM c WHERE vec_id < 5),
+    p AS (SELECT query_id, pv, unnest([b0, xor(b0, 1), xor(b0, 2), xor(b0, 4), xor(b0, 8)]) AS bucket FROM p0),
+    cand AS (
+      SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id,
+                      {cos} + 0.0 AS cos
+      FROM p JOIN c USING (bucket)
+      WHERE c.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cos, rn FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rn
+      FROM cand)
+    WHERE rn <= 10
+    """
+
+
+@register("s2_ann_lsh", oracle=_s2_oracle())
 def s2_ann_lsh(spark, sf_dir):
     """LSH-bucketed ANN (the scale path): score only same/neighboring
-    bucket candidates — ~2^planes fan-in reduction vs brute force."""
+    bucket candidates — ~2^planes fan-in reduction vs brute force.
+    Hyperplanes are seeded and injected into BOTH engines as literals,
+    so even this "approximate" path is value-hash checked (recall vs s1
+    additionally asserted in pytest)."""
     emb = t(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
