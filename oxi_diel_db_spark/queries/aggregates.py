@@ -251,3 +251,31 @@ def q56_time_rollup(spark, sf_dir):
             ),
         )
     )
+
+
+@register("q71_hll_mergeable", oracle=None)  # sketch internals → rows-only check
+def q71_hll_mergeable(spark, sf_dir):
+    """Mergeable-sketch rollup (A9 at warehouse scale): per-month
+    DataSketches HLL sketches of the distinct customer set, then
+    quarterly distinct estimates via sketch UNION — no rescan of the
+    fact table. This is THE 100 TB distinct-count design: materialize
+    binary sketches at the finest grain once; any coarser window
+    (quarter, year, trailing-90d) is a cheap union over pre-aggregated
+    state, where exact COUNT(DISTINCT) would re-shuffle the raw keys
+    every time. Register-max merging makes the sketch value independent
+    of partition order, so results are run-to-run stable; accuracy vs
+    exact is asserted in tests (±5%). DuckDB's approx sketches use a
+    different algorithm → rows-only."""
+    o = t(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(
+            F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+        )
+        .agg(F.hll_sketch_agg("o_custkey", F.lit(12)).alias("sk"))
+    )
+    return (
+        monthly.groupBy(
+            "y", (((F.col("m") - 1) / 3).cast("int") + 1).alias("q")
+        )
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_custs"))
+    )

@@ -44,3 +44,28 @@ def test_grouping_flag_distinguishes_subtotals(spark):
     subs = [r for r in rows if r["g_status"] == 0 and r["g_priority"] == 1]
     statuses = {r["o_orderstatus"] for r in subs}
     assert len(subs) == len(statuses) == 3
+
+
+def test_hll_mergeable_union_within_5pct(spark):
+    """q71: quarterly estimates from UNIONed monthly sketches must land
+    within ±5% of the exact quarterly distinct count — merging
+    pre-aggregated sketches must not degrade accuracy beyond the
+    sketch's own error."""
+    reg = load_registry()
+    approx = {
+        (r["y"], r["q"]): r["approx_custs"]
+        for r in reg["q71_hll_mergeable"].build(spark, SF).collect()
+    }
+    o = load(spark, "orders", SF)
+    exact = {
+        (r["y"], r["q"]): r["n"]
+        for r in o.groupBy(
+            F.year("o_orderdate").alias("y"),
+            (((F.month("o_orderdate") - 1) / 3).cast("int") + 1).alias("q"),
+        )
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for k, est in approx.items():
+        assert abs(est - exact[k]) <= 0.05 * exact[k], (k, est, exact[k])
