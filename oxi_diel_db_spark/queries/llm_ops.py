@@ -881,3 +881,52 @@ def p7_capped_per_key(spark, sf_dir):
 
     e = t(spark, sf_dir, "events").select("user_id", "event_id", "event_type")
     return capped_sample_per_key(e, "user_id", "event_id", max_rows=20)
+
+
+def _g1_oracle() -> str:
+    from oxi_diel_db_spark.operators.graph import sql_pagerank_ctes
+
+    edges = """
+      SELECT cn.n_name AS src, sn.n_name AS dst, COUNT(*)::DOUBLE AS w
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      GROUP BY 1, 2
+    """
+    return f"""
+    WITH {sql_pagerank_ctes(edges, damping=0.85, iters=10)}
+    SELECT node, ROUND(rank, 6) AS rank FROM pr10
+    """
+
+
+@register("g1_pagerank", oracle=_g1_oracle())
+def g1_pagerank(spark, sf_dir):
+    """Weighted PageRank over the nation→nation trade graph (customer
+    nation buys from supplier nation; edge weight = lineitem count) —
+    the template for fixed-point DataFrame iteration at 100 TB (see
+    operators/graph.py for the partitioning/rounding posture). 10
+    damped iterations; per-step ROUND(9) pins the trajectory so the
+    unrolled DuckDB twin reproduces every iterate → an ITERATIVE
+    algorithm under the full value-hash gate."""
+    from oxi_diel_db_spark.operators.graph import pagerank
+
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    cn = n.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("src"))
+    sn = n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("dst"))
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("ck"))
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sk"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    return pagerank(edges, damping=0.85, iters=10, weight_col="weight")
