@@ -43,6 +43,8 @@ HEADLINE = [
     "p3_deterministic_shuffle",
     "p4_sequence_packing",
     "c1_curation_pipeline",
+    "g1_pagerank",
+    "q69_zorder_stats",
     # materials domain
     "m04_born_trace_invariant",
     "m11_site_explode_agg",
