@@ -279,3 +279,71 @@ def q71_hll_mergeable(spark, sf_dir):
         )
         .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_custs"))
     )
+
+
+@register(
+    "q72_gapfill_interpolate",
+    oracle=f"""
+    WITH rev AS (
+      SELECT n_name,
+             (YEAR(o_orderdate) * 12 + MONTH(o_orderdate) - 1) AS mi,
+             {sql_sum_money('o_totalprice')} AS val
+      FROM orders JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+      WHERE YEAR(o_orderdate) = 1997
+      GROUP BY 1, 2
+    ),
+    bounds AS (SELECT MIN(mi) AS lo, MAX(mi) AS hi FROM rev),
+    spine AS (
+      SELECT n_name, CAST(u.mi AS INT) AS mi
+      FROM (SELECT DISTINCT n_name FROM rev) k
+      CROSS JOIN (SELECT unnest(range(lo, hi + 1)) AS mi FROM bounds) u
+    ),
+    dense AS (
+      SELECT s.n_name, s.mi, rev.val FROM spine s
+      LEFT JOIN rev ON s.n_name = rev.n_name AND s.mi = rev.mi
+    ),
+    filled AS (
+      SELECT n_name, mi, val,
+        last_value(val IGNORE NULLS) OVER (PARTITION BY n_name ORDER BY mi
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_val,
+        last_value(CASE WHEN val IS NOT NULL THEN mi END IGNORE NULLS)
+          OVER (PARTITION BY n_name ORDER BY mi
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_mi,
+        first_value(val IGNORE NULLS) OVER (PARTITION BY n_name ORDER BY mi
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_val,
+        first_value(CASE WHEN val IS NOT NULL THEN mi END IGNORE NULLS)
+          OVER (PARTITION BY n_name ORDER BY mi
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_mi
+      FROM dense
+    )
+    SELECT n_name, mi, val, prev_val AS locf,
+           CASE WHEN val IS NOT NULL THEN val
+                WHEN prev_val IS NULL THEN next_val
+                WHEN next_val IS NULL THEN prev_val
+                ELSE ROUND(prev_val + (next_val - prev_val)
+                           * (mi - prev_mi) / (next_mi - prev_mi), 6)
+           END AS interp
+    FROM filled
+    """,
+)
+def q72_gapfill_interpolate(spark, sf_dir):
+    """Time-series densify + fill (the continuous-aggregate triple
+    gapfill/locf/interpolate): monthly order revenue per nation over
+    1997 — sparse at small SF, so real gaps appear — densified to the
+    full month spine, then LOCF and linear interpolation as window
+    algebra (operators/timeseries.py). One shuffle on the series key;
+    integer month indices keep the spine and the interpolation weights
+    engine-portable."""
+    from oxi_diel_db_spark.operators.timeseries import gap_fill, month_index
+
+    o = t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1997)
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", month_index("o_orderdate").alias("mi"))
+        .agg(sum_money("o_totalprice", "val"))
+    )
+    return gap_fill(rev, "n_name", "mi", "val")

@@ -69,3 +69,26 @@ def test_hll_mergeable_union_within_5pct(spark):
     assert approx.keys() == exact.keys()
     for k, est in approx.items():
         assert abs(est - exact[k]) <= 0.05 * exact[k], (k, est, exact[k])
+
+
+def test_gap_fill_locf_and_interp_hand_computed(spark):
+    """key a: obs at idx 1 (10.0) and 4 (40.0) -> gaps 2,3 interpolate
+    to 20/30 and locf to 10; leading/trailing edges fall back to the
+    nearest observation. Key b pins the spine to [1,6]."""
+    from oxi_diel_db_spark.operators.timeseries import gap_fill
+
+    series = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 4, 40.0), ("b", 2, 5.0), ("b", 6, 9.0)],
+        "k string, i int, v double",
+    )
+    rows = {
+        (r["k"], r["i"]): (r["v"], r["locf"], r["interp"])
+        for r in gap_fill(series, "k", "i", "v").collect()
+    }
+    assert len(rows) == 12  # 2 keys x idx 1..6
+    assert rows[("a", 2)] == (None, 10.0, 20.0)
+    assert rows[("a", 3)] == (None, 10.0, 30.0)
+    assert rows[("a", 4)] == (40.0, 40.0, 40.0)
+    assert rows[("a", 5)] == (None, 40.0, 40.0)   # trailing -> locf/nearest
+    assert rows[("b", 1)] == (None, None, 5.0)    # leading -> next obs
+    assert rows[("b", 4)] == (None, 5.0, 7.0)
