@@ -1,0 +1,125 @@
+"""Plan linter: inspect a DataFrame's physical plan for the
+antipatterns that sink jobs at 100 TB. The same checklist a reviewer
+runs by hand on ``.explain()`` output, as code — usable in CI (fail a
+pipeline PR whose plan regressed to a cartesian product) or ad hoc
+(``lint(df)`` before launching an expensive job).
+
+Each finding is (code, severity, message). Codes:
+
+* CARTESIAN       — CartesianProduct / BroadcastNestedLoopJoin: the
+                    O(n·m) shapes; at scale usually a missing equi-key.
+* GLOBAL_WINDOW   — window function with an empty PARTITION BY: every
+                    row moves to ONE task (fine over an aggregate
+                    relation, fatal over a fact table).
+* GLOBAL_SORT     — a final global Sort without a limit: total-order
+                    rebalance of the full dataset.
+* PY_ROW_UDF      — BatchEvalPython: row-at-a-time Python UDF in the
+                    plan; rewrite as built-ins or ArrowEvalPython
+                    (pandas_udf).
+* UNPUSHED_FILTER — a post-scan Filter whose columns the parquet scan
+                    could have pruned with (the filter never reached
+                    PushedFilters).
+* MANY_EXCHANGES  — shuffle count above threshold: look for a reusable
+                    partitioning, bucketing, or broadcast.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+Finding = tuple[str, str, str]
+
+
+def _plans(df: DataFrame) -> tuple[str, str]:
+    qe = df._jdf.queryExecution()
+    return qe.executedPlan().toString(), qe.optimizedPlan().toString()
+
+
+def lint(df: DataFrame, max_exchanges: int = 6) -> list[Finding]:
+    """Return findings on the compiled physical plan (no job is run)."""
+    phys, opt = _plans(df)
+    out: list[Finding] = []
+    if "CartesianProduct" in phys:
+        out.append(
+            ("CARTESIAN", "error", "CartesianProduct in plan — O(n·m) pair blowup")
+        )
+    if "BroadcastNestedLoopJoin" in phys:
+        out.append(
+            (
+                "CARTESIAN",
+                "warn",
+                "BroadcastNestedLoopJoin — non-equi join evaluates every "
+                "pair against the broadcast side; band/bucket the condition "
+                "if the stream side is large",
+            )
+        )
+    # windowspecdefinition(sortcol ASC ...) with no leading partition
+    # exprs: the optimized plan prints partition columns BEFORE the
+    # sort spec; a spec that starts with the ordering means none.
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", opt):
+        head = m.group(1).split(",", 1)[0]
+        if " ASC NULLS" in head or " DESC NULLS" in head:
+            out.append(
+                (
+                    "GLOBAL_WINDOW",
+                    "warn",
+                    "window with empty PARTITION BY — all rows to one task "
+                    f"(spec: {m.group(1)[:80]}…)",
+                )
+            )
+            break
+    if re.search(r"\bSort \[[^\]]+\], true", phys) and "TakeOrdered" not in phys:
+        out.append(
+            (
+                "GLOBAL_SORT",
+                "info",
+                "global Sort without limit — total-order shuffle of the "
+                "full dataset (fine for final ordered output; otherwise drop "
+                "the orderBy or use sortWithinPartitions)",
+            )
+        )
+    if "BatchEvalPython" in phys:
+        out.append(
+            (
+                "PY_ROW_UDF",
+                "error",
+                "row-at-a-time Python UDF (BatchEvalPython) — use built-in "
+                "functions or a pandas_udf (ArrowEvalPython)",
+            )
+        )
+    n_exchanges = len(re.findall(r"\bExchange\b", phys)) - phys.count(
+        "ReusedExchange"
+    )
+    if n_exchanges > max_exchanges:
+        out.append(
+            (
+                "MANY_EXCHANGES",
+                "info",
+                f"{n_exchanges} shuffles in one plan — consider bucketing / "
+                "reusing a partitioning / broadcasting small sides",
+            )
+        )
+    # filters that sit above a parquet scan but never reached pushdown:
+    # a Filter on a scanned column while the scan shows no PushedFilters
+    if re.search(r"PushedFilters: \[\]", phys) and re.search(
+        r"\+- (\*\(\d+\) )?Filter ", phys
+    ):
+        out.append(
+            (
+                "UNPUSHED_FILTER",
+                "warn",
+                "Filter above a scan with empty PushedFilters — predicate "
+                "not pushed (non-deterministic expr, UDF, or unsupported "
+                "type); row groups can't be skipped",
+            )
+        )
+    return out
+
+
+def lint_report(df: DataFrame, max_exchanges: int = 6) -> str:
+    """Human-readable lint summary (empty string = clean)."""
+    return "\n".join(
+        f"[{sev.upper():5s}] {code}: {msg}" for code, sev, msg in lint(df, max_exchanges)
+    )

@@ -1,0 +1,60 @@
+"""Plan linter: each antipattern detector fires on a plan built to
+exhibit it, and the flagship query comes back clean."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from oxi_diel_db_spark.plans.lint import lint
+
+
+def _codes(df, **kw):
+    return {c for c, _, _ in lint(df, **kw)}
+
+
+def test_cartesian_flagged(spark):
+    a, b = spark.range(10), spark.range(10).withColumnRenamed("id", "id2")
+    assert "CARTESIAN" in _codes(a.crossJoin(b))
+
+
+def test_global_window_flagged(spark):
+    df = spark.range(100).withColumn(
+        "rn", F.row_number().over(Window.orderBy("id"))
+    )
+    assert "GLOBAL_WINDOW" in _codes(df)
+
+
+def test_partitioned_window_clean(spark):
+    df = spark.range(100).withColumn(
+        "rn", F.row_number().over(Window.partitionBy(F.col("id") % 7).orderBy("id"))
+    )
+    assert "GLOBAL_WINDOW" not in _codes(df)
+
+
+def test_row_udf_flagged_and_pandas_udf_clean(spark):
+    from pyspark.sql.types import LongType
+
+    row_udf = F.udf(lambda x: x + 1, LongType())
+    assert "PY_ROW_UDF" in _codes(spark.range(10).select(row_udf("id")))
+
+    from oxi_diel_db_spark.functions.vectors import pandas_dot
+
+    arr = spark.range(10).select(
+        F.array(F.col("id").cast("double")).alias("a")
+    )
+    assert "PY_ROW_UDF" not in _codes(arr.select(pandas_dot("a", "a")))
+
+
+def test_global_sort_flagged_topk_clean(spark, sf_dir):
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    assert "GLOBAL_SORT" in _codes(l.orderBy("l_extendedprice"))
+    assert "GLOBAL_SORT" not in _codes(l.orderBy("l_extendedprice").limit(5))
+
+
+def test_flagship_query_is_clean(spark, sf_dir):
+    import __spark_entry__ as E
+
+    df = E.queries()["q01_pricing_summary"](spark, sf_dir)
+    findings = lint(df)
+    assert not [f for f in findings if f[1] == "error"], findings
