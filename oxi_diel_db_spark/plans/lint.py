@@ -16,9 +16,10 @@ Each finding is (code, severity, message). Codes:
 * PY_ROW_UDF      — BatchEvalPython: row-at-a-time Python UDF in the
                     plan; rewrite as built-ins or ArrowEvalPython
                     (pandas_udf).
-* UNPUSHED_FILTER — a post-scan Filter whose columns the parquet scan
-                    could have pruned with (the filter never reached
-                    PushedFilters).
+* UNPUSHED_FILTER — a scan whose DataFilters outnumber its
+                    PushedFilters: some predicate is evaluated
+                    row-by-row after reading instead of skipping row
+                    groups in the parquet reader.
 * MANY_EXCHANGES  — shuffle count above threshold: look for a reusable
                     partitioning, bucketing, or broadcast.
 """
@@ -34,7 +35,20 @@ Finding = tuple[str, str, str]
 
 def _plans(df: DataFrame) -> tuple[str, str]:
     qe = df._jdf.queryExecution()
-    return qe.executedPlan().toString(), qe.optimizedPlan().toString()
+    # FileScan metadata lists (DataFilters/PushedFilters) are truncated
+    # at maxMetadataStringLength (default 100 chars) with a bare "...",
+    # which would corrupt the pushdown audit — widen while rendering.
+    conf = df.sparkSession.conf
+    key = "spark.sql.maxMetadataStringLength"
+    old = conf.get(key, None)
+    conf.set(key, "100000")
+    try:
+        return qe.executedPlan().toString(), qe.optimizedPlan().toString()
+    finally:
+        if old is None:
+            conf.unset(key)
+        else:
+            conf.set(key, old)
 
 
 def lint(df: DataFrame, max_exchanges: int = 6) -> list[Finding]:
@@ -101,21 +115,50 @@ def lint(df: DataFrame, max_exchanges: int = 6) -> list[Finding]:
                 "reusing a partitioning / broadcasting small sides",
             )
         )
-    # filters that sit above a parquet scan but never reached pushdown:
-    # a Filter on a scanned column while the scan shows no PushedFilters
-    if re.search(r"PushedFilters: \[\]", phys) and re.search(
-        r"\+- (\*\(\d+\) )?Filter ", phys
-    ):
-        out.append(
-            (
-                "UNPUSHED_FILTER",
-                "warn",
-                "Filter above a scan with empty PushedFilters — predicate "
-                "not pushed (non-deterministic expr, UDF, or unsupported "
-                "type); row groups can't be skipped",
+    # per-scan pushdown audit: every scan prints both the predicates it
+    # must evaluate (DataFilters) and the subset the parquet reader got
+    # (PushedFilters). A DataFilters entry with no pushed counterpart is
+    # a predicate that scans every row group — the shape .explain()
+    # review catches by eye. Joins/HAVING filters living ABOVE the scan
+    # don't trip this (they're not in any scan's DataFilters).
+    for line in phys.splitlines():
+        if "FileScan" not in line:
+            continue
+        d = re.search(r"DataFilters: \[(.*?)\], Format:", line)
+        p = re.search(r"PushedFilters: \[(.*?)\], ReadSchema", line)
+        if not d or not p or "..." in d.group(1) or "..." in p.group(1):
+            continue  # absent or still-truncated lists: can't judge
+        n_data = _n_entries(d.group(1))
+        n_pushed = _n_entries(p.group(1))
+        if n_data > n_pushed:
+            out.append(
+                (
+                    "UNPUSHED_FILTER",
+                    "warn",
+                    f"scan evaluates {n_data} predicate(s) but pushed only "
+                    f"{n_pushed} to parquet — the rest (non-deterministic "
+                    "expr, UDF, or unsupported type) can't skip row groups",
+                )
             )
-        )
+            break
     return out
+
+
+def _n_entries(bracket_body: str) -> int:
+    """Count top-level comma-separated entries in a plan-printed list
+    (commas inside nested parens/brackets don't split)."""
+    s = bracket_body.strip()
+    if not s:
+        return 0
+    depth, n = 0, 1
+    for ch in s:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            n += 1
+    return n
 
 
 def lint_report(df: DataFrame, max_exchanges: int = 6) -> str:

@@ -52,6 +52,22 @@ def test_global_sort_flagged_topk_clean(spark, sf_dir):
     assert "GLOBAL_SORT" not in _codes(l.orderBy("l_extendedprice").limit(5))
 
 
+def test_unpushed_filter_adjacency(spark, sf_dir, tmp_path):
+    # a filter the parquet reader can't evaluate (expression over a
+    # column) sits directly above the scan and never reaches pushdown
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    unpushable = l.filter(F.length(F.col("l_returnflag")) % 7 == 1)
+    assert "UNPUSHED_FILTER" in _codes(unpushable)
+
+    # a post-join filter next to an unfiltered scan is NOT a pushdown
+    # miss — the old any-Filter + any-empty-scan heuristic flagged this
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    joined = l.join(o, l.l_orderkey == o.o_orderkey).filter(
+        F.col("l_extendedprice") > F.col("o_totalprice") * 0.5
+    )
+    assert "UNPUSHED_FILTER" not in _codes(joined)
+
+
 def test_flagship_query_is_clean(spark, sf_dir):
     import __spark_entry__ as E
 
