@@ -112,6 +112,63 @@ def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
     return media.mapInPandas(_resize, schema=media.schema)
 
 
+def to_audio_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Model an audio table: (id, payload binary, sample_rate, metadata).
+    Payload = utf-8 bytes of text standing in for PCM16 mono samples
+    (no codecs in this container); sample_rate is derived
+    deterministically from the byte length so every engine agrees."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    n = F.octet_length(payload)
+    return docs.select(
+        F.col(id_col),
+        payload.alias("payload"),
+        F.lit("audio/pcm16").alias("media_type"),
+        n.alias("n_bytes"),
+        (F.lit(8000) + (n % 3) * F.lit(4000)).cast("int").alias("sample_rate"),
+        F.md5(F.col(text_col)).alias("content_md5"),
+    )
+
+
+def chunk_audio(audio: DataFrame, chunk_ms: int = 20) -> DataFrame:
+    """Split each audio payload into fixed-duration chunks: one row per
+    ``chunk_ms`` of PCM16 mono at the row's sample_rate
+    (bytes_per_chunk = sample_rate · 2 · chunk_ms / 1000; the last
+    chunk may be short). The ASR/diarization pre-segmentation shape.
+
+    Entirely built-in expressions — ``sequence``+``explode`` derives the
+    chunk list from metadata and ``substring`` slices the binary payload
+    JVM-side, so a 100 TB audio table chunks inside whole-stage codegen
+    with no Python crossing and no UDF. A real pipeline would follow
+    with a decode/resample ``mapInPandas`` stage (same stub policy as
+    :func:`extract_features`).
+    """
+    bpc = F.floor(F.col("sample_rate").cast("long") * 2 * chunk_ms / 1000)
+    n_chunks = F.ceil(F.col("n_bytes").cast("double") / bpc)
+    idx = F.explode(
+        F.when(
+            n_chunks > 0, F.sequence(F.lit(0).cast("long"), (n_chunks - 1).cast("long"))
+        ).otherwise(F.lit([]).cast("array<long>"))
+    )
+    c = audio.withColumn("__bpc", bpc).withColumn("chunk_idx", idx)
+    byte_offset = F.col("chunk_idx") * F.col("__bpc")
+    byte_len = F.least(F.col("__bpc"), F.col("n_bytes") - byte_offset)
+    return c.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        byte_offset.cast("long").alias("byte_offset"),
+        byte_len.cast("long").alias("byte_len"),
+        "sample_rate",
+        F.substring(
+            F.col("payload"), (byte_offset + 1).cast("int"), byte_len.cast("int")
+        ).alias("chunk"),
+        F.md5(
+            F.substring(
+                F.col("payload"), (byte_offset + 1).cast("int"), byte_len.cast("int")
+            )
+        ).alias("chunk_md5"),
+    )
+
+
 FRAME_SCHEMA = (
     "doc_id bigint, frame_idx int, frame_ts_ms int, frame_md5 string"
 )

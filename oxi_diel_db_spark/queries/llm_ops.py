@@ -859,6 +859,49 @@ def mm3_frame_sampling(spark, sf_dir):
 
 
 @register(
+    "mm4_audio_chunks",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id, text,
+             octet_length(encode(text)) AS n_bytes,
+             8000 + (octet_length(encode(text)) % 3) * 4000 AS sample_rate
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, text, n_bytes, sample_rate,
+             CAST(sample_rate * 2 * 20 / 1000 AS BIGINT) AS bpc
+      FROM a
+    ),
+    x AS (
+      SELECT doc_id, text, n_bytes, sample_rate, bpc,
+             unnest(range(0, CAST(ceil(n_bytes * 1.0 / bpc) AS BIGINT))) AS i
+      FROM c
+    )
+    SELECT doc_id,
+           CAST(i AS INT)                                  AS chunk_idx,
+           CAST(i * bpc AS BIGINT)                         AS byte_offset,
+           CAST(LEAST(bpc, n_bytes - i * bpc) AS BIGINT)   AS byte_len,
+           CAST(sample_rate AS INT)                        AS sample_rate,
+           md5(substring(text, CAST(i * bpc + 1 AS INT),
+                         CAST(LEAST(bpc, n_bytes - i * bpc) AS INT))) AS chunk_md5
+    FROM x
+    """,
+)
+def mm4_audio_chunks(spark, sf_dir):
+    """Audio chunking plumbing: each binary payload (stand-in PCM16)
+    fans out to fixed 20 ms chunks via sequence+explode+substring — all
+    JVM built-ins, no Python crossing. Spark slices the REAL binary
+    column; the oracle slices the source text (byte==char offsets: the
+    corpus is ASCII, asserted in tests), so even the per-chunk content
+    md5 is value-hash-checked across engines."""
+    from oxi_diel_db_spark.operators.multimodal import chunk_audio, to_audio_table
+
+    return chunk_audio(
+        to_audio_table(t(spark, sf_dir, "documents")), chunk_ms=20
+    ).drop("chunk")
+
+
+@register(
     "p7_capped_per_key",
     oracle="""
     SELECT user_id, event_id, event_type FROM (

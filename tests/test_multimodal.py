@@ -6,6 +6,8 @@ import hashlib
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from oxi_diel_db_spark.operators import multimodal as MM
 
 
@@ -64,3 +66,39 @@ def test_frame_sampling_fanout(spark):
     f0 = sorted(by_doc[2], key=lambda r: r["frame_idx"])
     assert [r["frame_ts_ms"] for r in f0] == [0, 1000, 2000, 3000, 4000]
     assert len({r["frame_md5"] for r in frames}) == 7  # all distinct
+
+
+def test_audio_chunking_reconstructs_payload(spark):
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(1, "a" * 700), (2, "b" * 320), (3, "c" * 321), (4, "short")],
+        "doc_id long, text string",
+    )
+    chunks = MM.chunk_audio(MM.to_audio_table(docs), chunk_ms=20).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, text in [(1, "a" * 700), (2, "b" * 320), (3, "c" * 321), (4, "short")]:
+        rows = sorted(by_doc[doc_id], key=lambda r: r["chunk_idx"])
+        n = len(text)
+        sr = 8000 + (n % 3) * 4000
+        bpc = sr * 2 * 20 // 1000
+        # fan-out cardinality, contiguous offsets, full coverage
+        assert len(rows) == -(-n // bpc)
+        assert [r["byte_offset"] for r in rows] == [i * bpc for i in range(len(rows))]
+        assert sum(r["byte_len"] for r in rows) == n
+        # concatenated chunk bytes reconstruct the payload exactly
+        assert b"".join(bytes(r["chunk"]) for r in rows) == text.encode()
+        # md5 is over the real binary slice
+        assert rows[0]["chunk_md5"] == hashlib.md5(text[:bpc].encode()).hexdigest()
+
+
+def test_audio_chunk_oracle_ascii_invariant(spark, sf_dir):
+    # the mm4 oracle equates byte and char offsets — only valid while
+    # the corpus is pure ASCII; fail loudly if testdata ever changes
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    non_ascii = d.filter(
+        F.octet_length(F.col("text")) != F.length(F.col("text"))
+    ).count()
+    assert non_ascii == 0
