@@ -926,6 +926,61 @@ def p7_capped_per_key(spark, sf_dir):
     return capped_sample_per_key(e, "user_id", "event_id", max_rows=20)
 
 
+def _g2_oracle() -> str:
+    from oxi_diel_db_spark.operators.graph import sql_triangle_ctes
+
+    edges = """
+      SELECT ua AS src, ub AS dst FROM (
+        SELECT a.user_id AS ua, b.user_id AS ub, COUNT(*) AS shared
+        FROM (SELECT DISTINCT user_id,
+                     CAST(REGEXP_EXTRACT(props, '"k":\\s*(-?\\d+)', 1) AS INTEGER) AS k
+              FROM events WHERE event_type = 'purchase') a
+        JOIN (SELECT DISTINCT user_id,
+                     CAST(REGEXP_EXTRACT(props, '"k":\\s*(-?\\d+)', 1) AS INTEGER) AS k
+              FROM events WHERE event_type = 'purchase') b
+          ON a.k = b.k AND a.user_id < b.user_id
+        GROUP BY 1, 2
+      ) WHERE shared >= 4
+    """
+    return f"""
+    WITH {sql_triangle_ctes(edges)}
+    SELECT node AS user_id, triangles FROM tri_counts
+    """
+
+
+@register("g2_triangle_count", oracle=_g2_oracle())
+def g2_triangle_count(spark, sf_dir):
+    """Per-node triangle counts over the user co-purchase graph (edge:
+    two users whose purchase events share >= 4 distinct props.k values).
+    Degree-ordered orientation bounds every wedge fan-out at O(sqrt(m))
+    — the skew-proof triangle algorithm (see operators/graph.py). The
+    orientation and wedge ordering use (degree, id) struct comparison,
+    mirrored as DuckDB row-value comparison → full value-hash oracle."""
+    from oxi_diel_db_spark.operators.graph import triangle_count
+
+    uk = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id", F.get_json_object("props", "$.k").cast("int").alias("k")
+        )
+        .distinct()
+    )
+    a = uk.select(F.col("user_id").alias("ua"), "k")
+    b = uk.select(F.col("user_id").alias("ub"), "k")
+    edges = (
+        a.join(b, "k")
+        .where(F.col("ua") < F.col("ub"))
+        .groupBy("ua", "ub")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= 4)
+        .select(F.col("ua").alias("src"), F.col("ub").alias("dst"))
+    )
+    return triangle_count(edges).select(
+        F.col("node").alias("user_id"), "triangles"
+    )
+
+
 def _g1_oracle() -> str:
     from oxi_diel_db_spark.operators.graph import sql_pagerank_ctes
 

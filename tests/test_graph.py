@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from oxi_diel_db_spark.operators.graph import pagerank
+from oxi_diel_db_spark.operators.graph import pagerank, triangle_count
 
 
 def test_pagerank_two_node_cycle_is_symmetric(spark):
@@ -39,3 +39,25 @@ def test_pagerank_weights_shift_mass(spark):
         for r in pagerank(edges, iters=20, weight_col="w").collect()
     }
     assert ranks["b"] > ranks["c"]
+
+
+def test_triangle_count_k4_and_isolated_edge(spark):
+    """K4 has 3 triangles per vertex; a disjoint edge contributes 0s.
+    Duplicate/reversed input edges must not inflate counts."""
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    edges = spark.createDataFrame(
+        k4 + [(b, a) for a, b in k4] + [("x", "y"), ("y", "x")],
+        "src string, dst string",
+    )
+    out = {r["node"]: r["triangles"] for r in triangle_count(edges).collect()}
+    assert out == {"a": 3, "b": 3, "c": 3, "d": 3, "x": 0, "y": 0}
+
+
+def test_triangle_count_path_has_none(spark):
+    """A 4-path has zero triangles everywhere; self-loops are dropped."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("b", "b")],
+        "src string, dst string",
+    )
+    out = {r["node"]: r["triangles"] for r in triangle_count(edges).collect()}
+    assert out == {"a": 0, "b": 0, "c": 0, "d": 0}
