@@ -109,7 +109,10 @@ def sql_pagerank_ctes(
 
 
 def triangle_count(
-    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    persist: bool = False,
 ) -> DataFrame:
     """Per-node triangle counts over an undirected graph; returns
     (node, triangles) including zero rows for triangle-free nodes.
@@ -122,6 +125,14 @@ def triangle_count(
     shuffles total (degree agg, wedge self-join, closing-edge join);
     all comparisons use (degree, id) struct ordering, which DuckDB
     mirrors as row-value comparison — full value-hash oracle.
+
+    ``persist=True`` caches `deg` and the oriented edge list: the plan
+    references `oriented` three times (two wedge sides + the
+    closing-edge probe) and `deg` twice, and Spark does not share
+    common subplans across self-joins, so without caching the
+    distinct + degree agg + orientation joins execute 3×. Leave off
+    for small oracle runs (cache hygiene under the parity gate); turn
+    on for real graphs — the caller owns `spark.catalog.clearCache()`.
     """
     sym = (
         edges.select(
@@ -137,6 +148,8 @@ def triangle_count(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
     )
+    if persist:
+        deg = deg.persist()
     da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
     db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
     ka = F.struct(F.col("da"), F.col("a"))
@@ -155,6 +168,8 @@ def triangle_count(
             .alias("kv"),
         )
     )
+    if persist:
+        oriented = oriented.persist()
     e1, e2 = oriented.alias("e1"), oriented.alias("e2")
     wedges = e1.join(e2, (F.col("e1.u") == F.col("e2.u"))).where(
         F.col("e1.kv") < F.col("e2.kv")

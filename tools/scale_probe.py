@@ -236,10 +236,54 @@ def vectors_probe(n_vecs: int = 200_000, dim: int = 64, n_probes_q: int = 100) -
     }))
 
 
+def graph_probe(n_edges: int = 5_000_000) -> None:
+    """Graph-operator scale evidence on a skewed synthetic graph:
+    endpoint ids are hash^2-compressed so low ids act as celebrity
+    nodes (max degree ~sqrt-law). Times PageRank (fixed-point loop)
+    and triangle_count, whose degree-ordered orientation is exactly
+    the piece that must survive this skew — a naive wedge join on the
+    raw edge list would square the hottest node's degree."""
+    from oxi_diel_db_spark.session import get_spark
+    from oxi_diel_db_spark.operators.graph import pagerank, triangle_count
+
+    spark = get_spark("graph_probe")
+    n_nodes = max(1000, n_edges // 10)
+    # src skewed: square a uniform hash so small ids are hit ~often
+    edges = spark.range(0, n_edges).select(
+        F.pmod(
+            F.pmod(F.hash("id"), F.lit(n_nodes)) * F.pmod(F.hash("id"), F.lit(n_nodes)),
+            F.lit(n_nodes),
+        ).alias("src"),
+        F.pmod(F.hash("id", F.lit(1)), F.lit(n_nodes)).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    edges.limit(5).collect()  # warmup
+    timings, counts = {}, {}
+    t0 = time.time()
+    deg = edges.groupBy("src").count()
+    counts["max_degree"] = deg.agg(F.max("count")).collect()[0][0]
+    counts["nodes"] = deg.count()
+    timings["degree_profile"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    counts["pagerank_rows"] = pagerank(edges, iters=5).count()
+    timings["pagerank_5it"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    tri = triangle_count(edges, persist=True)
+    counts["tri_nodes"] = tri.count()
+    timings["triangle_count"] = round(time.time() - t0, 2)
+    print(json.dumps({
+        "metric": "graph_probe", "edges": n_edges, "unit": "sec",
+        "timings": timings, "counts": {k: int(v) for k, v in counts.items()},
+    }))
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "docs":
         docs_probe(int(float(sys.argv[2]) * 1000) if len(sys.argv) > 2 else 500_000)
     elif len(sys.argv) > 1 and sys.argv[1] == "vectors":
         vectors_probe(int(float(sys.argv[2]) * 1000) if len(sys.argv) > 2 else 200_000)
+    elif len(sys.argv) > 1 and sys.argv[1] == "graph":
+        graph_probe(
+            int(float(sys.argv[2]) * 1_000_000) if len(sys.argv) > 2 else 5_000_000
+        )
     else:
         main()
