@@ -189,3 +189,48 @@ def fingerprint(text: Column | str) -> Column:
 def sql_fingerprint(t: str) -> str:
     words = SQL_NORM_WORDS.format(t=t)
     return f"md5(array_to_string(list_sort(list_distinct({words})), ' '))"
+
+
+# PII redaction: category -> (pattern, replacement). RE2-and-Java-safe
+# (no lookaround), applied in list order — EMAIL first so its local
+# part can't be nibbled by the numeric patterns, SSN before PHONE so
+# the narrower dashed shape wins. Reference scope: the standard
+# training-corpus scrub set (emails, IPv4, SSN-shaped, phone-shaped).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[- .]\d{3}[- .]\d{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace every PII_PATTERNS match with its tag. Pure JVM regex
+    chain (4 regexp_replace nodes, whole-stage codegen) — no UDF."""
+    c = F.col(text) if isinstance(text, str) else text
+    for _, pat, tag in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, tag)
+    return c
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Per-category match counts (on the UNredacted text)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return {
+        name: F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+        for name, pat, _ in PII_PATTERNS
+    }
+
+
+def sql_redact_pii(t: str) -> str:
+    """DuckDB twin of redact_pii: same patterns, same order ('g' flag —
+    DuckDB regexp_replace is single-match by default, Spark's global)."""
+    expr = t
+    for _, pat, tag in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{tag}', 'g')"
+    return expr
+
+
+def sql_pii_count(t: str, name: str) -> str:
+    pat = next(p for n, p, _ in PII_PATTERNS if n == name)
+    return f"len(regexp_extract_all({t}, '{pat}', 0))"

@@ -534,3 +534,47 @@ def dedup_clusters(
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+def ngram_decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: per training doc, how many of its
+    distinct word n-grams appear anywhere in the benchmark corpus
+    (eval-set leakage scan). Returns (id, n_ngrams, n_shared,
+    contamination) — contamination = n_shared / n_ngrams.
+
+    Scale shape: the benchmark n-gram set is distinct-collapsed and
+    hashed to 8-byte xxhash64 ints, then BROADCAST to the training
+    side — eval suites are tiny next to a training corpus, so the
+    100 TB scan never shuffles on the join. Training totals are exact
+    string counts; only the membership probe rides the hash (a false
+    hit needs a cross-corpus xxhash64 collision, ~2^-64/pair)."""
+    tr = train.select(
+        F.col(id_col),
+        F.explode(shingles(norm_words(F.col(text_col)), n)).alias("ng"),
+    ).distinct()
+    be = (
+        bench.select(F.explode(shingles(norm_words(F.col(text_col)), n)).alias("ng"))
+        .select(F.xxhash64("ng").alias("h"))
+        .distinct()
+    )
+    totals = tr.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_ngrams"))
+    hits = (
+        tr.select(F.col(id_col), F.xxhash64("ng").alias("h"))
+        .join(F.broadcast(be), "h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return totals.join(hits, id_col, "left").select(
+        F.col(id_col),
+        "n_ngrams",
+        F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared"),
+        (F.coalesce(F.col("n_shared"), F.lit(0)) / F.col("n_ngrams")).alias(
+            "contamination"
+        ),
+    )

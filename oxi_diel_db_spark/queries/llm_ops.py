@@ -1028,3 +1028,103 @@ def g1_pagerank(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("weight"))
     )
     return pagerank(edges, damping=0.85, iters=10, weight_col="weight")
+
+
+def _t6_pii_text_sql() -> str:
+    return """CAST(text AS VARCHAR)
+        || ' contact user' || CAST(doc_id AS VARCHAR)
+        || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.org via '
+        || '10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+        || CAST((doc_id * 7) % 256 AS VARCHAR)
+        || ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        || ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"""
+
+
+def _t6_oracle() -> str:
+    pii = _t6_pii_text_sql()
+    return f"""
+    WITH p AS (SELECT doc_id, {pii} AS pii_text FROM documents)
+    SELECT doc_id,
+           md5({TX.sql_redact_pii('pii_text')}) AS clean_md5,
+           CAST({TX.sql_pii_count('pii_text', 'email')} AS INTEGER) AS n_email,
+           CAST({TX.sql_pii_count('pii_text', 'ip')} AS INTEGER)    AS n_ip,
+           CAST({TX.sql_pii_count('pii_text', 'ssn')} AS INTEGER)   AS n_ssn,
+           CAST({TX.sql_pii_count('pii_text', 'phone')} AS INTEGER) AS n_phone
+    FROM p
+    """
+
+
+@register("t6_redact_pii", oracle=_t6_oracle())
+def t6_redact_pii(spark, sf_dir):
+    """PII scrub (F10 / training-corpus hygiene): deterministic
+    PII-bearing contact lines are synthesized from doc_id (the corpus
+    itself is word salad), then redacted by the 4-pattern JVM regex
+    chain in functions/text.py — email, IPv4, SSN-shaped, phone-shaped,
+    all whole-stage-codegen, no UDF. Output is the redacted-text md5 +
+    per-category match counts; both engines run byte-identical patterns
+    (RE2-and-Java-safe, no lookaround) → full value-hash oracle."""
+    d = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), did.cast("string"),
+        F.lit("@mail"), (did % 7).cast("string"), F.lit(".org via "),
+        F.lit("10."), (did % 256).cast("string"), F.lit(".0."),
+        ((did * 7) % 256).cast("string"),
+        F.lit(" call 415-555-"), F.lpad((did % 10000).cast("string"), 4, "0"),
+        F.lit(" ssn 123-45-"), F.lpad((did % 10000).cast("string"), 4, "0"),
+    )
+    p = d.select("doc_id", pii_text.alias("pii_text"))
+    counts = TX.pii_counts("pii_text")
+    return p.select(
+        "doc_id",
+        F.md5(TX.redact_pii("pii_text")).alias("clean_md5"),
+        counts["email"].alias("n_email"),
+        counts["ip"].alias("n_ip"),
+        counts["ssn"].alias("n_ssn"),
+        counts["phone"].alias("n_phone"),
+    )
+
+
+def _d9_oracle() -> str:
+    ngrams = TX.sql_shingles("words", 3)
+    return f"""
+    WITH w AS (
+      SELECT doc_id, {TX.SQL_NORM_WORDS.format(t='text')} AS words
+      FROM documents
+    ),
+    ngr AS (
+      SELECT DISTINCT doc_id, unnest({ngrams}) AS ng
+      FROM w WHERE len(words) >= 3
+    ),
+    bench_ng AS (SELECT DISTINCT ng FROM ngr WHERE doc_id % 23 = 0),
+    train_ng AS (SELECT doc_id, ng FROM ngr WHERE doc_id % 23 <> 0),
+    totals AS (
+      SELECT doc_id, COUNT(*) AS n_ngrams FROM train_ng GROUP BY doc_id
+    ),
+    hits AS (
+      SELECT t.doc_id, COUNT(*) AS n_shared
+      FROM train_ng t JOIN bench_ng b USING (ng)
+      GROUP BY t.doc_id
+    )
+    SELECT totals.doc_id,
+           totals.n_ngrams,
+           CAST(COALESCE(hits.n_shared, 0) AS BIGINT) AS n_shared,
+           COALESCE(hits.n_shared, 0) / totals.n_ngrams AS contamination
+    FROM totals LEFT JOIN hits ON totals.doc_id = hits.doc_id
+    """
+
+
+@register("d9_decontamination", oracle=_d9_oracle())
+def d9_decontamination(spark, sf_dir):
+    """Benchmark decontamination (eval-set leakage scan): docs with
+    doc_id % 23 == 0 play the held-out benchmark; every remaining doc
+    reports how many of its distinct word 3-grams appear anywhere in
+    that set. The benchmark n-gram set collapses to distinct xxhash64
+    ints and BROADCASTS — at 100 TB the training scan never shuffles
+    for this join (see operators/dedup.ngram_decontaminate). The ratio
+    is exact-int / exact-int division → bit-identical cross-engine."""
+    d = t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 23 == 0)
+    train = d.filter(F.col("doc_id") % 23 != 0)
+    return dedup.ngram_decontaminate(train, bench, "doc_id", "text", n=3)

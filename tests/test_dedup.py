@@ -196,3 +196,27 @@ def test_dedup_clusters_raises_on_non_convergence(spark):
     )
     with _pytest.raises(RuntimeError, match="no convergence"):
         dedup.dedup_clusters(pairs, max_iters=2)
+
+
+def test_ngram_decontaminate_counts_and_ratio(spark):
+    from oxi_diel_db_spark.operators import dedup
+
+    bench = spark.createDataFrame(
+        [(100, "the cat sat on the mat")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "the cat sat on a rug"),   # shares "the cat sat" + "cat sat on"
+            (2, "dogs bark at the moon"),  # clean
+            (3, "the cat sat on the mat today"),  # near-superset: 5 of 6 shared
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.ngram_decontaminate(train, bench, n=3).collect()
+    }
+    assert out[1]["n_shared"] == 2 and out[1]["n_ngrams"] == 4
+    assert out[2]["n_shared"] == 0 and out[2]["contamination"] == 0.0
+    assert out[3]["n_shared"] == 4 and out[3]["n_ngrams"] == 5
+    assert abs(out[3]["contamination"] - 0.8) < 1e-12

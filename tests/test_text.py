@@ -50,3 +50,21 @@ def test_fingerprint_order_insensitive(spark):
     b = _one(spark, "gamma alpha beta", TX.fingerprint("text"))
     c = _one(spark, "alpha beta delta", TX.fingerprint("text"))
     assert a == b != c
+
+
+def test_redact_pii_all_categories(spark):
+    s = (
+        "mail bob.smith+x@corp.example.org node 192.168.1.17 "
+        "ssn 123-45-6789 call 415-555-0100 ok"
+    )
+    out = _one(spark, s, TX.redact_pii("text"))
+    assert out == "mail <EMAIL> node <IP> ssn <SSN> call <PHONE> ok"
+    counts = spark.createDataFrame([(s,)], "text string").select(
+        *[c.alias(n) for n, c in TX.pii_counts("text").items()]
+    ).collect()[0]
+    assert counts.asDict() == {"email": 1, "ip": 1, "ssn": 1, "phone": 1}
+
+
+def test_redact_pii_leaves_clean_text_alone(spark):
+    s = "version 3.14 of the thing shipped in 2024 at half past 12"
+    assert _one(spark, s, TX.redact_pii("text")) == s
