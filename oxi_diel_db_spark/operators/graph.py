@@ -23,7 +23,7 @@ at scale:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -231,3 +231,86 @@ def sql_triangle_ctes(edges_cte: str) -> str:
         GROUP BY node
       ) t ON t.node = deg.node
     )"""
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Community detection via semi-synchronous label propagation over
+    an undirected graph: every node starts as its own label; each
+    round it adopts the most frequent label among its neighbors,
+    ties broken by the SMALLEST label — a fully deterministic rule, so
+    the trajectory (not just the fixed point) is reproducible and the
+    unrolled DuckDB twin can value-hash-check it. Returns
+    (node, community).
+
+    Known property of the synchronous variant: bipartite subgraphs
+    (stars, even cycles) oscillate with period 2 instead of
+    converging. Determinism makes the oscillation itself reproducible;
+    production LPA damps it with asynchronous or parity-split updates,
+    which would break cross-engine replay — chosen deliberately.
+
+    Per round: one shuffle to co-locate neighbor labels, one partial
+    (map-side-combinable) count agg, one window argmax — all on the
+    node key, so AQE can reuse the partitioning. Rounds are O(m) each;
+    at 100 TB graph scale, persist the symmetric edge list once
+    (it is re-scanned every round) and keep iters small — LPA
+    plateaus in a handful of rounds.
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .unionAll(
+            edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    labels = sym.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("lab"))
+    for _ in range(iters):
+        nbr = sym.join(
+            labels.select(F.col("node").alias("v"), "lab"), "v"
+        ).select(F.col("u").alias("node"), "lab")
+        counts = nbr.groupBy("node", "lab").agg(F.count(F.lit(1)).alias("c"))
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", "lab")
+        )
+    return labels.select("node", F.col("lab").alias("community"))
+
+
+def sql_lpa_ctes(edges_cte: str, iters: int = 5) -> str:
+    """DuckDB twin of :func:`label_propagation`: identical rule,
+    iterations unrolled as chained CTEs (aggregates are not allowed in
+    recursive CTE terms). ``edges_cte`` must define e(src, dst); ends
+    in lab{iters}(node, lab)."""
+    parts = [
+        f"e AS ({edges_cte})",
+        """sym AS (
+      SELECT u, v FROM (
+        SELECT src AS u, dst AS v FROM e UNION ALL SELECT dst, src FROM e
+      ) WHERE u <> v GROUP BY u, v
+    )""",
+        "lab0 AS (SELECT DISTINCT u AS node, u AS lab FROM sym)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""lab{i} AS (
+      SELECT node, lab FROM (
+        SELECT s.u AS node, l.lab,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.u
+                 ORDER BY COUNT(*) DESC, l.lab
+               ) AS rn
+        FROM sym s JOIN lab{i - 1} l ON l.node = s.v
+        GROUP BY s.u, l.lab
+      ) WHERE rn = 1
+    )"""
+        )
+    return ",\n    ".join(parts)

@@ -1128,3 +1128,60 @@ def d9_decontamination(spark, sf_dir):
     bench = d.filter(F.col("doc_id") % 23 == 0)
     train = d.filter(F.col("doc_id") % 23 != 0)
     return dedup.ngram_decontaminate(train, bench, "doc_id", "text", n=3)
+
+
+def _g3_oracle() -> str:
+    from oxi_diel_db_spark.operators.graph import sql_lpa_ctes
+
+    edges = """
+      SELECT ua AS src, ub AS dst FROM (
+        SELECT a.user_id AS ua, b.user_id AS ub, COUNT(*) AS shared
+        FROM (SELECT DISTINCT user_id,
+                     CAST(REGEXP_EXTRACT(props, '"k":\\s*(-?\\d+)', 1) AS INTEGER) AS k
+              FROM events WHERE event_type = 'purchase') a
+        JOIN (SELECT DISTINCT user_id,
+                     CAST(REGEXP_EXTRACT(props, '"k":\\s*(-?\\d+)', 1) AS INTEGER) AS k
+              FROM events WHERE event_type = 'purchase') b
+          ON a.k = b.k AND a.user_id < b.user_id
+        GROUP BY 1, 2
+      ) WHERE shared >= 4
+    """
+    return f"""
+    WITH {sql_lpa_ctes(edges, iters=5)}
+    SELECT node AS user_id, lab AS community FROM lab5
+    """
+
+
+@register("g3_label_propagation", oracle=_g3_oracle())
+def g3_label_propagation(spark, sf_dir):
+    """Community detection on the user co-purchase graph (same edges as
+    g2) via 5 rounds of semi-synchronous label propagation. The
+    adopt-most-frequent-neighbor-label rule with smallest-label
+    tie-break is fully deterministic, so the unrolled DuckDB twin
+    reproduces the whole trajectory — a second ITERATIVE algorithm
+    under the value-hash gate (after g1's numeric fixed point, this is
+    the argmax/categorical kind). See operators/graph.py for the
+    per-round shuffle budget."""
+    from oxi_diel_db_spark.operators.graph import label_propagation
+
+    uk = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id", F.get_json_object("props", "$.k").cast("int").alias("k")
+        )
+        .distinct()
+    )
+    a = uk.select(F.col("user_id").alias("ua"), "k")
+    b = uk.select(F.col("user_id").alias("ub"), "k")
+    edges = (
+        a.join(b, "k")
+        .where(F.col("ua") < F.col("ub"))
+        .groupBy("ua", "ub")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= 4)
+        .select(F.col("ua").alias("src"), F.col("ub").alias("dst"))
+    )
+    return label_propagation(edges, iters=5).select(
+        F.col("node").alias("user_id"), "community"
+    )

@@ -61,3 +61,31 @@ def test_triangle_count_path_has_none(spark):
     )
     out = {r["node"]: r["triangles"] for r in triangle_count(edges).collect()}
     assert out == {"a": 0, "b": 0, "c": 0, "d": 0}
+
+
+def test_label_propagation_disjoint_cliques(spark):
+    """Two disjoint triangles each converge to their minimum label
+    (min-label tie-break makes the rule deterministic)."""
+    from oxi_diel_db_spark.operators.graph import label_propagation
+
+    tri = lambda a, b, c: [(a, b), (b, c), (a, c)]  # noqa: E731
+    edges = spark.createDataFrame(
+        tri(1, 2, 3) + tri(10, 11, 12), "src long, dst long"
+    )
+    out = {r["node"]: r["community"] for r in label_propagation(edges, iters=5).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_label_propagation_star_oscillates_deterministically(spark):
+    """Synchronous LPA on a bipartite star flip-flops: each round the
+    center adopts the min leaf label while every leaf adopts the
+    center's previous label. The value of determinism is that the
+    oscillation itself is reproducible — after any EVEN number of
+    rounds the state is exactly (center: own, leaves: min-leaf)."""
+    from oxi_diel_db_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(5, leaf) for leaf in (6, 7, 8, 9)], "src long, dst long"
+    )
+    out = {r["node"]: r["community"] for r in label_propagation(edges, iters=6).collect()}
+    assert out == {5: 5, 6: 6, 7: 6, 8: 6, 9: 6}
