@@ -1185,3 +1185,83 @@ def g3_label_propagation(spark, sf_dir):
     return label_propagation(edges, iters=5).select(
         F.col("node").alias("user_id"), "community"
     )
+
+
+def _t7_oracle() -> str:
+    words = TX.SQL_NORM_WORDS.format(t="text")
+    bigrams = TX.sql_shingles("words", 2)
+    return f"""
+    WITH w AS (SELECT doc_id, {words} AS words FROM documents),
+    wc AS (
+      SELECT doc_id, word, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(words) AS word FROM w)
+      GROUP BY doc_id, word
+    ),
+    ws AS (
+      SELECT doc_id, SUM(c) AS n_words, MAX(c) AS top_word,
+             COUNT(*) AS n_types
+      FROM wc GROUP BY doc_id
+    ),
+    bc AS (
+      SELECT doc_id, bg, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest({bigrams}) AS bg
+            FROM w WHERE len(words) >= 2)
+      GROUP BY doc_id, bg
+    ),
+    bs AS (
+      SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bigram
+      FROM bc GROUP BY doc_id
+    )
+    SELECT ws.doc_id,
+           CAST(ws.n_words AS BIGINT)        AS n_words,
+           ws.n_types / ws.n_words           AS ttr,
+           ws.top_word / ws.n_words          AS top_word_frac,
+           COALESCE(bs.top_bigram / bs.n_bigrams, 0.0) AS top_bigram_frac,
+           (ws.n_types / ws.n_words > 0.2
+            AND ws.top_word / ws.n_words < 0.2
+            AND COALESCE(bs.top_bigram / bs.n_bigrams, 0.0) < 0.18)
+                                             AS keep
+    FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
+    """
+
+
+@register("t7_repetition_filters", oracle=_t7_oracle())
+def t7_repetition_filters(spark, sf_dir):
+    """Gopher-style repetition/quality signals per document: type-token
+    ratio, top-1 word fraction, top-1 bigram fraction, and the keep
+    flag their thresholds imply. One explode + two hash aggs per
+    signal family, all partial-aggregatable; every ratio is exact
+    BIGINT/BIGINT division so the doubles are bit-identical
+    cross-engine (no rounding needed anywhere)."""
+    d = t(spark, sf_dir, "documents")
+    w = d.select("doc_id", TX.norm_words("text").alias("words"))
+    wc = (
+        w.select("doc_id", F.explode("words").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ws = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.max("c").alias("top_word"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
+    bc = (
+        w.where(F.size("words") >= 2)
+        .select("doc_id", F.explode(TX.shingles(F.col("words"), 2)).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bs = bc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bigram")
+    )
+    ttr = F.col("n_types") / F.col("n_words")
+    twf = F.col("top_word") / F.col("n_words")
+    tbf = F.coalesce(F.col("top_bigram") / F.col("n_bigrams"), F.lit(0.0))
+    return ws.join(bs, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        ttr.alias("ttr"),
+        twf.alias("top_word_frac"),
+        tbf.alias("top_bigram_frac"),
+        ((ttr > 0.2) & (twf < 0.2) & (tbf < 0.18)).alias("keep"),
+    )

@@ -68,3 +68,26 @@ def test_redact_pii_all_categories(spark):
 def test_redact_pii_leaves_clean_text_alone(spark):
     s = "version 3.14 of the thing shipped in 2024 at half past 12"
     assert _one(spark, s, TX.redact_pii("text")) == s
+
+
+def test_repetition_filters_flag_degenerate_doc(spark):
+    """'spam spam spam spam' has TTR 0.25 and top-word fraction 1.0 —
+    the repetition thresholds must reject it while keeping varied
+    text. Exercises the t7 signal algebra end-to-end on tiny input."""
+    import __spark_entry__ as E
+
+    import os, tempfile
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),
+            (2, "the quick brown fox jumps over one lazy dog today"),
+        ],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = {
+        r["doc_id"]: r
+        for r in E.queries()["t7_repetition_filters"](spark, d).collect()
+    }
+    assert out[1]["keep"] is False and out[1]["top_word_frac"] == 1.0
+    assert out[2]["keep"] is True and out[2]["ttr"] == 1.0
