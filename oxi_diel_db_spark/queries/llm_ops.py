@@ -1265,3 +1265,78 @@ def t7_repetition_filters(spark, sf_dir):
         tbf.alias("top_bigram_frac"),
         ((ttr > 0.2) & (twf < 0.2) & (tbf < 0.18)).alias("keep"),
     )
+
+
+@register(
+    "p8_three_way_split",
+    oracle="""
+    SELECT doc_id, lang, source,
+           CASE WHEN substring(md5('split0:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                     < 'cccccccc' THEN 'train'
+                WHEN substring(md5('split0:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                     < 'e6666666' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def p8_three_way_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment: gate on the
+    first 8 hex chars of md5('split<seed>:'||id). Pure hash of the id
+    — no global sort, no shuffle, stable under re-runs, appends, and
+    repartitioning (the property row_number()-based splits lack at
+    scale); changing the seed string re-deals the whole split. Same
+    hex-threshold trick as p1/p3 → bit-identical cross-engine."""
+    d = t(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.concat(F.lit("split0:"), F.col("doc_id").cast("string"))), 1, 8)
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.when(h < "cccccccc", "train")
+        .when(h < "e6666666", "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@register(
+    "q73_salted_join",
+    oracle="""
+    SELECT e.event_type,
+           COUNT(*) AS n,
+           SUM(CAST(ROUND(e.value * w.weight * 100, 0) AS BIGINT)) / 100.0
+             AS weighted_value
+    FROM events e
+    JOIN (VALUES ('click', 0.1), ('view', 0.05), ('purchase', 1.0),
+                 ('signup', 0.5), ('error', 0.0)) AS w(event_type, weight)
+      ON e.event_type = w.event_type
+    GROUP BY e.event_type
+    """,
+)
+def q73_salted_join(spark, sf_dir):
+    """Skew-proof join under the correctness gate: events ⋈ a 5-row
+    weight dim through operators/scale.salted_join (salt the big side,
+    replicate the small side per salt) — the shape for when one hot
+    key would overwhelm a single reducer AND the dim is too large or
+    the join too non-broadcastable for AQE's skew handling. The salt
+    column never escapes the operator, so the result equals the plain
+    join — proven here by hashing against the unsalted oracle. Cents
+    trick pins the weighted sum."""
+    from oxi_diel_db_spark.operators.scale import salted_join
+
+    e = t(spark, sf_dir, "events").select("event_type", "value")
+    dim = spark.createDataFrame(
+        [("click", 0.1), ("view", 0.05), ("purchase", 1.0),
+         ("signup", 0.5), ("error", 0.0)],
+        "event_type string, weight double",
+    )
+    joined = salted_join(e, dim, "event_type", salt_buckets=8)
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(
+                F.round(F.col("value") * F.col("weight") * 100, 0).cast("bigint")
+            )
+            / 100.0
+        ).alias("weighted_value"),
+    )

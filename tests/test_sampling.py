@@ -148,3 +148,19 @@ def test_bucketed_rank_equals_global_window(spark):
     got_pack = pack_sequences(docs, "doc_id", "n_tok", budget=512, seed=7)
     assert got_pack.exceptAll(naive_pack).count() == 0
     assert naive_pack.exceptAll(got_pack).count() == 0
+
+
+def test_three_way_split_proportions_and_stability(spark, sf_dir):
+    import __spark_entry__ as E
+
+    q = E.queries()["p8_three_way_split"]
+    counts = {r["split"]: r["n"] for r in q(spark, sf_dir).groupBy("split").agg(
+        __import__("pyspark.sql.functions", fromlist=["F"]).count("*").alias("n")
+    ).collect()}
+    total = sum(counts.values())
+    assert 0.7 < counts["train"] / total < 0.9
+    assert counts["val"] / total < 0.2 and counts["test"] / total < 0.2
+    # re-run is byte-stable (hash-gated, not RNG)
+    again = {r["split"]: r["n"] for r in q(spark, sf_dir).groupBy("split").count()
+             .withColumnRenamed("count", "n").collect()}
+    assert again == counts
