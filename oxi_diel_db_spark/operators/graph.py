@@ -43,17 +43,24 @@ def pagerank(
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("w")
     )
+    # Spark does not share common subplans across self-references: the
+    # unrolled loop references nodes/trans ~2× per iteration, so without
+    # materialization the (possibly expensive) edge-building lineage
+    # re-executes O(iters) times. localCheckpoint truncates it once;
+    # on a real cluster use reliable checkpoint() instead (localCheckpoint
+    # blocks die with their executor).
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    n_nodes = nodes.count()  # one tiny action; N is also the teleport term
+    n_nodes = nodes.count()  # cached action; N is also the teleport term
     outw = e.groupBy("src").agg(F.sum("w").alias("outw"))
     # normalized transition weight, fixed once (round: engine-portable)
     trans = e.join(outw, "src").select(
         "src", "dst", F.round(F.col("w") / F.col("outw"), 9).alias("p")
-    )
+    ).localCheckpoint(eager=True)
     base = F.round(F.lit(1.0 / n_nodes), 9)
     ranks = nodes.select("node", base.alias("rank"))
     teleport = F.round(F.lit((1.0 - damping) / n_nodes), 9)
