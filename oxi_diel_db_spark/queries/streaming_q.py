@@ -118,6 +118,37 @@ def st5_stream_static_join(spark, sf_dir):
 
 
 @register(
+    "st8_stream_stream_join",
+    oracle="""
+    SELECT v.event_id AS left_id, p.event_id AS right_id, v.user_id,
+           v.ts AS left_ts, p.ts AS right_ts
+    FROM events v
+    JOIN events p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL 4 HOUR
+    WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    """,
+)
+def st8_stream_stream_join(spark, sf_dir):
+    """Stream-stream interval join, REAL streaming execution: two
+    independent file-source replays of the events table (views /
+    purchases) joined on user within [view_ts, view_ts + 4h], both
+    sides watermarked so buffered state is evictable. Inner joins emit
+    every match exactly once, so the drained append-mode sink equals
+    the batch interval join — the oracle — and even this two-unbounded-
+    sides operator sits under the full value-hash gate."""
+    views = ops.read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "view"
+    )
+    purchases = ops.read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = ops.stream_stream_join(views, purchases, within="4 hours")
+    return ops.run_stream_to_memory(joined, spark, mode="append")
+
+
+@register(
     "st7_incremental_rollup",
     oracle="""
     SELECT DATE_TRUNC('hour', ts) AS win_start, event_type,

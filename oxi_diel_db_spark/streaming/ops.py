@@ -180,6 +180,65 @@ def stream_static_join(events: DataFrame, dim: DataFrame, on) -> DataFrame:
     return events.join(F.broadcast(dim), on, "left")
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    within: str = "4 hours",
+    watermark: str = "30 days",
+) -> DataFrame:
+    """Stream-stream inner interval join (T7's harder sibling — the
+    join both sides of which are unbounded): left events match right
+    events with the same ``key`` whose time falls in
+    ``[left.ts, left.ts + within]``.
+
+    The shape Structured Streaming requires to bound state:
+
+    * a watermark on BOTH inputs — without one, neither side's buffered
+      rows can ever be evicted (state grows with the stream);
+    * a time-RANGE predicate tying the two event times — this is what
+      lets the engine compute, from the watermark, how long a buffered
+      row can still find partners and drop it afterwards.
+
+    Inner joins emit each match exactly once as it is found, so the
+    complete replayed output equals the batch join — which is the
+    oracle (st8). At 100 TB both sides hash-partition on the key; the
+    interval predicate evaluates post-shuffle within each partition,
+    and state size ≈ (rows/sec · watermark) per side, independent of
+    total stream length.
+
+    The replay-test watermark default is generous (the file source
+    replays a month in minutes and processAllAvailable must not race
+    eviction); production tightens it to the real lateness bound, e.g.
+    minutes, because state scales with it.
+    """
+    # watermarks demand TIMESTAMP_LTZ; the parquet replay may surface
+    # NTZ. Cast is value-preserving under the pinned UTC session tz,
+    # and the output casts back to NTZ so hashes match the naive oracle.
+    l = left.select(
+        F.col("event_id").alias("left_id"),
+        F.col(key),
+        F.col("ts").cast("timestamp").alias("left_ts"),
+    ).withWatermark("left_ts", watermark)
+    r = right.select(
+        F.col("event_id").alias("right_id"),
+        F.col(key).alias("__rk"),
+        F.col("ts").cast("timestamp").alias("right_ts"),
+    ).withWatermark("right_ts", watermark)
+    cond = (
+        (F.col(key) == F.col("__rk"))
+        & (F.col("right_ts") >= F.col("left_ts"))
+        & (F.col("right_ts") <= F.col("left_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner").select(
+        "left_id",
+        "right_id",
+        F.col(key),
+        F.col("left_ts").cast("timestamp_ntz").alias("left_ts"),
+        F.col("right_ts").cast("timestamp_ntz").alias("right_ts"),
+    )
+
+
 # ---- execution helpers -----------------------------------------------------
 
 
