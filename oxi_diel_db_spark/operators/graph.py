@@ -55,7 +55,11 @@ def pagerank(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    n_nodes = nodes.count()  # cached action; N is also the teleport term
+    # count() is a real (cheap) job over the checkpointed blocks; N is
+    # also the teleport term. The checkpoint blocks are reclaimed by the
+    # ContextCleaner when the DataFrame is GC'd — long-lived drivers
+    # calling pagerank repeatedly can del/unpersist explicitly.
+    n_nodes = nodes.count()
     outw = e.groupBy("src").agg(F.sum("w").alias("outw"))
     # normalized transition weight, fixed once (round: engine-portable)
     trans = e.join(outw, "src").select(

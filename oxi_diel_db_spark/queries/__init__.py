@@ -54,16 +54,25 @@ def register(name: str, oracle: str | None = None):
 
 
 def load_registry() -> dict[str, QueryDef]:
-    """Import every query module (side effect: fills REGISTRY)."""
+    """Import every query module (side effect: fills REGISTRY).
+
+    Import order IS registry iteration order (dicts preserve insertion),
+    and the driver's correctness sweep samples a prefix of it — so the
+    families go in round-robin verification priority: the LLM-pipeline
+    (d*/s*/t*/p*/g*/mm*/c*), streaming (st*), and materials surfaces
+    lead; the relational/TPC-H families (heavily sampled in earlier
+    rounds) trail. Rotate this order in later rounds so every family
+    accumulates official driver-checked rows.
+    """
     from oxi_diel_db_spark.queries import (  # noqa: F401
-        aggregates,
-        extras,
-        joins,
         llm_ops,
+        streaming_q,
         materials,
         relational,
-        streaming_q,
         windows,
+        joins,
+        aggregates,
+        extras,
     )
 
     return REGISTRY

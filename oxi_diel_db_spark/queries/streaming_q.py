@@ -131,19 +131,19 @@ def st5_stream_static_join(spark, sf_dir):
     """,
 )
 def st8_stream_stream_join(spark, sf_dir):
-    """Stream-stream interval join, REAL streaming execution: two
-    independent file-source replays of the events table (views /
-    purchases) joined on user within [view_ts, view_ts + 4h], both
-    sides watermarked so buffered state is evictable. Inner joins emit
-    every match exactly once, so the drained append-mode sink equals
-    the batch interval join — the oracle — and even this two-unbounded-
-    sides operator sits under the full value-hash gate."""
-    views = ops.read_events_stream(spark, sf_dir).filter(
-        F.col("event_type") == "view"
-    )
-    purchases = ops.read_events_stream(spark, sf_dir).filter(
-        F.col("event_type") == "purchase"
-    )
+    """Stream-stream interval join, REAL streaming execution: ONE
+    file-source replay of the events table, filtered into two views
+    (views / purchases) joined on user within [view_ts, view_ts + 4h],
+    both sides watermarked so buffered state is evictable. A single
+    source (vs one replay per side) halves source IO per trigger —
+    Spark happily self-joins two filtered views of one streaming DF.
+    Inner joins emit every match exactly once, so the drained
+    append-mode sink equals the batch interval join — the oracle — and
+    even this two-unbounded-sides operator sits under the full
+    value-hash gate."""
+    stream = ops.read_events_stream(spark, sf_dir)
+    views = stream.filter(F.col("event_type") == "view")
+    purchases = stream.filter(F.col("event_type") == "purchase")
     joined = ops.stream_stream_join(views, purchases, within="4 hours")
     return ops.run_stream_to_memory(joined, spark, mode="append")
 

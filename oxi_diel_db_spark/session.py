@@ -32,8 +32,10 @@ _BASE_CONF = {
     # Parquet: vectorized reader on, filter pushdown on (defaults, pinned).
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.ansi.enabled": "false",
-    # events.parquet stores TIMESTAMP(NANOS) which Spark's reader rejects;
-    # read as long and convert (tables.load normalizes to microseconds).
+    # events.parquet stores TIMESTAMP(NANOS). Spark 4.1+ reads it natively
+    # as TIMESTAMP_NTZ (this legacy flag is ignored there); older readers
+    # need it to read nanos as long. Either way tables.normalize_event_ts
+    # converts to a plain TIMESTAMP column.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.ui.enabled": "false",
 }

@@ -185,7 +185,7 @@ def stream_stream_join(
     right: DataFrame,
     key: str = "user_id",
     within: str = "4 hours",
-    watermark: str = "30 days",
+    watermark: str = "90 days",
 ) -> DataFrame:
     """Stream-stream inner interval join (T7's harder sibling — the
     join both sides of which are unbounded): left events match right
@@ -207,10 +207,11 @@ def stream_stream_join(
     and state size ≈ (rows/sec · watermark) per side, independent of
     total stream length.
 
-    The replay-test watermark default is generous (the file source
-    replays a month in minutes and processAllAvailable must not race
-    eviction); production tightens it to the real lateness bound, e.g.
-    minutes, because state scales with it.
+    The replay-test watermark default is generous — 90 days, comfortably
+    wider than the events data span (one month), so a multi-file layout
+    replayed out of time order can never evict rows mid-replay and the
+    batch-equivalence oracle holds. Production tightens it to the real
+    lateness bound, e.g. minutes, because state scales with it.
     """
     # watermarks demand TIMESTAMP_LTZ; the parquet replay may surface
     # NTZ. Cast is value-preserving under the pinned UTC session tz,

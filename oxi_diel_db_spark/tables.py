@@ -42,14 +42,26 @@ def load(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFr
 
 
 def normalize_event_ts(df: DataFrame) -> DataFrame:
-    """events.ts is TIMESTAMP(NANOS) in parquet; Spark reads it as long
-    nanos (spark.sql.legacy.parquet.nanosAsLong). Truncate to micros —
-    integer DIV, no double round-trip (ns epoch values exceed 2^53) —
-    matching DuckDB's own ns→µs truncation, so oracle hashes agree."""
+    """events.ts is TIMESTAMP(NANOS) in parquet; normalize whatever the
+    installed Spark surfaces to a plain TIMESTAMP (LTZ) column so every
+    event-time operator — in particular ``withWatermark``, which rejects
+    TIMESTAMP_NTZ — works downstream.
+
+    * older readers + ``nanosAsLong``: long nanos → truncate to micros
+      with integer DIV (no double round-trip — ns epoch values exceed
+      2^53), matching DuckDB's own ns→µs truncation so oracle hashes
+      agree;
+    * Spark 4.1+: the nanos column surfaces as TIMESTAMP_NTZ → cast to
+      TIMESTAMP. Value-preserving under the pinned UTC session timezone,
+      and collected values stringify identically to the naive oracle's.
+    """
     from pyspark.sql import functions as F
 
-    if dict(df.dtypes).get("ts") == "bigint":
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
