@@ -898,3 +898,74 @@ def q70_orc_roundtrip(spark, sf_dir):
         F.count(F.lit(1)).alias("n_parts"),
         sum_money("p_retailprice", "total_retail"),
     )
+
+
+from oxi_diel_db_spark.functions import atomic_orbitals as AO
+
+
+@register("m29_atomic_orbitals", oracle=AO.sql_atomic_orbitals(_MAT))
+def m29_atomic_orbitals(spark, sf_dir):
+    """§2.9 AtomicOrbitals featurizer (reference ml_prediction.py:81,
+    125,183,223): composition HOMO/LUMO/gap_AO via aufbau filling of
+    the pooled per-atom subshell list — explode → broadcast dim join →
+    per-material window, no UDF. Closes the HOMO_energy/LUMO_energy/
+    gap_AO slots of the el_comp, ion_comp and el_comp_st descriptor
+    sets; see functions/atomic_orbitals.py for the data model."""
+    return AO.atomic_orbitals_features(M.materials(spark), spark)
+
+
+@register(
+    "m30_voronoi_neighbors",
+    oracle=f"""
+    WITH s AS (
+      SELECT mp_id, t.idx AS idx, structure.sites[t.idx].xyz AS xyz
+      FROM {_MAT}, UNNEST(range(1, len(structure.sites) + 1)) AS t(idx)
+    ),
+    pc AS (
+      SELECT a.mp_id, a.idx AS i, b.idx AS j,
+             sqrt((b.xyz[1] - a.xyz[1]) * (b.xyz[1] - a.xyz[1])
+                + (b.xyz[2] - a.xyz[2]) * (b.xyz[2] - a.xyz[2])
+                + (b.xyz[3] - a.xyz[3]) * (b.xyz[3] - a.xyz[3])) AS d,
+             (a.xyz[1] + b.xyz[1]) / 2 AS mx,
+             (a.xyz[2] + b.xyz[2]) / 2 AS my,
+             (a.xyz[3] + b.xyz[3]) / 2 AS mz
+      FROM s a JOIN s b ON a.mp_id = b.mp_id AND a.idx <> b.idx
+    ),
+    cut AS (
+      SELECT pc.mp_id, pc.i, pc.j, pc.d,
+             MIN(sqrt((pc.mx - k.xyz[1]) * (pc.mx - k.xyz[1])
+                    + (pc.my - k.xyz[2]) * (pc.my - k.xyz[2])
+                    + (pc.mz - k.xyz[3]) * (pc.mz - k.xyz[3]))) AS min_k
+      FROM (SELECT * FROM pc WHERE d <= 6.0) pc
+      LEFT JOIN s k
+        ON k.mp_id = pc.mp_id AND k.idx <> pc.i AND k.idx <> pc.j
+      GROUP BY pc.mp_id, pc.i, pc.j, pc.d
+    ),
+    kept AS (
+      SELECT * FROM cut WHERE min_k IS NULL OR min_k > d / 2 + 1e-06
+    ),
+    per_site AS (
+      SELECT s.mp_id, s.idx,
+             COUNT(kept.j) AS vor_cn,
+             AVG(kept.d) AS mean_vor_dist
+      FROM s LEFT JOIN kept ON kept.mp_id = s.mp_id AND kept.i = s.idx
+      GROUP BY s.mp_id, s.idx
+    )
+    SELECT mp_id,
+           ROUND(AVG(vor_cn), 6) + 0 AS mean_cn,
+           ROUND(STDDEV_POP(vor_cn), 6) + 0 AS std_cn,
+           MAX(vor_cn) AS max_cn,
+           ROUND(AVG(mean_vor_dist), 6) + 0 AS mean_vor_dist,
+           COUNT(*) AS n_sites
+    FROM per_site GROUP BY mp_id
+    """,
+)
+def m30_voronoi_neighbors(spark, sf_dir):
+    """§2.9 VoronoiFingerprint (approx; reference ml_prediction.py:187,
+    227): bounded-radius midpoint half-space Voronoi-neighbor test in
+    the pairwise mapInPandas site kernel (scipy-free), reduced to the
+    mean/std/max coordination stats the reference descriptor consumes.
+    Analytic lattice tests (sc 6 / bcc 14 / fcc 12) in pytest."""
+    from oxi_diel_db_spark.operators.site_features import voronoi_stats
+
+    return voronoi_stats(M.materials(spark))
