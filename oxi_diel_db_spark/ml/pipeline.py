@@ -19,6 +19,8 @@ Engine mapping:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.ml import Pipeline, PipelineModel
 from pyspark.ml.feature import VectorAssembler
 from pyspark.ml.regression import RandomForestRegressor
@@ -98,6 +100,34 @@ def train(materials: DataFrame, which: str = "el", seed: int = 42) -> tuple[Pipe
     feats = scale_features_pop(featurize(materials), FEATURES).dropna(
         subset=FEATURES + [label]
     )
+    model = build_pipeline(label, seed).fit(feats)
+    return model, feats
+
+
+# Committed pre-trained artifacts (S5 surface): the reference ships its
+# fitted models as .joblib blobs; the engine ships MLlib PipelineModel
+# directories under data/models so a fresh checkout scores without
+# paying RF training (regenerate with scripts/train_models.py after any
+# featurize()/hyperparameter change — the artifact pins FEATURES order).
+REPO_MODELS_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "data", "models"
+)
+
+
+def load_or_train(materials: DataFrame, which: str = "el", seed: int = 42) -> tuple[PipelineModel, DataFrame]:
+    """train(), except a committed artifact short-circuits the RF fit.
+    Loading is metadata-read only (tree parquet), seconds not minutes;
+    a missing/corrupt artifact falls back to training transparently."""
+    label = f"label_{which}"
+    feats = scale_features_pop(featurize(materials), FEATURES).dropna(
+        subset=FEATURES + [label]
+    )
+    path = os.path.join(REPO_MODELS_DIR, f"rf_{which}_seed{seed}")
+    if os.path.isdir(path):
+        try:
+            return PipelineModel.load(path), feats
+        except Exception:
+            pass  # fall through to a fresh fit
     model = build_pipeline(label, seed).fit(feats)
     return model, feats
 

@@ -266,12 +266,14 @@ def st6_stateful_counts(spark, sf_dir):
 @register("ml1_rf_scoring", oracle=None)  # statistical parity — pytest floor
 def ml1_rf_scoring(spark, sf_dir):
     """§2.11 ML pipeline: VectorAssembler → population-std scaling →
-    RandomForestRegressor, trained on the corpus, batch-scored — the
-    engine twin of the reference's golden prediction run (§3.3).
+    RandomForestRegressor, batch-scored — the engine twin of the
+    reference's golden prediction run (§3.3). Scores from the committed
+    pre-trained artifact (data/models, the S5 surface) so a cold run
+    pays model LOAD not RF training; trains transparently if absent.
     Quality floor (corr > 0.85 in-corpus) asserted in tests/test_ml.py."""
     from oxi_diel_db_spark.ml import pipeline as P
 
-    model, feats = P.train(M.materials(spark), which="el", seed=42)
+    model, feats = P.load_or_train(M.materials(spark), which="el", seed=42)
     return P.score(model, feats)
 
 
