@@ -166,3 +166,63 @@ def lint_report(df: DataFrame, max_exchanges: int = 6) -> str:
     return "\n".join(
         f"[{sev.upper():5s}] {code}: {msg}" for code, sev, msg in lint(df, max_exchanges)
     )
+
+
+def global_window_input_rows(df: DataFrame) -> list[int | None]:
+    """Row counts entering each GLOBAL (unpartitioned) window of an
+    ALREADY-EXECUTED DataFrame — the runtime enforcement for the
+    GLOBAL_WINDOW triage: 'the window only ever sees a tiny aggregate
+    relation' is a claim about the input CARDINALITY, which the static
+    linter cannot see (non-CBO size estimates pass fact-table sizes
+    straight through aggregates).
+
+    Reads the SQL metrics off the executed plan (AQE-final): a global
+    window always sits above a SinglePartition exchange, whose
+    shuffleRecordsWritten IS the window's input row count. Returns one
+    entry per global window, None when no row metric is found (e.g. the
+    DataFrame was never executed). Call AFTER a real action on ``df``
+    (collect/write — count() builds a different plan)."""
+
+    def unwrap(p):
+        while True:
+            n = p.getClass().getSimpleName()
+            if n == "AdaptiveSparkPlanExec":
+                p = p.executedPlan()
+            elif n.endswith("QueryStageExec"):
+                p = p.plan()
+            elif n in ("InputAdapter", "WholeStageCodegenExec"):
+                p = p.child()
+            elif n == "ReusedExchangeExec":
+                p = p.child()
+            else:
+                return p
+
+    def children(p):
+        ch = p.children()
+        return [ch.apply(i) for i in range(ch.size())]
+
+    def row_metric(p):
+        ms = p.metrics()
+        for key in ("shuffleRecordsWritten", "numOutputRows"):
+            if ms.contains(key):
+                return int(ms.apply(key).value())
+        return None
+
+    out: list[int | None] = []
+    stack = [df._jdf.queryExecution().executedPlan()]
+    while stack:
+        p = unwrap(stack.pop())
+        name = p.getClass().getSimpleName()
+        if name in ("WindowExec", "WindowInPandasExec") and p.partitionSpec().isEmpty():
+            found = None
+            sub = children(p)
+            while sub:
+                c = unwrap(sub.pop())
+                m = row_metric(c)
+                if m is not None:
+                    found = m
+                    break
+                sub.extend(children(c))
+            out.append(found)
+        stack.extend(children(p))
+    return out

@@ -74,3 +74,37 @@ def test_flagship_query_is_clean(spark, sf_dir):
     df = E.queries()["q01_pricing_summary"](spark, sf_dir)
     findings = lint(df)
     assert not [f for f in findings if f[1] == "error"], findings
+
+
+def test_global_window_inputs_stay_tiny(spark):
+    """Runtime enforcement of the GLOBAL_WINDOW triage (COVERAGE.md):
+    every query whose plan carries an unpartitioned window must feed it
+    a TINY relation (model grids, per-bucket offset tables, dim-only
+    inputs) — never a fact-table-sized one. Reads the executed plan's
+    shuffle metrics, so this fails the moment someone reroutes a fact
+    table through a global window."""
+    from oxi_diel_db_spark.plans.lint import global_window_input_rows
+    from oxi_diel_db_spark.queries import load_registry
+
+    # the full triaged list as of r4 (compile-sweep over the registry);
+    # a query leaving the list is fine — the lint check below is a
+    # freshness guard, not an exhaustiveness one
+    TRIAGED = {
+        "p3_deterministic_shuffle": 512,  # <=256-row bucket offset table
+        "p4_sequence_packing": 512,
+        "c1_curation_pipeline": 2048,  # post-aggregation stats relation
+        "q44_distribution": 256,  # customer table at the pinned test SF;
+        # docstring documents the approx-quantile rewrite for 100 TB
+    }
+    reg = load_registry()
+    for name, max_rows in TRIAGED.items():
+        df = reg[name].build(spark, "/root/testdata/sf0.001")
+        df.collect()
+        counts = global_window_input_rows(df)
+        if not counts:
+            continue  # plan no longer has a global window — even better
+        for n in counts:
+            assert n is not None and n <= max_rows, (
+                f"{name}: global window saw {n} rows (cap {max_rows}) — "
+                "a fact-table-sized relation reached a single-partition window"
+            )
