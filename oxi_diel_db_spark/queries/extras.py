@@ -971,3 +971,18 @@ def m30_voronoi_neighbors(spark, sf_dir):
     from oxi_diel_db_spark.operators.site_features import voronoi_stats
 
     return voronoi_stats(M.materials(spark))
+
+
+@register("m31_ewald_site_energy", oracle=None)  # transcendental periodic sum — rows-only
+def m31_ewald_site_energy(spark, sf_dir):
+    """§2.9 EwaldSiteEnergy, the TRUE periodic sum (reference
+    ml_prediction.py:205,248) — erfc short-range over lattice images +
+    reciprocal-space term + self/background corrections, m25's
+    charge-balance convention (O = −2, cations neutralizing), reduced
+    to the reference's max/mean/std descriptor slots. The 1/r-kernel
+    proxy (m16) stays the hash-checked default; this one is rows-only
+    (no SQL form for the transcendental sums) with the NaCl Madelung
+    constant pinned in tests/test_ewald.py."""
+    from oxi_diel_db_spark.operators.site_features import ewald_energy_stats
+
+    return ewald_energy_stats(M.materials(spark))
