@@ -63,12 +63,20 @@ def main() -> None:
     # warmup: JVM + codegen + parquet footer caches
     qs["q01_pricing_summary"](spark, sf_dir).collect()
 
+    # min-of-N per query: single-shot timings on a busy box carry ±20%
+    # noise (NOTES_r2), which round-over-round comparisons then chase.
+    # The min is the stable plan-cost estimator; N=2 doubles wall time
+    # but pins the flagship numbers.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        rows = qs[name](spark, sf_dir).collect()
-        timings[name] = round(time.time() - t0, 3)
-        assert rows is not None
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            rows = qs[name](spark, sf_dir).collect()
+            best = min(best, time.time() - t0)
+            assert rows is not None
+        timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
