@@ -273,3 +273,40 @@ def capped_sample_per_key(
         .filter(F.col("__rk") <= max_rows)
         .drop("__rk")
     )
+
+
+def weighted_sample(
+    df: DataFrame, key: str, weight: str, k: int, seed: int = 42
+) -> DataFrame:
+    """Weighted random sampling without replacement (Efraimidis–Spirakis
+    A-ExpJ): per-row sort key −ln(u)/w with u a deterministic hash draw
+    — keep the k smallest. Inclusion probability scales with weight,
+    the draw re-derives identically across runs/engines/cluster sizes
+    (same md5 discipline as hash_sample), and the global top-k compiles
+    to TakeOrderedAndProject: per-partition heaps of size k, no global
+    sort — the only data movement is k rows per partition.
+
+    Output carries the rounded sort key (cross-engine ln() can differ
+    in the last ulp; round-9 absorbs it, and a selection flip would
+    need a key tie at 1e-16 — negligible against typical key gaps)."""
+    v = F.conv(hash_hex8(key, seed), 16, 10).cast("long")
+    u = (v + F.lit(0.5)) / F.lit(4294967296.0)
+    skey = -F.log(u) / F.col(weight)
+    return (
+        df.withColumn("sample_key", F.round(skey, 9) + F.lit(0.0))
+        .orderBy(skey.asc(), F.col(key).asc())
+        .limit(k)
+    )
+
+
+def sql_weighted_sample(key: str, weight: str, k: int, seed: int) -> str:
+    """DuckDB twin of weighted_sample over the documents table —
+    identical hash draw, identical key formula."""
+    h = sql_hash_hex8(key, seed)
+    u = f"(CAST('0x' || {h} AS UBIGINT) + 0.5) / 4294967296.0"
+    return f"""
+    SELECT *, ROUND(-ln({u}) / {weight}, 9) + 0 AS sample_key
+    FROM documents
+    ORDER BY -ln({u}) / {weight}, {key}
+    LIMIT {k}
+    """

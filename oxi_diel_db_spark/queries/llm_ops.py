@@ -1340,3 +1340,131 @@ def q73_salted_join(spark, sf_dir):
             / 100.0
         ).alias("weighted_value"),
     )
+
+
+@register(
+    "t8_unigram_perplexity",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest({TX.SQL_NORM_WORDS.format(t='text')}) AS word
+      FROM documents
+    ),
+    cnt AS (SELECT word, COUNT(*) AS c FROM w GROUP BY word),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM cnt),
+    per_doc AS (
+      SELECT w.doc_id, COUNT(*) AS n_words, -AVG(ln(c / n_total)) AS xent
+      FROM w JOIN cnt USING (word) CROSS JOIN tot
+      GROUP BY w.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(per_doc.n_words, 0) AS n_words,
+           ROUND(xent, 6) + 0 AS xent,
+           ROUND(EXP(ROUND(xent, 6)), 6) + 0 AS ppl
+    FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+    """,
+)
+def t8_unigram_perplexity(spark, sf_dir):
+    """Unigram-LM perplexity scoring — the classic corpus-curation
+    filter (docs whose words are corpus-atypical score high). Two-pass
+    shape that scales: pass 1 builds the vocabulary-sized unigram count
+    table (bounded regardless of corpus size), which then BROADCASTS
+    back onto the exploded word stream — the 100 TB scan never shuffles
+    except the per-doc aggregate, and that has map-side partials.
+    MLE log-probs (every doc word is in the corpus-built vocab by
+    construction, so no smoothing term is needed for finiteness).
+    ln(c/N) = ln c − ln N, so the 1-row total joins at the PER-DOC
+    level, not onto the word stream — the lone BroadcastNestedLoopJoin
+    in the plan touches n_docs × 1 rows (triaged tiny, like the scaler
+    stats row in ml/pipeline.py)."""
+    d = t(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(TX.norm_words("text")).alias("word"))
+    cnt = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").alias("n_total"))
+    per_doc = (
+        words.join(F.broadcast(cnt), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            (-F.avg(F.log(F.col("c")))).alias("neg_avg_ln_c"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "n_words",
+            (F.col("neg_avg_ln_c") + F.log(F.col("n_total"))).alias("xent"),
+        )
+    )
+    return d.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_words", F.lit(0)).alias("n_words"),
+        (F.round("xent", 6) + F.lit(0.0)).alias("xent"),
+        (F.round(F.exp(F.round("xent", 6)), 6) + F.lit(0.0)).alias("ppl"),
+    )
+
+
+@register(
+    "t9_chunking",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {TX.SQL_NORM_WORDS.format(t='text')} AS words
+      FROM documents
+    ),
+    st AS (
+      SELECT doc_id, words,
+             unnest(range(0, greatest(len(words), 1), 48)) AS s
+      FROM w
+    )
+    SELECT doc_id,
+           s // 48 AS chunk_idx,
+           CAST(len(list_slice(words, s + 1, s + 64)) AS BIGINT) AS n_chunk_words,
+           array_to_string(list_slice(words, s + 1, s + 64), ' ') AS chunk_text
+    FROM st
+    WHERE len(list_slice(words, s + 1, s + 64)) > 0
+    """,
+)
+def t9_chunking(spark, sf_dir):
+    """Overlapping-window document chunking (64-word chunks, stride 48)
+    — the context-window fit step of a training/RAG pipeline. Pure
+    narrow transforms (sequence → slice → posexplode): NO shuffle at
+    any scale; output order is irrelevant to the hash gate."""
+    size, stride = 64, 48
+    d = t(spark, sf_dir, "documents")
+    words = TX.norm_words("text")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(words) - 1, F.lit(0)), F.lit(stride)
+    )
+    chunked = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(starts, lambda s: F.slice(words, s + 1, size))
+        ).alias("chunk_idx", "ws"),
+    )
+    return chunked.filter(F.size("ws") > 0).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size("ws").cast("long").alias("n_chunk_words"),
+        F.array_join("ws", " ").alias("chunk_text"),
+    )
+
+
+from oxi_diel_db_spark.operators.sampling import sql_weighted_sample as _sws  # noqa: E402
+
+_P9_ORACLE = (
+    "SELECT doc_id, n_chars, sample_key FROM ("
+    + _sws("doc_id", "n_chars", k=500, seed=11)
+    + ")"
+)
+
+
+@register("p9_weighted_sample", oracle=_P9_ORACLE)
+def p9_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    A-ExpJ, k=500, weight = document length): longer documents are
+    proportionally likelier to be kept, the sample re-derives
+    identically on any engine/cluster, and the plan is a TakeOrdered
+    top-k — per-partition heaps, no global sort."""
+    from oxi_diel_db_spark.operators.sampling import weighted_sample
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample(d, "doc_id", "n_chars", k=500, seed=11)
+

@@ -91,3 +91,77 @@ def test_repetition_filters_flag_degenerate_doc(spark):
     }
     assert out[1]["keep"] is False and out[1]["top_word_frac"] == 1.0
     assert out[2]["keep"] is True and out[2]["ttr"] == 1.0
+
+
+def test_unigram_perplexity_orders_typicality(spark, sf_dir):
+    """A doc made of the corpus's most common words must score lower
+    perplexity than one made of its rarest words."""
+    import pyspark.sql.functions as F
+
+    from oxi_diel_db_spark.queries import load_registry
+
+    out = load_registry()["t8_unigram_perplexity"].build(spark, sf_dir)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == docs
+    vals = [r["ppl"] for r in rows.values() if r["ppl"] is not None]
+    assert vals and all(v > 1.0 for v in vals)  # ppl >= vocab-floor > 1
+    # xent and ppl are consistent
+    some = next(iter(rows.values()))
+    import math
+
+    assert abs(some["ppl"] - math.exp(some["xent"])) < 1e-4 * some["ppl"]
+
+
+def test_chunking_covers_every_word_once_per_window(spark, sf_dir):
+    """Chunks tile each doc with size 64 / stride 48: reconstructing
+    from non-overlap prefixes (first 48 of each chunk, all of the last)
+    must yield the original word sequence."""
+    import pyspark.sql.functions as F
+
+    from oxi_diel_db_spark.functions import text as TX
+    from oxi_diel_db_spark.queries import load_registry
+
+    out = load_registry()["t9_chunking"].build(spark, sf_dir)
+    chunks = {}
+    for r in out.collect():
+        chunks.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["chunk_text"]))
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", TX.norm_words("text").alias("w")
+    )
+    for row in d.limit(50).collect():
+        got = sorted(chunks.get(row["doc_id"], []))
+        words = row["w"]
+        if not words:
+            assert not got
+            continue
+        rebuilt = []
+        for i, (idx, textc) in enumerate(got):
+            ws = textc.split(" ")
+            rebuilt.extend(ws if i == len(got) - 1 else ws[:48])
+        # trailing chunks overlap the previous one's tail; dedupe window
+        assert rebuilt[: len(words)] == list(words)[: len(rebuilt)]
+        assert set(" ".join(w for _, w in got).split()) == set(words)
+
+
+def test_weighted_sample_prefers_heavy_docs(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from oxi_diel_db_spark.queries import load_registry
+
+    from oxi_diel_db_spark.operators.sampling import weighted_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "n_chars")
+    sample = weighted_sample(d, "doc_id", "n_chars", k=100, seed=11).collect()
+    assert len(sample) == 100
+    mean_sampled = sum(r["n_chars"] for r in sample) / len(sample)
+    corpus_mean = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .agg(F.avg("n_chars"))
+        .collect()[0][0]
+    )
+    # inclusion probability scales with n_chars -> sample skews long
+    assert mean_sampled > corpus_mean
+    # deterministic: the same ids on a re-run
+    again = {r["doc_id"] for r in weighted_sample(d, "doc_id", "n_chars", k=100, seed=11).collect()}
+    assert again == {r["doc_id"] for r in sample}
