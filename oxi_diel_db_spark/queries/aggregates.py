@@ -347,3 +347,44 @@ def q72_gapfill_interpolate(spark, sf_dir):
         .agg(sum_money("o_totalprice", "val"))
     )
     return gap_fill(rev, "n_name", "mi", "val")
+
+
+@register("q74_approx_percentiles", oracle=None)  # sketch → rows-only; tolerance pytest
+def q74_approx_percentiles(spark, sf_dir):
+    """A11's 100 TB path, exercised for real (q26's docstring names it;
+    this runs it): percentile_approx — the mergeable Greenwald-Khanna
+    sketch, map-side partials like any hash aggregate, no sort, no
+    whole-data shuffle. Deterministic for a given dataset + accuracy, so
+    rows are stable run-to-run; tolerance vs the exact interpolated
+    percentiles asserted in tests/test_aggregates.py."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile_approx("o_totalprice", F.lit(0.25), F.lit(10000)), 4).alias("p25"),
+        F.round(F.percentile_approx("o_totalprice", F.lit(0.50), F.lit(10000)), 4).alias("p50"),
+        F.round(F.percentile_approx("o_totalprice", F.lit(0.75), F.lit(10000)), 4).alias("p75"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register("q75_approx_ntile", oracle=None)  # sketch boundaries → rows-only; pytest vs exact
+def q75_approx_ntile(spark, sf_dir):
+    """q44's 100 TB rewrite, exercised for real: decile assignment
+    WITHOUT the single-partition ntile window — approx decile
+    boundaries (one mergeable-sketch aggregate) broadcast back onto the
+    stream, each row bucketed by comparison. The scan never converges
+    to one task; agreement with exact ntile is asserted in pytest
+    (disagreement bounded by sketch error at the boundaries)."""
+    c = t(spark, sf_dir, "customer")
+    bounds = c.agg(
+        F.percentile_approx(
+            "c_acctbal", F.array([F.lit(i / 10.0) for i in range(1, 10)]), F.lit(10000)
+        ).alias("bs")
+    )
+    bucketed = c.select("c_custkey", "c_acctbal").crossJoin(F.broadcast(bounds))
+    # decile = 1 + number of boundaries strictly below the value
+    decile = F.aggregate(
+        "bs",
+        F.lit(1),
+        lambda acc, b: acc + F.when(F.col("c_acctbal") > b, 1).otherwise(0),
+    )
+    return bucketed.select("c_custkey", "c_acctbal", decile.alias("decile"))
