@@ -49,6 +49,15 @@ def pagerank(
     # re-executes O(iters) times. localCheckpoint truncates it once;
     # on a real cluster use reliable checkpoint() instead (localCheckpoint
     # blocks die with their executor).
+    # Partitioning note: localCheckpoint erases outputPartitioning
+    # (LogicalRDD reports UnknownPartitioning — measured, not guessed),
+    # so pre-repartitioning the checkpointed sides cannot make the loop
+    # joins exchange-free. It also doesn't need to: the checkpointed
+    # trans/nodes exchanges are IDENTICAL subplans across iterations
+    # and come back as ReusedExchange (one physical shuffle each for
+    # the whole run — verified in the executed plan). The per-iteration
+    # exchanges that remain are rank-sized (node count, not edge
+    # count): the irreducible data movement of PageRank.
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
