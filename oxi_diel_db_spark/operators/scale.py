@@ -181,3 +181,64 @@ def zorder_repartition(
         .sortWithinPartitions("__z")
         .drop("__z")
     )
+
+
+def merge_upsert_partitioned(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    key: str,
+    part_col: str,
+) -> None:
+    """MERGE (SCD1 upsert) into a partitioned parquet table with
+    DYNAMIC partition overwrite — the incremental-ingest primitive of a
+    100 TB platform without a table format: matched keys are replaced
+    by the update row, unmatched update keys are inserted, and ONLY the
+    partitions an update touches are rewritten.
+
+    Shape: semi-join the target down to touched partitions (the
+    partition list broadcasts), full-outer-join those rows with the
+    updates on the key, coalesce update-wins, and overwrite with
+    ``partitionOverwriteMode=dynamic`` so untouched partitions' files
+    are never read or written. Work scales with the update set + its
+    partitions, not the table. Updates must carry full rows (SCD1
+    replacement), including ``part_col``; a row whose update moves it
+    across partitions is handled (both old and new partitions are
+    touched, the key appears once, in the new partition).
+    """
+    target = spark.read.parquet(target_path)
+    cols = target.columns
+    # partitions touched by an update: the update's own partition, plus
+    # (for cross-partition moves) wherever the key currently lives
+    touched = (
+        updates.select(part_col)
+        .unionByName(
+            target.join(
+                F.broadcast(updates.select(key)), key, "left_semi"
+            ).select(part_col)
+        )
+        .distinct()
+    )
+    t_sub = target.join(F.broadcast(touched), part_col, "left_semi")
+    u = updates.select(cols)
+    merged = (
+        t_sub.alias("t")
+        .join(u.alias("u"), F.col(f"t.{key}") == F.col(f"u.{key}"), "full_outer")
+        .select(
+            *[
+                F.coalesce(F.col(f"u.{c}"), F.col(f"t.{c}")).alias(c)
+                for c in cols
+            ]
+        )
+    )
+    # materialize before the write: Spark (rightly) refuses to overwrite
+    # a path its own plan is reading; the checkpoint breaks the
+    # dependency AND bounds the read-side work before any file is
+    # replaced (on a cluster, reliable checkpoint() or a staging dir)
+    merged = merged.localCheckpoint(eager=True)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy(part_col).parquet(target_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -986,3 +986,61 @@ def m31_ewald_site_energy(spark, sf_dir):
     from oxi_diel_db_spark.operators.site_features import ewald_energy_stats
 
     return ewald_energy_stats(M.materials(spark))
+
+
+@register(
+    "q76_merge_upsert",
+    oracle="""
+    WITH upd AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CAST(ROUND(o_totalprice * 110, 0) AS BIGINT) / 100.0 AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 97 = 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 193 = 0
+    ),
+    merged AS (
+      SELECT COALESCE(u.o_orderkey, t.o_orderkey) AS o_orderkey,
+             COALESCE(u.o_totalprice, t.o_totalprice) AS o_totalprice,
+             COALESCE(u.o_orderdate, t.o_orderdate) AS o_orderdate
+      FROM orders t FULL JOIN upd u ON t.o_orderkey = u.o_orderkey
+    )
+    SELECT YEAR(o_orderdate) AS y, COUNT(*) AS n,
+           SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100.0 AS total
+    FROM merged GROUP BY 1
+    """,
+)
+def q76_merge_upsert(spark, sf_dir):
+    """MERGE/upsert into a partitioned parquet table with DYNAMIC
+    partition overwrite (operators/scale.merge_upsert_partitioned) —
+    the incremental-ingest primitive: ~1% of keys get a price bump,
+    ~0.5% arrive as brand-new keys, and only the year-partitions those
+    rows touch are rewritten (untouched partitions' files are proven
+    byte-identical in tests/test_scale.py). The oracle replays the
+    same merge as a FULL JOIN over the raw table — file layout is an
+    implementation detail the hash gate can't see, which is the point."""
+    from oxi_diel_db_spark.operators.scale import merge_upsert_partitioned
+
+    out = _scratch("merge_orders")
+    o = t(spark, sf_dir, "orders").withColumn("y", F.year("o_orderdate"))
+    o.write.mode("overwrite").partitionBy("y").parquet(out)
+    updates = (
+        o.filter(F.col("o_orderkey") % 97 == 0)
+        .withColumn(
+            "o_totalprice",
+            F.round(F.col("o_totalprice") * 110, 0).cast("bigint") / 100.0,
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 193 == 0)
+            .withColumn("o_orderkey", F.col("o_orderkey") + 10000000)
+            .withColumn("o_orderstatus", F.lit("N"))
+        )
+    )
+    merge_upsert_partitioned(spark, out, updates, key="o_orderkey", part_col="y")
+    back = spark.read.parquet(out)
+    return back.groupBy(F.col("y")).agg(
+        F.count(F.lit(1)).alias("n"),
+        sum_money("o_totalprice", "total"),
+    )
