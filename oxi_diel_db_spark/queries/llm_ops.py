@@ -1468,3 +1468,39 @@ def p9_weighted_sample(spark, sf_dir):
     d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return weighted_sample(d, "doc_id", "n_chars", k=500, seed=11)
 
+
+
+@register(
+    "q78_arrow_udf",
+    oracle=f"""
+    SELECT doc_id,
+           {TX.SQL_WS_TOKEN_COUNT.format(t='text')} AS udf_tokens,
+           {TX.SQL_WS_TOKEN_COUNT.format(t='text')} AS builtin_tokens
+    FROM documents
+    """,
+)
+def q78_arrow_udf(spark, sf_dir):
+    """§2.11 surface completeness: the Arrow-OPTIMIZED scalar Python
+    UDF (Spark 4's middle tier — per-row Python semantics, Arrow batch
+    transfer; ~an order cheaper than pickled BatchEvalPython, still
+    behind true pandas_udf vectorization). The UDF recomputes the
+    whitespace token count; the built-in twin rides along so the hash
+    gate proves UDF == built-in == DuckDB on every row. The plan shows
+    ArrowEvalPython, NOT BatchEvalPython — asserted in pytest, and the
+    PY_ROW_UDF lint stays quiet."""
+    import re
+
+    from pyspark.sql.functions import udf
+
+    @udf("int", useArrow=True)
+    def ws_tokens(s: str) -> int:
+        if s is None:
+            return None
+        return len([w for w in re.split(r"\s+", s) if w != ""])
+
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        ws_tokens("text").alias("udf_tokens"),
+        TX.ws_token_count("text").cast("int").alias("builtin_tokens"),
+    )

@@ -108,3 +108,20 @@ def test_global_window_inputs_stay_tiny(spark):
                 f"{name}: global window saw {n} rows (cap {max_rows}) — "
                 "a fact-table-sized relation reached a single-partition window"
             )
+
+
+def test_arrow_udf_is_arrow_not_pickled(spark):
+    """q78's useArrow UDF must compile to ArrowEvalPython (Arrow batch
+    transfer), never BatchEvalPython (pickled row loop) — and therefore
+    stays clear of the PY_ROW_UDF lint."""
+    from oxi_diel_db_spark.queries import load_registry
+
+    df = load_registry()["q78_arrow_udf"].build(spark, "/root/testdata/sf0.001")
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in phys
+    assert "BatchEvalPython" not in phys
+    assert "PY_ROW_UDF" not in _codes(df)
+    # and the UDF agrees with the built-in on every row
+    import pyspark.sql.functions as F
+
+    assert df.filter(F.col("udf_tokens") != F.col("builtin_tokens")).count() == 0
