@@ -333,3 +333,93 @@ def sql_avg_ionic_character(f: str) -> str:
         f"CASE WHEN i.el <> o.el THEN (o.cnt / ({tot})) * (i.cnt / ({tot})) ELSE 0.0 END), 'sum')), 'sum')"
     )
     return f"(CASE WHEN ({den}) > 0 THEN ({num}) / ({den}) ELSE 0.0 END)"
+
+
+# Periodic-table position facts (exact, public) for the corpus's
+# elements — backs the full ElementProperty stats (reference
+# ml_prediction.py:83-92: "mean row", "std_dev row", "mean group",
+# "mean block", "std_dev block", mass/radius stats). Block is encoded
+# s=0, p=1, d=2, f=3 so statistics are numeric.
+PERIOD = {
+    "Li": 2, "Be": 2, "B": 2, "O": 2, "Na": 3, "Mg": 3, "Al": 3,
+    "Si": 3, "K": 4, "Ca": 4, "Sc": 4, "Ti": 4, "V": 4, "Cr": 4,
+    "Mn": 4, "Co": 4, "Ni": 4, "Cu": 4, "Zn": 4, "Ga": 4, "Ge": 4,
+    "As": 4, "Rb": 5, "Sr": 5, "Y": 5, "Zr": 5, "Nb": 5, "Mo": 5,
+    "Tc": 5, "Rh": 5, "Pd": 5, "Ag": 5, "Cd": 5, "In": 5, "Sn": 5,
+    "Sb": 5, "Cs": 6, "Ba": 6, "La": 6, "Hf": 6, "Ta": 6, "W": 6,
+    "Re": 6, "Os": 6, "Pt": 6, "Au": 6, "Hg": 6, "Tl": 6, "Pb": 6,
+    "Bi": 6, "Th": 7,
+}
+
+GROUP = {
+    "Li": 1, "Be": 2, "B": 13, "O": 16, "Na": 1, "Mg": 2, "Al": 13,
+    "Si": 14, "K": 1, "Ca": 2, "Sc": 3, "Ti": 4, "V": 5, "Cr": 6,
+    "Mn": 7, "Co": 9, "Ni": 10, "Cu": 11, "Zn": 12, "Ga": 13,
+    "Ge": 14, "As": 15, "Rb": 1, "Sr": 2, "Y": 3, "Zr": 4, "Nb": 5,
+    "Mo": 6, "Tc": 7, "Rh": 9, "Pd": 10, "Ag": 11, "Cd": 12,
+    "In": 13, "Sn": 14, "Sb": 15, "Cs": 1, "Ba": 2, "La": 3,
+    "Hf": 4, "Ta": 5, "W": 6, "Re": 7, "Os": 8, "Pt": 10, "Au": 11,
+    "Hg": 12, "Tl": 13, "Pb": 14, "Bi": 15, "Th": 3,
+}
+
+BLOCK = {  # s=0, p=1, d=2, f=3
+    "Li": 0, "Be": 0, "B": 1, "O": 1, "Na": 0, "Mg": 0, "Al": 1,
+    "Si": 1, "K": 0, "Ca": 0, "Sc": 2, "Ti": 2, "V": 2, "Cr": 2,
+    "Mn": 2, "Co": 2, "Ni": 2, "Cu": 2, "Zn": 2, "Ga": 1, "Ge": 1,
+    "As": 1, "Rb": 0, "Sr": 0, "Y": 2, "Zr": 2, "Nb": 2, "Mo": 2,
+    "Tc": 2, "Rh": 2, "Pd": 2, "Ag": 2, "Cd": 2, "In": 1, "Sn": 1,
+    "Sb": 1, "Cs": 0, "Ba": 0, "La": 2, "Hf": 2, "Ta": 2, "W": 2,
+    "Re": 2, "Os": 2, "Pt": 2, "Au": 2, "Hg": 2, "Tl": 1, "Pb": 1,
+    "Bi": 1, "Th": 3,
+}
+
+
+def _prop_map_expr(table: dict[str, float]) -> Column:
+    kv = [x for el, v in sorted(table.items()) for x in (F.lit(el), F.lit(float(v)))]
+    return F.create_map(*kv)
+
+
+def _sql_prop_case(table: dict[str, float]) -> str:
+    whens = " ".join(f"WHEN '{el}' THEN {float(v)}" for el, v in sorted(table.items()))
+    return f"CAST((CASE s.el {whens} ELSE NULL END) AS DOUBLE)"
+
+
+def elemental_stats(formula: Column | str, table: dict[str, float]) -> dict[str, Column]:
+    """Count-weighted mean / population std / min / max / range of an
+    elemental property over a composition — the generalized
+    ElementProperty reduction (matminer PropertyStats with fraction
+    weights). Same literal-map + fold shape as the EN stats; std is
+    sqrt(E[x²] − E[x]²) with atomic-fraction weights."""
+    toks = _tok_counts(formula)
+    pm = _prop_map_expr(table)
+    tot = _fold_sum(toks, lambda s: s["cnt"])
+    wsum = _fold_sum(toks, lambda s: pm[s["el"]] * s["cnt"])
+    wsq = _fold_sum(toks, lambda s: pm[s["el"]] * pm[s["el"]] * s["cnt"])
+    vals = F.transform(toks, lambda s: pm[s["el"]])
+    mean = wsum / tot
+    var = wsq / tot - mean * mean
+    return {
+        "mean": mean,
+        "std": F.sqrt(F.greatest(var, F.lit(0.0))),
+        "min": F.array_min(vals),
+        "max": F.array_max(vals),
+        "range": F.array_max(vals) - F.array_min(vals),
+    }
+
+
+def sql_elemental_stats(f: str, table: dict[str, float]) -> dict[str, str]:
+    toks = _SQL_TOKS.format(f=f)
+    case = _sql_prop_case(table)
+    tot = f"list_aggregate(list_transform({toks}, s -> s.cnt), 'sum')"
+    wsum = f"list_aggregate(list_transform({toks}, s -> {case} * s.cnt), 'sum')"
+    wsq = f"list_aggregate(list_transform({toks}, s -> {case} * {case} * s.cnt), 'sum')"
+    vals = f"list_transform({toks}, s -> {case})"
+    mean = f"(({wsum}) / ({tot}))"
+    var = f"(({wsq}) / ({tot}) - {mean} * {mean})"
+    return {
+        "mean": mean,
+        "std": f"sqrt(greatest({var}, 0.0))",
+        "min": f"list_min({vals})",
+        "max": f"list_max({vals})",
+        "range": f"list_max({vals}) - list_min({vals})",
+    }

@@ -1044,3 +1044,46 @@ def q76_merge_upsert(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         sum_money("o_totalprice", "total"),
     )
+
+
+def _m32_oracle() -> str:
+    import oxi_diel_db_spark.functions.composition as _C
+
+    cols = []
+    for prop, table in (
+        ("row", _C.PERIOD),
+        ("grp", _C.GROUP),
+        ("blk", _C.BLOCK),
+        ("mass", _C.ATOMIC_MASS),
+        ("rad", _C.COVALENT_RADIUS),
+    ):
+        st = _C.sql_elemental_stats("formula", table)
+        cols.append(f"ROUND({st['mean']}, 6) + 0 AS {prop}_mean")
+        cols.append(f"ROUND({st['std']}, 6) + 0 AS {prop}_std")
+        cols.append(f"ROUND({st['range']}, 6) + 0 AS {prop}_range")
+    return f"SELECT mp_id, {', '.join(cols)} FROM {_MAT}"
+
+
+@register("m32_element_property_full", oracle=_m32_oracle())
+def m32_element_property_full(spark, sf_dir):
+    """§2.9 ElementProperty, the FULL stats block the reference's
+    descriptor sets consume (ml_prediction.py:83-92: mean/std_dev row,
+    mean group, mean/std_dev block, mass and radius stats): weighted
+    mean / population std / range over period, group, block (s0 p1 d2
+    f3), IUPAC atomic mass, Cordero covalent radius — five literal
+    property maps, one projection, no joins or shuffles at any scale.
+    Complements m15's electronegativity stats."""
+    m = M.materials(spark)
+    out = [F.col("mp_id")]
+    for prop, table in (
+        ("row", C.PERIOD),
+        ("grp", C.GROUP),
+        ("blk", C.BLOCK),
+        ("mass", C.ATOMIC_MASS),
+        ("rad", C.COVALENT_RADIUS),
+    ):
+        st = C.elemental_stats("formula", table)
+        out.append(r6(st["mean"], f"{prop}_mean"))
+        out.append(r6(st["std"], f"{prop}_std"))
+        out.append(r6(st["range"], f"{prop}_range"))
+    return m.select(*out)

@@ -323,3 +323,36 @@ def test_site_order_parameters_analytic(spark):
     assert abs(rows[("oct", 0)]["q4"] - math.sqrt(7.0 / 12.0)) < 1e-9
     assert abs(rows[("oct", 0)]["q6"] - math.sqrt(1.0 / 8.0)) < 1e-9
     assert abs(rows[("oct", 0)]["q_tet"] - 0.5) < 1e-9
+
+
+def test_m32_element_property_hand_case(spark):
+    """SrTiO3: period mean = (5 + 4 + 3·2)/5 = 3.0; group mean =
+    (2 + 4 + 3·16)/5 = 10.8; block mean = (0 + 2 + 3·1)/5 = 1.0."""
+    from oxi_diel_db_spark.functions import composition as C
+
+    m = spark.createDataFrame([("x", "SrTiO3")], "mp_id string, formula string")
+    row = m.select(
+        *[
+            C.elemental_stats("formula", tbl)["mean"].alias(n)
+            for n, tbl in (("row", C.PERIOD), ("grp", C.GROUP), ("blk", C.BLOCK))
+        ]
+    ).collect()[0]
+    assert abs(row["row"] - 3.0) < 1e-9
+    assert abs(row["grp"] - 10.8) < 1e-9
+    assert abs(row["blk"] - 1.0) < 1e-9
+
+
+def test_m32_ranges_sane_on_corpus(spark):
+    from oxi_diel_db_spark.queries import load_registry
+
+    rows = (
+        load_registry()["m32_element_property_full"]
+        .build(spark, "/root/testdata/sf0.01")
+        .collect()
+    )
+    assert len(rows) == 1278
+    for r in rows:
+        assert 2.0 <= r["row_mean"] <= 7.0
+        assert 0.0 <= r["blk_mean"] <= 3.0
+        assert 1.0 <= r["grp_mean"] <= 18.0
+        assert r["mass_std"] >= 0.0 and r["rad_range"] >= 0.0
