@@ -1087,3 +1087,32 @@ def m32_element_property_full(spark, sf_dir):
         out.append(r6(st["std"], f"{prop}_std"))
         out.append(r6(st["range"], f"{prop}_range"))
     return m.select(*out)
+
+
+@register(
+    "q79_jsonl_roundtrip",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(CASE WHEN source = 'web' THEN 1 ELSE 0 END) AS BIGINT) AS n_web
+    FROM documents GROUP BY lang
+    """,
+)
+def q79_jsonl_roundtrip(spark, sf_dir):
+    """S9: JSON-Lines egress + ingress — the interchange format every
+    training-data pipeline speaks. Write documents as .jsonl (one JSON
+    object per line, Spark's native json sink), read back with an
+    EXPLICIT schema (inference = a second full scan at 100 TB),
+    aggregate — proves typed fields and string payloads survive the
+    text-format boundary byte-for-byte."""
+    out = _scratch("sink_documents_jsonl")
+    d = t(spark, sf_dir, "documents")
+    d.write.mode("overwrite").json(out)
+    back = spark.read.schema(
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).json(out)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.when(F.col("source") == "web", 1).otherwise(0)).alias("n_web"),
+    )
