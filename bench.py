@@ -87,6 +87,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # methodology marker: min-of-N (N=reps). r1-r3 were
+                # single-shot; r4+ default to 2 — not like-for-like.
+                "reps": reps,
             }
         )
     )

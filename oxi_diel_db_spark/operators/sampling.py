@@ -288,12 +288,18 @@ def weighted_sample(
 
     Output carries the rounded sort key (cross-engine ln() can differ
     in the last ulp; round-9 absorbs it, and a selection flip would
-    need a key tie at 1e-16 — negligible against typical key gaps)."""
+    need a key tie at 1e-16 — negligible against typical key gaps).
+
+    NULL / non-positive weights are excluded up front: weight 0 means
+    "never select", but its sort key would be ±Inf/NULL and Spark sorts
+    NULLs FIRST ascending (DuckDB defaults NULLS LAST) — filtering is
+    both the correct semantics and the only cross-engine-stable one."""
     v = F.conv(hash_hex8(key, seed), 16, 10).cast("long")
     u = (v + F.lit(0.5)) / F.lit(4294967296.0)
     skey = -F.log(u) / F.col(weight)
     return (
-        df.withColumn("sample_key", F.round(skey, 9) + F.lit(0.0))
+        df.filter(F.col(weight) > 0)
+        .withColumn("sample_key", F.round(skey, 9) + F.lit(0.0))
         .orderBy(skey.asc(), F.col(key).asc())
         .limit(k)
     )
@@ -301,12 +307,14 @@ def weighted_sample(
 
 def sql_weighted_sample(key: str, weight: str, k: int, seed: int) -> str:
     """DuckDB twin of weighted_sample over the documents table —
-    identical hash draw, identical key formula."""
+    identical hash draw, identical key formula, identical weight>0
+    guard."""
     h = sql_hash_hex8(key, seed)
     u = f"(CAST('0x' || {h} AS UBIGINT) + 0.5) / 4294967296.0"
     return f"""
     SELECT *, ROUND(-ln({u}) / {weight}, 9) + 0 AS sample_key
     FROM documents
+    WHERE {weight} > 0
     ORDER BY -ln({u}) / {weight}, {key}
     LIMIT {k}
     """

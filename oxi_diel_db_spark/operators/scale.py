@@ -205,6 +205,16 @@ def merge_upsert_partitioned(
     replacement), including ``part_col``; a row whose update moves it
     across partitions is handled (both old and new partitions are
     touched, the key appears once, in the new partition).
+
+    Drained partitions: dynamic overwrite only rewrites partitions
+    PRESENT in the merged output, so a move that drains the last row
+    out of a source partition would leave that partition's old files
+    behind (and the key would exist twice). After the write we diff
+    ``touched`` against the partitions actually written and delete the
+    drained directories through the Hadoop FS API (works on local FS,
+    HDFS, and object stores alike). Partition values are assumed
+    path-safe (ints / dates / plain strings — the usual partition-key
+    hygiene at scale).
     """
     target = spark.read.parquet(target_path)
     cols = target.columns
@@ -236,9 +246,28 @@ def merge_upsert_partitioned(
     # dependency AND bounds the read-side work before any file is
     # replaced (on a cluster, reliable checkpoint() or a staging dir)
     merged = merged.localCheckpoint(eager=True)
+    # materialize the touched-partition list BEFORE the overwrite: its
+    # lineage reads target_path, which the write replaces. Bounded
+    # collect — it's the partition list, not data.
+    touched_vals = [r[0] for r in touched.collect()]
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         merged.write.mode("overwrite").partitionBy(part_col).parquet(target_path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # drained partitions (touched but absent from the merged output):
+    # dynamic overwrite never visited them, so their stale files must go.
+    # merged is checkpointed, so this scans the checkpoint, not the
+    # rewritten path.
+    present = {
+        r[0] for r in merged.select(part_col).distinct().collect()
+    }
+    drained = [v for v in touched_vals if v not in present]
+    if drained:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        for v in drained:
+            p = jvm.org.apache.hadoop.fs.Path(f"{target_path}/{part_col}={v}")
+            fs = p.getFileSystem(hconf)
+            fs.delete(p, True)

@@ -1496,7 +1496,10 @@ def q78_arrow_udf(spark, sf_dir):
     def ws_tokens(s: str) -> int:
         if s is None:
             return None
-        return len([w for w in re.split(r"\s+", s) if w != ""])
+        # re.ASCII: Python \s is Unicode-aware (U+00A0, U+2009, …) but
+        # Spark's Java regex and DuckDB's RE2 \s are ASCII-only; pin
+        # all three engines to the same tokenization.
+        return len([w for w in re.split(r"\s+", s, flags=re.ASCII) if w != ""])
 
     d = t(spark, sf_dir, "documents")
     return d.select(

@@ -377,3 +377,31 @@ def test_merge_upsert_rewrites_only_touched_partitions(spark, tmp_path):
     # untouched partitions: identical file sets and mtimes
     for p in (2, 3):
         assert files_state(p) == untouched_before[p]
+
+
+def test_merge_upsert_drained_partition(spark, tmp_path):
+    """A move that drains the LAST row out of a source partition must
+    remove that partition's old files — dynamic overwrite alone never
+    rewrites a partition absent from the merged output, so the operator
+    has to delete the drained directory itself."""
+    import os
+
+    from oxi_diel_db_spark.operators.scale import merge_upsert_partitioned
+
+    target = str(tmp_path / "tbl")
+    # partition 9 holds exactly one row (k=900); partitions 0/1 are fat
+    base = spark.createDataFrame(
+        [(i, f"v{i}", i % 2) for i in range(20)] + [(900, "lonely", 9)],
+        "k long, v string, p int",
+    )
+    base.write.mode("overwrite").partitionBy("p").parquet(target)
+    assert os.path.isdir(f"{target}/p=9")
+
+    # move k=900 out of p=9 into p=0 → p=9 is drained
+    updates = spark.createDataFrame([(900, "moved", 0)], "k long, v string, p int")
+    merge_upsert_partitioned(spark, target, updates, key="k", part_col="p")
+
+    back = {r["k"]: (r["v"], r["p"]) for r in spark.read.parquet(target).collect()}
+    assert back[900] == ("moved", 0)  # exactly once, in the new partition
+    assert len(back) == 21
+    assert not os.path.isdir(f"{target}/p=9")  # drained dir deleted
