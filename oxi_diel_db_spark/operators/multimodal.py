@@ -6,18 +6,27 @@ decode / feature-extract / resize / frame-sample as Arrow-batched
 ``mapInPandas`` stages, so a 100 TB media table processes partition-
 parallel with no driver involvement.
 
-The decode step is STUBBED (this container has no image/audio codecs):
-``fake_decode`` derives deterministic pseudo-features from the payload
-bytes. The Spark-side plumbing — schema, UDF signature, batch shape,
-partitioning — is real and tested (tests/test_multimodal.py). Swap
-``fake_decode`` for a PIL/libav call in a codec-enabled image.
+Two decode tiers:
+
+* REAL decoders for the uncompressed container formats that need no
+  codec library — PPM (P6), BMP (24bpp uncompressed), WAV (PCM16 mono)
+  — pure header parse + ``numpy.frombuffer`` reshape. These back the
+  mm2 query with a full value-hash oracle (the fixture generator's
+  ramp payloads have closed-form statistics; see
+  :func:`media_fixture_table`). Compressed formats (JPEG/PNG/FLAC/mp4)
+  would slot into the same ``decode_media`` dispatch behind a PIL/
+  libav import — absent from this container by design.
+* ``fake_decode`` — the original deterministic stand-in, kept for the
+  plumbing tests (schema, Arrow batch shape, partition-parallelism).
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -97,19 +106,277 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_decode, schema=FEATURE_SCHEMA)
 
 
-def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize plumbing: passes payloads through the same mapInPandas
-    shape; the actual pixel op raises NotImplementedError (no codecs)."""
+# --------------------------------------------------------------------
+# Real uncompressed-format codecs (pure numpy — no codec libraries).
+# Format subset: PPM P6 (binary RGB), BMP 24bpp uncompressed
+# (BITMAPINFOHEADER, bottom-up, 4-byte row padding), WAV PCM16 mono.
+# --------------------------------------------------------------------
+
+
+def encode_ppm(width: int, height: int, pixel_bytes: np.ndarray) -> bytes:
+    """P6 PPM: ASCII header + raw RGB. ``pixel_bytes`` is the flat
+    uint8 sequence of w·h·3 values in row-major RGB order."""
+    assert pixel_bytes.size == width * height * 3
+    return b"P6\n%d %d\n255\n" % (width, height) + pixel_bytes.astype(
+        np.uint8
+    ).tobytes()
+
+
+def encode_bmp(width: int, height: int, pixel_bytes: np.ndarray) -> bytes:
+    """24bpp uncompressed BMP, bottom-up rows padded to 4 bytes.
+    ``pixel_bytes`` fills the file's pixel area in FILE order (padding
+    excluded) — callers that care about geometry must pre-arrange
+    bottom-up BGR themselves; ramp fixtures only care that padding is
+    excluded from the value sequence."""
+    assert pixel_bytes.size == width * height * 3
+    stride = (width * 3 + 3) // 4 * 4
+    rows = pixel_bytes.astype(np.uint8).reshape(height, width * 3)
+    padded = np.zeros((height, stride), dtype=np.uint8)
+    padded[:, : width * 3] = rows
+    data = padded.tobytes()
+    data_offset = 14 + 40
+    file_size = data_offset + len(data)
+    file_header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, data_offset)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return file_header + info_header + data
+
+
+def encode_wav(sample_rate: int, samples: np.ndarray) -> bytes:
+    """RIFF/WAVE, PCM16 mono little-endian."""
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _ppm_header(payload: bytes) -> tuple[int, int, int, int]:
+    """Parse a P6 header (whitespace tokens, ``#`` comments) → (width,
+    height, maxval, data_offset)."""
+    assert payload[:2] == b"P6", "not a P6 PPM"
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(payload[start:pos]))
+    return vals[0], vals[1], vals[2], pos + 1  # single whitespace after maxval
+
+
+def decode_media(payload: bytes, want_array: bool = False) -> dict:
+    """Sniff the container by magic bytes and decode it.
+
+    Returns ``{fmt, width, height, channels, sample_rate, n_values,
+    mean_value}`` (+ ``array`` when ``want_array``: (h, w, 3) uint8
+    top-down RGB for images, int16 samples for audio). ``n_values`` /
+    ``mean_value`` are over pixel bytes (images) or samples (audio) —
+    padding bytes excluded, which is exactly what a header-blind
+    "decoder" gets wrong.
+    """
+    if payload[:2] == b"P6":
+        w, h, maxval, off = _ppm_header(payload)
+        assert maxval == 255, "only 8-bit PPM supported"
+        px = np.frombuffer(payload, np.uint8, count=w * h * 3, offset=off)
+        out = {
+            "fmt": "ppm",
+            "width": w,
+            "height": h,
+            "channels": 3,
+            "sample_rate": None,
+            "n_values": w * h * 3,
+            "mean_value": float(px.sum()) / (w * h * 3),
+        }
+        if want_array:
+            out["array"] = px.reshape(h, w, 3).copy()
+        return out
+    if payload[:2] == b"BM":
+        data_offset = struct.unpack_from("<I", payload, 10)[0]
+        w, h = struct.unpack_from("<ii", payload, 18)
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        compression = struct.unpack_from("<I", payload, 30)[0]
+        assert bpp == 24 and compression == 0, "only 24bpp uncompressed BMP"
+        bottom_up, h = h > 0, abs(h)
+        stride = (w * 3 + 3) // 4 * 4
+        rows = np.frombuffer(
+            payload, np.uint8, count=stride * h, offset=data_offset
+        ).reshape(h, stride)[:, : w * 3]
+        out = {
+            "fmt": "bmp",
+            "width": w,
+            "height": h,
+            "channels": 3,
+            "sample_rate": None,
+            "n_values": w * h * 3,
+            "mean_value": float(rows.sum()) / (w * h * 3),
+        }
+        if want_array:
+            px = rows.reshape(h, w, 3)
+            if bottom_up:
+                px = px[::-1]
+            out["array"] = px[:, :, ::-1].copy()  # BGR → RGB
+        return out
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        pos, sr, channels, data = 12, None, None, None
+        while pos + 8 <= len(payload):
+            cid, clen = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+            body = payload[pos + 8 : pos + 8 + clen]
+            if cid == b"fmt ":
+                audio_fmt, channels, sr = struct.unpack_from("<HHI", body, 0)
+                bits = struct.unpack_from("<H", body, 14)[0]
+                assert audio_fmt == 1 and bits == 16, "only PCM16 WAV"
+            elif cid == b"data":
+                data = body
+            pos += 8 + clen + (clen & 1)  # RIFF chunks are 2-byte aligned
+        assert sr is not None and data is not None, "missing fmt/data chunk"
+        samples = np.frombuffer(data, "<i2")
+        out = {
+            "fmt": "wav",
+            "width": None,
+            "height": None,
+            "channels": channels,
+            "sample_rate": sr,
+            "n_values": samples.size,
+            "mean_value": float(samples.astype(np.int64).sum()) / max(samples.size, 1),
+        }
+        if want_array:
+            out["array"] = samples.copy()
+        return out
+    raise NotImplementedError(
+        "unknown container magic %r — compressed formats (JPEG/PNG/FLAC) "
+        "need a codec library not present in this container" % payload[:4]
+    )
+
+
+DECODE_SCHEMA = (
+    "doc_id bigint, fmt string, width int, height int, channels int, "
+    "sample_rate int, n_values bigint, mean_value double"
+)
+
+
+def decode_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL decode over binary payloads: one output row
+    per media row with header-parsed dimensions and exact value stats.
+    mapInPandas so per-batch decoder state is hoisted out of the row
+    loop (the fixed version of the reference's per-site featurizer
+    re-instantiation, ml_prediction.py:205,248)."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_media(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "fmt": [f["fmt"] for f in feats],
+                    "width": pd.array([f["width"] for f in feats], dtype="Int32"),
+                    "height": pd.array([f["height"] for f in feats], dtype="Int32"),
+                    "channels": pd.array([f["channels"] for f in feats], dtype="Int32"),
+                    "sample_rate": pd.array(
+                        [f["sample_rate"] for f in feats], dtype="Int32"
+                    ),
+                    "n_values": pd.array([f["n_values"] for f in feats], dtype="Int64"),
+                    "mean_value": [f["mean_value"] for f in feats],
+                }
+            )
+
+    return media.mapInPandas(_decode, schema=DECODE_SCHEMA)
+
+
+def media_fixture_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic media blobs for every doc id — REAL containers
+    with closed-form statistics, so a full value-hash oracle exists
+    without any media files on disk.
+
+    Per-id parameters (mirrored literally in mm2's oracle SQL):
+
+    * ``fmt = doc_id % 3`` → 0 ppm, 1 bmp, 2 wav
+    * images: ``w = 4 + doc_id % 13``, ``h = 4 + (doc_id // 13) % 11``,
+      pixel byte k = ``(seed + k) % 256`` (k over w·h·3 unpadded pixel
+      bytes in file order) with ``seed = doc_id % 9973``
+    * wav: ``n = 256 + doc_id % 2048`` samples at
+      ``sr = 8000 + (doc_id % 5) * 2000``; sample i =
+      ``(seed + i) % 4096 - 2048``
+
+    The ramp makes header/padding bugs observable: a decoder that
+    miscounts the header or reads BMP row padding shifts the sequence
+    and the mean stops matching the oracle's closed form.
+    """
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                seed = i % 9973
+                if i % 3 == 2:
+                    n = 256 + i % 2048
+                    samples = (seed + np.arange(n, dtype=np.int64)) % 4096 - 2048
+                    payloads.append(encode_wav(8000 + (i % 5) * 2000, samples))
+                else:
+                    w, h = 4 + i % 13, 4 + (i // 13) % 11
+                    px = (seed + np.arange(w * h * 3, dtype=np.int64)) % 256
+                    enc = encode_ppm if i % 3 == 0 else encode_bmp
+                    payloads.append(enc(w, h, px))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload": payloads,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return docs.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        _encode, schema="doc_id bigint, payload binary, n_bytes int"
+    )
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL nearest-neighbor resize for decodable image payloads
+    (PPM/BMP): decode → index-sample → re-encode as PPM. Same
+    mapInPandas shape a PIL/opencv-backed resize would use; audio and
+    unknown containers pass through untouched with ``resized=false``."""
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            raise NotImplementedError(
-                "resize requires an image codec (PIL/opencv) not present in "
-                "this container; plumbing is exercised via extract_features"
+            out_payload, out_flag = [], []
+            for p in pdf["payload"]:
+                raw = bytes(p)
+                if raw[:2] not in (b"P6", b"BM"):
+                    out_payload.append(raw)
+                    out_flag.append(False)
+                    continue
+                d = decode_media(raw, want_array=True)
+                arr = d["array"]
+                yi = np.arange(height) * d["height"] // height
+                xi = np.arange(width) * d["width"] // width
+                resized = arr[yi][:, xi]
+                out_payload.append(encode_ppm(width, height, resized.reshape(-1)))
+                out_flag.append(True)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": out_payload,
+                    "resized": out_flag,
+                }
             )
-            yield pdf  # pragma: no cover
 
-    return media.mapInPandas(_resize, schema=media.schema)
+    return media.mapInPandas(
+        _resize, schema="doc_id bigint, payload binary, resized boolean"
+    )
 
 
 def to_audio_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

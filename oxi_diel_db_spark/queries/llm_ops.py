@@ -442,15 +442,59 @@ def mm1_binary_meta(spark, sf_dir):
     )
 
 
-@register("mm2_decode_features", oracle=None)  # stubbed decoder — rows-only
+@register(
+    "mm2_decode_features",
+    # Full value-hash oracle: the fixture blobs are ramp-filled real
+    # containers (operators/multimodal.media_fixture_table), so every
+    # decoded statistic has a closed form over doc_id alone. Sums of a
+    # wrapped ramp: g_M(m) = (M·(M−1)/2)·(m // M) + r·(r−1)/2, r = m % M;
+    # mean over n values starting at s = (g_M(s+n) − g_M(s)) / n.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             doc_id % 3                               AS fmt_i,
+             CAST(4 + doc_id % 13 AS BIGINT)          AS w,
+             CAST(4 + (doc_id // 13) % 11 AS BIGINT)  AS h,
+             doc_id % 9973                            AS seed,
+             CAST(256 + doc_id % 2048 AS BIGINT)      AS n_samp,
+             CAST(8000 + (doc_id % 5) * 2000 AS INT)  AS sr
+      FROM documents
+    ), c AS (
+      SELECT *, w * h * 3 AS n_img, seed % 256 AS s8, seed % 4096 AS s12
+      FROM p
+    )
+    SELECT doc_id,
+      CASE fmt_i WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp' ELSE 'wav' END AS fmt,
+      CASE WHEN fmt_i < 2 THEN CAST(w AS INT) END  AS width,
+      CASE WHEN fmt_i < 2 THEN CAST(h AS INT) END  AS height,
+      CAST(CASE WHEN fmt_i < 2 THEN 3 ELSE 1 END AS INT) AS channels,
+      CASE WHEN fmt_i = 2 THEN sr END              AS sample_rate,
+      CASE WHEN fmt_i < 2 THEN n_img ELSE n_samp END AS n_values,
+      ROUND(CASE WHEN fmt_i < 2
+        THEN ( (32640.0   * ((s8  + n_img)  // 256)  + ((s8  + n_img)  % 256)  * ((s8  + n_img)  % 256  - 1) / 2.0)
+             - (32640.0   * (s8  // 256)             + (s8  % 256)             * ((s8  % 256)  - 1) / 2.0) ) / n_img
+        ELSE ( (8386560.0 * ((s12 + n_samp) // 4096) + ((s12 + n_samp) % 4096) * ((s12 + n_samp) % 4096 - 1) / 2.0)
+             - (8386560.0 * (s12 // 4096)            + (s12 % 4096)            * ((s12 % 4096) - 1) / 2.0) ) / n_samp
+             - 2048
+      END, 6) AS mean_value
+    FROM c
+    """,
+)
 def mm2_decode_features(spark, sf_dir):
-    """Multimodal decode/feature-extract over binary payloads via
-    mapInPandas (deterministic fake decoder — image libs not in this
-    container; the Spark plumbing is real: schema, Arrow batches,
-    partition-parallel)."""
-    from oxi_diel_db_spark.operators.multimodal import extract_features, to_binary_table
+    """REAL multimodal decode via mapInPandas: deterministic fixture
+    blobs (actual PPM/BMP/WAV containers, ramp payloads) are decoded by
+    the pure-numpy parsers in operators/multimodal.py — header parse,
+    BMP row-padding skip, RIFF chunk walk — and the exact decoded stats
+    are hash-checked against the ramp's closed form. A miscounted
+    header or padding byte shifts the sequence and fails the gate."""
+    from oxi_diel_db_spark.operators.multimodal import (
+        decode_features,
+        media_fixture_table,
+    )
 
-    return extract_features(to_binary_table(t(spark, sf_dir, "documents")))
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    out = decode_features(media_fixture_table(d))
+    return out.withColumn("mean_value", F.round("mean_value", 6))
 
 
 @register(

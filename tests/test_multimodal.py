@@ -43,11 +43,103 @@ def test_fake_decode_matches_direct_call(spark):
     assert got["width"] == exp["width"] and got["mean_luma"] == exp["mean_luma"]
 
 
-def test_resize_stub_raises(spark):
-    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
-    media = MM.to_binary_table(docs)
-    with pytest.raises(Exception, match="NotImplementedError|image codec"):
-        MM.resize_stub(media, 32, 32).collect()
+def test_ppm_roundtrip():
+    import numpy as np
+
+    px = np.arange(2 * 2 * 3) % 256
+    blob = MM.encode_ppm(2, 2, px)
+    assert blob.startswith(b"P6\n2 2\n255\n")
+    d = MM.decode_media(blob, want_array=True)
+    assert (d["fmt"], d["width"], d["height"], d["channels"]) == ("ppm", 2, 2, 3)
+    assert d["mean_value"] == px.mean()
+    assert (d["array"].reshape(-1) == px).all()
+
+
+def test_ppm_header_comments_and_whitespace():
+    import numpy as np
+
+    px = np.full(1 * 1 * 3, 9)
+    blob = b"P6\n# a comment\n 1\t1 \n# another\n255\n" + bytes([9, 9, 9])
+    d = MM.decode_media(blob)
+    assert (d["width"], d["height"], d["mean_value"]) == (1, 1, 9.0)
+    del px
+
+
+def test_bmp_padding_excluded():
+    import numpy as np
+
+    # w=5 → row 15 bytes, stride 16: one padding byte per row that a
+    # naive frombuffer-everything decoder would average in
+    w, h = 5, 3
+    px = (7 + np.arange(w * h * 3)) % 256
+    blob = MM.encode_bmp(w, h, px)
+    d = MM.decode_media(blob)
+    assert (d["fmt"], d["width"], d["height"]) == ("bmp", w, h)
+    assert d["n_values"] == w * h * 3
+    assert d["mean_value"] == pytest.approx(px.mean())
+    # file really is padded: pixel area is stride*h not 3*w*h
+    assert len(blob) == 54 + 16 * h
+
+
+def test_wav_roundtrip():
+    import numpy as np
+
+    samples = np.array([-2048, 0, 1024, 2047], dtype=np.int64)
+    blob = MM.encode_wav(16000, samples)
+    d = MM.decode_media(blob, want_array=True)
+    assert (d["fmt"], d["sample_rate"], d["channels"]) == ("wav", 16000, 1)
+    assert d["n_values"] == 4
+    assert d["mean_value"] == samples.mean()
+    assert (d["array"] == samples).all()
+
+
+def test_decode_media_unknown_magic_raises():
+    with pytest.raises(NotImplementedError, match="codec"):
+        MM.decode_media(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_resize_images_nearest(spark):
+    import numpy as np
+
+    # 4x4 image with distinct pixel values → 2x2 nearest picks rows/cols 0,2
+    px = np.arange(4 * 4 * 3) % 256
+    docs = spark.createDataFrame([(1, bytearray(MM.encode_ppm(4, 4, px)))],
+                                 "doc_id long, payload binary")
+    out = MM.resize_images(docs, 2, 2).collect()[0]
+    assert out["resized"]
+    d = MM.decode_media(bytes(out["payload"]), want_array=True)
+    assert (d["width"], d["height"]) == (2, 2)
+    full = px.reshape(4, 4, 3)
+    assert (d["array"] == full[::2, ::2]).all()
+    # non-image payloads pass through untouched
+    wav = MM.encode_wav(8000, np.zeros(4))
+    docs2 = spark.createDataFrame([(2, bytearray(wav))], "doc_id long, payload binary")
+    out2 = MM.resize_images(docs2, 2, 2).collect()[0]
+    assert not out2["resized"] and bytes(out2["payload"]) == wav
+
+
+def test_media_fixture_decode_matches_closed_form(spark):
+    # the mm2 contract in miniature: fixture blobs decode to the ramp's
+    # analytic mean for all three formats
+    docs = spark.createDataFrame([(i,) for i in range(30)], "doc_id long")
+    rows = {
+        r["doc_id"]: r
+        for r in MM.decode_features(MM.media_fixture_table(docs)).collect()
+    }
+    for i in range(30):
+        seed, r = i % 9973, rows[i]
+        if i % 3 == 2:
+            n = 256 + i % 2048
+            exp = sum((seed + k) % 4096 - 2048 for k in range(n)) / n
+            assert r["fmt"] == "wav" and r["sample_rate"] == 8000 + (i % 5) * 2000
+        else:
+            w, h = 4 + i % 13, 4 + (i // 13) % 11
+            n = w * h * 3
+            exp = sum((seed + k) % 256 for k in range(n)) / n
+            assert r["fmt"] == ("ppm" if i % 3 == 0 else "bmp")
+            assert (r["width"], r["height"]) == (w, h)
+        assert r["n_values"] == n
+        assert r["mean_value"] == pytest.approx(exp, abs=1e-9)
 
 
 def test_frame_sampling_fanout(spark):
