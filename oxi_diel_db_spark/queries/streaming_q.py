@@ -149,6 +149,55 @@ def st8_stream_stream_join(spark, sf_dir):
 
 
 @register(
+    "st9_late_data",
+    # Oracle derivation (T = date_trunc('hour', max ts), M = max ts):
+    # the replay (streaming/ops.write_late_replay) arrives in ascending
+    # time bands, so no ORIGINAL row is ever late; the injected copies
+    # of [T−4h, T−3h) are within the 1h allowed lateness (kept, so that
+    # band double-counts) while the injected copies of [T−7h, T−6h) are
+    # beyond it (dropped — they never enter the oracle). Append mode
+    # emits only windows finalized by the final watermark M − 1h.
+    # Band margins are ≥1h clear of every boundary and M is never
+    # hour-aligned in the testdata, so the exact <=/< eviction rule
+    # cannot flip a row.
+    oracle="""
+    WITH anchor AS (
+      SELECT date_trunc('hour', MAX(ts)) AS T, MAX(ts) AS M FROM events
+    ),
+    replay AS (
+      SELECT ts, event_type FROM events
+      UNION ALL
+      SELECT e.ts, e.event_type
+      FROM events e, anchor a
+      WHERE e.ts >= a.T - INTERVAL 4 HOUR AND e.ts < a.T - INTERVAL 3 HOUR
+    )
+    SELECT date_trunc('hour', r.ts) AS win_start, r.event_type,
+           COUNT(*) AS n
+    FROM replay r, anchor a
+    WHERE date_trunc('hour', r.ts) + INTERVAL 1 HOUR <= a.M - INTERVAL 1 HOUR
+    GROUP BY 1, 2
+    """,
+)
+def st9_late_data(spark, sf_dir):
+    """T4 watermark/late-data, REAL streaming execution with REAL
+    drops: a 4-file replay injects late rows both within and beyond the
+    1-hour allowed lateness; the watermarked tumbling agg (append mode)
+    must keep the former, drop the latter, and emit only finalized
+    windows. The oracle reconstructs exactly that row set in SQL.
+    The only driver-side reads are the 1-row anchor collect and the
+    bounded replay materialization (events-table sized, written once)."""
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="st9_late_")
+    ev = t(spark, sf_dir, "events").select("ts", "event_type")
+    anchor = ev.agg(F.date_trunc("hour", F.max("ts")).alias("T")).collect()[0]["T"]
+    replay = ops.write_late_replay(ev, anchor, work)
+    stream = ops.replay_dir_stream(spark, replay)
+    agg = ops.watermarked_tumbling(stream, width="1 hour", late="1 hour")
+    return ops.run_stream_to_memory(agg, spark, mode="append")
+
+
+@register(
     "st7_incremental_rollup",
     oracle="""
     SELECT DATE_TRUNC('hour', ts) AS win_start, event_type,

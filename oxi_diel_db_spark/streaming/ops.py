@@ -277,6 +277,73 @@ def watermarked_tumbling(events: DataFrame, width: str = "1 hour", late: str = "
     )
 
 
+def write_late_replay(
+    events: DataFrame, anchor_hour, work_dir: str
+) -> str:
+    """Materialize a 4-file replay of ``events`` that injects LATE rows
+    (T4's test harness — the file mtimes order the micro-batches, one
+    file per trigger):
+
+    * b0: ts <  T−6h                       (old head; low watermark)
+    * b1: T−6h ≤ ts < T−3h                 (advances watermark to ≈T−4h)
+    * b2: EMPTY. Spark ≥3.4 splits the watermark: late-event filtering
+      uses the PREVIOUS micro-batch's watermark, eviction the current
+      one (SPARK-24634 line of work) — so the watermark b1 advanced
+      only governs late-row drops one batch later. The empty file
+      interposes that batch.
+    * b3: copies of [T−4h, T−3h) — late but WITHIN the 1h allowed
+      lateness (window end T−3h > watermark ≈T−4h → kept), plus copies
+      of [T−7h, T−6h) — beyond it (window end T−6h ≪ watermark →
+      dropped). Neither advances the watermark.
+    * b4: ts ≥ T−3h                        (tail; finalizes windows up
+      to max(ts) − 1h)
+
+    ``anchor_hour`` is T = date_trunc('hour', max(ts)). Returns the
+    replay directory path.
+    """
+    import datetime
+    import glob
+    import os
+    import shutil
+
+    def off(h: int):
+        return anchor_hour - datetime.timedelta(hours=h)
+
+    ts = F.col("ts")
+    bands = [
+        events.filter(ts < off(6)),
+        events.filter((ts >= off(6)) & (ts < off(3))),
+        events.filter(F.lit(False)),  # watermark-activation batch
+        events.filter((ts >= off(4)) & (ts < off(3))).unionByName(
+            events.filter((ts >= off(7)) & (ts < off(6)))
+        ),
+        events.filter(ts >= off(3)),
+    ]
+    replay_dir = os.path.join(work_dir, "replay")
+    os.makedirs(replay_dir, exist_ok=True)
+    for i, band in enumerate(bands):
+        tmp = os.path.join(work_dir, f"band{i}")
+        band.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(replay_dir, f"b{i}.parquet")
+        shutil.move(part, dst)
+        # file source replays oldest-mtime first: pin the batch order
+        os.utime(dst, (1_000_000_000 + i * 10, 1_000_000_000 + i * 10))
+        shutil.rmtree(tmp, ignore_errors=True)
+    return replay_dir
+
+
+def replay_dir_stream(spark: SparkSession, replay_dir: str) -> DataFrame:
+    """File-source stream over a replay directory, one file per
+    micro-batch in mtime order."""
+    schema = spark.read.parquet(replay_dir).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay_dir)
+    )
+
+
 def stateful_user_counts(events: DataFrame) -> DataFrame:
     """T6: arbitrary stateful processing via applyInPandasWithState —
     a per-user running event counter (the minimal custom-state shape;

@@ -372,3 +372,52 @@ def test_rate_source_feeds_operator_chain(spark):
     assert rows, "rate source produced no micro-batch output"
     assert {r["event_type"] for r in rows} <= {"view", "click", "purchase"}
     assert all(r["n"] > 0 for r in rows)
+
+
+def test_late_data_replay_drops_beyond_watermark(spark, tmp_path):
+    """T4 end-to-end with REAL drops: the late-replay harness must keep
+    late rows within allowed lateness (double-counting their window),
+    drop late rows beyond it (window keeps its on-time count), and emit
+    only finalized windows. Pins the Spark >=3.4 dual-watermark rule the
+    harness depends on (late filter = previous batch's watermark)."""
+    import datetime
+
+    import uuid
+
+    T = datetime.datetime(2024, 6, 1, 12, 0, 0)
+
+    def at(hours, n, typ):
+        return [
+            (T + datetime.timedelta(hours=hours, minutes=i + 1), typ)
+            for i in range(n)
+        ]
+
+    # hours relative to anchor T0 = date_trunc(hour, max) = T+0h... build
+    # events spanning [T-9h, T]: anchor hour = T (max ts in [T, T+1h))
+    rows = (
+        at(-9, 3, "a")      # old head (b0 band, window [T-9h,T-8h))
+        + at(-7, 2, "b")    # dropped-late source band [T-7h,T-6h)
+        + at(-5, 2, "c")    # b1 band
+        + at(-4, 4, "d")    # kept-late source band [T-4h,T-3h)
+        + at(-2, 2, "e")    # tail band
+        + at(0, 1, "f")     # max ts: T+00:01 -> final wm T-00:59
+    )
+    ev = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    anchor = T
+    work = str(tmp_path / "late")
+    import os
+
+    os.makedirs(work, exist_ok=True)
+    replay = ops.write_late_replay(ev, anchor, work)
+    stream = ops.replay_dir_stream(spark, replay)
+    agg = ops.watermarked_tumbling(stream, width="1 hour", late="1 hour")
+    out = ops.run_stream_to_memory(agg, spark, mode="append")
+    got = {(r["win_start"], r["event_type"]): r["n"] for r in out.collect()}
+    # kept-late band doubles; dropped-late band stays at its on-time count
+    assert got[(T - datetime.timedelta(hours=4), "d")] == 8
+    assert got[(T - datetime.timedelta(hours=7), "b")] == 2
+    assert got[(T - datetime.timedelta(hours=9), "a")] == 3
+    # final watermark = max ts - 1h = T-0:59: window [T-2h,T-1h) (end
+    # T-1h) finalizes and emits, but the max-ts window [T,T+1h) doesn't
+    assert got[(T - datetime.timedelta(hours=2), "e")] == 2
+    assert (T, "f") not in got
