@@ -1116,3 +1116,77 @@ def q79_jsonl_roundtrip(spark, sf_dir):
         F.sum("n_chars").alias("total_chars"),
         F.sum(F.when(F.col("source") == "web", 1).otherwise(0)).alias("n_web"),
     )
+
+
+@register(
+    "q80_poscar_source",
+    # Oracle: the same 24 structures' site rows computed directly from
+    # the materials parquet — element blocks in first-appearance order
+    # (exactly how format_poscar groups them), cart = frac @ lattice.
+    # Parallel unnests zip row-wise in DuckDB.
+    oracle=f"""
+    WITH sel AS (
+      SELECT mp_id, structure FROM {_MAT} ORDER BY mp_id LIMIT 24
+    ), s AS (
+      SELECT mp_id,
+             unnest(structure.sites).species[1].element AS element,
+             unnest(generate_series(1, len(structure.sites))) AS i0,
+             unnest(structure.sites).abc AS abc,
+             structure.lattice.matrix AS m
+      FROM sel
+    ), g AS (
+      SELECT *, MIN(i0) OVER (PARTITION BY mp_id, element) AS first_i0 FROM s
+    )
+    SELECT mp_id, element,
+      CAST(ROW_NUMBER() OVER (PARTITION BY mp_id ORDER BY first_i0, i0) - 1 AS INT) AS site_idx,
+      ROUND(abc[1], 6) + 0 AS frac_a,
+      ROUND(abc[2], 6) + 0 AS frac_b,
+      ROUND(abc[3], 6) + 0 AS frac_c,
+      ROUND(abc[1] * m[1][1] + abc[2] * m[2][1] + abc[3] * m[3][1], 6) + 0 AS cart_x,
+      ROUND(abc[1] * m[1][2] + abc[2] * m[2][2] + abc[3] * m[3][2], 6) + 0 AS cart_y,
+      ROUND(abc[1] * m[1][3] + abc[2] * m[2][3] + abc[3] * m[3][3], 6) + 0 AS cart_z
+    FROM g
+    """,
+)
+def q80_poscar_source(spark, sf_dir):
+    """S3 POSCAR source end-to-end (reference main.py:31 accepts a
+    POSCAR path): 24 structures from the materials corpus are written
+    out as POSCAR text (format_poscar — repr floats, element blocks),
+    read back through ``spark.read.format("poscar")`` (the Spark-4
+    Python DataSource, one input partition per file), and the parsed
+    site rows are hash-checked against the corpus structs. mp_id
+    recovery from the file name is the F5 pattern (regexp on
+    source_file). The 24-structure collect is fixture materialization,
+    not a data path; the fixture dir is node-local here and would be a
+    shared FS on a cluster."""
+    import tempfile
+
+    from oxi_diel_db_spark.sources import poscar as P
+
+    sel = (
+        M.materials(spark)
+        .orderBy("mp_id")
+        .limit(24)
+        .select("mp_id", "structure")
+        .collect()
+    )
+    work = tempfile.mkdtemp(prefix="q80_poscar_")
+    for row in sel:
+        with open(os.path.join(work, f"{row['mp_id']}.poscar"), "w") as fh:
+            fh.write(P.format_poscar(row["mp_id"], row["structure"]))
+    try:
+        P.register_poscar_source(spark)
+    except Exception:
+        pass  # already registered earlier in this session
+    df = spark.read.format("poscar").load(work)
+    return df.select(
+        F.regexp_extract(F.col("source_file"), r"([^/]+)\.poscar$", 1).alias("mp_id"),
+        "element",
+        "site_idx",
+        r6(F.col("frac_a"), "frac_a"),
+        r6(F.col("frac_b"), "frac_b"),
+        r6(F.col("frac_c"), "frac_c"),
+        r6(F.col("cart_x"), "cart_x"),
+        r6(F.col("cart_y"), "cart_y"),
+        r6(F.col("cart_z"), "cart_z"),
+    )

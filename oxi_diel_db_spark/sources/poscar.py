@@ -87,6 +87,33 @@ def read_poscar(spark: SparkSession, path: str) -> DataFrame:
     return raw.mapInPandas(_parse, schema=SITE_SCHEMA)
 
 
+def format_poscar(comment: str, structure) -> str:
+    """Inverse of :func:`parse_poscar_text`: a structure row (the
+    materials table's ``structure`` struct — lattice matrix + sites)
+    → POSCAR text. Sites are grouped per element in first-appearance
+    order (the format requires one count block per symbol); floats are
+    printed with ``repr`` so the parse round-trips bit-exact."""
+    m = structure["lattice"]["matrix"]
+    order: list[str] = []
+    groups: dict[str, list] = {}
+    for s in structure["sites"]:
+        el = s["species"][0]["element"]
+        if el not in groups:
+            order.append(el)
+            groups[el] = []
+        groups[el].append(s)
+    lines = [comment, "1.0"]
+    lines += [" ".join(repr(float(x)) for x in row) for row in m]
+    lines.append(" ".join(order))
+    lines.append(" ".join(str(len(groups[el])) for el in order))
+    lines.append("Direct")
+    for el in order:
+        lines += [
+            " ".join(repr(float(x)) for x in s["abc"]) for s in groups[el]
+        ]
+    return "\n".join(lines) + "\n"
+
+
 # ---------------------------------------------------------------------------
 # Spark 4 Python DataSource wrapper: spark.read.format("poscar")
 # ---------------------------------------------------------------------------

@@ -405,3 +405,29 @@ def test_merge_upsert_drained_partition(spark, tmp_path):
     assert back[900] == ("moved", 0)  # exactly once, in the new partition
     assert len(back) == 21
     assert not os.path.isdir(f"{target}/p=9")  # drained dir deleted
+
+
+def test_format_poscar_roundtrip_bit_exact():
+    """format_poscar (repr floats) -> parse_poscar_text must round-trip
+    frac coords and lattice bit-exactly, with element blocks grouped in
+    first-appearance order."""
+    from oxi_diel_db_spark.sources.poscar import format_poscar, parse_poscar_text
+
+    structure = {
+        "lattice": {"matrix": [[4.1, 0.0, 0.0], [0.2, 3.9, 0.0], [-0.1, 0.3, 5.07]]},
+        "sites": [
+            {"species": [{"element": "O"}], "abc": [0.123456789012345, 0.5, 0.25]},
+            {"species": [{"element": "Ti"}], "abc": [0.0, 0.0, 0.0]},
+            {"species": [{"element": "O"}], "abc": [0.9, 0.1, 1e-07]},
+        ],
+    }
+    import numpy as np
+
+    pdf = parse_poscar_text(format_poscar("test", structure))
+    # grouped order: O (site 0), O (site 2), Ti (site 1)
+    assert list(pdf["element"]) == ["O", "O", "Ti"]
+    assert pdf["frac_a"][0] == 0.123456789012345  # repr round-trip, no loss
+    assert pdf["frac_c"][1] == 1e-07
+    lat = np.array(structure["lattice"]["matrix"])
+    exp_cart = np.array([0.123456789012345, 0.5, 0.25]) @ lat
+    assert np.allclose([pdf["cart_x"][0], pdf["cart_y"][0], pdf["cart_z"][0]], exp_cart, atol=0)
