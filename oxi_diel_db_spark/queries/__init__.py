@@ -53,16 +53,79 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-def load_registry() -> dict[str, QueryDef]:
-    """Import every query module (side effect: fills REGISTRY).
+# Round-5 sampling rotation: the driver's correctness gate samples the
+# FIRST 50 registry keys, so this prefix leads with (a) queries whose
+# behavior changed this round and (b) the queries that have never
+# received an official driver row across r1-r4 (the r1-r4 union covered
+# 107 of 161; this prefix converts 45 of the remaining 54). The
+# leftover never-sampled residue — q58..q66 — is scheduled for the r6
+# prefix (NOTES_r5).
+_R5_PRIORITY = [
+    # changed/new this round — need (re-)verification on the record
+    "mm2_decode_features",
+    "st9_late_data",
+    "q80_poscar_source",
+    "p9_weighted_sample",
+    "q78_arrow_udf",
+    # never-driver-sampled: relational core (incl. the flagship q01)
+    "q01_pricing_summary",
+    "q02_point_lookup",
+    "q03_predicates",
+    "q04_case_buckets",
+    "q05_global_sort",
+    "q06_topk",
+    "q07_union_all",
+    "q08_intersect",
+    "q09_except",
+    "q10_string_funcs",
+    "q11_datetime",
+    "q12_json_extract",
+    "q13_null_handling",
+    "q14_math_funcs",
+    # windows
+    "q40_ranking",
+    "q41_lag_lead",
+    "q42_running_frames",
+    "q43_range_frame",
+    "q44_distribution",
+    # materials tail
+    "m03_lowest_freq_invariant",
+    "m04_born_trace_invariant",
+    "m05_counting_invariants",
+    "m06_screening",
+    "m07_join_predictions",
+    "m08_unscored_anti_join",
+    "m09_parse_formula",
+    "m10_tensor_eigvals",
+    "m11_site_explode_agg",
+    "m12_en_ordered_formula",
+    "m29_atomic_orbitals",
+    "m30_voronoi_neighbors",
+    "m31_ewald_site_energy",
+    "m32_element_property_full",
+    # set-op/join/aggregate tail
+    "q57_recursive_date_spine",
+    "q52_intersect_all",
+    "q53_except_all",
+    "q51_large_volume",
+    "q54_funnel",
+    "q55_event_transitions",
+    "q67_top_supplier",
+    "q68_waiting_suppliers",
+    "q74_approx_percentiles",
+    "q75_approx_ntile",
+    "q76_merge_upsert",
+    "q79_jsonl_roundtrip",
+]
 
-    Import order IS registry iteration order (dicts preserve insertion),
-    and the driver's correctness sweep samples a prefix of it — so the
-    families go in round-robin verification priority: the LLM-pipeline
-    (d*/s*/t*/p*/g*/mm*/c*), streaming (st*), and materials surfaces
-    lead; the relational/TPC-H families (heavily sampled in earlier
-    rounds) trail. Rotate this order in later rounds so every family
-    accumulates official driver-checked rows.
+
+def load_registry() -> dict[str, QueryDef]:
+    """Import every query module (side effect: fills REGISTRY), then
+    reorder: the driver's correctness sweep samples a prefix of the
+    iteration order, so an explicit priority list leads (changed/new
+    queries + the never-driver-sampled set) and everything else keeps
+    its import order. Rotate the priority list each round until every
+    query has at least one official driver-checked row.
     """
     from oxi_diel_db_spark.queries import (  # noqa: F401
         llm_ops,
@@ -75,4 +138,11 @@ def load_registry() -> dict[str, QueryDef]:
         extras,
     )
 
-    return REGISTRY
+    ordered: dict[str, QueryDef] = {}
+    for name in _R5_PRIORITY:
+        if name in REGISTRY:  # tolerate renames; never KeyError the gate
+            ordered[name] = REGISTRY[name]
+    for name, qdef in REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = qdef
+    return ordered
