@@ -29,8 +29,24 @@ HEADLINE = [
     "q26_percentiles",
     "q22_rollup",
     "q06_topk",
+    # TPC-H join tail (regression net for the sort-merge/broadcast
+    # shapes the r4 verdict flagged as bench-uncovered)
+    "q45_shipping_priority",
+    "q49_market_share",
+    "q50_returned_items",
+    "q51_large_volume",
+    "q58_volume_shipping",
+    "q61_custorder_distribution",
+    "q64_idle_rich_customers",
+    "q65_forecast_revenue",
+    "q67_top_supplier",
+    "q68_waiting_suppliers",
     # composed operators
     "q37_asof_join",
+    # streaming throughput (file replay -> windowed agg -> memory sink)
+    "st1_tumbling_window",
+    # real multimodal decode (mapInPandas codec path)
+    "mm2_decode_features",
     # north-star LLM ops
     "d1_exact_dedup",
     "d2_ngram_jaccard",
