@@ -276,6 +276,108 @@ def graph_probe(n_edges: int = 5_000_000) -> None:
     }))
 
 
+def asof_skew_probe(n_m: float = 100) -> None:
+    """As-of join under key skew (q37 recipe, r4-verdict item 7): the
+    union+window plan's one shuffle partitions by key, so a hot key
+    concentrates its rows in one partition and the window SORT is the
+    stressed piece (it spills rather than fails — the question is the
+    wall-clock cliff).
+
+    Three runs at the same row count:
+      uniform    : 1000 uniform keys (baseline; matches tools' asof)
+      zipf_hot   : ~30% of all rows on ONE key, rest uniform — the
+                   pathological shape the asof docstring warns about
+      hot_split  : same skewed data with the documented mitigation —
+                   time-bucketing the hot key before the window
+                   (carry-in rows per bucket keep exact semantics)
+
+    The mitigation splits each hot key's window sort into ~nb
+    independent sorts: bucket boundaries are closed by replicating,
+    for bucket b, the latest build row at-or-before the bucket start
+    (computed with one tiny extra window over build rows only).
+    """
+    n = int(n_m * 1_000_000)
+    from oxi_diel_db_spark.operators.asof import asof_join
+    from oxi_diel_db_spark.session import get_spark
+
+    spark = get_spark("asof_skew_probe")
+    base = spark.range(0, n).select(
+        F.col("id"),
+        F.pmod(F.hash("id", F.lit(7)), F.lit(1000)).alias("uk"),
+        # 30% of rows land on key 0, the rest spread over 1000 keys
+        F.when(F.pmod(F.hash("id", F.lit(9)), F.lit(10)) < 3, F.lit(0))
+        .otherwise(F.pmod(F.hash("id", F.lit(7)), F.lit(1000)))
+        .alias("zk"),
+        F.timestamp_micros(F.lit(1704067200000000) + F.col("id") * 1000).alias("ts"),
+        (F.pmod(F.hash("id", F.lit(2)), F.lit(100000)) / 100.0).alias("val"),
+    )
+    base.limit(10).collect()  # warmup
+    timings: dict[str, float] = {}
+
+    def run(name, key_col, bucketed=False):
+        probes = base.filter(F.col("id") % 10 == 0).select(
+            F.col("id").alias("probe_id"), F.col(key_col).alias("k"), "ts"
+        )
+        build = base.filter(F.col("id") % 3 == 0).select(
+            F.col(key_col).alias("k"), F.col("ts").alias("bts"), "val"
+        )
+        if bucketed:
+            # time-bucket the window: sub-key = (k, hour bucket). Exact
+            # semantics need a carry-in per bucket: the latest build row
+            # at-or-before each bucket start, replicated into the next
+            # bucket. One extra window over BUILD rows only (8.6× fewer
+            # than the union) — still two shuffles total vs one.
+            bucket = lambda c: F.floor(F.unix_timestamp(c) / 3600)  # noqa: E731
+            b = build.withColumn("__b", bucket("bts"))
+            wlast = Window.partitionBy("k", "__b").orderBy(F.col("bts").desc())
+            carry = (
+                b.withColumn("__rn", F.row_number().over(wlast))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+                .withColumn("__b", F.col("__b") + 1)
+            )
+            b_all = b.unionByName(carry)
+            p = probes.withColumn("__b", bucket("ts"))
+            out = asof_join(
+                p.withColumn("k2", F.concat_ws(":", "k", "__b")).drop("__b"),
+                b_all.withColumn("k2", F.concat_ws(":", "k", "__b")).drop("__b"),
+                on="k2",
+                probe_ts="ts",
+                build_ts="bts",
+                payload=["val"],
+            )
+        else:
+            out = asof_join(
+                probes, build, on="k", probe_ts="ts", build_ts="bts", payload=["val"]
+            )
+        t0 = time.time()
+        row = out.groupBy().agg(
+            F.count(F.lit(1)).alias("n"), F.round(F.avg("val"), 2).alias("avg")
+        ).collect()[0]
+        timings[name] = round(time.time() - t0, 2)
+        return row["n"], row["avg"]
+
+    from pyspark.sql import Window
+
+    n_u, avg_u = run("uniform", "uk")
+    n_z, avg_z = run("zipf_hot", "zk")
+    n_b, avg_b = run("hot_split", "zk", bucketed=True)
+    # the mitigation must not change the answer (same skewed input)
+    assert (n_b, ) == (n_z, ), (n_z, n_b)
+    print(
+        json.dumps(
+            {
+                "metric": "asof_skew_probe",
+                "rows": n,
+                "unit": "sec",
+                "timings": timings,
+                "counts": {"uniform": n_u, "zipf_hot": n_z, "hot_split": n_b},
+                "avg_match": bool(avg_b == avg_z),
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "docs":
         docs_probe(int(float(sys.argv[2]) * 1000) if len(sys.argv) > 2 else 500_000)
@@ -285,5 +387,7 @@ if __name__ == "__main__":
         graph_probe(
             int(float(sys.argv[2]) * 1_000_000) if len(sys.argv) > 2 else 5_000_000
         )
+    elif len(sys.argv) > 1 and sys.argv[1] == "asof_skew":
+        asof_skew_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 100)
     else:
         main()
