@@ -63,6 +63,7 @@ def register(name: str, oracle: str | None = None):
 _R5_PRIORITY = [
     # changed/new this round — need (re-)verification on the record
     "mm2_decode_features",
+    "mm5_resize_pipeline",
     "st9_late_data",
     "q80_poscar_source",
     "p9_weighted_sample",

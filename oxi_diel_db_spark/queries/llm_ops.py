@@ -1551,3 +1551,69 @@ def q78_arrow_udf(spark, sf_dir):
         ws_tokens("text").alias("udf_tokens"),
         TX.ws_token_count("text").cast("int").alias("builtin_tokens"),
     )
+
+
+@register(
+    "mm5_resize_pipeline",
+    # Closed-form oracle for decode -> nearest-neighbor resize ->
+    # re-encode -> decode: resized pixel (y,x,c) samples source index
+    # yi = y*h//8, xi = x*w//8. PPM arrays are the ramp in row-major
+    # RGB; BMP arrays flip bottom-up rows and swap BGR->RGB, so the
+    # sampled ramp index differs per container — which is exactly what
+    # makes this a geometry test, not just a mean test.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             doc_id % 3                      AS fmt_i,
+             CAST(4 + doc_id % 13 AS BIGINT) AS w,
+             CAST(4 + (doc_id // 13) % 11 AS BIGINT) AS h,
+             doc_id % 9973                   AS seed
+      FROM documents WHERE doc_id % 3 <> 2
+    ), grid AS (
+      SELECT y, x, c
+      FROM generate_series(0, 7) g1(y),
+           generate_series(0, 7) g2(x),
+           generate_series(0, 2) g3(c)
+    ), v AS (
+      SELECT p.doc_id, p.seed,
+        CASE WHEN p.fmt_i = 0
+          THEN (((g.y * p.h) // 8) * p.w + ((g.x * p.w) // 8)) * 3 + g.c
+          ELSE ((p.h - 1 - ((g.y * p.h) // 8)) * p.w + ((g.x * p.w) // 8)) * 3 + (2 - g.c)
+        END AS idx
+      FROM p CROSS JOIN grid g
+    )
+    SELECT doc_id,
+           CAST(8 AS INT)    AS width,
+           CAST(8 AS INT)    AS height,
+           CAST(192 AS BIGINT) AS n_values,
+           ROUND(AVG(CAST((seed + idx) % 256 AS DOUBLE)), 6) + 0 AS mean_value
+    FROM v GROUP BY doc_id, seed
+    """,
+)
+def mm5_resize_pipeline(spark, sf_dir):
+    """REAL image resize pipeline under the hash gate: fixture
+    containers (PPM + BMP) decode, nearest-neighbor-resize to 8x8,
+    re-encode as PPM, decode again — the resized stats must hit the
+    ramp's closed form through BOTH containers' geometry (BMP's
+    bottom-up row order and BGR channel order included). Three
+    mapInPandas stages, all partition-parallel; audio ids are filtered
+    out JVM-side before any encoding work."""
+    from oxi_diel_db_spark.operators.multimodal import (
+        decode_features,
+        media_fixture_table,
+        resize_images,
+    )
+
+    imgs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 3 != 2)
+    )
+    out = decode_features(resize_images(media_fixture_table(imgs), 8, 8))
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_values",
+        F.round("mean_value", 6).alias("mean_value"),
+    )
