@@ -344,6 +344,46 @@ def media_fixture_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+AUDIO_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_samples bigint, "
+    "mean_value double, rms double"
+)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Real audio feature extraction over WAV payloads: decode PCM16
+    samples and compute mean + RMS (the loudness/normalization features
+    an audio-training pipeline computes before chunking/resampling).
+    Non-WAV payloads are dropped (an image in an audio column is a
+    schema error upstream)."""
+
+    def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "sample_rate", "n_samples", "mean_value", "rms")}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(p)
+                if raw[:4] != b"RIFF":
+                    continue
+                d = decode_media(raw, want_array=True)
+                v = d["array"].astype(np.float64)
+                out["doc_id"].append(int(doc_id))
+                out["sample_rate"].append(d["sample_rate"])
+                out["n_samples"].append(v.size)
+                out["mean_value"].append(float(v.mean()))
+                out["rms"].append(float(np.sqrt(np.mean(v * v))))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "sample_rate": pd.Series(out["sample_rate"], dtype="int32"),
+                    "n_samples": pd.Series(out["n_samples"], dtype="int64"),
+                    "mean_value": pd.Series(out["mean_value"], dtype="float64"),
+                    "rms": pd.Series(out["rms"], dtype="float64"),
+                }
+            )
+
+    return media.mapInPandas(_features, schema=AUDIO_SCHEMA)
+
+
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     """REAL nearest-neighbor resize for decodable image payloads
     (PPM/BMP): decode → index-sample → re-encode as PPM. Same

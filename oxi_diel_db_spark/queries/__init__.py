@@ -114,7 +114,7 @@ _R5_PRIORITY = [
     "q67_top_supplier",
     "q68_waiting_suppliers",
     "q74_approx_percentiles",
-    "q75_approx_ntile",
+    "mm6_audio_features",
     "q76_merge_upsert",
     "q79_jsonl_roundtrip",
 ]

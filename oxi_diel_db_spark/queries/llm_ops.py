@@ -1617,3 +1617,63 @@ def mm5_resize_pipeline(spark, sf_dir):
         "n_values",
         F.round("mean_value", 6).alias("mean_value"),
     )
+
+
+@register(
+    "mm6_audio_features",
+    # Closed-form oracle for PCM16 ramp audio: samples are
+    # v_j = (seed + j) % 4096 - 2048. Sum via the wrapped-ramp identity
+    # g1(m) = 8386560*(m // 4096) + r*(r-1)/2 (r = m % 4096); sum of
+    # squares via g2(m) = 5726623744*(m // 4096) + P(r) with
+    # P(r) = (r-1)*r*(2*r-1)/6 - 2048*r*(r-1) + r*4194304 (all terms
+    # < 2^53 -> exact in doubles on both engines).
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             (doc_id % 9973) % 4096                  AS s,
+             CAST(256 + doc_id % 2048 AS BIGINT)     AS n,
+             CAST(8000 + (doc_id % 5) * 2000 AS INT) AS sr
+      FROM documents WHERE doc_id % 3 = 2
+    ), b AS (
+      SELECT *, s + n AS m, (s + n) % 4096 AS r1, (s + n) // 4096 AS q1
+      FROM p
+    )
+    SELECT doc_id, sr AS sample_rate, n AS n_samples,
+      ROUND(
+        ( (8386560.0 * q1 + r1 * (r1 - 1) / 2.0)
+        - (s * (s - 1) / 2.0) ) / n - 2048,
+      6) + 0 AS mean_value,
+      ROUND(SQRT(
+        ( (5726623744.0 * q1
+           + ((r1 - 1) * r1 * (2 * r1 - 1) / 6.0 - 2048.0 * r1 * (r1 - 1) + r1 * 4194304.0))
+        - ((s - 1) * s * (2 * s - 1) / 6.0 - 2048.0 * s * (s - 1) + s * 4194304.0)
+        ) / n
+      ), 6) + 0 AS rms
+    FROM b
+    """,
+)
+def mm6_audio_features(spark, sf_dir):
+    """Real audio feature extraction under the hash gate: fixture WAV
+    containers decode (RIFF chunk walk, PCM16 LE) and mean + RMS of the
+    actual samples are checked against the ramp's closed forms. A
+    decoder that drops a sample, misreads the data-chunk length, or
+    byte-swaps fails the gate. s < 4096 so the g1/g2 lower terms
+    simplify to pure partials in the SQL."""
+    from oxi_diel_db_spark.operators.multimodal import (
+        audio_features,
+        media_fixture_table,
+    )
+
+    wavs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 3 == 2)
+    )
+    out = audio_features(media_fixture_table(wavs))
+    return out.select(
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        F.round("mean_value", 6).alias("mean_value"),
+        F.round("rms", 6).alias("rms"),
+    )

@@ -194,3 +194,22 @@ def test_audio_chunk_oracle_ascii_invariant(spark, sf_dir):
         F.octet_length(F.col("text")) != F.length(F.col("text"))
     ).count()
     assert non_ascii == 0
+
+
+def test_audio_features_known_samples(spark):
+    import math
+
+    import numpy as np
+
+    samples = np.array([100, -100, 300, -300], dtype=np.int64)
+    docs = spark.createDataFrame(
+        [(5, bytearray(MM.encode_wav(12000, samples)))], "doc_id long, payload binary"
+    )
+    r = MM.audio_features(docs).collect()[0]
+    assert (r["sample_rate"], r["n_samples"]) == (12000, 4)
+    assert r["mean_value"] == 0.0
+    assert r["rms"] == pytest.approx(math.sqrt((100**2 + 100**2 + 300**2 + 300**2) / 4))
+    # non-WAV payloads are dropped, not mis-decoded
+    img = MM.encode_ppm(2, 2, np.zeros(12))
+    docs2 = spark.createDataFrame([(6, bytearray(img))], "doc_id long, payload binary")
+    assert MM.audio_features(docs2).count() == 0
