@@ -113,7 +113,7 @@ _R5_PRIORITY = [
     "q55_event_transitions",
     "q67_top_supplier",
     "q68_waiting_suppliers",
-    "q74_approx_percentiles",
+    "q81_dataset_profile",
     "mm6_audio_features",
     "q76_merge_upsert",
     "q79_jsonl_roundtrip",

@@ -388,3 +388,60 @@ def q75_approx_ntile(spark, sf_dir):
         lambda acc, b: acc + F.when(F.col("c_acctbal") > b, 1).otherwise(0),
     )
     return bucketed.select("c_custkey", "c_acctbal", decile.alias("decile"))
+
+
+@register(
+    "q81_dataset_profile",
+    oracle="""
+    SELECT 'lang' AS col_name, COUNT(*) AS n,
+           COUNT(*) - COUNT(lang) AS n_null,
+           COUNT(DISTINCT lang) AS n_distinct,
+           CAST(MIN(lang) AS VARCHAR) AS min_val,
+           CAST(MAX(lang) AS VARCHAR) AS max_val
+    FROM documents
+    UNION ALL
+    SELECT 'source', COUNT(*), COUNT(*) - COUNT(source),
+           COUNT(DISTINCT source),
+           CAST(MIN(source) AS VARCHAR), CAST(MAX(source) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars),
+           COUNT(DISTINCT n_chars),
+           CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+    FROM documents
+    """,
+)
+def q81_dataset_profile(spark, sf_dir):
+    """One-pass dataset profiling (the data-quality pass every ingest
+    runs before training): per-column row/null/distinct counts and
+    min/max, computed in a SINGLE aggregate over one scan — Spark
+    rewrites the three exact DISTINCTs into one Expand (×3 row
+    multiplication, one shuffle), which beats three separate scans at
+    100 TB; swap countDistinct for approx_count_distinct to drop the
+    Expand when ±2% is acceptable. The wide 1-row aggregate unpivots to
+    the (col, stats) long form with stack()."""
+    d = t(spark, sf_dir, "documents")
+    cols = ["lang", "source", "n_chars"]
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nn"),
+            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__mn"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__mx"),
+        ]
+    wide = d.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nn, {c}__nd, {c}__mn, {c}__mx" for c in cols
+    )
+    return wide.selectExpr(
+        "__n",
+        f"stack({len(cols)}, {stack_args}) AS (col_name, n_null, n_distinct, min_val, max_val)",
+    ).select(
+        "col_name",
+        F.col("__n").alias("n"),
+        "n_null",
+        "n_distinct",
+        "min_val",
+        "max_val",
+    )
