@@ -163,3 +163,53 @@ def test_poscar_parser_roundtrip(sites):
             assert abs(row["frac_a"] - a) < 1e-9
             assert abs(row["cart_x"] - 6 * a) < 1e-8
             k += 1
+
+
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_image_codec_roundtrip_property(w, h, seed):
+    """encode->decode is the identity for both image containers, for
+    ANY dimensions (odd widths exercise BMP row padding) and any
+    payload: dims, channel count, exact mean, and the full pixel array
+    must survive. BMP's bottom-up BGR file order must be undone by the
+    decoder's want_array path."""
+    import numpy as np
+
+    from oxi_diel_db_spark.operators import multimodal as MM
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=w * h * 3, dtype=np.int64)
+    for enc in (MM.encode_ppm, MM.encode_bmp):
+        d = MM.decode_media(enc(w, h, px), want_array=True)
+        assert (d["width"], d["height"], d["channels"]) == (w, h, 3)
+        assert d["n_values"] == w * h * 3
+        assert d["mean_value"] == px.mean()
+        if enc is MM.encode_ppm:
+            assert (d["array"].reshape(-1) == px).all()
+        else:
+            # encode_bmp writes the byte sequence in FILE order; the
+            # decoder must undo bottom-up rows and BGR channels exactly
+            assert (d["array"] == px.reshape(h, w, 3)[::-1, :, ::-1]).all()
+
+
+@given(
+    n=st.integers(min_value=1, max_value=3000),
+    sr=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_codec_roundtrip_property(n, sr, seed):
+    import numpy as np
+
+    from oxi_diel_db_spark.operators import multimodal as MM
+
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(-32768, 32768, size=n, dtype=np.int64)
+    d = MM.decode_media(MM.encode_wav(sr, samples), want_array=True)
+    assert (d["sample_rate"], d["channels"], d["n_values"]) == (sr, 1, n)
+    assert (d["array"] == samples).all()
+    assert d["mean_value"] == samples.mean()
