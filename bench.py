@@ -47,6 +47,8 @@ HEADLINE = [
     "st1_tumbling_window",
     # real multimodal decode (mapInPandas codec path)
     "mm2_decode_features",
+    # one-pass profile (multi-distinct Expand shape)
+    "q81_dataset_profile",
     # north-star LLM ops
     "d1_exact_dedup",
     "d2_ngram_jaccard",
