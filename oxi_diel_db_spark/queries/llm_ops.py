@@ -1677,3 +1677,67 @@ def mm6_audio_features(spark, sf_dir):
         F.round("mean_value", 6).alias("mean_value"),
         F.round("rms", 6).alias("rms"),
     )
+
+
+@register(
+    "p10_length_buckets",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN n_chars < 256 THEN 0
+                  WHEN n_chars < 512 THEN 1
+                  WHEN n_chars < 1024 THEN 2
+                  WHEN n_chars < 2048 THEN 3
+                  ELSE 4 END AS bucket
+      FROM documents
+    ), w AS (
+      SELECT *, MAX(n_chars) OVER (PARTITION BY bucket) AS bmax FROM b
+    )
+    SELECT bucket, COUNT(*) AS n_docs,
+           MIN(n_chars) AS min_len, MAX(n_chars) AS max_len,
+           CAST(SUM(bmax - n_chars) AS BIGINT) AS pad_waste,
+           ROUND(SUM(bmax - n_chars) * 100.0 / SUM(bmax), 4) + 0 AS waste_pct
+    FROM w GROUP BY bucket
+    """,
+)
+def p10_length_buckets(spark, sf_dir):
+    """Length-bucketed batching audit — the padding-efficiency lever of
+    a training pipeline: assign each document to a fixed power-of-two
+    length bucket and measure, per bucket, how many pad units a
+    pad-to-bucket-max batching strategy wastes. FIXED boundaries (not
+    ntile) on purpose: bucket assignment is a stateless per-row
+    expression, so at 100 TB this is one scan + one small agg with NO
+    global sort; percentile-based buckets would need one (documented
+    trade-off). The per-bucket max needed by the waste metric rides the
+    same single shuffle as the groupBy."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    bucket = (
+        F.when(F.col("n_chars") < 256, 0)
+        .when(F.col("n_chars") < 512, 1)
+        .when(F.col("n_chars") < 1024, 2)
+        .when(F.col("n_chars") < 2048, 3)
+        .otherwise(4)
+    )
+    b = d.select(F.col("n_chars"), bucket.alias("bucket"))
+    w = Window.partitionBy("bucket")
+    return (
+        b.withColumn("bmax", F.max("n_chars").over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_len"),
+            F.max("n_chars").alias("max_len"),
+            F.sum(F.col("bmax") - F.col("n_chars")).cast("bigint").alias("pad_waste"),
+            (
+                F.round(
+                    F.sum(F.col("bmax") - F.col("n_chars"))
+                    * 100.0
+                    / F.sum("bmax"),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("waste_pct"),
+        )
+    )
