@@ -1190,3 +1190,48 @@ def q80_poscar_source(spark, sf_dir):
         r6(F.col("cart_y"), "cart_y"),
         r6(F.col("cart_z"), "cart_z"),
     )
+
+
+@register(
+    "q82_schema_evolution",
+    # Oracle reconstructs the evolved table: even doc_ids were written
+    # BEFORE the n_chars column existed (read back as NULL), odd ones
+    # after. Missing-column semantics is the whole point of the check.
+    oracle="""
+    WITH unioned AS (
+      SELECT lang, CAST(NULL AS BIGINT) AS n_chars
+      FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT lang, n_chars FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT lang, COUNT(*) AS n,
+           COUNT(*) - COUNT(n_chars) AS n_missing,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM unioned GROUP BY lang
+    """,
+)
+def q82_schema_evolution(spark, sf_dir):
+    """S8/S9 schema evolution: a long-lived table gains a column —
+    files written before the change lack it, and a mergeSchema read
+    must surface them as NULLs, not errors (the alternative at 100 TB
+    is rewriting every historical file). Two generations are written
+    (old: doc_id+lang; new: +n_chars), read back through ONE
+    mergeSchema scan, and the null-vs-present accounting is
+    hash-checked. mergeSchema=true costs a footer read per file at
+    planning time — enable it per-read like here, not globally."""
+    out = _scratch("schema_evolution")
+    d = t(spark, sf_dir, "documents")
+    d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.mode(
+        "overwrite"
+    ).parquet(f"{out}/gen0")
+    d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "lang", "n_chars").write.mode(
+        "overwrite"
+    ).parquet(f"{out}/gen1")
+    back = spark.read.option("mergeSchema", "true").parquet(
+        f"{out}/gen0", f"{out}/gen1"
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("n_chars").isNull(), 1).otherwise(0)).alias("n_missing"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
