@@ -276,6 +276,92 @@ def graph_probe(n_edges: int = 5_000_000) -> None:
     }))
 
 
+def streaming_probe(n_m: float = 2) -> None:
+    """Structured Streaming throughput evidence: replay n million
+    synthetic events through the SAME windowed-agg pipeline st1 runs
+    (file source → tumbling event-time window → memory sink) and
+    report end-to-end rows/sec. Files are sized to ~8 micro-batches so
+    the number includes real per-trigger overhead, not one giant batch
+    — at 100 TB the equivalent lever is maxOffsetsPerTrigger on the
+    Kafka source (streaming/ops.read_events_kafka)."""
+    import os
+    import tempfile
+    import uuid
+
+    from oxi_diel_db_spark.session import get_spark
+    from oxi_diel_db_spark.streaming import ops
+
+    n = int(n_m * 1_000_000)
+    spark = get_spark("streaming_probe")
+    work = tempfile.mkdtemp(prefix="stream_probe_")
+    src = os.path.join(work, "events")
+    (
+        spark.range(0, n)
+        .select(
+            F.col("id").alias("event_id"),
+            F.timestamp_micros(
+                F.lit(1704067200000000) + F.col("id") * 100_000
+            ).alias("ts"),
+            F.pmod(F.hash("id"), F.lit(10_000)).alias("user_id"),
+            F.element_at(
+                F.array(F.lit("view"), F.lit("click"), F.lit("purchase")),
+                (F.pmod(F.hash("id", F.lit(1)), F.lit(3)) + 1).cast("int"),
+            ).alias("event_type"),
+            (F.pmod(F.hash("id", F.lit(2)), F.lit(10000)) / 100.0).alias("value"),
+        )
+        .repartition(8)
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    schema = spark.read.parquet(src).schema
+
+    def run(mft: int):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", mft)
+            .parquet(src)
+        )
+        agg = ops.tumbling_counts(stream, "1 hour")
+        name = f"probe_{uuid.uuid4().hex[:8]}"
+        t0 = time.time()
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+        return time.time() - t0, len(q.recentProgress), spark.table(name).count()
+
+    run(8)  # warmup: first streaming query in a fresh JVM pays state
+    # store/codegen init (~90 s observed at 5M) — time the warm engine
+    one_wall, _, n_out = run(8)
+    split_wall, batches, _ = run(1)
+    print(
+        json.dumps(
+            {
+                "metric": "streaming_probe",
+                "rows": n,
+                "unit": "sec",
+                "timings": {
+                    "one_batch": round(one_wall, 2),
+                    "per_file_triggers": round(split_wall, 2),
+                },
+                "rows_per_sec": {
+                    "one_batch": int(n / one_wall),
+                    "per_file_triggers": int(n / split_wall),
+                },
+                "micro_batches": batches,
+                "out_groups": n_out,
+            }
+        )
+    )
+
+
 def asof_skew_probe(n_m: float = 100) -> None:
     """As-of join under key skew (q37 recipe, r4-verdict item 7): the
     union+window plan's one shuffle partitions by key, so a hot key
@@ -389,5 +475,7 @@ if __name__ == "__main__":
         )
     elif len(sys.argv) > 1 and sys.argv[1] == "asof_skew":
         asof_skew_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 100)
+    elif len(sys.argv) > 1 and sys.argv[1] == "streaming":
+        streaming_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 2)
     else:
         main()
