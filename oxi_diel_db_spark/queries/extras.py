@@ -1235,3 +1235,74 @@ def q82_schema_evolution(spark, sf_dir):
         F.sum(F.when(F.col("n_chars").isNull(), 1).otherwise(0)).alias("n_missing"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+@register(
+    "m33_tensor_invariants",
+    # Both engines evaluate the SAME double-precision expressions over
+    # the same stored values, so the pre-round results are bit-equal
+    # (the repo's per-row IEEE-754 discipline); round-6 is belt and
+    # braces. Matrix side: I1 = tr(A), I2 = sum of principal 2x2
+    # minors, I3 = det(A). Eigen side via Newton/Vieta: sum, pairwise
+    # product sum, product.
+    oracle=f"""
+    WITH m AS (
+      SELECT mp_id,
+             dielectric.epsilon_electronic AS a,
+             dielectric.epsilon_electronic_eig AS e
+      FROM {_MAT}
+    )
+    SELECT mp_id,
+      ROUND(a[1][1] + a[2][2] + a[3][3], 6) + 0 AS i1_trace,
+      ROUND( (a[2][2] * a[3][3] - a[2][3] * a[3][2])
+           + (a[1][1] * a[3][3] - a[1][3] * a[3][1])
+           + (a[1][1] * a[2][2] - a[1][2] * a[2][1]), 6) + 0 AS i2_minors,
+      ROUND( a[1][1] * (a[2][2] * a[3][3] - a[2][3] * a[3][2])
+           - a[1][2] * (a[2][1] * a[3][3] - a[2][3] * a[3][1])
+           + a[1][3] * (a[2][1] * a[3][2] - a[2][2] * a[3][1]), 6) + 0 AS i3_det,
+      ROUND(e[1] + e[2] + e[3], 6) + 0 AS eig_sum,
+      ROUND(e[1] * e[2] + e[1] * e[3] + e[2] * e[3], 6) + 0 AS eig_pairsum,
+      ROUND(e[1] * e[2] * e[3], 6) + 0 AS eig_prod
+    FROM m
+    """,
+)
+def m33_tensor_invariants(spark, sf_dir):
+    """F2/A4 tensor algebra under the hash gate: the three principal
+    invariants of the electronic dielectric tensor computed from the
+    MATRIX (trace, principal-minor sum, determinant — pure higher-order
+    array expressions, no UDF, no LAPACK) alongside the same invariants
+    from the STORED eigenvalues via Vieta. The corpus invariant
+    I_k(A) == e_k(eigs) to ~1e-6 becomes visible data; m10's LAPACK
+    eigensolve stays the engine path for actually computing spectra
+    (rows-only by design), while this query puts the algebra itself
+    under cross-engine value-hash."""
+    m = M.materials(spark)
+    a = F.col("dielectric.epsilon_electronic")
+    e = F.col("dielectric.epsilon_electronic_eig")
+
+    def el(i, j):
+        return F.element_at(F.element_at(a, i), j)
+
+    def ev(i):
+        return F.element_at(e, i)
+
+    i1 = el(1, 1) + el(2, 2) + el(3, 3)
+    i2 = (
+        (el(2, 2) * el(3, 3) - el(2, 3) * el(3, 2))
+        + (el(1, 1) * el(3, 3) - el(1, 3) * el(3, 1))
+        + (el(1, 1) * el(2, 2) - el(1, 2) * el(2, 1))
+    )
+    i3 = (
+        el(1, 1) * (el(2, 2) * el(3, 3) - el(2, 3) * el(3, 2))
+        - el(1, 2) * (el(2, 1) * el(3, 3) - el(2, 3) * el(3, 1))
+        + el(1, 3) * (el(2, 1) * el(3, 2) - el(2, 2) * el(3, 1))
+    )
+    return m.select(
+        "mp_id",
+        r6(i1, "i1_trace"),
+        r6(i2, "i2_minors"),
+        r6(i3, "i3_det"),
+        r6(ev(1) + ev(2) + ev(3), "eig_sum"),
+        r6(ev(1) * ev(2) + ev(1) * ev(3) + ev(2) * ev(3), "eig_pairsum"),
+        r6(ev(1) * ev(2) * ev(3), "eig_prod"),
+    )

@@ -108,3 +108,18 @@ def test_golden_correlation(mats, preds):
             .collect()[0]["c"]
         )
         assert c >= floor, (model, c)
+
+
+def test_tensor_invariants_match_eigenvalue_symmetric_functions(spark):
+    """m33's content claim: the matrix invariants equal the elementary
+    symmetric functions of the stored eigenvalues (Newton/Vieta) on
+    every corpus record — the algebraic form of invariant 2."""
+    from oxi_diel_db_spark.queries import load_registry
+
+    df = load_registry()["m33_tensor_invariants"].build(spark, "ignored")
+    bad = df.filter(
+        (F.abs(F.col("i1_trace") - F.col("eig_sum")) > 1e-3)
+        | (F.abs(F.col("i2_minors") - F.col("eig_pairsum")) > 1e-2)
+        | (F.abs(F.col("i3_det") - F.col("eig_prod")) > 1e-2)
+    ).count()
+    assert bad == 0
