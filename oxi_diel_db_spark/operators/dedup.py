@@ -578,3 +578,348 @@ def ngram_decontaminate(
             "contamination"
         ),
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Asymmetric near-dup pairs by shingle CONTAINMENT:
+    C(A,B) = |A ∩ B| / min(|A|, |B|).
+
+    Jaccard misses the "small doc embedded in a big doc" case — a
+    200-word page quoted whole inside a 20k-word page has J ≈ 0.01 but
+    C = 1.0. Containment is the standard companion metric (Broder's
+    resemblance/containment pair) and the one that catches boilerplate
+    wrappers and quote-expansion dups in a training corpus.
+
+    Same inverted-index candidate shape as :func:`ngram_jaccard_pairs`
+    (only pairs sharing ≥1 shingle materialize; shingles ride as
+    xxhash64 ints so every shuffle moves 8-byte keys). At 100 TB apply
+    the same ``max_doc_freq`` posting-list cap before the self-join;
+    capping lower-bounds the intersection, so it is conservative here
+    exactly as it is for Jaccard.
+    """
+    sh = doc_shingles(docs, id_col, text_col, n, hashed=True)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
+    cont = F.col("inter") / F.least(F.col("na"), F.col("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(cont >= threshold)
+        .select("doc_a", "doc_b", F.round(cont, 6).alias("containment"))
+    )
+
+
+def span_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span: int = 10,
+) -> DataFrame:
+    """C4-style duplicate-SPAN removal: chunk every document into
+    consecutive ``span``-word windows, and across the WHOLE corpus keep
+    only the first occurrence of each distinct span (first = lowest
+    (doc_id, position)); every other occurrence is cut from its
+    document. Catches the sub-document duplication (boilerplate
+    headers, syndicated paragraphs) that doc-level dedup (d1/d3) never
+    sees. C4 did this with three-sentence spans; the corpus here has no
+    sentence boundaries, so fixed word windows play that role.
+
+    Returns (id, n_spans, n_kept, kept_fp) where kept_fp is the md5 of
+    the surviving text (spans re-joined in document order) — compact
+    enough to hash-gate without shipping full texts.
+
+    Scale shape: one shuffle to group occurrences by span key (md5 of
+    the span — 32-byte keys instead of ~60-byte word windows), a
+    co-partitioned join back on the same key, then a doc_id groupBy for
+    reassembly. Nothing is quadratic: a span duplicated d times costs
+    d rows in one group, not d² pairs. The winner rank packs
+    (doc_id, pos) into one BIGINT (pos < 2^20 — documents are bounded
+    at a few KB; at larger docs widen the shift), so the argmin is a
+    plain MIN both here and in the DuckDB twin.
+    """
+    w = docs.repartition(F.col(id_col)).select(
+        F.col(id_col), norm_words(text_col).alias("__w")
+    )
+    nspans = F.ceil(F.size("__w") / F.lit(span)).cast("int")
+    spans_arr = F.when(
+        F.size("__w") > 0,
+        F.transform(
+            F.sequence(F.lit(0), nspans - 1),
+            lambda i: F.concat_ws(" ", F.slice("__w", i * span + 1, span)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = (
+        w.select(F.col(id_col), F.posexplode(spans_arr))
+        .withColumnRenamed("col", "span_text")
+        .withColumn("span_key", F.md5("span_text"))
+        .withColumn("rank", F.col(id_col).cast("long") * 1048576 + F.col("pos"))
+    )
+    winners = occ.groupBy("span_key").agg(F.min("rank").alias("keep_rank"))
+    kept = occ.join(winners, "span_key").withColumn(
+        "kept", F.col("rank") == F.col("keep_rank")
+    )
+    per_doc = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("kept").cast("int")).cast("long").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("kept"), F.struct("pos", "span_text"))
+                        )
+                    ),
+                    lambda s: s.span_text,
+                ),
+                " ",
+            )
+        ).alias("kept_fp"),
+    )
+    empty_fp = "d41d8cd98f00b204e9800998ecf8427e"  # md5("")
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_spans", F.lit(0).cast("long")).alias("n_spans"),
+            F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+            F.coalesce("kept_fp", F.lit(empty_fp)).alias("kept_fp"),
+        )
+    )
+
+
+def sql_span_dedup(span: int = 10, table: str = "documents", id_col: str = "doc_id") -> str:
+    """DuckDB twin of :func:`span_dedup` (same md5 span keys, same
+    packed-rank argmin, same ordered reassembly)."""
+    from oxi_diel_db_spark.functions.text import SQL_NORM_WORDS
+
+    words = SQL_NORM_WORDS.format(t="text")
+    return f"""
+    WITH w AS (SELECT {id_col}, {words} AS words FROM {table}),
+    occ AS (
+      SELECT {id_col},
+             i - 1 AS pos,
+             array_to_string(words[(i - 1) * {span} + 1 : i * {span}], ' ') AS span_text,
+             md5(array_to_string(words[(i - 1) * {span} + 1 : i * {span}], ' ')) AS span_key,
+             {id_col}::BIGINT * 1048576 + (i - 1) AS rank
+      FROM w, LATERAL unnest(range(1, CAST(ceil(len(words) / {span}.0) AS BIGINT) + 1)) AS u(i)
+      WHERE len(words) > 0
+    ),
+    winners AS (SELECT span_key, MIN(rank) AS keep_rank FROM occ GROUP BY span_key),
+    kept AS (
+      SELECT occ.*, occ.rank = w2.keep_rank AS kept
+      FROM occ JOIN winners w2 USING (span_key)
+    ),
+    per_doc AS (
+      SELECT {id_col},
+             COUNT(*) AS n_spans,
+             CAST(COALESCE(SUM(CASE WHEN kept THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_kept,
+             md5(array_to_string(
+               COALESCE(list(span_text ORDER BY pos) FILTER (WHERE kept), []), ' '))
+               AS kept_fp
+      FROM kept GROUP BY {id_col}
+    )
+    SELECT d.{id_col},
+           COALESCE(p.n_spans, 0) AS n_spans,
+           COALESCE(p.n_kept, 0) AS n_kept,
+           COALESCE(p.kept_fp, md5('')) AS kept_fp
+    FROM {table} d LEFT JOIN per_doc p USING ({id_col})
+    """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination (the d9 scale path)
+# ---------------------------------------------------------------------------
+
+BLOOM_M_BITS = 1 << 16  # filter width (bits); size to eval-suite n-grams
+BLOOM_K = 3  # hash functions
+
+
+def _bloom_pos(col, seed: int):
+    """Bit position in [0, BLOOM_M_BITS): first 4 hex chars of
+    md5(seed:x) → 16-bit int. conv() here equals the DuckDB twin's
+    ascii-decode of the same hex chars."""
+    h = F.md5(F.concat_ws(":", F.lit(str(seed)), col))
+    return F.conv(F.substring(h, 1, 4), 16, 10).cast("long")
+
+
+def bloom_decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Bloom-filter benchmark decontamination — the scale path of
+    :func:`ngram_decontaminate` for when even the DISTINCT benchmark
+    n-gram set is too wide to broadcast as exact 8-byte hashes: the
+    filter is a fixed BLOOM_M_BITS bits (1024 longs here) regardless of
+    benchmark size. One-sided error only — every truly shared n-gram is
+    flagged (no false negatives), plus a tunable false-positive tail
+    (~fill_ratio^k per probe) — i.e. it can only OVER-quarantine, which
+    is the safe direction for decontamination.
+
+    Everything is deterministic md5 bit math, so unlike textbook Bloom
+    implementations this one is value-hash checked against a DuckDB
+    twin computing the identical filter (see :func:`sql_bloom_ctes`).
+
+    Scale shape: the filter is built by a groupBy(word_idx) bit_or over
+    the benchmark — 1024 result rows — and BROADCAST to the training
+    probe; the 100 TB training scan joins on word_idx against 1024 rows
+    and never shuffles its own data (the per-doc rollup shuffles doc_id
+    counts only). Size BLOOM_M_BITS ≈ 16× expected benchmark n-grams to
+    hold FP ≈ 0.1%^... (fill 6% → 2e-4 at k=3).
+    """
+    words = 64
+    tr = train.select(
+        F.col(id_col),
+        F.explode(shingles(norm_words(F.col(text_col)), n)).alias("ng"),
+    ).distinct()
+    be = (
+        bench.select(F.explode(shingles(norm_words(F.col(text_col)), n)).alias("ng"))
+        .distinct()
+    )
+    seeds = F.explode(F.array(*[F.lit(s) for s in range(BLOOM_K)])).alias("seed")
+
+    def with_bits(df, col):
+        out = df.select("*", seeds)
+        pos = _bloom_pos(F.col(col), 0)
+        for s in range(1, BLOOM_K):
+            pos = F.when(F.col("seed") == s, _bloom_pos(F.col(col), s)).otherwise(pos)
+        out = out.withColumn("pos", pos)
+        return out.select(
+            "*",
+            F.floor(F.col("pos") / words).cast("int").alias("word_idx"),
+            F.expr("shiftleft(cast(1 as bigint), cast(pos % 64 as int))").alias(
+                "mask"
+            ),
+        )
+
+    bloom = (
+        with_bits(be, "ng")
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    probe = with_bits(tr, "ng").join(F.broadcast(bloom), "word_idx", "left")
+    hit = (F.col("bits").isNotNull()) & (
+        F.col("bits").bitwiseAND(F.col("mask")) != 0
+    )
+    per_ng = probe.groupBy(id_col, "ng").agg(
+        F.min(hit.cast("int")).alias("all_hit")
+    )
+    flags = per_ng.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_ngrams"),
+        F.sum("all_hit").cast("long").alias("n_flagged"),
+    )
+    return (
+        train.select(id_col)
+        .distinct()
+        .join(flags, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_ngrams", F.lit(0).cast("long")).alias("n_ngrams"),
+            F.coalesce("n_flagged", F.lit(0).cast("long")).alias("n_flagged"),
+            F.round(
+                F.coalesce(
+                    F.col("n_flagged") / F.nullif(F.col("n_ngrams"), F.lit(0)),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("bloom_ratio"),
+        )
+    )
+
+
+def sql_bloom_ctes(
+    train_sql: str, bench_sql: str, n: int = 3, id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of :func:`bloom_decontaminate`: builds the identical
+    BLOOM_M_BITS filter (same md5-hex4 positions, same bit_or words)
+    and probes it. ``train_sql`` / ``bench_sql`` must select
+    (id, text). Ends in CTE ``bloomed(id, n_ngrams, n_flagged,
+    bloom_ratio)``."""
+    from oxi_diel_db_spark.functions.text import SQL_NORM_WORDS, sql_shingles
+
+    words = SQL_NORM_WORDS.format(t="text")
+    dec = lambda i: (  # noqa: E731  — hex char i (1-based) of h → 0..15
+        f"CASE WHEN ascii(substr(h, {i}, 1)) <= 57"
+        f" THEN ascii(substr(h, {i}, 1)) - 48"
+        f" ELSE ascii(substr(h, {i}, 1)) - 87 END"
+    )
+    pos = f"((({dec(1)}) * 16 + ({dec(2)})) * 16 + ({dec(3)})) * 16 + ({dec(4)})"
+    mask = (
+        "CASE WHEN pos % 64 = 63 THEN -9223372036854775808 "
+        "ELSE (1::BIGINT << CAST(pos % 64 AS INT)) END"
+    )
+    return f"""
+    btr AS (
+      SELECT DISTINCT {id_col}, ng FROM (
+        SELECT {id_col}, unnest({sql_shingles('words', n)}) AS ng FROM (
+          SELECT {id_col}, {words} AS words FROM ({train_sql})
+          WHERE len({words}) >= {n}
+        )
+      )
+    ),
+    bbe AS (
+      SELECT DISTINCT unnest({sql_shingles('words', n)}) AS ng FROM (
+        SELECT {words} AS words FROM ({bench_sql})
+        WHERE len({words}) >= {n}
+      )
+    ),
+    bpos_b AS (
+      SELECT {pos} AS pos FROM (
+        SELECT md5(seed::VARCHAR || ':' || ng) AS h
+        FROM bbe CROSS JOIN (SELECT unnest(range({BLOOM_K})) AS seed) s
+      )
+    ),
+    bloom AS (
+      SELECT CAST(FLOOR(pos / 64) AS INT) AS word_idx, bit_or({mask}) AS bits
+      FROM bpos_b GROUP BY 1
+    ),
+    tpos AS (
+      SELECT {id_col}, ng, pos,
+             CAST(FLOOR(pos / 64) AS INT) AS word_idx, {mask} AS mask
+      FROM (
+        SELECT {id_col}, ng, {pos} AS pos FROM (
+          SELECT {id_col}, ng, md5(seed::VARCHAR || ':' || ng) AS h
+          FROM btr CROSS JOIN (SELECT unnest(range({BLOOM_K})) AS seed) s
+        )
+      )
+    ),
+    probed AS (
+      SELECT {id_col}, ng,
+             MIN(CASE WHEN b.bits IS NOT NULL AND (b.bits & t.mask) <> 0
+                 THEN 1 ELSE 0 END) AS all_hit
+      FROM tpos t LEFT JOIN bloom b USING (word_idx)
+      GROUP BY {id_col}, ng
+    ),
+    bflags AS (
+      SELECT {id_col}, COUNT(*) AS n_ngrams,
+             CAST(SUM(all_hit) AS BIGINT) AS n_flagged
+      FROM probed GROUP BY {id_col}
+    ),
+    bloomed AS (
+      SELECT d.{id_col},
+             COALESCE(f.n_ngrams, 0) AS n_ngrams,
+             COALESCE(f.n_flagged, 0) AS n_flagged,
+             ROUND(COALESCE(f.n_flagged / NULLIF(f.n_ngrams, 0), 0.0), 6)
+               AS bloom_ratio
+      FROM (SELECT DISTINCT {id_col} FROM ({train_sql})) d
+      LEFT JOIN bflags f USING ({id_col})
+    )
+    """

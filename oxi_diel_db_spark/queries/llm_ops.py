@@ -1741,3 +1741,66 @@ def p10_length_buckets(spark, sf_dir):
             ).alias("waste_pct"),
         )
     )
+
+
+@register(
+    "d12_containment_pairs",
+    oracle=f"""
+    WITH {_SQL_WORDS_CTE.strip()},
+    {_SQL_SHINGLES_CTE.strip()},
+    sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(inter / LEAST(sa.n_sh, sb.n_sh), 6) AS containment
+    FROM inter
+    JOIN sz sa ON doc_a = sa.doc_id
+    JOIN sz sb ON doc_b = sb.doc_id
+    WHERE inter / LEAST(sa.n_sh, sb.n_sh) >= 0.6
+    """,
+)
+def d12_containment_pairs(spark, sf_dir):
+    """Containment near-dup pairs (|A∩B| / min(|A|,|B|)) — catches the
+    small-doc-quoted-inside-big-doc duplication Jaccard structurally
+    misses (J ≈ |small|/|big| stays tiny as the size ratio grows).
+    Same inverted-index candidate join as d2; no all-pairs pass."""
+    return dedup.containment_pairs(t(spark, sf_dir, "documents"), threshold=0.6)
+
+
+@register("d11_span_dedup", oracle=dedup.sql_span_dedup(span=10))
+def d11_span_dedup(spark, sf_dir):
+    """C4-style duplicate-span removal: 10-word windows deduplicated
+    ACROSS the corpus (keep first occurrence by (doc_id, pos), cut the
+    rest), documents reassembled from surviving spans. The
+    sub-document dedup pass of a training pipeline — doc-level d1/d3
+    cannot see a syndicated paragraph pasted into distinct pages."""
+    return dedup.span_dedup(t(spark, sf_dir, "documents"), span=10)
+
+
+def _d10_oracle() -> str:
+    train = "SELECT doc_id, text FROM documents WHERE doc_id % 23 <> 0"
+    bench = "SELECT doc_id, text FROM documents WHERE doc_id % 23 = 0"
+    return f"""
+    WITH {dedup.sql_bloom_ctes(train, bench, n=3).strip()}
+    SELECT doc_id, n_ngrams, n_flagged, bloom_ratio FROM bloomed
+    """
+
+
+@register("d10_bloom_decontamination", oracle=_d10_oracle())
+def d10_bloom_decontamination(spark, sf_dir):
+    """Bloom-filter decontamination — d9's scale path: the benchmark
+    n-gram set is folded into a fixed 64 Kbit filter (1024 longs)
+    built by a groupBy/bit_or and BROADCAST, so the filter size is
+    independent of benchmark size and the 100 TB training scan still
+    never shuffles for the probe. One-sided error: supersets d9's
+    exact hits (no false negatives; FP tail ≈ fill³ — over-quarantine
+    only, the safe direction). Deterministic md5 bit math end-to-end,
+    so even the Bloom filter itself is value-hash checked against a
+    DuckDB twin computing the identical 1024 words."""
+    d = t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 23 == 0)
+    train = d.filter(F.col("doc_id") % 23 != 0)
+    return dedup.bloom_decontaminate(train, bench, "doc_id", "text", n=3)

@@ -220,3 +220,86 @@ def test_ngram_decontaminate_counts_and_ratio(spark):
     assert out[2]["n_shared"] == 0 and out[2]["contamination"] == 0.0
     assert out[3]["n_shared"] == 4 and out[3]["n_ngrams"] == 5
     assert abs(out[3]["contamination"] - 0.8) < 1e-12
+
+
+def test_containment_catches_embedded_small_doc(spark):
+    big = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    small = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(0, big), (1, small), (2, "unrelated words about storage engines here")],
+        "doc_id long, text string",
+    )
+    cont = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in dedup.containment_pairs(df, threshold=0.9).collect()
+    }
+    # every shingle of the small doc appears in the big one
+    assert cont[(0, 1)] == 1.0
+    assert (0, 2) not in cont
+    # Jaccard at the same threshold misses the pair entirely
+    jac = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(df, threshold=0.9).collect()
+    }
+    assert (0, 1) not in jac
+
+
+def test_span_dedup_cuts_repeated_span_keeps_first(spark):
+    span10 = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    df = spark.createDataFrame(
+        [
+            (0, span10 + " unique tail of document zero only here"),
+            (1, span10 + " totally different continuation for doc one"),
+            (2, "no duplication at all in this document text body"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup.span_dedup(df, span=10).collect()}
+    assert out[0]["n_spans"] == 2 and out[0]["n_kept"] == 2  # first occurrence kept
+    assert out[1]["n_spans"] == 2 and out[1]["n_kept"] == 1  # shared span cut
+    assert out[2]["n_spans"] == 1 and out[2]["n_kept"] == 1
+    # doc 1's surviving text = its second span only
+    import hashlib
+
+    expected = hashlib.md5(b"totally different continuation for doc one").hexdigest()
+    assert out[1]["kept_fp"] == expected
+
+
+def test_span_dedup_empty_doc_row_preserved(spark):
+    df = spark.createDataFrame([(0, ""), (1, "one two three")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.span_dedup(df, span=10).collect()}
+    assert out[0]["n_spans"] == 0 and out[0]["n_kept"] == 0
+    import hashlib
+
+    assert out[0]["kept_fp"] == hashlib.md5(b"").hexdigest()
+    assert out[1]["n_spans"] == 1 and out[1]["n_kept"] == 1
+
+
+def test_bloom_decontaminate_supersets_exact(spark):
+    # bench shares 3-grams with train docs 0/1; doc 2 is clean modulo FPs
+    train = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "a quick brown fox appears in this training document"),
+            (2, "entirely disjoint vocabulary tokens xylophone quartz nebula"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox went home")], "doc_id long, text string"
+    )
+    exact = {
+        r["doc_id"]: r for r in dedup.ngram_decontaminate(train, bench).collect()
+    }
+    bloom = {
+        r["doc_id"]: r for r in dedup.bloom_decontaminate(train, bench).collect()
+    }
+    assert set(exact) == set(bloom) == {0, 1, 2}
+    for did in exact:
+        assert exact[did]["n_ngrams"] == bloom[did]["n_ngrams"]
+        # one-sided error: bloom flags everything exact flags (no FNs)
+        assert bloom[did]["n_flagged"] >= exact[did]["n_shared"]
+    assert exact[0]["n_shared"] >= 2  # "the quick brown", "quick brown fox"
+    # with a near-empty filter (7 bench ngrams * 3 bits of 65536) the FP
+    # probability per probe is ~(21/65536)^3 ≈ 3e-11 — doc 2 stays clean
+    assert bloom[2]["n_flagged"] == 0
