@@ -1017,3 +1017,60 @@ def q68_waiting_suppliers(spark, sf_dir):
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@register(
+    "q83_bucketed_join",
+    oracle=f"""
+    SELECT c_mktsegment, COUNT(*) AS n_orders,
+           {sql_sum_money('o_totalprice')} AS total
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q83_bucketed_join(spark, sf_dir):
+    """J3 at its 100 TB posture: BUCKETED co-located join. Both sides
+    are written ``bucketBy(8, custkey)`` + sortBy into catalog tables,
+    then sort-merge joined — the bucketed scans already satisfy the
+    join's HashPartitioning, so NO exchange moves fact data before the
+    join (asserted in tests/test_plans.py; the only shuffle left is the
+    tiny post-join segment rollup). This is the layout answer for
+    recurring fact-to-fact joins: pay the bucketing shuffle once at
+    ingest, never again per query. The merge hint pins SMJ so the demo
+    doesn't silently degrade to a broadcast join at toy scale.
+
+    Bucket-count guidance at scale: buckets ≈ data size / 128 MB per
+    side, and ALWAYS the same count on both tables (Spark 3 can
+    coalesce mismatched counts when one divides the other, at reduced
+    parallelism).
+    """
+    import os
+    import tempfile
+
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_scratch", "bucketed")
+    os.makedirs(base, exist_ok=True)
+    spark.sql("CREATE DATABASE IF NOT EXISTS bucketdemo")
+    for name, df, key in (
+        ("b_customer", t(spark, sf_dir, "customer"), "c_custkey"),
+        ("b_orders", t(spark, sf_dir, "orders"), "o_custkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS bucketdemo.{name}")
+        (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .option("path", os.path.join(base, name))
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(f"bucketdemo.{name}")
+        )
+    bc = spark.table("bucketdemo.b_customer")
+    bo = spark.table("bucketdemo.b_orders")
+    return (
+        bc.hint("merge")
+        .join(bo, bc.c_custkey == bo.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            sum_money("o_totalprice", "total"),
+        )
+    )

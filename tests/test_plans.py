@@ -173,3 +173,20 @@ def test_pack_sequences_cumsum_fans_out(spark):
     plan = plan_of(spark, "p4_sequence_packing")
     assert "hashpartitioning(__b" in plan
     assert plan.count("SinglePartition") <= 1
+
+
+def test_bucketed_join_has_no_prejoin_exchange(spark):
+    """q83: both sides bucketed on the join key → the sort-merge join
+    consumes the bucketed scans directly; the ONLY hash exchange in the
+    plan is the post-join segment rollup. SelectedBucketsCount in the
+    scan proves the bucketed layout is actually read as buckets."""
+    reg = load_registry()
+    df = reg["q83_bucketed_join"].build(spark, SF)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert "SortMergeJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # the rollup only
+    fmt = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "SelectedBucketsCount: 8 out of 8" in fmt
