@@ -750,12 +750,14 @@ BLOOM_M_BITS = 1 << 16  # filter width (bits); size to eval-suite n-grams
 BLOOM_K = 3  # hash functions
 
 
-def _bloom_pos(col, seed: int):
-    """Bit position in [0, BLOOM_M_BITS): first 4 hex chars of
-    md5(seed:x) → 16-bit int. conv() here equals the DuckDB twin's
-    ascii-decode of the same hex chars."""
-    h = F.md5(F.concat_ws(":", F.lit(str(seed)), col))
-    return F.conv(F.substring(h, 1, 4), 16, 10).cast("long")
+def _bloom_pos(hcol, slot: int):
+    """Bit position in [0, BLOOM_M_BITS): hex chars [4·slot+1, 4·slot+4]
+    of an md5 hex column → 16-bit int. ONE md5 per n-gram feeds all
+    BLOOM_K positions (standard double-hashing economics: the 128-bit
+    digest has 8 independent 16-bit slices, and md5 is the expensive
+    step — slicing measured ~2× over per-seed re-hashing at 500k docs).
+    conv() equals the DuckDB twin's ascii-decode of the same chars."""
+    return F.conv(F.substring(hcol, 4 * slot + 1, 4), 16, 10).cast("long")
 
 
 def bloom_decontaminate(
@@ -778,70 +780,94 @@ def bloom_decontaminate(
     implementations this one is value-hash checked against a DuckDB
     twin computing the identical filter (see :func:`sql_bloom_ctes`).
 
-    Scale shape: the filter is built by a groupBy(word_idx) bit_or over
-    the benchmark — 1024 result rows — and BROADCAST to the training
-    probe; the 100 TB training scan joins on word_idx against 1024 rows
-    and never shuffles its own data (the per-doc rollup shuffles doc_id
-    counts only). Size BLOOM_M_BITS ≈ 16× expected benchmark n-grams to
-    hold FP ≈ 0.1%^... (fill 6% → 2e-4 at k=3).
+    Scale shape: the filter is built by a DISTRIBUTED groupBy(word_idx)
+    bit_or over the benchmark, then its ≤1024 longs are collected (a
+    bounded index-build read, same budget class as the ANN centroid
+    collects in operators/similarity.py) and inlined as ONE literal
+    array. The 100 TB training probe is then ZERO-shuffle: per-doc
+    n-gram sets come from array_distinct (local, no (doc, ngram)
+    explode+distinct exchange — that exchange was 80% of the runtime
+    of an earlier join-based formulation at 500k docs), and the k bit
+    tests run inside a higher-order array filter against the literal
+    words (variable bit masks via a 64-entry literal lookup, since
+    shiftleft-by-column isn't in the Python API). Every training row
+    maps straight to its output row — the probe adds NO exchange to
+    whatever scan produced the corpus. Size BLOOM_M_BITS ≈ 16× expected
+    benchmark n-grams to hold FP ≈ (fill)³ well under 1%.
     """
-    words = 64
-    tr = train.select(
-        F.col(id_col),
-        F.explode(shingles(norm_words(F.col(text_col)), n)).alias("ng"),
-    ).distinct()
+    n_words = BLOOM_M_BITS // 64
     be = (
         bench.select(F.explode(shingles(norm_words(F.col(text_col)), n)).alias("ng"))
         .distinct()
     )
     seeds = F.explode(F.array(*[F.lit(s) for s in range(BLOOM_K)])).alias("seed")
-
-    def with_bits(df, col):
-        out = df.select("*", seeds)
-        pos = _bloom_pos(F.col(col), 0)
-        for s in range(1, BLOOM_K):
-            pos = F.when(F.col("seed") == s, _bloom_pos(F.col(col), s)).otherwise(pos)
-        out = out.withColumn("pos", pos)
-        return out.select(
-            "*",
-            F.floor(F.col("pos") / words).cast("int").alias("word_idx"),
+    bpos = _bloom_pos(F.col("h"), 0)
+    for s in range(1, BLOOM_K):
+        bpos = F.when(F.col("seed") == s, _bloom_pos(F.col("h"), s)).otherwise(bpos)
+    bloom_rows = (
+        be.select(F.md5("ng").alias("h"), seeds)
+        .withColumn("pos", bpos)
+        .select(
+            F.floor(F.col("pos") / 64).cast("int").alias("word_idx"),
             F.expr("shiftleft(cast(1 as bigint), cast(pos % 64 as int))").alias(
                 "mask"
             ),
         )
-
-    bloom = (
-        with_bits(be, "ng")
         .groupBy("word_idx")
         .agg(F.bit_or("mask").alias("bits"))
+        .collect()  # bounded: ≤ BLOOM_M_BITS/64 rows (the filter itself)
     )
-    probe = with_bits(tr, "ng").join(F.broadcast(bloom), "word_idx", "left")
-    hit = (F.col("bits").isNotNull()) & (
-        F.col("bits").bitwiseAND(F.col("mask")) != 0
+    bits_words = [0] * n_words
+    for r in bloom_rows:
+        bits_words[r["word_idx"]] = r["bits"]
+    bits_arr = F.array(*[F.lit(b).cast("long") for b in bits_words])
+    masks = F.array(
+        *[F.lit(_MIN_LONG if b == 63 else 1 << b).cast("long") for b in range(64)]
     )
-    per_ng = probe.groupBy(id_col, "ng").agg(
-        F.min(hit.cast("int")).alias("all_hit")
-    )
-    flags = per_ng.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_ngrams"),
-        F.sum("all_hit").cast("long").alias("n_flagged"),
-    )
-    return (
-        train.select(id_col)
-        .distinct()
-        .join(flags, id_col, "left")
+
+    def _hit(h, s: int):
+        pos = _bloom_pos(h, s)
+        word = F.element_at(bits_arr, F.floor(pos / 64).cast("int") + 1)
+        mask = F.element_at(masks, F.pmod(pos, 64).cast("int") + 1)
+        return word.bitwiseAND(mask) != 0
+
+    def _all_hit(h):
+        cond = _hit(h, 0)
+        for s in range(1, BLOOM_K):
+            cond = cond & _hit(h, s)
+        return cond
+
+    # THREE materialization steps, per the _exploded_shingles lesson
+    # (no CSE across higher-order-function boundaries): words array,
+    # then the distinct n-gram set, then its md5s — so the regex runs
+    # once, each n-gram is hashed once, and the filter lambda only
+    # does conv-slices + two array lookups per slot.
+    base = (
+        train.select(F.col(id_col), norm_words(text_col).alias("__w"))
         .select(
             F.col(id_col),
-            F.coalesce("n_ngrams", F.lit(0).cast("long")).alias("n_ngrams"),
-            F.coalesce("n_flagged", F.lit(0).cast("long")).alias("n_flagged"),
-            F.round(
-                F.coalesce(
-                    F.col("n_flagged") / F.nullif(F.col("n_ngrams"), F.lit(0)),
-                    F.lit(0.0),
-                ),
-                6,
-            ).alias("bloom_ratio"),
+            F.array_distinct(shingles(F.col("__w"), n)).alias("__ngs"),
         )
+        .select(
+            F.col(id_col),
+            F.transform(F.col("__ngs"), lambda ng: F.md5(ng)).alias("__hs"),
+        )
+    )
+    return base.select(
+        F.col(id_col),
+        F.size("__hs").cast("long").alias("n_ngrams"),
+        F.size(F.filter(F.col("__hs"), _all_hit)).cast("long").alias("n_flagged"),
+    ).select(
+        id_col,
+        "n_ngrams",
+        "n_flagged",
+        F.round(
+            F.coalesce(
+                F.col("n_flagged") / F.nullif(F.col("n_ngrams"), F.lit(0)),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("bloom_ratio"),
     )
 
 
@@ -856,10 +882,10 @@ def sql_bloom_ctes(
     from oxi_diel_db_spark.functions.text import SQL_NORM_WORDS, sql_shingles
 
     words = SQL_NORM_WORDS.format(t="text")
-    dec = lambda i: (  # noqa: E731  — hex char i (1-based) of h → 0..15
-        f"CASE WHEN ascii(substr(h, {i}, 1)) <= 57"
-        f" THEN ascii(substr(h, {i}, 1)) - 48"
-        f" ELSE ascii(substr(h, {i}, 1)) - 87 END"
+    dec = lambda i: (  # noqa: E731  — hex char i (1-based) of h4 → 0..15
+        f"CASE WHEN ascii(substr(h4, {i}, 1)) <= 57"
+        f" THEN ascii(substr(h4, {i}, 1)) - 48"
+        f" ELSE ascii(substr(h4, {i}, 1)) - 87 END"
     )
     pos = f"((({dec(1)}) * 16 + ({dec(2)})) * 16 + ({dec(3)})) * 16 + ({dec(4)})"
     mask = (
@@ -883,8 +909,9 @@ def sql_bloom_ctes(
     ),
     bpos_b AS (
       SELECT {pos} AS pos FROM (
-        SELECT md5(seed::VARCHAR || ':' || ng) AS h
-        FROM bbe CROSS JOIN (SELECT unnest(range({BLOOM_K})) AS seed) s
+        SELECT substr(h, CAST(seed * 4 + 1 AS INT), 4) AS h4 FROM (
+          SELECT md5(ng) AS h FROM bbe
+        ) CROSS JOIN (SELECT unnest(range({BLOOM_K})) AS seed) s
       )
     ),
     bloom AS (
@@ -896,8 +923,9 @@ def sql_bloom_ctes(
              CAST(FLOOR(pos / 64) AS INT) AS word_idx, {mask} AS mask
       FROM (
         SELECT {id_col}, ng, {pos} AS pos FROM (
-          SELECT {id_col}, ng, md5(seed::VARCHAR || ':' || ng) AS h
-          FROM btr CROSS JOIN (SELECT unnest(range({BLOOM_K})) AS seed) s
+          SELECT {id_col}, ng, substr(h, CAST(seed * 4 + 1 AS INT), 4) AS h4
+          FROM (SELECT {id_col}, ng, md5(ng) AS h FROM btr)
+          CROSS JOIN (SELECT unnest(range({BLOOM_K})) AS seed) s
         )
       )
     ),

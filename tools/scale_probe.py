@@ -184,11 +184,29 @@ def docs_probe(n_docs: int = 500_000) -> None:
     ).collect()[0][1]
     timings["curation_pipeline"] = round(time.time() - t0, 2)
 
+    t0 = time.time()
+    n6 = (
+        dedup.span_dedup(docs, span=10)
+        .agg(F.sum("n_spans"), F.sum("n_kept"))
+        .collect()[0][1]
+    )
+    timings["span_dedup"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    bench_docs = docs.filter(F.col("doc_id") % 1000 == 0)  # ~0.1% eval suite
+    train_docs = docs.filter(F.col("doc_id") % 1000 != 0)
+    n7 = (
+        dedup.bloom_decontaminate(train_docs, bench_docs)
+        .agg(F.sum("n_flagged"))
+        .collect()[0][0]
+    )
+    timings["bloom_decontaminate"] = round(time.time() - t0, 2)
+
     print(json.dumps({
         "metric": "docs_probe", "docs": n_docs, "unit": "sec",
         "timings": timings,
         "counts": {"groups": n1, "sigs": n2, "lsh_pairs": n3, "bins": int(n4),
-                   "curated": n5},
+                   "curated": n5, "spans_kept": int(n6), "bloom_flagged": int(n7)},
     }))
 
 
