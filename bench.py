@@ -54,6 +54,8 @@ HEADLINE = [
     "d2_ngram_jaccard",
     "d3_minhash_lsh",
     "d5_embedding_neardup",
+    "d10_bloom_decontamination",
+    "d11_span_dedup",
     "s1_ann_brute_force",
     "s3_ann_ivf",
     "s4_pq_adc",
@@ -63,6 +65,7 @@ HEADLINE = [
     "c1_curation_pipeline",
     "g1_pagerank",
     "q69_zorder_stats",
+    "q83_bucketed_join",
     # materials domain
     "m04_born_trace_invariant",
     "m11_site_explode_agg",

@@ -820,9 +820,18 @@ def bloom_decontaminate(
     bits_words = [0] * n_words
     for r in bloom_rows:
         bits_words[r["word_idx"]] = r["bits"]
-    bits_arr = F.array(*[F.lit(b).cast("long") for b in bits_words])
-    masks = F.array(
-        *[F.lit(_MIN_LONG if b == 63 else 1 << b).cast("long") for b in range(64)]
+
+    # ONE F.expr parse per array: building these via F.array(*[F.lit..])
+    # is ~1100 py4j round-trips (~4 s of pure driver overhead per query
+    # build, measured); a single SQL array literal parses JVM-side.
+    def _sql_long(v: int) -> str:
+        return "(-9223372036854775807L - 1L)" if v == _MIN_LONG else f"{v}L"
+
+    bits_arr = F.expr(f"array({','.join(_sql_long(b) for b in bits_words)})")
+    masks = F.expr(
+        "array("
+        + ",".join(_sql_long(_MIN_LONG if b == 63 else 1 << b) for b in range(64))
+        + ")"
     )
 
     def _hit(h, s: int):
