@@ -1804,3 +1804,66 @@ def d10_bloom_decontamination(spark, sf_dir):
     bench = d.filter(F.col("doc_id") % 23 == 0)
     train = d.filter(F.col("doc_id") % 23 != 0)
     return dedup.bloom_decontaminate(train, bench, "doc_id", "text", n=3)
+
+
+@register(
+    "mm7_modality_coverage",
+    # The modality column is detected FROM THE BYTES (magic-number
+    # dispatch on the binary payload); the oracle derives it from the
+    # fixture's closed form (fmt = doc_id % 3), so the gate verifies
+    # the byte-level dispatch itself. Embedding coverage is a real
+    # join against the embeddings table (a strict subset of docs at
+    # sf0.1 — the dashboard is non-trivial there).
+    oracle="""
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           COUNT(e.vec_id) AS n_emb,
+           ROUND(COUNT(e.vec_id) / COUNT(*), 6) AS pct_emb,
+           CAST(SUM(CASE WHEN d.doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ppm,
+           CAST(SUM(CASE WHEN d.doc_id % 3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bmp,
+           CAST(SUM(CASE WHEN d.doc_id % 3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_wav,
+           CAST(0 AS BIGINT) AS n_unknown
+    FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+    GROUP BY d.source
+    """,
+)
+def mm7_modality_coverage(spark, sf_dir):
+    """Cross-modal dataset-health audit: per source, how many documents
+    exist, how many have an embedding row, and the media-container mix —
+    detected by MAGIC BYTES on the binary payload (P6/BM/RIFF), the
+    real dispatch step a mixed-modality lakehouse column needs before
+    routing rows to decoders. At 100 TB: the dispatch is a narrow
+    byte-compare on the first 4 bytes (no decode, no UDF), the
+    embeddings join keys on the id, and the rollup is one small agg —
+    the scan never moves payload bytes through a shuffle (project the
+    magic prefix BEFORE the join)."""
+    from oxi_diel_db_spark.operators.multimodal import media_fixture_table
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    media = media_fixture_table(d.select("doc_id"))
+    modality = (
+        F.when(F.substring("payload", 1, 2) == F.lit(b"P6"), "ppm")
+        .when(F.substring("payload", 1, 2) == F.lit(b"BM"), "bmp")
+        .when(F.substring("payload", 1, 4) == F.lit(b"RIFF"), "wav")
+        .otherwise("unknown")
+    )
+    # project the 1-byte modality tag out of the payload immediately:
+    # the join/agg below must never shuffle media bytes
+    tagged = media.select("doc_id", modality.alias("modality"))
+    e = t(spark, sf_dir, "embeddings").select(F.col("vec_id").alias("doc_id"))
+    return (
+        d.join(tagged, "doc_id")
+        .join(e.withColumn("has_emb", F.lit(1)), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("has_emb").alias("n_emb"),
+            F.round(F.count("has_emb") / F.count(F.lit(1)), 6).alias("pct_emb"),
+            F.sum((F.col("modality") == "ppm").cast("int")).cast("long").alias("n_ppm"),
+            F.sum((F.col("modality") == "bmp").cast("int")).cast("long").alias("n_bmp"),
+            F.sum((F.col("modality") == "wav").cast("int")).cast("long").alias("n_wav"),
+            F.sum((F.col("modality") == "unknown").cast("int"))
+            .cast("long")
+            .alias("n_unknown"),
+        )
+    )
