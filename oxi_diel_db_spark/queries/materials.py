@@ -310,3 +310,115 @@ def m12_en_ordered_formula(spark, sf_dir):
         "formula",
         FM.en_ordered_formula("elements").alias("en_ordered_elements"),
     )
+
+
+_TWO_PI_3 = 2.0943951023931953  # float64(2π/3); same literal in the SQL twin
+
+
+@register(
+    "m34_eigvals_closed_form",
+    oracle=f"""
+    WITH a AS (
+      SELECT mp_id,
+             dielectric.epsilon_electronic[1][1] AS a11,
+             dielectric.epsilon_electronic[2][2] AS a22,
+             dielectric.epsilon_electronic[3][3] AS a33,
+             (dielectric.epsilon_electronic[1][2]
+              + dielectric.epsilon_electronic[2][1]) / 2 AS a12,
+             (dielectric.epsilon_electronic[1][3]
+              + dielectric.epsilon_electronic[3][1]) / 2 AS a13,
+             (dielectric.epsilon_electronic[2][3]
+              + dielectric.epsilon_electronic[3][2]) / 2 AS a23
+      FROM {_MAT}
+    ),
+    s1 AS (SELECT *, (a11 + a22 + a33) / 3 AS q,
+                     a12 * a12 + a13 * a13 + a23 * a23 AS p1 FROM a),
+    s2 AS (SELECT *, (a11 - q) * (a11 - q) + (a22 - q) * (a22 - q)
+                     + (a33 - q) * (a33 - q) + 2 * p1 AS p2 FROM s1),
+    s3 AS (SELECT *, sqrt(p2 / 6) AS p FROM s2),
+    s4 AS (SELECT *, (a11 - q) / p AS b11, (a22 - q) / p AS b22,
+                     (a33 - q) / p AS b33, a12 / p AS b12,
+                     a13 / p AS b13, a23 / p AS b23 FROM s3),
+    s5 AS (SELECT *, (b11 * (b22 * b33 - b23 * b23)
+                      - b12 * (b12 * b33 - b23 * b13)
+                      + b13 * (b12 * b23 - b22 * b13)) / 2 AS det_r FROM s4),
+    s6 AS (SELECT *, acos(greatest(-1.0, least(1.0, det_r))) / 3 AS phi FROM s5),
+    s7 AS (SELECT *, q + 2 * p * cos(phi) AS emax,
+                     q + 2 * p * cos(phi + {_TWO_PI_3}) AS emin FROM s6)
+    SELECT mp_id,
+           ROUND(CASE WHEN p2 = 0 THEN q ELSE emin END, 6) + 0 AS eig_min,
+           ROUND(CASE WHEN p2 = 0 THEN q ELSE 3 * q - emax - emin END, 6) + 0 AS eig_mid,
+           ROUND(CASE WHEN p2 = 0 THEN q ELSE emax END, 6) + 0 AS eig_max
+    FROM s7
+    """,
+)
+def m34_eigvals_closed_form(spark, sf_dir):
+    """F3's zero-UDF scale path: eigenvalues of the symmetric 3×3
+    dielectric tensor via the closed-form trigonometric cubic (Smith's
+    method) as pure Catalyst expressions — no Arrow crossing, full
+    whole-stage codegen, and (unlike the LAPACK pandas_udf in m10)
+    exactly mirrorable in SQL, so eigendecomposition itself sits under
+    the cross-engine value hash. tests/test_materials.py asserts the
+    closed form agrees with numpy's eigvalsh to 1e-6 corpus-wide.
+
+    Both engines evaluate the IDENTICAL expression tree (same
+    association order, same 2π/3 float64 literal, same clamp), so the
+    only FP divergence is libm acos/cos ULP noise — orders of
+    magnitude below the 1e-6 rounding step."""
+    m = M.materials(spark)
+    t = F.col("dielectric.epsilon_electronic")
+    e = lambda i, j: F.element_at(F.element_at(t, i), j)  # noqa: E731
+    # symmetrize (A+Aᵀ)/2 first: the stored DFPT tensors carry up to
+    # ~1.5e-2 of numerical asymmetry, and eigvalsh silently reads one
+    # triangle — the principled convention both engines share is the
+    # symmetric projection (verified: closed form vs LAPACK agree to
+    # 3.5e-8 corpus-wide after symmetrizing, 1.4e-2 before)
+    a = m.select(
+        "mp_id",
+        e(1, 1).alias("a11"), e(2, 2).alias("a22"), e(3, 3).alias("a33"),
+        ((e(1, 2) + e(2, 1)) / 2).alias("a12"),
+        ((e(1, 3) + e(3, 1)) / 2).alias("a13"),
+        ((e(2, 3) + e(3, 2)) / 2).alias("a23"),
+    )
+    c = F.col
+    s = a.withColumn("q", (c("a11") + c("a22") + c("a33")) / 3).withColumn(
+        "p1", c("a12") * c("a12") + c("a13") * c("a13") + c("a23") * c("a23")
+    )
+    s = s.withColumn(
+        "p2",
+        (c("a11") - c("q")) * (c("a11") - c("q"))
+        + (c("a22") - c("q")) * (c("a22") - c("q"))
+        + (c("a33") - c("q")) * (c("a33") - c("q"))
+        + 2 * c("p1"),
+    )
+    s = s.withColumn("p", F.sqrt(c("p2") / 6))
+    s = (
+        s.withColumn("b11", (c("a11") - c("q")) / c("p"))
+        .withColumn("b22", (c("a22") - c("q")) / c("p"))
+        .withColumn("b33", (c("a33") - c("q")) / c("p"))
+        .withColumn("b12", c("a12") / c("p"))
+        .withColumn("b13", c("a13") / c("p"))
+        .withColumn("b23", c("a23") / c("p"))
+    )
+    s = s.withColumn(
+        "det_r",
+        (
+            c("b11") * (c("b22") * c("b33") - c("b23") * c("b23"))
+            - c("b12") * (c("b12") * c("b33") - c("b23") * c("b13"))
+            + c("b13") * (c("b12") * c("b23") - c("b22") * c("b13"))
+        )
+        / 2,
+    )
+    s = s.withColumn(
+        "phi", F.acos(F.greatest(F.lit(-1.0), F.least(F.lit(1.0), c("det_r")))) / 3
+    )
+    s = s.withColumn("emax", c("q") + 2 * c("p") * F.cos(c("phi"))).withColumn(
+        "emin", c("q") + 2 * c("p") * F.cos(c("phi") + F.lit(_TWO_PI_3))
+    )
+    deg = c("p2") == 0  # scalar matrix → triple eigenvalue q
+    return s.select(
+        "mp_id",
+        r6(F.when(deg, c("q")).otherwise(c("emin")), "eig_min"),
+        r6(F.when(deg, c("q")).otherwise(3 * c("q") - c("emax") - c("emin")), "eig_mid"),
+        r6(F.when(deg, c("q")).otherwise(c("emax")), "eig_max"),
+    )

@@ -123,3 +123,36 @@ def test_tensor_invariants_match_eigenvalue_symmetric_functions(spark):
         | (F.abs(F.col("i3_det") - F.col("eig_prod")) > 1e-2)
     ).count()
     assert bad == 0
+
+
+def test_closed_form_eigvals_match_lapack(spark):
+    """m34's content claim: the trigonometric closed-form eigenvalues
+    (pure Catalyst expressions) agree with numpy's LAPACK eigvalsh
+    (the m10 pandas_udf) on every corpus tensor — two independent
+    algorithms, one answer."""
+    from oxi_diel_db_spark.functions import arrays as A
+    from oxi_diel_db_spark.queries import load_registry
+    from oxi_diel_db_spark.sources import materials as M
+
+    import numpy as np
+
+    closed = {
+        r["mp_id"]: (r["eig_min"], r["eig_mid"], r["eig_max"])
+        for r in load_registry()["m34_eigvals_closed_form"]
+        .build(spark, "ignored")
+        .collect()
+    }
+    raw = M.materials(spark).select(
+        "mp_id", F.col("dielectric.epsilon_electronic").alias("t")
+    ).collect()
+    assert len(raw) == len(closed) == 1278
+    worst = 0.0
+    for r in raw:
+        t = np.array(r["t"])
+        # symmetrize before eigvalsh, matching m34's convention (the
+        # stored tensors are asymmetric by up to ~1.5e-2 and eigvalsh
+        # reads only one triangle)
+        lap = np.linalg.eigvalsh((t + t.T) / 2)
+        cf = closed[r["mp_id"]]
+        worst = max(worst, max(abs(lap[i] - cf[i]) for i in range(3)))
+    assert worst < 2e-6, worst  # 1e-6 rounding step + ULP noise
