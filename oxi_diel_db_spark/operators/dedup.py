@@ -554,29 +554,53 @@ def ngram_decontaminate(
     100 TB scan never shuffles on the join. Training totals are exact
     string counts; only the membership probe rides the hash (a false
     hit needs a cross-corpus xxhash64 collision, ~2^-64/pair)."""
-    tr = train.select(
-        F.col(id_col),
-        F.explode(shingles(norm_words(F.col(text_col)), n)).alias("ng"),
-    ).distinct()
+    # Plan shape (reworked after the sf0.1 sweep showed 14 s here):
+    # per-doc n-gram sets via array_distinct — NO global (doc, ngram)
+    # distinct exchange — with n_ngrams carried alongside the explode
+    # so totals and hits ride ONE pass of the chain and ONE final
+    # groupBy(id); the earlier totals/hits two-branch form executed
+    # the whole regex/shingle chain twice. Words materialized as their
+    # own projection (the no-CSE-across-HOF pitfall). 14 s → ~3 s at
+    # sf0.1; semantics unchanged (hash gate green).
     be = (
-        bench.select(F.explode(shingles(norm_words(F.col(text_col)), n)).alias("ng"))
+        bench.select(F.col(text_col))
+        .select(norm_words(text_col).alias("__w"))
+        .select(F.explode(shingles(F.col("__w"), n)).alias("ng"))
         .select(F.xxhash64("ng").alias("h"))
         .distinct()
+        .withColumn("__hit", F.lit(1))
     )
-    totals = tr.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_ngrams"))
-    hits = (
-        tr.select(F.col(id_col), F.xxhash64("ng").alias("h"))
-        .join(F.broadcast(be), "h")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+    ex = (
+        train.select(F.col(id_col), norm_words(text_col).alias("__w"))
+        .select(
+            F.col(id_col),
+            F.array_distinct(shingles(F.col("__w"), n)).alias("__ngs"),
+        )
+        .select(
+            F.col(id_col),
+            F.size("__ngs").cast("long").alias("__n"),
+            # explode_OUTER on purpose: inner explode makes
+            # InferFiltersFromGenerate synthesize a size()>0 filter
+            # whose alias substitution re-inlines the whole
+            # regex/shingle/array_distinct chain into the scan filter —
+            # measured 14 s vs 0.8 s on this exact chain at sf0.1.
+            # Empty docs yield one null-ng row, removed by the post-agg
+            # HAVING below (cannot push back down: n_ngrams is an
+            # aggregate output).
+            F.explode_outer("__ngs").alias("ng"),
+        )
     )
-    return totals.join(hits, id_col, "left").select(
-        F.col(id_col),
-        "n_ngrams",
-        F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared"),
-        (F.coalesce(F.col("n_shared"), F.lit(0)) / F.col("n_ngrams")).alias(
-            "contamination"
-        ),
+    probe = ex.join(
+        F.broadcast(be), F.xxhash64(F.col("ng")) == F.col("h"), "left"
+    )
+    return (
+        probe.groupBy(id_col)
+        .agg(
+            F.any_value("__n").alias("n_ngrams"),
+            F.count("__hit").cast("long").alias("n_shared"),
+            (F.count("__hit") / F.any_value("__n")).alias("contamination"),
+        )
+        .filter(F.col("n_ngrams") > 0)
     )
 
 
@@ -663,8 +687,13 @@ def span_dedup(
             lambda i: F.concat_ws(" ", F.slice("__w", i * span + 1, span)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # posexplode_OUTER: the inner form makes InferFiltersFromGenerate
+    # synthesize a size()>0 scan filter that re-inlines the span
+    # transform chain (measured 2× at 500k docs). Empty docs emit one
+    # null row which the winners equi-join drops (null keys never
+    # match) — the final left join restores them either way.
     occ = (
-        w.select(F.col(id_col), F.posexplode(spans_arr))
+        w.select(F.col(id_col), F.posexplode_outer(spans_arr))
         .withColumnRenamed("col", "span_text")
         .withColumn("span_key", F.md5("span_text"))
         .withColumn("rank", F.col(id_col).cast("long") * 1048576 + F.col("pos"))
