@@ -287,6 +287,12 @@ def label_propagation(
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
+        # materialized once, as the scale note below prescribes: every
+        # round joins sym, and without this the upstream edge
+        # derivation (for g3: a purchase-affinity self-join over
+        # events) replays per iteration — measured 7.9 s → 4.9 s at
+        # sf0.1. Reliable checkpoint() on a real cluster.
+        .localCheckpoint(eager=True)
     )
     labels = sym.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("lab")
