@@ -55,11 +55,11 @@ def register(name: str, oracle: str | None = None):
 
 # Round-5 sampling rotation: the driver's correctness gate samples the
 # FIRST 50 registry keys, so this prefix leads with (a) queries whose
-# behavior changed this round and (b) the queries that have never
-# received an official driver row across r1-r4 (the r1-r4 union covered
-# 107 of 161; this prefix converts 45 of the remaining 54). The
-# leftover never-sampled residue — q58..q66 — is scheduled for the r6
-# prefix (NOTES_r5).
+# behavior changed or that were born this round and (b) the queries
+# that have never received an official driver row across r1-r4 (the
+# r1-r4 union covered 107 of 161). The leftover never-sampled residue —
+# q58..q66, q51-q55, q74/q75/q79 — is scheduled for the r6 prefix
+# (NOTES_r5).
 _R5_PRIORITY = [
     # changed/new this round — need (re-)verification on the record
     "mm2_decode_features",
@@ -68,6 +68,14 @@ _R5_PRIORITY = [
     "q80_poscar_source",
     "p9_weighted_sample",
     "q78_arrow_udf",
+    # born in the round-5 continuation session (locally hash-verified
+    # at sf0.001 + sf0.01; these are brand-new operator families)
+    "d10_bloom_decontamination",
+    "d11_span_dedup",
+    "d12_containment_pairs",
+    "q83_bucketed_join",
+    "mm7_modality_coverage",
+    "m34_eigvals_closed_form",
     # never-driver-sampled: relational core (incl. the flagship q01)
     "q01_pricing_summary",
     "q02_point_lookup",
@@ -97,26 +105,21 @@ _R5_PRIORITY = [
     "m07_join_predictions",
     "m08_unscored_anti_join",
     "m09_parse_formula",
-    "m10_tensor_eigvals",
     "m11_site_explode_agg",
     "m12_en_ordered_formula",
     "m29_atomic_orbitals",
     "m30_voronoi_neighbors",
     "m31_ewald_site_energy",
     "m32_element_property_full",
-    # set-op/join/aggregate tail
+    # set-op/join/aggregate tail (q51-q55 rotated to r6 to make room
+    # for the six new-query slots above — q08/q09 cover the set-op
+    # family shape, q40-q44 the events/window family)
     "q57_recursive_date_spine",
-    "q52_intersect_all",
-    "q53_except_all",
-    "q51_large_volume",
-    "q54_funnel",
-    "q55_event_transitions",
     "q67_top_supplier",
     "q68_waiting_suppliers",
     "q81_dataset_profile",
     "mm6_audio_features",
     "q76_merge_upsert",
-    "q79_jsonl_roundtrip",
 ]
 
 
