@@ -1867,3 +1867,91 @@ def mm7_modality_coverage(spark, sf_dir):
             .alias("n_unknown"),
         )
     )
+
+
+@register(
+    "d13_neardup_curation",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_WORDS_CTE.strip()},
+    {_SQL_SHINGLES_CTE.strip()},
+    sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sz sa ON doc_a = sa.doc_id
+      JOIN sz sb ON doc_b = sb.doc_id
+      WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.2
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    clusters AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+    assigned AS (
+      SELECT d.doc_id, d.source,
+             COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+             {TX.sql_quality_score('text')} AS quality
+      FROM documents d LEFT JOIN clusters c USING (doc_id)
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY cluster_id ORDER BY quality DESC, doc_id
+      ) AS rn
+      FROM assigned
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           ROUND(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) / COUNT(*), 6)
+             AS pct_kept
+    FROM ranked GROUP BY source
+    """,
+)
+def d13_neardup_curation(spark, sf_dir):
+    """The COMPLETE near-dup curation pass, end to end in one query:
+    candidate pairs (d2's inverted-index Jaccard) → transitive
+    duplicate clusters (d8's DataFrame connected components; docs in
+    no pair stay their own singleton cluster) → keep-best survivor per
+    cluster (d7's quality-ranked window) → per-source accounting of
+    what the pass would delete. This is the operator a data-curation
+    team actually runs; d2/d7/d8 are its unit-tested stages.
+
+    Scale shape inherits from its stages (all individually probed at
+    500k docs): bucketed candidate join, O(log diameter) CC rounds with
+    a checkpointed edge list, one window keyed by cluster_id, one small
+    rollup. The keep-best window partitions by cluster — bounded by the
+    largest duplicate cluster, never the corpus."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.2)
+    clusters = dedup.dedup_clusters(pairs)
+    assigned = (
+        d.select("doc_id", "source", TX.quality_score("text").alias("quality"))
+        .join(clusters.withColumnRenamed("cluster_id", "__c"), "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("__c", F.col("doc_id")))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    ranked = assigned.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("rn") == 1).cast("int")).cast("long").alias("n_kept"),
+        F.round(
+            F.sum((F.col("rn") == 1).cast("int")) / F.count(F.lit(1)), 6
+        ).alias("pct_kept"),
+    )
