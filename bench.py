@@ -56,6 +56,7 @@ HEADLINE = [
     "d5_embedding_neardup",
     "d10_bloom_decontamination",
     "d11_span_dedup",
+    "d13_neardup_curation",
     "s1_ann_brute_force",
     "s3_ann_ivf",
     "s4_pq_adc",

@@ -28,6 +28,22 @@ from pyspark.sql import functions as F
 SITE_ENERGY_SCHEMA = "mp_id string, site_idx int, inv_dist_energy double"
 
 
+def _spread(slim: DataFrame) -> DataFrame:
+    """Repartition the slim per-material projection before a pandas
+    kernel: the committed corpus is ONE parquet file, so without this
+    every mapInPandas below runs as a single task. The partition count
+    must be EXPLICIT — these rows are tiny in bytes but heavy in CPU
+    (Ewald is O(n_sites²·images) per row), and a bare repartition(col)
+    participates in AQE partition coalescing, which sees a few MB of
+    shuffle and merges everything back to ONE task (measured: still
+    serial). CPU-bound pandas stages must size partitions by compute,
+    not bytes. The shuffle moves ~KB-sized arrays for 1278 rows; at
+    real corpus scale the scan already has file parallelism and this
+    is a cheap rebalance."""
+    n = slim.sparkSession.sparkContext.defaultParallelism
+    return slim.repartition(n, F.col("mp_id"))
+
+
 def site_inverse_distance_energy(materials: DataFrame) -> DataFrame:
     """Per-site Σ 1/r proxy energy via mapInPandas (vectorized pairwise
     distances per material — the loop the reference runs per site is a
@@ -51,7 +67,7 @@ def site_inverse_distance_energy(materials: DataFrame) -> DataFrame:
                 {"mp_id": out_id, "site_idx": out_idx, "inv_dist_energy": out_e}
             )
 
-    return slim.mapInPandas(_energy, schema=SITE_ENERGY_SCHEMA)
+    return _spread(slim).mapInPandas(_energy, schema=SITE_ENERGY_SCHEMA)
 
 
 def site_energy_stats(materials: DataFrame) -> DataFrame:
@@ -92,7 +108,7 @@ def site_min_distances(materials: DataFrame) -> DataFrame:
                 out_d.extend(md.tolist())
             yield pd.DataFrame({"mp_id": out_id, "site_idx": out_idx, "min_dist": out_d})
 
-    return slim.mapInPandas(_mind, schema=MIN_DIST_SCHEMA)
+    return _spread(slim).mapInPandas(_mind, schema=MIN_DIST_SCHEMA)
 
 
 def min_distance_stats(materials: DataFrame) -> DataFrame:
@@ -134,7 +150,7 @@ def gaussian_symm_func(materials: DataFrame, etas=(0.5, 4.0), cutoff: float = 6.
                 out["g_eta_4"].extend(g[1].tolist())
             yield pd.DataFrame(out)
 
-    return slim.mapInPandas(_gsf, schema=GSF_SCHEMA)
+    return _spread(slim).mapInPandas(_gsf, schema=GSF_SCHEMA)
 
 
 LPD_SCHEMA = "mp_id string, site_idx int, local_en_diff double"
@@ -172,7 +188,7 @@ def local_property_difference(materials: DataFrame, cutoff: float = 5.0) -> Data
                 out["local_en_diff"].extend(lpd.tolist())
             yield pd.DataFrame(out)
 
-    return slim.mapInPandas(_lpd, schema=LPD_SCHEMA)
+    return _spread(slim).mapInPandas(_lpd, schema=LPD_SCHEMA)
 
 
 OP_SCHEMA = "mp_id string, site_idx int, q4 double, q6 double, q_tet double"
@@ -248,7 +264,7 @@ def site_order_parameters(materials: DataFrame, cutoff: float = 3.0) -> DataFram
                     out["q_tet"].append(q_tet)
             yield pd.DataFrame(out)
 
-    return slim.mapInPandas(_ops, schema=OP_SCHEMA)
+    return _spread(slim).mapInPandas(_ops, schema=OP_SCHEMA)
 
 
 VOR_SCHEMA = "mp_id string, site_idx int, vor_cn int, mean_vor_dist double"
@@ -305,7 +321,7 @@ def voronoi_neighbors(materials: DataFrame, cutoff: float = 6.0, tol: float = 1e
                     )
             yield pd.DataFrame(out)
 
-    return slim.mapInPandas(_vor, schema=VOR_SCHEMA)
+    return _spread(slim).mapInPandas(_vor, schema=VOR_SCHEMA)
 
 
 def voronoi_stats(materials: DataFrame, cutoff: float = 6.0) -> DataFrame:
@@ -448,7 +464,7 @@ def site_ewald_energy(materials: DataFrame) -> DataFrame:
                 out["ewald_energy"].extend(e.tolist())
             yield pd.DataFrame(out)
 
-    return slim.mapInPandas(_ewald, schema=EWALD_SCHEMA)
+    return _spread(slim).mapInPandas(_ewald, schema=EWALD_SCHEMA)
 
 
 def ewald_energy_stats(materials: DataFrame) -> DataFrame:
