@@ -229,3 +229,107 @@ def st7_incremental_rollup(spark, sf_dir):
         q.awaitTermination()
     ops.compact_rollup(spark, f"{work}/rollup")
     return ops.read_rollup(spark, f"{work}/rollup")
+
+
+@register(
+    "st10_stream_upsert_sink",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, value, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           event_type AS last_type,
+           value AS last_value,
+           ts AS last_ts
+    FROM ranked WHERE rn = 1
+    """,
+)
+def st10_stream_upsert_sink(spark, sf_dir):
+    """Streaming CDC ingest, end to end: bootstrap a partitioned
+    last-state-per-user table from the first quarter of the event
+    history, then REPLAY the remaining three quarters as a file-source
+    stream whose every micro-batch foreachBatch-MERGES into the table
+    via merge_upsert_partitioned (dynamic partition overwrite — the
+    incremental-ingest primitive, q76's operator, here driven by a
+    real stream). The table partitions by event_type, so a user whose
+    latest event switches type MOVES between partitions each merge —
+    the cross-partition (and drained-partition) mover runs under the
+    gate, not just in unit tests. Oracle: the final table must equal
+    the one-shot batch argmax per user over the whole history —
+    batch-equivalence is exactly the CDC pipeline's contract.
+
+    Determinism: replay files are cut on TIME-SPAN boundaries (equal
+    timestamps can't straddle a batch), within-batch updates reduce to
+    the (ts, event_id)-max row, and later batches are strictly newer —
+    so update-wins merging reproduces the global argmax regardless of
+    micro-batch sizing."""
+    import datetime
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from oxi_diel_db_spark.operators.scale import merge_upsert_partitioned
+
+    work = tempfile.mkdtemp(prefix="st10_upsert_")
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    b = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    lo, hi = b["lo"], b["hi"]
+    total = (hi - lo) + datetime.timedelta(seconds=1)
+    cuts = [lo + total * i / 4 for i in range(1, 4)]
+
+    def span(i: int):
+        lo_i = [lo, *cuts][i]
+        hi_i = [*cuts, hi + datetime.timedelta(seconds=1)][i]
+        return ev.filter((F.col("ts") >= F.lit(lo_i)) & (F.col("ts") < F.lit(hi_i)))
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+
+    def last_per_user(df):
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    table = os.path.join(work, "table")
+    last_per_user(span(0)).write.mode("overwrite").partitionBy(
+        "event_type"
+    ).parquet(table)
+
+    replay = os.path.join(work, "replay")
+    for i in (1, 2, 3):  # one file per span, mtime-ordered → one per batch
+        span(i).coalesce(1).write.mode("append").parquet(replay)
+
+    stream = ops.replay_dir_stream(spark, replay)
+
+    def apply_batch(bdf, _bid):
+        merge_upsert_partitioned(
+            spark, table, last_per_user(bdf), key="user_id", part_col="event_type"
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    back = spark.read.parquet(table)
+    return back.select(
+        "user_id",
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+        F.col("ts").alias("last_ts"),
+    )
