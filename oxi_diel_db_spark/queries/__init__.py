@@ -58,8 +58,8 @@ def register(name: str, oracle: str | None = None):
 # behavior changed or that were born this round and (b) the queries
 # that have never received an official driver row across r1-r4 (the
 # r1-r4 union covered 107 of 161). The leftover never-sampled residue —
-# q58..q66, q51-q55, q74/q75/q79 — is scheduled for the r6 prefix
-# (NOTES_r5).
+# q58..q66, q51-q55, q02, q44, q74/q75/q79, m10 — is scheduled for the
+# r6 prefix (NOTES_r5).
 _R5_PRIORITY = [
     # changed/new this round — need (re-)verification on the record
     "mm2_decode_features",
@@ -76,9 +76,10 @@ _R5_PRIORITY = [
     "q83_bucketed_join",
     "mm7_modality_coverage",
     "m34_eigvals_closed_form",
+    "d13_neardup_curation",
+    "st10_stream_upsert_sink",
     # never-driver-sampled: relational core (incl. the flagship q01)
     "q01_pricing_summary",
-    "q02_point_lookup",
     "q03_predicates",
     "q04_case_buckets",
     "q05_global_sort",
@@ -96,7 +97,6 @@ _R5_PRIORITY = [
     "q41_lag_lead",
     "q42_running_frames",
     "q43_range_frame",
-    "q44_distribution",
     # materials tail
     "m03_lowest_freq_invariant",
     "m04_born_trace_invariant",
