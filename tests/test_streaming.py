@@ -421,3 +421,30 @@ def test_late_data_replay_drops_beyond_watermark(spark, tmp_path):
     # T-1h) finalizes and emits, but the max-ts window [T,T+1h) doesn't
     assert got[(T - datetime.timedelta(hours=2), "e")] == 2
     assert (T, "f") not in got
+
+
+def test_stream_upsert_sink_matches_batch_argmax(spark):
+    """st10's contract: after bootstrapping + streaming foreachBatch
+    merges, the final table equals the one-shot batch argmax per user
+    over the whole event history (computed here independently)."""
+    from pyspark.sql import Window
+
+    from oxi_diel_db_spark import tables
+    from oxi_diel_db_spark.queries import load_registry
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["user_id"]: (r["last_type"], r["last_value"], r["last_ts"])
+        for r in load_registry()["st10_stream_upsert_sink"].build(spark, sf).collect()
+    }
+    ev = tables.load(spark, "events", sf)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    want = {
+        r["user_id"]: (r["event_type"], r["value"], r["ts"])
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert got == want and len(got) > 0
