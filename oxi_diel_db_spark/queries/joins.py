@@ -1049,7 +1049,12 @@ def q83_bucketed_join(spark, sf_dir):
 
     base = os.path.join(tempfile.gettempdir(), "spark_graft_scratch", "bucketed")
     os.makedirs(base, exist_ok=True)
-    spark.sql("CREATE DATABASE IF NOT EXISTS bucketdemo")
+    # explicit LOCATION: the default warehouse dir is relative to the
+    # DRIVER's cwd, which a host process may not be able to write
+    spark.sql(
+        "CREATE DATABASE IF NOT EXISTS bucketdemo "
+        f"LOCATION '{os.path.join(base, 'bucketdemo.db')}'"
+    )
     for name, df, key in (
         ("b_customer", t(spark, sf_dir, "customer"), "c_custkey"),
         ("b_orders", t(spark, sf_dir, "orders"), "o_custkey"),
