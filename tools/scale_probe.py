@@ -482,6 +482,66 @@ def asof_skew_probe(n_m: float = 100) -> None:
     )
 
 
+def cdc_probe(n_m: float = 5, n_users: int = 200_000) -> None:
+    """Streaming-CDC merge throughput (the st10 recipe at scale):
+    bootstrap a last-state-per-user table from the first quarter of
+    n_m million synthetic events, then merge the remaining three
+    quarters batch-by-batch via merge_upsert_partitioned (dynamic
+    partition overwrite, partitioned by a 16-way key class so merges
+    rewrite a subset of partitions). Reports bootstrap + per-merge
+    seconds and the final table row count (must equal n_users once
+    every user has been seen)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+    from oxi_diel_db_spark.session import get_spark
+    from oxi_diel_db_spark.operators.scale import merge_upsert_partitioned
+
+    spark = get_spark("cdc_probe")
+    n = int(n_m * 1_000_000)
+    ev = spark.range(0, n).select(
+        F.col("id").alias("event_id"),
+        F.pmod(F.hash("id"), F.lit(n_users)).alias("user_id"),
+        F.pmod(F.hash("id", F.lit(7)), F.lit(16)).alias("pt"),
+        (F.col("id") % 1000).cast("double").alias("value"),
+    )
+    ev.limit(5).collect()
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+
+    def last_per_user(df):
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    work = tempfile.mkdtemp(prefix="cdc_probe_")
+    table = os.path.join(work, "table")
+    timings = {}
+    q = n // 4
+    t0 = time.time()
+    last_per_user(ev.filter(F.col("event_id") < q)).write.mode(
+        "overwrite"
+    ).partitionBy("pt").parquet(table)
+    timings["bootstrap"] = round(time.time() - t0, 2)
+    for i in (1, 2, 3):
+        hi = (i + 1) * q if i < 3 else n
+        batch = ev.filter(
+            (F.col("event_id") >= i * q) & (F.col("event_id") < hi)
+        )
+        t0 = time.time()
+        merge_upsert_partitioned(
+            spark, table, last_per_user(batch), key="user_id", part_col="pt"
+        )
+        timings[f"merge_{i}"] = round(time.time() - t0, 2)
+    final = spark.read.parquet(table).count()
+    print(json.dumps({
+        "metric": "cdc_probe", "events": n, "users": n_users, "unit": "sec",
+        "timings": timings, "final_rows": final,
+    }))
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "docs":
         docs_probe(int(float(sys.argv[2]) * 1000) if len(sys.argv) > 2 else 500_000)
@@ -495,5 +555,7 @@ if __name__ == "__main__":
         asof_skew_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 100)
     elif len(sys.argv) > 1 and sys.argv[1] == "streaming":
         streaming_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 2)
+    elif len(sys.argv) > 1 and sys.argv[1] == "cdc":
+        cdc_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 5)
     else:
         main()
