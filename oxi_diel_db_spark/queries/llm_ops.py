@@ -1955,3 +1955,76 @@ def d13_neardup_curation(spark, sf_dir):
             F.sum((F.col("rn") == 1).cast("int")) / F.count(F.lit(1)), 6
         ).alias("pct_kept"),
     )
+
+
+def _s5_oracle() -> str:
+    """Recall oracle composed from the already-registered s1/s2/s3
+    oracles (imported verbatim from REGISTRY, so the three definitions
+    can never drift apart)."""
+    from oxi_diel_db_spark.queries import REGISTRY
+
+    s1 = REGISTRY["s1_ann_brute_force"].oracle
+    s2 = REGISTRY["s2_ann_lsh"].oracle
+    s3 = REGISTRY["s3_ann_ivf"].oracle
+    return f"""
+    WITH exact AS (SELECT query_id, neighbor_id FROM ({s1})),
+    lsh AS (SELECT query_id, neighbor_id, 1 AS hit FROM ({s2})),
+    ivf AS (SELECT query_id, neighbor_id, 1 AS hit FROM ({s3})),
+    n AS (SELECT COUNT(*) AS total FROM exact)
+    SELECT 'lsh' AS method,
+           ROUND(COUNT(l.hit) / (SELECT total FROM n), 6) AS recall_at_10
+    FROM exact e LEFT JOIN lsh l
+      ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+    UNION ALL
+    SELECT 'ivf',
+           ROUND(COUNT(i.hit) / (SELECT total FROM n), 6)
+    FROM exact e LEFT JOIN ivf i
+      ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+    """
+
+
+@register("s5_ann_recall", oracle=_s5_oracle())
+def s5_ann_recall(spark, sf_dir):
+    """ANN index-quality evaluation as a first-class query: recall@10
+    of the LSH (s2) and IVF (s3) paths against the exact brute-force
+    ground truth (s1), in one plan. This is the monitoring query an
+    embedding platform runs after every index rebuild — approximate
+    search without a measured recall number is a silent-quality risk.
+    Every component is deterministic (seeded planes / hash-seeded
+    centroids), so even the recall of approximate indexes sits under
+    the cross-engine value hash; the oracle nests the three registered
+    oracle SQLs verbatim.
+
+    Scale shape: ground truth on a SAMPLE of probes (5 here; at 100 TB
+    a few hundred) — brute force on the sample costs one corpus scan,
+    and the recall joins are sample-sized."""
+    emb = t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.brute_force_topk(emb, probes, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    lsh = similarity.lsh_topk(emb, probes, k=10, n_planes=4).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = similarity.ivf_topk(
+        emb, probes, k=10, n_centroids=8, nprobe=2, seed=42
+    ).select("query_id", "neighbor_id")
+
+    def recall(approx, name):
+        return (
+            exact.join(
+                approx.withColumn("__hit", F.lit(1)),
+                ["query_id", "neighbor_id"],
+                "left",
+            )
+            .agg(
+                F.round(F.count("__hit") / F.count(F.lit(1)), 6).alias(
+                    "recall_at_10"
+                )
+            )
+            .select(F.lit(name).alias("method"), "recall_at_10")
+        )
+
+    return recall(lsh, "lsh").unionByName(recall(ivf, "ivf"))
