@@ -542,6 +542,68 @@ def cdc_probe(n_m: float = 5, n_users: int = 200_000) -> None:
     }))
 
 
+def bucketed_probe(n_m: float = 20) -> None:
+    """Layout evidence for the q83 rule: the same fact-fact join+agg
+    over (a) plain parquet (shuffle both sides every query) and
+    (b) co-bucketed tables (pay the bucketing shuffle once at write).
+    Reports write and per-join times — the break-even is visible
+    directly: bucketing costs one extra write-side shuffle and repays
+    it on every subsequent join."""
+    import os
+    import tempfile
+
+    from oxi_diel_db_spark.session import get_spark
+
+    spark = get_spark("bucketed_probe")
+    n = int(n_m * 1_000_000)
+    left = spark.range(0, n).select(
+        F.col("id").alias("k"),
+        F.pmod(F.hash("id"), F.lit(1000)).alias("seg"),
+        (F.pmod(F.hash("id", F.lit(1)), F.lit(100000)) / 100.0).alias("price"),
+    )
+    right = spark.range(0, n * 2).select(
+        F.pmod(F.col("id"), F.lit(n)).alias("k"),
+        F.pmod(F.hash("id", F.lit(2)), F.lit(10000)).alias("qty"),
+    )
+    base = tempfile.mkdtemp(prefix="bucket_probe_")
+    timings = {}
+    t0 = time.time()
+    left.write.mode("overwrite").parquet(os.path.join(base, "plain_l"))
+    right.write.mode("overwrite").parquet(os.path.join(base, "plain_r"))
+    timings["write_plain"] = round(time.time() - t0, 2)
+    spark.sql(
+        "CREATE DATABASE IF NOT EXISTS bprobe "
+        f"LOCATION '{os.path.join(base, 'bprobe.db')}'"
+    )
+    t0 = time.time()
+    for name, df in (("bl", left), ("br", right)):
+        spark.sql(f"DROP TABLE IF EXISTS bprobe.{name}")
+        (df.write.mode("overwrite").format("parquet")
+         .option("path", os.path.join(base, name))
+         .bucketBy(32, "k").sortBy("k").saveAsTable(f"bprobe.{name}"))
+    timings["write_bucketed"] = round(time.time() - t0, 2)
+
+    def join_time(l, r):
+        t0 = time.time()
+        (l.hint("merge").join(r, "k").groupBy("seg")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(F.col("price") * F.col("qty")).alias("rev"))
+         .collect())
+        return round(time.time() - t0, 2)
+
+    pl = spark.read.parquet(os.path.join(base, "plain_l"))
+    pr = spark.read.parquet(os.path.join(base, "plain_r"))
+    timings["join_plain"] = join_time(pl, pr)
+    timings["join_plain_2"] = join_time(pl, pr)
+    bl, br = spark.table("bprobe.bl"), spark.table("bprobe.br")
+    timings["join_bucketed"] = join_time(bl, br)
+    timings["join_bucketed_2"] = join_time(bl, br)
+    print(json.dumps({
+        "metric": "bucketed_probe", "rows_left": n, "rows_right": n * 2,
+        "unit": "sec", "timings": timings,
+    }))
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "docs":
         docs_probe(int(float(sys.argv[2]) * 1000) if len(sys.argv) > 2 else 500_000)
@@ -557,5 +619,7 @@ if __name__ == "__main__":
         streaming_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 2)
     elif len(sys.argv) > 1 and sys.argv[1] == "cdc":
         cdc_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 5)
+    elif len(sys.argv) > 1 and sys.argv[1] == "bucketed":
+        bucketed_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 20)
     else:
         main()
