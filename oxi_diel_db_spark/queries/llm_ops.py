@@ -2028,3 +2028,85 @@ def s5_ann_recall(spark, sf_dir):
         )
 
     return recall(lsh, "lsh").unionByName(recall(ivf, "ivf"))
+
+
+@register(
+    "t10_bigram_perplexity",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {TX.SQL_NORM_WORDS.format(t='text')} AS words
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, unnest({TX.sql_shingles('words', 2)}) AS bg FROM w
+    ),
+    c2 AS (SELECT bg, COUNT(*) AS c2 FROM bg GROUP BY bg),
+    c1 AS (
+      SELECT split_part(bg, ' ', 1) AS w1, CAST(SUM(c2) AS BIGINT) AS c1
+      FROM c2 GROUP BY 1
+    ),
+    vocab AS (
+      SELECT COUNT(DISTINCT word) AS v FROM (
+        SELECT unnest({TX.SQL_NORM_WORDS.format(t='text')}) AS word
+        FROM documents
+      )
+    ),
+    per_doc AS (
+      SELECT b.doc_id, COUNT(*) AS n_bigrams,
+             -AVG(ln((c2.c2 + 1.0) / (c1.c1 + vocab.v))) AS xent2
+      FROM bg b
+      JOIN c2 USING (bg)
+      JOIN c1 ON split_part(b.bg, ' ', 1) = c1.w1
+      CROSS JOIN vocab
+      GROUP BY b.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(per_doc.n_bigrams, 0) AS n_bigrams,
+           ROUND(xent2, 6) + 0 AS xent2,
+           ROUND(EXP(ROUND(xent2, 6)), 6) + 0 AS ppl2
+    FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+    """,
+)
+def t10_bigram_perplexity(spark, sf_dir):
+    """Bigram-LM perplexity with add-one smoothing — t8's conditional
+    upgrade (production perplexity filters score context fit, not just
+    word frequency): P(w₂|w₁) = (c₂(w₁w₂)+1)/(c₁(w₁)+V), where c₁ is
+    the bigram-prefix count and V the corpus vocabulary size, so every
+    probability is a ratio of exact integers (deterministic modulo the
+    ROUND(6) that absorbs AVG summation order, per the repo's FP
+    rules). Same two-pass scale shape as t8: the bigram and prefix
+    count tables are vocabulary-bounded and BROADCAST onto the
+    exploded bigram stream — the corpus scan shuffles only for the
+    per-doc aggregate (map-side partials). Smoothing keeps the filter
+    well-defined for out-of-corpus text when the count tables are
+    reused as a frozen LM."""
+    d = t(spark, sf_dir, "documents")
+    w = d.select("doc_id", TX.norm_words("text").alias("words"))
+    bg = w.select("doc_id", F.explode(TX.shingles(F.col("words"), 2)).alias("bg"))
+    c2 = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = (
+        c2.groupBy(F.substring_index("bg", " ", 1).alias("w1"))
+        .agg(F.sum("c2").cast("long").alias("c1"))
+    )
+    vocab = (
+        d.select(F.explode(TX.norm_words("text")).alias("word"))
+        .agg(F.countDistinct("word").alias("v"))
+    )
+    logp = F.log((F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("v")))
+    per_doc = (
+        bg.join(F.broadcast(c2), "bg")
+        .withColumn("w1", F.substring_index("bg", " ", 1))
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (-F.avg(logp)).alias("xent2"),
+        )
+    )
+    return d.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        (F.round("xent2", 6) + F.lit(0.0)).alias("xent2"),
+        (F.round(F.exp(F.round("xent2", 6)), 6) + F.lit(0.0)).alias("ppl2"),
+    )
