@@ -1306,3 +1306,40 @@ def m33_tensor_invariants(spark, sf_dir):
         r6(ev(1) * ev(2) + ev(1) * ev(3) + ev(2) * ev(3), "eig_pairsum"),
         r6(ev(1) * ev(2) * ev(3), "eig_prod"),
     )
+
+
+@register(
+    "q84_dpp_join",
+    oracle=f"""
+    SELECT d.label, COUNT(*) AS n, {sql_sum_money('o_totalprice')} AS total
+    FROM orders o
+    JOIN (VALUES ('F', 'finished'), ('P', 'pending')) d(st, label)
+      ON o.o_orderstatus = d.st
+    GROUP BY d.label
+    """,
+)
+def q84_dpp_join(spark, sf_dir):
+    """Dynamic partition pruning on the oracle record (SURVEY §4.2;
+    the plan-shape twin of q83's bucketing row): orders written
+    partitioned by status, then joined through a 2-row dim — at run
+    time the dim's keys become a dynamicpruning subquery on the
+    partition column, so the fact scan reads ONLY the F and P
+    partition directories (asserted in tests/test_plans.py). At 100 TB
+    with date-partitioned facts this is the mechanism that turns a
+    dim-table date filter into a fact-scan partition list without any
+    static predicate."""
+    out = _scratch("dpp_orders")
+    o = t(spark, sf_dir, "orders")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("F", "finished"), ("P", "pending")], "o_orderstatus string, label string"
+    )
+    return (
+        fact.join(dim, "o_orderstatus")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            sum_money("o_totalprice", "total"),
+        )
+    )

@@ -190,3 +190,16 @@ def test_bucketed_join_has_no_prejoin_exchange(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "SelectedBucketsCount: 8 out of 8" in fmt
+
+
+def test_dpp_join_query_prunes_partitions(spark):
+    """q84: the registry query's executed plan must carry a
+    dynamicpruning subquery on the partition column (the dim's keys
+    become the fact scan's partition list at runtime)."""
+    reg = load_registry()
+    df = reg["q84_dpp_join"].build(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert (
+        "dynamicpruning" in plan.lower()
+        or "PartitionFilters: [isnotnull(o_orderstatus" in plan
+    ), plan[:2000]
