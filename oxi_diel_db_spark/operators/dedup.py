@@ -995,3 +995,80 @@ def sql_bloom_ctes(
       LEFT JOIN bflags f USING ({id_col})
     )
     """
+
+
+def incremental_lsh_pairs(
+    new: DataFrame,
+    existing: DataFrame,
+    threshold: float = 0.25,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = N_MINHASH,
+    bands: int = N_BANDS,
+) -> DataFrame:
+    """INCREMENTAL near-dup detection — the production shape of d3:
+    a new ingest batch is checked against the EXISTING corpus without
+    re-pairing the corpus against itself. The banded join is
+    asymmetric (new × existing only), so a daily increment of n_new
+    docs costs O(n_new · bands) bucket probes against the corpus's
+    bucket table instead of the full self-join — at 100 TB the
+    existing side's signatures/buckets are computed once at ingest
+    and PERSISTED (here they are derived in-query so the oracle can
+    replay them; the signature math is identical either way).
+
+    Returns (new_id, existing_id, est_jaccard ≥ threshold). Same
+    md5-based MinHash as d3 → fully value-hash-checkable.
+    """
+    rows = k // bands
+    band_hash = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.md5(
+            F.concat_ws(
+                "",
+                *[
+                    F.element_at(F.col("sig"), (b * rows + r + 1).cast("int"))
+                    for r in range(rows)
+                ],
+            )
+        ),
+    )
+
+    def banded(docs):
+        sig = minhash_signatures(docs, id_col, text_col, k).persist()
+        return sig, sig.select(
+            id_col, F.posexplode(band_hash).alias("band", "bh")
+        )
+
+    sig_n, band_n = banded(new)
+    sig_e, band_e = banded(existing)
+    cand = (
+        band_n.select(F.col(id_col).alias("new_id"), "band", "bh")
+        .join(
+            band_e.select(F.col(id_col).alias("existing_id"), "band", "bh"),
+            ["band", "bh"],
+        )
+        .select("new_id", "existing_id")
+        .distinct()
+    )
+    sa = sig_n.select(F.col(id_col).alias("new_id"), F.col("sig").alias("sig_a"))
+    sb = sig_e.select(
+        F.col(id_col).alias("existing_id"), F.col("sig").alias("sig_b")
+    )
+    est = (
+        F.aggregate(
+            F.zip_with(
+                F.col("sig_a"),
+                F.col("sig_b"),
+                lambda x, y: F.when(x == y, 1).otherwise(0),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        / F.lit(float(k))
+    )
+    return (
+        cand.join(sa, "new_id")
+        .join(sb, "existing_id")
+        .select("new_id", "existing_id", F.round(est, 6).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )

@@ -2110,3 +2110,50 @@ def t10_bigram_perplexity(spark, sf_dir):
         (F.round("xent2", 6) + F.lit(0.0)).alias("xent2"),
         (F.round(F.exp(F.round("xent2", 6)), 6) + F.lit(0.0)).alias("ppl2"),
     )
+
+
+@register(
+    "d14_incremental_neardup",
+    oracle=f"""
+    WITH {_SQL_WORDS_CTE.strip()},
+    {_SQL_SHINGLES_CTE.strip()},
+    mh AS (
+      SELECT doc_id, s.seed, MIN(md5(s.seed::VARCHAR || ':' || shingle)) AS mh
+      FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed) s
+      GROUP BY doc_id, s.seed
+    ),
+    sig AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, sig, b.band,
+             md5(sig[2 * b.band + 1] || sig[2 * b.band + 2]) AS bh
+      FROM sig CROSS JOIN (SELECT unnest(range(4)) AS band) b
+    ),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, e.doc_id AS existing_id,
+                      n.sig AS sig_a, e.sig AS sig_b
+      FROM banded n
+      JOIN banded e ON n.band = e.band AND n.bh = e.bh
+      WHERE n.doc_id % 7 = 0 AND e.doc_id % 7 <> 0
+    )
+    SELECT new_id, existing_id,
+           ROUND(list_sum(list_transform(range(1, 9),
+                 i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)) / 8.0, 6)
+             AS est_jaccard
+    FROM cand
+    WHERE ROUND(list_sum(list_transform(range(1, 9),
+                i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)) / 8.0, 6) >= 0.25
+    """,
+)
+def d14_incremental_neardup(spark, sf_dir):
+    """Incremental near-dup detection — the daily-ingest shape of d3:
+    the new batch (doc_id % 7 == 0 plays today's crawl) is LSH-checked
+    against the existing corpus WITHOUT re-pairing the corpus against
+    itself (asymmetric banded join, new × existing only). MinHash
+    signatures are per-document, so the oracle replays them over the
+    full table and applies the same split — identical values either
+    way, which is exactly what makes persisted signature stores valid
+    at 100 TB (compute once at ingest, reuse forever)."""
+    d = t(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 7 == 0)
+    existing = d.filter(F.col("doc_id") % 7 != 0)
+    return dedup.incremental_lsh_pairs(new, existing, threshold=0.25)

@@ -303,3 +303,22 @@ def test_bloom_decontaminate_supersets_exact(spark):
     # with a near-empty filter (7 bench ngrams * 3 bits of 65536) the FP
     # probability per probe is ~(21/65536)^3 ≈ 3e-11 — doc 2 stays clean
     assert bloom[2]["n_flagged"] == 0
+
+
+def test_incremental_lsh_is_asymmetric_and_consistent(spark, docs_df):
+    """d14's operator: pairs only cross the new/existing boundary, and
+    every reported pair agrees with the symmetric d3 estimate."""
+    new = docs_df.filter(F.col("doc_id").isin(0, 1))
+    existing = docs_df.filter(~F.col("doc_id").isin(0, 1))
+    inc = {
+        (r["new_id"], r["existing_id"]): r["est_jaccard"]
+        for r in dedup.incremental_lsh_pairs(new, existing, threshold=0.25).collect()
+    }
+    assert all(a in (0, 1) and b not in (0, 1) for a, b in inc)
+    assert (0, 3) in inc and inc[(0, 3)] == 1.0  # exact dup across the split
+    full = {
+        tuple(sorted((r["doc_a"], r["doc_b"]))): r["est_jaccard"]
+        for r in dedup.minhash_lsh_pairs(docs_df, threshold=0.25).collect()
+    }
+    for (a, b), est in inc.items():
+        assert full.get(tuple(sorted((a, b)))) == est, (a, b)
