@@ -140,6 +140,7 @@ def load_registry() -> dict[str, QueryDef]:
         joins,
         aggregates,
         extras,
+        quality,
     )
 
     ordered: dict[str, QueryDef] = {}

@@ -1343,3 +1343,92 @@ def q84_dpp_join(spark, sf_dir):
             sum_money("o_totalprice", "total"),
         )
     )
+
+
+@register(
+    "q86_variant_json",
+    # The oracle derives the same values arithmetically from the one
+    # field events.props actually carries (regexp, not a JSON engine —
+    # same policy as q12): the Spark side must round-trip them through
+    # a real VARIANT value to agree.
+    oracle="""
+    SELECT event_id,
+           k            AS outer_k,
+           k * 2        AS arr_0,
+           k + 1        AS arr_1,
+           k % 7        AS deep_m,
+           TRUE         AS missing_is_null
+    FROM (
+      SELECT event_id,
+             CAST(regexp_extract(props, '([0-9]+)', 1) AS INT) AS k
+      FROM events
+      WHERE event_id < 2000
+    )
+    """,
+)
+def q86_variant_json(spark, sf_dir):
+    """Semi-structured data through Spark 4's VARIANT type (the
+    post-JSON-string path: parse once into a typed binary-encoded
+    document, then cheap typed path extraction — the engine-native
+    answer to get_json_object re-parsing the string per extraction).
+    The query composes a nested document around events.props
+    (object + array + nested object), parses it with ``parse_json``,
+    and reads it back with ``variant_get`` typed paths;
+    ``try_variant_get`` on a missing path returns NULL rather than
+    erroring. At 100 TB the parse happens once at ingest and the
+    shredded VARIANT columns scan like any other column."""
+    e = t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    k = F.get_json_object("props", "$.k").cast("int")
+    doc = F.format_string(
+        '{"outer":{"k":%d},"arr":[%d,%d],"m":{"deep":%d}}', k, k * 2, k + 1, k % 7
+    )
+    v = F.parse_json(doc)
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.outer.k", "int").alias("outer_k"),
+        F.variant_get(v, "$.arr[0]", "int").alias("arr_0"),
+        F.variant_get(v, "$.arr[1]", "int").alias("arr_1"),
+        F.variant_get(v, "$.m.deep", "int").alias("deep_m"),
+        F.try_variant_get(v, "$.nope.q", "int").isNull().alias("missing_is_null"),
+    )
+
+
+@register(
+    "q87_runtime_bloom_join",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_lines,
+           {sql_sum_money('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice > 400000
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q87_runtime_bloom_join(spark, sf_dir):
+    """Runtime Bloom-filter join (SURVEY §4.2's runtime-filter row): a
+    selective dim-side predicate is turned into a Bloom filter at run
+    time and pushed into the FACT scan, so a sort-merge join over a
+    100 TB lineitem reads/shuffles only rows whose orderkey might
+    survive — the row-level complement of q84's partition-level DPP.
+    Locally the injection thresholds are lowered so the tiny test scan
+    qualifies (`bloom_filter_agg` / `BloomFilterMightContain` asserted
+    in tests/test_plans.py); broadcast is disabled for THIS query so
+    the join stays SMJ — `configure()` restores both knobs at the next
+    query's build. Cluster guidance: defaults
+    (creationSideThreshold 10 MB, applicationSideScanSizeThreshold
+    10 GB) are already right at scale; no code change needed."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            sum_money(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        )
+    )

@@ -1,0 +1,241 @@
+"""Data-quality operators (EXT, north star §2.12): the audit pass a
+training-data pipeline runs over every ingest batch before anything
+downstream consumes it.
+
+Three shapes:
+
+* dq1 — declarative constraint audit (null / uniqueness / range /
+  referential / enum-membership), one summary row per constraint. Every
+  check is an independent aggregate over one table; at 100 TB each is a
+  single scan with map-side partial aggregation, and the final UNION is
+  a few dozen rows. The FK check is a broadcast-able anti-join count.
+* dq2 — distribution drift between two pipeline runs as a Population
+  Stability Index over fixed equal-width bins: two scans (global
+  min/max, then binned counts), no shuffle wider than 10 bins.
+* dq3 — per-partition freshness lag (how stale is each event stream
+  vs the freshest one) — the monitoring query behind ingest SLAs.
+
+All three are fully SQL-expressible, so they sit under the exact
+cross-engine value-hash gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from oxi_diel_db_spark.queries import register
+from oxi_diel_db_spark.queries._util import r6, t
+
+
+def _audit_row(df, constraint: str, violation_col, n_checked_col=None):
+    """One constraint → one summary row: (constraint, n_checked,
+    n_violations, violation_rate). ``violation_col`` is a boolean
+    column evaluated per row."""
+    n_checked = (
+        F.count(n_checked_col) if n_checked_col is not None else F.count(F.lit(1))
+    )
+    return df.agg(
+        F.lit(constraint).alias("constraint"),
+        n_checked.alias("n_checked"),
+        F.sum(F.when(violation_col, 1).otherwise(0)).alias("n_violations"),
+        r6(
+            F.sum(F.when(violation_col, 1).otherwise(0)) / n_checked,
+            "violation_rate",
+        ),
+    )
+
+
+@register(
+    "dq1_constraint_audit",
+    oracle="""
+    SELECT 'range_lineitem_quantity_1_40' AS constraint, COUNT(*) AS n_checked,
+           CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+           ROUND(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 40 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) + 0 AS violation_rate
+    FROM lineitem
+    UNION ALL
+    SELECT 'nonneg_customer_acctbal', COUNT(*),
+           CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT),
+           ROUND(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) + 0
+    FROM customer
+    UNION ALL
+    SELECT 'enum_events_event_type', COUNT(*),
+           CAST(SUM(CASE WHEN event_type NOT IN ('view','click','purchase','signup') THEN 1 ELSE 0 END) AS BIGINT),
+           ROUND(SUM(CASE WHEN event_type NOT IN ('view','click','purchase','signup') THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) + 0
+    FROM events
+    UNION ALL
+    SELECT 'notnull_documents_text', COUNT(*),
+           CAST(SUM(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT),
+           ROUND(SUM(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) + 0
+    FROM documents
+    UNION ALL
+    SELECT 'unique_customer_custkey', COUNT(*),
+           CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT),
+           ROUND((COUNT(*) - COUNT(DISTINCT c_custkey)) * 1.0 / COUNT(*), 6) + 0
+    FROM customer
+    UNION ALL
+    SELECT 'fk_orders_custkey', COUNT(*),
+           CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           ROUND(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) + 0
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def dq1_constraint_audit(spark, sf_dir):
+    """Declarative constraint audit: range, sign, enum-membership,
+    not-null, key-uniqueness, and referential integrity — one summary
+    row each. The quantity range is deliberately [1, 40] (the data's
+    41-50 tail must be FOUND) and the enum set omits 'error', so the
+    audit provably reports nonzero violations rather than vacuous
+    zeros. Each check is one map-side-combined aggregate; the FK check
+    broadcasts the customer keys."""
+    li = t(spark, sf_dir, "lineitem")
+    cu = t(spark, sf_dir, "customer")
+    ev = t(spark, sf_dir, "events")
+    dc = t(spark, sf_dir, "documents")
+    od = t(spark, sf_dir, "orders")
+
+    uniq = cu.agg(
+        F.lit("unique_customer_custkey").alias("constraint"),
+        F.count(F.lit(1)).alias("n_checked"),
+        (F.count(F.lit(1)) - F.count_distinct("c_custkey")).alias("n_violations"),
+        r6(
+            (F.count(F.lit(1)) - F.count_distinct("c_custkey")) / F.count(F.lit(1)),
+            "violation_rate",
+        ),
+    )
+    fk = _audit_row(
+        od.join(
+            F.broadcast(cu.select("c_custkey")),
+            od.o_custkey == F.col("c_custkey"),
+            "left",
+        ),
+        "fk_orders_custkey",
+        F.col("c_custkey").isNull(),
+    )
+    rows = [
+        _audit_row(
+            li,
+            "range_lineitem_quantity_1_40",
+            (F.col("l_quantity") < 1) | (F.col("l_quantity") > 40),
+        ),
+        _audit_row(cu, "nonneg_customer_acctbal", F.col("c_acctbal") < 0),
+        _audit_row(
+            ev,
+            "enum_events_event_type",
+            ~F.col("event_type").isin("view", "click", "purchase", "signup"),
+        ),
+        _audit_row(
+            dc,
+            "notnull_documents_text",
+            F.col("text").isNull() | (F.length("text") == 0),
+        ),
+        uniq,
+        fk,
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+@register(
+    "dq2_distribution_drift",
+    oracle="""
+    WITH b AS (
+      SELECT MIN(value) AS lo, MAX(value) AS hi FROM events
+    ), binned AS (
+      SELECT LEAST(CAST(FLOOR((value - b.lo) / ((b.hi - b.lo) / 10)) AS INT), 9) AS bin,
+             event_id % 2 AS half
+      FROM events, b
+    ), c AS (
+      SELECT s.bin,
+             COALESCE(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END), 0) AS n_ref,
+             COALESCE(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END), 0) AS n_cur
+      FROM (SELECT CAST(range AS INT) AS bin FROM range(10)) s
+      LEFT JOIN binned b ON b.bin = s.bin
+      GROUP BY s.bin
+    ), tot AS (
+      SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM c
+    )
+    SELECT bin,
+           ROUND((n_ref + 1.0) / (t_ref + 10), 6) + 0 AS p_ref,
+           ROUND((n_cur + 1.0) / (t_cur + 10), 6) + 0 AS p_cur,
+           ROUND(((n_ref + 1.0) / (t_ref + 10) - (n_cur + 1.0) / (t_cur + 10))
+                 * LN(((n_ref + 1.0) / (t_ref + 10)) / ((n_cur + 1.0) / (t_cur + 10))), 6) + 0 AS psi_term
+    FROM c, tot
+    """,
+)
+def dq2_distribution_drift(spark, sf_dir):
+    """Distribution drift between two pipeline runs (here: even vs odd
+    event_id halves standing in for yesterday/today) as a Population
+    Stability Index over 10 equal-width bins. Two passes: a global
+    min/max (exact, order-independent), then one binned count — the
+    whole PSI reduces to a 10-row aggregate however large the input.
+    Counts are Laplace-smoothed ((n+1)/(t+10), the standard empty-bin
+    guard — heavy-tailed values leave high bins empty in one half) and
+    a bin spine keeps all 10 bins on the record even when unoccupied.
+    PSI > 0.2 is the conventional retrain/alert threshold; per-bin
+    terms are emitted so the drifted region is identifiable."""
+    ev = t(spark, sf_dir, "events")
+    bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    binned = ev.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.floor((F.col("value") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 10))
+            .cast("int"),
+            F.lit(9),
+        ).alias("bin"),
+        (F.col("event_id") % 2).alias("half"),
+    )
+    c = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n_cur"),
+    )
+    spine = spark.range(10).select(F.col("id").cast("int").alias("bin"))
+    c = (
+        spine.join(c, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    tot = c.agg(F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur"))
+    p_ref = (F.col("n_ref") + 1.0) / (F.col("t_ref") + 10)
+    p_cur = (F.col("n_cur") + 1.0) / (F.col("t_cur") + 10)
+    return c.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        r6(p_ref, "p_ref"),
+        r6(p_cur, "p_cur"),
+        r6((p_ref - p_cur) * F.log(p_ref / p_cur), "psi_term"),
+    )
+
+
+@register(
+    "dq3_freshness_lag",
+    oracle="""
+    SELECT event_type,
+           MAX(ts) AS latest,
+           ROUND((epoch_us(MAX(MAX(ts)) OVER ()) - epoch_us(MAX(ts))) / 3600e6, 6) + 0
+             AS hours_behind
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def dq3_freshness_lag(spark, sf_dir):
+    """Per-stream freshness lag: each event type's latest timestamp vs
+    the freshest stream, in hours — the ingest-SLA monitoring query.
+    One aggregate to ≤ a handful of rows, then a global window over
+    those rows only (bounded by the event-type cardinality, never the
+    data size)."""
+    ev = t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(F.max("ts").alias("latest"))
+    w = W.partitionBy()
+    return agg.select(
+        "event_type",
+        "latest",
+        r6(
+            (F.unix_micros(F.max("latest").over(w)) - F.unix_micros("latest"))
+            / 3600e6,
+            "hours_behind",
+        ),
+    )

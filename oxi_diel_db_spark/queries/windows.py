@@ -263,3 +263,55 @@ def q55_event_transitions(spark, sf_dir):
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "q85_session_window",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w > INTERVAL 12 HOUR
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    )
+    SELECT user_id,
+           MIN(ts)                     AS session_start,
+           MAX(ts) + INTERVAL 12 HOUR  AS session_end,
+           COUNT(*)                    AS n_events,
+           SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS total_value
+    FROM s
+    GROUP BY user_id, sid
+    """,
+)
+def q85_session_window(spark, sf_dir):
+    """Batch sessionization via ``F.session_window`` (the batch twin of
+    st3's streaming session window): dynamic-gap sessions close 12 h
+    after the last event, so ``session_window.end = MAX(ts) + gap`` —
+    mirrored in the oracle's gaps-and-islands form (LAG → island id →
+    per-island aggregate). Spark executes this as ONE shuffle on
+    user_id followed by an in-partition session merge (no O(n²)
+    self-join); at 100 TB the plan is identical, sized by the user_id
+    shuffle. Events average ~10 h apart per user here, so a 12 h gap
+    yields real multi-event sessions (≈3 events/session at sf0.01)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "12 hours"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents("value")) / 100.0).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -31,6 +31,11 @@ _BASE_CONF = {
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     # Parquet: vectorized reader on, filter pushdown on (defaults, pinned).
     "spark.sql.parquet.filterPushdown": "true",
+    # Runtime row-level Bloom filters stay on with DEFAULT thresholds;
+    # pinned here so q87's lowered local thresholds are restored at the
+    # next query's configure() call.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "10GB",
     "spark.sql.ansi.enabled": "false",
     # events.parquet stores TIMESTAMP(NANOS). Spark 4.1+ reads it natively
     # as TIMESTAMP_NTZ (this legacy flag is ignored there); older readers

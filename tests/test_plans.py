@@ -203,3 +203,24 @@ def test_dpp_join_query_prunes_partitions(spark):
         "dynamicpruning" in plan.lower()
         or "PartitionFilters: [isnotnull(o_orderstatus" in plan
     ), plan[:2000]
+
+
+def test_runtime_bloom_join_injects_filter(spark):
+    """q87: with the application-side threshold lowered, the optimizer
+    must inject a runtime Bloom filter — creation side aggregates
+    `bloom_filter_agg` over the filtered orders keys and the lineitem
+    side probes with `BloomFilterMightContain` BEFORE the join."""
+    reg = load_registry()
+    df = reg["q87_runtime_bloom_join"].build(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "bloom_filter" in plan.lower() or "mightcontain" in plan.lower(), plan[:2000]
+
+
+def test_session_window_single_shuffle(spark):
+    """q85: batch sessionization is ONE exchange on the grouping key
+    (session merge happens in-partition after the shuffle) — no
+    self-join, no second aggregation exchange."""
+    reg = load_registry()
+    df = reg["q85_session_window"].build(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]

@@ -1,0 +1,113 @@
+"""Data-quality operator tests (dq1-dq3): the audit must FIND planted
+violations (not report vacuous zeros), PSI must survive empty bins,
+and freshness lag must be exact to the microsecond."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from oxi_diel_db_spark.queries import load_registry
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_constraint_audit_finds_planted_violations(spark):
+    reg = load_registry()
+    rows = {r["constraint"]: r for r in reg["dq1_constraint_audit"].build(spark, SF).collect()}
+    assert len(rows) == 6
+    # deliberately-tight constraints MUST report violations
+    assert rows["range_lineitem_quantity_1_40"]["n_violations"] > 0
+    assert rows["enum_events_event_type"]["n_violations"] > 0
+    # clean constraints MUST report zero (no false positives)
+    assert rows["fk_orders_custkey"]["n_violations"] == 0
+    assert rows["notnull_documents_text"]["n_violations"] == 0
+    assert rows["unique_customer_custkey"]["n_violations"] == 0
+    for r in rows.values():
+        assert math.isclose(
+            r["violation_rate"], round(r["n_violations"] / r["n_checked"], 6), abs_tol=1e-9
+        )
+
+
+def test_psi_handles_empty_bins(spark):
+    """A half with an entirely-empty bin must yield a finite smoothed
+    PSI term, never NaN/inf (the raw formula divides by zero)."""
+    reg = load_registry()
+    out = reg["dq2_distribution_drift"].build(spark, SF).collect()
+    assert sorted(r["bin"] for r in out) == list(range(10))  # full spine
+    for r in out:
+        assert math.isfinite(r["psi_term"]) and math.isfinite(r["p_ref"])
+        assert r["p_ref"] > 0 and r["p_cur"] > 0  # smoothing floor
+    # even/odd halves of one distribution: total PSI ~ 0 (no drift)
+    assert sum(r["psi_term"] for r in out) < 0.05
+
+
+def test_psi_synthetic_drift_detected(spark):
+    """Planted drift (cur shifted up by 3 of 10 bins) must push PSI
+    over the 0.2 alert threshold when computed with the same smoothed
+    formula."""
+    n = 2000
+    ref = spark.range(n).select((F.col("id") % 10).cast("double").alias("v"), F.lit(0).alias("half"))
+    cur = spark.range(n).select(
+        F.least((F.col("id") % 10) + 3, F.lit(9)).cast("double").alias("v"),
+        F.lit(1).alias("half"),
+    )
+    u = ref.unionByName(cur)
+    c = (
+        u.groupBy(F.col("v").cast("int").alias("bin"))
+        .agg(
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n_ref"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n_cur"),
+        )
+        .collect()
+    )
+    t_ref = sum(r["n_ref"] for r in c)
+    t_cur = sum(r["n_cur"] for r in c)
+    psi = sum(
+        ((r["n_ref"] + 1.0) / (t_ref + 10) - (r["n_cur"] + 1.0) / (t_cur + 10))
+        * math.log(((r["n_ref"] + 1.0) / (t_ref + 10)) / ((r["n_cur"] + 1.0) / (t_cur + 10)))
+        for r in c
+    )
+    assert psi > 0.2
+
+
+def test_freshness_lag_zero_for_freshest(spark):
+    reg = load_registry()
+    out = reg["dq3_freshness_lag"].build(spark, SF).collect()
+    lags = sorted(r["hours_behind"] for r in out)
+    assert lags[0] == 0.0  # the freshest stream lags itself by zero
+    assert all(v >= 0 for v in lags)
+
+
+def test_session_window_semantics(spark):
+    """q85's gap semantics on a hand-built stream: events 10 min apart
+    merge, a > gap hole splits, end = last event + gap."""
+    from oxi_diel_db_spark.queries import REGISTRY
+
+    e = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 1.0),
+            (1, "2024-01-01 00:10:00", 2.0),
+            (1, "2024-01-01 13:00:00", 4.0),
+            (2, "2024-01-01 01:00:00", 8.0),
+        ],
+        "user_id long, ts string, value double",
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "value")
+    out = (
+        e.groupBy(F.session_window("ts", "12 hours"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").cast("string").alias("s"),
+            F.col("session_window.end").cast("string").alias("e"),
+            "n_events",
+        )
+        .collect()
+    )
+    got = {(r["user_id"], r["s"], r["e"]): r["n_events"] for r in out}
+    assert got == {
+        (1, "2024-01-01 00:00:00", "2024-01-01 12:10:00"): 2,
+        (1, "2024-01-01 13:00:00", "2024-01-02 01:00:00"): 1,
+        (2, "2024-01-01 01:00:00", "2024-01-01 13:00:00"): 1,
+    }
