@@ -521,3 +521,107 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             )
 
     return media.mapInPandas(_sample, schema=FRAME_SCHEMA)
+
+
+# --------------------------------------------------------------------
+# Perceptual image hashing (average hash) over REAL decoded pixels —
+# content-level image dedup, the multimodal twin of the text near-dup
+# family in operators/dedup.py.
+# --------------------------------------------------------------------
+
+
+def ahash64(arr: np.ndarray) -> int:
+    """64-bit average hash of an (h, w, 3) uint8 RGB array: Rec.601
+    luma → 8×8 nearest-neighbor downsample → threshold at the mean →
+    row-major bit pack. Luma (not the channel mean) on purpose: it is
+    CHANNEL-ORDER SENSITIVE, so a decoder that forgets BMP's BGR→RGB
+    swap (or its bottom-up row order) produces a different hash and
+    the cross-format clusters in mm8 fail to merge."""
+    h, w = arr.shape[:2]
+    luma = (
+        0.299 * arr[:, :, 0].astype(np.float64)
+        + 0.587 * arr[:, :, 1].astype(np.float64)
+        + 0.114 * arr[:, :, 2].astype(np.float64)
+    )
+    yi = np.arange(8) * h // 8
+    xi = np.arange(8) * w // 8
+    s = luma[yi][:, xi]
+    bits = (s > s.mean()).reshape(-1)
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+AHASH_SCHEMA = "doc_id bigint, fmt string, ahash bigint"
+
+
+def image_ahash(media: DataFrame) -> DataFrame:
+    """Arrow-batched decode → perceptual hash per image payload.
+    Non-image payloads are dropped. At 100 TB this is one narrow
+    mapInPandas pass; the downstream dedup is a groupBy on the 8-byte
+    hash (exact-match clustering) or a banded Hamming join for
+    near-match — both shuffle hashes, never pixels."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "fmt": [], "ahash": []}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(p)
+                if raw[:2] not in (b"P6", b"BM"):
+                    continue
+                d = decode_media(raw, want_array=True)
+                out["doc_id"].append(int(doc_id))
+                out["fmt"].append(d["fmt"])
+                out["ahash"].append(ahash64(d["array"]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "fmt": pd.Series(out["fmt"], dtype="object"),
+                    "ahash": pd.Series(out["ahash"], dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(_hash, schema=AHASH_SCHEMA)
+
+
+def neardup_fixture_table(docs: DataFrame, id_col: str = "doc_id", n_groups: int = 40) -> DataFrame:
+    """Image fixtures for content-level dedup: every doc in group
+    ``g = doc_id % n_groups`` carries the SAME pseudo-random image
+    (RandomState(1000+g), dims from g alone) — but alternating group
+    OCCURRENCES ship it as PPM (top-down RGB) vs BMP (bottom-up BGR +
+    row padding): format parity is ``(doc_id // n_groups) % 2``, which
+    alternates WITHIN a group (``doc_id % 2`` would not — group members
+    differ by multiples of n_groups, so their low bit is constant).
+    Clusters therefore merge across formats ONLY under a correct
+    decode; the group arithmetic gives mm8 a closed-form oracle with
+    no image engine on the DuckDB side."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                g = i % n_groups
+                w = 8 + (g % 5) * 4
+                h = 8 + ((g // 5) % 4) * 4
+                img = np.random.RandomState(1000 + g).randint(
+                    0, 256, size=(h, w, 3)
+                ).astype(np.uint8)
+                if (i // n_groups) % 2 == 0:
+                    payloads.append(encode_ppm(w, h, img.reshape(-1)))
+                else:
+                    # file order: bottom-up rows, BGR channels
+                    payloads.append(
+                        encode_bmp(w, h, img[::-1, :, ::-1].reshape(-1))
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload": payloads,
+                }
+            )
+
+    return docs.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        _encode, schema="doc_id bigint, payload binary"
+    )

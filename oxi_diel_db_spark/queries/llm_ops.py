@@ -2157,3 +2157,48 @@ def d14_incremental_neardup(spark, sf_dir):
     new = d.filter(F.col("doc_id") % 7 == 0)
     existing = d.filter(F.col("doc_id") % 7 != 0)
     return dedup.incremental_lsh_pairs(new, existing, threshold=0.25)
+
+
+@register(
+    "mm8_image_neardup",
+    # Closed-form oracle: the fixture plants group g = doc_id % 40 with
+    # identical image CONTENT per group but alternating containers per
+    # occurrence ((doc_id // 40) % 2: PPM top-down RGB vs BMP bottom-up
+    # BGR — doc_id % 2 would be constant within a group). Clusters merge
+    # across the two formats only if the decoder handles BMP's row
+    # flip + channel swap + padding — a format-blind or bytes-level
+    # "hash" yields 2 clusters per group and fails the count/hash gate.
+    oracle="""
+    SELECT MIN(doc_id)                 AS cluster_id,
+           COUNT(*)                    AS n_members,
+           CAST(COUNT(DISTINCT (doc_id // 40) % 2) AS INT) AS n_formats
+    FROM documents
+    GROUP BY doc_id % 40
+    """,
+)
+def mm8_image_neardup(spark, sf_dir):
+    """Content-level image dedup over REAL decoded pixels: perceptual
+    average-hash (Rec.601 luma → 8×8 downsample → mean threshold) via
+    Arrow-batched mapInPandas, then exact clustering on the 64-bit
+    hash. The multimodal twin of d1/d3: pixels never shuffle — only
+    (doc_id, ahash) pairs do, so the grouping cost at 100 TB is a
+    shuffle of 16-byte rows regardless of image size. Near-match
+    (Hamming ≤ k) extends the same plan with a banded self-join on
+    hash bands, exactly like operators/dedup.simhash."""
+    from oxi_diel_db_spark.operators.multimodal import (
+        image_ahash,
+        neardup_fixture_table,
+    )
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    hashed = image_ahash(neardup_fixture_table(d))
+    return (
+        hashed.groupBy("ahash")
+        .agg(
+            F.min("doc_id").alias("cluster_id"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.count_distinct("fmt").cast("int").alias("n_formats"),
+        )
+        .drop("ahash")
+        .select("cluster_id", "n_members", "n_formats")
+    )

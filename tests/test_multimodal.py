@@ -213,3 +213,92 @@ def test_audio_features_known_samples(spark):
     img = MM.encode_ppm(2, 2, np.zeros(12))
     docs2 = spark.createDataFrame([(6, bytearray(img))], "doc_id long, payload binary")
     assert MM.audio_features(docs2).count() == 0
+
+
+# ---------------------------------------------------------------- aHash
+
+
+def test_ahash_cross_format_equal():
+    """The same image content as PPM (top-down RGB) and BMP (bottom-up
+    BGR + padding) must hash identically — only a decoder that undoes
+    the BMP geometry does this."""
+    import numpy as np
+
+    from oxi_diel_db_spark.operators.multimodal import (
+        ahash64,
+        decode_media,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    img = np.random.RandomState(7).randint(0, 256, size=(12, 20, 3)).astype(np.uint8)
+    ppm = encode_ppm(20, 12, img.reshape(-1))
+    bmp = encode_bmp(20, 12, img[::-1, :, ::-1].reshape(-1))
+    a_ppm = ahash64(decode_media(ppm, want_array=True)["array"])
+    a_bmp = ahash64(decode_media(bmp, want_array=True)["array"])
+    assert a_ppm == a_bmp
+    # a decode that FORGOT the bottom-up flip or the BGR swap diverges
+    assert ahash64(img[::-1]) != a_ppm
+    assert ahash64(img[:, :, ::-1]) != a_ppm
+
+
+def test_ahash_resize_invariant():
+    """ahash ∘ resize_images(8, 8) == ahash: both use the same
+    nearest-neighbor index formula, so the pipeline composition is
+    exact (resize-then-hash equals hash-directly)."""
+    import numpy as np
+
+    from oxi_diel_db_spark.operators.multimodal import (
+        ahash64,
+        decode_media,
+        encode_ppm,
+    )
+
+    img = np.random.RandomState(11).randint(0, 256, size=(16, 24, 3)).astype(np.uint8)
+    direct = ahash64(img)
+    yi = np.arange(8) * 16 // 8
+    xi = np.arange(8) * 24 // 8
+    resized = img[yi][:, xi]
+    rt = decode_media(encode_ppm(8, 8, resized.reshape(-1)), want_array=True)["array"]
+    assert ahash64(rt) == direct
+
+
+def test_ahash_noise_robust():
+    """Small pixel noise must move few bits (that's what makes it a
+    near-dup hash, not a checksum): ±1 on every pixel flips ≤ 4 of 64
+    bits for this seed."""
+    import numpy as np
+
+    from oxi_diel_db_spark.operators.multimodal import ahash64
+
+    img = np.random.RandomState(3).randint(1, 255, size=(16, 16, 3)).astype(np.uint8)
+    noise = np.random.RandomState(4).choice([-1, 1], size=img.shape)
+    noisy = (img.astype(np.int32) + noise).clip(0, 255).astype(np.uint8)
+    ham = bin((ahash64(img) ^ ahash64(noisy)) & ((1 << 64) - 1)).count("1")
+    assert ham <= 4
+    # while DIFFERENT random content is far away
+    other = np.random.RandomState(5).randint(0, 256, size=(16, 16, 3)).astype(np.uint8)
+    ham_other = bin((ahash64(img) ^ ahash64(other)) & ((1 << 64) - 1)).count("1")
+    assert ham_other >= 16
+
+
+def test_mm8_clusters_merge_formats(spark):
+    """End-to-end: every fixture group with both parities present must
+    collapse to ONE cluster spanning both containers."""
+    from oxi_diel_db_spark.operators.multimodal import (
+        image_ahash,
+        neardup_fixture_table,
+    )
+
+    docs = spark.range(80).withColumnRenamed("id", "doc_id")
+    hashed = image_ahash(neardup_fixture_table(docs))
+    clusters = (
+        hashed.groupBy("ahash")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.count_distinct("fmt").alias("n_formats"),
+        )
+        .collect()
+    )
+    assert len(clusters) == 40  # one cluster per planted group
+    assert all(r["n_members"] == 2 and r["n_formats"] == 2 for r in clusters)
