@@ -67,6 +67,11 @@ HEADLINE = [
     "g1_pagerank",
     "q69_zorder_stats",
     "q83_bucketed_join",
+    "q87_runtime_bloom_join",
+    # batch sessionization + data-quality audit (third-leg additions)
+    "q85_session_window",
+    "dq1_constraint_audit",
+    "mm8_image_neardup",
     # materials domain
     "m04_born_trace_invariant",
     "m11_site_explode_agg",

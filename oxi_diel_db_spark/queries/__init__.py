@@ -78,20 +78,26 @@ _R5_PRIORITY = [
     "m34_eigvals_closed_form",
     "d13_neardup_curation",
     "st10_stream_upsert_sink",
-    # never-driver-sampled: relational core (incl. the flagship q01)
+    # born in the round-5 third leg (locally hash-verified at
+    # sf0.001 + sf0.01): the data-quality family, batch sessionization,
+    # VARIANT, runtime Bloom join, image content dedup
+    "dq1_constraint_audit",
+    "dq2_distribution_drift",
+    "dq3_freshness_lag",
+    "q85_session_window",
+    "q86_variant_json",
+    "q87_runtime_bloom_join",
+    "mm8_image_neardup",
+    # never-driver-sampled: relational core (incl. the flagship q01;
+    # q04/q05/q07/q10/q11/q13/q14 rotated to r6 to make room for the
+    # seven third-leg queries — q03/q06/q08/q09/q12 keep the family
+    # shapes on the record)
     "q01_pricing_summary",
     "q03_predicates",
-    "q04_case_buckets",
-    "q05_global_sort",
     "q06_topk",
-    "q07_union_all",
     "q08_intersect",
     "q09_except",
-    "q10_string_funcs",
-    "q11_datetime",
     "q12_json_extract",
-    "q13_null_handling",
-    "q14_math_funcs",
     # windows
     "q40_ranking",
     "q41_lag_lead",
