@@ -445,3 +445,52 @@ def q81_dataset_profile(spark, sf_dir):
         "min_val",
         "max_val",
     )
+
+
+@register(
+    "q88_ohlc_resample",
+    # The oracle derives open/close by explicit ROW_NUMBER over the
+    # deterministic (ts, event_id) order — semantically identical to
+    # the engine's native argmin/argmax, implementation-independent.
+    oracle="""
+    WITH x AS (
+      SELECT event_type, date_trunc('hour', ts) AS bar_hour, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts, event_id)           AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT event_type, bar_hour,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value)                             AS high,
+           MIN(value)                             AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           COUNT(*)                               AS n_ticks,
+           SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS volume
+    FROM x
+    GROUP BY event_type, bar_hour
+    """,
+)
+def q88_ohlc_resample(spark, sf_dir):
+    """Time-series downsampling to OHLC bars (the metrics/market shape
+    of q56's rollup): per (stream, hour), open/close are the values at
+    the deterministic (ts, event_id) extremes via native
+    ``min_by``/``max_by`` with a struct ordering key — single hash
+    aggregate, no window, no self-join. At 100 TB this is one partial-
+    aggregated shuffle of (type, hour) cells; the window-based oracle
+    form would shuffle every row into a sort, which is exactly what
+    argmin/argmax aggregation avoids."""
+    e = t(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("bar_hour"))
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+            sum_money("value", "volume"),
+        )
+    )

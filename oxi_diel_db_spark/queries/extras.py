@@ -1432,3 +1432,38 @@ def q87_runtime_bloom_join(spark, sf_dir):
             sum_money(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
         )
     )
+
+
+@register(
+    "q89_xml_source",
+    oracle=f"""
+    SELECT o_orderkey,
+           o_orderkey               AS xml_key,
+           o_orderstatus            AS xml_status,
+           CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)       AS xml_price_cents
+    FROM orders
+    WHERE o_orderkey < 3000
+    """,
+)
+def q89_xml_source(spark, sf_dir):
+    """Semi-structured XML ingest (the XML twin of q86's VARIANT row):
+    documents are built from order fields, then parsed back with Spark
+    4's native ``from_xml`` into a typed struct — the oracle recomputes
+    the fields arithmetically, so a parse that drops/shifts any element
+    fails the value hash. At scale the same expression chain ingests
+    real XML feeds (spark.read.format('xml') shares the parser)."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    cents_price = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    xml = F.format_string(
+        "<order><key>%d</key><status>%s</status><price>%d</price></order>",
+        F.col("o_orderkey"),
+        F.col("o_orderstatus"),
+        cents_price,
+    )
+    parsed = F.from_xml(xml, "key BIGINT, status STRING, price BIGINT")
+    return o.select(
+        "o_orderkey",
+        parsed.getField("key").alias("xml_key"),
+        parsed.getField("status").alias("xml_status"),
+        parsed.getField("price").alias("xml_price_cents"),
+    )

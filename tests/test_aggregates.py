@@ -139,3 +139,27 @@ def test_q75_approx_ntile_agrees_with_exact(spark, sf_dir):
     off_by_one = sum(1 for k in got if abs(got[k] - exact[k]) <= 1)
     assert agree / len(got) > 0.9, agree / len(got)
     assert off_by_one == len(got)
+
+
+def test_ohlc_open_close_tie_break(spark):
+    """min_by/max_by with a (ts, event_id) struct key: equal timestamps
+    resolve by event_id, so open/close are deterministic even when the
+    bar's extreme ts is shared."""
+    from pyspark.sql import functions as F
+
+    e = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 5.0),
+            (2, "2024-01-01 00:00:00", 7.0),  # same ts, higher id
+            (3, "2024-01-01 00:30:00", 6.0),
+        ],
+        "event_id long, ts string, value double",
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"), "value")
+    key = F.struct("ts", "event_id")
+    row = (
+        e.groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.min_by("value", key).alias("open"), F.max_by("value", key).alias("close"))
+        .collect()[0]
+    )
+    assert row["open"] == 5.0  # event_id 1 wins the ts tie
+    assert row["close"] == 6.0

@@ -224,3 +224,14 @@ def test_session_window_single_shuffle(spark):
     df = reg["q85_session_window"].build(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+
+
+def test_ohlc_is_aggregate_not_window(spark):
+    """q88: open/close come from argmin/argmax AGGREGATION — the plan
+    must contain no Window operator and only the one aggregation
+    exchange (the window-based formulation would sort every row)."""
+    reg = load_registry()
+    df = reg["q88_ohlc_resample"].build(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan[:2000]
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
