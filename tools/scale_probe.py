@@ -604,6 +604,126 @@ def bucketed_probe(n_m: float = 20) -> None:
     }))
 
 
+
+def sessions_probe(n_m: float = 20) -> None:
+    """q85's shape at scale: sessionize n_m million events over 500k
+    users (~40 events/user, exponential-ish inter-arrival so sessions
+    split realistically) and compare session_window vs the
+    gaps-and-islands window form. Also times the dq audit shapes."""
+    import time
+
+    from oxi_diel_db_spark.session import get_spark
+
+    n = int(n_m * 1_000_000)
+    spark = get_spark("sessions_probe")
+    ev = (
+        spark.range(0, n)
+        .select(
+            F.col("id").alias("event_id"),
+            (F.col("id") % 500_000).alias("user_id"),
+            F.timestamp_micros(
+                F.lit(1704067200000000)
+                + (F.col("id") / 500_000).cast("long") * 3_600_000_000
+                + F.pmod(F.hash("id"), F.lit(7_200_000_000))
+            ).alias("ts"),
+            (F.pmod(F.hash("id", F.lit(1)), F.lit(100000)) / 100.0).alias("value"),
+        )
+    )
+    ev.limit(10).collect()  # warmup
+
+    t0 = time.time()
+    sw = (
+        ev.groupBy(F.session_window("ts", "4 hours"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .groupBy()
+        .agg(F.count(F.lit(1)), F.sum("n"))
+        .collect()
+    )
+    t_sw = time.time() - t0
+    print(f"session_window   {n_m}M events -> {sw[0][0]} sessions: {t_sw:.2f}s")
+
+    from pyspark.sql import Window as W
+
+    t0 = time.time()
+    w = W.partitionBy("user_id").orderBy("ts")
+    gi = (
+        ev.withColumn(
+            "new_s",
+            F.when(
+                F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+                > 4 * 3600,
+                1,
+            )
+            .otherwise(0)
+            + F.when(F.lag("ts").over(w).isNull(), 1).otherwise(0),
+        )
+        .withColumn("sid", F.sum("new_s").over(w.rowsBetween(W.unboundedPreceding, 0)))
+        .groupBy("user_id", "sid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy()
+        .agg(F.count(F.lit(1)), F.sum("n"))
+        .collect()
+    )
+    t_gi = time.time() - t0
+    print(f"gaps_and_islands {n_m}M events -> {gi[0][0]} sessions: {t_gi:.2f}s")
+
+    # dq audit shapes at the same scale
+    t0 = time.time()
+    ev.agg(
+        F.count(F.lit(1)),
+        F.sum(F.when(F.col("value") > 900, 1).otherwise(0)),
+        F.count_distinct("user_id"),
+    ).collect()
+    print(f"dq_audit_agg     {n_m}M events: {time.time() - t0:.2f}s")
+
+    t0 = time.time()
+    bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            F.least(
+                F.floor((F.col("value") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 10)).cast("int"),
+                F.lit(9),
+            ).alias("bin"),
+            (F.col("event_id") % 2).alias("half"),
+        )
+        .count()
+        .collect()
+    )
+    print(f"dq_psi_bins      {n_m}M events: {time.time() - t0:.2f}s")
+
+
+def images_probe(n_k: float = 100) -> None:
+    """mm8's decode+aHash throughput: n_k thousand synthetic images
+    through the fixture encoder and the perceptual-hash kernel."""
+    import time
+
+    from oxi_diel_db_spark.operators.multimodal import (
+        image_ahash,
+        neardup_fixture_table,
+    )
+    from oxi_diel_db_spark.session import get_spark
+
+    n = int(n_k * 1000)
+    spark = get_spark("images_probe")
+    docs = spark.range(n).withColumnRenamed("id", "doc_id").repartition(32)
+    docs.limit(10).collect()
+    t0 = time.time()
+    out = (
+        image_ahash(neardup_fixture_table(docs, n_groups=max(n // 10, 1)))
+        .groupBy("ahash")
+        .count()
+        .groupBy()
+        .agg(F.count(F.lit(1)), F.sum("count"))
+        .collect()
+    )
+    dt = time.time() - t0
+    print(
+        f"ahash {n_k}k images: {dt:.2f}s ({n / dt / 1000:.0f}k img/s), "
+        f"{out[0][0]} clusters over {out[0][1]} images"
+    )
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "docs":
         docs_probe(int(float(sys.argv[2]) * 1000) if len(sys.argv) > 2 else 500_000)
@@ -621,5 +741,9 @@ if __name__ == "__main__":
         cdc_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 5)
     elif len(sys.argv) > 1 and sys.argv[1] == "bucketed":
         bucketed_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 20)
+    elif len(sys.argv) > 1 and sys.argv[1] == "sessions":
+        sessions_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 20)
+    elif len(sys.argv) > 1 and sys.argv[1] == "images":
+        images_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 100)
     else:
         main()
