@@ -42,3 +42,31 @@ class FormulaExplode:
 
 def register_udtfs(spark) -> None:
     spark.udtf.register("formula_explode", FormulaExplode)
+    spark.udtf.register("ngram_explode", udtf(NgramExplode))
+
+
+class NgramExplode:
+    """POLYMORPHIC UDTF (Spark 4 ``analyze`` API): output schema is
+    computed at plan time from the CONSTANT n argument — ``n=3`` emits
+    (pos, w1, w2, w3), ``n=2`` emits (pos, w1, w2). The dynamic-schema
+    table function the engine exposes for n-gram feature extraction;
+    tokenization matches functions.text.norm_words (lower, split on
+    non-alphanumeric runs) so expression-based and UDTF-based n-grams
+    agree token-for-token."""
+
+    @staticmethod
+    def analyze(text, n):
+        from pyspark.sql.types import IntegerType, StringType, StructType
+        from pyspark.sql.udtf import AnalyzeResult
+
+        if n.value is None or not isinstance(n.value, int) or n.value < 1:
+            raise ValueError("n must be a constant positive integer")
+        schema = StructType().add("pos", IntegerType())
+        for k in range(n.value):
+            schema = schema.add(f"w{k + 1}", StringType())
+        return AnalyzeResult(schema=schema)
+
+    def eval(self, text: str, n: int):  # noqa: D102
+        words = [w for w in re.split("[^a-z0-9]+", (text or "").lower()) if w]
+        for i in range(len(words) - n + 1):
+            yield (i + 1, *words[i : i + n])

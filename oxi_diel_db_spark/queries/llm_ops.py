@@ -2202,3 +2202,36 @@ def mm8_image_neardup(spark, sf_dir):
         .drop("ahash")
         .select("cluster_id", "n_members", "n_formats")
     )
+
+
+@register(
+    "t11_ngram_udtf",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {TX.SQL_NORM_WORDS.format(t='text')} AS w
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id, CAST(i AS INT) AS pos,
+           w[i] AS w1, w[i + 1] AS w2, w[i + 2] AS w3
+    FROM toks, UNNEST(range(1, greatest(len(w) - 1, 1))) t(i)
+    """,
+)
+def t11_ngram_udtf(spark, sf_dir):
+    """§2.11 polymorphic UDTF (Spark 4 ``analyze``): word trigrams via
+    a table function whose OUTPUT SCHEMA is derived at plan time from
+    the constant n — the dynamic-schema UDTF surface (m19 is the
+    fixed-schema one). The oracle rebuilds the same trigrams from
+    1-indexed list slicing, so tokenization AND windowing must agree
+    across the Python UDTF, the Catalyst twin, and DuckDB."""
+    from oxi_diel_db_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).createOrReplaceTempView(
+        "docs_udtf"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, g.pos, g.w1, g.w2, g.w3
+        FROM docs_udtf d, LATERAL ngram_explode(d.text, 3) g
+        """
+    )

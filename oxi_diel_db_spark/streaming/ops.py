@@ -540,3 +540,60 @@ def compact_rollup(spark: SparkSession, out_dir: str) -> None:
             os.remove(os.path.join(out_dir, f"MANIFEST-{n}.json"))
         except OSError:
             pass
+
+
+def have_transform_with_state() -> bool:
+    """Spark 4's transformWithStateInPandas spawns a long-lived Python
+    driver worker that speaks protobuf to the JVM
+    (StreamingPythonRunner); without the google.protobuf package the
+    worker crashes at init. Gate, don't stub: the operator below is
+    real and runs wherever protobuf exists (any standard cluster
+    image); the test suite skips cleanly here."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_totals_tws(events: DataFrame) -> DataFrame:
+    """T6 on the NEW Spark 4 stateful API (transformWithStateInPandas):
+    per-user running (count, sum) via an explicit ValueState handle —
+    the typed-state successor of applyInPandasWithState (st6's
+    operator). Emits the running totals per key per micro-batch
+    (update mode); the final row per key equals the batch aggregate.
+
+    Requires the RocksDB state store provider (set by the caller; the
+    HDFS-backed default does not support transformWithState) and the
+    protobuf Python package (see have_transform_with_state).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle):
+            self.state = handle.getValueState("totals", "n bigint, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = 0, 0.0
+            if self.state.exists():
+                prev = self.state.get()
+                n, total = prev[0], prev[1]
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self.state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self):
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -211,9 +211,21 @@ def test_runtime_bloom_join_injects_filter(spark):
     `bloom_filter_agg` over the filtered orders keys and the lineitem
     side probes with `BloomFilterMightContain` BEFORE the join."""
     reg = load_registry()
-    df = reg["q87_runtime_bloom_join"].build(spark, SF)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "bloom_filter" in plan.lower() or "mightcontain" in plan.lower(), plan[:2000]
+    try:
+        df = reg["q87_runtime_bloom_join"].build(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert (
+            "bloom_filter" in plan.lower() or "mightcontain" in plan.lower()
+        ), plan[:2000]
+    finally:
+        # q87 lowers injection thresholds and disables broadcast for its
+        # own plan; restore so later raw-operator tests (which never go
+        # through configure()) keep the session defaults
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "10GB",
+        )
 
 
 def test_session_window_single_shuffle(spark):

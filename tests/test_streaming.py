@@ -448,3 +448,44 @@ def test_stream_upsert_sink_matches_batch_argmax(spark):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_transform_with_state_matches_batch(spark):
+    """The new-API stateful operator (transformWithStateInPandas)
+    produces, as its last emission per key, exactly the batch
+    aggregate. Skips where the container lacks the protobuf package
+    the API's Python driver worker requires."""
+    import pytest
+
+    from oxi_diel_db_spark.streaming import ops
+
+    if not ops.have_transform_with_state():
+        pytest.skip("google.protobuf absent: transformWithState worker cannot start")
+    from pyspark.sql import functions as F
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = ops.read_events_stream(spark, "/root/testdata/sf0.001")
+        tbl = ops.run_stream_to_memory(
+            ops.running_totals_tws(stream), spark, mode="update"
+        )
+        last = (
+            tbl.groupBy("user_id")
+            .agg(F.max("n_events").alias("n_events"))
+        )
+        from oxi_diel_db_spark.tables import load
+
+        batch = (
+            load(spark, "events", "/root/testdata/sf0.001")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+        assert last.exceptAll(batch).count() == 0
+        assert batch.exceptAll(last).count() == 0
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)

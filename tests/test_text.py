@@ -165,3 +165,32 @@ def test_weighted_sample_prefers_heavy_docs(spark, sf_dir):
     # deterministic: the same ids on a re-run
     again = {r["doc_id"] for r in weighted_sample(d, "doc_id", "n_chars", k=100, seed=11).collect()}
     assert again == {r["doc_id"] for r in sample}
+
+
+def test_ngram_udtf_polymorphic_schema(spark):
+    """The analyze() static method must derive the schema from the
+    constant n: n=2 -> (pos, w1, w2); n=4 -> (pos, w1..w4); and a
+    non-constant/invalid n must be rejected at plan time."""
+    import pytest
+
+    from oxi_diel_db_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    spark.createDataFrame(
+        [("the quick brown fox jumps",)], "text string"
+    ).createOrReplaceTempView("ngram_probe")
+    two = spark.sql(
+        "SELECT g.* FROM ngram_probe, LATERAL ngram_explode(text, 2) g"
+    )
+    assert two.columns == ["pos", "w1", "w2"]
+    assert two.count() == 4
+    four = spark.sql(
+        "SELECT g.* FROM ngram_probe, LATERAL ngram_explode(text, 4) g"
+    )
+    assert four.columns == ["pos", "w1", "w2", "w3", "w4"]
+    rows = four.collect()
+    assert rows[0]["w4"] == "fox" and rows[1]["w4"] == "jumps"
+    with pytest.raises(Exception, match="positive integer|n must be"):
+        spark.sql(
+            "SELECT g.* FROM ngram_probe, LATERAL ngram_explode(text, 0) g"
+        ).collect()
