@@ -318,3 +318,32 @@ def sql_weighted_sample(key: str, weight: str, k: int, seed: int) -> str:
     ORDER BY -ln({u}) / {weight}, {key}
     LIMIT {k}
     """
+
+
+def temperature_sample(
+    df: DataFrame, key: str, stratum: str, alpha: float = 0.7, seed: int = 42
+) -> DataFrame:
+    """Temperature-scaled corpus rebalancing (the multilingual sampling
+    rule of the mBERT/XLM-R line: sample stratum l proportional to
+    p_l^alpha). Per-stratum keep-rate = (p_l / p_min)^(alpha-1) — the
+    rarest stratum keeps everything, dominant strata are downsampled
+    toward the alpha-tempered distribution. Rates are DERIVED FROM THE
+    DATA (one tiny count aggregate, broadcast back), then applied
+    through the reproducible md5 gate; the rate is rounded to 6 dp
+    before the comparison so the gate is bit-deterministic across
+    engines. Two narrow passes at any scale: count per stratum, then a
+    broadcast-joined filter on the corpus scan."""
+    n = df.groupBy(stratum).agg(F.count(F.lit(1)).alias("__n"))
+    tot = n.agg(F.sum("__n").alias("__t"), F.min("__n").alias("__m"))
+    rates = n.crossJoin(F.broadcast(tot)).select(
+        stratum,
+        F.round(
+            F.pow(F.col("__n") / F.col("__m"), F.lit(alpha - 1.0)), 6
+        ).alias("keep_rate"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(seed), F.col(key))), 1, 8), 16, 10)
+        .cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    return df.join(F.broadcast(rates), stratum).filter(u < F.col("keep_rate"))

@@ -104,15 +104,17 @@ _R5_PRIORITY = [
     "q42_running_frames",
     "q43_range_frame",
     # materials tail
-    "m03_lowest_freq_invariant",
-    "m04_born_trace_invariant",
-    "m05_counting_invariants",
+    # born after the first leg-3 rotation edit (m03/m04/m05/m11/m12
+    # rotate to r6; m06-m09 + m29-m32 keep the materials families)
+    "dq4_k_anonymity",
+    "q88_ohlc_resample",
+    "q89_xml_source",
+    "t11_ngram_udtf",
+    "p11_temperature_sampling",
     "m06_screening",
     "m07_join_predictions",
     "m08_unscored_anti_join",
     "m09_parse_formula",
-    "m11_site_explode_agg",
-    "m12_en_ordered_formula",
     "m29_atomic_orbitals",
     "m30_voronoi_neighbors",
     "m31_ewald_site_energy",

@@ -2235,3 +2235,41 @@ def t11_ngram_udtf(spark, sf_dir):
         FROM docs_udtf d, LATERAL ngram_explode(d.text, 3) g
         """
     )
+
+
+@register(
+    "p11_temperature_sampling",
+    oracle="""
+    WITH n AS (
+      SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang
+    ), r AS (
+      SELECT lang, n_l,
+             ROUND(POW(n_l * 1.0 / (SELECT MIN(n_l) FROM n), 0.7 - 1.0), 6) AS keep_rate
+      FROM n
+    )
+    SELECT d.lang, r.n_l AS n_total, r.keep_rate, COUNT(*) AS n_sampled
+    FROM documents d
+    JOIN r ON d.lang = r.lang
+    WHERE CAST('0x' || substring(md5('42:' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+          / 4294967296.0 < r.keep_rate
+    GROUP BY d.lang, r.n_l, r.keep_rate
+    """,
+)
+def p11_temperature_sampling(spark, sf_dir):
+    """Temperature sampling (alpha = 0.7): rebalance the language
+    distribution toward p^alpha — rates derived from the corpus itself
+    (p_l/p_min)^(alpha-1), then applied via the md5 gate so the SAMPLE
+    IS REPRODUCIBLE across engines, runs, and cluster sizes. The
+    summary emits per-language totals, derived keep-rate, and the
+    exact sampled count."""
+    from oxi_diel_db_spark.operators.sampling import temperature_sample
+
+    d = t(spark, sf_dir, "documents")
+    n = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    sampled = temperature_sample(d, "doc_id", "lang", alpha=0.7, seed=42)
+    return (
+        sampled.groupBy("lang", "keep_rate")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .join(F.broadcast(n), "lang")
+        .select("lang", "n_total", "keep_rate", "n_sampled")
+    )

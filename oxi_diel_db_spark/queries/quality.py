@@ -14,8 +14,11 @@ Three shapes:
   min/max, then binned counts), no shuffle wider than 10 bins.
 * dq3 — per-partition freshness lag (how stale is each event stream
   vs the freshest one) — the monitoring query behind ingest SLAs.
+* dq4 — k-anonymous release: quasi-identifier cells below k are
+  suppressed into a masked residual before aggregates leave the
+  pipeline (the privacy gate next to t6's PII redaction).
 
-All three are fully SQL-expressible, so they sit under the exact
+All four are fully SQL-expressible, so they sit under the exact
 cross-engine value-hash gate.
 """
 
@@ -238,4 +241,52 @@ def dq3_freshness_lag(spark, sf_dir):
             / 3600e6,
             "hours_behind",
         ),
+    )
+
+
+@register(
+    "dq4_k_anonymity",
+    oracle="""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
+             SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS cents
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT CASE WHEN n >= 10 THEN CAST(c_nationkey AS VARCHAR) ELSE '*' END AS nation_qi,
+           CASE WHEN n >= 10 THEN c_mktsegment ELSE '*' END              AS segment_qi,
+           CAST(SUM(n) AS BIGINT) AS n_customers,
+           SUM(cents) / 100.0     AS total_acctbal
+    FROM g
+    GROUP BY 1, 2
+    """,
+)
+def dq4_k_anonymity(spark, sf_dir):
+    """k-anonymous release (k = 10) over the (nation, segment)
+    quasi-identifiers: groups smaller than k are SUPPRESSED — their
+    identifiers masked to '*' and their rows merged into one residual
+    cell — so no published cell describes fewer than k people (the
+    privacy gate a data-release pipeline runs before sharing
+    aggregates). Two hash aggregates end-to-end; the suppression
+    decision is itself data-derived, so the oracle must reproduce the
+    entire group→mask→re-aggregate chain."""
+    cu = t(spark, sf_dir, "customer")
+    g = cu.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("bigint")).alias("cents"),
+    )
+    keep = F.col("n") >= 10
+    return (
+        g.select(
+            F.when(keep, F.col("c_nationkey").cast("string"))
+            .otherwise(F.lit("*"))
+            .alias("nation_qi"),
+            F.when(keep, F.col("c_mktsegment")).otherwise(F.lit("*")).alias("segment_qi"),
+            "n",
+            "cents",
+        )
+        .groupBy("nation_qi", "segment_qi")
+        .agg(
+            F.sum("n").alias("n_customers"),
+            (F.sum("cents") / 100.0).alias("total_acctbal"),
+        )
     )

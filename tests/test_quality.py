@@ -111,3 +111,19 @@ def test_session_window_semantics(spark):
         (1, "2024-01-01 13:00:00", "2024-01-02 01:00:00"): 1,
         (2, "2024-01-01 01:00:00", "2024-01-01 13:00:00"): 1,
     }
+
+
+def test_k_anonymity_no_small_cells(spark):
+    """Every published cell must describe >= k people except the
+    masked residual — and the residual must absorb exactly the
+    suppressed population (nothing lost, nothing duplicated)."""
+    reg = load_registry()
+    out = reg["dq4_k_anonymity"].build(spark, "/root/testdata/sf0.01").collect()
+    residual = [r for r in out if r["nation_qi"] == "*"]
+    kept = [r for r in out if r["nation_qi"] != "*"]
+    assert all(r["n_customers"] >= 10 for r in kept)
+    assert len(residual) == 1 and residual[0]["segment_qi"] == "*"
+    total = sum(r["n_customers"] for r in out)
+    from oxi_diel_db_spark.tables import load
+
+    assert total == load(spark, "customer", "/root/testdata/sf0.01").count()
