@@ -213,3 +213,98 @@ def test_wav_codec_roundtrip_property(n, sr, seed):
     assert (d["sample_rate"], d["channels"], d["n_values"]) == (sr, 1, n)
     assert (d["array"] == samples).all()
     assert d["mean_value"] == samples.mean()
+
+
+# ---------------------------------------------------------------- aHash laws
+
+
+@given(
+    w=st.integers(8, 24),
+    h=st.integers(8, 24),
+    seed=st.integers(0, 10_000),
+    shift=st.integers(1, 40),
+)
+@settings(max_examples=30, deadline=None)
+def test_ahash_brightness_invariant(w, h, seed, shift):
+    """Adding a constant to every pixel (global brightness) shifts the
+    luma and its mean equally, so the threshold pattern — and the hash
+    — is unchanged (as long as nothing clips). The defining perceptual
+    property: a checksum would change."""
+    from oxi_diel_db_spark.operators.multimodal import ahash64
+
+    img = np.random.RandomState(seed).randint(40, 200, size=(h, w, 3)).astype(np.uint8)
+    brighter = (img.astype(np.int32) + shift).clip(0, 255).astype(np.uint8)
+    assert (brighter > img).any()  # really shifted
+    assert ahash64(img) == ahash64(brighter)
+
+
+@given(w=st.integers(8, 24), h=st.integers(8, 24), seed=st.integers(0, 10_000))
+@settings(max_examples=30, deadline=None)
+def test_ahash_codec_independence(w, h, seed):
+    """Any image must hash identically through the PPM and BMP codecs
+    (encode → decode → hash), whatever the dims — the property the mm8
+    fixture samples at 40 planted groups."""
+    from oxi_diel_db_spark.operators.multimodal import (
+        ahash64,
+        decode_media,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    img = np.random.RandomState(seed).randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+    via_ppm = decode_media(encode_ppm(w, h, img.reshape(-1)), want_array=True)["array"]
+    via_bmp = decode_media(
+        encode_bmp(w, h, img[::-1, :, ::-1].reshape(-1)), want_array=True
+    )["array"]
+    assert ahash64(via_ppm) == ahash64(via_bmp) == ahash64(img)
+
+
+# ------------------------------------------------------------------ PSI laws
+
+
+@given(
+    ref=st.lists(st.integers(0, 5000), min_size=10, max_size=10),
+    cur=st.lists(st.integers(0, 5000), min_size=10, max_size=10),
+)
+@settings(max_examples=50, deadline=None)
+def test_psi_nonnegative_and_zero_iff_equal(ref, cur):
+    """The smoothed PSI is a sum of (p-q)·ln(p/q) terms, each ≥ 0
+    (same sign factors), zero exactly when the smoothed distributions
+    coincide — for ANY bin counts including empty bins (the Laplace
+    floor keeps every term finite)."""
+    import math
+
+    t_ref, t_cur = sum(ref) + 10, sum(cur) + 10
+    terms = [
+        ((r + 1) / t_ref - (c + 1) / t_cur)
+        * math.log(((r + 1) / t_ref) / ((c + 1) / t_cur))
+        for r, c in zip(ref, cur)
+    ]
+    assert all(x >= 0 and math.isfinite(x) for x in terms)
+    if ref == cur:
+        assert sum(terms) < 1e-12
+
+
+# -------------------------------------------------- temperature-sampling laws
+
+
+@given(
+    counts=st.lists(st.integers(1, 10_000), min_size=2, max_size=12),
+    alpha=st.floats(0.1, 1.0),
+)
+@settings(max_examples=50, deadline=None)
+def test_temperature_rates_laws(counts, alpha):
+    """(p/p_min)^(α−1): the rarest stratum always keeps everything,
+    rates are antitone in population (bigger strata never keep a
+    HIGHER rate), all rates in (0, 1], and α=1 is a no-op (uniform
+    rate 1 — no rebalancing)."""
+    m = min(counts)
+    rates = [(c / m) ** (alpha - 1.0) for c in counts]
+    assert all(0 < r <= 1.0 + 1e-12 for r in rates)
+    assert rates[counts.index(m)] == pytest.approx(1.0)
+    for (ca, ra), (cb, rb) in zip(
+        sorted(zip(counts, rates)), sorted(zip(counts, rates))[1:]
+    ):
+        assert ra >= rb - 1e-12  # antitone
+    if alpha == 1.0:
+        assert all(r == pytest.approx(1.0) for r in rates)
