@@ -58,8 +58,7 @@ def register(name: str, oracle: str | None = None):
 # behavior changed or that were born this round and (b) the queries
 # that have never received an official driver row across r1-r4 (the
 # r1-r4 union covered 107 of 161). The leftover never-sampled residue —
-# q58..q66, q51-q55, q02, q44, q74/q75/q79, m10 — is scheduled for the
-# r6 prefix (NOTES_r5).
+# see NOTES_r5 "r6 rotation plan" — is scheduled for the r6 prefix.
 _R5_PRIORITY = [
     # changed/new this round — need (re-)verification on the record
     "mm2_decode_features",
@@ -126,7 +125,7 @@ _R5_PRIORITY = [
     "q67_top_supplier",
     "q68_waiting_suppliers",
     "q81_dataset_profile",
-    "mm6_audio_features",
+    "q90_python_sink",
     "q76_merge_upsert",
 ]
 

@@ -1467,3 +1467,34 @@ def q89_xml_source(spark, sf_dir):
         parsed.getField("status").alias("xml_status"),
         parsed.getField("price").alias("xml_price_cents"),
     )
+
+
+@register(
+    "q90_python_sink",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q90_python_sink(spark, sf_dir):
+    """S9+ via the Spark 4 Python DataSource WRITE path (the writer
+    twin of q80's POSCAR reader): documents shard to one JSONL file
+    per partition through sources/jsonl_sink.py — task-local
+    serialization, no driver collect — then the shards are read back
+    with the standard JSON reader and re-aggregated under the hash
+    gate, so a sink that drops/duplicates/mangles any row fails."""
+    import shutil
+
+    from oxi_diel_db_spark.sources.jsonl_sink import register_sink
+
+    register_sink(spark)
+    out = _scratch("jsonl_shards_docs")
+    shutil.rmtree(out, ignore_errors=True)
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    d.write.format("jsonl_shards").option("path", out).mode("append").save()
+    back = spark.read.schema("doc_id bigint, lang string, n_chars bigint").json(out)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )

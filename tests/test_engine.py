@@ -45,3 +45,26 @@ def test_table_and_query_access(eng):
 def test_prediction_api(eng):
     pred = eng.predict_log10_eps("SiO2", "electronic", "comp", num_trees=10)
     assert 0.0 < pred < 1.5  # log10 of a plausible electronic epsilon
+
+
+def test_python_sink_shards_and_preserves_rows(spark, tmp_path):
+    """The custom Python DataSource sink must write one shard per
+    partition and preserve every row byte-exactly (read-back equals
+    input)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from oxi_diel_db_spark.sources.jsonl_sink import register_sink
+
+    register_sink(spark)
+    out = str(tmp_path / "shards")
+    df = spark.range(1000).select(
+        "id", (F.col("id") % 7).alias("k")
+    ).repartition(5)
+    df.write.format("jsonl_shards").option("path", out).mode("append").save()
+    files = glob.glob(out + "/part-*.jsonl")
+    assert len(files) == 5
+    back = spark.read.schema("id bigint, k bigint").json(out)
+    assert back.count() == 1000
+    assert back.exceptAll(df).count() == 0 and df.exceptAll(back).count() == 0
