@@ -489,3 +489,90 @@ def test_transform_with_state_matches_batch(spark):
     finally:
         if prev:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Kill-and-resume correctness: a stateful aggregation is driven
+    over half the replay files, STOPPED, then a NEW query object is
+    started from the same checkpoint and fed the rest. The file source
+    must not re-process the pre-stop files (no double counting) and
+    the state store must resume (no losses): the final complete-mode
+    output equals the one-shot batch aggregate."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from oxi_diel_db_spark.tables import load
+
+    ev = load(spark, "events", "/root/testdata/sf0.001")
+    # 4-file replay split by event_id stripe, mtime-ordered
+    replay = str(tmp_path / "replay")
+    os.makedirs(replay)
+    for i in range(4):
+        tmp = str(tmp_path / f"band{i}")
+        ev.filter(F.col("event_id") % 4 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(replay, f"b{i}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_000_000_000 + i * 10,) * 2)
+
+    # stage the first two files only
+    live = str(tmp_path / "live")
+    os.makedirs(live)
+    for i in range(2):
+        shutil.copy2(os.path.join(replay, f"b{i}.parquet"), live)
+
+    schema = spark.read.parquet(replay).schema
+    ckpt = str(tmp_path / "ckpt")
+
+    def start(name):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(live)
+        )
+        agg = stream.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("cents"),
+        )
+        return (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q1 = start("ckpt_leg1")
+    q1.processAllAvailable()
+    q1.stop()
+    q1.awaitTermination()
+    seen_leg1 = {r["event_type"]: r["n"] for r in spark.table("ckpt_leg1").collect()}
+    assert sum(seen_leg1.values()) == ev.filter(F.col("event_id") % 4 < 2).count()
+
+    # deliver the remaining files, restart from the SAME checkpoint
+    for i in range(2, 4):
+        shutil.copy2(os.path.join(replay, f"b{i}.parquet"), live)
+    q2 = start("ckpt_leg2")
+    q2.processAllAvailable()
+    q2.stop()
+    q2.awaitTermination()
+
+    got = {
+        (r["event_type"]): (r["n"], r["cents"])
+        for r in spark.table("ckpt_leg2").collect()
+    }
+    want = {
+        r["event_type"]: (r["n"], r["cents"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("cents"),
+        )
+        .collect()
+    }
+    assert got == want  # exactly-once: nothing lost, nothing doubled
