@@ -11,7 +11,8 @@ Differences are deliberate fixes of documented reference bugs
   hits NameError when neither is given, main.py:32-33).
 
 Subcommands: predict (S2/S3/S4 sources → S6 stdout sink), ingest,
-bench.
+list (registry inventory), query (run any registry operator by name —
+table/JSONL output or the formatted physical plan).
 """
 
 from __future__ import annotations
@@ -102,6 +103,37 @@ def cmd_predict(args) -> None:
     print(f"Predicted epsilon: {10 ** pred}")
 
 
+def cmd_list(_args) -> None:
+    from oxi_diel_db_spark.queries import load_registry
+
+    for name, qdef in load_registry().items():
+        doc = (qdef.build.__doc__ or "").strip().split("\n")[0]
+        gate = "oracle" if qdef.oracle else "rows-only"
+        print(f"{name:32s} [{gate}] {doc}")
+
+
+def cmd_query(args) -> None:
+    from oxi_diel_db_spark.queries import load_registry
+    from oxi_diel_db_spark.session import get_spark
+
+    reg = load_registry()
+    if args.name not in reg:
+        sys.exit(
+            f"query: unknown query {args.name!r} "
+            f"(run `oxi_diel_db_spark list` for the registry)"
+        )
+    spark = get_spark("oxi_diel_db_spark.query")
+    df = reg[args.name].build(spark, args.sf_dir)
+    if args.explain:
+        df.explain("formatted")
+        return
+    if args.json:
+        for row in df.limit(args.limit).collect():  # S6 stdout sink
+            print(json.dumps(row.asDict(), default=str, sort_keys=True))
+    else:
+        df.show(args.limit, truncate=False)
+
+
 def cmd_ingest(_args) -> None:
     from oxi_diel_db_spark.session import get_spark
     from oxi_diel_db_spark.sources.materials import ingest_to_parquet
@@ -143,6 +175,23 @@ def main(argv: list[str] | None = None) -> None:
 
     p = sub.add_parser("ingest", help="reference JSON corpus → data/ parquet")
     p.set_defaults(fn=cmd_ingest)
+
+    p = sub.add_parser("list", help="list every registry query")
+    p.set_defaults(fn=cmd_list)
+
+    p = sub.add_parser("query", help="run a registry query by name")
+    p.add_argument("name", help="registry key, e.g. q01_pricing_summary")
+    p.add_argument(
+        "--sf-dir", default="/root/testdata/sf0.01", help="parquet table directory"
+    )
+    p.add_argument("--limit", type=int, default=20, help="rows to print")
+    p.add_argument(
+        "--json", action="store_true", help="JSONL to stdout instead of a table"
+    )
+    p.add_argument(
+        "--explain", action="store_true", help="print the formatted physical plan"
+    )
+    p.set_defaults(fn=cmd_query)
 
     args = parser.parse_args(argv)
     args.fn(args)

@@ -89,3 +89,29 @@ def test_cli_structure_features_json():
     feats = cli._structure_features(A())
     assert set("".join(c for c in feats["formula"] if c.isalpha())) <= set("CaSnO")
     assert feats["vol_per_site"] > 0
+
+
+def test_cli_query_and_list(capsys):
+    """`query <name> --json` prints one JSON object per row through the
+    stdout sink; `list` enumerates the registry with its gate kind."""
+    import json as _json
+
+    from oxi_diel_db_spark.cli import main
+
+    main(["query", "dq3_freshness_lag", "--json", "--sf-dir", "/root/testdata/sf0.001"])
+    lines = [l for l in capsys.readouterr().out.strip().splitlines() if l.startswith("{")]
+    rows = [_json.loads(l) for l in lines]
+    assert len(rows) == 5 and all("hours_behind" in r for r in rows)
+
+    main(["list"])
+    out = capsys.readouterr().out
+    assert "q01_pricing_summary" in out and "[oracle]" in out and "[rows-only]" in out
+
+
+def test_cli_query_unknown_name_exits():
+    import pytest
+
+    from oxi_diel_db_spark.cli import main
+
+    with pytest.raises(SystemExit, match="unknown query"):
+        main(["query", "nope_not_a_query"])
