@@ -1072,3 +1072,54 @@ def incremental_lsh_pairs(
         .select("new_id", "existing_id", F.round(est, 6).alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
     )
+
+
+def hamming_neardup_pairs(
+    hashed: DataFrame,
+    hash_col: str = "simhash",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-match pairs over ANY 64-bit fingerprint column (SimHash,
+    mm8's image aHash, …) with a PIGEONHOLE guarantee: split the hash
+    into ``bands`` contiguous bit-bands and join on each band exactly —
+    two hashes within Hamming distance < bands must agree on at least
+    one whole band, so with bands = max_hamming + 1 no qualifying pair
+    can be missed (unlike simhash_pairs' single high-bits block, which
+    trades recall for one shuffle). Cost: ``bands`` self-joins on
+    short integer keys, then exact bit_count verification — candidate
+    volume is governed by band-collision rates, never all-pairs."""
+    if bands < max_hamming + 1:
+        raise ValueError("pigeonhole guarantee needs bands > max_hamming")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    h = F.col(hash_col)
+    banded = hashed.select(
+        F.col(id_col),
+        h.alias("__h"),
+        *[
+            F.shiftrightunsigned(h, i * width).bitwiseAND(F.lit(mask)).alias(f"__b{i}")
+            for i in range(bands)
+        ],
+    )
+    cands = None
+    for i in range(bands):
+        a = banded.select(
+            F.col(id_col).alias("id_a"), F.col("__h").alias("h_a"), f"__b{i}"
+        )
+        b = banded.select(
+            F.col(id_col).alias("id_b"), F.col("__h").alias("h_b"), f"__b{i}"
+        )
+        c = (
+            a.join(b, f"__b{i}")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "h_a", "h_b")
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        cands.distinct()
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -17,8 +17,11 @@ Three shapes:
 * dq4 — k-anonymous release: quasi-identifier cells below k are
   suppressed into a masked residual before aggregates leave the
   pipeline (the privacy gate next to t6's PII redaction).
+* dq5 — ingest-volume anomaly detection over a date spine: a day that
+  produced NOTHING still appears (n = 0) and must be flagged against
+  the trailing 7-day average.
 
-All four are fully SQL-expressible, so they sit under the exact
+All five are fully SQL-expressible, so they sit under the exact
 cross-engine value-hash gate.
 """
 
@@ -289,4 +292,68 @@ def dq4_k_anonymity(spark, sf_dir):
             F.sum("n").alias("n_customers"),
             (F.sum("cents") / 100.0).alias("total_acctbal"),
         )
+    )
+
+
+@register(
+    "dq5_volume_anomaly",
+    oracle="""
+    WITH ev AS (
+      SELECT * FROM events WHERE NOT day(ts) = 15
+    ), bounds AS (
+      SELECT CAST(date_trunc('day', MIN(ts)) AS DATE) AS d0,
+             CAST(date_trunc('day', MAX(ts)) AS DATE) AS d1
+      FROM ev
+    ), spine AS (
+      SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds
+    ), daily AS (
+      SELECT s.day, COUNT(e.event_id) AS n
+      FROM spine s LEFT JOIN ev e ON CAST(date_trunc('day', e.ts) AS DATE) = s.day
+      GROUP BY s.day
+    ), w AS (
+      SELECT day, n,
+             AVG(n) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+               AS trail
+      FROM daily
+    )
+    SELECT day, n,
+           ROUND(COALESCE(trail, n), 6) + 0 AS trailing_avg,
+           (trail IS NOT NULL AND n < 0.5 * trail) AS is_anomaly
+    FROM w
+    """,
+)
+def dq5_volume_anomaly(spark, sf_dir):
+    """Ingest-volume anomaly detection: rows per day against the
+    trailing 7-day average, with a DATE SPINE so a day that produced
+    NOTHING still appears (the usual failure a bare GROUP BY hides —
+    no rows, no group, no alert). Day 15 is filtered out in both
+    engines to stage exactly that outage: the spine resurrects it with
+    n = 0 and the detector must flag it (< 50% of trailing average).
+    One daily aggregate then a window over ~365 rows/year — never over
+    the data."""
+    ev = t(spark, sf_dir, "events").filter(F.dayofmonth("ts") != 15)
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("d0"),
+        F.date_trunc("day", F.max("ts")).cast("date").alias("d1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    daily = (
+        spine.join(
+            ev.select(F.date_trunc("day", "ts").cast("date").alias("day"), "event_id"),
+            "day",
+            "left",
+        )
+        .groupBy("day")
+        .agg(F.count("event_id").alias("n"))
+    )
+    w = W.orderBy("day").rowsBetween(-7, -1)
+    trail = F.avg("n").over(w)
+    return daily.select(
+        "day",
+        "n",
+        r6(F.coalesce(trail, F.col("n")), "trailing_avg"),
+        (trail.isNotNull() & (F.col("n") < 0.5 * trail)).alias("is_anomaly"),
     )

@@ -302,3 +302,41 @@ def test_mm8_clusters_merge_formats(spark):
     )
     assert len(clusters) == 40  # one cluster per planted group
     assert all(r["n_members"] == 2 and r["n_formats"] == 2 for r in clusters)
+
+
+def test_mm8_near_match_via_banded_hamming(spark):
+    """The claimed composition: mm8's aHash feeds the generic banded
+    Hamming join (pigeonhole over 4 16-bit bands) to find NEAR-matching
+    images — a perturbed copy (one sampled cell altered) lands within
+    Hamming <= 3 of its original and must be found without all-pairs."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from oxi_diel_db_spark.operators.dedup import hamming_neardup_pairs
+    from oxi_diel_db_spark.operators.multimodal import ahash64
+
+    rng = np.random.RandomState(123)
+    rows = []
+    for g in range(20):
+        img = rng.randint(0, 256, size=(16, 16, 3)).astype(np.uint8)
+        near = img.copy()
+        near[0, 0] = 255 - near[0, 0]  # flip one sampled cell hard
+        rows.append((g * 2, int(ahash64(img))))
+        rows.append((g * 2 + 1, int(ahash64(near))))
+    hashed = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "ahash"])
+    )
+    pairs = hamming_neardup_pairs(
+        hashed, hash_col="ahash", id_col="doc_id", max_hamming=3, bands=4
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    planted = {(g * 2, g * 2 + 1) for g in range(20)}
+    missing = {
+        p for p in planted - found
+        # only pairs genuinely within the radius are owed to us
+        if bin((dict(rows)[p[0]] ^ dict(rows)[p[1]]) & ((1 << 64) - 1)).count("1") <= 3
+    }
+    assert not missing  # pigeonhole: nothing in-radius may be missed
+    assert all(r["hamming"] <= 3 for r in pairs)

@@ -127,3 +127,16 @@ def test_k_anonymity_no_small_cells(spark):
     from oxi_diel_db_spark.tables import load
 
     assert total == load(spark, "customer", "/root/testdata/sf0.01").count()
+
+
+def test_volume_anomaly_flags_staged_outage(spark):
+    """The staged outage day (15th, filtered in-query) must surface on
+    the date spine with n = 0 and be flagged; fully-present days with a
+    trailing window must not be."""
+    reg = load_registry()
+    out = reg["dq5_volume_anomaly"].build(spark, "/root/testdata/sf0.01").collect()
+    by_day = {r["day"].day: r for r in out}
+    assert by_day[15]["n"] == 0 and by_day[15]["is_anomaly"] is True
+    normal = [r for r in out if r["day"].day not in (15,) and r["trailing_avg"] > 0]
+    # a normal day sits near its trailing average - none flagged
+    assert all(r["is_anomaly"] is False for r in normal if r["day"].day > 8)
