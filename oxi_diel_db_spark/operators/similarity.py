@@ -443,3 +443,51 @@ def pq_topk(
         encoded, codebook, probes, k=k, m=m,
         id_col=id_col, probe_id_col=probe_id_col, vec_col=vec_col,
     )
+
+
+def filtered_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    filter_col: str,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "query_id",
+) -> DataFrame:
+    """Metadata-FILTERED vector search (the hybrid-search shape): each
+    probe's neighbors are restricted to corpus rows sharing its
+    ``filter_col`` value (tenant, language, label, …) — filtering
+    happens BEFORE ranking (pre-filter), so top-k is exact within the
+    predicate rather than a post-filtered, possibly-short tail of an
+    unfiltered top-k (the classic vector-store correctness trap).
+
+    At scale the predicate rides the corpus scan (partition/row-group
+    pruning when the table is laid out by the filter column — q69/q83
+    posture); the IVF variant applies the same predicate inside the
+    selected cells only. Here: broadcast probes, stream corpus, one
+    top-k window per probe — no corpus shuffle."""
+    c = corpus.select(
+        F.col(id_col), F.col(filter_col).alias("__fc"), as_double(vec_col).alias("cv")
+    ).withColumn("cn", norm(F.col("cv")))
+    p = probes.select(
+        F.col(probe_id_col).alias("query_id"),
+        F.col(filter_col).alias("__fp"),
+        as_double(vec_col).alias("pv"),
+    ).withColumn("pn", norm(F.col("pv")))
+    cos = F.round(
+        dot(F.col("pv"), F.col("cv")) / (F.col("pn") * F.col("cn")), 6
+    ) + F.lit(0.0)
+    scored = (
+        F.broadcast(p)
+        .join(c, F.col("__fp") == F.col("__fc"))  # the metadata predicate
+        .filter(F.col("query_id") != F.col(id_col))
+        .select("query_id", F.col(id_col).alias("neighbor_id"), cos.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos", "rn")
+    )

@@ -2273,3 +2273,36 @@ def p11_temperature_sampling(spark, sf_dir):
         .join(F.broadcast(n), "lang")
         .select("lang", "n_total", "keep_rate", "n_sampled")
     )
+
+
+@register(
+    "s6_filtered_ann",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (SELECT vec_id AS query_id, label, v AS pv FROM e WHERE vec_id < 5),
+    scored AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             ROUND(list_dot_product(p.pv, c.v)
+                   / (sqrt(list_dot_product(p.pv, p.pv)) * sqrt(list_dot_product(c.v, c.v))), 6) + 0 AS cos
+      FROM p JOIN e c ON p.label = c.label
+      WHERE c.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cos, rn FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= 10
+    """,
+)
+def s6_filtered_ann(spark, sf_dir):
+    """Metadata-filtered vector search (hybrid search): each probe's
+    top-10 is computed WITHIN its label partition — pre-filter, so the
+    result is exact under the predicate (a post-filtered unfiltered
+    top-k silently returns short/wrong lists when the predicate is
+    selective: the classic vector-store trap, and the reason
+    operators/similarity.filtered_topk exists as its own recipe)."""
+    emb = t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    return similarity.filtered_topk(emb, probes, filter_col="label", k=10)

@@ -138,3 +138,41 @@ def test_pq_twin_recovery_and_recall(spark, emb):
         for r in similarity.pq_topk(emb, base, k=30).collect()
     }
     assert len(exact & approx) / len(exact) >= 0.8
+
+
+def test_filtered_ann_prefilter_not_postfilter(spark):
+    """Pre-filter vs post-filter: with a selective predicate, the
+    post-filtered unfiltered top-k returns SHORT lists while the
+    pre-filtered search still yields k exact in-predicate neighbors —
+    the difference s6 exists to pin down."""
+    from pyspark.sql import functions as F
+
+    from oxi_diel_db_spark.operators.similarity import brute_force_topk, filtered_topk
+    from oxi_diel_db_spark.tables import load
+
+    emb = load(spark, "embeddings", "/root/testdata/sf0.01")
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    pre = filtered_topk(emb, probes, filter_col="label", k=10)
+    assert all(r["rn"] <= 10 for r in pre.collect())
+    counts = {r["query_id"]: r["n"] for r in pre.groupBy("query_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(v == 10 for v in counts.values())  # full lists under the predicate
+
+    # post-filter: take the unfiltered top-10, THEN apply the predicate
+    post = brute_force_topk(emb, probes.drop("label"), k=10).join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "label"), "neighbor_id"
+    ).join(
+        probes.select("query_id", F.col("label").alias("plabel")), "query_id"
+    ).filter(F.col("label") == F.col("plabel"))
+    post_counts = {
+        r["query_id"]: r["n"]
+        for r in post.groupBy("query_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # with several labels in the corpus, the post-filtered lists come up short
+    assert any(post_counts.get(q, 0) < 10 for q in counts)
+    # and every pre-filtered neighbor really shares the probe's label
+    chk = pre.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "label"), "neighbor_id"
+    ).join(probes.select("query_id", F.col("label").alias("plabel")), "query_id")
+    assert chk.filter(F.col("label") != F.col("plabel")).count() == 0
