@@ -251,16 +251,29 @@ def m16_site_energy(spark, sf_dir):
     return site_energy_stats(M.materials(spark))
 
 
-@register("st6_stateful_counts", oracle=None)  # custom state — rows-only
+@register(
+    "st6_stateful_counts",
+    # full value-hash gate (upgraded from rows-only): update mode emits
+    # a RUNNING total per key per micro-batch, so the final value per
+    # key — max over emissions — must equal the batch aggregate. The
+    # raw emission log (per-batch trajectory) stays asserted in
+    # tests/test_streaming.py.
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+    """,
+)
 def st6_stateful_counts(spark, sf_dir):
     """T6: applyInPandasWithState running per-user counters, streamed to
-    a memory sink in update mode; batch-equivalence in pytest."""
+    a memory sink in update mode; the query returns each key's FINAL
+    state (max emission), which a correct stateful operator must land
+    exactly on the batch count."""
     from oxi_diel_db_spark.streaming import ops
 
     stream = ops.read_events_stream(spark, sf_dir)
-    return ops.run_stream_to_memory(
+    log = ops.run_stream_to_memory(
         ops.stateful_user_counts(stream), spark, mode="update"
     )
+    return log.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
 
 
 @register("ml1_rf_scoring", oracle=None)  # statistical parity — pytest floor

@@ -589,10 +589,46 @@ def p4_sequence_packing(spark, sf_dir):
     return pack_sequences(d, "doc_id", "n_tok", budget=2048, seed=42)
 
 
-@register("p5_greedy_packing", oracle=None)  # sequential state — pytest-verified
+@register(
+    "p5_greedy_packing",
+    # full value-hash gate (upgraded from rows-only): the per-shard
+    # sequential greedy state is replayed EXACTLY by a recursive-CTE
+    # walk — one recursion step per (shard, position), all shards
+    # advancing in parallel per iteration.
+    oracle=r"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tok,
+             substring(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+      FROM documents
+    ), ordered AS (
+      SELECT doc_id, n_tok, h,
+             CAST('0x' || substring(h, 1, 2) AS INT) % 4 AS shard,
+             LEAST(n_tok, 2048) AS tok,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY CAST('0x' || substring(h, 1, 2) AS INT) % 4
+               ORDER BY h, doc_id) AS INT) AS rn
+      FROM base
+    ), walk(shard, rn, used, bin) AS (
+      SELECT shard, rn, tok, 0 FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.shard, o.rn,
+             CASE WHEN w.used + o.tok > 2048 THEN o.tok ELSE w.used + o.tok END,
+             CASE WHEN w.used + o.tok > 2048 THEN w.bin + 1 ELSE w.bin END
+      FROM walk w JOIN ordered o ON o.shard = w.shard AND o.rn = w.rn + 1
+    )
+    SELECT o.doc_id, o.n_tok,
+           CAST(o.shard AS VARCHAR) || '_' || CAST(w.bin AS VARCHAR) AS bin_id
+    FROM ordered o JOIN walk w ON o.shard = w.shard AND o.rn = w.rn
+    """,
+)
 def p5_greedy_packing(spark, sf_dir):
     """Exact greedy packing (strict ≤ budget per bin) via sharded
-    applyInPandas — the stateful twin of p4's cumsum packing."""
+    applyInPandas — the stateful twin of p4's cumsum packing. The
+    DuckDB twin replays the same sequential walk with a recursive CTE,
+    so even this applyInPandas stage sits under the full value-hash
+    gate (a drift in shard hashing, ordering, capping, or the overflow
+    rule shows up as a bin_id mismatch)."""
     from oxi_diel_db_spark.operators.sampling import pack_sequences_greedy
 
     d = t(spark, sf_dir, "documents").select(

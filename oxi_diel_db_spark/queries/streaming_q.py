@@ -83,11 +83,20 @@ def st3_session_window(spark, sf_dir):
     return ops.session_windows(t(spark, sf_dir, "events"), "10 minutes")
 
 
-@register("st4_stream_dedup", oracle=None)  # stateful streaming — rows-only
+@register(
+    "st4_stream_dedup",
+    # full value-hash gate (upgraded from rows-only): the deduped
+    # append stream's final content is exactly the distinct event set,
+    # and ts is ns→µs-normalized identically in both engines
+    oracle="""
+    SELECT DISTINCT event_id, ts, user_id, event_type FROM events
+    """,
+)
 def st4_stream_dedup(spark, sf_dir):
     """T5 stateful dedup under watermark, streamed to a memory sink.
-    events has unique event_ids, so output row-count == input row-count;
-    the interesting assertion (dup injection) lives in
+    events has unique event_ids, so the final sink content equals the
+    distinct event set (value-hash checked); the interesting assertion
+    (dup injection actually dropping rows) lives in
     tests/test_streaming.py."""
     stream = ops.read_events_stream(spark, sf_dir)
     deduped = ops.deduped_stream(stream).select("event_id", "ts", "user_id", "event_type")
