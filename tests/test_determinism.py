@@ -1,0 +1,141 @@
+"""Plan-independence: a hash-gated query's VALUES must not depend on
+the physical plan. Re-running representative queries with AQE disabled
+and with a deliberately odd shuffle-partition count must reproduce the
+exact value hash — the cross-engine gate only means something if the
+Spark side is stable against its own planner first."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+
+from oxi_diel_db_spark.queries import load_registry
+
+SF = "/root/testdata/sf0.001"
+
+# one per execution family: hash-agg, banded LSH join, session merge,
+# sharded applyInPandas, mapInPandas site kernel
+REPRESENTATIVE = [
+    "q01_pricing_summary",
+    "d3_minhash_lsh",
+    "q85_session_window",
+    "p5_greedy_packing",
+    "m16_site_energy",
+]
+
+
+def _norm(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else f"{v:.9g}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm(x) for x in v) + "]"
+    return str(v)
+
+
+def _value_hash(df) -> str:
+    cols = df.columns
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "|".join(_norm(r[i]) for i in order) for r in df.collect()
+    )
+    h = hashlib.md5()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVE)
+def test_value_hash_plan_independent(spark, name):
+    reg = load_registry()
+    baseline = _value_hash(reg[name].build(spark, SF))
+    # IMPORTANT: the registered builder calls configure(), which pins
+    # AQE back on — so the confs must change AFTER build() and BEFORE
+    # the collect (physical planning is lazy, so the altered planner
+    # settings really govern the re-run).
+    df = reg[name].build(spark, SF)
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        altered = _value_hash(df)
+        if name == "q01_pricing_summary":
+            # prove the knob really bit (only for the pure-lazy query:
+            # operators that eagerly materialize during build — d3's
+            # persisted signatures — planned their inner stages before
+            # the conf change, which is fine; their VALUES still match)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "AdaptiveSparkPlan" not in plan
+        assert altered == baseline
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100_000)),  # (user, seconds)
+        min_size=1,
+        max_size=60,
+    ),
+    gap_s=st.sampled_from([600, 3600, 14400]),
+)
+@settings(max_examples=15, deadline=None)
+def test_session_window_equals_gaps_and_islands(spark, events, gap_s):
+    """q85's two formulations must agree on ANY stream: Spark's
+    session_window merge and the LAG-based island construction yield
+    identical (user, start, end, count) sets — including duplicate
+    timestamps and single-event sessions."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(u, s) for u, s in events], "u long, s long"
+    ).select("u", F.timestamp_seconds(F.col("s") + 1_700_000_000).alias("ts"))
+
+    sw = {
+        (r["u"], str(r["st"]), str(r["en"]), r["n"])
+        for r in df.groupBy(F.session_window("ts", f"{gap_s} seconds"), "u")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "u",
+            F.col("session_window.start").alias("st"),
+            F.col("session_window.end").alias("en"),
+            "n",
+        )
+        .collect()
+    }
+    w = W.partitionBy("u").orderBy("ts")
+    gi = {
+        (r["u"], str(r["st"]), str(r["en"]), r["n"])
+        for r in df.withColumn(
+            "new_s",
+            F.when(
+                F.lag("ts").over(w).isNull()
+                | (
+                    F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+                    > gap_s
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("sid", F.sum("new_s").over(w.rowsBetween(W.unboundedPreceding, 0)))
+        .groupBy("u", "sid")
+        .agg(
+            F.min("ts").alias("st"),
+            (F.max("ts") + F.expr(f"INTERVAL {gap_s} SECONDS")).alias("en"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .drop("sid")
+        .collect()
+    }
+    assert sw == gi
