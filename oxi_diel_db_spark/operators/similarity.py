@@ -202,6 +202,7 @@ def ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    filter_col: str | None = None,
 ) -> tuple[DataFrame, list[tuple]]:
     """IVF index build: returns (assigned corpus with a ``cell`` column,
     centroid list). The assignment is the expensive pass — O(|corpus| ×
@@ -211,9 +212,12 @@ def ivf_index(
     ivf_topk, but for one batch of probes a brute-force scan is often
     cheaper than building the index (measured in tools/scale_probe.py
     vectors mode) — IVF's win is the amortized query path."""
-    c = corpus.select(F.col(id_col), as_double(vec_col).alias("cv")).withColumn(
-        "cn", norm(F.col("cv"))
-    )
+    keep = [F.col(id_col), as_double(vec_col).alias("cv")]
+    if filter_col:
+        # metadata rides the index (s6/s7's hybrid-search predicate is
+        # applied INSIDE the selected cells — never post-filtered)
+        keep.insert(1, F.col(filter_col).alias("__fc"))
+    c = corpus.select(*keep).withColumn("cn", norm(F.col("cv")))
     cents = _seed_centroids(c, n_centroids, id_col, seed)
     assigned = c.withColumn(
         "cell", -F.array_max(_cell_sims(cents, F.col("cv"), F.col("cn"))).getField("neg_id")
@@ -231,6 +235,7 @@ def ivf_search(
     probe_id_col: str = "query_id",
     vec_col: str = "embedding",
     broadcast_probes: bool = True,
+    filter_col: str | None = None,
 ) -> DataFrame:
     """Query side of the IVF index: route each probe to its nprobe
     nearest centroids, score only those cells' members. Cost per query
@@ -242,13 +247,15 @@ def ivf_search(
     would OOM the driver — pass False to shuffle-hash-join on cell
     instead (both sides exchange on the ~n_centroids cell keys; a hot
     cell is AQE skew-join territory, or raise n_centroids)."""
-    p = probes.select(
-        F.col(probe_id_col).alias("query_id"), as_double(vec_col).alias("pv")
-    ).withColumn("pn", norm(F.col("pv")))
+    pcols = [F.col(probe_id_col).alias("query_id"), as_double(vec_col).alias("pv")]
+    if filter_col:
+        pcols.append(F.col(filter_col).alias("__fp"))
+    p = probes.select(*pcols).withColumn("pn", norm(F.col("pv")))
     routed = p.select(
         "query_id",
         "pv",
         "pn",
+        *(["__fp"] if filter_col else []),
         F.explode(
             F.transform(
                 F.slice(
@@ -264,8 +271,11 @@ def ivf_search(
         dot(F.col("pv"), F.col("cv")) / (F.col("pn") * F.col("cn")), 6
     ) + F.lit(0.0)
     left = F.broadcast(routed) if broadcast_probes else routed.hint("shuffle_hash")
+    joined = left.join(assigned, "cell")
+    if filter_col:
+        joined = joined.filter(F.col("__fp") == F.col("__fc"))
     scored = (
-        left.join(assigned, "cell")
+        joined
         .filter(F.col("query_id") != F.col(id_col))
         .select("query_id", F.col(id_col).alias("neighbor_id"), cos.alias("cos"))
     )
@@ -289,6 +299,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     probe_id_col: str = "query_id",
     seed: int = 42,
+    filter_col: str | None = None,
 ) -> DataFrame:
     """Single-shot IVF top-k (index build + search in one plan; see
     ivf_index for the amortized deployment shape).
@@ -298,10 +309,13 @@ def ivf_topk(
     cells — and therefore the result — is bit-identical across engines
     (full DuckDB oracle, unlike LSH's rows-only check).
     """
-    assigned, cents = ivf_index(corpus, n_centroids, id_col, vec_col, seed)
+    assigned, cents = ivf_index(
+        corpus, n_centroids, id_col, vec_col, seed, filter_col=filter_col
+    )
     return ivf_search(
         assigned, cents, probes, k=k, nprobe=nprobe,
         id_col=id_col, probe_id_col=probe_id_col, vec_col=vec_col,
+        filter_col=filter_col,
     )
 
 

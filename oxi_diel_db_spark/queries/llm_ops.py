@@ -2342,3 +2342,56 @@ def s6_filtered_ann(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "label", "embedding"
     )
     return similarity.filtered_topk(emb, probes, filter_col="label", k=10)
+
+
+@register(
+    "s7_ivf_filtered",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (
+      SELECT vec_id AS cent_id, v AS centv
+      FROM e ORDER BY md5('ivf42:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+    ),
+    assign AS (
+      SELECT vec_id, label, v, cell FROM (
+        SELECT e.vec_id, e.label, e.v, c.cent_id AS cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_SQL_COS.format(a='e.v', b='c.centv')} DESC, c.cent_id) AS crn
+        FROM e CROSS JOIN cents c) WHERE crn = 1
+    ),
+    probes AS (SELECT vec_id AS query_id, label, v AS pv FROM e WHERE vec_id < 5),
+    routed AS (
+      SELECT query_id, label, pv, cell FROM (
+        SELECT p.query_id, p.label, p.pv, c.cent_id AS cell,
+               ROW_NUMBER() OVER (PARTITION BY p.query_id
+                 ORDER BY {_SQL_COS.format(a='p.pv', b='c.centv')} DESC, c.cent_id) AS prn
+        FROM probes p CROSS JOIN cents c) WHERE prn <= 2
+    ),
+    scored AS (
+      SELECT r.query_id, a.vec_id AS neighbor_id,
+             {_SQL_COS.format(a='r.pv', b='a.v')} + 0 AS cos
+      FROM routed r JOIN assign a USING (cell)
+      WHERE a.vec_id <> r.query_id AND a.label = r.label
+    )
+    SELECT query_id, neighbor_id, cos, rn FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rn
+      FROM scored)
+    WHERE rn <= 10
+    """,
+)
+def s7_ivf_filtered(spark, sf_dir):
+    """Filtered IVF: s6's metadata predicate applied INSIDE the
+    selected cells of s3's index (the scale path the filtered_topk
+    docstring promises — here made real and hash-gated). The label
+    rides the index at build time, so a deployment filters cell
+    members without touching payload vectors of other tenants; the
+    candidate set stays |corpus|·nprobe/n_centroids, then shrinks by
+    the predicate's selectivity."""
+    emb = t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    return similarity.ivf_topk(
+        emb, probes, k=10, n_centroids=8, nprobe=2, filter_col="label"
+    )

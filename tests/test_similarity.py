@@ -176,3 +176,27 @@ def test_filtered_ann_prefilter_not_postfilter(spark):
         emb.select(F.col("vec_id").alias("neighbor_id"), "label"), "neighbor_id"
     ).join(probes.select("query_id", F.col("label").alias("plabel")), "query_id")
     assert chk.filter(F.col("label") != F.col("plabel")).count() == 0
+
+
+def test_ivf_filtered_respects_predicate_and_recall(spark):
+    """s7: every neighbor shares the probe's label, and the in-cell
+    predicate loses little vs the filtered brute force (recall@10
+    floor on this corpus)."""
+    from pyspark.sql import functions as F
+
+    from oxi_diel_db_spark.operators.similarity import filtered_topk, ivf_topk
+    from oxi_diel_db_spark.tables import load
+
+    emb = load(spark, "embeddings", "/root/testdata/sf0.01")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    ivf = ivf_topk(emb, probes, k=10, n_centroids=8, nprobe=2, filter_col="label")
+    chk = ivf.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "label"), "neighbor_id"
+    ).join(probes.select("query_id", F.col("label").alias("plabel")), "query_id")
+    assert chk.filter(F.col("label") != F.col("plabel")).count() == 0
+
+    truth = filtered_topk(emb, probes, filter_col="label", k=10)
+    hit = ivf.join(truth, ["query_id", "neighbor_id"], "inner").count()
+    assert hit / truth.count() >= 0.3  # aggressive pruning on 500 vecs
