@@ -2395,3 +2395,70 @@ def s7_ivf_filtered(spark, sf_dir):
     return similarity.ivf_topk(
         emb, probes, k=10, n_centroids=8, nprobe=2, filter_col="label"
     )
+
+
+@register(
+    "p12_leakage_safe_split",
+    # d8's recursive-CTE closure derives the SAME clusters, singletons
+    # keep their own id, and the split hashes the CLUSTER id — so the
+    # oracle replays clustering AND split end-to-end.
+    oracle=f"""
+    WITH RECURSIVE {_SQL_WORDS_CTE.strip()},
+    {_SQL_SHINGLES_CTE.strip()},
+    sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sz sa ON doc_a = sa.doc_id
+      JOIN sz sb ON doc_b = sb.doc_id
+      WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.2
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION SELECT a, a FROM edges
+      UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    labels AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+    full_l AS (
+      SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN substring(md5('csplit:' || CAST(cluster_id AS VARCHAR)), 1, 8)
+                     < 'cccccccc' THEN 'train'
+                WHEN substring(md5('csplit:' || CAST(cluster_id AS VARCHAR)), 1, 8)
+                     < 'e6666666' THEN 'val'
+                ELSE 'test' END AS split
+    FROM full_l
+    """,
+)
+def p12_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/val/test split: the unit of assignment is the
+    NEAR-DUP CLUSTER, not the document — a doc and its near-copies can
+    never straddle train and test (the contamination p8's per-doc split
+    permits and eval papers keep re-discovering). Composition: d2's
+    Jaccard pairs → d8's connected components → p8's hash split applied
+    to the cluster id; singletons ride under their own id. Everything
+    stays deterministic, so the full chain sits under the value-hash
+    gate."""
+    d = t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.2)
+    labels = dedup.dedup_clusters(pairs)
+    full = d.select("doc_id").join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
+    )
+    h = F.substring(
+        F.md5(F.concat_ws(":", F.lit("csplit"), F.col("cluster_id"))), 1, 8
+    )
+    return full.withColumn(
+        "split",
+        F.when(h < "cccccccc", "train").when(h < "e6666666", "val").otherwise("test"),
+    )

