@@ -41,12 +41,15 @@ def _audit_row(df, constraint: str, violation_col, n_checked_col=None):
     n_checked = (
         F.count(n_checked_col) if n_checked_col is not None else F.count(F.lit(1))
     )
+    # COALESCE: SUM over an EMPTY table is NULL — an audit must report
+    # 0 violations over 0 rows, not null (rate 0 likewise)
+    n_viol = F.coalesce(F.sum(F.when(violation_col, 1).otherwise(0)), F.lit(0))
     return df.agg(
         F.lit(constraint).alias("constraint"),
         n_checked.alias("n_checked"),
-        F.sum(F.when(violation_col, 1).otherwise(0)).alias("n_violations"),
+        n_viol.alias("n_violations"),
         r6(
-            F.sum(F.when(violation_col, 1).otherwise(0)) / n_checked,
+            F.coalesce(n_viol / n_checked, F.lit(0.0)),
             "violation_rate",
         ),
     )
@@ -105,7 +108,11 @@ def dq1_constraint_audit(spark, sf_dir):
         F.count(F.lit(1)).alias("n_checked"),
         (F.count(F.lit(1)) - F.count_distinct("c_custkey")).alias("n_violations"),
         r6(
-            (F.count(F.lit(1)) - F.count_distinct("c_custkey")) / F.count(F.lit(1)),
+            F.coalesce(
+                (F.count(F.lit(1)) - F.count_distinct("c_custkey"))
+                / F.count(F.lit(1)),
+                F.lit(0.0),
+            ),
             "violation_rate",
         ),
     )
