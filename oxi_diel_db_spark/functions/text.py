@@ -118,20 +118,30 @@ PUNCT_RE = "[.,;:!?]"
 def token_count(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     # idx=0 (whole match) — Spark's default idx is 1, DuckDB's is 0.
-    return F.size(F.regexp_extract_all(c, F.lit(TOKEN_RE), 0))
+    # greatest(·, 0): with ansi off Spark's legacy size(NULL) is -1; a
+    # NULL text must count 0 tokens, not -1 (a -1 silently corrupts
+    # downstream packing budgets and length buckets).
+    return F.greatest(
+        F.size(F.regexp_extract_all(c, F.lit(TOKEN_RE), 0)), F.lit(0)
+    )
 
 
-SQL_TOKEN_COUNT = "len(regexp_extract_all({t}, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))"
+SQL_TOKEN_COUNT = (
+    "COALESCE(len(regexp_extract_all({t}, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')), 0)"
+)
 
 
 def ws_token_count(text: Column | str) -> Column:
-    """Whitespace tokenization count."""
+    """Whitespace tokenization count (0 for NULL text — see
+    token_count's legacy size(NULL) note)."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.size(F.filter(F.split(c, "\\s+"), lambda x: x != ""))
+    return F.greatest(
+        F.size(F.filter(F.split(c, "\\s+"), lambda x: x != "")), F.lit(0)
+    )
 
 
 SQL_WS_TOKEN_COUNT = (
-    "len(list_filter(string_split_regex({t}, '\\s+'), x -> x <> ''))"
+    "COALESCE(len(list_filter(string_split_regex({t}, '\\s+'), x -> x <> '')), 0)"
 )
 
 
@@ -141,7 +151,9 @@ def quality_score(text: Column | str) -> Column:
     All components are exact rationals over counts → cross-engine stable."""
     c = F.col(text) if isinstance(text, str) else text
     words = norm_words(c)
-    n_words = F.size(words)
+    # greatest(·, 0): legacy size(NULL) = -1 under ansi-off would leak a
+    # NEGATIVE length term into the score for NULL text
+    n_words = F.greatest(F.size(words), F.lit(0))
     all_stop = [w for sw in STOPWORDS.values() for w in sw]
     n_stop = F.size(
         F.filter(words, lambda x: x.isin(all_stop))
@@ -153,10 +165,12 @@ def quality_score(text: Column | str) -> Column:
     alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
     len_score = F.least(n_words / F.lit(100.0), F.lit(1.0))
     punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
-    return F.round(
+    score = F.round(
         0.4 * stop_ratio + 0.3 * alpha_ratio + 0.2 * len_score + 0.1 * (1 - punct_ratio),
         6,
     )
+    # NULL text is worst-quality by definition, not "no punctuation"
+    return F.when(c.isNull(), F.lit(0.0)).otherwise(score)
 
 
 def sql_quality_score(t: str) -> str:
@@ -164,6 +178,7 @@ def sql_quality_score(t: str) -> str:
     all_stop = [w for sw in STOPWORDS.values() for w in sw]
     stop_list = ", ".join(repr(w) for w in all_stop)
     return f"""
+    CASE WHEN {t} IS NULL THEN 0.0 ELSE
     ROUND(
       0.4 * (CASE WHEN len({words}) > 0
                   THEN len(list_filter({words}, x -> x IN ({stop_list}))) / len({words})
@@ -176,6 +191,7 @@ def sql_quality_score(t: str) -> str:
                          THEN len(regexp_extract_all({t}, '[.,;:!?]')) / length({t})
                          ELSE 0.0 END)),
       6)
+    END
     """
 
 
