@@ -19,15 +19,32 @@ from pyspark.sql import functions as F
 
 _NONWORD = "[^a-z0-9]+"
 
+_ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
+def ascii_lower(c: Column) -> Column:
+    """ASCII-only case folding via translate — deliberately NOT
+    lower(): Unicode lowercasing is locale/engine-dependent (Java maps
+    'İ' to i + combining dot U+0307, DuckDB does not — found by the
+    adversarial sweep in tests/test_unicode_oracle.py), which silently
+    splits tokens differently per engine. A hash-based dedup pipeline
+    needs bit-reproducible normalization above linguistic nicety:
+    A-Z fold, every non-ASCII codepoint is a separator in BOTH
+    engines. Identical to lower() on ASCII corpora."""
+    return F.translate(c, _ASCII_UPPER, _ASCII_LOWER)
+
 
 def norm_words(text: Column | str) -> Column:
-    """lower → split on non-alphanumeric runs → drop empties."""
+    """ascii-fold → split on non-[a-z0-9] runs → drop empties."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.filter(F.split(F.lower(c), _NONWORD), lambda x: x != "")
+    return F.filter(F.split(ascii_lower(c), _NONWORD), lambda x: x != "")
 
 
 SQL_NORM_WORDS = (
-    "list_filter(string_split_regex(lower({t}), '[^a-z0-9]+'), x -> x <> '')"
+    "list_filter(string_split_regex("
+    f"translate({{t}}, '{_ASCII_UPPER}', '{_ASCII_LOWER}')"
+    ", '[^a-z0-9]+'), x -> x <> '')"
 )
 
 
@@ -204,7 +221,9 @@ def fingerprint(text: Column | str) -> Column:
 
 def sql_fingerprint(t: str) -> str:
     words = SQL_NORM_WORDS.format(t=t)
-    return f"md5(array_to_string(list_sort(list_distinct({words})), ' '))"
+    # COALESCE: DuckDB's array_to_string([]) is NULL, Spark's concat_ws
+    # is '' — an all-separator/empty doc must fingerprint md5('') in both
+    return f"md5(COALESCE(array_to_string(list_sort(list_distinct({words})), ' '), ''))"
 
 
 # PII redaction: category -> (pattern, replacement). RE2-and-Java-safe

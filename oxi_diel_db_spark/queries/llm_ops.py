@@ -38,7 +38,7 @@ sh AS (
     "d1_exact_dedup",
     oracle=f"""
     WITH {_SQL_WORDS_CTE.strip()}
-    SELECT md5(array_to_string(list_sort(list_distinct(words)), ' ')) AS fp,
+    SELECT md5(COALESCE(array_to_string(list_sort(list_distinct(words)), ' '), '')) AS fp,
            MIN(doc_id) AS keep_id,
            COUNT(*)    AS n_docs
     FROM w GROUP BY fp
@@ -667,13 +667,13 @@ def d6_fuzzy_levenshtein(spark, sf_dir):
     "d7_dedup_keep_best",
     oracle=f"""
     SELECT fp, doc_id, quality FROM (
-      SELECT md5(array_to_string(list_sort(list_distinct(
-               {TX.SQL_NORM_WORDS.format(t='text')})), ' ')) AS fp,
+      SELECT md5(COALESCE(array_to_string(list_sort(list_distinct(
+               {TX.SQL_NORM_WORDS.format(t='text')})), ' '), '')) AS fp,
              doc_id,
              {TX.sql_quality_score('text')} AS quality,
              ROW_NUMBER() OVER (
-               PARTITION BY md5(array_to_string(list_sort(list_distinct(
-                 {TX.SQL_NORM_WORDS.format(t='text')})), ' '))
+               PARTITION BY md5(COALESCE(array_to_string(list_sort(list_distinct(
+                 {TX.SQL_NORM_WORDS.format(t='text')})), ' '), ''))
                ORDER BY {TX.sql_quality_score('text')} DESC, doc_id
              ) AS rn
       FROM documents
