@@ -139,3 +139,37 @@ def test_session_window_equals_gaps_and_islands(spark, events, gap_s):
         .collect()
     }
     assert sw == gi
+
+
+def test_float_specials_cross_engine_parity(spark):
+    """NaN/±Inf/−0.0/denormal behavior agrees between Spark and DuckDB
+    on the operations the gates rely on: NaN sorts LAST in both, NaN
+    poisons SUM/MAX/AVG identically, and the r6 (+0.0) canonicalization
+    maps −0.0 to +0.0 in both — so float-special rows in production
+    data cannot open a cross-engine gap the friendly corpus hides."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    vals = [1.0, float("nan"), float("inf"), float("-inf"), -0.0, 5e-324]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, v double")
+    s_agg = list(df.agg(F.sum("v"), F.max("v"), F.min("v")).collect()[0])
+    s_sort = [r["v"] for r in df.orderBy("v").collect()]
+    s_neg0 = df.filter("i=4").select(F.round("v", 6) + F.lit(0.0)).collect()[0][0]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, v DOUBLE)")
+    for i, v in enumerate(vals):
+        con.execute("INSERT INTO t VALUES (?, ?)", [i, v])
+    d_agg = list(con.execute("SELECT SUM(v), MAX(v), MIN(v) FROM t").fetchone())
+    d_sort = [r[0] for r in con.execute("SELECT v FROM t ORDER BY v").fetchall()]
+    d_neg0 = con.execute("SELECT ROUND(v, 6) + 0 FROM t WHERE i = 4").fetchone()[0]
+
+    import math
+
+    def same(a, b):
+        return (math.isnan(a) and math.isnan(b)) or a == b
+
+    assert all(same(a, b) for a, b in zip(s_agg, d_agg))
+    assert all(same(a, b) for a, b in zip(s_sort, d_sort))
+    assert str(s_neg0) == str(d_neg0) == "0.0"
