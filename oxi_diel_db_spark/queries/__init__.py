@@ -118,10 +118,11 @@ _R5_PRIORITY = [
     "m30_voronoi_neighbors",
     "m31_ewald_site_energy",
     "m32_element_property_full",
-    # set-op/join/aggregate tail (q51-q55 rotated to r6 to make room
-    # for the six new-query slots above — q08/q09 cover the set-op
-    # family shape, q40-q44 the events/window family)
-    "q57_recursive_date_spine",
+    # set-op/join/aggregate tail (q51-q55 and late q57 rotated to r6 —
+    # q08/q09 cover the set-op family shape, q40-q44 the events/window
+    # family; c2 is the end-to-end pipeline capstone and takes q57's
+    # slot)
+    "c2_corpus_ledger",
     "q67_top_supplier",
     "q68_waiting_suppliers",
     "q81_dataset_profile",

@@ -2462,3 +2462,222 @@ def p12_leakage_safe_split(spark, sf_dir):
         "split",
         F.when(h < "cccccccc", "train").when(h < "e6666666", "val").otherwise("test"),
     )
+
+
+def _c2_oracle() -> str:
+    """The ledger's DuckDB twin: every stage's CTE reuses the fragment
+    already validated by its standalone gate (t2 quality, d1
+    fingerprint, d8 closure, d9 n-gram probe, p11 rates, p12 split)."""
+    words = TX.SQL_NORM_WORDS.format(t="text")
+    quality = TX.sql_quality_score("text")
+    fp = "md5(COALESCE(array_to_string(list_sort(list_distinct(words)), ' '), ''))"
+    ngrams = TX.sql_shingles("words", 3)
+    return f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id, lang, text, {words} AS words, {quality} AS quality
+      FROM documents
+    ),
+    pipe AS (SELECT * FROM base WHERE doc_id % 23 <> 0),
+    q_fail AS (
+      SELECT doc_id FROM pipe
+      WHERE quality < 0.45 OR lang NOT IN ('en', 'de', 'fr')
+    ),
+    s1 AS (SELECT * FROM pipe WHERE doc_id NOT IN (SELECT doc_id FROM q_fail)),
+    fpr AS (
+      SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY {fp} ORDER BY doc_id) AS rn
+      FROM s1
+    ),
+    s2 AS (SELECT s1.* FROM s1 JOIN fpr USING (doc_id) WHERE fpr.rn = 1),
+    sh AS MATERIALIZED (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id, unnest({TX.sql_shingles('words')}) AS shingle FROM s2
+      )
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+      WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.2
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION SELECT a, a FROM edges
+      UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    labels AS (SELECT a AS doc_id, MIN(b) AS cl FROM reach GROUP BY a),
+    s2c AS MATERIALIZED (
+      SELECT s2.*, COALESCE(l.cl, s2.doc_id) AS cluster_id
+      FROM s2 LEFT JOIN labels l USING (doc_id)
+    ),
+    best AS (
+      SELECT doc_id, ROW_NUMBER() OVER (
+        PARTITION BY cluster_id ORDER BY quality DESC, doc_id) AS rn
+      FROM s2c
+    ),
+    s3 AS (SELECT s2c.* FROM s2c JOIN best USING (doc_id) WHERE best.rn = 1),
+    bench_ng AS MATERIALIZED (
+      SELECT DISTINCT ng FROM (
+        SELECT unnest({ngrams}) AS ng FROM base
+        WHERE doc_id % 23 = 0 AND len(words) >= 3
+      )
+    ),
+    s3_ng AS MATERIALIZED (
+      SELECT DISTINCT doc_id, unnest({ngrams}) AS ng
+      FROM s3 WHERE len(words) >= 3
+    ),
+    tot AS (SELECT doc_id, COUNT(*) AS n FROM s3_ng GROUP BY doc_id),
+    hits AS (
+      SELECT t.doc_id, COUNT(*) AS h
+      FROM s3_ng t JOIN bench_ng b USING (ng) GROUP BY t.doc_id
+    ),
+    cont AS (
+      SELECT s3.doc_id,
+             COALESCE(h, 0) * 1.0 / NULLIF(n, 0) AS contamination
+      FROM s3 LEFT JOIN tot USING (doc_id) LEFT JOIN hits USING (doc_id)
+    ),
+    c_fail AS (
+      SELECT doc_id FROM cont WHERE COALESCE(contamination, 0) >= 0.12
+    ),
+    s4 AS (SELECT * FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM c_fail)),
+    lc AS (SELECT lang, COUNT(*) AS n_l FROM s4 GROUP BY lang),
+    rates AS (
+      SELECT lang,
+             ROUND(POW(n_l * 1.0 / (SELECT MIN(n_l) FROM lc), 0.7 - 1.0), 6)
+               AS keep_rate
+      FROM lc
+    ),
+    s5 AS (
+      SELECT s4.* FROM s4 JOIN rates USING (lang)
+      WHERE CAST('0x' || substring(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+            / 4294967296.0 < rates.keep_rate
+    )
+    SELECT b.doc_id,
+           CASE WHEN b.doc_id % 23 = 0 THEN 'benchmark'
+                WHEN qf.doc_id IS NOT NULL THEN 'quality'
+                WHEN f.rn IS NOT NULL AND f.rn > 1 THEN 'exact_dup'
+                WHEN be.rn IS NOT NULL AND be.rn > 1 THEN 'near_dup'
+                WHEN cf.doc_id IS NOT NULL THEN 'contaminated'
+                WHEN s5.doc_id IS NULL AND s4.doc_id IS NOT NULL THEN 'sampled_out'
+                ELSE 'kept' END AS stage,
+           s2c.cluster_id,
+           CASE WHEN s5.doc_id IS NOT NULL THEN
+             CASE WHEN substring(md5('csplit:' || CAST(s2c.cluster_id AS VARCHAR)), 1, 8)
+                       < 'cccccccc' THEN 'train'
+                  WHEN substring(md5('csplit:' || CAST(s2c.cluster_id AS VARCHAR)), 1, 8)
+                       < 'e6666666' THEN 'val'
+                  ELSE 'test' END
+           END AS split
+    FROM base b
+    LEFT JOIN q_fail qf ON b.doc_id = qf.doc_id
+    LEFT JOIN fpr f ON b.doc_id = f.doc_id
+    LEFT JOIN s2c ON b.doc_id = s2c.doc_id
+    LEFT JOIN best be ON b.doc_id = be.doc_id
+    LEFT JOIN c_fail cf ON b.doc_id = cf.doc_id
+    LEFT JOIN s4 ON b.doc_id = s4.doc_id
+    LEFT JOIN s5 ON b.doc_id = s5.doc_id
+    """
+
+
+@register("c2_corpus_ledger", oracle=_c2_oracle())
+def c2_corpus_ledger(spark, sf_dir):
+    """THE pretraining-corpus build, end-to-end, as one hash-gated
+    query emitting a per-document DISPOSITION LEDGER: benchmark
+    holdout → quality/lang gate (t2) → exact dedup keep-first (d1) →
+    near-dup cluster keep-best (d2+d8) → benchmark decontamination
+    (d9) → temperature rebalancing (p11) → leakage-safe split (p12).
+    Stages are SEQUENTIAL — a doc dropped at stage k never influences
+    later stages (dedup clusters form among quality survivors only;
+    sampling rates derive from post-decontamination counts) — and the
+    DuckDB twin threads the identical survivorship, so the whole
+    pipeline's lineage is cross-engine verified, not just each piece.
+    Every doc appears exactly once: (doc_id, stage, cluster_id, split).
+    At 100 TB each stage is the same plan its standalone query runs;
+    the ledger itself is what an auditable data pipeline must emit."""
+    from pyspark.sql import Window as W
+
+    from oxi_diel_db_spark.operators.sampling import temperature_sample
+
+    d = t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", "lang", "text", TX.quality_score("text").alias("quality")
+    )
+    is_bench = F.col("doc_id") % 23 == 0
+    pipe = base.filter(~is_bench)
+    fail_q = (F.col("quality") < 0.45) | ~F.col("lang").isin("en", "de", "fr")
+    s1 = pipe.filter(~fail_q)
+
+    w_fp = W.partitionBy(TX.fingerprint("text")).orderBy("doc_id")
+    s1r = s1.withColumn("__fprn", F.row_number().over(w_fp))
+    s2 = s1r.filter(F.col("__fprn") == 1).drop("__fprn")
+
+    pairs = dedup.ngram_jaccard_pairs(s2, threshold=0.2)
+    labels = dedup.dedup_clusters(pairs)
+    s2c = s2.join(labels, "doc_id", "left").withColumn(
+        "cluster_id", F.coalesce("cluster_id", F.col("doc_id"))
+    )
+    w_best = W.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    s2cb = s2c.withColumn("__bestrn", F.row_number().over(w_best))
+    s3 = s2cb.filter(F.col("__bestrn") == 1).drop("__bestrn")
+
+    bench = d.filter(is_bench)
+    cont = dedup.ngram_decontaminate(s3, bench, "doc_id", "text", n=3).select(
+        "doc_id", "contamination"
+    )
+    s3c = s3.join(cont, "doc_id", "left").withColumn(
+        "contamination", F.coalesce("contamination", F.lit(0.0))
+    )
+    s4 = s3c.filter(F.col("contamination") < 0.12)
+
+    s5 = temperature_sample(s4, "doc_id", "lang", alpha=0.7, seed=42)
+
+    split_h = F.substring(
+        F.md5(F.concat_ws(":", F.lit("csplit"), F.col("cluster_id"))), 1, 8
+    )
+    split = (
+        F.when(split_h < "cccccccc", "train")
+        .when(split_h < "e6666666", "val")
+        .otherwise("test")
+    )
+
+    mark = lambda df, st: df.select(  # noqa: E731
+        "doc_id",
+        F.lit(st).alias("stage"),
+        F.lit(None).cast("long").alias("cluster_id"),
+        F.lit(None).cast("string").alias("split"),
+    )
+    kept = s5.select(
+        "doc_id", F.lit("kept").alias("stage"), "cluster_id", split.alias("split")
+    )
+    with_cluster = lambda df, st: df.select(  # noqa: E731
+        "doc_id",
+        F.lit(st).alias("stage"),
+        "cluster_id",
+        F.lit(None).cast("string").alias("split"),
+    )
+    out = (
+        mark(d.filter(is_bench), "benchmark")
+        .unionByName(mark(pipe.filter(fail_q), "quality"))
+        .unionByName(mark(s1r.filter(F.col("__fprn") > 1), "exact_dup"))
+        .unionByName(with_cluster(s2cb.filter(F.col("__bestrn") > 1), "near_dup"))
+        .unionByName(
+            with_cluster(s3c.filter(F.col("contamination") >= 0.12), "contaminated")
+        )
+        .unionByName(
+            with_cluster(
+                s4.join(s5.select("doc_id"), "doc_id", "left_anti"), "sampled_out"
+            )
+        )
+        .unionByName(kept)
+    )
+    return out

@@ -166,3 +166,32 @@ def test_reconciliation_counts_childless(spark):
     rows = {r["band"]: r["n_orders"] for r in reg["dq6_reconciliation"].build(spark, "/root/testdata/sf0.01").collect()}
     assert rows.get("no_lineitems", 0) == 257  # childless orders surface
     assert sum(rows.values()) == 15000  # every order lands in one band
+
+
+def test_corpus_ledger_complete_and_sound(spark):
+    """c2: every document appears EXACTLY once; every stage fires
+    (nonvacuous pipeline); kept docs' clusters never straddle splits;
+    benchmark docs never reach the corpus."""
+    from pyspark.sql import functions as F
+
+    from oxi_diel_db_spark.tables import load
+
+    reg = load_registry()
+    out = reg["c2_corpus_ledger"].build(spark, "/root/testdata/sf0.01")
+    out.cache()
+    n_docs = load(spark, "documents", "/root/testdata/sf0.01").count()
+    assert out.count() == n_docs
+    assert out.select("doc_id").distinct().count() == n_docs
+    stages = {r["stage"]: r["n"] for r in out.groupBy("stage").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for st in ["benchmark", "quality", "exact_dup", "near_dup",
+               "contaminated", "sampled_out", "kept"]:
+        assert stages.get(st, 0) > 0, f"stage {st} never fired"
+    kept = out.filter(F.col("stage") == "kept")
+    straddle = (
+        kept.groupBy("cluster_id")
+        .agg(F.count_distinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+    )
+    assert straddle.count() == 0
+    assert kept.filter(F.col("doc_id") % 23 == 0).count() == 0
+    out.unpersist()
