@@ -724,6 +724,143 @@ def images_probe(n_k: float = 100) -> None:
     )
 
 
+
+def ledger_probe(n_k: float = 100) -> None:
+    """c2's end-to-end ledger composition at n_k thousand synthetic
+    docs: quality gate -> fingerprint keep-first -> capped Jaccard
+    pairs -> connected components -> keep-best -> decontamination ->
+    temperature sampling -> cluster-keyed split, timed per stage. The
+    word-salad corpus is deliberately low-entropy, so the
+    max_doc_freq hot-shingle valve is load-bearing here (exact mode
+    would explode the candidate join quadratically)."""
+    import time
+
+    from pyspark.sql import Window as W
+
+    from oxi_diel_db_spark.functions import text as TX
+    from oxi_diel_db_spark.operators import dedup
+    from oxi_diel_db_spark.operators.sampling import temperature_sample
+    from oxi_diel_db_spark.session import get_spark
+
+    n = int(n_k * 1000)
+    spark = get_spark("ledger_probe")
+    vocab = [f"w{i:02d}" for i in range(200)]
+    vocab_arr = F.array(*[F.lit(w) for w in vocab])
+    langs = F.array(F.lit("en"), F.lit("en"), F.lit("de"), F.lit("fr"), F.lit("es"))
+    # 40% of docs copy their group leader's text (doc_id - doc_id%5):
+    # id%5==2 verbatim (exact dups), id%5==1 with one appended word
+    # (near dups) — so every survivorship stage has real work to do.
+    base_id = F.when(
+        F.pmod(F.col("id"), F.lit(5)).isin(1, 2),
+        F.col("id") - F.pmod(F.col("id"), F.lit(5)),
+    ).otherwise(F.col("id"))
+    body = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(30) + F.pmod(F.hash(base_id), F.lit(40))),
+            lambda i: F.element_at(
+                vocab_arr, F.pmod(F.hash(base_id, i), F.lit(200)) + 1
+            ),
+        ),
+    )
+    docs = spark.range(0, n).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(langs, F.pmod(F.hash("id", F.lit(9)), F.lit(5)) + 1).alias("lang"),
+        F.when(
+            F.pmod(F.col("id"), F.lit(5)) == 1, F.concat(body, F.lit(" zzextra"))
+        ).otherwise(body).alias("text"),
+    )
+    docs.limit(5).collect()
+
+    t_all = time.time()
+    timings = {}
+
+    t0 = time.time()
+    base = docs.select(
+        "doc_id", "lang", "text", TX.quality_score("text").alias("quality")
+    )
+    pipe = base.filter(F.col("doc_id") % 23 != 0)
+    s1 = pipe.filter(
+        (F.col("quality") >= 0.2) & F.col("lang").isin("en", "de", "fr")
+    ).persist()
+    n1 = s1.count()
+    timings["quality_gate"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    w_fp = W.partitionBy(TX.fingerprint("text")).orderBy("doc_id")
+    s2 = (
+        s1.withColumn("__rn", F.row_number().over(w_fp))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .persist()
+    )
+    n2 = s2.count()
+    timings["exact_dedup"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    pairs = dedup.ngram_jaccard_pairs(s2, threshold=0.5, max_doc_freq=200)
+    labels = dedup.dedup_clusters(pairs)
+    s2c = s2.join(labels, "doc_id", "left").withColumn(
+        "cluster_id", F.coalesce("cluster_id", F.col("doc_id"))
+    )
+    w_best = W.partitionBy("cluster_id").orderBy(F.col("quality").desc(), "doc_id")
+    s3 = (
+        s2c.withColumn("__rn", F.row_number().over(w_best))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .persist()
+    )
+    n3 = s3.count()
+    timings["neardup_cluster_keepbest"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    bench = docs.filter(F.col("doc_id") % 23 == 0)
+    cont = dedup.ngram_decontaminate(s3, bench, "doc_id", "text", n=3).select(
+        "doc_id", "contamination"
+    )
+    s4 = (
+        s3.join(cont, "doc_id", "left")
+        .filter(F.coalesce("contamination", F.lit(0.0)) < 0.8)
+        .persist()
+    )
+    n4 = s4.count()
+    timings["decontaminate"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    s5 = temperature_sample(s4, "doc_id", "lang", alpha=0.7, seed=42)
+    h = F.substring(
+        F.md5(F.concat_ws(":", F.lit("csplit"), F.col("cluster_id"))), 1, 8
+    )
+    final = s5.withColumn(
+        "split",
+        F.when(h < "cccccccc", "train").when(h < "e6666666", "val").otherwise("test"),
+    )
+    counts = {
+        r["split"]: r["count"] for r in final.groupBy("split").count().collect()
+    }
+    timings["sample_and_split"] = round(time.time() - t0, 2)
+
+    total = round(time.time() - t_all, 2)
+    print(
+        json.dumps(
+            {
+                "metric": "ledger_probe",
+                "docs": n,
+                "unit": "sec",
+                "timings": timings,
+                "total": total,
+                "counts": {
+                    "s1_quality": n1,
+                    "s2_exact": n2,
+                    "s3_neardup": n3,
+                    "s4_decontam": n4,
+                    "splits": counts,
+                },
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "docs":
         docs_probe(int(float(sys.argv[2]) * 1000) if len(sys.argv) > 2 else 500_000)
@@ -745,5 +882,7 @@ if __name__ == "__main__":
         sessions_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 20)
     elif len(sys.argv) > 1 and sys.argv[1] == "images":
         images_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 100)
+    elif len(sys.argv) > 1 and sys.argv[1] == "ledger":
+        ledger_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 100)
     else:
         main()
