@@ -173,3 +173,28 @@ def test_float_specials_cross_engine_parity(spark):
     assert all(same(a, b) for a, b in zip(s_agg, d_agg))
     assert all(same(a, b) for a, b in zip(s_sort, d_sort))
     assert str(s_neg0) == str(d_neg0) == "0.0"
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q01_pricing_summary",
+        "q88_ohlc_resample",
+        "t3_token_count",
+        "dq1_constraint_audit",
+        "p1_hash_sample",
+    ],
+)
+def test_value_hash_ansi_independent(spark, name):
+    """The engine pins spark.sql.ansi.enabled=false (DuckDB-compatible
+    NULL/size semantics) — but its values must not DEPEND on that: the
+    same queries produce identical hashes with ANSI on (no hidden
+    reliance on silent overflow, lax casts, or legacy size(NULL))."""
+    reg = load_registry()
+    baseline = _value_hash(reg[name].build(spark, SF))
+    df = reg[name].build(spark, SF)  # configure() ran; now flip ANSI
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        assert _value_hash(df) == baseline
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
