@@ -342,3 +342,46 @@ def st10_stream_upsert_sink(spark, sf_dir):
         F.col("value").alias("last_value"),
         F.col("ts").alias("last_ts"),
     )
+
+
+@register(
+    "st11_stream_dq_monitor",
+    oracle="""
+    SELECT 'enum_event_type' AS constraint, COUNT(*) AS n_checked,
+           CAST(SUM(CASE WHEN event_type NOT IN ('view','click','purchase','signup')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+    FROM events
+    UNION ALL
+    SELECT 'notnull_value', COUNT(*),
+           CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'value_range_0_1000', COUNT(*),
+           CAST(SUM(CASE WHEN value < 0 OR value > 1000 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM events
+    """,
+)
+def st11_stream_dq_monitor(spark, sf_dir):
+    """Continuous data-quality monitoring: the events replay streams
+    through a foreachBatch audit that appends per-batch constraint
+    summaries; re-aggregating the ledger must equal the one-shot batch
+    audit exactly (the hash gate) — per-batch attribution costs
+    nothing in fidelity. The dq family's streaming face, composed from
+    st7's delta-maintenance shape."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    work = tempfile.mkdtemp(prefix="st11_dq_")
+    stream = ops.read_events_stream(spark, sf_dir)
+    q = ops.dq_delta_sink(stream, f"{work}/ledger", f"{work}/ckpt")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    ledger = spark.read.parquet(f"{work}/ledger")
+    return ledger.groupBy("constraint").agg(
+        F.sum("n_checked").alias("n_checked"),
+        F.sum("n_violations").alias("n_violations"),
+    )

@@ -597,3 +597,43 @@ def running_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def dq_delta_sink(events: DataFrame, out_dir: str, ckpt_dir: str):
+    """Continuous data-quality monitoring (the streaming face of the
+    dq1 audit): every micro-batch appends ONE summary row per
+    constraint — (batch_id, constraint, n_checked, n_violations) — so
+    the quality ledger accrues alongside ingest and a bad batch is
+    attributable the moment it lands. Stateless foreachBatch delta
+    (same maintenance shape as rollup_delta_sink): totals come from
+    re-aggregating deltas, equal by construction to the one-shot batch
+    audit."""
+    from pyspark.sql import functions as F
+
+    def _audit(batch_df: DataFrame, batch_id: int) -> None:
+        checks = [
+            (
+                "enum_event_type",
+                ~F.col("event_type").isin("view", "click", "purchase", "signup"),
+            ),
+            ("notnull_value", F.col("value").isNull()),
+            ("value_range_0_1000", (F.col("value") < 0) | (F.col("value") > 1000)),
+        ]
+        rows = None
+        for cname, cond in checks:
+            r = batch_df.agg(
+                F.lit(batch_id).alias("batch_id"),
+                F.lit(cname).alias("constraint"),
+                F.count(F.lit(1)).alias("n_checked"),
+                F.coalesce(
+                    F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)
+                ).alias("n_violations"),
+            )
+            rows = r if rows is None else rows.unionByName(r)
+        rows.write.mode("append").parquet(out_dir)
+
+    return (
+        events.writeStream.foreachBatch(_audit)
+        .option("checkpointLocation", ckpt_dir)
+        .start()
+    )

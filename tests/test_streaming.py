@@ -576,3 +576,24 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
         .collect()
     }
     assert got == want  # exactly-once: nothing lost, nothing doubled
+
+
+def test_stream_dq_monitor_ledger(spark):
+    """st11: the per-batch quality ledger re-aggregates to exactly the
+    batch audit, and carries batch attribution."""
+    from pyspark.sql import functions as F
+
+    from oxi_diel_db_spark.queries import load_registry
+
+    reg = load_registry()
+    out = {r["constraint"]: r for r in reg["st11_stream_dq_monitor"].build(
+        spark, "/root/testdata/sf0.001").collect()}
+    assert set(out) == {"enum_event_type", "notnull_value", "value_range_0_1000"}
+    from oxi_diel_db_spark.tables import load
+
+    ev = load(spark, "events", "/root/testdata/sf0.001")
+    n = ev.count()
+    bad_enum = ev.filter(~F.col("event_type").isin("view", "click", "purchase", "signup")).count()
+    assert out["enum_event_type"]["n_checked"] == n
+    assert out["enum_event_type"]["n_violations"] == bad_enum
+    assert out["notnull_value"]["n_violations"] == 0
