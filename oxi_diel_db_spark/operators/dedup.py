@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from oxi_diel_db_spark.functions.text import norm_words, shingles, fingerprint
@@ -120,10 +120,21 @@ def ngram_jaccard_pairs(
     the oracle-checked default here).
     """
     sh = doc_shingles(docs, id_col, text_col, n, hashed=True)
+    # Hot-shingle cap WITHOUT a join: document frequency as a window
+    # count over the shingle partition — the same shuffle key the
+    # candidate self-join needs anyway, so no extra exchange shape and,
+    # crucially, NO broadcastable side. (The earlier groupBy+join form
+    # let AQE broadcast the rare-shingle table: low-entropy shingle
+    # strings compress under the 64 MB threshold on the wire yet
+    # explode 10x+ as the driver's in-memory hash relation — measured
+    # OOM at 400k planted-dup docs, tools/scale_probe.py ledger.)
     if max_doc_freq is not None:
-        df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
-        rare = df_counts.filter(F.col("__df") <= max_doc_freq).select("shingle")
-        sh_cand = sh.join(rare, "shingle")
+        w_sh = Window.partitionBy("shingle")
+        sh_cand = (
+            sh.withColumn("__df", F.count(F.lit(1)).over(w_sh))
+            .filter(F.col("__df") <= max_doc_freq)
+            .drop("__df")
+        )
     else:
         sh_cand = sh
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
