@@ -597,3 +597,37 @@ def test_stream_dq_monitor_ledger(spark):
     assert out["enum_event_type"]["n_checked"] == n
     assert out["enum_event_type"]["n_violations"] == bad_enum
     assert out["notnull_value"]["n_violations"] == 0
+
+
+def test_rocksdb_state_store_drop_in(spark):
+    """State-store backend swap: the tumbling aggregation produces the
+    identical result under RocksDBStateStoreProvider (the backend a
+    real cluster uses for large state) as under the default HDFS-backed
+    store — the streaming operators carry no store-specific
+    assumptions."""
+    from pyspark.sql import functions as F
+
+    from oxi_diel_db_spark.streaming import ops
+
+    def run():
+        stream = ops.read_events_stream(spark, "/root/testdata/sf0.001")
+        return {
+            (str(r["win_start"]), r["event_type"]): (r["n"], r["total_value"])
+            for r in ops.run_stream_to_memory(
+                ops.tumbling_counts(stream, "1 hour"), spark
+            ).collect()
+        }
+
+    baseline = run()
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        assert run() == baseline
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
