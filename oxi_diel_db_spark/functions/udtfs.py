@@ -11,8 +11,15 @@ pymatgen's Composition iteration (reference main.py:33).
 from __future__ import annotations
 
 import re
+import string
 
 from pyspark.sql.functions import udtf
+
+# Must match functions.text.ascii_lower exactly: ASCII-only A-Z fold,
+# NOT locale-aware str.lower() — U+212A 'K'.lower() is ASCII 'k' and
+# U+0130 'İ'.lower() is 'i'+U+0307, either of which would diverge from
+# the Catalyst translate() twin and the DuckDB oracle on non-ASCII text.
+_ASCII_FOLD = str.maketrans(string.ascii_uppercase, string.ascii_lowercase)
 
 _TOKEN = re.compile(r"[A-Z][a-z]?[0-9.]*")
 _EL = re.compile(r"[A-Z][a-z]?")
@@ -50,9 +57,10 @@ class NgramExplode:
     computed at plan time from the CONSTANT n argument — ``n=3`` emits
     (pos, w1, w2, w3), ``n=2`` emits (pos, w1, w2). The dynamic-schema
     table function the engine exposes for n-gram feature extraction;
-    tokenization matches functions.text.norm_words (lower, split on
-    non-alphanumeric runs) so expression-based and UDTF-based n-grams
-    agree token-for-token."""
+    tokenization matches functions.text.norm_words (ASCII-only case
+    fold via translate, split on non-[a-z0-9] runs) so expression-based
+    and UDTF-based n-grams agree token-for-token, including under
+    Unicode-adversarial input (dotted-İ, Kelvin-sign K)."""
 
     @staticmethod
     def analyze(text, n):
@@ -67,6 +75,7 @@ class NgramExplode:
         return AnalyzeResult(schema=schema)
 
     def eval(self, text: str, n: int):  # noqa: D102
-        words = [w for w in re.split("[^a-z0-9]+", (text or "").lower()) if w]
+        folded = (text or "").translate(_ASCII_FOLD)
+        words = [w for w in re.split("[^a-z0-9]+", folded) if w]
         for i in range(len(words) - n + 1):
             yield (i + 1, *words[i : i + n])

@@ -53,12 +53,73 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-# Round-5 sampling rotation: the driver's correctness gate samples the
-# FIRST 50 registry keys, so this prefix leads with (a) queries whose
-# behavior changed or that were born this round and (b) the queries
-# that have never received an official driver row across r1-r4 (the
-# r1-r4 union covered 107 of 161). The leftover never-sampled residue —
-# see NOTES_r5 "r6 rotation plan" — is scheduled for the r6 prefix.
+# Round-6 sampling rotation (machine-computed in NOTES_r5 "r6 rotation
+# plan"): the driver's correctness gate samples the FIRST 50 registry
+# keys. Cumulative official coverage across r1-r5 is 154 of 201; this
+# prefix is EXACTLY the residue — 3 queries whose gates were upgraded
+# rows-only → full value-hash in r5 (st4/st6/p5), the 46 never-sampled
+# entries, and st11 (born after the r5 prefix was fixed). 50 slots,
+# zero slack: every registry query ends round 6 with ≥1 official row.
+_R6_PRIORITY = [
+    # gates upgraded in r5 (rows-only → full value-hash) — need the
+    # upgraded gate on the official record
+    "st4_stream_dedup",
+    "st6_stateful_counts",
+    "p5_greedy_packing",
+    # never-driver-sampled: LLM-pipeline tail
+    "mm6_audio_features",
+    "p10_length_buckets",
+    "s5_ann_recall",
+    "t10_bigram_perplexity",
+    "d14_incremental_neardup",
+    "s6_filtered_ann",
+    "s7_ivf_filtered",
+    "p12_leakage_safe_split",
+    # materials invariants (rotated out of r5 to make room for leg-3)
+    "m03_lowest_freq_invariant",
+    "m04_born_trace_invariant",
+    "m05_counting_invariants",
+    "m10_tensor_eigvals",
+    "m11_site_explode_agg",
+    "m12_en_ordered_formula",
+    # relational tail
+    "q02_point_lookup",
+    "q04_case_buckets",
+    "q05_global_sort",
+    "q07_union_all",
+    "q10_string_funcs",
+    "q11_datetime",
+    "q13_null_handling",
+    "q14_math_funcs",
+    "q52_intersect_all",
+    "q53_except_all",
+    "q57_recursive_date_spine",
+    "q44_distribution",
+    "q54_funnel",
+    "q55_event_transitions",
+    # TPC-H-style tail
+    "q51_large_volume",
+    "q58_volume_shipping",
+    "q59_promo_revenue",
+    "q60_priority_late_ships",
+    "q61_custorder_distribution",
+    "q62_small_qty_revenue",
+    "q63_disjunctive_filter",
+    "q64_idle_rich_customers",
+    "q65_forecast_revenue",
+    "q66_priority_ship_class",
+    "q74_approx_percentiles",
+    "q75_approx_ntile",
+    "q79_jsonl_roundtrip",
+    "q82_schema_evolution",
+    "m33_tensor_invariants",
+    "q84_dpp_join",
+    "dq5_volume_anomaly",
+    "dq6_reconciliation",
+    "st11_stream_dq_monitor",
+]
+
+# Round-5 rotation kept for the record (no longer drives ordering).
 _R5_PRIORITY = [
     # changed/new this round — need (re-)verification on the record
     "mm2_decode_features",
@@ -152,7 +213,7 @@ def load_registry() -> dict[str, QueryDef]:
     )
 
     ordered: dict[str, QueryDef] = {}
-    for name in _R5_PRIORITY:
+    for name in _R6_PRIORITY:
         if name in REGISTRY:  # tolerate renames; never KeyError the gate
             ordered[name] = REGISTRY[name]
     for name, qdef in REGISTRY.items():

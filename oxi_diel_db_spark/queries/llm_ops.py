@@ -598,7 +598,7 @@ def p4_sequence_packing(spark, sf_dir):
     oracle=r"""
     WITH RECURSIVE base AS (
       SELECT doc_id,
-             CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tok,
+             CAST(COALESCE(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')), 0) AS BIGINT) AS n_tok,
              substring(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
       FROM documents
     ), ordered AS (
@@ -2480,7 +2480,10 @@ def _c2_oracle() -> str:
     pipe AS (SELECT * FROM base WHERE doc_id % 23 <> 0),
     q_fail AS (
       SELECT doc_id FROM pipe
-      WHERE quality < 0.45 OR lang NOT IN ('en', 'de', 'fr')
+      -- NOT COALESCE(..IN.., FALSE): NULL lang deterministically FAILS
+      -- the language gate (matches the Spark side); a bare NOT IN
+      -- would return NULL and silently keep NULL-lang docs in s1.
+      WHERE quality < 0.45 OR NOT COALESCE(lang IN ('en', 'de', 'fr'), FALSE)
     ),
     s1 AS (SELECT * FROM pipe WHERE doc_id NOT IN (SELECT doc_id FROM q_fail)),
     fpr AS (
@@ -2612,7 +2615,14 @@ def c2_corpus_ledger(spark, sf_dir):
     )
     is_bench = F.col("doc_id") % 23 == 0
     pipe = base.filter(~is_bench)
-    fail_q = (F.col("quality") < 0.45) | ~F.col("lang").isin("en", "de", "fr")
+    # Null-safe: NULL lang must deterministically FAIL the gate (land
+    # in the 'quality' ledger stage) rather than make fail_q NULL —
+    # a NULL predicate is dropped by BOTH filter(fail_q) and
+    # filter(~fail_q), which would make the doc vanish from the ledger
+    # and break the every-doc-exactly-once invariant.
+    fail_q = (F.col("quality") < 0.45) | ~F.coalesce(
+        F.col("lang").isin("en", "de", "fr"), F.lit(False)
+    )
     s1 = pipe.filter(~fail_q)
 
     w_fp = W.partitionBy(TX.fingerprint("text")).orderBy("doc_id")

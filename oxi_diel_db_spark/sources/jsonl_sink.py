@@ -5,9 +5,16 @@ one JSONL file per partition.
 The write path a custom exporter needs (feature stores, labeling
 tools, downstream trainers that want newline-JSON shards): each task
 serializes its partition locally — no driver involvement, no collect —
-so the sink scales exactly like the parquet writers. Commit messages
-flow back through the standard V2 write protocol (all-or-nothing job
-commit is the engine's responsibility, not the sink's).
+so the sink scales exactly like the parquet writers.
+
+Commit protocol: tasks write to task-attempt-unique TEMP files and
+return the temp path in their WriterCommitMessage; only the driver's
+``commit()`` moves the winning attempt's file into place (and
+``abort()`` deletes temps). This is what makes the sink safe under
+speculative execution and task retries — two attempts for the same
+partition never touch the same file, and a failed job leaves no
+output that looks committed. ``overwrite`` (``mode("overwrite")``)
+clears prior part files atomically inside the same commit.
 
 Cited parity: the reference emits its predictions as a JSON document
 map (ml_prediction.py's prediction_result_*.json); this sink is the
@@ -15,30 +22,63 @@ distributed form of that export."""
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+from dataclasses import dataclass
 
 from pyspark.sql.datasource import DataSource, DataSourceWriter, WriterCommitMessage
 
 
+@dataclass
+class _ShardCommit(WriterCommitMessage):
+    temp_path: str
+    final_name: str
+
+
 class _ShardWriter(DataSourceWriter):
-    def __init__(self, options):
+    def __init__(self, options, overwrite: bool):
         self.path = options.get("path")
+        self.overwrite = overwrite
         if not self.path:
             raise ValueError("jsonl_shards sink requires option 'path'")
 
     def write(self, iterator):
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        attempt = ctx.taskAttemptId()
         os.makedirs(self.path, exist_ok=True)
-        out = os.path.join(self.path, f"part-{pid:05d}.jsonl")
-        n = 0
-        with open(out, "w") as f:
+        final_name = f"part-{pid:05d}.jsonl"
+        # Attempt-unique temp name: concurrent speculative attempts for
+        # the same partition write disjoint files; commit() picks one.
+        tmp = os.path.join(self.path, f"_temp-{final_name}.{attempt}")
+        with open(tmp, "w") as f:
             for row in iterator:
                 f.write(json.dumps(row.asDict(), sort_keys=True) + "\n")
-                n += 1
-        return WriterCommitMessage()
+        return _ShardCommit(temp_path=tmp, final_name=final_name)
+
+    def commit(self, messages):
+        if self.overwrite:
+            committed = {m.final_name for m in messages if m is not None}
+            for old in glob.glob(os.path.join(self.path, "part-*.jsonl")):
+                if os.path.basename(old) not in committed:
+                    os.remove(old)
+        for m in messages:
+            if m is None:
+                continue
+            os.replace(m.temp_path, os.path.join(self.path, m.final_name))
+        # Losing speculative attempts leave temps with no commit message.
+        for stray in glob.glob(os.path.join(self.path, "_temp-part-*")):
+            os.remove(stray)
+
+    def abort(self, messages):
+        for stray in glob.glob(os.path.join(self.path, "_temp-part-*")):
+            try:
+                os.remove(stray)
+            except OSError:
+                pass
 
 
 class JsonlShardSink(DataSource):
@@ -49,7 +89,7 @@ class JsonlShardSink(DataSource):
         return "jsonl_shards"
 
     def writer(self, schema, overwrite):
-        return _ShardWriter(self.options)
+        return _ShardWriter(self.options, overwrite)
 
 
 def register_sink(spark) -> None:

@@ -607,7 +607,14 @@ def dq_delta_sink(events: DataFrame, out_dir: str, ckpt_dir: str):
     attributable the moment it lands. Stateless foreachBatch delta
     (same maintenance shape as rollup_delta_sink): totals come from
     re-aggregating deltas, equal by construction to the one-shot batch
-    audit."""
+    audit.
+
+    Idempotence: foreachBatch is at-least-once — a retried micro-batch
+    re-runs ``_audit`` with the SAME batch_id. Output is therefore
+    partitioned by batch_id and written with dynamic partition
+    overwrite, so a retry REPLACES its own partition instead of
+    appending duplicate constraint rows (which would over-count any
+    re-aggregation of the ledger)."""
     from pyspark.sql import functions as F
 
     def _audit(batch_df: DataFrame, batch_id: int) -> None:
@@ -630,7 +637,13 @@ def dq_delta_sink(events: DataFrame, out_dir: str, ckpt_dir: str):
                 ).alias("n_violations"),
             )
             rows = r if rows is None else rows.unionByName(r)
-        rows.write.mode("append").parquet(out_dir)
+        spark = batch_df.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            rows.write.mode("overwrite").partitionBy("batch_id").parquet(out_dir)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     return (
         events.writeStream.foreachBatch(_audit)
