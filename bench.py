@@ -78,6 +78,18 @@ HEADLINE = [
     "m21_density",
 ]
 
+# Capstone/one-shot queries tracked OUTSIDE the min-of-N headline sum:
+# too expensive to rep (c2's CC loop, q90's Python-DataSource runner
+# init), but a regression in the composed pipeline must be visible
+# round-over-round. Single-shot, reported under "singles", NOT added
+# to "value". r5 reference numbers (sf0.1): c2 17.7 s, p12 5.8 s,
+# q90 0.55 s warm (9.5 s cold includes one-time runner init).
+SINGLES = [
+    "c2_corpus_ledger",
+    "p12_leakage_safe_split",
+    "q90_python_sink",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -105,6 +117,12 @@ def main() -> None:
             assert rows is not None
         timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
+    singles: dict[str, float] = {}
+    for name in SINGLES:
+        t0 = time.time()
+        rows = qs[name](spark, sf_dir).collect()
+        assert rows is not None
+        singles[name] = round(time.time() - t0, 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -113,6 +131,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # capstones: single-shot, NOT in "value" (see SINGLES)
+                "singles": singles,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 # methodology marker: min-of-N (N=reps). r1-r3 were
                 # single-shot; r4+ default to 2 — not like-for-like.

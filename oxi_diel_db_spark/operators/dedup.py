@@ -462,11 +462,55 @@ def embedding_neardup_pairs_blocked(
     )
 
 
+def _driver_union_find(spark, edges: DataFrame) -> DataFrame:
+    """Small-graph fast path for dedup_clusters: min-label union-find on
+    the driver. The NEAR-DUP PAIR graph is a contraction of the corpus —
+    at sf0.1 it is ~500 nodes while the corpus is 50k docs — and running
+    O(log d) distributed rounds (~3 jobs/round of 32-task stages) over a
+    few hundred rows is pure scheduler overhead (measured 1.9 s vs
+    ~0.1 s here). The collect is BOUNDED by the caller's explicit
+    ``small_graph_max_edges`` check against the already-materialized
+    edge list; above the bound the distributed loop runs instead — the
+    same adaptive small-input contraction AQE applies to joins.
+    Identical fixpoint: path-compressed union by min root == min label
+    propagation (each component's label is its minimum node id)."""
+    src_type = dict(edges.dtypes)["src"]
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in edges.collect():
+        a, b = row.src, row.dst
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min id becomes the root → root IS the cluster label
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    rows = [(n, find(n)) for n in parent]
+    schema = f"doc_id {src_type}, cluster_id {src_type}"
+    if not rows:
+        return spark.createDataFrame([], schema)
+    # bounded slices: default parallelism would scatter a few hundred
+    # labels over 32 one-row tasks — pure scheduling cost downstream
+    rdd = spark.sparkContext.parallelize(rows, max(1, len(rows) // 50_000))
+    return spark.createDataFrame(rdd, schema)
+
+
 def dedup_clusters(
     pairs: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iters: int = 50,
+    small_graph_max_edges: int = 200_000,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs: every doc in a
     transitively-connected group gets the group's MINIMUM doc id as its
@@ -485,6 +529,19 @@ def dedup_clusters(
     Raises RuntimeError if max_iters rounds pass without convergence
     (returning partially-converged labels would silently split clusters
     and under-delete — ADVICE r1).
+
+    Adaptive: when the materialized edge list is at most
+    ``small_graph_max_edges`` rows (the count is free — the list is
+    checkpointed anyway), clustering runs as a driver-side min-label
+    union-find instead (see _driver_union_find) — the pair graph is a
+    contraction of the corpus and at test scales the distributed loop
+    is pure fixed cost. At 100 TB pair counts can reach billions; then
+    the bound fails and the O(log diameter) distributed loop below runs,
+    with a FRONTIER optimization: a round's neighbor-min join only
+    reads edges whose dst changed in the previous round (labels are
+    monotone non-increasing, so unchanged neighbors can contribute
+    nothing new), which drops fully-converged components out of the
+    join entirely.
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -499,15 +556,26 @@ def dedup_clusters(
         # checkpoint() swap note as graph.py applies on a real cluster.
         .localCheckpoint(eager=True)
     )
+    if edges.count() <= small_graph_max_edges:
+        return _driver_union_find(pairs.sparkSession, edges)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    frontier = None  # nodes whose label changed last round (None = all)
     converged = False
     for _ in range(max_iters):
+        # frontier pruning: new information only flows FROM nodes whose
+        # label shrank last round; since update is least(old, nbr_min),
+        # dropping no-news edges cannot change the fixpoint.
+        round_edges = (
+            edges
+            if frontier is None
+            else edges.join(frontier, edges.dst == frontier.chg, "leftsemi")
+        )
         neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
+            round_edges.join(labels, round_edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
@@ -538,7 +606,10 @@ def dedup_clusters(
             )
         )
         updated = updated.localCheckpoint(eager=True)  # truncate the lineage
-        n_changed = updated.filter(F.col("__changed")).count()
+        frontier = updated.filter(F.col("__changed")).select(
+            F.col("node").alias("chg")
+        )
+        n_changed = frontier.count()
         labels = updated.select("node", "label")
         if n_changed == 0:
             converged = True

@@ -2626,7 +2626,14 @@ def c2_corpus_ledger(spark, sf_dir):
     s1 = pipe.filter(~fail_q)
 
     w_fp = W.partitionBy(TX.fingerprint("text")).orderBy("doc_id")
-    s1r = s1.withColumn("__fprn", F.row_number().over(w_fp))
+    # localCheckpoint: s1r feeds BOTH the exact_dup ledger branch and
+    # every downstream stage; without the barrier each of the seven
+    # unionByName branches replays scan → quality → fingerprint-window
+    # from the top (same per-stage reuse note as dedup_clusters' edge
+    # list; swap for reliable checkpoint()/persist(DISK) on a cluster).
+    s1r = s1.withColumn("__fprn", F.row_number().over(w_fp)).localCheckpoint(
+        eager=False
+    )
     s2 = s1r.filter(F.col("__fprn") == 1).drop("__fprn")
 
     pairs = dedup.ngram_jaccard_pairs(s2, threshold=0.2)
@@ -2637,15 +2644,19 @@ def c2_corpus_ledger(spark, sf_dir):
     w_best = W.partitionBy("cluster_id").orderBy(
         F.col("quality").desc(), F.col("doc_id")
     )
-    s2cb = s2c.withColumn("__bestrn", F.row_number().over(w_best))
+    s2cb = s2c.withColumn("__bestrn", F.row_number().over(w_best)).localCheckpoint(
+        eager=False
+    )
     s3 = s2cb.filter(F.col("__bestrn") == 1).drop("__bestrn")
 
     bench = d.filter(is_bench)
     cont = dedup.ngram_decontaminate(s3, bench, "doc_id", "text", n=3).select(
         "doc_id", "contamination"
     )
-    s3c = s3.join(cont, "doc_id", "left").withColumn(
-        "contamination", F.coalesce("contamination", F.lit(0.0))
+    s3c = (
+        s3.join(cont, "doc_id", "left")
+        .withColumn("contamination", F.coalesce("contamination", F.lit(0.0)))
+        .localCheckpoint(eager=False)
     )
     s4 = s3c.filter(F.col("contamination") < 0.12)
 

@@ -194,8 +194,33 @@ def test_dedup_clusters_raises_on_non_convergence(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(40)], "doc_a long, doc_b long"
     )
+    # small_graph_max_edges=0 forces the distributed loop (the driver
+    # union-find fast path has no iteration cap to trip)
     with _pytest.raises(RuntimeError, match="no convergence"):
-        dedup.dedup_clusters(pairs, max_iters=2)
+        dedup.dedup_clusters(pairs, max_iters=2, small_graph_max_edges=0)
+
+
+def test_dedup_clusters_fast_path_matches_distributed(spark):
+    """Driver union-find fast path and the frontier-pruned distributed
+    loop must produce identical (doc_id, cluster_id) labels — a path
+    graph (worst case for propagation: max diameter), a star, an
+    isolated pair, and a diamond with a cross edge."""
+    from oxi_diel_db_spark.operators import dedup
+
+    edges = (
+        [(i, i + 1) for i in range(20)]          # path 0..20
+        + [(100, x) for x in (101, 102, 103)]    # star
+        + [(200, 201)]                           # pair
+        + [(300, 301), (300, 302), (301, 303), (302, 303), (301, 302)]
+    )
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    fast = dedup.dedup_clusters(pairs)  # under the small-graph bound
+    dist = dedup.dedup_clusters(pairs, small_graph_max_edges=0)
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, dist.collect()))
+    got = {r.doc_id: r.cluster_id for r in fast.collect()}
+    assert all(got[i] == 0 for i in range(21))
+    assert all(got[x] == 100 for x in (100, 101, 102, 103))
+    assert got[201] == 200 and all(got[x] == 300 for x in (300, 301, 302, 303))
 
 
 def test_ngram_decontaminate_counts_and_ratio(spark):
