@@ -392,13 +392,22 @@ def m34_eigvals_closed_form(spark, sf_dir):
         + 2 * c("p1"),
     )
     s = s.withColumn("p", F.sqrt(c("p2") / 6))
+    # ANSI-safe divisor: for a scalar matrix p = 0, and although the
+    # final select masks those rows behind the `deg` CASE, these b
+    # columns are eager projections — under ansi.enabled=true the 0/0
+    # raises DIVIDE_BY_ZERO before the CASE can skip it (found by the
+    # SPARK_GRAFT_ANSI=true full sweep). Dividing by 1 instead makes
+    # every numerator 0 for deg rows (a_ij − q = 0 and a12 = a13 =
+    # a23 = 0 exactly when p2 = 0), so b = 0, det_r = 0, and
+    # emin/emax = q + 2·0·cos(·) = q — identical values either way.
+    psafe = F.when(c("p") == 0, F.lit(1.0)).otherwise(c("p"))
     s = (
-        s.withColumn("b11", (c("a11") - c("q")) / c("p"))
-        .withColumn("b22", (c("a22") - c("q")) / c("p"))
-        .withColumn("b33", (c("a33") - c("q")) / c("p"))
-        .withColumn("b12", c("a12") / c("p"))
-        .withColumn("b13", c("a13") / c("p"))
-        .withColumn("b23", c("a23") / c("p"))
+        s.withColumn("b11", (c("a11") - c("q")) / psafe)
+        .withColumn("b22", (c("a22") - c("q")) / psafe)
+        .withColumn("b33", (c("a33") - c("q")) / psafe)
+        .withColumn("b12", c("a12") / psafe)
+        .withColumn("b13", c("a13") / psafe)
+        .withColumn("b23", c("a23") / psafe)
     )
     s = s.withColumn(
         "det_r",

@@ -385,3 +385,50 @@ def st11_stream_dq_monitor(spark, sf_dir):
         F.sum("n_checked").alias("n_checked"),
         F.sum("n_violations").alias("n_violations"),
     )
+
+
+@register(
+    "st12_compaction_cycles",
+    oracle="""
+    SELECT DATE_TRUNC('hour', ts) AS win_start, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events GROUP BY 1, 2
+    """,
+)
+def st12_compaction_cycles(spark, sf_dir):
+    """Multi-cycle delta compaction under the manifest-pointer
+    protocol, end to end: phase-1 events (even ids) stream in as
+    append-only delta partials and are compacted (MANIFEST-1); phase-2
+    events (odd ids) stream into the SAME rollup dir AFTER that
+    compaction — exactly the mid-life state a continuous aggregate
+    lives in — and a second compaction folds base + new deltas
+    (MANIFEST-2, whose consumed list must carry cycle 1's forward).
+    The merge-on-read result must equal the one-shot batch GROUP BY
+    over ALL events: the invariant that makes compaction a pure
+    maintenance operation, invisible to readers at any interleaving.
+    st7 gates one cycle; this gates the steady state."""
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="st12_compact_")
+    ev = t(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    rollup = f"{work}/rollup"
+    for phase in (0, 1):
+        rep = f"{work}/replay{phase}"
+        (
+            ev.filter(F.col("event_id") % 2 == phase)
+            .drop("event_id")
+            .coalesce(2)
+            .write.parquet(rep)
+        )
+        stream = ops.replay_dir_stream(spark, rep)
+        q = ops.rollup_delta_sink(
+            stream, rollup, f"{work}/ckpt{phase}", width="1 hour"
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+        ops.compact_rollup(spark, rollup)
+    return ops.read_rollup(spark, rollup)

@@ -46,12 +46,26 @@ _BASE_CONF = {
 }
 
 
+def _conf() -> dict[str, str]:
+    """_BASE_CONF plus env overrides, read at call time so the full
+    oracle sweep can run under ANSI mode (SPARK_GRAFT_ANSI=true) —
+    every value hash must be ANSI-independent; the sweep proves the
+    Spark-4 ANSI default can never silently flip a legacy-semantics
+    query (the size(NULL) = -1 class of bug)."""
+    conf = dict(_BASE_CONF)
+    ansi = os.environ.get("SPARK_GRAFT_ANSI")
+    if ansi is not None:
+        conf["spark.sql.ansi.enabled"] = ansi
+    return conf
+
+
 def get_spark(app_name: str = "oxi_diel_db_spark") -> SparkSession:
     """Build (or reuse) the engine session.
 
     Env overrides:
       SPARK_GRAFT_CPUS      → local[N] parallelism (default: all cores)
       SPARK_GRAFT_SHUFFLE   → spark.sql.shuffle.partitions (default: cpus)
+      SPARK_GRAFT_ANSI      → spark.sql.ansi.enabled override (sweeps)
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     shuffle = os.environ.get(
@@ -66,7 +80,7 @@ def get_spark(app_name: str = "oxi_diel_db_spark") -> SparkSession:
             "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
         )
     builder = builder.config("spark.sql.shuffle.partitions", shuffle)
-    for k, v in _BASE_CONF.items():
+    for k, v in _conf().items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -76,7 +90,7 @@ def get_spark(app_name: str = "oxi_diel_db_spark") -> SparkSession:
 def configure(spark: SparkSession) -> SparkSession:
     """Apply the engine's behavior configs to an externally-created session
     (e.g. the driver's). Only runtime-settable confs are applied."""
-    for k, v in _BASE_CONF.items():
+    for k, v in _conf().items():
         try:
             spark.conf.set(k, v)
         except Exception:

@@ -144,11 +144,13 @@ def test_golden_file_parity_all_configs(spark, mats):
     from oxi_diel_db_spark.sources import materials as M
 
     preds = M.predictions(spark)
+    # within ~0.02 of measured (r5 verdict ask: floors loose enough to
+    # hide silent feature drift are not floors)
     floors = {
-        ("el", "comp"): 0.90,
-        ("el", "comp_st"): 0.94,
-        ("ion", "comp"): 0.88,
-        ("ion", "comp_st"): 0.93,
+        ("el", "comp"): 0.92,
+        ("el", "comp_st"): 0.96,
+        ("ion", "comp"): 0.90,
+        ("ion", "comp_st"): 0.95,
     }
     measured = {}
     for (diel, des), floor in floors.items():

@@ -631,3 +631,31 @@ def test_rocksdb_state_store_drop_in(spark):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_st12_compaction_cycles_repeat_invocation(spark):
+    """st12 (two ingest phases, two manifest-committed compactions) must
+    be rerunnable in one session — uuid'd scratch dirs, no shared
+    checkpoints — and deterministic: both invocations equal the one-shot
+    batch rollup."""
+    from oxi_diel_db_spark.queries import load_registry
+    from oxi_diel_db_spark.queries._util import t as _t
+
+    reg = load_registry()
+    sf = "/root/testdata/sf0.001"
+    a = {tuple(r) for r in reg["st12_compaction_cycles"].build(spark, sf).collect()}
+    b = {tuple(r) for r in reg["st12_compaction_cycles"].build(spark, sf).collect()}
+    assert a == b and len(a) > 0
+    ev = _t(spark, sf, "events")
+    batch = (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("win_start"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.round(F.col("value") * 100, 0).cast("bigint")
+            ).alias("value_cents"),
+        )
+    )
+    assert a == {tuple(r) for r in batch.collect()}

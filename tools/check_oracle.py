@@ -7,6 +7,12 @@ order-insensitive value hash (columns sorted by name, rows sorted,
 floats rounded to 9 significant-ish decimals before hashing).
 
 Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
+
+ANSI mode sweep: SPARK_GRAFT_ANSI=true python tools/check_oracle.py
+runs the identical sweep with spark.sql.ansi.enabled=true (session.py
+reads the env override inside configure(), so the per-query wrapper
+can't flip it back). Every hash must match in BOTH modes — proof no
+query's values depend on legacy NULL/size/cast semantics.
 """
 
 from __future__ import annotations
