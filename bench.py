@@ -72,6 +72,12 @@ HEADLINE = [
     "q85_session_window",
     "dq1_constraint_audit",
     "mm8_image_neardup",
+    # round-6 additions
+    "g4_bfs_distances",
+    "t12_gopher_rules",
+    "dq7_profile_drift",
+    "mm9_audio_neardup",
+    "q91_lateral_topn",
     # materials domain
     "m04_born_trace_invariant",
     "m11_site_explode_agg",
@@ -85,6 +91,7 @@ HEADLINE = [
 # to "value". r5 reference numbers (sf0.1): c2 17.7 s, p12 5.8 s,
 # q90 0.55 s warm (9.5 s cold includes one-time runner init).
 SINGLES = [
+    "st12_compaction_cycles",
     "c2_corpus_ledger",
     "p12_leakage_safe_split",
     "q90_python_sink",

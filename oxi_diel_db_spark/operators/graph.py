@@ -340,3 +340,57 @@ def sql_lpa_ctes(edges_cte: str, iters: int = 5) -> str:
     )"""
         )
     return ",\n    ".join(parts)
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Multi-source BFS hop distances over an UNDIRECTED edge list:
+    (node, dist) for every node within ``max_hops`` of any source,
+    dist = MINIMUM hop count (0 for the sources themselves).
+
+    The distributed BFS shape: hop k joins ONLY the frontier (nodes
+    first reached at k−1) against the edge list — visited nodes drop
+    out via an anti-join, so per-round work tracks the frontier size,
+    not the graph (on an expander the frontier saturates in a few
+    hops; on a 100 TB edge list each round is one shuffle of
+    frontier-incident edges). Deterministic: hop distance has a unique
+    fixpoint. Edge list is materialized once (same posture as
+    dedup_clusters / pagerank — swap localCheckpoint for reliable
+    checkpoint() on a cluster, DEPLOY.md §1).
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        sources.select(F.col(sources.columns[0]).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist.select("node")
+    for k in range(1, max_hops + 1):
+        reached = (
+            e.join(frontier, e.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = (
+            reached.join(dist, "node", "left_anti")
+            .withColumn("dist", F.lit(k))
+            .localCheckpoint(eager=True)
+        )
+        if new.limit(1).count() == 0:
+            break
+        dist = dist.unionByName(new).localCheckpoint(eager=True)
+        frontier = new.select("node")
+    return dist

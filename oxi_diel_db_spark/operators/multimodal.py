@@ -625,3 +625,82 @@ def neardup_fixture_table(docs: DataFrame, id_col: str = "doc_id", n_groups: int
     return docs.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
         _encode, schema="doc_id bigint, payload binary"
     )
+
+
+def audio_content_fixture_table(
+    docs: DataFrame, id_col: str = "doc_id", group: int = 16
+) -> DataFrame:
+    """WAV fixtures with PLANTED duplicate audio content: every doc in
+    the same ``doc_id // group`` block carries IDENTICAL samples
+    (``content = doc_id // group``; sample j = (content + j) % 4096
+    − 2048, n = 512 + content % 1024) but a doc-varying sample RATE
+    (8000 + (doc_id % 5)·2000) — so the BYTE payloads differ within a
+    group (fmt-chunk differs) while the audio content matches. A
+    byte-level dedup cannot merge these; a content fingerprint must.
+    Distinct contents get distinct (seed, n) pairs for all corpora
+    under 4096·group ids (the mm9 oracle's collision-freedom bound,
+    documented there)."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                content = i // group
+                n = 512 + content % 1024
+                samples = (content + np.arange(n, dtype=np.int64)) % 4096 - 2048
+                payloads.append(encode_wav(8000 + (i % 5) * 2000, samples))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    return docs.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        _encode, schema="doc_id bigint, payload binary"
+    )
+
+
+def audio_fingerprint(media: DataFrame, n_windows: int = 16) -> DataFrame:
+    """Content fingerprint over decoded PCM samples: the sample vector
+    is cut into ``n_windows`` equal time windows, each reduced to its
+    mean absolute amplitude rounded to 3 dp, and the fingerprint is
+    the md5 of that energy-signature vector (+ the sample count).
+    Container metadata (sample rate, header layout, padding) does NOT
+    enter the fingerprint — re-encoded or re-containered audio with
+    identical samples collides on purpose; different content separates
+    (windowed energies are content-determined). Arrow-batched
+    mapInPandas; downstream clustering shuffles (doc_id, 32-char fp)
+    rows only, never samples — the mm8 posture at 100 TB."""
+    import hashlib
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_fp, out_n = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    meta = decode_media(bytes(payload), want_array=True)
+                except Exception:
+                    continue
+                if meta.get("fmt") != "wav":
+                    continue
+                samples = meta["array"].astype(np.float64)
+                n = len(samples)
+                if n == 0:
+                    continue
+                bounds = (np.arange(n_windows + 1) * n) // n_windows
+                energies = [
+                    round(float(np.abs(samples[bounds[k]:bounds[k + 1]]).mean()), 3)
+                    if bounds[k + 1] > bounds[k]
+                    else 0.0
+                    for k in range(n_windows)
+                ]
+                sig = f"{n}:" + ",".join(f"{e:.3f}" for e in energies)
+                out_id.append(int(doc_id))
+                out_fp.append(hashlib.md5(sig.encode()).hexdigest())
+                out_n.append(n)
+            yield pd.DataFrame(
+                {"doc_id": out_id, "fp": out_fp, "n_samples": out_n}
+            )
+
+    return media.mapInPandas(
+        _fp, schema="doc_id bigint, fp string, n_samples bigint"
+    )

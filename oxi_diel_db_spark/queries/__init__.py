@@ -54,13 +54,25 @@ def register(name: str, oracle: str | None = None):
 
 
 # Round-6 sampling rotation (machine-computed in NOTES_r5 "r6 rotation
-# plan"): the driver's correctness gate samples the FIRST 50 registry
-# keys. Cumulative official coverage across r1-r5 is 154 of 201; this
-# prefix is EXACTLY the residue — 3 queries whose gates were upgraded
-# rows-only → full value-hash in r5 (st4/st6/p5), the 46 never-sampled
-# entries, and st11 (born after the r5 prefix was fixed). 50 slots,
-# zero slack: every registry query ends round 6 with ≥1 official row.
+# plan", then adjusted for round-6 births per its deferral rule): the
+# driver's correctness gate samples the FIRST 50 registry keys.
+# Cumulative official coverage across r1-r5 is 154 of 201; the prefix
+# carries the 6 queries born this round, the 3 whose gates upgraded
+# rows-only → full value-hash in r5 (st4/st6/p5), and 41 of the 47
+# never-sampled residue. The 6 deferred tail entries (q59/q60/q62/
+# q63/q65/q66 — all locally hash-verified, family shapes officially
+# covered by q51/q58/q61/q64) are the ENTIRE r7 residue.
 _R6_PRIORITY = [
+    # born in round 6 (locally hash-verified at sf0.01) — take slots
+    # from the tail per NOTES_r5's deferral rule: q59/q60/q62/q63/
+    # q65/q66 move to the r7 prefix (family shapes keep q51/q58/q61/
+    # q64 official rows this round)
+    "st12_compaction_cycles",
+    "g4_bfs_distances",
+    "dq7_profile_drift",
+    "t12_gopher_rules",
+    "q91_lateral_topn",
+    "mm9_audio_neardup",
     # gates upgraded in r5 (rows-only → full value-hash) — need the
     # upgraded gate on the official record
     "st4_stream_dedup",
@@ -100,14 +112,8 @@ _R6_PRIORITY = [
     # TPC-H-style tail
     "q51_large_volume",
     "q58_volume_shipping",
-    "q59_promo_revenue",
-    "q60_priority_late_ships",
     "q61_custorder_distribution",
-    "q62_small_qty_revenue",
-    "q63_disjunctive_filter",
     "q64_idle_rich_customers",
-    "q65_forecast_revenue",
-    "q66_priority_ship_class",
     "q74_approx_percentiles",
     "q75_approx_ntile",
     "q79_jsonl_roundtrip",

@@ -2702,3 +2702,212 @@ def c2_corpus_ledger(spark, sf_dir):
         .unionByName(kept)
     )
     return out
+
+
+def _g4_oracle() -> str:
+    edges = """
+      SELECT ua AS src, ub AS dst FROM (
+        SELECT a.user_id AS ua, b.user_id AS ub, COUNT(*) AS shared
+        FROM (SELECT DISTINCT user_id,
+                     CAST(REGEXP_EXTRACT(props, '"k":\\s*(-?\\d+)', 1) AS INTEGER) AS k
+              FROM events WHERE event_type = 'purchase') a
+        JOIN (SELECT DISTINCT user_id,
+                     CAST(REGEXP_EXTRACT(props, '"k":\\s*(-?\\d+)', 1) AS INTEGER) AS k
+              FROM events WHERE event_type = 'purchase') b
+          ON a.k = b.k AND a.user_id < b.user_id
+        GROUP BY 1, 2
+      ) WHERE shared >= 4
+    """
+    return f"""
+    WITH RECURSIVE eu AS ({edges}),
+    e AS (SELECT src, dst FROM eu UNION SELECT dst, src FROM eu),
+    srcs AS (SELECT DISTINCT src AS node FROM e WHERE src % 5 = 0),
+    walk(node, dist) AS (
+      SELECT node, 0 FROM srcs
+      UNION
+      SELECT e.dst, w.dist + 1
+      FROM walk w JOIN e ON e.src = w.node
+      WHERE w.dist < 3
+    )
+    SELECT node AS user_id, CAST(MIN(dist) AS INT) AS dist
+    FROM walk GROUP BY node
+    """
+
+
+@register("g4_bfs_distances", oracle=_g4_oracle())
+def g4_bfs_distances(spark, sf_dir):
+    """Multi-source BFS over the g2 co-purchase user graph (undirected;
+    edge: >= 4 shared distinct props.k purchase values): minimum hop
+    distance from the seed set {user_id % 5 == 0} up to 3 hops — the
+    neighborhood-expansion primitive behind influence radii, contact
+    tracing, and graph-based label spreading. Frontier-only joins per
+    hop (operators/graph.bfs_distances); the oracle replays the SAME
+    expansion as a DuckDB recursive CTE (UNION-dedup bounds the walk,
+    MIN(dist) collapses multi-path reaches) — an iterative traversal
+    under the full value-hash gate."""
+    from oxi_diel_db_spark.operators.graph import bfs_distances
+
+    uk = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id", F.get_json_object("props", "$.k").cast("int").alias("k")
+        )
+        .distinct()
+    )
+    a = uk.select(F.col("user_id").alias("ua"), "k")
+    b = uk.select(F.col("user_id").alias("ub"), "k")
+    edges = (
+        a.join(b, "k")
+        .where(F.col("ua") < F.col("ub"))
+        .groupBy("ua", "ub")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= 4)
+        .select(F.col("ua").alias("src"), F.col("ub").alias("dst"))
+    )
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .filter(F.col("node") % 5 == 0)
+    )
+    return bfs_distances(edges, seeds, max_hops=3).select(
+        F.col("node").alias("user_id"), "dist"
+    )
+
+
+@register(
+    "t12_gopher_rules",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(COALESCE(text, ''), '\s+'), x -> x <> '') AS words
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id,
+             len(words) AS n_words,
+             CASE WHEN len(words) > 0
+                  THEN list_sum(list_transform(words, x -> length(x))) * 1.0 / len(words)
+                  ELSE 0.0 END AS mean_wlen,
+             CASE WHEN len(words) > 0
+                  THEN len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]'))) * 1.0 / len(words)
+                  ELSE 0.0 END AS alpha_frac,
+             CASE WHEN len(words) > 0
+                  THEN len(list_filter(words, x -> x IN ('#', '...'))) * 1.0 / len(words)
+                  ELSE 0.0 END AS symbol_ratio,
+             len(list_intersect(list_distinct(words),
+                 ['the','and','of','to','in','a','is'])) AS stop_hits
+      FROM base
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           ROUND(mean_wlen, 6) AS mean_wlen,
+           n_words BETWEEN 30 AND 100000 AS ok_count,
+           mean_wlen BETWEEN 3 AND 10 AS ok_wlen,
+           alpha_frac > 0.8 AS ok_alpha,
+           symbol_ratio < 0.1 AS ok_symbols,
+           stop_hits >= 2 AS ok_stopwords,
+           (n_words BETWEEN 30 AND 100000) AND (mean_wlen BETWEEN 3 AND 10)
+             AND alpha_frac > 0.8 AND symbol_ratio < 0.1 AND stop_hits >= 2 AS pass
+    FROM feat
+    """,
+)
+def t12_gopher_rules(spark, sf_dir):
+    """Composite document-quality ruleset in the style of the published
+    Gopher/MassiveText filters (Rae et al. 2021, public): word-count
+    band, mean word length band, alphabetic-word fraction, symbol-to-
+    word ratio, and a minimum-stopword requirement, each emitted as its
+    own verdict column plus the conjunction — the auditable form (a
+    rejected doc says WHICH rule fired). Pure Catalyst array
+    expressions over one whitespace tokenization (no UDFs, no
+    re-tokenizing per rule); at 100 TB this is a single scan. NULL
+    text fails every rule deterministically (COALESCE '' both
+    engines)."""
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    words = F.filter(F.split(txt, r"\s+"), lambda x: x != "")
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", words.alias("words")
+    )
+    n_words = F.size("words")
+    wlen_sum = F.aggregate(
+        "words", F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    nz = n_words > 0
+    mean_wlen = F.when(nz, wlen_sum / n_words).otherwise(F.lit(0.0))
+    alpha_frac = F.when(
+        nz,
+        F.size(F.filter("words", lambda x: x.rlike("[a-zA-Z]"))) / n_words,
+    ).otherwise(F.lit(0.0))
+    symbol_ratio = F.when(
+        nz,
+        F.size(F.filter("words", lambda x: x.isin("#", "..."))) / n_words,
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct("words"),
+            F.array(
+                *[F.lit(w) for w in
+                  ("the", "and", "of", "to", "in", "a", "is")]
+            ),
+        )
+    )
+    ok_count = n_words.between(30, 100000)
+    ok_wlen = mean_wlen.between(3, 10)
+    ok_alpha = alpha_frac > 0.8
+    ok_symbols = symbol_ratio < 0.1
+    ok_stop = stop_hits >= 2
+    return d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wlen, 6).alias("mean_wlen"),
+        ok_count.alias("ok_count"),
+        ok_wlen.alias("ok_wlen"),
+        ok_alpha.alias("ok_alpha"),
+        ok_symbols.alias("ok_symbols"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_count & ok_wlen & ok_alpha & ok_symbols & ok_stop).alias("pass"),
+    )
+
+
+@register(
+    "mm9_audio_neardup",
+    # Planted-content oracle (the mm8 pattern for audio): docs in the
+    # same doc_id // 16 block carry byte-DIFFERENT WAVs (sample rate
+    # varies per doc) with IDENTICAL samples, so the expected clusters
+    # are closed-form: cluster = min doc_id of the block, n_samples =
+    # 512 + block % 1024. Collision-freedom holds for all ids below
+    # 4096*16 (distinct blocks get distinct (seed, n) sample vectors),
+    # far above the gate corpus; a fingerprint that reads the header
+    # into the signature SPLITS blocks, one that drops samples MERGES
+    # them — either flips the hash.
+    oracle="""
+    SELECT doc_id,
+           MIN(doc_id) OVER (PARTITION BY doc_id // 16) AS cluster_id,
+           CAST(512 + (doc_id // 16) % 1024 AS BIGINT) AS n_samples
+    FROM documents
+    """,
+)
+def mm9_audio_neardup(spark, sf_dir):
+    """Audio content dedup over REALLY-decoded WAV fixtures: RIFF walk
+    → PCM16 samples → 16-window energy signature → md5 fingerprint
+    (operators/multimodal.audio_fingerprint) → clusters keyed by
+    fingerprint with min-doc_id labels. Same samples in different
+    containers (varying fmt-chunk sample rates) MUST collide; different
+    content must separate. Clustering shuffles (doc_id, fp) pairs only
+    — samples never leave the decode stage, the posture that holds at
+    100 TB of audio."""
+    from pyspark.sql import Window as W
+
+    from oxi_diel_db_spark.operators.multimodal import (
+        audio_content_fixture_table,
+        audio_fingerprint,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    fps = audio_fingerprint(audio_content_fixture_table(docs, group=16))
+    return fps.select(
+        "doc_id",
+        F.min("doc_id").over(W.partitionBy("fp")).alias("cluster_id"),
+        "n_samples",
+    )

@@ -413,3 +413,103 @@ def dq6_reconciliation(spark, sf_dir):
     return r.select(band.alias("band")).groupBy("band").agg(
         F.count(F.lit(1)).alias("n_orders")
     )
+
+
+@register(
+    "dq7_profile_drift",
+    oracle="""
+    WITH ev AS (
+      SELECT *, CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'p1' ELSE 'p2' END AS period
+      FROM events
+    ),
+    prof AS (
+      SELECT period, 'event_type' AS col, COUNT(*) AS n,
+             COUNT(event_type) AS nn, COUNT(DISTINCT event_type) AS nd
+      FROM ev GROUP BY period
+      UNION ALL
+      SELECT period, 'value', COUNT(*), COUNT(value), COUNT(DISTINCT value)
+      FROM ev GROUP BY period
+      UNION ALL
+      SELECT period, 'user_id', COUNT(*), COUNT(user_id), COUNT(DISTINCT user_id)
+      FROM ev GROUP BY period
+      UNION ALL
+      SELECT period, 'props', COUNT(*), COUNT(props), COUNT(DISTINCT props)
+      FROM ev GROUP BY period
+    ),
+    wide AS (
+      SELECT col,
+             CAST(MAX(CASE WHEN period = 'p1' THEN nd END) AS BIGINT) AS nd_p1,
+             CAST(MAX(CASE WHEN period = 'p2' THEN nd END) AS BIGINT) AS nd_p2,
+             ROUND(MAX(CASE WHEN period = 'p1' THEN 1.0 - nn * 1.0 / n END), 6) AS null_rate_p1,
+             ROUND(MAX(CASE WHEN period = 'p2' THEN 1.0 - nn * 1.0 / n END), 6) AS null_rate_p2
+      FROM prof GROUP BY col
+    )
+    SELECT col,
+           nd_p1, nd_p2, null_rate_p1, null_rate_p2,
+           (ABS(nd_p2 - nd_p1) * 1.0 / GREATEST(nd_p1, nd_p2, 1) > 0.5
+            OR ABS(null_rate_p2 - null_rate_p1) > 0.01) AS drifted
+    FROM wide
+    """,
+)
+def dq7_profile_drift(spark, sf_dir):
+    """Column-profile drift between two pipeline runs (Deequ-style
+    profile anomaly detection, completing dq2's single-column PSI):
+    per column, null-rate and exact distinct-count for the first vs
+    second half-month of events, plus a drift verdict (>50% relative
+    distinct-count shift or >1pp null-rate shift). ONE Expand-based
+    pass per period computes every per-column profile (no per-column
+    rescans — the q81 one-pass-profile shape), then a 4-row pivot.
+    At 100 TB: a single scan with map-side partials; the profile table
+    is O(columns), not O(rows)."""
+    cols = ["event_type", "value", "user_id", "props"]
+    ev = t(spark, sf_dir, "events").withColumn(
+        "period",
+        F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp"), "p1").otherwise(
+            "p2"
+        ),
+    )
+    prof = ev.groupBy("period").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.count(c).alias(f"nn_{c}") for c in cols],
+        *[F.countDistinct(c).alias(f"nd_{c}") for c in cols],
+    )
+    # unpivot to (period, col, n, nn, nd) rows
+    stacked = prof.select(
+        "period",
+        "n",
+        F.expr(
+            "stack({}, {}) as (col, nn, nd)".format(
+                len(cols),
+                ", ".join(f"'{c}', nn_{c}, nd_{c}" for c in cols),
+            )
+        ),
+    )
+    wide = stacked.groupBy("col").agg(
+        F.max(F.when(F.col("period") == "p1", F.col("nd"))).alias("nd_p1"),
+        F.max(F.when(F.col("period") == "p2", F.col("nd"))).alias("nd_p2"),
+        r6(
+            F.max(
+                F.when(
+                    F.col("period") == "p1", 1.0 - F.col("nn") / F.col("n")
+                )
+            ),
+            "null_rate_p1",
+        ),
+        r6(
+            F.max(
+                F.when(
+                    F.col("period") == "p2", 1.0 - F.col("nn") / F.col("n")
+                )
+            ),
+            "null_rate_p2",
+        ),
+    )
+    drifted = (
+        F.abs(F.col("nd_p2") - F.col("nd_p1"))
+        / F.greatest(F.col("nd_p1"), F.col("nd_p2"), F.lit(1))
+        > 0.5
+    ) | (F.abs(F.col("null_rate_p2") - F.col("null_rate_p1")) > 0.01)
+    return wide.select(
+        "col", "nd_p1", "nd_p2", "null_rate_p1", "null_rate_p2",
+        drifted.alias("drifted"),
+    )

@@ -469,3 +469,50 @@ def q57_recursive_date_spine(spark, sf_dir):
         FROM spine LEFT JOIN monthly ON spine.m = monthly.m
         """
     )
+
+
+@register(
+    "q91_lateral_topn",
+    oracle="""
+    SELECT n_name,
+           c.c_name AS top_customer,
+           c.rnk AS rnk,
+           c.c_acctbal AS acctbal
+    FROM nation, LATERAL (
+      SELECT c_name, c_acctbal,
+             CAST(ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rnk
+      FROM customer
+      WHERE c_nationkey = n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey
+      LIMIT 2
+    ) c
+    """,
+)
+def q91_lateral_topn(spark, sf_dir):
+    """Correlated LATERAL subquery (Spark 3.2+ SQL surface): per
+    nation, the top-2 customers by account balance — the for-each-row
+    table subquery SQL users reach for before learning window
+    functions; the engine must support BOTH spellings (q06/q44 are the
+    window forms). Catalyst decorrelates the LATERAL into a
+    DomainJoin → ranked window under the hood, so the plan is the same
+    shuffle as the window form, not N correlated executions —
+    exactly the rewrite a 100 TB per-group top-k needs. (c_custkey
+    tiebreak pins determinism cross-engine.)"""
+    t(spark, sf_dir, "nation").createOrReplaceTempView("nation_q91")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer_q91")
+    return spark.sql(
+        """
+        SELECT n_name,
+               c.c_name AS top_customer,
+               c.rnk AS rnk,
+               c.c_acctbal AS acctbal
+        FROM nation_q91, LATERAL (
+          SELECT c_name, c_acctbal,
+                 CAST(ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rnk
+          FROM customer_q91
+          WHERE c_nationkey = n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey
+          LIMIT 2
+        ) c
+        """
+    )

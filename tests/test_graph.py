@@ -89,3 +89,23 @@ def test_label_propagation_star_oscillates_deterministically(spark):
     )
     out = {r["node"]: r["community"] for r in label_propagation(edges, iters=6).collect()}
     assert out == {5: 5, 6: 6, 7: 6, 8: 6, 9: 6}
+
+
+def test_bfs_distances_path_and_bounds(spark):
+    """Path 1-2-3-4-5 plus island 10-11: seeds {1, 10}; max_hops=2 must
+    reach exactly dist<=2 nodes with min hop counts, island included."""
+    from oxi_diel_db_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,), (10,)], "node long")
+    got = {r.node: r.dist for r in bfs_distances(edges, seeds, max_hops=2).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 10: 0, 11: 1}
+    # diamond: two equal-length paths -> MIN dist, counted once
+    edges2 = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4)], "src long, dst long"
+    )
+    seeds2 = spark.createDataFrame([(1,)], "node long")
+    got2 = {r.node: r.dist for r in bfs_distances(edges2, seeds2, max_hops=5).collect()}
+    assert got2 == {1: 0, 2: 1, 3: 1, 4: 2}

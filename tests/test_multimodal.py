@@ -340,3 +340,38 @@ def test_mm8_near_match_via_banded_hamming(spark):
     }
     assert not missing  # pigeonhole: nothing in-radius may be missed
     assert all(r["hamming"] <= 3 for r in pairs)
+
+
+def test_audio_fingerprint_container_invariant_content_sensitive(spark):
+    """Same samples at different sample rates → SAME fingerprint
+    (container metadata must not leak into the signature); any sample
+    change — one dropped, one perturbed — must separate."""
+    import numpy as np
+
+    from oxi_diel_db_spark.operators import multimodal as MM
+
+    samples = (np.arange(1000, dtype=np.int64) * 37) % 4096 - 2048
+    rows = [
+        (1, MM.encode_wav(8000, samples)),
+        (2, MM.encode_wav(16000, samples)),          # re-containered
+        (3, MM.encode_wav(8000, samples[:-1])),      # one sample short
+        (4, MM.encode_wav(8000, np.concatenate([samples[:500] + 40, samples[500:]]))),
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    fp = {r.doc_id: r.fp for r in MM.audio_fingerprint(media).collect()}
+    assert fp[1] == fp[2]
+    assert fp[3] != fp[1] and fp[4] != fp[1] and fp[3] != fp[4]
+
+
+def test_audio_fixture_plants_byte_distinct_content_groups(spark):
+    """The mm9 fixture must actually arm the trap: within a block the
+    byte payloads DIFFER (sr varies) while fingerprints collide."""
+    from oxi_diel_db_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame([(i,) for i in range(32)], "doc_id long")
+    media = MM.audio_content_fixture_table(docs, group=16)
+    rows = {r.doc_id: bytes(r.payload) for r in media.collect()}
+    assert rows[0] != rows[1]  # different fmt chunk → different bytes
+    fps = {r.doc_id: r.fp for r in MM.audio_fingerprint(media).collect()}
+    assert fps[0] == fps[1] == fps[15]
+    assert fps[0] != fps[16] and fps[16] == fps[31]
