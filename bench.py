@@ -78,6 +78,8 @@ HEADLINE = [
     "dq7_profile_drift",
     "mm9_audio_neardup",
     "q91_lateral_topn",
+    "q92_collations",
+    "p13_curriculum_interleave",
     # materials domain
     "m04_born_trace_invariant",
     "m11_site_explode_agg",
@@ -92,6 +94,7 @@ HEADLINE = [
 # q90 0.55 s warm (9.5 s cold includes one-time runner init).
 SINGLES = [
     "st12_compaction_cycles",
+    "st13_stream_left_outer_join",
     "c2_corpus_ledger",
     "p12_leakage_safe_split",
     "q90_python_sink",

@@ -57,17 +57,19 @@ def register(name: str, oracle: str | None = None):
 # plan", then adjusted for round-6 births per its deferral rule): the
 # driver's correctness gate samples the FIRST 50 registry keys.
 # Cumulative official coverage across r1-r5 is 154 of 201; the prefix
-# carries the 6 queries born this round, the 3 whose gates upgraded
-# rows-only → full value-hash in r5 (st4/st6/p5), and 41 of the 47
-# never-sampled residue. The 6 deferred tail entries (q59/q60/q62/
-# q63/q65/q66 — all locally hash-verified, family shapes officially
-# covered by q51/q58/q61/q64) are the ENTIRE r7 residue.
+# carries the 9 queries born this round, the 3 whose gates upgraded
+# rows-only → full value-hash in r5 (st4/st6/p5), and 38 of the 47
+# never-sampled residue. The 9 deferred tail entries — q59/q60/q62/
+# q63/q65/q66 plus q51 (J3 family shapes keep q58/q61/q64) and the
+# rows-only-BY-DESIGN q74/q75 (their official row records only
+# "rows-only OK", the cheapest deferral) — are the ENTIRE r7 residue.
 _R6_PRIORITY = [
-    # born in round 6 (locally hash-verified at sf0.01) — take slots
-    # from the tail per NOTES_r5's deferral rule: q59/q60/q62/q63/
-    # q65/q66 move to the r7 prefix (family shapes keep q51/q58/q61/
-    # q64 official rows this round)
+    # born in round 6 (locally hash-verified at sf0.01, st13 also at
+    # sf0.001) — take slots from the tail per NOTES_r5's deferral rule
     "st12_compaction_cycles",
+    "st13_stream_left_outer_join",
+    "p13_curriculum_interleave",
+    "q92_collations",
     "g4_bfs_distances",
     "dq7_profile_drift",
     "t12_gopher_rules",
@@ -110,12 +112,9 @@ _R6_PRIORITY = [
     "q54_funnel",
     "q55_event_transitions",
     # TPC-H-style tail
-    "q51_large_volume",
     "q58_volume_shipping",
     "q61_custorder_distribution",
     "q64_idle_rich_customers",
-    "q74_approx_percentiles",
-    "q75_approx_ntile",
     "q79_jsonl_roundtrip",
     "q82_schema_evolution",
     "m33_tensor_invariants",

@@ -2911,3 +2911,71 @@ def mm9_audio_neardup(spark, sf_dir):
         F.min("doc_id").over(W.partitionBy("fp")).alias("cluster_id"),
         "n_samples",
     )
+
+
+@register(
+    "p13_curriculum_interleave",
+    oracle=r"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             COALESCE(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')), 0) AS difficulty
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, difficulty,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY difficulty, doc_id) AS INT) AS rank_in_source,
+             CAST(DENSE_RANK() OVER (ORDER BY source) AS INT) AS src_idx
+      FROM scored
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT source) AS INT) AS s FROM scored)
+    SELECT doc_id, source, rank_in_source,
+           CAST((rank_in_source - 1) * n.s + ranked.src_idx AS BIGINT) AS global_pos
+    FROM ranked, n
+    """,
+)
+def p13_curriculum_interleave(spark, sf_dir):
+    """Curriculum data ordering for pretraining: docs rank easy→hard
+    WITHIN each source (difficulty = whitespace token count, doc_id
+    tiebreak), and the global schedule round-robins the sources at
+    each difficulty level — position (rank−1)·S + source_index — so
+    early training sees every source's easiest docs instead of
+    draining one source first. Two window passes + a broadcast 1-row
+    source count; fully deterministic, no shuffle beyond the window's
+    own partitioning — at 100 TB the schedule column is computed in
+    one pass and the trainer just sorts by it (Z-order/range-partition
+    the sink on global_pos)."""
+    scored = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", TX.ws_token_count("text").alias("difficulty")
+    )
+    from pyspark.sql import Window as W
+
+    ranked = scored.select(
+        "doc_id",
+        "source",
+        "difficulty",
+        F.row_number()
+        .over(W.partitionBy("source").orderBy("difficulty", "doc_id"))
+        .alias("rank_in_source"),
+    )
+    # source index from the DISTINCT source list — the global-order
+    # window runs over O(sources) rows, never O(docs) (an unpartitioned
+    # dense_rank over the corpus would be the single-partition cliff
+    # the plan linter exists to catch)
+    src_idx = (
+        scored.select("source")
+        .distinct()
+        .select(
+            "source", F.dense_rank().over(W.orderBy("source")).alias("src_idx")
+        )
+    )
+    ranked = ranked.join(F.broadcast(src_idx), "source")
+    n = scored.agg(F.countDistinct("source").cast("int").alias("s"))
+    return ranked.join(F.broadcast(n)).select(
+        "doc_id",
+        "source",
+        "rank_in_source",
+        ((F.col("rank_in_source") - 1) * F.col("s") + F.col("src_idx"))
+        .cast("bigint")
+        .alias("global_pos"),
+    )

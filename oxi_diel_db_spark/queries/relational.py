@@ -516,3 +516,46 @@ def q91_lateral_topn(spark, sf_dir):
         ) c
         """
     )
+
+
+@register(
+    "q92_collations",
+    oracle="""
+    WITH mixed AS (
+      SELECT user_id % 10 AS bucket,
+             CASE WHEN event_id % 2 = 0
+                  THEN upper(substr(event_type, 1, 1)) || substr(event_type, 2)
+                  ELSE event_type END AS etype
+      FROM events
+    )
+    SELECT bucket,
+           CAST(COUNT(DISTINCT etype) AS BIGINT) AS n_types_binary,
+           CAST(COUNT(DISTINCT lower(etype)) AS BIGINT) AS n_types_ci,
+           CAST(SUM(CASE WHEN lower(etype) = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view_ci
+    FROM mixed GROUP BY bucket
+    """,
+)
+def q92_collations(spark, sf_dir):
+    """String COLLATIONS (Spark 4.0 surface): half the event types are
+    deterministically re-cased (initcap on even event_ids), then
+    distinct-counts and an equality filter run under the UTF8_LCASE
+    collation — the engine-level way to make comparison, grouping and
+    DISTINCT case-insensitive WITHOUT rewriting every expression
+    through lower() (which defeats dictionary/statistics pushdown on a
+    100 TB column). Binary distinct sees 8 variants per bucket, the
+    collated distinct 4; the oracle spells the same semantics with
+    lower() since DuckDB lacks per-expression collation aliases."""
+    ev = t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 10).alias("bucket"),
+        F.when(
+            F.col("event_id") % 2 == 0, F.initcap("event_type")
+        ).otherwise(F.col("event_type")).alias("etype"),
+    )
+    ci = F.collate(F.col("etype"), "UTF8_LCASE")
+    return ev.groupBy("bucket").agg(
+        F.countDistinct("etype").alias("n_types_binary"),
+        F.countDistinct(ci).alias("n_types_ci"),
+        F.sum(F.when(ci == F.lit("view"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_view_ci"),
+    )

@@ -432,3 +432,61 @@ def st12_compaction_cycles(spark, sf_dir):
             q.awaitTermination()
         ops.compact_rollup(spark, rollup)
     return ops.read_rollup(spark, rollup)
+
+
+@register(
+    "st13_stream_left_outer_join",
+    # Oracle: matched pairs are the plain batch interval join; the
+    # NULL-padded tier contains exactly the unmatched views whose
+    # match-interval END (ts + 4h) fell behind the FINAL watermark.
+    # That watermark follows the documented multipleWatermarkPolicy
+    # 'min': each side's EventTimeWatermark operator observes only the
+    # rows that pass ITS filter, so W = least(max view ts, max purchase
+    # ts) - 1h, applied by the closing no-data micro-batch. Views still
+    # inside their interval at end-of-stream are (correctly) absent.
+    # Event times are microsecond-grained, so boundary strictness is
+    # measure-zero.
+    oracle="""
+    WITH w AS (
+      SELECT LEAST(
+               (SELECT max(ts) FROM events WHERE event_type = 'view'),
+               (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+             ) - INTERVAL 1 HOUR AS wm
+    ),
+    v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+    p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT v.event_id AS left_id, p.event_id AS right_id, v.user_id,
+           v.ts AS left_ts, p.ts AS right_ts
+    FROM v JOIN p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 4 HOUR
+    UNION ALL
+    SELECT v.event_id, NULL, v.user_id, v.ts, NULL
+    FROM v, w
+    WHERE v.ts + INTERVAL 4 HOUR < w.wm
+      AND NOT EXISTS (
+        SELECT 1 FROM p
+        WHERE p.user_id = v.user_id
+          AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 4 HOUR
+      )
+    """,
+)
+def st13_stream_left_outer_join(spark, sf_dir):
+    """Stream-stream LEFT OUTER interval join — the hardest standard
+    streaming join to pin down, because the NULL tier is emitted by
+    WATERMARK EXPIRY, not by data: a view with no purchase within 4h
+    surfaces as (view, NULL) only once the watermark passes the end of
+    its match window, via the closing no-data micro-batch. The oracle
+    replays those exact semantics in batch SQL — the interval join plus
+    an anti-join bounded by the final min-policy watermark — putting
+    the eviction boundary itself under the cross-engine value-hash
+    gate. State posture at 100 TB: both sides hash-partition on
+    user_id; per-key buffered state is rate x (watermark + interval),
+    independent of stream length."""
+    stream = ops.read_events_stream(spark, sf_dir)
+    views = stream.filter(F.col("event_type") == "view")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    joined = ops.stream_stream_join(
+        views, purchases, within="4 hours", watermark="1 hour", how="left_outer"
+    )
+    return ops.run_stream_to_memory(joined, spark, mode="append")

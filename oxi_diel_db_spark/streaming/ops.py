@@ -186,6 +186,7 @@ def stream_stream_join(
     key: str = "user_id",
     within: str = "4 hours",
     watermark: str = "90 days",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream inner interval join (T7's harder sibling — the
     join both sides of which are unbounded): left events match right
@@ -212,6 +213,15 @@ def stream_stream_join(
     replayed out of time order can never evict rows mid-replay and the
     batch-equivalence oracle holds. Production tightens it to the real
     lateness bound, e.g. minutes, because state scales with it.
+
+    ``how='left_outer'`` adds the NULL-padded tier: an unmatched left
+    row is emitted with NULL right columns only when the watermark
+    passes the end of its match interval (left_ts + within) — eviction
+    IS the emission trigger, so the outer tier requires a FINITE
+    watermark (st13 uses 1 hour) and the replay's final no-data
+    micro-batch to advance it. Left rows whose interval hasn't expired
+    by end-of-stream stay buffered and unreported — st13's oracle
+    encodes exactly that boundary.
     """
     # watermarks demand TIMESTAMP_LTZ; the parquet replay may surface
     # NTZ. Cast is value-preserving under the pinned UTC session tz,
@@ -231,7 +241,7 @@ def stream_stream_join(
         & (F.col("right_ts") >= F.col("left_ts"))
         & (F.col("right_ts") <= F.col("left_ts") + F.expr(f"INTERVAL {within}"))
     )
-    return l.join(r, cond, "inner").select(
+    return l.join(r, cond, how).select(
         "left_id",
         "right_id",
         F.col(key),

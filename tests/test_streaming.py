@@ -659,3 +659,19 @@ def test_st12_compaction_cycles_repeat_invocation(spark):
         )
     )
     assert a == {tuple(r) for r in batch.collect()}
+
+
+def test_st13_left_outer_repeat_and_null_tier(spark):
+    """st13 must be rerunnable in one session and deterministic, and
+    its result must actually contain BOTH tiers: matched pairs and
+    watermark-expired NULL-padded views."""
+    from oxi_diel_db_spark.queries import load_registry
+
+    reg = load_registry()
+    sf = "/root/testdata/sf0.001"
+    a = {tuple(r) for r in reg["st13_stream_left_outer_join"].build(spark, sf).collect()}
+    b = {tuple(r) for r in reg["st13_stream_left_outer_join"].build(spark, sf).collect()}
+    assert a == b and len(a) > 0
+    nulls = [r for r in a if r[1] is None]
+    matched = [r for r in a if r[1] is not None]
+    assert nulls and matched
