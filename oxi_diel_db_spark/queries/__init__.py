@@ -57,12 +57,14 @@ def register(name: str, oracle: str | None = None):
 # plan", then adjusted for round-6 births per its deferral rule): the
 # driver's correctness gate samples the FIRST 50 registry keys.
 # Cumulative official coverage across r1-r5 is 154 of 201; the prefix
-# carries the 9 queries born this round, the 3 whose gates upgraded
-# rows-only → full value-hash in r5 (st4/st6/p5), and 38 of the 47
-# never-sampled residue. The 9 deferred tail entries — q59/q60/q62/
-# q63/q65/q66 plus q51 (J3 family shapes keep q58/q61/q64) and the
-# rows-only-BY-DESIGN q74/q75 (their official row records only
-# "rows-only OK", the cheapest deferral) — are the ENTIRE r7 residue.
+# carries the 10 queries born this round, the 3 whose gates upgraded
+# rows-only → full value-hash in r5 (st4/st6/p5), and 37 of the 47
+# never-sampled residue. The 10 deferred tail entries — q51/q58/q59/
+# q60/q62/q63/q65/q66 (J3/A8 family shapes keep q61/q64 plus the
+# r1-r3 join rows official) and the rows-only-BY-DESIGN q74/q75
+# (their official row records only "rows-only OK", the cheapest
+# deferral) — are the ENTIRE r7 residue; all are locally
+# hash-verified green.
 _R6_PRIORITY = [
     # born in round 6 (locally hash-verified at sf0.01, st13 also at
     # sf0.001) — take slots from the tail per NOTES_r5's deferral rule
@@ -70,6 +72,7 @@ _R6_PRIORITY = [
     "st13_stream_left_outer_join",
     "p13_curriculum_interleave",
     "q92_collations",
+    "q93_prediction_stdout",
     "g4_bfs_distances",
     "dq7_profile_drift",
     "t12_gopher_rules",
@@ -112,7 +115,6 @@ _R6_PRIORITY = [
     "q54_funnel",
     "q55_event_transitions",
     # TPC-H-style tail
-    "q58_volume_shipping",
     "q61_custorder_distribution",
     "q64_idle_rich_customers",
     "q79_jsonl_roundtrip",

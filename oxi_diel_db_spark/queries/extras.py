@@ -1511,3 +1511,58 @@ def q90_python_sink(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@register(
+    "q93_prediction_stdout",
+    oracle=f"""
+    WITH fit AS (
+      SELECT ROUND(regr_slope(LOG10(dielectric.epsilon_electronic_avg), band_gap), 6) AS slope,
+             ROUND(regr_intercept(LOG10(dielectric.epsilon_electronic_avg), band_gap), 6) AS intercept
+      FROM {_MAT}
+    ),
+    pred AS (
+      SELECT ROUND(intercept + slope * 2.5, 6) AS p FROM fit
+    )
+    SELECT 1 AS line_no,
+           printf('Prediction result (log10): %.6f', p) AS line
+    FROM pred
+    UNION ALL
+    SELECT 2, printf('Prediction result (not log value): %.6f', ROUND(POW(10, p), 6))
+    FROM pred
+    """,
+)
+def q93_prediction_stdout(spark, sf_dir):
+    """S6 stdout sink, the full-gate form (reference main.py:36-37
+    prints 'Prediction result (log10): …' and 'Prediction result (not
+    log value): …'): the EXACT formatted output contract, produced
+    from the hash-checkable OLS tier (global log10(ε)~band_gap fit,
+    evaluated at band_gap = 2.5) instead of the RF blob so both lines
+    sit under the cross-engine value hash. The CLI prints these rows
+    verbatim (`oxi_diel_db_spark query q93_prediction_stdout --json` —
+    asserted in tests/test_cli.py), so the print surface itself is the
+    thing being checked, not just the scalar."""
+    m = M.materials(spark)
+    y = F.log10(F.col("dielectric.epsilon_electronic_avg"))
+    x = F.col("band_gap")
+    fit = m.agg(
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+    )
+    pred = fit.select(
+        F.round(F.col("intercept") + F.col("slope") * 2.5, 6).alias("p")
+    )
+    l1 = pred.select(
+        F.lit(1).alias("line_no"),
+        F.format_string("Prediction result (log10): %.6f", F.col("p")).alias(
+            "line"
+        ),
+    )
+    l2 = pred.select(
+        F.lit(2).alias("line_no"),
+        F.format_string(
+            "Prediction result (not log value): %.6f",
+            F.round(F.pow(F.lit(10.0), F.col("p")), 6),
+        ).alias("line"),
+    )
+    return l1.unionByName(l2)

@@ -115,3 +115,27 @@ def test_cli_query_unknown_name_exits():
 
     with pytest.raises(SystemExit, match="unknown query"):
         main(["query", "nope_not_a_query"])
+
+
+def test_cli_stdout_sink_prints_reference_format(capsys):
+    """S6 stdout sink, full contract: the CLI prints the reference's
+    two prediction lines (main.py:36-37 format) verbatim through the
+    stdout path — format string AND value both come from the
+    hash-gated q93 pipeline."""
+    import json as _json
+
+    from oxi_diel_db_spark.cli import main
+
+    main([
+        "query", "q93_prediction_stdout", "--json",
+        "--sf-dir", "/root/testdata/sf0.001",
+    ])
+    lines = [l for l in capsys.readouterr().out.strip().splitlines() if l.startswith("{")]
+    rows = sorted((_json.loads(l) for l in lines), key=lambda r: r["line_no"])
+    assert len(rows) == 2
+    assert rows[0]["line"].startswith("Prediction result (log10): ")
+    assert rows[1]["line"].startswith("Prediction result (not log value): ")
+    # the two lines agree: 10**log10_value == plain value (to print precision)
+    log_v = float(rows[0]["line"].rsplit(" ", 1)[1])
+    lin_v = float(rows[1]["line"].rsplit(" ", 1)[1])
+    assert abs(10 ** log_v - lin_v) < 1e-4

@@ -247,3 +247,22 @@ def test_ohlc_is_aggregate_not_window(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan[:2000]
     assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+
+
+def test_dq7_profile_single_scan_expand(spark):
+    """dq7 computes every per-column profile in ONE Expand-based pass —
+    exactly one parquet scan of events, no per-column rescans."""
+    reg = load_registry()
+    df = reg["dq7_profile_drift"].build(spark, SF)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert "Expand" in plan
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_q91_lateral_decorrelates_to_window(spark):
+    """The LATERAL top-2-per-nation must decorrelate into a ranked
+    window join, not N correlated executions or a cartesian product."""
+    plan = plan_of(spark, "q91_lateral_topn")
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
