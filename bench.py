@@ -80,6 +80,7 @@ HEADLINE = [
     "q91_lateral_topn",
     "q92_collations",
     "p13_curriculum_interleave",
+    "dq8_snapshot_diff",
     # materials domain
     "m04_born_trace_invariant",
     "m11_site_explode_agg",
@@ -95,6 +96,7 @@ HEADLINE = [
 SINGLES = [
     "st12_compaction_cycles",
     "st13_stream_left_outer_join",
+    "q94_time_travel",
     "c2_corpus_ledger",
     "p12_leakage_safe_split",
     "q90_python_sink",

@@ -271,3 +271,68 @@ def merge_upsert_partitioned(
             p = jvm.org.apache.hadoop.fs.Path(f"{target_path}/{part_col}={v}")
             fs = p.getFileSystem(hconf)
             fs.delete(p, True)
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level snapshot diff (the reconciliation primitive behind
+    CDC validation, migration sign-off, and replica drift checks):
+    FULL OUTER join on the key, null-safe column compare, one output
+    row per non-identical key — (keys…, status ∈ added|removed|changed,
+    changed_cols array). Identical rows are dropped (the 100 TB
+    posture: diff output is O(churn), never O(table); the join itself
+    is the one shuffle, on the key both tables should already be
+    bucketed by).
+
+    Null-safe semantics: a column changing NULL→value or value→NULL is
+    a change; NULL==NULL is not (eqNullSafe / IS DISTINCT FROM in the
+    SQL twin)."""
+    if compare_cols is None:
+        compare_cols = [c for c in old.columns if c not in key_cols]
+    o = old.select(
+        *[F.col(k).alias(f"__k_{k}") for k in key_cols],
+        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__nk_{k}") for k in key_cols],
+        *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_new"),
+    )
+    cond = None
+    for k in key_cols:
+        c = F.col(f"__k_{k}") == F.col(f"__nk_{k}")
+        cond = c if cond is None else (cond & c)
+    j = o.join(n, cond, "full_outer")
+    changed_cols = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")), F.lit(c)
+                )
+                for c in compare_cols
+            ]
+        )
+    )
+    status = (
+        F.when(F.col("__in_old").isNull(), "added")
+        .when(F.col("__in_new").isNull(), "removed")
+        .when(F.size(changed_cols) > 0, "changed")
+    )
+    return (
+        j.select(
+            *[
+                F.coalesce(F.col(f"__k_{k}"), F.col(f"__nk_{k}")).alias(k)
+                for k in key_cols
+            ],
+            status.alias("status"),
+            F.when(status == "changed", changed_cols)
+            .otherwise(F.array().cast("array<string>"))
+            .alias("changed_cols"),
+        )
+        .filter(F.col("status").isNotNull())
+    )

@@ -513,3 +513,57 @@ def dq7_profile_drift(spark, sf_dir):
         "col", "nd_p1", "nd_p2", "null_rate_p1", "null_rate_p2",
         drifted.alias("drifted"),
     )
+
+
+@register(
+    "dq8_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 97 <> 0
+    ),
+    new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 13 = 0
+                  THEN ROUND(o_totalprice * 1.1, 2) ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 89 <> 0
+    )
+    SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+           CASE WHEN old.o_orderkey IS NULL THEN 'added'
+                WHEN new.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS status,
+           CASE WHEN old.o_orderkey IS NULL OR new.o_orderkey IS NULL
+                THEN CAST([] AS VARCHAR[])
+                ELSE list_filter(
+                  [CASE WHEN old.o_totalprice IS DISTINCT FROM new.o_totalprice THEN 'o_totalprice' END,
+                   CASE WHEN old.o_orderstatus IS DISTINCT FROM new.o_orderstatus THEN 'o_orderstatus' END],
+                  x -> x IS NOT NULL) END AS changed_cols
+    FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+    WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
+       OR old.o_totalprice IS DISTINCT FROM new.o_totalprice
+       OR old.o_orderstatus IS DISTINCT FROM new.o_orderstatus
+    """,
+)
+def dq8_snapshot_diff(spark, sf_dir):
+    """Row-level snapshot reconciliation (operators/scale.table_diff):
+    two deterministic versions of orders — rows missing from the old
+    snapshot (key % 97), rows dropped from the new (key % 89), and a
+    10% price bump on key % 13 — diffed into (key, status,
+    changed_cols). Output is O(churn), not O(table); the full-outer
+    join is the single shuffle and rides pre-bucketed keys at scale.
+    Null-safe compare: NULL→value counts as changed, NULL→NULL does
+    not (eqNullSafe / IS DISTINCT FROM in both engines)."""
+    from oxi_diel_db_spark.operators.scale import table_diff
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    old = o.filter(F.col("o_orderkey") % 97 != 0)
+    new = o.filter(F.col("o_orderkey") % 89 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 13 == 0, F.round(F.col("o_totalprice") * 1.1, 2)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return table_diff(old, new, ["o_orderkey"])

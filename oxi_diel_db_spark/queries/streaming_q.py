@@ -490,3 +490,53 @@ def st13_stream_left_outer_join(spark, sf_dir):
         views, purchases, within="4 hours", watermark="1 hour", how="left_outer"
     )
     return ops.run_stream_to_memory(joined, spark, mode="append")
+
+
+@register(
+    "q94_time_travel",
+    # Oracle: the snapshot AS OF compaction 1 is exactly the phase-1
+    # ingest (even event_ids) — phase-2 rows landed after manifest 1
+    # committed and must be invisible to the pinned snapshot even
+    # though compaction 2 has since folded them into the CURRENT view.
+    oracle="""
+    SELECT DATE_TRUNC('hour', ts) AS win_start, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events WHERE event_id % 2 = 0
+    GROUP BY 1, 2
+    """,
+)
+def q94_time_travel(spark, sf_dir):
+    """Snapshot time travel over the manifest-pointer table protocol
+    (st7/st12's rollup dataset): two ingest+compaction cycles run with
+    retain_history=True, then the query reads the dataset AS OF
+    compaction 1 — base_1 alone, exact by construction because every
+    delta manifest 1 consumed is folded into its base (consumed-delta
+    GC loses nothing; only base/manifest vacuuming trades away
+    history, the same retention knob every table format exposes). The
+    hash gate proves the pinned snapshot ignores rows the CURRENT view
+    has long since absorbed."""
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="q94_tt_")
+    ev = t(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    rollup = f"{work}/rollup"
+    for phase in (0, 1):
+        rep = f"{work}/replay{phase}"
+        (
+            ev.filter(F.col("event_id") % 2 == phase)
+            .drop("event_id")
+            .coalesce(2)
+            .write.parquet(rep)
+        )
+        stream = ops.replay_dir_stream(spark, rep)
+        q = ops.rollup_delta_sink(
+            stream, rollup, f"{work}/ckpt{phase}", width="1 hour"
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+        ops.compact_rollup(spark, rollup, retain_history=True)
+    return ops.read_rollup(spark, rollup, as_of=1)

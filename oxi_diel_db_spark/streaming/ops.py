@@ -449,8 +449,16 @@ def rollup_delta_sink(
 # before deletion just leaves garbage that the next compaction removes.
 
 
-def _rollup_state(out_dir: str):
-    """(manifest_n, compacted_dir_abs_or_None, consumed_set, live_delta_paths)."""
+def _rollup_state(out_dir: str, as_of: int | None = None):
+    """(manifest_n, compacted_dir_abs_or_None, consumed_set, live_delta_paths).
+
+    ``as_of``: read the dataset AS OF compaction N (time travel over
+    the manifest-pointer protocol): base_N alone — every delta
+    compaction N had folded in, nothing later. Exact by construction:
+    base_N = fold(base_{N-1}, deltas consumed by N), so consumed-delta
+    GC never loses history; requires ``compact_rollup(...,
+    retain_history=True)`` so old bases/manifests survive later runs
+    (the vacuum-vs-time-travel trade every table format exposes)."""
     import json
     import os
 
@@ -460,6 +468,13 @@ def _rollup_state(out_dir: str):
         else [],
         key=lambda f: int(f[len("MANIFEST-"):-len(".json")]),
     )
+    if as_of is not None:
+        manifests = [
+            f for f in manifests
+            if int(f[len("MANIFEST-"):-len(".json")]) <= as_of
+        ]
+        if not manifests:
+            raise ValueError(f"no manifest <= {as_of} in {out_dir}")
     n, compacted, consumed = 0, None, set()
     if manifests:
         latest = manifests[-1]
@@ -470,6 +485,10 @@ def _rollup_state(out_dir: str):
         consumed = set(m["consumed"])
     delta_dir = os.path.join(out_dir, "deltas")
     live = []
+    if as_of is not None:
+        # snapshot view: base_N only — live deltas are either post-N
+        # appends or consumed-by-N (already folded into base_N)
+        return n, compacted, consumed, live
     if os.path.isdir(delta_dir):
         live = [
             os.path.join(delta_dir, f)
@@ -479,11 +498,15 @@ def _rollup_state(out_dir: str):
     return n, compacted, consumed, live
 
 
-def read_rollup(spark: SparkSession, out_dir: str) -> DataFrame:
+def read_rollup(
+    spark: SparkSession, out_dir: str, as_of: int | None = None
+) -> DataFrame:
     """Merge-on-read over the delta partials + compacted base: the same
     schema whether one delta or ten thousand exist. Cheap because
-    partials are already tiny (one row per (window, type) per batch)."""
-    _, compacted, _, live = _rollup_state(out_dir)
+    partials are already tiny (one row per (window, type) per batch).
+    ``as_of=N`` time-travels to the state as of compaction N (see
+    _rollup_state; needs retain_history=True compactions)."""
+    _, compacted, _, live = _rollup_state(out_dir, as_of=as_of)
     parts = ([spark.read.parquet(compacted)] if compacted else []) + (
         [spark.read.parquet(*live)] if live else []
     )
@@ -499,7 +522,9 @@ def read_rollup(spark: SparkSession, out_dir: str) -> DataFrame:
     )
 
 
-def compact_rollup(spark: SparkSession, out_dir: str) -> None:
+def compact_rollup(
+    spark: SparkSession, out_dir: str, retain_history: bool = False
+) -> None:
     """Fold the current base + all visible deltas into one partial per
     group, then atomically advance the manifest pointer. Deltas appended
     while the compaction runs are NOT consumed and stay visible; a crash
@@ -541,15 +566,27 @@ def compact_rollup(spark: SparkSession, out_dir: str) -> None:
             os.remove(p)
         except OSError:
             pass
-    comp_root = os.path.join(out_dir, "compacted")
-    for d in os.listdir(comp_root):
-        if os.path.join(comp_root, d) != new_abs:
-            shutil.rmtree(os.path.join(comp_root, d), ignore_errors=True)
-    if n:
-        try:
-            os.remove(os.path.join(out_dir, f"MANIFEST-{n}.json"))
-        except OSError:
-            pass
+    if not retain_history:
+        # vacuum: with retain_history=True old bases + manifests stay
+        # readable via read_rollup(as_of=N); consumed deltas are safe
+        # to drop either way (base_N supersedes them). A plain run
+        # removes EVERY older manifest (including ones a prior
+        # retain_history run kept) and every base no remaining
+        # manifest references.
+        for f in os.listdir(out_dir):
+            if (
+                f.startswith("MANIFEST-")
+                and f.endswith(".json")
+                and int(f[len("MANIFEST-"):-len(".json")]) < n + 1
+            ):
+                try:
+                    os.remove(os.path.join(out_dir, f))
+                except OSError:
+                    pass
+        comp_root = os.path.join(out_dir, "compacted")
+        for d in os.listdir(comp_root):
+            if os.path.join(comp_root, d) != new_abs:
+                shutil.rmtree(os.path.join(comp_root, d), ignore_errors=True)
 
 
 def have_transform_with_state() -> bool:

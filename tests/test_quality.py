@@ -195,3 +195,26 @@ def test_corpus_ledger_complete_and_sound(spark):
     assert straddle.count() == 0
     assert kept.filter(F.col("doc_id") % 23 == 0).count() == 0
     out.unpersist()
+
+
+def test_table_diff_kernel(spark):
+    """added/removed/changed statuses, null-safe compare (NULL->NULL is
+    NOT a change, NULL->value IS), unchanged rows absent."""
+    from oxi_diel_db_spark.operators.scale import table_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, None), (3, 30.0, "c"), (4, None, "d")],
+        "k long, v double, s string",
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 25.0, None), (4, 40.0, "d"), (5, 50.0, "e")],
+        "k long, v double, s string",
+    )
+    got = {r.k: (r.status, sorted(r.changed_cols)) for r in table_diff(old, new, ["k"]).collect()}
+    assert got == {
+        2: ("changed", ["v"]),          # s NULL->NULL not a change
+        3: ("removed", []),
+        4: ("changed", ["v"]),          # v NULL->40 is a change
+        5: ("added", []),
+    }
+    assert 1 not in got

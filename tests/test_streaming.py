@@ -675,3 +675,49 @@ def test_st13_left_outer_repeat_and_null_tier(spark):
     nulls = [r for r in a if r[1] is None]
     matched = [r for r in a if r[1] is not None]
     assert nulls and matched
+
+
+def test_time_travel_snapshots_and_vacuum(spark, tmp_path):
+    """retain_history=True keeps every compaction's base readable via
+    as_of=N; the default vacuum removes old bases/manifests. Snapshot 1
+    must ignore rows appended after manifest 1 committed."""
+    import os
+
+    out = str(tmp_path / "rollup")
+    d1 = spark.createDataFrame(
+        [("2024-01-01 00:10:00", "view", 1.0)], "ts string, event_type string, value double"
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "event_type", "value")
+    d2 = spark.createDataFrame(
+        [("2024-01-01 01:10:00", "click", 2.0)], "ts string, event_type string, value double"
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "event_type", "value")
+
+    def _append(df):
+        (
+            df.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum((F.round(F.col("value") * 100, 0)).cast("bigint")).alias("value_cents"))
+            .select(F.col("win.start").alias("win_start"), "event_type", "n", "value_cents")
+            .write.mode("append").parquet(f"{out}/deltas")
+        )
+
+    _append(d1)
+    ops.compact_rollup(spark, out, retain_history=True)
+    _append(d2)
+    ops.compact_rollup(spark, out, retain_history=True)
+
+    snap1 = {tuple(r) for r in ops.read_rollup(spark, out, as_of=1).collect()}
+    latest = {tuple(r) for r in ops.read_rollup(spark, out).collect()}
+    assert {r[1] for r in snap1} == {"view"}
+    assert {r[1] for r in latest} == {"view", "click"}
+    assert os.path.exists(f"{out}/MANIFEST-1.json") and os.path.exists(f"{out}/MANIFEST-2.json")
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no manifest"):
+        ops.read_rollup(spark, out, as_of=0).collect()
+
+    # default compaction vacuums: only the newest manifest survives
+    _append(d1)
+    ops.compact_rollup(spark, out)
+    assert not os.path.exists(f"{out}/MANIFEST-1.json")
+    assert not os.path.exists(f"{out}/MANIFEST-2.json")
+    assert os.path.exists(f"{out}/MANIFEST-3.json")
