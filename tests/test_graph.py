@@ -102,6 +102,10 @@ def test_bfs_distances_path_and_bounds(spark):
     seeds = spark.createDataFrame([(1,), (10,)], "node long")
     got = {r.node: r.dist for r in bfs_distances(edges, seeds, max_hops=2).collect()}
     assert got == {1: 0, 2: 1, 3: 2, 10: 0, 11: 1}
+    # distributed frontier loop (small_graph_max_edges=0) must agree
+    dist = {r.node: r.dist for r in bfs_distances(
+        edges, seeds, max_hops=2, small_graph_max_edges=0).collect()}
+    assert dist == got
     # diamond: two equal-length paths -> MIN dist, counted once
     edges2 = spark.createDataFrame(
         [(1, 2), (1, 3), (2, 4), (3, 4)], "src long, dst long"
