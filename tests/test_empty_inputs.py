@@ -37,6 +37,15 @@ REPRESENTATIVE = [
     "dq2_distribution_drift",  # PSI with null bounds
     "dq6_reconciliation",    # reconciliation with no orders
     "mm8_image_neardup",     # mapInPandas over zero rows
+    # round-6 additions
+    "g4_bfs_distances",      # BFS on an empty edge list
+    "t12_gopher_rules",      # composite rule verdicts over no docs
+    "dq7_profile_drift",     # Expand profile with no periods
+    "dq8_snapshot_diff",     # full-outer diff of two empty snapshots
+    "p13_curriculum_interleave",  # interleave with zero sources
+    "mm9_audio_neardup",     # audio fingerprint over zero rows
+    "q91_lateral_topn",      # LATERAL over empty dims
+    "q92_collations",        # collated distinct over no rows
 ]
 
 
