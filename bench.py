@@ -81,6 +81,8 @@ HEADLINE = [
     "q92_collations",
     "p13_curriculum_interleave",
     "dq8_snapshot_diff",
+    "t13_vocab_stats",
+    "q95_malformed_json",
     # materials domain
     "m04_born_trace_invariant",
     "m11_site_explode_agg",

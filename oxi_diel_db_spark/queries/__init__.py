@@ -57,14 +57,14 @@ def register(name: str, oracle: str | None = None):
 # plan", then adjusted for round-6 births per its deferral rule): the
 # driver's correctness gate samples the FIRST 50 registry keys.
 # Cumulative official coverage across r1-r5 is 154 of 201; the prefix
-# carries the 12 queries born this round, the 3 whose gates upgraded
-# rows-only → full value-hash in r5 (st4/st6/p5), and 35 of the 47
-# never-sampled residue. The 12 deferred tail entries — q51/q58/q59/
+# carries the 14 queries born this round, the 3 whose gates upgraded
+# rows-only → full value-hash in r5 (st4/st6/p5), and 33 of the 47
+# never-sampled residue. The 14 deferred tail entries — q51/q58/q59/
 # q60/q62/q63/q65/q66 (J3/A8 family shapes keep q61/q64 plus the
-# r1-r3 join rows official), q44 (W family has q40-q43 official),
-# q79 (S9 family has q90 official) and the rows-only-BY-DESIGN
-# q74/q75 (their official row records only "rows-only OK") — are the
-# ENTIRE r7 residue; all are locally hash-verified green.
+# r1-r3 join rows official), q44 (W: q40-q43 official), q79 (S9: q90
+# official), q54 (events family: q55 kept), m33 (materials: m34 +
+# six invariants in this prefix) and the rows-only-BY-DESIGN q74/q75
+# — are the ENTIRE r7 residue; all locally hash-verified green.
 _R6_PRIORITY = [
     # born in round 6 (locally hash-verified at sf0.01, st13 also at
     # sf0.001) — take slots from the tail per NOTES_r5's deferral rule
@@ -75,6 +75,8 @@ _R6_PRIORITY = [
     "q93_prediction_stdout",
     "q94_time_travel",
     "dq8_snapshot_diff",
+    "t13_vocab_stats",
+    "q95_malformed_json",
     "g4_bfs_distances",
     "dq7_profile_drift",
     "t12_gopher_rules",
@@ -113,13 +115,11 @@ _R6_PRIORITY = [
     "q52_intersect_all",
     "q53_except_all",
     "q57_recursive_date_spine",
-    "q54_funnel",
     "q55_event_transitions",
     # TPC-H-style tail
     "q61_custorder_distribution",
     "q64_idle_rich_customers",
     "q82_schema_evolution",
-    "m33_tensor_invariants",
     "q84_dpp_join",
     "dq5_volume_anomaly",
     "dq6_reconciliation",

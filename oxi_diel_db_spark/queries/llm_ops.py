@@ -2979,3 +2979,64 @@ def p13_curriculum_interleave(spark, sf_dir):
         .cast("bigint")
         .alias("global_pos"),
     )
+
+
+@register(
+    "t13_vocab_stats",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, source, {{words}} AS words FROM documents
+    ),
+    tok AS (SELECT source, unnest(words) AS word FROM w),
+    wc AS (SELECT source, word, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+    ranked AS (
+      SELECT source, word, cnt,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY cnt DESC, word) AS rn
+      FROM wc
+    )
+    SELECT source,
+           CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           ROUND(COUNT(*) * 1.0 / SUM(cnt), 6) AS type_token_ratio,
+           CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           ROUND(SUM(CASE WHEN rn <= 10 THEN cnt ELSE 0 END) * 1.0 / SUM(cnt), 6)
+             AS top10_coverage
+    FROM ranked GROUP BY source
+    """.format(words=TX.SQL_NORM_WORDS.format(t="text")),
+)
+def t13_vocab_stats(spark, sf_dir):
+    """Corpus vocabulary statistics per source — the lexical-diversity
+    dashboard a pretraining-data curator reads before mixing: token
+    and type counts, type-token ratio, hapax-legomena count (a
+    boilerplate/templating smell when low), and top-10-term coverage
+    (Zipf head mass — near 1.0 means the source is word soup). One
+    tokenize → explode → (source, word) count, then a per-source
+    aggregate with a rank window over the word-count table (O(types),
+    not O(tokens)); at 100 TB the word-count table is the only
+    shuffled state and it compresses by orders of magnitude."""
+    from pyspark.sql import Window as W
+
+    wc = (
+        t(spark, sf_dir, "documents")
+        .select("source", F.explode(TX.norm_words("text")).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ranked = wc.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("source").orderBy(F.col("cnt").desc(), "word")
+        ),
+    )
+    return ranked.groupBy("source").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(F.count(F.lit(1)) / F.sum("cnt"), 6).alias("type_token_ratio"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).alias("n_hapax"),
+        F.round(
+            F.sum(F.when(F.col("rn") <= 10, F.col("cnt")).otherwise(0))
+            / F.sum("cnt"),
+            6,
+        ).alias("top10_coverage"),
+    )

@@ -559,3 +559,74 @@ def q92_collations(spark, sf_dir):
         .cast("bigint")
         .alias("n_view_ci"),
     )
+
+
+@register(
+    "q95_malformed_json",
+    oracle="""
+    WITH raw AS (
+      SELECT event_type,
+             CASE WHEN event_id % 11 = 0
+                  THEN substring(props, 1, length(props) - 2)
+                  ELSE props END AS j
+      FROM events
+    ),
+    parsed AS (
+      SELECT event_type,
+             CASE WHEN json_valid(j) THEN 1 ELSE 0 END AS ok,
+             CASE WHEN json_valid(j)
+                  THEN CAST(j ->> 'k' AS INTEGER) END AS k
+      FROM raw
+    )
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(ok) AS BIGINT) AS n_parsed,
+           CAST(SUM(1 - ok) AS BIGINT) AS n_corrupt,
+           ROUND(SUM(ok) * 1.0 / COUNT(*), 6) AS parse_rate,
+           ROUND(AVG(k), 6) AS avg_k
+    FROM parsed GROUP BY event_type
+    """,
+)
+def q95_malformed_json(spark, sf_dir):
+    """Malformed-record ingest robustness: every 11th props payload is
+    deterministically corrupted (truncated mid-object — trailing
+    garbage alone is NOT enough: Jackson tolerates it), then parsed
+    with from_json in PERMISSIVE mode — corrupt rows surface through
+    the _corrupt_record column (a struct of NULL fields otherwise
+    looks identical to a legitimately-null payload) and are COUNTED,
+    not dropped and not fatal (the
+    badRecords accounting every production JSON ingest needs; a
+    FAILFAST parser would kill the job on row one). Typed extraction
+    (props.k) proceeds on the valid tier only. The oracle mirrors
+    validity with DuckDB's json_valid. At 100 TB: a single scan;
+    corruption accounting is free within the same aggregate."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(
+            F.col("event_id") % 11 == 0,
+            F.expr("substring(props, 1, length(props) - 2)"),
+        ).otherwise(F.col("props")).alias("j"),
+    )
+    # PERMISSIVE from_json yields a struct of NULL fields for corrupt
+    # input (not a NULL struct) — detection requires the explicit
+    # _corrupt_record column, which is also the production accounting
+    # surface (badRecords routing keys off it)
+    parsed = ev.select(
+        "event_type",
+        F.from_json(
+            "j",
+            "k int, _corrupt_record string",
+            {"columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("p"),
+    ).select(
+        "event_type",
+        F.when(F.col("p._corrupt_record").isNull(), 1).otherwise(0).alias("ok"),
+        F.when(F.col("p._corrupt_record").isNull(), F.col("p.k")).alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("ok").alias("n_parsed"),
+        F.sum(1 - F.col("ok")).alias("n_corrupt"),
+        F.round(F.sum("ok") / F.count(F.lit(1)), 6).alias("parse_rate"),
+        F.round(F.avg("k"), 6).alias("avg_k"),
+    )
