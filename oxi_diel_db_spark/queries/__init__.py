@@ -57,14 +57,15 @@ def register(name: str, oracle: str | None = None):
 # plan", then adjusted for round-6 births per its deferral rule): the
 # driver's correctness gate samples the FIRST 50 registry keys.
 # Cumulative official coverage across r1-r5 is 154 of 201; the prefix
-# carries the 14 queries born this round, the 3 whose gates upgraded
-# rows-only → full value-hash in r5 (st4/st6/p5), and 33 of the 47
-# never-sampled residue. The 14 deferred tail entries — q51/q58/q59/
+# carries the 15 queries born this round, the 3 whose gates upgraded
+# rows-only → full value-hash in r5 (st4/st6/p5), and 32 of the 47
+# never-sampled residue. The 15 deferred tail entries — q51/q58/q59/
 # q60/q62/q63/q65/q66 (J3/A8 family shapes keep q61/q64 plus the
 # r1-r3 join rows official), q44 (W: q40-q43 official), q79 (S9: q90
 # official), q54 (events family: q55 kept), m33 (materials: m34 +
-# six invariants in this prefix) and the rows-only-BY-DESIGN q74/q75
-# — are the ENTIRE r7 residue; all locally hash-verified green.
+# six invariants in this prefix), q02 (S2 point lookup: m01 official)
+# and the rows-only-BY-DESIGN q74/q75 — are the ENTIRE r7 residue;
+# all locally hash-verified green.
 _R6_PRIORITY = [
     # born in round 6 (locally hash-verified at sf0.01, st13 also at
     # sf0.001) — take slots from the tail per NOTES_r5's deferral rule
@@ -77,6 +78,7 @@ _R6_PRIORITY = [
     "dq8_snapshot_diff",
     "t13_vocab_stats",
     "q95_malformed_json",
+    "q96_observed_metrics",
     "g4_bfs_distances",
     "dq7_profile_drift",
     "t12_gopher_rules",
@@ -104,7 +106,6 @@ _R6_PRIORITY = [
     "m11_site_explode_agg",
     "m12_en_ordered_formula",
     # relational tail
-    "q02_point_lookup",
     "q04_case_buckets",
     "q05_global_sort",
     "q07_union_all",

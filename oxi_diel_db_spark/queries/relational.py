@@ -630,3 +630,55 @@ def q95_malformed_json(spark, sf_dir):
         F.round(F.sum("ok") / F.count(F.lit(1)), 6).alias("parse_rate"),
         F.round(F.avg("k"), 6).alias("avg_k"),
     )
+
+
+@register(
+    "q96_observed_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_input,
+           CAST(COUNT(CASE WHEN l_quantity >= 30 THEN 1 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+             AS price_cents,
+           CAST(COUNT(*) - COUNT(l_returnflag) AS BIGINT) AS n_null_flag
+    FROM lineitem
+    """,
+)
+def q96_observed_metrics(spark, sf_dir):
+    """Pipeline observability via df.observe (the Observation API):
+    named metrics — input rows, filter survivors, exact price cents,
+    null-flag count — are harvested DURING the pipeline's own action,
+    in the same pass as the work (zero extra scans; an AccumulatorV2
+    under the hood, exactly how production jobs emit DQ counters
+    without re-reading 100 TB). The query triggers one bounded action
+    to collect the observation, then returns the metrics as a 1-row
+    DataFrame under the hash gate — proving observed values equal the
+    oracle's independent aggregate."""
+    from pyspark.sql import Observation
+
+    l = t(spark, sf_dir, "lineitem")
+    obs = Observation("q96")
+    instrumented = l.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_input"),
+        F.count(F.when(F.col("l_quantity") >= 30, 1)).alias("n_kept"),
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+        ).alias("price_cents"),
+        (F.count(F.lit(1)) - F.count("l_returnflag")).alias("n_null_flag"),
+    )
+    # the observation fires with the pipeline's OWN action — here a
+    # cheap count over the instrumented frame (the driver's collect of
+    # the returned metrics row would not touch `l` again)
+    instrumented.filter(F.col("l_quantity") >= 30).count()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_input"]),
+                int(m["n_kept"]),
+                int(m["price_cents"]),
+                int(m["n_null_flag"]),
+            )
+        ],
+        "n_input bigint, n_kept bigint, price_cents bigint, n_null_flag bigint",
+    )
