@@ -83,6 +83,8 @@ HEADLINE = [
     "dq8_snapshot_diff",
     "t13_vocab_stats",
     "q95_malformed_json",
+    "q96_observed_metrics",
+    "q93_prediction_stdout",
     # materials domain
     "m04_born_trace_invariant",
     "m11_site_explode_agg",

@@ -95,6 +95,10 @@ def test_global_window_inputs_stay_tiny(spark):
         "c1_curation_pipeline": 2048,  # post-aggregation stats relation
         "q44_distribution": 256,  # customer table at the pinned test SF;
         # docstring documents the approx-quantile rewrite for 100 TB
+        "p13_curriculum_interleave": 256,  # DISTINCT source list (20
+        # rows) — the dense_rank deliberately runs over O(sources),
+        # never O(docs); the broadcast 1-row count join is the same
+        # bounded shape
     }
     reg = load_registry()
     for name, max_rows in TRIAGED.items():
