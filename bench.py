@@ -82,6 +82,8 @@ HEADLINE = [
     "p13_curriculum_interleave",
     "dq8_snapshot_diff",
     "t13_vocab_stats",
+    "t14_bm25_search",
+    "p14_length_matching",
     "q95_malformed_json",
     "q96_observed_metrics",
     "q93_prediction_stdout",

@@ -3040,3 +3040,193 @@ def t13_vocab_stats(spark, sf_dir):
             6,
         ).alias("top10_coverage"),
     )
+
+
+_BM25_QUERIES = [
+    ("q1", ["join", "merge"]),
+    ("q2", ["window", "stream", "fast"]),
+    ("q3", ["vector", "hash"]),
+]
+
+
+def _bm25_oracle() -> str:
+    words = TX.SQL_NORM_WORDS.format(t="text")
+    qrows = ", ".join(
+        f"('{qid}', '{term}')" for qid, terms in _BM25_QUERIES for term in terms
+    )
+    return f"""
+    WITH q(query_id, term) AS (VALUES {qrows}),
+    d AS (SELECT doc_id, {words} AS words FROM documents),
+    dl AS (SELECT doc_id, len(words) AS dl FROM d),
+    n AS (SELECT COUNT(*) AS n, AVG(len(words)) AS avgdl FROM d),
+    tok AS (SELECT doc_id, unnest(words) AS term FROM d),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    qtf AS (SELECT q.query_id, tf.doc_id, tf.term, tf.tf
+            FROM tf JOIN q USING (term)),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM qtf GROUP BY term),
+    scored AS (
+      SELECT qtf.query_id, qtf.doc_id,
+             SUM(
+               LN((n.n - df.df + 0.5) / (df.df + 0.5) + 1)
+               * qtf.tf * 2.2
+               / (qtf.tf + 1.2 * (0.25 + 0.75 * dl.dl / n.avgdl))
+             ) AS score
+      FROM qtf
+      JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN n
+      GROUP BY qtf.query_id, qtf.doc_id
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, ROUND(score, 6) AS score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY ROUND(score, 6) DESC, doc_id) AS INT) AS rank
+      FROM scored
+    )
+    SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= 20
+    """
+
+
+@register("t14_bm25_search", oracle=_bm25_oracle())
+def t14_bm25_search(spark, sf_dir):
+    """BM25 ranked retrieval (Robertson/Sparck Jones — the public
+    Okapi formula, k1=1.2, b=0.75) for a fixed query set — the LEXICAL
+    search tier next to the s-family's vector ANN, and the retrieval
+    scorer RAG pipelines pair with embeddings. Scale shape: term
+    frequencies are computed ONLY for query terms (the term filter
+    lands before the aggregation, so the shuffled state is
+    O(matching postings), not the full inverted index); document
+    length/count statistics are one tiny broadcast. Ties broken by
+    doc_id; scores rounded BEFORE ranking in both engines so the
+    order is engine-independent."""
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", TX.norm_words("text").alias("words")
+    )
+    dl = d.select("doc_id", F.size("words").alias("dl"))
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n"), F.avg(F.size("words")).alias("avgdl")
+    )
+    q = spark.createDataFrame(
+        [(qid, term) for qid, terms in _BM25_QUERIES for term in terms],
+        "query_id string, term string",
+    )
+    tf = (
+        d.select("doc_id", F.explode("words").alias("term"))
+        .join(F.broadcast(q), "term")  # postings for query terms only
+        .groupBy("query_id", "doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(
+                F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+                * F.col("tf") * 2.2
+                / (
+                    F.col("tf")
+                    + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("score")
+        )
+    )
+    ranked = scored.select(
+        "query_id",
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
+        ),
+    )
+    return ranked.filter(F.col("rank") <= 20)
+
+
+@register(
+    "p14_length_matching",
+    # Deciles of ws-token length -> per-bucket acceptance rate
+    # min(1, target/actual) with a UNIFORM target share (1/4 over the
+    # four fixed bands), drawn through the same md5 gate as p11 so the
+    # sample is reproducible bit-for-bit across engines.
+    oracle=r"""
+    WITH lens AS (
+      SELECT doc_id,
+             COALESCE(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')), 0) AS n_tok
+      FROM documents
+    ),
+    banded AS (
+      SELECT doc_id,
+             CASE WHEN n_tok < 30 THEN 'xs'
+                  WHEN n_tok < 55 THEN 's'
+                  WHEN n_tok < 80 THEN 'm'
+                  ELSE 'l' END AS band
+      FROM lens
+    ),
+    shares AS (
+      SELECT band, COUNT(*) AS n_band,
+             (SELECT COUNT(*) FROM banded) AS n_all
+      FROM banded GROUP BY band
+    ),
+    rates AS (
+      SELECT band, n_band,
+             ROUND(LEAST(1.0, 0.25 * n_all / n_band), 6) AS keep_rate
+      FROM shares
+    )
+    SELECT b.band, r.n_band AS n_total, r.keep_rate,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled
+    FROM banded b JOIN rates r USING (band)
+    WHERE CAST('0x' || substring(md5('77:' || CAST(b.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+          / 4294967296.0 < r.keep_rate
+    GROUP BY b.band, r.n_band, r.keep_rate
+    """,
+)
+def p14_length_matching(spark, sf_dir):
+    """Length-distribution matching by per-band rejection sampling:
+    the corpus is banded by whitespace-token length (fixed bands so
+    the schedule is data-independent), each band's acceptance rate is
+    min(1, target_share / actual_share) against a UNIFORM target, and
+    acceptance rides a doc-keyed md5 draw (p11's reproducible-sample
+    machinery) — the de-biasing pass that stops a scrape's length
+    skew from becoming the model's length prior. Rates are derived
+    from the corpus in one tiny aggregate and broadcast; the sampling
+    pass is a single scan."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", TX.ws_token_count("text").alias("n_tok")
+    )
+    band = (
+        F.when(F.col("n_tok") < 30, "xs")
+        .when(F.col("n_tok") < 55, "s")
+        .when(F.col("n_tok") < 80, "m")
+        .otherwise("l")
+    )
+    banded = d.select("doc_id", band.alias("band"))
+    shares = banded.groupBy("band").agg(F.count(F.lit(1)).alias("n_band"))
+    n_all = banded.agg(F.count(F.lit(1)).alias("n_all"))
+    rates = shares.crossJoin(F.broadcast(n_all)).select(
+        "band",
+        "n_band",
+        F.round(
+            F.least(F.lit(1.0), 0.25 * F.col("n_all") / F.col("n_band")), 6
+        ).alias("keep_rate"),
+    )
+    draw = (
+        F.conv(F.substring(F.md5(F.concat_ws(":", F.lit("77"), F.col("doc_id"))), 1, 8), 16, 10)
+        .cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    return (
+        banded.join(F.broadcast(rates), "band")
+        .filter(draw < F.col("keep_rate"))
+        .groupBy("band", "n_band", "keep_rate")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .select(
+            "band",
+            F.col("n_band").alias("n_total"),
+            "keep_rate",
+            "n_sampled",
+        )
+    )

@@ -218,3 +218,40 @@ def test_table_diff_kernel(spark):
         5: ("added", []),
     }
     assert 1 not in got
+
+
+def test_table_diff_partition_property(spark):
+    """Property (hypothesis): for random old/new frames, table_diff's
+    statuses partition the key space exactly — added = new∖old,
+    removed = old∖new, changed ⊆ old∩new, and changed ∪ (silent
+    identical) = old∩new."""
+    from hypothesis import given, settings, strategies as st
+
+    from oxi_diel_db_spark.operators.scale import table_diff
+
+    rows = st.lists(
+        st.tuples(
+            st.integers(0, 15),
+            st.one_of(st.none(), st.integers(0, 3)),
+        ),
+        max_size=12,
+        unique_by=lambda r: r[0],
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(old_rows=rows, new_rows=rows)
+    def prop(old_rows, new_rows):
+        old = spark.createDataFrame(old_rows or [(999, None)], "k long, v long")
+        new = spark.createDataFrame(new_rows or [(998, None)], "k long, v long")
+        out = table_diff(old, new, ["k"]).collect()
+        ok, nk = {r[0] for r in (old_rows or [(999, None)])}, {
+            r[0] for r in (new_rows or [(998, None)])
+        }
+        ov, nv = dict(old_rows or [(999, None)]), dict(new_rows or [(998, None)])
+        got = {r.k: r.status for r in out}
+        assert {k for k, s in got.items() if s == "added"} == nk - ok
+        assert {k for k, s in got.items() if s == "removed"} == ok - nk
+        changed = {k for k, s in got.items() if s == "changed"}
+        assert changed == {k for k in ok & nk if ov[k] != nv[k]}
+
+    prop()
