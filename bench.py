@@ -103,6 +103,7 @@ SINGLES = [
     "st12_compaction_cycles",
     "st13_stream_left_outer_join",
     "q94_time_travel",
+    "c3_hybrid_search",
     "c2_corpus_ledger",
     "p12_leakage_safe_split",
     "q90_python_sink",

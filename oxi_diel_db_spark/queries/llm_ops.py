@@ -3085,18 +3085,10 @@ def _bm25_oracle() -> str:
     """
 
 
-@register("t14_bm25_search", oracle=_bm25_oracle())
-def t14_bm25_search(spark, sf_dir):
-    """BM25 ranked retrieval (Robertson/Sparck Jones — the public
-    Okapi formula, k1=1.2, b=0.75) for a fixed query set — the LEXICAL
-    search tier next to the s-family's vector ANN, and the retrieval
-    scorer RAG pipelines pair with embeddings. Scale shape: term
-    frequencies are computed ONLY for query terms (the term filter
-    lands before the aggregation, so the shuffled state is
-    O(matching postings), not the full inverted index); document
-    length/count statistics are one tiny broadcast. Ties broken by
-    doc_id; scores rounded BEFORE ranking in both engines so the
-    order is engine-independent."""
+def _bm25_ranked(spark, sf_dir):
+    """Shared BM25 ranking frame (query_id, doc_id, score, rank) —
+    used by t14 (top-20 report) and c3 (hybrid RRF fusion). Scores
+    are rounded BEFORE ranking so order is engine-independent."""
     from pyspark.sql import Window as W
 
     d = t(spark, sf_dir, "documents").select(
@@ -3133,17 +3125,29 @@ def t14_bm25_search(spark, sf_dir):
             ).alias("score")
         )
     )
-    ranked = scored.select(
-        "query_id",
-        "doc_id",
-        F.round("score", 6).alias("score"),
+    return scored.select(
+        "query_id", "doc_id", F.round("score", 6).alias("score")
     ).withColumn(
         "rank",
         F.row_number().over(
             W.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
         ),
     )
-    return ranked.filter(F.col("rank") <= 20)
+
+
+@register("t14_bm25_search", oracle=_bm25_oracle())
+def t14_bm25_search(spark, sf_dir):
+    """BM25 ranked retrieval (Robertson/Sparck Jones — the public
+    Okapi formula, k1=1.2, b=0.75) for a fixed query set — the LEXICAL
+    search tier next to the s-family's vector ANN, and the retrieval
+    scorer RAG pipelines pair with embeddings. Scale shape: term
+    frequencies are computed ONLY for query terms (the term filter
+    lands before the aggregation, so the shuffled state is
+    O(matching postings), not the full inverted index); document
+    length/count statistics are one tiny broadcast. Ties broken by
+    doc_id; scores rounded BEFORE ranking in both engines so the
+    order is engine-independent."""
+    return _bm25_ranked(spark, sf_dir).filter(F.col("rank") <= 20)
 
 
 @register(
@@ -3230,3 +3234,110 @@ def p14_length_matching(spark, sf_dir):
             "n_sampled",
         )
     )
+
+
+def _c3_oracle() -> str:
+    bm25 = _bm25_oracle()
+    # strip the leading WITH and trailing final SELECT, keep the CTEs
+    ctes = bm25.strip()
+    assert ctes.startswith("WITH ")
+    body = ctes[len("WITH "):]
+    final_select = "SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= 20"
+    assert body.rstrip().endswith(final_select)
+    body = body.rstrip()[: -len(final_select)].rstrip().rstrip(",")
+    return f"""
+    WITH {body},
+    lex AS (SELECT query_id, doc_id, rank AS lex_rank FROM ranked WHERE rank <= 20),
+    qv AS (
+      SELECT * FROM (VALUES ('q1', 0), ('q2', 1), ('q3', 2)) AS t(query_id, qvec_id)
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    vecscored AS (
+      SELECT qv.query_id, c.vec_id AS doc_id,
+             ROUND(list_dot_product(p.v, c.v)
+                   / (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v))), 6) + 0 AS cos
+      FROM qv JOIN e p ON p.vec_id = qv.qvec_id
+      CROSS JOIN e c
+      WHERE c.vec_id <> qv.qvec_id
+    ),
+    vec AS (
+      SELECT query_id, doc_id, vec_rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, doc_id) AS INT) AS vec_rank
+        FROM vecscored
+      ) WHERE vec_rank <= 20
+    ),
+    fused AS (
+      SELECT COALESCE(lex.query_id, vec.query_id) AS query_id,
+             COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+             ROUND(COALESCE(1.0 / (60 + lex.lex_rank), 0)
+                   + COALESCE(1.0 / (60 + vec.vec_rank), 0), 6) AS rrf,
+             lex.lex_rank IS NOT NULL AS in_lex,
+             vec.vec_rank IS NOT NULL AS in_vec
+      FROM lex FULL OUTER JOIN vec
+        ON lex.query_id = vec.query_id AND lex.doc_id = vec.doc_id
+    )
+    SELECT query_id, doc_id, rrf, in_lex, in_vec, final_rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY rrf DESC, doc_id) AS INT) AS final_rank
+      FROM fused
+    ) WHERE final_rank <= 10
+    """
+
+
+@register("c3_hybrid_search", oracle=_c3_oracle())
+def c3_hybrid_search(spark, sf_dir):
+    """Hybrid retrieval capstone — the RAG-serving composition end to
+    end under one hash gate: BM25 lexical top-20 (t14's scorer) and
+    exact-cosine vector top-20 (the s-family's brute baseline; each
+    text query pinned to a query embedding) fused by Reciprocal Rank
+    Fusion, score = Σ 1/(60 + rank) — the standard parameter-free
+    fusion (Cormack et al., public). Rational arithmetic over integer
+    ranks makes the fusion bit-exact cross-engine; per-source
+    membership flags make the report auditable (which tier surfaced
+    each hit). Scale shape: both tiers are their standalone scale
+    shapes; the fusion joins two ≤20-row-per-query rank lists —
+    negligible at any corpus size."""
+    from pyspark.sql import Window as W
+
+    from oxi_diel_db_spark.operators import similarity
+
+    lex = (
+        _bm25_ranked(spark, sf_dir)
+        .filter(F.col("rank") <= 20)
+        .select("query_id", "doc_id", F.col("rank").alias("lex_rank"))
+    )
+    emb = t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    vec = (
+        similarity.brute_force_topk(emb, probes, k=20)
+        .select(
+            F.concat(F.lit("q"), (F.col("query_id") + 1).cast("string")).alias(
+                "query_id"
+            ),
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rn").cast("int").alias("vec_rank"),
+        )
+    )
+    fused = (
+        lex.join(vec, ["query_id", "doc_id"], "full_outer")
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (60 + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("vec_rank")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+            F.col("lex_rank").isNotNull().alias("in_lex"),
+            F.col("vec_rank").isNotNull().alias("in_vec"),
+        )
+    )
+    return fused.withColumn(
+        "final_rank",
+        F.row_number().over(
+            W.partitionBy("query_id").orderBy(F.col("rrf").desc(), "doc_id")
+        ),
+    ).filter(F.col("final_rank") <= 10)
