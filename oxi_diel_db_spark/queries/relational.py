@@ -637,7 +637,7 @@ def q95_malformed_json(spark, sf_dir):
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_input,
            CAST(COUNT(CASE WHEN l_quantity >= 30 THEN 1 END) AS BIGINT) AS n_kept,
-           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+           CAST(COALESCE(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)), 0) AS BIGINT)
              AS price_cents,
            CAST(COUNT(*) - COUNT(l_returnflag) AS BIGINT) AS n_null_flag
     FROM lineitem
@@ -661,8 +661,12 @@ def q96_observed_metrics(spark, sf_dir):
         obs,
         F.count(F.lit(1)).alias("n_input"),
         F.count(F.when(F.col("l_quantity") >= 30, 1)).alias("n_kept"),
-        F.sum(
-            F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+        # COALESCE: SUM over an EMPTY relation observes NULL — the
+        # metrics row must report 0, not crash int(None) (found by the
+        # empty-input matrix)
+        F.coalesce(
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")),
+            F.lit(0),
         ).alias("price_cents"),
         (F.count(F.lit(1)) - F.count("l_returnflag")).alias("n_null_flag"),
     )

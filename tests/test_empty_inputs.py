@@ -46,6 +46,12 @@ REPRESENTATIVE = [
     "mm9_audio_neardup",     # audio fingerprint over zero rows
     "q91_lateral_topn",      # LATERAL over empty dims
     "q92_collations",        # collated distinct over no rows
+    "t13_vocab_stats",       # vocab profile of an empty corpus
+    "t14_bm25_search",       # BM25 with zero postings
+    "p14_length_matching",   # rate derivation over zero docs
+    "c3_hybrid_search",      # RRF fusion of two empty rank lists
+    "q95_malformed_json",    # corrupt-record accounting over no rows
+    "q96_observed_metrics",  # observe() metrics on an empty scan
 ]
 
 
@@ -77,5 +83,10 @@ def test_operator_survives_empty_input(spark, empty_sf_dir, name):
         assert all(r["psi_term"] == 0.0 for r in rows)
     elif name == "dq6_reconciliation":
         assert rows == []  # no orders → no bands
+    elif name == "q96_observed_metrics":
+        # observability contract: the metrics row EXISTS with real
+        # zeros even when the pipeline saw nothing
+        assert len(rows) == 1
+        assert tuple(rows[0]) == (0, 0, 0, 0)
     else:
         assert rows == []
