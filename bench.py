@@ -77,6 +77,7 @@ HEADLINE = [
     "t12_gopher_rules",
     "dq7_profile_drift",
     "mm9_audio_neardup",
+    "mm10_video_neardup",
     "q91_lateral_topn",
     "q92_collations",
     "p13_curriculum_interleave",

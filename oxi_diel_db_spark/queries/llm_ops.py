@@ -3341,3 +3341,50 @@ def c3_hybrid_search(spark, sf_dir):
             W.partitionBy("query_id").orderBy(F.col("rrf").desc(), "doc_id")
         ),
     ).filter(F.col("final_rank") <= 10)
+
+
+@register(
+    "mm10_video_neardup",
+    # Planted-content oracle (the mm8/mm9 pattern for video): docs in
+    # the same doc_id // 16 block carry the same 4-scene frame stream
+    # with a byte-DIFFERENT freeze-frame tail (doc_id % 3 extra repeats
+    # of the last frame), so expected clusters, frame counts and scene
+    # counts are closed-form. Collision-freedom of the ramp fixtures'
+    # aHash sequences was MEASURED: distinct contents first collide at
+    # block distance 82, so the oracle is exact for corpora under
+    # 82·16 = 1312 docs — the gate corpora (500 docs) sit well inside;
+    # real video content does not share the ramp degeneracy.
+    oracle="""
+    SELECT doc_id,
+           MIN(doc_id) OVER (PARTITION BY doc_id // 16) AS cluster_id,
+           CAST(4 + doc_id % 3 AS BIGINT) AS n_frames,
+           CAST(4 AS BIGINT) AS n_scenes
+    FROM documents
+    """,
+)
+def mm10_video_neardup(spark, sf_dir):
+    """Video content dedup over REALLY-decoded concatenated-P6 frame
+    streams (ffmpeg image2pipe's actual output format): sequential
+    P6-header walk → per-frame aHash (mm8's kernel) → consecutive
+    duplicates collapsed into SCENES → md5 scene signature →
+    min-doc_id clusters. Freeze-frame tails of different lengths make
+    group payloads byte-different AND frame-count-different; the
+    scene signature must still merge them, and a desynchronized
+    stream walk or per-frame decode bug flips the hash. Clustering
+    shuffles (doc_id, fp) rows only — frames never leave the decode
+    stage."""
+    from pyspark.sql import Window as W
+
+    from oxi_diel_db_spark.operators.multimodal import (
+        video_fingerprint,
+        video_stream_fixture_table,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    fps = video_fingerprint(video_stream_fixture_table(docs, group=16))
+    return fps.select(
+        "doc_id",
+        F.min("doc_id").over(W.partitionBy("fp")).alias("cluster_id"),
+        "n_frames",
+        "n_scenes",
+    )

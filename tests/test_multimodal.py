@@ -375,3 +375,34 @@ def test_audio_fixture_plants_byte_distinct_content_groups(spark):
     fps = {r.doc_id: r.fp for r in MM.audio_fingerprint(media).collect()}
     assert fps[0] == fps[1] == fps[15]
     assert fps[0] != fps[16] and fps[16] == fps[31]
+
+
+def test_video_scene_signature_tail_invariant_content_sensitive(spark):
+    """Freeze-frame tails of any length must not change the scene
+    signature; changing ONE frame's content must. A desynchronized
+    stream (truncated mid-frame) must be skipped, not mis-hashed."""
+    import numpy as np
+
+    from oxi_diel_db_spark.operators import multimodal as MM
+
+    w, h = 16, 12
+    def frame(k):
+        px = (7 + np.arange(w * h * 3, dtype=np.int64) * (2 * k + 1)) % 256
+        return MM.encode_ppm(w, h, px)
+
+    base = [frame(0), frame(1), frame(2)]
+    rows = [
+        (1, b"".join(base)),
+        (2, b"".join(base + [base[-1]] * 5)),      # long freeze tail
+        (3, b"".join([base[0], base[0], base[1], base[2]])),  # held first shot
+        (4, b"".join([frame(0), frame(3), frame(2)])),        # scene changed
+        (5, b"".join(base)[:-7]),                  # truncated mid-frame
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: (r.fp, r.n_frames, r.n_scenes)
+           for r in MM.video_fingerprint(media).collect()}
+    assert got[1][0] == got[2][0] == got[3][0]
+    assert got[1][2] == got[2][2] == got[3][2] == 3
+    assert got[2][1] == 8 and got[3][1] == 4
+    assert got[4][0] != got[1][0]
+    assert 5 not in got  # desynchronized stream skipped, not mis-hashed
