@@ -3057,8 +3057,8 @@ def _bm25_oracle() -> str:
     return f"""
     WITH q(query_id, term) AS (VALUES {qrows}),
     d AS (SELECT doc_id, {words} AS words FROM documents),
-    dl AS (SELECT doc_id, len(words) AS dl FROM d),
-    n AS (SELECT COUNT(*) AS n, AVG(len(words)) AS avgdl FROM d),
+    dl AS (SELECT doc_id, COALESCE(len(words), 0) AS dl FROM d),
+    n AS (SELECT COUNT(*) AS n, AVG(COALESCE(len(words), 0)) AS avgdl FROM d),
     tok AS (SELECT doc_id, unnest(words) AS term FROM d),
     tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
     qtf AS (SELECT q.query_id, tf.doc_id, tf.term, tf.tf
@@ -3094,9 +3094,17 @@ def _bm25_ranked(spark, sf_dir):
     d = t(spark, sf_dir, "documents").select(
         "doc_id", TX.norm_words("text").alias("words")
     )
-    dl = d.select("doc_id", F.size("words").alias("dl"))
+    # greatest(·,0): legacy size(NULL) = -1 — a NULL-text doc must
+    # count as a LENGTH-0 document in dl and avgdl, not subtract from
+    # the average (DuckDB's AVG skips NULLs, so without the guard the
+    # two engines compute DIFFERENT avgdl and every score shifts —
+    # found by the null-input probe; oracle COALESCEs identically)
+    dl = d.select(
+        "doc_id", F.greatest(F.size("words"), F.lit(0)).alias("dl")
+    )
     stats = d.agg(
-        F.count(F.lit(1)).alias("n"), F.avg(F.size("words")).alias("avgdl")
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.greatest(F.size("words"), F.lit(0))).alias("avgdl"),
     )
     q = spark.createDataFrame(
         [(qid, term) for qid, terms in _BM25_QUERIES for term in terms],

@@ -35,6 +35,18 @@ REPRESENTATIVE = [
     "dq2_distribution_drift",
     "dq6_reconciliation",
     "mm1_binary_meta",
+    # round-6 additions (t14's avgdl under NULL text was a REAL latent
+    # cross-engine divergence: legacy size(NULL) = -1 entered Spark's
+    # average while DuckDB's AVG skipped the NULL — fixed, both
+    # engines now count NULL text as a length-0 doc)
+    "t12_gopher_rules",
+    "t13_vocab_stats",
+    "t14_bm25_search",
+    "p13_curriculum_interleave",
+    "p14_length_matching",
+    "dq7_profile_drift",
+    "dq8_snapshot_diff",
+    "c3_hybrid_search",
 ]
 
 
