@@ -1,0 +1,87 @@
+"""NULL-adversarial cross-engine parity: the null-input matrix proves
+operators COMPLETE under induced NULLs; this module proves the
+registered oracle still MATCHES — the stronger claim, because the two
+engines disagree about NULLs in subtle ways (legacy size(NULL) = -1
+vs DuckDB len(NULL) = NULL skipped by AVG — exactly the latent BM25
+avgdl divergence this harness was built after; see the r6 notes)."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from oxi_diel_db_spark.queries import load_registry
+
+# documents-only oracles over text payloads (NULL text every 7th doc)
+GATES = [
+    "t1_lang_id",
+    "t2_quality_score",
+    "t3_token_count",
+    "t4_fingerprint",
+    "d1_exact_dedup",
+    "t12_gopher_rules",
+    "t13_vocab_stats",
+    "t14_bm25_search",
+    "p13_curriculum_interleave",
+    "p14_length_matching",
+]
+
+
+def _norm(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else f"{v:.9g}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm(x) for x in v) + "]"
+    return str(v)
+
+
+def _hash_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("|".join(_norm(r[i]) for i in order) for r in rows)
+
+
+@pytest.fixture(scope="module")
+def null_sf_dir(spark, tmp_path_factory):
+    """sf0.001 documents with NULL text induced on every 7th doc —
+    payload nulls only; keys and dims stay intact (a NULL key is a
+    schema violation dq1 exists to catch, not operator input)."""
+    out = str(tmp_path_factory.mktemp("nulldoc_sf"))
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None)).otherwise(F.col("text")),
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out, "documents.parquet")
+    )
+    return out
+
+
+@pytest.mark.parametrize("name", GATES)
+def test_gate_matches_under_null_text(spark, null_sf_dir, name):
+    import duckdb
+
+    reg = load_registry()
+    qdef = reg[name]
+    sdf = qdef.build(spark, null_sf_dir)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{null_sf_dir}/documents.parquet/*.parquet')"
+    )
+    res = con.execute(qdef.oracle)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols)
+    assert _hash_rows(spark_cols, spark_rows) == _hash_rows(duck_cols, duck_rows)
