@@ -42,6 +42,12 @@ GATES = [
     "t5_tfidf_topterms",
     "t7_repetition_filters",
     "t9_chunking",
+    # round-6 tokenizing queries
+    "t12_gopher_rules",
+    "t13_vocab_stats",
+    "t14_bm25_search",
+    "p13_curriculum_interleave",
+    "p14_length_matching",
 ]
 
 
