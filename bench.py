@@ -88,6 +88,7 @@ HEADLINE = [
     "q95_malformed_json",
     "q96_observed_metrics",
     "q93_prediction_stdout",
+    "q97_group_by_all",
     # materials domain
     "m04_born_trace_invariant",
     "m11_site_explode_agg",

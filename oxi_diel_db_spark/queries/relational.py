@@ -686,3 +686,27 @@ def q96_observed_metrics(spark, sf_dir):
         ],
         "n_input bigint, n_kept bigint, price_cents bigint, n_null_flag bigint",
     )
+
+
+_Q97_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS price_cents,
+       COUNT(*) AS n
+FROM {table}
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@register("q97_group_by_all", oracle=_Q97_SQL.format(table="lineitem"))
+def q97_group_by_all(spark, sf_dir):
+    """GROUP BY ALL / ORDER BY ALL (Spark 3.4+/4 SQL sugar, also
+    DuckDB's): the SAME query text — literally the oracle string with
+    only the table name swapped — runs on BOTH engines, the strongest
+    possible portability statement for the SQL surface (every other
+    gate pairs a DataFrame plan with an equivalent SQL; this one pairs
+    the identical SQL with itself). Grouping keys are inferred from
+    the non-aggregate select list; ordering covers the full output."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q97")
+    return spark.sql(_Q97_SQL.format(table="lineitem_q97"))
