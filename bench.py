@@ -89,6 +89,7 @@ HEADLINE = [
     "q96_observed_metrics",
     "q93_prediction_stdout",
     "q97_group_by_all",
+    "q98_try_arithmetic",
     # materials domain
     "m04_born_trace_invariant",
     "m11_site_explode_agg",

@@ -710,3 +710,59 @@ def q97_group_by_all(spark, sf_dir):
     the non-aggregate select list; ordering covers the full output."""
     t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q97")
     return spark.sql(_Q97_SQL.format(table="lineitem_q97"))
+
+
+@register(
+    "q98_try_arithmetic",
+    oracle="""
+    SELECT l_linenumber,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN CAST(l_quantity AS BIGINT) - 25 = 0 THEN NULL
+                         ELSE CAST(ROUND(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                                         * 1.0 / (CAST(l_quantity AS BIGINT) - 25), 0) AS BIGINT)
+                    END) AS BIGINT) AS ratio_sum,
+           CAST(SUM(CASE WHEN CAST(l_quantity AS BIGINT) - 25 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_div_zero,
+           CAST(SUM(TRY_CAST(CASE WHEN l_orderkey % 2 = 0
+                                  THEN CAST(CAST(l_quantity AS INTEGER) AS VARCHAR)
+                                  ELSE l_returnflag END AS INTEGER)) AS BIGINT)
+             AS parsed_sum
+    FROM lineitem GROUP BY l_linenumber
+    """,
+)
+def q98_try_arithmetic(spark, sf_dir):
+    """The try_* error-safe arithmetic family (try_divide/try_cast —
+    Spark 3.2+/4): under ANSI mode plain division THROWS on zero
+    divisors (the m34 class of failure this round's full-ANSI sweep
+    exists to catch); try_divide returns NULL instead, making the
+    query mode-INDEPENDENT by construction — the migration path the
+    ANSI default needs. Zero-divisor rows are counted, not lost;
+    try_cast over a mixed numeric/alpha string column parses the
+    numeric half and NULLs the rest in both engines (DuckDB TRY_CAST
+    twin) instead of throwing under ANSI. This query is deliberately in the ANSI
+    sweep: it must hash identically with ansi on and off."""
+    l = t(spark, sf_dir, "lineitem")
+    # integer-cent dividend / integer divisor: IEEE p/q division is
+    # bit-identical across engines, and ROUND to integer dodges the
+    # round(x, 2) decimal knife-edges arbitrary double ratios hit
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    qdelta = F.col("l_quantity").cast("bigint") - 25  # zero when qty = 25
+    ratio = F.try_divide(cents, qdelta)
+    return l.groupBy("l_linenumber").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(ratio, 0).cast("bigint")).alias("ratio_sum"),
+        F.sum(F.when(qdelta == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_div_zero"),
+        # a mixed numeric/alpha string column: try_cast parses the
+        # numeric half and NULLs the flags — no exception either mode
+        F.sum(
+            F.expr(
+                "try_cast(CASE WHEN l_orderkey % 2 = 0 "
+                "THEN CAST(CAST(l_quantity AS int) AS string) "
+                "ELSE l_returnflag END AS int)"
+            )
+        )
+        .cast("bigint")
+        .alias("parsed_sum"),
+    )
