@@ -94,6 +94,7 @@ HEADLINE = [
     "m04_born_trace_invariant",
     "m11_site_explode_agg",
     "m21_density",
+    "m36_map_functions",
 ]
 
 # Capstone/one-shot queries tracked OUTSIDE the min-of-N headline sum:

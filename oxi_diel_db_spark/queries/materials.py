@@ -431,3 +431,84 @@ def m34_eigvals_closed_form(spark, sf_dir):
         r6(F.when(deg, c("q")).otherwise(3 * c("q") - c("emax") - c("emin")), "eig_mid"),
         r6(F.when(deg, c("q")).otherwise(c("emax")), "eig_max"),
     )
+
+
+def _m36_oracle() -> str:
+    pairs = FM.sql_formula_pairs("formula")
+    return f"""
+    WITH base AS (
+      SELECT mp_id, {pairs} AS pairs FROM {_MAT}
+    ),
+    dedup AS (
+      SELECT mp_id,
+             list_transform(
+               list_sort(list_distinct(list_transform(pairs, p -> p.el))),
+               e -> struct_pack(
+                 el := e,
+                 cnt := list_aggregate(
+                   list_transform(list_filter(pairs, p -> p.el = e), p -> p.cnt),
+                   'sum')
+               )
+             ) AS elems
+      FROM base
+    ),
+    tot AS (
+      SELECT mp_id, elems,
+             list_aggregate(list_transform(elems, x -> x.cnt), 'sum') AS total
+      FROM dedup
+    )
+    SELECT mp_id,
+           CAST(len(elems) AS INT) AS n_elements,
+           ROUND(total, 6) AS total_atoms,
+           array_to_string(
+             list_transform(
+               list_filter(
+                 list_transform(elems,
+                   x -> struct_pack(el := x.el, frac := ROUND(x.cnt / total, 6))),
+                 x -> x.frac >= 0.2),
+               x -> x.el || ':' || CAST(x.frac AS VARCHAR)),
+             ',') AS majors
+    FROM tot
+    """
+
+
+@register("m36_map_functions", oracle=_m36_oracle())
+def m36_map_functions(spark, sf_dir):
+    """The MAP higher-order-function surface (F7's depth tier) over
+    parse_formula's map<string,double>: map_values + aggregate for
+    the atom total, transform_values to normalize counts into
+    fractions, map_filter to keep major elements (≥ 20%), and a
+    canonical sorted-entry render via map_entries — all pure Catalyst
+    map expressions, zero UDFs. The DuckDB twin computes identical
+    values from the pair-list representation (its map type lacks
+    these lambdas), which is the point: the GATE checks semantics,
+    the Spark side exercises the map-native operator set a 100 TB
+    metadata column (headers, tags, feature maps) needs."""
+    m = M.materials(spark)
+    fmap = FM.parse_formula("formula")
+    base = m.select("mp_id", fmap.alias("fmap"))
+    total = F.aggregate(
+        F.map_values("fmap"), F.lit(0.0), lambda a, x: a + x
+    )
+    withtot = base.withColumn("total", total)
+    fracs = F.transform_values(
+        "fmap", lambda _k, v: F.round(v / F.col("total"), 6)
+    )
+    majors = F.map_filter(fracs, lambda _k, v: v >= 0.2)
+    major_str = F.array_join(
+        F.array_sort(
+            F.transform(
+                F.map_entries(majors),
+                lambda e: F.concat(
+                    e["key"], F.lit(":"), e["value"].cast("string")
+                ),
+            )
+        ),
+        ",",
+    )
+    return withtot.select(
+        "mp_id",
+        F.size("fmap").alias("n_elements"),
+        F.round("total", 6).alias("total_atoms"),
+        major_str.alias("majors"),
+    )
