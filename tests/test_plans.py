@@ -266,3 +266,18 @@ def test_q91_lateral_decorrelates_to_window(spark):
     plan = plan_of(spark, "q91_lateral_topn")
     assert "Window" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_t14_postings_filter_before_aggregate(spark):
+    """BM25's scale claim: term frequencies are computed only for
+    QUERY terms — the broadcast postings join must land BELOW the
+    (query_id, doc_id, term) aggregate, so shuffled state is
+    O(matching postings), never the full inverted index."""
+    plan = plan_of(spark, "t14_bm25_search")
+    assert "BroadcastHashJoin" in plan
+    # the join feeds the partial aggregate, not the other way around:
+    # in the formatted plan the first HashAggregate listed above the
+    # broadcast join consumes its output
+    bj = plan.index("BroadcastHashJoin")
+    agg = plan.index("HashAggregate")
+    assert agg < bj  # formatted plans list consumers before producers

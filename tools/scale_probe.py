@@ -202,11 +202,47 @@ def docs_probe(n_docs: int = 500_000) -> None:
     )
     timings["bloom_decontaminate"] = round(time.time() - t0, 2)
 
+    # BM25 retrieval at corpus scale (t14's shape): postings computed
+    # only for the query terms, so the shuffled state is O(matching
+    # postings) — with a 50-word vocabulary every term matches nearly
+    # every doc, making this the WORST case for the postings filter
+    # (real vocabularies are sparser).
+    t0 = time.time()
+    q = spark.createDataFrame(
+        [("q1", "w03"), ("q1", "w17"), ("q2", "w29"), ("q2", "w41")],
+        "query_id string, term string",
+    )
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    d2 = docs.select("doc_id", words.alias("words"))
+    dl = d2.select("doc_id", F.greatest(F.size("words"), F.lit(0)).alias("dl"))
+    stats = d2.agg(F.count(F.lit(1)).alias("n"),
+                   F.avg(F.greatest(F.size("words"), F.lit(0))).alias("avgdl"))
+    tf = (d2.select("doc_id", F.explode("words").alias("term"))
+            .join(F.broadcast(q), "term")
+            .groupBy("query_id", "doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf")))
+    dfq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    from pyspark.sql import Window as _W
+    scored = (tf.join(F.broadcast(dfq), "term").join(dl, "doc_id")
+                .crossJoin(F.broadcast(stats))
+                .groupBy("query_id", "doc_id")
+                .agg(F.sum(
+                    F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+                    * F.col("tf") * 2.2
+                    / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+                ).alias("score")))
+    topk = (scored.withColumn("rk", F.row_number().over(
+                _W.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")))
+            .filter(F.col("rk") <= 20))
+    n8 = topk.count()
+    timings["bm25_top20"] = round(time.time() - t0, 2)
+
     print(json.dumps({
         "metric": "docs_probe", "docs": n_docs, "unit": "sec",
         "timings": timings,
         "counts": {"groups": n1, "sigs": n2, "lsh_pairs": n3, "bins": int(n4),
-                   "curated": n5, "spans_kept": int(n6), "bloom_flagged": int(n7)},
+                   "curated": n5, "spans_kept": int(n6), "bloom_flagged": int(n7),
+                   "bm25_rows": int(n8)},
     }))
 
 
