@@ -57,6 +57,7 @@ HEADLINE = [
     "d10_bloom_decontamination",
     "d11_span_dedup",
     "d13_neardup_curation",
+    "d15_tfidf_cosine_pairs",
     "s1_ann_brute_force",
     "s3_ann_ivf",
     "s4_pq_adc",

@@ -57,8 +57,8 @@ def register(name: str, oracle: str | None = None):
 # plan", then adjusted for round-6 births per its deferral rule): the
 # driver's correctness gate samples the FIRST 50 registry keys.
 # Cumulative official coverage across r1-r5 is 154 of 201; the prefix
-# carries the 22 queries born this round, the 3 whose gates upgraded
-# rows-only → full value-hash in r5 (st4/st6/p5), and 25 of the 47
+# carries the 23 queries born this round, the 3 whose gates upgraded
+# rows-only → full value-hash in r5 (st4/st6/p5), and 24 of the 47
 # never-sampled residue. The 17 deferred tail entries — q51/q58/q59/
 # q60/q62/q63/q65/q66 (J3/A8 family shapes keep q61/q64 plus the
 # r1-r3 join rows official), q44 (W: q40-q43 official), q79 (S9: q90
@@ -70,9 +70,9 @@ def register(name: str, oracle: str | None = None):
 # (math funcs: q12 official r5; F1/F2 also ride q93's pow/log gate,
 # in this prefix), q53 (multiset set ops: q52 stays in this prefix),
 # q05 (global sort: the O family keeps m12 here + q06 official r5,
-# and the GLOBAL_SORT lint guards the shape) and the
-# rows-only-BY-DESIGN q74/q75 — are the ENTIRE r7 residue
-# (22 entries); all locally hash-verified green.
+# and the GLOBAL_SORT lint guards the shape), q61 (J3: q64 here plus
+# the r1-r3 join rows) and the rows-only-BY-DESIGN q74/q75 — are the
+# ENTIRE r7 residue (23 entries); all locally hash-verified green.
 _R6_PRIORITY = [
     # born in round 6 (locally hash-verified at sf0.01, st13 also at
     # sf0.001) — take slots from the tail per NOTES_r5's deferral rule
@@ -93,6 +93,7 @@ _R6_PRIORITY = [
     "q97_group_by_all",
     "q98_try_arithmetic",
     "m36_map_functions",
+    "d15_tfidf_cosine_pairs",
     "g4_bfs_distances",
     "dq7_profile_drift",
     "t12_gopher_rules",
@@ -125,7 +126,6 @@ _R6_PRIORITY = [
     "q57_recursive_date_spine",
     "q55_event_transitions",
     # TPC-H-style tail
-    "q61_custorder_distribution",
     "q64_idle_rich_customers",
     "q82_schema_evolution",
     "q84_dpp_join",

@@ -3396,3 +3396,111 @@ def mm10_video_neardup(spark, sf_dir):
         "n_frames",
         "n_scenes",
     )
+
+
+@register(
+    "d15_tfidf_cosine_pairs",
+    # Sparse lexical cosine over L2-normalized tf-idf vectors: the
+    # candidate join IS the inverted index (docs sharing a term), so
+    # only pairs with nonzero dot products are ever materialized; a
+    # df cap (df <= 100) drops corpus-wide terms from the index the
+    # same way d2's hot-shingle cap does. The resulting metric is the
+    # CAPPED-INDEX cosine: dot over rare terms only, norms over the
+    # full vector — a deliberate conservative lower bound on true
+    # cosine (the omitted mass is low-idf by construction), computed
+    # identically in both engines. Round-before-threshold.
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(
+               translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
+               '[^a-z0-9]+'), x -> x <> '') AS words
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(words) AS term FROM w),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM w),
+    wts AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * LN((SELECT n FROM n) * 1.0 / df.df) AS wt,
+             df.df
+      FROM tf JOIN df USING (term)
+    ),
+    norms AS (
+      SELECT doc_id, SQRT(SUM(wt * wt)) AS nrm FROM wts GROUP BY doc_id
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             SUM(a.wt * b.wt) AS dot
+      FROM wts a JOIN wts b
+        ON a.term = b.term AND a.doc_id < b.doc_id
+      WHERE a.df <= 100
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(p.dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM pairs p
+    JOIN norms na ON na.doc_id = p.doc_a
+    JOIN norms nb ON nb.doc_id = p.doc_b
+    WHERE ROUND(p.dot / (na.nrm * nb.nrm), 6) >= 0.5
+    """,
+)
+def d15_tfidf_cosine_pairs(spark, sf_dir):
+    """Sparse tf-idf cosine near-dup — the LEXICAL-VECTOR tier of the
+    dedup family, between d2's set-overlap Jaccard and d5's dense
+    embedding cosine: docs as idf-weighted term vectors, candidate
+    pairs generated by the inverted index (the shared-term self-join —
+    only nonzero dot products are materialized, never all pairs), a
+    df <= 100 cap keeping corpus-wide terms out of the INDEX. The
+    metric is therefore the capped-index cosine — dot over rare
+    shared terms, norms over the FULL vectors — a conservative lower
+    bound on true cosine whose omitted mass is low-idf by
+    construction; at 100 TB the cap is what bounds the hottest
+    posting list, the same valve as d2's shingle cap. Both engines
+    round the cosine before the 0.5 threshold so the kept set is
+    knife-edge-free."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", TX.norm_words("text").alias("words")
+    )
+    tf = (
+        d.select("doc_id", F.explode("words").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    wts = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "df",
+            (F.col("tf") * F.log(F.col("n") / F.col("df"))).alias("wt"),
+        )
+    )
+    norms = wts.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
+    )
+    a = wts.filter(F.col("df") <= 100).select(
+        F.col("doc_id").alias("doc_a"), "term", F.col("wt").alias("wa")
+    )
+    b = wts.filter(F.col("df") <= 100).select(
+        F.col("doc_id").alias("doc_b"), "term", F.col("wt").alias("wb")
+    )
+    pairs = (
+        a.join(b, "term")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    cos = F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6)
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.5)
+    )
