@@ -35,13 +35,33 @@ class QueryDef:
 REGISTRY: dict[str, QueryDef] = {}
 
 
+def _assert_atomic_output(name: str, df: DataFrame) -> None:
+    """Registered queries must emit atomic-typed columns only: the
+    driver's pandas canonicalizer sorts/hashes cell values and cannot
+    factorize array/map/struct cells (numpy.ndarray is unhashable —
+    the exact dq8 round-6 failure). Library operators may return
+    nested types; the *registered* projection joins/flattens them."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    for f in df.schema.fields:
+        if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+            raise TypeError(
+                f"registered query {name!r} outputs non-atomic column "
+                f"{f.name!r} ({f.dataType.simpleString()}); project it "
+                "through array_join/to_json/flatten before registering "
+                "(driver canonicalizer hashes atomic cells only)"
+            )
+
+
 def register(name: str, oracle: str | None = None):
     """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under ``name``."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             configure(spark)  # UTC tz, AQE, Arrow — idempotent
-            return fn(spark, sf_dir)
+            df = fn(spark, sf_dir)
+            _assert_atomic_output(name, df)
+            return df
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__

@@ -534,11 +534,11 @@ def dq7_profile_drift(spark, sf_dir):
                 WHEN new.o_orderkey IS NULL THEN 'removed'
                 ELSE 'changed' END AS status,
            CASE WHEN old.o_orderkey IS NULL OR new.o_orderkey IS NULL
-                THEN CAST([] AS VARCHAR[])
-                ELSE list_filter(
+                THEN ''
+                ELSE array_to_string(list_filter(
                   [CASE WHEN old.o_totalprice IS DISTINCT FROM new.o_totalprice THEN 'o_totalprice' END,
                    CASE WHEN old.o_orderstatus IS DISTINCT FROM new.o_orderstatus THEN 'o_orderstatus' END],
-                  x -> x IS NOT NULL) END AS changed_cols
+                  x -> x IS NOT NULL), ',') END AS changed_cols
     FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
     WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
        OR old.o_totalprice IS DISTINCT FROM new.o_totalprice
@@ -553,7 +553,13 @@ def dq8_snapshot_diff(spark, sf_dir):
     changed_cols). Output is O(churn), not O(table); the full-outer
     join is the single shuffle and rides pre-bucketed keys at scale.
     Null-safe compare: NULL→value counts as changed, NULL→NULL does
-    not (eqNullSafe / IS DISTINCT FROM in both engines)."""
+    not (eqNullSafe / IS DISTINCT FROM in both engines).
+
+    Gate shape: the library operator returns changed_cols as
+    array<string>; the registered query projects it through
+    array_join because the driver's pandas canonicalizer can only
+    hash atomic cell types (registry convention: atomic outputs
+    only, enforced by tests/test_lint.py)."""
     from oxi_diel_db_spark.operators.scale import table_diff
 
     o = t(spark, sf_dir, "orders").select(
@@ -566,4 +572,5 @@ def dq8_snapshot_diff(spark, sf_dir):
             F.col("o_orderkey") % 13 == 0, F.round(F.col("o_totalprice") * 1.1, 2)
         ).otherwise(F.col("o_totalprice")),
     )
-    return table_diff(old, new, ["o_orderkey"])
+    diff = table_diff(old, new, ["o_orderkey"])
+    return diff.withColumn("changed_cols", F.array_join("changed_cols", ","))

@@ -129,3 +129,29 @@ def test_arrow_udf_is_arrow_not_pickled(spark):
     import pyspark.sql.functions as F
 
     assert df.filter(F.col("udf_tokens") != F.col("builtin_tokens")).count() == 0
+
+
+def test_registered_outputs_must_be_atomic(spark):
+    """Round-6 driver failure class (dq8): the driver's pandas
+    canonicalizer cannot hash array/map/struct cells, so register()
+    rejects any query whose output schema carries one — at build time,
+    before the driver ever sees it."""
+    import pytest
+
+    from oxi_diel_db_spark.queries import REGISTRY, register
+
+    @register("zz_lint_nested_output_probe")
+    def probe(s, sf_dir):
+        return s.range(3).select(F.array(F.col("id")).alias("a"))
+
+    try:
+        with pytest.raises(TypeError, match="non-atomic column 'a'"):
+            REGISTRY["zz_lint_nested_output_probe"].build(spark, "ignored")
+    finally:
+        del REGISTRY["zz_lint_nested_output_probe"]
+
+    # and the fixed dq8 passes the guard: changed_cols is now a string
+    from oxi_diel_db_spark.queries import load_registry
+
+    df = load_registry()["dq8_snapshot_diff"].build(spark, "/root/testdata/sf0.001")
+    assert dict(df.dtypes)["changed_cols"] == "string"
