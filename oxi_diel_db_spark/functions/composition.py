@@ -423,3 +423,200 @@ def sql_elemental_stats(f: str, table: dict[str, float]) -> dict[str, str]:
         "max": f"list_max({vals})",
         "range": f"list_max({vals}) - list_min({vals})",
     }
+
+
+# ---------------------------------------------------------------------------
+# matminer-exact stat helpers (reference-parity descriptor tier, ml6)
+# ---------------------------------------------------------------------------
+
+
+def _agg_tok_counts(formula: Column | str) -> Column:
+    """Per-ELEMENT aggregated (el, cnt) pairs — matminer's
+    ``comp.element_composition.items()`` view. _tok_counts is
+    expansion-ordered and may repeat an element (paren groups, e.g.
+    'Ba(CO3)2' style formulas); stats that depend on Σcnt² per element
+    (the unbiased weighted std) need the aggregated view.
+
+    Element order is SORTED in both engines: DuckDB's list_distinct
+    does not preserve first-occurrence order, and a different fold
+    order shifts double sums by an ulp — enough to flip a 6-dp
+    rounding boundary and hash-mismatch the gate."""
+    toks = _tok_counts(formula)
+    els = F.array_sort(F.array_distinct(F.transform(toks, lambda s: s["el"])))
+    return F.transform(
+        els,
+        lambda e: F.struct(
+            e.alias("el"),
+            F.aggregate(
+                F.filter(toks, lambda s: s["el"] == e),
+                F.lit(0.0),
+                lambda acc, s: acc + s["cnt"],
+            ).alias("cnt"),
+        ),
+    )
+
+
+def sql_agg_tok_counts(f: str) -> str:
+    toks = _SQL_TOKS.format(f=f)
+    return (
+        f"list_transform(list_sort(list_distinct(list_transform({toks}, s -> s.el))), "
+        f"e -> struct_pack(el := e, cnt := list_aggregate("
+        f"list_transform(list_filter({toks}, s -> s.el = e), s -> s.cnt), 'sum')))"
+    )
+
+
+def _unbiased_weighted_std(agg: Column, value_of) -> Column:
+    """matminer PropertyStats.std_dev with weights (featurizers/utils/
+    stats.py, public): beta = n/(n² − Σcᵢ²); std = √(beta·Σcᵢ(xᵢ−μ)²).
+    Null for single-element compositions (beta denominator 0), exactly
+    like matminer's divide-by-zero → nan."""
+    n = _fold_sum(agg, lambda s: s["cnt"])
+    sumsq = _fold_sum(agg, lambda s: s["cnt"] * s["cnt"])
+    mean = _fold_sum(agg, lambda s: value_of(s) * s["cnt"]) / n
+    dev = F.aggregate(
+        agg,
+        F.lit(0.0),
+        lambda acc, s: acc + (value_of(s) - mean) * (value_of(s) - mean) * s["cnt"],
+    )
+    beta = n / F.nullif(n * n - sumsq, F.lit(0.0))
+    return F.sqrt(F.greatest(beta * dev, F.lit(0.0)))
+
+
+def _sql_unbiased_weighted_std(agg: str, value_sql: str) -> str:
+    """DuckDB twin of _unbiased_weighted_std; value_sql is an expression
+    over lambda var ``s`` (e.g. a property CASE on s.el)."""
+    n = f"list_aggregate(list_transform({agg}, s -> s.cnt), 'sum')"
+    sumsq = f"list_aggregate(list_transform({agg}, s -> s.cnt * s.cnt), 'sum')"
+    mean = (
+        f"(list_aggregate(list_transform({agg}, s -> ({value_sql}) * s.cnt), 'sum')"
+        f" / ({n}))"
+    )
+    dev = (
+        f"list_aggregate(list_transform({agg}, "
+        f"s -> (({value_sql}) - {mean}) * (({value_sql}) - {mean}) * s.cnt), 'sum')"
+    )
+    beta = f"(({n}) / NULLIF(({n}) * ({n}) - ({sumsq}), 0.0))"
+    return f"sqrt(greatest(({beta}) * ({dev}), 0.0))"
+
+
+def matminer_stats(
+    formula: Column | str, table: dict[str, float], agg: Column | None = None
+) -> dict[str, Column]:
+    """ElementProperty reduction with matminer's EXACT stat semantics
+    (ml_prediction.py:76 ElementProperty.from_preset('matminer')):
+    count-weighted mean, unbiased weighted std_dev, unweighted
+    min/max/range — computed over per-element aggregated counts.
+
+    Pass ``agg`` (a pre-computed _agg_tok_counts column) when deriving
+    MANY stats from one formula: referencing a shared column keeps
+    Catalyst from duplicating the tokenizer subtree per stat (ml6's 28
+    consumers would otherwise cost ~17 s of plan compile)."""
+    agg = _agg_tok_counts(formula) if agg is None else agg
+    pm = _prop_map_expr(table)
+    vals = F.transform(agg, lambda s: pm[s["el"]])
+    n = _fold_sum(agg, lambda s: s["cnt"])
+    mean = _fold_sum(agg, lambda s: pm[s["el"]] * s["cnt"]) / n
+    return {
+        "mean": mean,
+        "std": _unbiased_weighted_std(agg, lambda s: pm[s["el"]]),
+        "min": F.array_min(vals),
+        "max": F.array_max(vals),
+        "range": F.array_max(vals) - F.array_min(vals),
+    }
+
+
+def sql_matminer_stats(
+    f: str, table: dict[str, float], agg: str | None = None
+) -> dict[str, str]:
+    agg = sql_agg_tok_counts(f) if agg is None else agg
+    case = _sql_prop_case(table)
+    vals = f"list_transform({agg}, s -> {case})"
+    n = f"list_aggregate(list_transform({agg}, s -> s.cnt), 'sum')"
+    mean = (
+        f"(list_aggregate(list_transform({agg}, s -> {case} * s.cnt), 'sum') / ({n}))"
+    )
+    return {
+        "mean": mean,
+        "std": _sql_unbiased_weighted_std(agg, case),
+        "min": f"list_min({vals})",
+        "max": f"list_max({vals})",
+        "range": f"(list_max({vals}) - list_min({vals}))",
+    }
+
+
+def en_diff_stats(
+    formula: Column | str, agg: Column | None = None
+) -> dict[str, Column]:
+    """ElectronegativityDiff analog for the oxide corpus
+    (ml_prediction.py:78 — anion fixed at O, the m23 convention,
+    extended to the full stat set the descriptor consumes): per-cation
+    ΔEN = EN(O) − EN(cation); unweighted max/range, count-weighted
+    mean, unbiased weighted std over cations."""
+    en_o = F.lit(PAULING_EN["O"])
+    pm = _en_map_expr()
+    base = _agg_tok_counts(formula) if agg is None else agg
+    cat = F.filter(base, lambda s: s["el"] != "O")
+    diff = lambda s: en_o - pm[s["el"]]  # noqa: E731
+    vals = F.transform(cat, diff)
+    n = _fold_sum(cat, lambda s: s["cnt"])
+    mean = _fold_sum(cat, lambda s: diff(s) * s["cnt"]) / F.nullif(n, F.lit(0.0))
+    return {
+        "max": F.array_max(vals),
+        "range": F.array_max(vals) - F.array_min(vals),
+        "min": F.array_min(vals),
+        "mean": mean,
+        "std": _unbiased_weighted_std(cat, diff),
+    }
+
+
+def sql_en_diff_stats(f: str, agg: str | None = None) -> dict[str, str]:
+    en_o = PAULING_EN["O"]
+    base = sql_agg_tok_counts(f) if agg is None else agg
+    cat = f"list_filter({base}, s -> s.el <> 'O')"
+    case = f"({en_o} - {_sql_en_case()})"
+    vals = f"list_transform({cat}, s -> {case})"
+    n = f"list_aggregate(list_transform({cat}, s -> s.cnt), 'sum')"
+    mean = (
+        f"(list_aggregate(list_transform({cat}, s -> {case} * s.cnt), 'sum')"
+        f" / NULLIF({n}, 0.0))"
+    )
+    return {
+        "max": f"list_max({vals})",
+        "range": f"(list_max({vals}) - list_min({vals}))",
+        "min": f"list_min({vals})",
+        "mean": mean,
+        "std": _sql_unbiased_weighted_std(cat, case),
+    }
+
+
+def oxi_state_std(formula: Column | str, agg: Column | None = None) -> Column:
+    """OxidationStates std_dev analog (ml_prediction.py:80, the m25
+    charge-balance convention): O at −2, every cation at the uniform
+    balance state q = 2·n_O/n_cat; unbiased weighted std over the
+    per-element state list. (The weighted mean is 0 by construction —
+    charge balance — so std reduces to √(beta·Σcᵢqᵢ²).)"""
+    agg = _agg_tok_counts(formula) if agg is None else agg
+    n_o = _fold_sum(
+        agg, lambda s: F.when(s["el"] == "O", s["cnt"]).otherwise(F.lit(0.0))
+    )
+    n_cat = _fold_sum(
+        agg, lambda s: F.when(s["el"] != "O", s["cnt"]).otherwise(F.lit(0.0))
+    )
+    q = 2.0 * n_o / F.nullif(n_cat, F.lit(0.0))
+    state = lambda s: F.when(s["el"] == "O", F.lit(-2.0)).otherwise(q)  # noqa: E731
+    return _unbiased_weighted_std(agg, state)
+
+
+def sql_oxi_state_std(f: str, agg: str | None = None) -> str:
+    agg = sql_agg_tok_counts(f) if agg is None else agg
+    n_o = (
+        f"list_aggregate(list_transform({agg}, "
+        f"s -> CASE WHEN s.el = 'O' THEN s.cnt ELSE 0.0 END), 'sum')"
+    )
+    n_cat = (
+        f"list_aggregate(list_transform({agg}, "
+        f"s -> CASE WHEN s.el <> 'O' THEN s.cnt ELSE 0.0 END), 'sum')"
+    )
+    q = f"(2.0 * ({n_o}) / NULLIF({n_cat}, 0.0))"
+    state = f"(CASE WHEN s.el = 'O' THEN -2.0 ELSE {q} END)"
+    return _sql_unbiased_weighted_std(agg, state)
