@@ -2917,7 +2917,7 @@ def mm9_audio_neardup(spark, sf_dir):
     "p13_curriculum_interleave",
     oracle=r"""
     WITH scored AS (
-      SELECT doc_id, source,
+      SELECT doc_id, COALESCE(source, '__null_source__') AS source,
              COALESCE(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')), 0) AS difficulty
       FROM documents
     ),
@@ -2944,9 +2944,15 @@ def p13_curriculum_interleave(spark, sf_dir):
     source count; fully deterministic, no shuffle beyond the window's
     own partitioning — at 100 TB the schedule column is computed in
     one pass and the trainer just sorts by it (Z-order/range-partition
-    the sink on global_pos)."""
+    the sink on global_pos). NULL source coalesces to a sentinel bucket
+    on BOTH engines (ADVICE r6: an inner join on a NULL key silently
+    drops the doc on Spark while DENSE_RANK keeps it on DuckDB, and the
+    two engines default NULL ordering differently — the sentinel makes
+    the row's fate explicit and identical)."""
     scored = t(spark, sf_dir, "documents").select(
-        "doc_id", "source", TX.ws_token_count("text").alias("difficulty")
+        "doc_id",
+        F.coalesce("source", F.lit("__null_source__")).alias("source"),
+        TX.ws_token_count("text").alias("difficulty"),
     )
     from pyspark.sql import Window as W
 

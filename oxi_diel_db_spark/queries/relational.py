@@ -573,8 +573,9 @@ def q92_collations(spark, sf_dir):
     ),
     parsed AS (
       SELECT event_type,
-             CASE WHEN json_valid(j) THEN 1 ELSE 0 END AS ok,
-             CASE WHEN json_valid(j)
+             CASE WHEN j IS NULL THEN 0
+                  WHEN json_valid(j) THEN 1 ELSE 0 END AS ok,
+             CASE WHEN j IS NOT NULL AND json_valid(j)
                   THEN CAST(j ->> 'k' AS INTEGER) END AS k
       FROM raw
     )
@@ -610,9 +611,15 @@ def q95_malformed_json(spark, sf_dir):
     # PERMISSIVE from_json yields a struct of NULL fields for corrupt
     # input (not a NULL struct) — detection requires the explicit
     # _corrupt_record column, which is also the production accounting
-    # surface (badRecords routing keys off it)
+    # surface (badRecords routing keys off it). NULL input is its OWN
+    # explicit case: from_json(NULL) returns a NULL struct with a NULL
+    # _corrupt_record, which would otherwise count as parsed while the
+    # oracle's json_valid(NULL) counts it as not-parsed (ADVICE r6 —
+    # the same latent class as the BM25 avgdl divergence). A NULL
+    # payload is not a parse success: ok requires j IS NOT NULL.
     parsed = ev.select(
         "event_type",
+        F.col("j"),
         F.from_json(
             "j",
             "k int, _corrupt_record string",
@@ -620,8 +627,13 @@ def q95_malformed_json(spark, sf_dir):
         ).alias("p"),
     ).select(
         "event_type",
-        F.when(F.col("p._corrupt_record").isNull(), 1).otherwise(0).alias("ok"),
-        F.when(F.col("p._corrupt_record").isNull(), F.col("p.k")).alias("k"),
+        F.when(
+            F.col("j").isNotNull() & F.col("p._corrupt_record").isNull(), 1
+        ).otherwise(0).alias("ok"),
+        F.when(
+            F.col("j").isNotNull() & F.col("p._corrupt_record").isNull(),
+            F.col("p.k"),
+        ).alias("k"),
     )
     return parsed.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_rows"),

@@ -64,6 +64,110 @@ def null_sf_dir(spark, tmp_path_factory):
     return out
 
 
+@pytest.fixture(scope="module")
+def null_source_dir(spark, tmp_path_factory):
+    """sf0.001 documents with NULL source induced on every 13th doc —
+    the adversary for p13's sentinel-bucket contract (ADVICE r6: inner
+    join on a NULL key drops rows on Spark; DENSE_RANK keeps them on
+    DuckDB)."""
+    out = str(tmp_path_factory.mktemp("nullsrc_sf"))
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.withColumn(
+        "source",
+        F.when(F.col("doc_id") % 13 == 0, F.lit(None)).otherwise(
+            F.col("source")
+        ),
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out, "documents.parquet")
+    )
+    return out
+
+
+def test_p13_matches_under_null_source(spark, null_source_dir):
+    import duckdb
+
+    qdef = load_registry()["p13_curriculum_interleave"]
+    sdf = qdef.build(spark, null_source_dir)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{null_source_dir}/documents.parquet/*.parquet')"
+    )
+    res = con.execute(qdef.oracle)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols)
+    assert _hash_rows(spark_cols, spark_rows) == _hash_rows(duck_cols, duck_rows)
+    # NULL-source docs must be KEPT (sentinel bucket), not dropped by
+    # the source join — every input doc appears exactly once
+    n_docs = spark.read.parquet(
+        os.path.join(null_source_dir, "documents.parquet")
+    ).count()
+    assert len(spark_rows) == n_docs
+    i_src = spark_cols.index("source")
+    assert any(r[i_src] == "__null_source__" for r in spark_rows)
+
+
+#: events-based oracles over JSON payloads (NULL props every 17th
+#: event, the test_null_inputs convention)
+EVENT_GATES = [
+    "q95_malformed_json",
+]
+
+
+@pytest.fixture(scope="module")
+def null_events_dir(spark, tmp_path_factory):
+    """sf0.001 events with NULL props induced on every 17th event —
+    the exact adversary for q95's NULL-vs-corrupt accounting split
+    (ADVICE r6: from_json(NULL) vs json_valid(NULL) disagree unless
+    NULL is an explicit case on both sides)."""
+    from oxi_diel_db_spark import tables
+
+    out = str(tmp_path_factory.mktemp("nullev_sf"))
+    ev = tables.load(spark, "events", "/root/testdata/sf0.001")
+    ev.withColumn(
+        "props",
+        F.when(F.col("event_id") % 17 == 0, F.lit(None)).otherwise(
+            F.col("props")
+        ),
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out, "events.parquet")
+    )
+    return out
+
+
+@pytest.mark.parametrize("name", EVENT_GATES)
+def test_gate_matches_under_null_props(spark, null_events_dir, name):
+    import duckdb
+
+    reg = load_registry()
+    qdef = reg[name]
+    sdf = qdef.build(spark, null_events_dir)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{null_events_dir}/events.parquet/*.parquet')"
+    )
+    res = con.execute(qdef.oracle)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols)
+    assert _hash_rows(spark_cols, spark_rows) == _hash_rows(duck_cols, duck_rows)
+    # the adversary must actually bite: some rows carry NULL props, and
+    # they must land in n_corrupt (not silently count as parsed)
+    i_ok = spark_cols.index("n_parsed")
+    i_n = spark_cols.index("n_rows")
+    assert sum(r[i_n] for r in spark_rows) > sum(r[i_ok] for r in spark_rows)
+
+
 @pytest.mark.parametrize("name", GATES)
 def test_gate_matches_under_null_text(spark, null_sf_dir, name):
     import duckdb
