@@ -159,11 +159,13 @@ def encode_wav(sample_rate: int, samples: np.ndarray) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def _ppm_header(payload: bytes) -> tuple[int, int, int, int]:
-    """Parse a P6 header (whitespace tokens, ``#`` comments) → (width,
-    height, maxval, data_offset)."""
-    assert payload[:2] == b"P6", "not a P6 PPM"
-    pos, vals = 2, []
+def _ppm_header(payload: bytes, start: int = 0) -> tuple[int, int, int, int]:
+    """Parse a P6 header at ``start`` (whitespace tokens, ``#``
+    comments) → (width, height, maxval, absolute data_offset). Walks by
+    index so stream decoders can parse frame N without slicing a copy
+    of the remaining buffer (the r6-advice quadratic-walk fix)."""
+    assert payload[start : start + 2] == b"P6", "not a P6 PPM"
+    pos, vals = start + 2, []
     while len(vals) < 3:
         while pos < len(payload) and payload[pos : pos + 1].isspace():
             pos += 1
@@ -757,15 +759,16 @@ def decode_ppm_stream(payload: bytes) -> list[np.ndarray]:
     every later frame is garbage — which the mm10 gate would catch."""
     frames, pos = [], 0
     while pos < len(payload):
-        chunk = payload[pos:]
-        if chunk[:2] != b"P6":
+        if payload[pos : pos + 2] != b"P6":
             raise ValueError(f"desynchronized P6 stream at offset {pos}")
-        w, h, maxval, off = _ppm_header(chunk)
+        w, h, maxval, off = _ppm_header(payload, start=pos)
         assert maxval == 255
         n = w * h * 3
-        px = np.frombuffer(chunk, np.uint8, count=n, offset=off)
+        # absolute-offset frombuffer over the ONE payload buffer: the
+        # walk is O(stream) total, not O(frames x stream) re-slicing
+        px = np.frombuffer(payload, np.uint8, count=n, offset=off)
         frames.append(px.reshape(h, w, 3))
-        pos += off + n
+        pos = off + n
     return frames
 
 

@@ -1535,7 +1535,10 @@ def q90_python_sink(spark, sf_dir):
 def q93_prediction_stdout(spark, sf_dir):
     """S6 stdout sink, the full-gate form (reference main.py:36-37
     prints 'Prediction result (log10): …' and 'Prediction result (not
-    log value): …'): the EXACT formatted output contract, produced
+    log value): …'): the line-PREFIX contract reproduced with 6-dp
+    values (the reference prints pred via default f-string float repr
+    at full precision; fixed 6-dp keeps the lines hash-stable across
+    engines), produced
     from the hash-checkable OLS tier (global log10(ε)~band_gap fit,
     evaluated at band_gap = 2.5) instead of the RF blob so both lines
     sit under the cross-engine value hash. The CLI prints these rows
