@@ -113,3 +113,92 @@ def asof_join(
     return probes.select(
         *probe_cols, *[F.col(f"{_PAY}.{c}").alias(c) for c in payload]
     )
+
+
+def pit_enrich(
+    probe: DataFrame,
+    builds: list[tuple[DataFrame, str, list[str]]],
+    on: str | list[str],
+    probe_ts: str,
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """Point-in-time (feature-store) enrichment: attach, to each probe
+    ("observation") row, the latest at-or-before payload from EVERY
+    feature stream in ``builds`` — in ONE union + ONE window pass.
+
+    This is the training-set assembly join feature stores do (label
+    rows enriched with as-of-correct feature values — no leakage from
+    the future). N separate :func:`asof_join` calls would shuffle the
+    probe N times; here all streams are tagged, unioned, and carried
+    forward under a single window, so the cost is one shuffle of
+    |probe| + Σ|build_i| rows regardless of how many feature families
+    ride along. Same tie semantics as asof_join (build.ts == probe.ts
+    matches: builds sort before probes at equal ts via the tag).
+
+    ``builds``: list of ``(df, ts_col, payload_cols)``; payload column
+    names must be globally unique across streams (they become output
+    columns). Left-join semantics: probes with no preceding feature row
+    get NULLs for that stream's payload.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    probe_cols = probe.columns
+    pay_names = [f"{_PAY}{i}" for i in range(len(builds))]
+    pay_types = [
+        df.select(F.struct(*cols).alias("s")).schema[0].dataType
+        for df, _, cols in builds
+    ]
+
+    def _null_pays(except_i: int | None):
+        return [
+            (
+                F.lit(None).cast(pay_types[i]).alias(pay_names[i])
+                if i != except_i
+                else F.struct(*builds[i][2]).alias(pay_names[i])
+            )
+            for i in range(len(builds))
+        ]
+
+    parts = []
+    for i, (bdf, bts, _cols) in enumerate(builds):
+        guard = F.col(bts).isNotNull()
+        for k in keys:
+            guard = guard & F.col(k).isNotNull()
+        parts.append(
+            bdf.filter(guard).select(
+                *keys,
+                F.col(bts).alias(_TS),
+                *_null_pays(i),
+                F.lit(0).alias(_TAG),
+                *[
+                    F.lit(None).cast(probe.schema[c].dataType).alias(c)
+                    for c in probe_cols
+                    if c not in keys
+                ],
+            )
+        )
+    p = probe.select(
+        *probe_cols, F.col(probe_ts).alias(_TS), *_null_pays(None), F.lit(1).alias(_TAG)
+    )
+    unioned = p
+    for part in parts:
+        unioned = unioned.unionByName(part)
+    if shuffle_partitions is not None:
+        unioned = unioned.repartition(shuffle_partitions, *keys)
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(_TS).asc(), F.col(_TAG).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *probe_cols,
+        _TAG,
+        *[
+            F.last(pn, ignorenulls=True).over(w).alias(pn)
+            for pn in pay_names
+        ],
+    )
+    out_cols = list(probe_cols)
+    for i, (_df, _ts, cols) in enumerate(builds):
+        out_cols += [F.col(f"{pay_names[i]}.{c}").alias(c) for c in cols]
+    return carried.filter(F.col(_TAG) == 1).select(*out_cols)

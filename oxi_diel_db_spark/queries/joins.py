@@ -1079,3 +1079,71 @@ def q83_bucketed_join(spark, sf_dir):
             sum_money("o_totalprice", "total"),
         )
     )
+
+
+@register(
+    "q99_observation_join",
+    oracle="""
+    WITH p AS (SELECT event_id, ts, user_id, value FROM events
+               WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view'),
+    c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id,
+           ROUND(p.value, 6) AS purchase_value,
+           ROUND(v.value, 6) AS prior_view_value,
+           CAST(FLOOR(epoch(p.ts)) - FLOOR(epoch(v.ts)) AS BIGINT)
+             AS secs_since_view,
+           ROUND(c.value, 6) AS prior_click_value
+    FROM p
+    ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+    ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q99_observation_join(spark, sf_dir):
+    """Feature-store observation join (point-in-time training-set
+    assembly): each purchase OBSERVATION is enriched with the
+    as-of-correct latest value from TWO feature streams (views and
+    clicks) plus feature freshness (seconds since the last view) — the
+    no-future-leakage join every feature store performs when building
+    training sets. The Spark side runs operators/asof.pit_enrich: all
+    streams tagged + unioned + carried forward under ONE window, so
+    the plan has a single key shuffle regardless of how many feature
+    families ride along (two chained ASOF JOINs — the DuckDB oracle's
+    form — would shuffle the observations once per stream). At 100 TB:
+    cost is one sort of |obs| + Σ|features| per key partition; skew
+    and sizing levers identical to q37's asof (SCALE.md)."""
+    from oxi_diel_db_spark.operators.asof import pit_enrich
+
+    e = t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", F.col("value").alias("purchase_value")
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        F.col("value").alias("prior_view_value"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("prior_click_value"),
+    )
+    enriched = pit_enrich(
+        probe=purchases,
+        builds=[
+            (views, "view_ts", ["view_ts", "prior_view_value"]),
+            (clicks, "click_ts", ["prior_click_value"]),
+        ],
+        on="user_id",
+        probe_ts="ts",
+    )
+    return enriched.select(
+        "event_id",
+        "user_id",
+        F.round("purchase_value", 6).alias("purchase_value"),
+        F.round("prior_view_value", 6).alias("prior_view_value"),
+        (F.col("ts").cast("long") - F.col("view_ts").cast("long")).alias(
+            "secs_since_view"
+        ),
+        F.round("prior_click_value", 6).alias("prior_click_value"),
+    )

@@ -132,3 +132,37 @@ def test_asof_null_key_never_matches(spark):
         payload=["val"], how="inner",
     ).collect()
     assert [r["k"] for r in inner] == [1]
+
+
+def test_pit_enrich_two_streams(spark):
+    """pit_enrich: each observation gets the latest at-or-before value
+    from EVERY stream independently — one stream matching never implies
+    the other does, ties are inclusive, NULL keys get NULL payloads."""
+    import pandas as pd
+
+    from oxi_diel_db_spark.operators.asof import pit_enrich
+
+    obs = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1, 2, None], "ots": [_ts(5), _ts(10), _ts(5), _ts(5)]}),
+        "k long, ots timestamp",
+    )
+    s1 = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1, 2], "t1": [_ts(4), _ts(10), _ts(7)],
+                      "a": [10.0, 11.0, 20.0]}),
+        "k long, t1 timestamp, a double",
+    )
+    s2 = spark.createDataFrame(
+        pd.DataFrame({"k": [1], "t2": [_ts(6)], "b": [100.0]}),
+        "k long, t2 timestamp, b double",
+    )
+    rows = {
+        (r["k"], r["ots"].minute): (r["a"], r["b"])
+        for r in pit_enrich(
+            obs, [(s1, "t1", ["a"]), (s2, "t2", ["b"])], on="k", probe_ts="ots"
+        ).collect()
+    }
+    assert rows[(1, 5)] == (10.0, None)      # s1 matched, s2 in future
+    assert rows[(1, 10)] == (11.0, 100.0)    # tie inclusive on s1
+    assert rows[(2, 5)] == (None, None)      # both streams in future
+    assert rows[(None, 5)] == (None, None)   # NULL key never matches
+    assert len(rows) == 4                    # all observations kept

@@ -80,6 +80,15 @@ def test_asof_join_single_shuffle(spark):
     assert n_exchange == 1, plan
 
 
+def test_pit_enrich_single_shuffle(spark):
+    """q99: N feature streams must NOT mean N shuffles of the
+    observations — the tagged-union recipe carries every stream under
+    ONE window, so exactly one Exchange appears (two chained asof
+    joins would show two)."""
+    plan = plan_of(spark, "q99_observation_join")
+    assert plan.count(") Exchange") == 1, plan
+
+
 def test_agg_is_partial_then_final(spark):
     plan = plan_of(spark, "q01_pricing_summary")
     assert plan.count("HashAggregate") >= 2  # map-side combine present
