@@ -3510,3 +3510,89 @@ def d15_tfidf_cosine_pairs(spark, sf_dir):
         .select("doc_a", "doc_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= 0.5)
     )
+
+
+_T15_STOP = sorted({w for sw in TX.STOPWORDS.values() for w in sw})
+
+
+@register(
+    "t15_keyword_extraction",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, {words} AS words FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(words) AS word FROM w),
+    kept AS (
+      SELECT doc_id, word FROM tok
+      WHERE length(word) >= 3 AND word NOT IN ({stop})
+    ),
+    tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM kept GROUP BY 1, 2),
+    dfreq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.word,
+             tf.tf * LN((n.n_docs + 1.0) / (dfreq.df + 1.0)) AS score
+      FROM tf JOIN dfreq USING (word), n
+    ),
+    ranked AS (
+      SELECT doc_id, word, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, word) AS INT) AS rank
+      FROM scored
+    )
+    SELECT doc_id, rank, word AS keyword, ROUND(score, 6) AS score
+    FROM ranked WHERE rank <= 3
+    """.format(
+        words=TX.SQL_NORM_WORDS.format(t="text"),
+        stop=", ".join(repr(w) for w in _T15_STOP),
+    ),
+)
+def t15_keyword_extraction(spark, sf_dir):
+    """Per-document keyword extraction (tf-idf top-3): tokenize with
+    the shared bit-reproducible normalizer, drop stopwords (all four
+    lang lists) and sub-3-char tokens, score tf x smoothed idf
+    (ln((N+1)/(df+1))), keep each doc's top 3 by (score desc, word).
+    The curation use: surface what each training doc is ABOUT without
+    an ML tagger — topic sampling, dedup explanations, mixture audits
+    all key off these. Plan: explode → (doc,word) partial-agg count →
+    word-keyed df agg + shuffle join back → per-doc top-k window. All
+    shuffles are keyed (doc or word); the df table is O(vocab) and the
+    window partitions by doc_id — nothing global, no UDFs, so 100 TB
+    is the same plan with bigger exchanges."""
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents")
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    tf = (
+        docs.select("doc_id", F.explode(TX.norm_words("text")).alias("word"))
+        .filter(
+            (F.length("word") >= 3) & ~F.col("word").isin(_T15_STOP)
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(dfreq, "word")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            (
+                F.col("tf")
+                * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+            ).alias("score"),
+        )
+    )
+    ranked = scored.select(
+        "doc_id",
+        "word",
+        "score",
+        F.row_number()
+        .over(W.partitionBy("doc_id").orderBy(F.col("score").desc(), "word"))
+        .alias("rank"),
+    )
+    return ranked.filter(F.col("rank") <= 3).select(
+        "doc_id", "rank", F.col("word").alias("keyword"),
+        F.round("score", 6).alias("score"),
+    )

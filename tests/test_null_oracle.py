@@ -28,6 +28,8 @@ GATES = [
     "t14_bm25_search",
     "p13_curriculum_interleave",
     "p14_length_matching",
+    # round-7 tokenizing queries
+    "t15_keyword_extraction",
 ]
 
 
