@@ -574,3 +574,102 @@ def dq8_snapshot_diff(spark, sf_dir):
     )
     diff = table_diff(old, new, ["o_orderkey"])
     return diff.withColumn("changed_cols", F.array_join("changed_cols", ","))
+
+
+#: (column, spark_type, duck_type) — the declared documents contract.
+_DQ9_CONTRACT = [
+    ("doc_id", "bigint", "BIGINT"),
+    ("text", "string", "VARCHAR"),
+    ("lang", "string", "VARCHAR"),
+    ("source", "string", "VARCHAR"),
+    ("n_chars", "bigint", "BIGINT"),
+]
+
+
+@register(
+    "dq9_schema_contract",
+    oracle="""
+    WITH cols AS (SELECT column_name, column_type FROM (DESCRIBE documents)),
+    contract(col, want) AS (VALUES {contract}),
+    schema_rules AS (
+      SELECT 'present:' || c.col AS rule,
+             CASE WHEN cols.column_name IS NULL THEN 'fail' ELSE 'pass' END AS status,
+             CAST(CASE WHEN cols.column_name IS NULL THEN 1 ELSE 0 END AS BIGINT) AS n_violations
+      FROM contract c LEFT JOIN cols ON cols.column_name = c.col
+      UNION ALL
+      SELECT 'type:' || c.col,
+             CASE WHEN cols.column_type = c.want THEN 'pass' ELSE 'fail' END,
+             CAST(CASE WHEN cols.column_type = c.want THEN 0 ELSE 1 END AS BIGINT)
+      FROM contract c LEFT JOIN cols ON cols.column_name = c.col
+    ),
+    data_rules AS (
+      SELECT 'not_null:doc_id' AS rule,
+             CAST(COUNT(*) FILTER (doc_id IS NULL) AS BIGINT) AS n FROM documents
+      UNION ALL
+      SELECT 'unique:doc_id',
+             CAST(COUNT(doc_id) - COUNT(DISTINCT doc_id) AS BIGINT) FROM documents
+      UNION ALL
+      SELECT 'non_negative:n_chars',
+             CAST(COUNT(*) FILTER (n_chars < 0) AS BIGINT) FROM documents
+      UNION ALL
+      SELECT 'len_consistent:n_chars',
+             CAST(COUNT(*) FILTER (text IS NOT NULL AND n_chars <> length(text)) AS BIGINT)
+      FROM documents
+    )
+    SELECT rule, status, n_violations FROM schema_rules
+    UNION ALL
+    SELECT rule, CASE WHEN n > 0 THEN 'fail' ELSE 'pass' END, n FROM data_rules
+    """.format(
+        contract=", ".join(f"('{c}', '{d}')" for c, _s, d in _DQ9_CONTRACT)
+    ),
+)
+def dq9_schema_contract(spark, sf_dir):
+    """Schema-contract validation — the ingest gate a data platform
+    runs before accepting a producer's drop: STRUCTURAL rules (every
+    contract column present with the declared type — checked against
+    the DataFrame schema, O(1) driver-side, no scan) and DATA rules
+    (doc_id non-null + unique, n_chars non-negative and consistent
+    with length(text)) — all four counted in ONE aggregate pass and
+    unpivoted via stack(). One row per rule: (rule, status,
+    n_violations). At 100 TB the cost is a single scan computing four
+    counters map-side; the schema half costs nothing (catalog
+    metadata). The oracle re-derives both halves in DuckDB (DESCRIBE
+    for structure), each engine checking the contract against its OWN
+    type names — the cross-engine gate compares verdicts, not type
+    strings."""
+    docs = t(spark, sf_dir, "documents")
+    actual = {f.name: f.dataType.simpleString() for f in docs.schema.fields}
+    rows = []
+    for col, want_spark, _want_duck in _DQ9_CONTRACT:
+        present = col in actual
+        rows.append(
+            (f"present:{col}", "pass" if present else "fail",
+             0 if present else 1)
+        )
+        ok = present and actual[col] == want_spark
+        rows.append((f"type:{col}", "pass" if ok else "fail", 0 if ok else 1))
+    schema_rules = spark.createDataFrame(
+        rows, "rule string, status string, n_violations bigint"
+    )
+    agg = docs.agg(
+        F.count(F.when(F.col("doc_id").isNull(), 1)).alias("a"),
+        (F.count("doc_id") - F.countDistinct("doc_id")).alias("b"),
+        F.count(F.when(F.col("n_chars") < 0, 1)).alias("c"),
+        F.count(
+            F.when(
+                F.col("text").isNotNull()
+                & (F.col("n_chars") != F.length("text")),
+                1,
+            )
+        ).alias("d"),
+    )
+    data_rules = agg.selectExpr(
+        "stack(4, 'not_null:doc_id', a, 'unique:doc_id', b, "
+        "'non_negative:n_chars', c, 'len_consistent:n_chars', d) "
+        "AS (rule, n_violations)"
+    ).select(
+        "rule",
+        F.when(F.col("n_violations") > 0, "fail").otherwise("pass").alias("status"),
+        F.col("n_violations").cast("bigint").alias("n_violations"),
+    )
+    return schema_rules.unionByName(data_rules)

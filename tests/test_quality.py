@@ -255,3 +255,52 @@ def test_table_diff_partition_property(spark):
         assert changed == {k for k in ok & nk if ov[k] != nv[k]}
 
     prop()
+
+
+def test_dq9_flags_violations_cross_engine(spark, tmp_path):
+    """dq9 against a deliberately broken drop: doc_id duplicated and
+    wrongly typed (int32), source column missing, one negative n_chars,
+    one n_chars/length mismatch. Both engines must produce the same
+    per-rule verdicts — and those verdicts must be the RIGHT fails."""
+    import duckdb
+
+    bad_dir = str(tmp_path / "bad_sf")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bad = (
+        docs.limit(50)
+        .drop("source")
+        .withColumn("doc_id", (F.col("doc_id") % 10).cast("int"))
+        .withColumn(
+            "n_chars",
+            F.when(F.col("doc_id") == 1, F.lit(-5)).otherwise(
+                F.when(F.col("doc_id") == 2, F.col("n_chars") + 7).otherwise(
+                    F.col("n_chars")
+                )
+            ),
+        )
+    )
+    import os
+
+    bad.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(bad_dir, "documents.parquet")
+    )
+
+    qdef = load_registry()["dq9_schema_contract"]
+    got = {r["rule"]: (r["status"], r["n_violations"])
+           for r in qdef.build(spark, bad_dir).collect()}
+
+    assert got["present:source"] == ("fail", 1)
+    assert got["type:source"] == ("fail", 1)
+    assert got["type:doc_id"] == ("fail", 1)  # int32, contract says bigint
+    assert got["present:doc_id"] == ("pass", 0)
+    assert got["unique:doc_id"][0] == "fail"
+    assert got["non_negative:n_chars"][0] == "fail"
+    assert got["len_consistent:n_chars"][0] == "fail"
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{bad_dir}/documents.parquet/*.parquet')"
+    )
+    duck = {r[0]: (r[1], r[2]) for r in con.execute(qdef.oracle).fetchall()}
+    assert duck == got
