@@ -91,12 +91,23 @@ HEADLINE = [
     "q93_prediction_stdout",
     "q97_group_by_all",
     "q98_try_arithmetic",
+    # round-7 additions
+    "q99_observation_join",
+    "t15_keyword_extraction",
+    "dq9_schema_contract",
     # materials domain
     "m04_born_trace_invariant",
     "m11_site_explode_agg",
     "m21_density",
     "m36_map_functions",
 ]
+
+# Queries whose FIRST run is dominated by one-time plan compilation
+# (measured + docstring-documented), not execution: one untimed warm
+# rep precedes the timed reps so the headline reflects execution cost
+# and round-over-round comparisons stay clean (r6 verdict ask #5 —
+# q98's 3.9 s was try-expression plan compile).
+WARM_PLAN = {"q98_try_arithmetic"}
 
 # Capstone/one-shot queries tracked OUTSIDE the min-of-N headline sum:
 # too expensive to rep (c2's CC loop, q90's Python-DataSource runner
@@ -112,6 +123,10 @@ SINGLES = [
     "c2_corpus_ledger",
     "p12_leakage_safe_split",
     "q90_python_sink",
+    # round-7 reference-parity tier: ml6's cost is one-time descriptor
+    # plan compile (~3 s, docstring-documented); ml7 is RF train/score
+    "ml6_reference_descriptors",
+    "ml7_reference_scoring",
 ]
 
 
@@ -133,6 +148,8 @@ def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        if name in WARM_PLAN:  # absorb one-time plan compile untimed
+            qs[name](spark, sf_dir).collect()
         best = float("inf")
         for _ in range(reps):
             t0 = time.time()
@@ -148,22 +165,28 @@ def main() -> None:
         assert rows is not None
         singles[name] = round(time.time() - t0, 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                # capstones: single-shot, NOT in "value" (see SINGLES)
-                "singles": singles,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                # methodology marker: min-of-N (N=reps). r1-r3 were
-                # single-shot; r4+ default to 2 — not like-for-like.
-                "reps": reps,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_suite_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        # capstones: single-shot, NOT in "value" (see SINGLES)
+        "singles": singles,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # methodology marker: min-of-N (N=reps). r1-r3 were
+        # single-shot; r4+ default to 2 — not like-for-like.
+        "reps": reps,
+    }
+    line = json.dumps(payload)
+    # ALSO persist to a file: the driver's stdout tail buffer truncated
+    # the head of r6's (long) JSON line, losing q01/q30/q31 from the
+    # record (r6 verdict ask #7) — the file is the lossless copy.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST.json"),
+        "w",
+    ) as fh:
+        fh.write(line + "\n")
+    print(line)
 
 
 if __name__ == "__main__":

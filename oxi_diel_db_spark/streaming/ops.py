@@ -18,22 +18,30 @@ from pyspark.sql import functions as F
 from oxi_diel_db_spark.queries._util import cents
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = 1
+) -> DataFrame:
     """File-source replay of the events table (T8 source side).
 
     The trailing ``*`` makes the path a glob so the file source treats
     the parent dir as basePath (it rejects a bare file path); ts arrives
     as long nanos (see session nanosAsLong) and is normalized to a real
     timestamp column before any event-time operator sees it.
-    """
+
+    ``max_files_per_trigger``: 1 (default) replays file-per-micro-batch
+    — the multi-trigger cadence the windowed/stateful gates exercise.
+    ``None`` drains every available file in ONE batch (availableNow-
+    style) — correct whenever the query's semantics depend only on the
+    FINAL watermark (st13: NULL-tier emission happens in the closing
+    no-data batch either way), and it cuts the per-trigger fixed cost
+    from O(files) to O(1)."""
     from oxi_diel_db_spark.tables import normalize_event_ts
 
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    raw = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(f"{sf_dir}/events.parquet*")
-    )
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(f"{sf_dir}/events.parquet*")
     return normalize_event_ts(raw)
 
 
