@@ -81,9 +81,13 @@ def register(name: str, oracle: str | None = None):
 # never-officially-sampled residue (all locally hash-verified green in
 # two independent r6 sweeps), (d) 4 re-verifications whose behavior was
 # touched in r6 with values unchanged (t11 UDTF fold, q90 commit
-# protocol, m34 ANSI guard, st7 as_of read path). After this round the
-# cumulative official coverage closes to 224/224 of the pre-r7 registry
-# — zero never-sampled residue for the first time.
+# protocol, m34 ANSI guard, st7 as_of read path), (e) 2 r7
+# behavior-touched re-verifications (st13 single-trigger replay, mm10
+# offset-walk decode; q90's r7 sink-protocol change rides its existing
+# slot). 37 slots; the 13-slot tail stays on the dedup/ANN/text core.
+# After this round the cumulative official coverage closes to 224/224
+# of the pre-r7 registry — zero never-sampled residue for the first
+# time.
 _R7_PRIORITY = [
     # --- born/changed in round 7 ---
     "ml6_reference_descriptors",
@@ -120,9 +124,12 @@ _R7_PRIORITY = [
     "m33_tensor_invariants",
     # --- r6 behavior-touched re-verifications ---
     "t11_ngram_udtf",
-    "q90_python_sink",
+    "q90_python_sink",  # also r7-touched: job-scoped temps, rename-first commit
     "m34_eigvals_closed_form",
     "st7_incremental_rollup",
+    # --- r7 behavior-touched re-verifications (values unchanged) ---
+    "st13_stream_left_outer_join",  # single-trigger replay + 8 state partitions
+    "mm10_video_neardup",  # offset-walk PPM stream decode
 ]
 
 # Round-6 rotation kept for the record (no longer drives ordering).
