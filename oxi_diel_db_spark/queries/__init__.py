@@ -130,6 +130,7 @@ _R7_PRIORITY = [
     # --- r7 behavior-touched re-verifications (values unchanged) ---
     "st13_stream_left_outer_join",  # single-trigger replay + 8 state partitions
     "mm10_video_neardup",  # offset-walk PPM stream decode
+    "d15_tfidf_cosine_pairs",  # df via term-window, broadcast cliff removed
 ]
 
 # Round-6 rotation kept for the record (no longer drives ordering).

@@ -3469,15 +3469,22 @@ def d15_tfidf_cosine_pairs(spark, sf_dir):
     d = t(spark, sf_dir, "documents").select(
         "doc_id", TX.norm_words("text").alias("words")
     )
+    from pyspark.sql import Window as _W
+
     tf = (
         d.select("doc_id", F.explode("words").alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n"))
+    # df as a WINDOW COUNT over the term partition — NOT a broadcast
+    # join against the O(vocab) df table: at 10M docs the vocabulary is
+    # tens of millions of rare terms and the broadcast is the exact
+    # in-memory-hash-relation OOM cliff the c2 shingle cap hit (SCALE.md
+    # r5); the window rides the same term-keyed shuffle the inverted-
+    # index self-join needs anyway, so the fix costs no extra exchange.
     wts = (
-        tf.join(F.broadcast(df_), "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(_W.partitionBy("term")))
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

@@ -943,6 +943,197 @@ def ledger_probe(n_k: float = 100) -> None:
     )
 
 
+
+
+def retrieval_probe(n_docs: int = 10_000_000) -> None:
+    """d15 (tf-idf cosine near-dup) + c3 (hybrid RRF) at retrieval
+    corpus scale (r6 verdict ask #6). The generator plants realistic
+    posting-list structure: every doc carries 8 HEAD terms from a
+    50-word vocabulary (df ~ n_docs -> idf ~ 0, and the df <= 100 cap
+    excludes them from the index — these measure the cap's hit rate)
+    plus 5 RARE terms shared by exactly one sibling doc (df = 2 —
+    these drive candidate generation, pairs = n_docs/2 planted dups).
+    Records the posting-cap hit rate so the capped-cosine semantics
+    stay honest at scale, and times the c3 fusion tiers separately to
+    verify "fusion is negligible" with a number."""
+    from oxi_diel_db_spark.session import get_spark
+
+    spark = get_spark("retrieval_probe")
+    from pyspark.sql import Window as _W
+
+    head = F.transform(
+        F.sequence(F.lit(1), F.lit(8)),
+        lambda i: F.concat(F.lit("h"), F.pmod(F.hash(F.col("doc_id"), i), F.lit(50))),
+    )
+    rare = F.transform(
+        F.sequence(F.lit(1), F.lit(5)),
+        lambda j: F.concat(
+            F.lit("r"),
+            F.floor(F.col("doc_id") / 2).cast("string"),
+            F.lit("_"),
+            j.cast("string"),
+        ),
+    )
+    docs = spark.range(0, n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(head, rare).alias("words"),
+    )
+    timings: dict[str, float] = {}
+    docs.limit(5).collect()  # warmup
+
+    # ---- d15 shape (exact pipeline minus the tokenizer: the probe's
+    # claim is the inverted-index self-join + df-window, not regex) ----
+    t0 = time.time()
+    tf = (
+        docs.select("doc_id", F.explode("words").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    wts = (
+        tf.withColumn("df", F.count(F.lit(1)).over(_W.partitionBy("term")))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "term", "df",
+            (F.col("tf") * F.log(F.col("n") / F.col("df"))).alias("wt"),
+        )
+    )
+    norms = wts.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
+    )
+    a = wts.filter(F.col("df") <= 100).select(
+        F.col("doc_id").alias("doc_a"), "term", F.col("wt").alias("wa")
+    )
+    b = wts.filter(F.col("df") <= 100).select(
+        F.col("doc_id").alias("doc_b"), "term", F.col("wt").alias("wb")
+    )
+    pairs = (
+        a.join(b, "term")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    kept = (
+        pairs.join(na, "doc_a").join(nb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.5)
+    )
+    n_pairs = kept.count()
+    timings["d15_tfidf_cosine"] = round(time.time() - t0, 2)
+
+    # posting-cap honesty: what fraction of weight ENTRIES (and weight
+    # MASS) does df <= 100 drop from the index?
+    t0 = time.time()
+    cap = wts.agg(
+        F.count(F.lit(1)).alias("entries"),
+        F.count(F.when(F.col("df") > 100, 1)).alias("capped_entries"),
+        F.sum(F.abs("wt")).alias("mass"),
+        F.coalesce(
+            F.sum(F.when(F.col("df") > 100, F.abs(F.col("wt")))), F.lit(0.0)
+        ).alias("capped_mass"),
+    ).collect()[0]
+    timings["cap_audit"] = round(time.time() - t0, 2)
+
+    # ---- c3 shape: lexical BM25 top-20 + vector top-20 + RRF fusion,
+    # each tier timed separately ----
+    t0 = time.time()
+    q = spark.createDataFrame(
+        [("q1", "h3"), ("q1", "h17"), ("q2", "h29"), ("q2", "h41")],
+        "query_id string, term string",
+    )
+    dl = docs.select("doc_id", F.size("words").alias("dl"))
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n"), F.avg(F.size("words")).alias("avgdl")
+    )
+    qtf = (
+        docs.select("doc_id", F.explode("words").alias("term"))
+        .join(F.broadcast(q), "term")
+        .groupBy("query_id", "doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfq = qtf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    lex = (
+        qtf.join(F.broadcast(dfq), "term").join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(
+            F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+            * F.col("tf") * 2.2
+            / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+        ).alias("score"))
+        .withColumn("lex_rank", F.row_number().over(
+            _W.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")))
+        .filter(F.col("lex_rank") <= 20)
+        .select("query_id", "doc_id", "lex_rank")
+    ).persist()  # materialized here so the fusion timing is fusion-only
+    n_lex = lex.count()
+    timings["c3_lex_tier"] = round(time.time() - t0, 2)
+
+    # vector tier at 1/10th corpus (dim 16): brute cosine top-20 — the
+    # standalone shape vectors_probe measures at full depth
+    t0 = time.time()
+    vecs = spark.range(0, max(n_docs // 10, 1)).select(
+        F.col("id").alias("doc_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(16)),
+            lambda i: (F.pmod(F.hash(F.col("id"), i), F.lit(1000)) / 500.0 - 1.0),
+        ).alias("v"),
+    )
+    probes = vecs.filter(F.col("doc_id") < 2).select(
+        F.concat(F.lit("q"), (F.col("doc_id") + 1).cast("string")).alias("query_id"),
+        F.col("v").alias("pv"),
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "pv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    vec = (
+        vecs.crossJoin(F.broadcast(probes))
+        .select(
+            "query_id", "doc_id",
+            (dot / (nrm(F.col("v")) * nrm(F.col("pv")))).alias("cos"),
+        )
+        .withColumn("vec_rank", F.row_number().over(
+            _W.partitionBy("query_id").orderBy(F.col("cos").desc(), "doc_id")))
+        .filter(F.col("vec_rank") <= 20)
+        .select("query_id", "doc_id", "vec_rank")
+    ).persist()  # materialized here so the fusion timing is fusion-only
+    n_vec = vec.count()
+    timings["c3_vec_tier"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    fused = (
+        lex.join(vec, ["query_id", "doc_id"], "full_outer")
+        .select(
+            "query_id", "doc_id",
+            (F.coalesce(1.0 / (60 + F.col("lex_rank")), F.lit(0.0))
+             + F.coalesce(1.0 / (60 + F.col("vec_rank")), F.lit(0.0))).alias("rrf"),
+        )
+    )
+    n_fused = fused.count()
+    timings["c3_rrf_fusion"] = round(time.time() - t0, 2)
+
+    print(json.dumps({
+        "metric": "retrieval_probe", "docs": n_docs, "unit": "sec",
+        "timings": timings,
+        "counts": {
+            "d15_pairs": int(n_pairs),
+            "index_entries": int(cap["entries"]),
+            "capped_entries": int(cap["capped_entries"]),
+            "cap_entry_rate": round(cap["capped_entries"] / cap["entries"], 4),
+            "cap_mass_rate": round(cap["capped_mass"] / cap["mass"], 4),
+            "lex_rows": int(n_lex), "vec_rows": int(n_vec),
+            "fused_rows": int(n_fused),
+        },
+    }))
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "docs":
         docs_probe(int(float(sys.argv[2]) * 1000) if len(sys.argv) > 2 else 500_000)
@@ -968,5 +1159,9 @@ if __name__ == "__main__":
         images_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 100)
     elif len(sys.argv) > 1 and sys.argv[1] == "ledger":
         ledger_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 100)
+    elif len(sys.argv) > 1 and sys.argv[1] == "retrieval":
+        retrieval_probe(
+            int(float(sys.argv[2]) * 1_000_000) if len(sys.argv) > 2 else 10_000_000
+        )
     else:
         main()
