@@ -52,6 +52,10 @@ REPRESENTATIVE = [
     "c3_hybrid_search",      # RRF fusion of two empty rank lists
     "q95_malformed_json",    # corrupt-record accounting over no rows
     "q96_observed_metrics",  # observe() metrics on an empty scan
+    # round-7 additions
+    "q99_observation_join",  # pit_enrich with zero observations+features
+    "t15_keyword_extraction",  # tf-idf over an empty corpus
+    "dq9_schema_contract",   # contract verdicts on a zero-row drop
 ]
 
 
@@ -88,5 +92,12 @@ def test_operator_survives_empty_input(spark, empty_sf_dir, name):
         # zeros even when the pipeline saw nothing
         assert len(rows) == 1
         assert tuple(rows[0]) == (0, 0, 0, 0)
+    elif name == "dq9_schema_contract":
+        # an empty drop still has a schema: all 14 verdicts emitted,
+        # structural rules pass, data rules pass with real zeros
+        assert len(rows) == 14
+        assert all(
+            r["status"] == "pass" and r["n_violations"] == 0 for r in rows
+        )
     else:
         assert rows == []
