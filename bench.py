@@ -123,10 +123,12 @@ SINGLES = [
     "c2_corpus_ledger",
     "p12_leakage_safe_split",
     "q90_python_sink",
-    # round-7 reference-parity tier: ml6's cost is one-time descriptor
-    # plan compile (~3 s, docstring-documented); ml7 is RF train/score
+    # round-7 reference-parity tier: ml6/ml8 cost is one-time descriptor
+    # plan compile (~3 s, docstring-documented); ml7/ml9 RF train/score
     "ml6_reference_descriptors",
     "ml7_reference_scoring",
+    "ml8_ion_descriptors",
+    "ml9_ion_reference_scoring",
 ]
 
 

@@ -620,3 +620,154 @@ def sql_oxi_state_std(f: str, agg: str | None = None) -> str:
     q = f"(2.0 * ({n_o}) / NULLIF({n_cat}, 0.0))"
     state = f"(CASE WHEN s.el = 'O' THEN -2.0 ELSE {q} END)"
     return _sql_unbiased_weighted_std(agg, state)
+
+
+# ---------------------------------------------------------------------------
+# AtomicPackingEfficiency analog (reference ml_prediction.py:126, the
+# ion_comp descriptor's APE slots) — ml8 reference-parity tier
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+#: Critical (ideal) center/shell radius ratios for efficient packing at
+#: coordination number CN — CLOSED-FORM polyhedron geometry (the classic
+#: Pauling critical ratios; public facts): triangle 2/√3−1, tetrahedron
+#: √(3/2)−1, octahedron √2−1, cube √3−1, icosahedron 2·(circumradius/
+#: edge)−1. The engine's documented analog of matminer's Miracle-table
+#: APE: same ideal-ratio machinery, geometry-derived table.
+CRITICAL_RATIOS: dict[int, float] = {
+    3: 2.0 / _math.sqrt(3.0) - 1.0,
+    4: _math.sqrt(1.5) - 1.0,
+    6: _math.sqrt(2.0) - 1.0,
+    8: _math.sqrt(3.0) - 1.0,
+    12: 2.0 * 0.9510565162951535 - 1.0,
+}
+
+#: (center_el, shell_el, cn) triples where the Cordero radius ratio is
+#: within 1% of the ideal ratio for cn — the "efficiently packed
+#: clusters" the APE distance slots measure against. Deterministic
+#: constant (sorted element loops), 233 triples at the current radius
+#: table; shared verbatim by the Spark broadcast side and the DuckDB
+#: VALUES twin so both engines see the identical cluster universe.
+EFFICIENT_CLUSTERS: list[tuple[str, str, int]] = [
+    (a, b, cn)
+    for a in sorted(COVALENT_RADIUS)
+    for b in sorted(COVALENT_RADIUS)
+    if a != b
+    for cn, ideal in sorted(CRITICAL_RATIOS.items())
+    if abs(COVALENT_RADIUS[a] / COVALENT_RADIUS[b] / ideal - 1.0) < 0.01
+]
+
+
+def mean_radius(agg: Column) -> Column:
+    """Count-weighted mean Cordero radius over the composition — the
+    shell-radius proxy the per-element APE ratio divides by."""
+    rm = radius_map_expr()
+    tot = _fold_sum(agg, lambda s: s["cnt"])
+    return _fold_sum(agg, lambda s: rm[s["el"]] * s["cnt"]) / tot
+
+
+def sql_mean_radius(agg: str) -> str:
+    case = sql_radius_case("s.el")
+    tot = f"list_aggregate(list_transform({agg}, s -> s.cnt), 'sum')"
+    return (
+        f"(list_aggregate(list_transform({agg}, s -> {case} * s.cnt), 'sum')"
+        f" / ({tot}))"
+    )
+
+
+def _best_ideal(ratio):
+    """Nested-CASE argmin over CRITICAL_RATIOS (ascending CN,
+    strictly-less wins) → the ideal ratio nearest ``ratio``. Identical
+    chain built for both engines, so tie resolution is bit-identical."""
+    items = sorted(CRITICAL_RATIOS.items())
+    best_ideal = F.lit(items[0][1])
+    best_diff = F.abs(ratio - items[0][1])
+    for _cn, ideal in items[1:]:
+        d = F.abs(ratio - ideal)
+        best_ideal = F.when(d < best_diff, F.lit(ideal)).otherwise(best_ideal)
+        best_diff = F.when(d < best_diff, d).otherwise(best_diff)
+    return best_ideal
+
+
+def _sql_best_ideal(ratio: str) -> str:
+    items = sorted(CRITICAL_RATIOS.items())
+    best_ideal = repr(items[0][1])
+    best_diff = f"abs(({ratio}) - {items[0][1]!r})"
+    for _cn, ideal in items[1:]:
+        d = f"abs(({ratio}) - {ideal!r})"
+        best_ideal = f"(CASE WHEN {d} < {best_diff} THEN {ideal!r} ELSE {best_ideal} END)"
+        best_diff = f"(CASE WHEN {d} < {best_diff} THEN {d} ELSE {best_diff} END)"
+    return best_ideal
+
+
+def ape_stats(agg: Column, rbar: Column) -> dict[str, Column]:
+    """Per-composition simultaneous-packing-efficiency analog: each
+    element's ratio rᵢ/r̄ is matched to its nearest ideal critical
+    ratio; APEᵢ = (rᵢ/r̄)/R*ᵢ. Returns the fraction-weighted mean APE
+    and mean |1−APE| (reference slots 'mean simul. packing efficiency'
+    and 'mean abs …', ml_prediction.py:158-159). Pass a STAGED rbar
+    column (mean_radius) — inlining it per element would replicate the
+    radius fold ~10× per when-branch."""
+    rm = radius_map_expr()
+    tot = _fold_sum(agg, lambda s: s["cnt"])
+
+    def ape(s):
+        ratio = rm[s["el"]] / rbar
+        return ratio / _best_ideal(ratio)
+
+    mean = _fold_sum(agg, lambda s: ape(s) * s["cnt"]) / tot
+    mean_abs = _fold_sum(agg, lambda s: F.abs(F.lit(1.0) - ape(s)) * s["cnt"]) / tot
+    return {"mean": mean, "mean_abs": mean_abs}
+
+
+def sql_ape_stats(agg: str, rbar: str) -> dict[str, str]:
+    case = sql_radius_case("s.el")
+    ratio = f"(({case}) / ({rbar}))"
+    ape = f"(({ratio}) / ({_sql_best_ideal(ratio)}))"
+    tot = f"list_aggregate(list_transform({agg}, s -> s.cnt), 'sum')"
+    mean = (
+        f"(list_aggregate(list_transform({agg}, s -> ({ape}) * s.cnt), 'sum')"
+        f" / ({tot}))"
+    )
+    mean_abs = (
+        f"(list_aggregate(list_transform({agg}, "
+        f"s -> abs(1.0 - ({ape})) * s.cnt), 'sum') / ({tot}))"
+    )
+    return {"mean": mean, "mean_abs": mean_abs}
+
+
+def oxi_state_range(formula: Column | str, agg: Column | None = None) -> Column:
+    """OxidationStates range analog (m25 charge-balance convention,
+    extended for the ion_comp descriptor's 'range oxidation state'
+    slot): states are −2 for O and the uniform balance state q for
+    cations; range = max − min over the per-element state list."""
+    agg = _agg_tok_counts(formula) if agg is None else agg
+    n_o = _fold_sum(
+        agg, lambda s: F.when(s["el"] == "O", s["cnt"]).otherwise(F.lit(0.0))
+    )
+    n_cat = _fold_sum(
+        agg, lambda s: F.when(s["el"] != "O", s["cnt"]).otherwise(F.lit(0.0))
+    )
+    q = 2.0 * n_o / F.nullif(n_cat, F.lit(0.0))
+    vals = F.transform(
+        agg, lambda s: F.when(s["el"] == "O", F.lit(-2.0)).otherwise(q)
+    )
+    return F.array_max(vals) - F.array_min(vals)
+
+
+def sql_oxi_state_range(f: str, agg: str | None = None) -> str:
+    agg = sql_agg_tok_counts(f) if agg is None else agg
+    n_o = (
+        f"list_aggregate(list_transform({agg}, "
+        f"s -> CASE WHEN s.el = 'O' THEN s.cnt ELSE 0.0 END), 'sum')"
+    )
+    n_cat = (
+        f"list_aggregate(list_transform({agg}, "
+        f"s -> CASE WHEN s.el <> 'O' THEN s.cnt ELSE 0.0 END), 'sum')"
+    )
+    q = f"(2.0 * ({n_o}) / NULLIF({n_cat}, 0.0))"
+    vals = (
+        f"list_transform({agg}, s -> CASE WHEN s.el = 'O' THEN -2.0 ELSE {q} END)"
+    )
+    return f"(list_max({vals}) - list_min({vals}))"

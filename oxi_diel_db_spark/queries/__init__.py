@@ -92,6 +92,8 @@ _R7_PRIORITY = [
     # --- born/changed in round 7 ---
     "ml6_reference_descriptors",
     "ml7_reference_scoring",
+    "ml8_ion_descriptors",
+    "ml9_ion_reference_scoring",
     "q99_observation_join",
     "t15_keyword_extraction",
     "dq9_schema_contract",

@@ -270,3 +270,325 @@ def ml7_reference_scoring(spark, sf_dir):
     return model.transform(feats).select(
         "mp_id", F.round("pred_log10", 6).alias("pred_log10")
     )
+
+
+# ---------------------------------------------------------------------------
+# ml8: the reference's EXACT ion_comp 42-dim descriptor
+# (ml_prediction.py:127-170), slot by slot in reference order
+# ---------------------------------------------------------------------------
+
+#: (column, table, stat) for the 21 ElementProperty slots of ion_comp
+#: (ml_prediction.py:130-152), reference order.
+_ION_EP_SLOTS: list[tuple[str, dict, str]] = [
+    ("mean_x", C.PAULING_EN, "mean"),
+    ("mean_row", C.PERIOD, "mean"),
+    ("std_row", C.PERIOD, "std"),
+    ("std_group", C.GROUP, "std"),
+    ("mean_block", C.BLOCK, "mean"),
+    ("std_block", C.BLOCK, "std"),
+    ("max_mass", C.ATOMIC_MASS, "max"),
+    ("range_mass", C.ATOMIC_MASS, "range"),
+    ("mean_mass", C.ATOMIC_MASS, "mean"),
+    ("std_mass", C.ATOMIC_MASS, "std"),
+    ("max_radius", C.COVALENT_RADIUS, "max"),
+    ("range_radius", C.COVALENT_RADIUS, "range"),
+    ("mean_radius", C.COVALENT_RADIUS, "mean"),
+    ("std_radius", C.COVALENT_RADIUS, "std"),
+    ("min_mendeleev", MENDELEEV_NO, "min"),
+    ("mean_mendeleev", MENDELEEV_NO, "mean"),
+    ("std_mendeleev", MENDELEEV_NO, "std"),
+    ("mean_thermcond", THERMAL_CONDUCTIVITY, "mean"),
+    ("std_thermcond", THERMAL_CONDUCTIVITY, "std"),
+    ("mean_melting", MELTING_POINT, "mean"),
+    ("std_melting", MELTING_POINT, "std"),
+]
+
+#: The 42 ion_comp descriptor column names, reference slot order.
+ION_COMP_COLUMNS: list[str] = (
+    ["norm3", "norm5"]  # Stoichiometry :129-130
+    + [name for name, _, _ in _ION_EP_SLOTS]
+    + ["avg_s", "frac_s", "frac_p", "frac_d"]  # ValenceOrbital :153-156
+    + ["avg_ionic_char", "tm_frac"]  # IonProperty :157, TMetalFraction :158
+    + ["min_endiff", "range_endiff", "mean_endiff", "std_endiff"]  # :159-162
+    + ["range_oxi", "std_oxi"]  # OxidationStates :163-164
+    + ["lumo_energy", "gap_ao"]  # AtomicOrbitals :165-166
+    + ["ape_mean", "ape_mean_abs", "ape_dist_1", "ape_dist_3", "ape_dist_5"]
+    # AtomicPackingEfficiency :167-171 (documented critical-ratio analog)
+)
+
+
+def _ape_distances(spark, staged) -> "F.DataFrame":
+    """(mp_id, ape_dist_1/3/5): composition-space L2 distance to the
+    mean of the k nearest efficiently-packed binary clusters. The
+    cluster universe is the STATIC 233-triple constant
+    (composition.EFFICIENT_CLUSTERS — Cordero ratio within 1% of a
+    critical ratio), broadcast against the corpus; distances sort
+    ascending and the k-prefix means are identical folds on both
+    engines. Plan: 1,278 × 233 broadcast product → one hash aggregate;
+    nothing scales with corpus size but the row count."""
+    clusters = spark.createDataFrame(
+        [
+            (a, b, cn, 1.0 / (cn + 1), float(cn) / (cn + 1))
+            for a, b, cn in C.EFFICIENT_CLUSTERS
+        ],
+        "center string, shell string, cn int, cc double, cs double",
+    )
+    agg = F.col("_agg")
+    total = F.aggregate(agg, F.lit(0.0), lambda acc, s: acc + s["cnt"])
+    fmap = F.map_from_entries(
+        F.transform(agg, lambda s: F.struct(s["el"].alias("el"),
+                                            (s["cnt"]).alias("cnt")))
+    )
+    comps = staged.select(
+        "mp_id",
+        total.alias("total"),
+        fmap.alias("fmap"),
+        F.aggregate(
+            agg, F.lit(0.0),
+            lambda acc, s: acc + (s["cnt"] / total) * (s["cnt"] / total),
+        ).alias("sumsq"),
+    )
+    fr = lambda el_col: (  # noqa: E731
+        F.coalesce(F.element_at(F.col("fmap"), el_col), F.lit(0.0))
+        / F.col("total")
+    )
+    d = F.sqrt(
+        F.greatest(
+            F.col("sumsq") + F.col("cc") * F.col("cc") + F.col("cs") * F.col("cs")
+            - 2.0 * (fr(F.col("center")) * F.col("cc") + fr(F.col("shell")) * F.col("cs")),
+            F.lit(0.0),
+        )
+    )
+    dists = comps.join(F.broadcast(clusters)).select("mp_id", d.alias("d"))
+    ds = F.sort_array(F.collect_list("d"))
+    mean_k = lambda k: (  # noqa: E731
+        F.aggregate(F.slice(ds, 1, k), F.lit(0.0), lambda acc, x: acc + x) / k
+    )
+    return dists.groupBy("mp_id").agg(
+        _r6n(mean_k(1), "ape_dist_1"),
+        _r6n(mean_k(3), "ape_dist_3"),
+        _r6n(mean_k(5), "ape_dist_5"),
+    )
+
+
+def ion_comp_descriptors(spark) -> "F.DataFrame":
+    """(mp_id, formula, <42 descriptor columns>) — ml9 trains on this.
+    Same two-stage staging discipline as el_comp (the shared _agg and
+    the staged rbar keep Catalyst from inlining the tokenizer/radius
+    folds into every consumer)."""
+    m = M.materials(spark)
+    staged = m.select(
+        "mp_id", "formula", C._agg_tok_counts("formula").alias("_agg")
+    )
+    staged2 = staged.select(
+        "mp_id", "formula", "_agg",
+        C.mean_radius(F.col("_agg")).alias("_rbar"),
+    )
+    agg = F.col("_agg")
+    cols = [F.col("mp_id"), F.col("formula")]
+    cols.append(_r6n(C.stoichiometry_pnorm("formula", 3), "norm3"))
+    cols.append(_r6n(C.stoichiometry_pnorm("formula", 5), "norm5"))
+    stats_cache: dict[int, dict] = {}
+    for name, table, stat in _ION_EP_SLOTS:
+        if id(table) not in stats_cache:
+            stats_cache[id(table)] = C.matminer_stats("formula", table, agg=agg)
+        cols.append(_r6n(stats_cache[id(table)][stat], name))
+    from oxi_diel_db_spark.functions.valence import valence_fractions
+
+    vf = valence_fractions("formula")
+    for name in ("avg_s", "frac_s", "frac_p", "frac_d"):
+        cols.append(_r6n(vf[name], name))
+    cols.append(_r6n(C.avg_ionic_character("formula"), "avg_ionic_char"))
+    cols.append(_r6n(C.tmetal_fraction("formula"), "tm_frac"))
+    ed = C.en_diff_stats("formula", agg=agg)
+    for stat, name in (
+        ("min", "min_endiff"),
+        ("range", "range_endiff"),
+        ("mean", "mean_endiff"),
+        ("std", "std_endiff"),
+    ):
+        cols.append(_r6n(ed[stat], name))
+    cols.append(_r6n(C.oxi_state_range("formula", agg=agg), "range_oxi"))
+    cols.append(_r6n(C.oxi_state_std("formula", agg=agg), "std_oxi"))
+    ape = C.ape_stats(agg, F.col("_rbar"))
+    base = staged2.select(
+        *cols,
+        _r6n(ape["mean"], "ape_mean"),
+        _r6n(ape["mean_abs"], "ape_mean_abs"),
+    )
+    ao = AO.atomic_orbitals_features(m, spark).select(
+        "mp_id", "lumo_energy", "gap_ao"
+    )
+    out = base.join(ao, "mp_id").join(_ape_distances(spark, staged), "mp_id")
+    # reference slot order
+    return out.select("mp_id", "formula", *ION_COMP_COLUMNS)
+
+
+def _ml8_oracle() -> str:
+    from oxi_diel_db_spark.functions.valence import sql_valence_fractions
+
+    parts = [
+        _sql_r6n(C.sql_stoichiometry_pnorm("m.formula", 3), "norm3"),
+        _sql_r6n(C.sql_stoichiometry_pnorm("m.formula", 5), "norm5"),
+    ]
+    for name, table, stat in _ION_EP_SLOTS:
+        parts.append(
+            _sql_r6n(C.sql_matminer_stats("m.formula", table, agg="m.agg")[stat], name)
+        )
+    vf = sql_valence_fractions("m.formula")
+    for name in ("avg_s", "frac_s", "frac_p", "frac_d"):
+        parts.append(_sql_r6n(vf[name], name))
+    parts.append(_sql_r6n(C.sql_avg_ionic_character("m.formula"), "avg_ionic_char"))
+    parts.append(_sql_r6n(C.sql_tmetal_fraction("m.formula"), "tm_frac"))
+    ed = C.sql_en_diff_stats("m.formula", agg="m.agg")
+    for stat, name in (
+        ("min", "min_endiff"),
+        ("range", "range_endiff"),
+        ("mean", "mean_endiff"),
+        ("std", "std_endiff"),
+    ):
+        parts.append(_sql_r6n(ed[stat], name))
+    parts.append(_sql_r6n(C.sql_oxi_state_range("m.formula", agg="m.agg"), "range_oxi"))
+    parts.append(_sql_r6n(C.sql_oxi_state_std("m.formula", agg="m.agg"), "std_oxi"))
+    ape = C.sql_ape_stats("m.agg", "m.rbar")
+    parts.append(_sql_r6n(ape["mean"], "ape_mean"))
+    parts.append(_sql_r6n(ape["mean_abs"], "ape_mean_abs"))
+    sel = ",\n           ".join(parts)
+    values = ",\n      ".join(
+        f"('{a}', '{b}', {cn})" for a, b, cn in C.EFFICIENT_CLUSTERS
+    )
+    lookup = (
+        "COALESCE(list_aggregate(list_transform("
+        "list_filter(comp.agg, s -> s.el = {el}), s -> s.cnt), 'sum'), 0.0)"
+        " / comp.total"
+    )
+    return f"""
+    WITH ao AS ({AO.sql_atomic_orbitals(_MAT)}),
+    staged AS (
+      SELECT mp_id, formula, {C.sql_agg_tok_counts('formula')} AS agg
+      FROM {_MAT}
+    ),
+    m AS (
+      SELECT mp_id, formula, agg,
+             {C.sql_mean_radius('agg')} AS rbar,
+             list_aggregate(list_transform(agg, s -> s.cnt), 'sum') AS total
+      FROM staged
+    ),
+    clusters(center, shell, cn) AS (VALUES
+      {values}
+    ),
+    cl AS (
+      SELECT center, shell, cn,
+             1.0 / (cn + 1) AS cc, cn * 1.0 / (cn + 1) AS cs
+      FROM clusters
+    ),
+    comp AS (
+      SELECT mp_id, agg, total,
+             list_aggregate(list_transform(agg,
+               s -> (s.cnt / total) * (s.cnt / total)), 'sum') AS sumsq
+      FROM m
+    ),
+    dist AS (
+      SELECT comp.mp_id,
+             sqrt(greatest(comp.sumsq + cl.cc * cl.cc + cl.cs * cl.cs
+               - 2.0 * (({lookup.format(el='cl.center')}) * cl.cc
+                        + ({lookup.format(el='cl.shell')}) * cl.cs), 0.0)) AS d
+      FROM comp CROSS JOIN cl
+    ),
+    dk AS (
+      SELECT mp_id, list(d ORDER BY d) AS ds FROM dist GROUP BY mp_id
+    ),
+    aped AS (
+      SELECT mp_id,
+             {_sql_r6n("list_aggregate(ds[1:1], 'sum') / 1", "ape_dist_1")},
+             {_sql_r6n("list_aggregate(ds[1:3], 'sum') / 3", "ape_dist_3")},
+             {_sql_r6n("list_aggregate(ds[1:5], 'sum') / 5", "ape_dist_5")}
+      FROM dk
+    )
+    SELECT m.mp_id,
+           {sel},
+           ao.lumo_energy, ao.gap_ao,
+           aped.ape_dist_1, aped.ape_dist_3, aped.ape_dist_5
+    FROM m
+    JOIN ao ON m.mp_id = ao.mp_id
+    JOIN aped ON m.mp_id = aped.mp_id
+    """
+
+
+@register("ml8_ion_descriptors", oracle=_ml8_oracle())
+def ml8_ion_descriptors(spark, sf_dir):
+    """§2.11/§2.9: the reference's EXACT ion_comp 42-dim descriptor
+    (ml_prediction.py:127-170), one column per slot in reference
+    order. Analog slots documented in the module docstring + the APE
+    tier (critical-ratio table, composition.CRITICAL_RATIOS). Plan:
+    literal-map folds + the m29 orbital window + a 233-row broadcast
+    cluster product — zero corpus-sized shuffles."""
+    return ion_comp_descriptors(spark).drop("formula")
+
+
+# ---------------------------------------------------------------------------
+# ml9: score the corpus on the exact ion_comp descriptor set
+# ---------------------------------------------------------------------------
+
+_ION_DESC_PARQUET = _os.path.join(_SCRATCH, "ref_ion_comp_descriptors.parquet")
+_ION_MODEL_DIR = _os.path.join(_SCRATCH, "models", "ref_ion_comp_rf60")
+
+
+def materialized_ion_descriptors(spark):
+    """ion_comp descriptors materialized to scratch parquet (same
+    persist-features-then-train boundary as el_comp's)."""
+    if not _os.path.isdir(_ION_DESC_PARQUET):
+        ion_comp_descriptors(spark).write.mode("overwrite").parquet(
+            _ION_DESC_PARQUET
+        )
+    return spark.read.parquet(_ION_DESC_PARQUET)
+
+
+def train_ion_comp_reference(spark, num_trees: int = 60):
+    """RandomForest on the reference's exact ion_comp descriptor,
+    population-std scaled (the reference's StandardScaler, ddof=0)."""
+    from pyspark.ml import Pipeline, PipelineModel
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import RandomForestRegressor
+
+    from oxi_diel_db_spark.ml import comp_model as CM
+    from oxi_diel_db_spark.ml.pipeline import scale_features_pop
+
+    labels = CM._labels(M.materials(spark)).select("mp_id", "label_ion")
+    feats = scale_features_pop(
+        materialized_ion_descriptors(spark).join(labels, "mp_id"),
+        ION_COMP_COLUMNS,
+    ).dropna(subset=ION_COMP_COLUMNS + ["label_ion"])
+    if _os.path.isdir(_ION_MODEL_DIR):
+        return PipelineModel.load(_ION_MODEL_DIR), feats
+    pipe = Pipeline(
+        stages=[
+            VectorAssembler(inputCols=ION_COMP_COLUMNS, outputCol="features"),
+            RandomForestRegressor(
+                featuresCol="features",
+                labelCol="label_ion",
+                predictionCol="pred_log10",
+                numTrees=num_trees,
+                maxDepth=12,
+                seed=42,
+            ),
+        ]
+    )
+    model = pipe.fit(feats)
+    _os.makedirs(_os.path.dirname(_ION_MODEL_DIR), exist_ok=True)
+    model.write().overwrite().save(_ION_MODEL_DIR)
+    return model, feats
+
+
+@register("ml9_ion_reference_scoring", oracle=None)  # ML internals —
+# rows-only; golden parity gated in tests/test_reference_parity.py
+def ml9_ion_reference_scoring(spark, sf_dir):
+    """§2.11 reference-parity scoring, ion tier: RF over the EXACT
+    ion_comp 42-dim descriptor (ml8), corpus-scored; corr vs the
+    reference's own golden predictions (prediction_result_ion_comp
+    .json) gated in tests/test_reference_parity.py, floor above the
+    11-feature analog model's measured 0.928."""
+    model, feats = train_ion_comp_reference(spark)
+    return model.transform(feats).select(
+        "mp_id", F.round("pred_log10", 6).alias("pred_log10")
+    )

@@ -95,3 +95,59 @@ def test_ml7_beats_analog_descriptor_parity(spark):
         .collect()[0]["c"]
     )
     assert c > 0.947
+
+
+# ---------------------------------------------------------------------------
+# ion_comp (ml8/ml9)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ion_descriptors(spark):
+    return RP.materialized_ion_descriptors(spark)
+
+
+def test_ion_descriptor_shape_and_ranges(spark, ion_descriptors):
+    """42 slots for every corpus material; p-norm ordering (3-norm >=
+    5-norm >= max fraction), APE positivity, distance monotonicity
+    (nearest-1 mean <= nearest-3 mean <= nearest-5 mean — sorted
+    prefixes)."""
+    n_corpus = M.materials(spark).count()
+    assert ion_descriptors.count() == n_corpus
+    assert set(RP.ION_COMP_COLUMNS) <= set(ion_descriptors.columns)
+    row = ion_descriptors.agg(
+        F.count(F.when(F.col("norm3") < F.col("norm5"), 1)).alias("bad_norm"),
+        F.count(F.when(F.col("ape_mean") <= 0, 1)).alias("bad_ape"),
+        F.count(
+            F.when(
+                (F.col("ape_dist_1") > F.col("ape_dist_3") + 2e-6)
+                | (F.col("ape_dist_3") > F.col("ape_dist_5") + 2e-6),
+                1,
+            )
+        ).alias("bad_mono"),
+    ).collect()[0]
+    assert row["bad_norm"] == 0
+    assert row["bad_ape"] == 0
+    assert row["bad_mono"] == 0
+
+
+def test_ml9_golden_parity_ion_comp(spark):
+    """Parity gate, ion tier: RF over the exact 42-slot descriptor must
+    track the reference's golden ion_comp predictions at corr >= 0.96
+    on all 1,266 golden rows (measured 0.985 at 60 trees; the analog
+    11-feature model measured 0.928 — the exact descriptors must beat
+    it)."""
+    model, feats = RP.train_ion_comp_reference(spark)
+    scored = model.transform(feats).select("mp_id", "pred_log10")
+    golden = M.predictions(spark).filter(F.col("model") == "ion_comp")
+    row = (
+        scored.join(golden, "mp_id")
+        .agg(
+            F.corr("pred_log10", "log10_eps").alias("c"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()[0]
+    )
+    assert row["n"] == 1266
+    assert row["c"] > 0.96, row["c"]
+    assert row["c"] > 0.928  # beats the analog descriptor set
