@@ -129,6 +129,8 @@ SINGLES = [
     "ml7_reference_scoring",
     "ml8_ion_descriptors",
     "ml9_ion_reference_scoring",
+    "ml10_el_st_descriptors",
+    "ml11_el_st_reference_scoring",
 ]
 
 

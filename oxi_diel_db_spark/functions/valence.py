@@ -146,3 +146,44 @@ def sql_valence_fractions(f: str) -> dict[str, str]:
     for name in "spdf":
         out[f"frac_{name}"] = f"({avg[f'avg_{name}']}) / ({total})"
     return out
+
+
+# ---------------------------------------------------------------------------
+# Derived per-element property tables for the LocalPropertyDifference
+# reference-parity slots (ml10/ml12; reference ml_prediction.py
+# 'ward-prb-2017' preset properties). All derived from the auditable
+# aufbau VALENCE_TABLE above — public periodic-table physics, no
+# hand-entered data. Unfilled counts follow the Magpie convention
+# (capacity − electrons for each PARTIALLY/once-occupied valence
+# subshell; an unoccupied subshell contributes 0); the GSmagmom slot is
+# served by the documented Hund unpaired-electron analog (per-subshell
+# unpaired count: n if n ≤ cap/2 else cap − n).
+# ---------------------------------------------------------------------------
+
+_SUBSHELL_CAP = (2, 6, 10, 14)
+
+
+def _unfilled(counts: tuple[int, int, int, int], idx: int) -> int:
+    n = counts[idx]
+    return (_SUBSHELL_CAP[idx] - n) if n > 0 else 0
+
+
+def _unpaired(counts: tuple[int, int, int, int]) -> int:
+    total = 0
+    for idx, n in enumerate(counts):
+        half = _SUBSHELL_CAP[idx] // 2
+        if n > 0:
+            total += n if n <= half else _SUBSHELL_CAP[idx] - n
+    return total
+
+
+ATOMIC_NUMBER = {el: float(z) for el, z in _Z.items()}
+N_VALENCE = {el: float(sum(v)) for el, v in VALENCE_TABLE.items()}
+ND_VALENCE = {el: float(v[2]) for el, v in VALENCE_TABLE.items()}
+NS_UNFILLED = {el: float(_unfilled(v, 0)) for el, v in VALENCE_TABLE.items()}
+ND_UNFILLED = {el: float(_unfilled(v, 2)) for el, v in VALENCE_TABLE.items()}
+N_UNFILLED = {
+    el: float(sum(_unfilled(v, i) for i in range(4)))
+    for el, v in VALENCE_TABLE.items()
+}
+UNPAIRED_ELECTRONS = {el: float(_unpaired(v)) for el, v in VALENCE_TABLE.items()}

@@ -124,6 +124,80 @@ def min_distance_stats(materials: DataFrame) -> DataFrame:
 
 GSF_SCHEMA = "mp_id string, site_idx int, g_eta_05 double, g_eta_4 double"
 
+GSF_FULL_SCHEMA = (
+    "mp_id string, site_idx int, g_eta_05 double, g_eta_4 double, "
+    "g2_20 double, g2_80 double, g4_m1 double, g4_p1 double"
+)
+
+
+def gaussian_symm_full(materials: DataFrame, cutoff: float = 6.0) -> DataFrame:
+    """GaussianSymmFunc at the reference descriptor's full parameter
+    set (ml_prediction.py:208-210, 252-253): radial G2 at η ∈
+    {0.5, 4, 20, 80} plus angular G4 at (η=0.005, ζ=4, λ=±1) —
+    G4_λ(i) = Σ_{j<k∈N(i)} (1+λ·cosθ_jik)^ζ ·
+              exp(−η(d_ij²+d_ik²+d_jk²)/Rc²)
+    over in-cell neighbors within the cutoff (the engine's declared
+    non-periodic kernel convention, shared by every site featurizer
+    here). cosθ comes from unit bond vectors and d_jk² from the law of
+    cosines — the identical float shapes the SQL twin replays."""
+    slim = materials.select("mp_id", F.col("structure.sites.xyz").alias("xyz"))
+    etas = (0.5, 4.0, 20.0, 80.0)
+
+    def _gsf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "mp_id": [], "site_idx": [], "g_eta_05": [], "g_eta_4": [],
+                "g2_20": [], "g2_80": [], "g4_m1": [], "g4_p1": [],
+            }
+            for mp_id, xyz in zip(pdf["mp_id"], pdf["xyz"]):
+                pts = np.array([np.asarray(p, dtype=float) for p in xyz])
+                n = len(pts)
+                dx = pts[None, :, 0] - pts[:, None, 0]
+                dy = pts[None, :, 1] - pts[:, None, 1]
+                dz = pts[None, :, 2] - pts[:, None, 2]
+                d = np.sqrt(dx * dx + dy * dy + dz * dz)
+                np.fill_diagonal(d, np.inf)
+                within = d <= cutoff
+                g2 = []
+                for eta in etas:
+                    w = np.exp(-eta * (d / cutoff) ** 2) * within
+                    g2.append(w.sum(axis=1))
+                for i in range(n):
+                    nbr = np.where(within[i])[0]
+                    g4m = g4p = 0.0
+                    for a in range(len(nbr)):
+                        for b in range(a + 1, len(nbr)):
+                            j, k = nbr[a], nbr[b]
+                            cc = (
+                                (dx[i, j] / d[i, j]) * (dx[i, k] / d[i, k])
+                                + (dy[i, j] / d[i, j]) * (dy[i, k] / d[i, k])
+                                + (dz[i, j] / d[i, j]) * (dz[i, k] / d[i, k])
+                            )
+                            djk2 = (
+                                d[i, j] * d[i, j] + d[i, k] * d[i, k]
+                                - 2.0 * d[i, j] * d[i, k] * cc
+                            )
+                            rad = np.exp(
+                                -0.005
+                                * (d[i, j] * d[i, j] + d[i, k] * d[i, k] + djk2)
+                                / (cutoff * cutoff)
+                            )
+                            om = 1.0 - cc
+                            op = 1.0 + cc
+                            g4m += om * om * om * om * rad
+                            g4p += op * op * op * op * rad
+                    out["mp_id"].append(mp_id)
+                    out["site_idx"].append(i)
+                    out["g_eta_05"].append(float(g2[0][i]))
+                    out["g_eta_4"].append(float(g2[1][i]))
+                    out["g2_20"].append(float(g2[2][i]))
+                    out["g2_80"].append(float(g2[3][i]))
+                    out["g4_m1"].append(float(g4m))
+                    out["g4_p1"].append(float(g4p))
+            yield pd.DataFrame(out)
+
+    return _spread(slim).mapInPandas(_gsf, schema=GSF_FULL_SCHEMA)
+
 
 def gaussian_symm_func(materials: DataFrame, etas=(0.5, 4.0), cutoff: float = 6.0) -> DataFrame:
     """GaussianSymmFunc featurizer (§2.9; reference ml_prediction.py:188):
@@ -189,6 +263,50 @@ def local_property_difference(materials: DataFrame, cutoff: float = 5.0) -> Data
             yield pd.DataFrame(out)
 
     return _spread(slim).mapInPandas(_lpd, schema=LPD_SCHEMA)
+
+
+def local_property_differences(
+    materials: DataFrame, props: dict[str, dict[str, float]], cutoff: float = 5.0
+) -> DataFrame:
+    """Multi-property LocalPropertyDifference (reference-parity tier,
+    ml_prediction.py:189 'ward-prb-2017' preset): per site, the
+    1/d²-weighted mean |Δp| to neighbors within the cutoff, one output
+    column per property in ``props`` (name → element table) — one
+    pairwise-distance pass shared by every property. Same kernel
+    convention and float shapes as local_property_difference."""
+    names = list(props)
+    slim = materials.select(
+        "mp_id",
+        F.col("structure.sites.xyz").alias("xyz"),
+        F.expr("transform(structure.sites, s -> s.species[0].element)").alias("els"),
+    )
+    schema = "mp_id string, site_idx int, " + ", ".join(
+        f"{n} double" for n in names
+    )
+
+    def _lpd(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"mp_id": [], "site_idx": []}
+            for n in names:
+                out[n] = []
+            for mp_id, xyz, els in zip(pdf["mp_id"], pdf["xyz"], pdf["els"]):
+                pts = np.array([np.asarray(p, dtype=float) for p in xyz])
+                d = np.linalg.norm(pts[:, None, :] - pts[None, :, :], axis=-1)
+                np.fill_diagonal(d, np.inf)
+                w = np.where(d <= cutoff, 1.0 / (d * d), 0.0)
+                wsum = w.sum(axis=1)
+                out["mp_id"].extend([mp_id] * len(pts))
+                out["site_idx"].extend(range(len(pts)))
+                for name in names:
+                    table = props[name]
+                    p = np.array([table.get(e, np.nan) for e in els])
+                    dp = np.abs(p[:, None] - p[None, :])
+                    with np.errstate(invalid="ignore"):
+                        vals = np.where(wsum > 0, (w * dp).sum(axis=1) / wsum, 0.0)
+                    out[name].extend(vals.tolist())
+            yield pd.DataFrame(out)
+
+    return _spread(slim).mapInPandas(_lpd, schema=schema)
 
 
 OP_SCHEMA = "mp_id string, site_idx int, q4 double, q6 double, q_tet double"
@@ -267,7 +385,10 @@ def site_order_parameters(materials: DataFrame, cutoff: float = 3.0) -> DataFram
     return _spread(slim).mapInPandas(_ops, schema=OP_SCHEMA)
 
 
-VOR_SCHEMA = "mp_id string, site_idx int, vor_cn int, mean_vor_dist double"
+VOR_SCHEMA = (
+    "mp_id string, site_idx int, vor_cn int, mean_vor_dist double, "
+    "min_vor_dist double, max_vor_dist double, std_vor_dist double"
+)
 
 
 def voronoi_neighbors(materials: DataFrame, cutoff: float = 6.0, tol: float = 1e-6) -> DataFrame:
@@ -290,7 +411,10 @@ def voronoi_neighbors(materials: DataFrame, cutoff: float = 6.0, tol: float = 1e
 
     def _vor(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"mp_id": [], "site_idx": [], "vor_cn": [], "mean_vor_dist": []}
+            out = {
+                "mp_id": [], "site_idx": [], "vor_cn": [], "mean_vor_dist": [],
+                "min_vor_dist": [], "max_vor_dist": [], "std_vor_dist": [],
+            }
             for mp_id, xyz in zip(pdf["mp_id"], pdf["xyz"]):
                 pts = np.array([np.asarray(p, dtype=float) for p in xyz])
                 n = len(pts)
@@ -318,6 +442,17 @@ def voronoi_neighbors(materials: DataFrame, cutoff: float = 6.0, tol: float = 1e
                     out["vor_cn"].append(len(kept_d))
                     out["mean_vor_dist"].append(
                         float(np.mean(kept_d)) if kept_d else None
+                    )
+                    out["min_vor_dist"].append(
+                        float(np.min(kept_d)) if kept_d else None
+                    )
+                    out["max_vor_dist"].append(
+                        float(np.max(kept_d)) if kept_d else None
+                    )
+                    # population std, the np.std default the reference's
+                    # SiteFeaturizer reductions use (ml_prediction.py:50)
+                    out["std_vor_dist"].append(
+                        float(np.std(kept_d)) if kept_d else None
                     )
             yield pd.DataFrame(out)
 

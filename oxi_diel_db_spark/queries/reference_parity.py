@@ -592,3 +592,477 @@ def ml9_ion_reference_scoring(spark, sf_dir):
     return model.transform(feats).select(
         "mp_id", F.round("pred_log10", 6).alias("pred_log10")
     )
+
+
+# ---------------------------------------------------------------------------
+# ml10: the reference's el_comp_st 29-dim descriptor
+# (ml_prediction.py:190-220) — compositional slots exact, structural
+# slots from the engine's declared site-featurizer kernels (the m16/
+# m18/m20/m26/m28/m30 conventions: in-cell non-periodic geometry,
+# documented analogs for OPSF/Voronoi/Ewald). Every slot hash-gated.
+# ---------------------------------------------------------------------------
+
+from oxi_diel_db_spark.functions import valence as VAL
+
+#: The 29 el_comp_st column names, reference slot order
+#: (ml_prediction.py:192-219).
+EL_COMP_ST_COLUMNS: list[str] = [
+    "std_x", "mean_block", "std_mass",          # ElementProperty :192-194
+    "frac_d",                                    # ValenceOrbital :195
+    "tm_frac",                                   # TMetalFraction :196
+    "max_endiff", "mean_endiff",                 # ElectronegativityDiff :197-198
+    "homo_energy", "lumo_energy",                # AtomicOrbitals :199-200
+    "density",                                   # DensityFeatures :201
+    "mean_min_dist", "std_min_dist",             # MinimumRelativeDistances :202-203
+    "tet_max", "seesaw_max",                     # OPSiteFingerprint :204-205 (q_tet/q4 analogs)
+    "ewald_max",                                 # EwaldSiteEnergy :206 (1/d proxy, m16)
+    "vor_area_std_max", "vor_area_std_mean",     # VoronoiFingerprint :207-208 (dist-std analog)
+    "vor_dist_min_min", "vor_dist_min_std",      # :209-210
+    "g2_20_std", "g2_80_max", "g4_m1_mean",      # GaussianSymmFunc :211-213
+    "lpd_ndvalence_mean",                        # LocalPropertyDifference :214
+    "lpd_nvalence_min", "lpd_nvalence_std",      # :215-216
+    "lpd_ndunfilled_mean",                       # :217
+    "lpd_nunfilled_min", "lpd_nunfilled_mean",   # :218-219
+    "lpd_gsmagmom_mean",                         # :220 (Hund unpaired analog)
+]
+
+_LPD_EL_PROPS = {
+    "lpd_ndvalence": VAL.ND_VALENCE,
+    "lpd_nvalence": VAL.N_VALENCE,
+    "lpd_ndunfilled": VAL.ND_UNFILLED,
+    "lpd_nunfilled": VAL.N_UNFILLED,
+    "lpd_gsmagmom": VAL.UNPAIRED_ELECTRONS,
+}
+
+
+def el_comp_st_descriptors(spark) -> "F.DataFrame":
+    """(mp_id, formula, <29 descriptor columns>) — ml11 trains on this.
+    Plan: one compositional projection (staged _agg) + five site-kernel
+    mapInPandas passes reduced by per-material hash aggregates, joined
+    on mp_id (1,278-row joins — broadcast territory). Nothing shuffles
+    with corpus size except the site tables themselves, which are
+    site-count bounded."""
+    from oxi_diel_db_spark.operators import site_features as SF
+
+    m = M.materials(spark)
+    staged = m.select(
+        "mp_id", "formula", C._agg_tok_counts("formula").alias("_agg")
+    )
+    agg = F.col("_agg")
+    from oxi_diel_db_spark.functions.valence import valence_fractions
+
+    ep_x = C.matminer_stats("formula", C.PAULING_EN, agg=agg)
+    ep_b = C.matminer_stats("formula", C.BLOCK, agg=agg)
+    ep_m = C.matminer_stats("formula", C.ATOMIC_MASS, agg=agg)
+    ed = C.en_diff_stats("formula", agg=agg)
+    comp = staged.select(
+        "mp_id",
+        _r6n(ep_x["std"], "std_x"),
+        _r6n(ep_b["mean"], "mean_block"),
+        _r6n(ep_m["std"], "std_mass"),
+        _r6n(valence_fractions("formula")["frac_d"], "frac_d"),
+        _r6n(C.tmetal_fraction("formula"), "tm_frac"),
+        _r6n(ed["max"], "max_endiff"),
+        _r6n(ed["mean"], "mean_endiff"),
+    )
+    ao = AO.atomic_orbitals_features(m, spark).select(
+        "mp_id", "homo_energy", "lumo_energy"
+    )
+    mass = C.mass_map_expr()
+    dens = (
+        m.select(
+            "mp_id",
+            F.col("structure.lattice.volume").alias("volume"),
+            F.explode("structure.sites").alias("site"),
+        )
+        .select(
+            "mp_id", "volume",
+            F.element_at(F.col("site.species"), 1)["element"].alias("el"),
+        )
+        .groupBy("mp_id")
+        .agg(
+            _r6n(
+                F.sum(mass[F.col("el")]) / F.any_value("volume")
+                * F.lit(1.66053906660),
+                "density",
+            )
+        )
+    )
+    mind = SF.site_min_distances(m).groupBy("mp_id").agg(
+        _r6n(F.avg("min_dist"), "mean_min_dist"),
+        _r6n(F.stddev_pop("min_dist"), "std_min_dist"),
+    )
+    ops = SF.site_order_parameters(m).groupBy("mp_id").agg(
+        _r6n(F.max("q_tet"), "tet_max"),
+        _r6n(F.max("q4"), "seesaw_max"),
+    )
+    se = SF.site_inverse_distance_energy(m).groupBy("mp_id").agg(
+        _r6n(F.max("inv_dist_energy"), "ewald_max")
+    )
+    vor = SF.voronoi_neighbors(m).groupBy("mp_id").agg(
+        _r6n(F.max("std_vor_dist"), "vor_area_std_max"),
+        _r6n(F.avg("std_vor_dist"), "vor_area_std_mean"),
+        _r6n(F.min("min_vor_dist"), "vor_dist_min_min"),
+        _r6n(F.stddev_pop("min_vor_dist"), "vor_dist_min_std"),
+    )
+    gsf = SF.gaussian_symm_full(m).groupBy("mp_id").agg(
+        _r6n(F.stddev_pop("g2_20"), "g2_20_std"),
+        _r6n(F.max("g2_80"), "g2_80_max"),
+        _r6n(F.avg("g4_m1"), "g4_m1_mean"),
+    )
+    lpd = SF.local_property_differences(m, _LPD_EL_PROPS).groupBy("mp_id").agg(
+        _r6n(F.avg("lpd_ndvalence"), "lpd_ndvalence_mean"),
+        _r6n(F.min("lpd_nvalence"), "lpd_nvalence_min"),
+        _r6n(F.stddev_pop("lpd_nvalence"), "lpd_nvalence_std"),
+        _r6n(F.avg("lpd_ndunfilled"), "lpd_ndunfilled_mean"),
+        _r6n(F.min("lpd_nunfilled"), "lpd_nunfilled_min"),
+        _r6n(F.avg("lpd_nunfilled"), "lpd_nunfilled_mean"),
+        _r6n(F.avg("lpd_gsmagmom"), "lpd_gsmagmom_mean"),
+    )
+    out = (
+        staged.select("mp_id", "formula")
+        .join(comp, "mp_id")
+        .join(ao, "mp_id")
+        .join(dens, "mp_id")
+        .join(mind, "mp_id")
+        .join(ops, "mp_id")
+        .join(se, "mp_id")
+        .join(vor, "mp_id")
+        .join(gsf, "mp_id")
+        .join(lpd, "mp_id")
+    )
+    return out.select("mp_id", "formula", *EL_COMP_ST_COLUMNS)
+
+
+def _site_prop_case(table: dict[str, float], var: str = "el") -> str:
+    whens = " ".join(
+        f"WHEN '{el}' THEN {float(v)!r}" for el, v in sorted(table.items())
+    )
+    return f"CAST((CASE {var} {whens} ELSE NULL END) AS DOUBLE)"
+
+
+#: Shared site/pair CTE prefix for the structural oracles (the proven
+#: m16/m18/m20/m26/m28/m30 float shapes, verbatim).
+_SITE_CTES = f"""
+    s AS (
+      SELECT mp_id, t.idx AS idx, structure.sites[t.idx].xyz AS xyz,
+             structure.sites[t.idx].species[1].element AS el
+      FROM {_MAT}, UNNEST(range(1, len(structure.sites) + 1)) AS t(idx)
+    ),
+    p AS (
+      SELECT a.mp_id, a.idx AS i, b.idx AS j, b.el AS el_j, a.el AS el_i,
+             sqrt((b.xyz[1] - a.xyz[1]) * (b.xyz[1] - a.xyz[1])
+                + (b.xyz[2] - a.xyz[2]) * (b.xyz[2] - a.xyz[2])
+                + (b.xyz[3] - a.xyz[3]) * (b.xyz[3] - a.xyz[3])) AS d,
+             b.xyz[1] - a.xyz[1] AS vx,
+             b.xyz[2] - a.xyz[2] AS vy,
+             b.xyz[3] - a.xyz[3] AS vz,
+             (a.xyz[1] + b.xyz[1]) / 2 AS mx,
+             (a.xyz[2] + b.xyz[2]) / 2 AS my,
+             (a.xyz[3] + b.xyz[3]) / 2 AS mz
+      FROM s a JOIN s b ON a.mp_id = b.mp_id AND a.idx <> b.idx
+    ),
+    mind AS (
+      SELECT mp_id, i, MIN(d) AS md FROM p GROUP BY mp_id, i
+    ),
+    se AS (
+      SELECT mp_id, i, SUM(1.0 / d) AS e FROM p GROUP BY mp_id, i
+    ),
+    g2 AS (
+      SELECT mp_id, i,
+             SUM(CASE WHEN d <= 6.0 THEN exp(-20.0 * (d / 6.0) * (d / 6.0)) ELSE 0.0 END) AS g2_20,
+             SUM(CASE WHEN d <= 6.0 THEN exp(-80.0 * (d / 6.0) * (d / 6.0)) ELSE 0.0 END) AS g2_80
+      FROM p GROUP BY mp_id, i
+    ),
+    nbr AS (
+      SELECT mp_id, i, j, d, vx / d AS ux, vy / d AS uy, vz / d AS uz
+      FROM p WHERE d <= 6.0
+    ),
+    g4p AS (
+      SELECT n1.mp_id, n1.i,
+             n1.ux * n2.ux + n1.uy * n2.uy + n1.uz * n2.uz AS cc,
+             n1.d AS d1, n2.d AS d2
+      FROM nbr n1 JOIN nbr n2
+        ON n1.mp_id = n2.mp_id AND n1.i = n2.i AND n1.j < n2.j
+    ),
+    g4 AS (
+      SELECT mp_id, i,
+             COALESCE(SUM((1.0 - cc) * (1.0 - cc) * (1.0 - cc) * (1.0 - cc)
+               * exp(-0.005 * (d1 * d1 + d2 * d2
+                 + (d1 * d1 + d2 * d2 - 2.0 * d1 * d2 * cc)) / (6.0 * 6.0))), 0.0) AS g4_m1,
+             COALESCE(SUM((1.0 + cc) * (1.0 + cc) * (1.0 + cc) * (1.0 + cc)
+               * exp(-0.005 * (d1 * d1 + d2 * d2
+                 + (d1 * d1 + d2 * d2 - 2.0 * d1 * d2 * cc)) / (6.0 * 6.0))), 0.0) AS g4_p1
+      FROM g4p GROUP BY mp_id, i
+    ),
+    g4full AS (
+      SELECT g2.mp_id, g2.i,
+             COALESCE(g4.g4_m1, 0.0) AS g4_m1, COALESCE(g4.g4_p1, 0.0) AS g4_p1
+      FROM g2 LEFT JOIN g4 ON g2.mp_id = g4.mp_id AND g2.i = g4.i
+    ),
+    nbr3 AS (
+      SELECT mp_id, i, j, vx / d AS ux, vy / d AS uy, vz / d AS uz
+      FROM p WHERE d <= 3.0
+    ),
+    ql AS (
+      SELECT n1.mp_id, n1.i,
+             n1.ux * n2.ux + n1.uy * n2.uy + n1.uz * n2.uz AS c
+      FROM nbr3 n1 JOIN nbr3 n2 ON n1.mp_id = n2.mp_id AND n1.i = n2.i
+    ),
+    qs AS (
+      SELECT mp_id, i,
+             sqrt(GREATEST(SUM((35.0 * c2 * c2 - 30.0 * c2 + 3.0) / 8.0) / COUNT(*), 0.0)) AS q4,
+             sqrt(GREATEST(SUM((231.0 * c2 * c2 * c2 - 315.0 * c2 * c2 + 105.0 * c2 - 5.0) / 16.0) / COUNT(*), 0.0)) AS q6
+      FROM (SELECT mp_id, i, c * c AS c2 FROM ql)
+      GROUP BY mp_id, i
+    ),
+    rk AS (
+      SELECT mp_id, i, j, vx / d AS ux, vy / d AS uy, vz / d AS uz,
+             ROW_NUMBER() OVER (PARTITION BY mp_id, i ORDER BY d, j) AS rn
+      FROM p
+    ),
+    nn4 AS (SELECT * FROM rk WHERE rn <= 4),
+    tp AS (
+      SELECT a.mp_id, a.i,
+             (a.ux * b.ux + a.uy * b.uy + a.uz * b.uz + CAST(1 AS DOUBLE) / 3) AS t
+      FROM nn4 a JOIN nn4 b ON a.mp_id = b.mp_id AND a.i = b.i AND a.rn < b.rn
+    ),
+    tet AS (
+      SELECT mp_id, i, 1.0 - CAST(3 AS DOUBLE) / 8 * SUM(t * t) AS q_tet
+      FROM tp GROUP BY mp_id, i
+    ),
+    vcut AS (
+      SELECT pc.mp_id, pc.i, pc.j, pc.d,
+             MIN(sqrt((pc.mx - k.xyz[1]) * (pc.mx - k.xyz[1])
+                    + (pc.my - k.xyz[2]) * (pc.my - k.xyz[2])
+                    + (pc.mz - k.xyz[3]) * (pc.mz - k.xyz[3]))) AS min_k
+      FROM (SELECT * FROM p WHERE d <= 6.0) pc
+      LEFT JOIN s k
+        ON k.mp_id = pc.mp_id AND k.idx <> pc.i AND k.idx <> pc.j
+      GROUP BY pc.mp_id, pc.i, pc.j, pc.d
+    ),
+    vkept AS (
+      SELECT * FROM vcut WHERE min_k IS NULL OR min_k > d / 2 + 1e-06
+    ),
+    vor AS (
+      SELECT s.mp_id, s.idx AS i,
+             COUNT(vkept.j) AS vor_cn,
+             AVG(vkept.d) AS mean_vd,
+             MIN(vkept.d) AS min_vd,
+             MAX(vkept.d) AS max_vd,
+             STDDEV_POP(vkept.d) AS std_vd
+      FROM s LEFT JOIN vkept ON vkept.mp_id = s.mp_id AND vkept.i = s.idx
+      GROUP BY s.mp_id, s.idx
+    )
+"""
+
+
+def _sql_lpd_cte(props: dict[str, dict[str, float]]) -> str:
+    """Per-site multi-property LPD CTE over the shared pair CTE ``p``
+    (m26's proven float shape, one numerator per property)."""
+    nums = ",\n             ".join(
+        f"SUM(CASE WHEN d <= 5.0 THEN (1.0 / (d * d)) * "
+        f"abs({_site_prop_case(t, 'el_i')} - {_site_prop_case(t, 'el_j')}) "
+        f"ELSE 0.0 END) AS num_{n}"
+        for n, t in props.items()
+    )
+    vals = ",\n             ".join(
+        f"CASE WHEN den > 0 THEN num_{n} / den ELSE 0.0 END AS {n}"
+        for n in props
+    )
+    return f"""
+    lpd_raw AS (
+      SELECT mp_id, i,
+             {nums},
+             SUM(CASE WHEN d <= 5.0 THEN 1.0 / (d * d) ELSE 0.0 END) AS den
+      FROM p GROUP BY mp_id, i
+    ),
+    lpd AS (
+      SELECT mp_id, i,
+             {vals}
+      FROM lpd_raw
+    )
+"""
+
+
+def _ml10_oracle() -> str:
+    from oxi_diel_db_spark.functions.valence import sql_valence_fractions
+
+    ep_x = C.sql_matminer_stats("m.formula", C.PAULING_EN, agg="m.agg")
+    ep_b = C.sql_matminer_stats("m.formula", C.BLOCK, agg="m.agg")
+    ep_m = C.sql_matminer_stats("m.formula", C.ATOMIC_MASS, agg="m.agg")
+    ed = C.sql_en_diff_stats("m.formula", agg="m.agg")
+    comp_sel = ",\n           ".join(
+        [
+            _sql_r6n(ep_x["std"], "std_x"),
+            _sql_r6n(ep_b["mean"], "mean_block"),
+            _sql_r6n(ep_m["std"], "std_mass"),
+            _sql_r6n(sql_valence_fractions("m.formula")["frac_d"], "frac_d"),
+            _sql_r6n(C.sql_tmetal_fraction("m.formula"), "tm_frac"),
+            _sql_r6n(ed["max"], "max_endiff"),
+            _sql_r6n(ed["mean"], "mean_endiff"),
+        ]
+    )
+    return f"""
+    WITH ao AS ({AO.sql_atomic_orbitals(_MAT)}),
+    staged AS (
+      SELECT mp_id, formula, {C.sql_agg_tok_counts('formula')} AS agg
+      FROM {_MAT}
+    ),
+    {_SITE_CTES},
+    {_sql_lpd_cte(_LPD_EL_PROPS)},
+    dens AS (
+      SELECT mp_id, {_sql_r6n(
+          "SUM(" + _site_prop_case(C.ATOMIC_MASS, "el") + ") / ANY_VALUE(vol) * 1.66053906660",
+          "density")}
+      FROM (
+        SELECT s.mp_id, s.el, x.vol
+        FROM s JOIN (SELECT mp_id, structure.lattice.volume AS vol FROM {_MAT}) x
+          ON s.mp_id = x.mp_id
+      ) GROUP BY mp_id
+    ),
+    mind_m AS (
+      SELECT mp_id, {_sql_r6n('AVG(md)', 'mean_min_dist')},
+             {_sql_r6n('STDDEV_POP(md)', 'std_min_dist')}
+      FROM mind GROUP BY mp_id
+    ),
+    ops_m AS (
+      -- base on ALL materials: a cell with no neighbor inside the 3.0
+      -- OPS cutoff has q4 NULL everywhere (qs empty) but must keep its
+      -- row with NULL maxima, exactly like the Spark kernel's output
+      SELECT s0.mp_id, {_sql_r6n('MAX(tet.q_tet)', 'tet_max')},
+             {_sql_r6n('MAX(qs.q4)', 'seesaw_max')}
+      FROM (SELECT DISTINCT mp_id FROM s) s0
+      LEFT JOIN qs ON qs.mp_id = s0.mp_id
+      LEFT JOIN tet ON tet.mp_id = s0.mp_id
+      GROUP BY s0.mp_id
+    ),
+    se_m AS (
+      SELECT mp_id, {_sql_r6n('MAX(e)', 'ewald_max')} FROM se GROUP BY mp_id
+    ),
+    vor_m AS (
+      SELECT mp_id, {_sql_r6n('MAX(std_vd)', 'vor_area_std_max')},
+             {_sql_r6n('AVG(std_vd)', 'vor_area_std_mean')},
+             {_sql_r6n('MIN(min_vd)', 'vor_dist_min_min')},
+             {_sql_r6n('STDDEV_POP(min_vd)', 'vor_dist_min_std')}
+      FROM vor GROUP BY mp_id
+    ),
+    gsf_m AS (
+      SELECT g2.mp_id, {_sql_r6n('STDDEV_POP(g2.g2_20)', 'g2_20_std')},
+             {_sql_r6n('MAX(g2.g2_80)', 'g2_80_max')},
+             {_sql_r6n('AVG(g4full.g4_m1)', 'g4_m1_mean')}
+      FROM g2 JOIN g4full ON g2.mp_id = g4full.mp_id AND g2.i = g4full.i
+      GROUP BY g2.mp_id
+    ),
+    lpd_m AS (
+      SELECT mp_id, {_sql_r6n('AVG(lpd_ndvalence)', 'lpd_ndvalence_mean')},
+             {_sql_r6n('MIN(lpd_nvalence)', 'lpd_nvalence_min')},
+             {_sql_r6n('STDDEV_POP(lpd_nvalence)', 'lpd_nvalence_std')},
+             {_sql_r6n('AVG(lpd_ndunfilled)', 'lpd_ndunfilled_mean')},
+             {_sql_r6n('MIN(lpd_nunfilled)', 'lpd_nunfilled_min')},
+             {_sql_r6n('AVG(lpd_nunfilled)', 'lpd_nunfilled_mean')},
+             {_sql_r6n('AVG(lpd_gsmagmom)', 'lpd_gsmagmom_mean')}
+      FROM lpd GROUP BY mp_id
+    )
+    SELECT m.mp_id,
+           {comp_sel},
+           ao.homo_energy, ao.lumo_energy,
+           dens.density,
+           mind_m.mean_min_dist, mind_m.std_min_dist,
+           ops_m.tet_max, ops_m.seesaw_max,
+           se_m.ewald_max,
+           vor_m.vor_area_std_max, vor_m.vor_area_std_mean,
+           vor_m.vor_dist_min_min, vor_m.vor_dist_min_std,
+           gsf_m.g2_20_std, gsf_m.g2_80_max, gsf_m.g4_m1_mean,
+           lpd_m.lpd_ndvalence_mean, lpd_m.lpd_nvalence_min,
+           lpd_m.lpd_nvalence_std, lpd_m.lpd_ndunfilled_mean,
+           lpd_m.lpd_nunfilled_min, lpd_m.lpd_nunfilled_mean,
+           lpd_m.lpd_gsmagmom_mean
+    FROM staged m
+    JOIN ao ON m.mp_id = ao.mp_id
+    JOIN dens ON m.mp_id = dens.mp_id
+    JOIN mind_m ON m.mp_id = mind_m.mp_id
+    JOIN ops_m ON m.mp_id = ops_m.mp_id
+    JOIN se_m ON m.mp_id = se_m.mp_id
+    JOIN vor_m ON m.mp_id = vor_m.mp_id
+    JOIN gsf_m ON m.mp_id = gsf_m.mp_id
+    JOIN lpd_m ON m.mp_id = lpd_m.mp_id
+    """
+
+
+@register("ml10_el_st_descriptors", oracle=_ml10_oracle())
+def ml10_el_st_descriptors(spark, sf_dir):
+    """§2.11/§2.9: the reference's el_comp_st 29-dim descriptor
+    (ml_prediction.py:190-220), reference slot order. Compositional
+    slots exact; structural slots ride the engine's declared site
+    kernels (q_tet/q4 for the two OPSF slots, dist-std for Voro areas,
+    the 1/d site-energy proxy for Ewald, Hund unpaired for GSmagmom) —
+    every slot value-hash-gated against the assembled DuckDB twin."""
+    return el_comp_st_descriptors(spark).drop("formula")
+
+
+# ---------------------------------------------------------------------------
+# ml11: score the corpus on the exact el_comp_st descriptor set
+# ---------------------------------------------------------------------------
+
+_ELST_DESC_PARQUET = _os.path.join(_SCRATCH, "ref_el_st_descriptors.parquet")
+_ELST_MODEL_DIR = _os.path.join(_SCRATCH, "models", "ref_el_st_rf60")
+
+
+def materialized_el_st_descriptors(spark):
+    if not _os.path.isdir(_ELST_DESC_PARQUET):
+        el_comp_st_descriptors(spark).write.mode("overwrite").parquet(
+            _ELST_DESC_PARQUET
+        )
+    return spark.read.parquet(_ELST_DESC_PARQUET)
+
+
+def train_el_st_reference(spark, num_trees: int = 60):
+    """RandomForest on the reference's el_comp_st descriptor (exact
+    compositional + declared-analog structural slots), pop-std scaled.
+    NULL structural slots (e.g. q4 in a sparse cell) drop the row,
+    matching the reference's NaN-row handling in training."""
+    from pyspark.ml import Pipeline, PipelineModel
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import RandomForestRegressor
+
+    from oxi_diel_db_spark.ml import comp_model as CM
+    from oxi_diel_db_spark.ml.pipeline import scale_features_pop
+
+    labels = CM._labels(M.materials(spark)).select("mp_id", "label_el")
+    feats = scale_features_pop(
+        materialized_el_st_descriptors(spark).join(labels, "mp_id"),
+        EL_COMP_ST_COLUMNS,
+    ).dropna(subset=EL_COMP_ST_COLUMNS + ["label_el"])
+    if _os.path.isdir(_ELST_MODEL_DIR):
+        return PipelineModel.load(_ELST_MODEL_DIR), feats
+    pipe = Pipeline(
+        stages=[
+            VectorAssembler(inputCols=EL_COMP_ST_COLUMNS, outputCol="features"),
+            RandomForestRegressor(
+                featuresCol="features",
+                labelCol="label_el",
+                predictionCol="pred_log10",
+                numTrees=num_trees,
+                maxDepth=12,
+                seed=42,
+            ),
+        ]
+    )
+    model = pipe.fit(feats)
+    _os.makedirs(_os.path.dirname(_ELST_MODEL_DIR), exist_ok=True)
+    model.write().overwrite().save(_ELST_MODEL_DIR)
+    return model, feats
+
+
+@register("ml11_el_st_reference_scoring", oracle=None)  # ML internals —
+# rows-only; golden parity gated in tests/test_reference_parity.py
+def ml11_el_st_reference_scoring(spark, sf_dir):
+    """§2.11 reference-parity scoring, el structural tier: RF over the
+    el_comp_st 29-dim descriptor (ml10); corr vs the reference's golden
+    prediction_result_el_comp_st.json gated in
+    tests/test_reference_parity.py."""
+    model, feats = train_el_st_reference(spark)
+    return model.transform(feats).select(
+        "mp_id", F.round("pred_log10", 6).alias("pred_log10")
+    )
