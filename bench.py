@@ -131,6 +131,8 @@ SINGLES = [
     "ml9_ion_reference_scoring",
     "ml10_el_st_descriptors",
     "ml11_el_st_reference_scoring",
+    "ml12_ion_st_descriptors",
+    "ml13_ion_st_reference_scoring",
 ]
 
 

@@ -771,3 +771,11 @@ def sql_oxi_state_range(f: str, agg: str | None = None) -> str:
         f"list_transform({agg}, s -> CASE WHEN s.el = 'O' THEN -2.0 ELSE {q} END)"
     )
     return f"(list_max({vals}) - list_min({vals}))"
+
+
+#: Covalent-sphere volume per element, (4/3)π r³ over the Cordero
+#: radii — the engine's documented public analog for Magpie's
+#: GSvolume_pa LocalPropertyDifference table (ml12's lpd_gsvol slots).
+GS_VOLUME: dict[str, float] = {
+    el: 4.0 / 3.0 * _math.pi * r * r * r for el, r in COVALENT_RADIUS.items()
+}

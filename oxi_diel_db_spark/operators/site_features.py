@@ -309,7 +309,10 @@ def local_property_differences(
     return _spread(slim).mapInPandas(_lpd, schema=schema)
 
 
-OP_SCHEMA = "mp_id string, site_idx int, q4 double, q6 double, q_tet double"
+OP_SCHEMA = (
+    "mp_id string, site_idx int, q4 double, q6 double, q_tet double, "
+    "cos_nn2 double, planar3 double"
+)
 
 
 def site_order_parameters(materials: DataFrame, cutoff: float = 3.0) -> DataFrame:
@@ -335,7 +338,10 @@ def site_order_parameters(materials: DataFrame, cutoff: float = 3.0) -> DataFram
 
     def _ops(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"mp_id": [], "site_idx": [], "q4": [], "q6": [], "q_tet": []}
+            out = {
+                "mp_id": [], "site_idx": [], "q4": [], "q6": [], "q_tet": [],
+                "cos_nn2": [], "planar3": [],
+            }
             for mp_id, xyz in zip(pdf["mp_id"], pdf["xyz"]):
                 pts = np.array([np.asarray(p, dtype=float) for p in xyz])
                 n = len(pts)
@@ -363,6 +369,8 @@ def site_order_parameters(materials: DataFrame, cutoff: float = 3.0) -> DataFram
                         q4 = float(np.sqrt(max(p4.sum() / m2, 0.0)))
                         q6 = float(np.sqrt(max(p6.sum() / m2, 0.0)))
                     q_tet = None
+                    cos_nn2 = None
+                    planar3 = None
                     if n >= 3:
                         order = np.lexsort((np.arange(n), d[i]))[: min(4, n - 1)]
                         ux = dx[i, order] / d[i, order]
@@ -375,11 +383,27 @@ def site_order_parameters(materials: DataFrame, cutoff: float = 3.0) -> DataFram
                                 t = cc + third
                                 acc += t * t
                         q_tet = 1.0 - 3.0 / 8.0 * acc
+                        # angle of the two nearest bonds (ion_comp_st's
+                        # linear/bent OP analogs, ml_prediction.py:240-241)
+                        cos_nn2 = (
+                            ux[0] * ux[1] + uy[0] * uy[1] + uz[0] * uz[1]
+                        )
+                        if len(order) >= 3:
+                            # coplanarity of the three nearest unit bonds
+                            # (trigonal-planar OP analog, :242): 1 − |u1·(u2×u3)|
+                            det = (
+                                ux[0] * (uy[1] * uz[2] - uz[1] * uy[2])
+                                - uy[0] * (ux[1] * uz[2] - uz[1] * ux[2])
+                                + uz[0] * (ux[1] * uy[2] - uy[1] * ux[2])
+                            )
+                            planar3 = 1.0 - abs(det)
                     out["mp_id"].append(mp_id)
                     out["site_idx"].append(i)
                     out["q4"].append(q4)
                     out["q6"].append(q6)
                     out["q_tet"].append(q_tet)
+                    out["cos_nn2"].append(cos_nn2)
+                    out["planar3"].append(planar3)
             yield pd.DataFrame(out)
 
     return _spread(slim).mapInPandas(_ops, schema=OP_SCHEMA)
@@ -387,7 +411,8 @@ def site_order_parameters(materials: DataFrame, cutoff: float = 3.0) -> DataFram
 
 VOR_SCHEMA = (
     "mp_id string, site_idx int, vor_cn int, mean_vor_dist double, "
-    "min_vor_dist double, max_vor_dist double, std_vor_dist double"
+    "min_vor_dist double, max_vor_dist double, std_vor_dist double, "
+    "std_vor_inv2 double"
 )
 
 
@@ -414,6 +439,7 @@ def voronoi_neighbors(materials: DataFrame, cutoff: float = 6.0, tol: float = 1e
             out = {
                 "mp_id": [], "site_idx": [], "vor_cn": [], "mean_vor_dist": [],
                 "min_vor_dist": [], "max_vor_dist": [], "std_vor_dist": [],
+                "std_vor_inv2": [],
             }
             for mp_id, xyz in zip(pdf["mp_id"], pdf["xyz"]):
                 pts = np.array([np.asarray(p, dtype=float) for p in xyz])
@@ -453,6 +479,12 @@ def voronoi_neighbors(materials: DataFrame, cutoff: float = 6.0, tol: float = 1e
                     # SiteFeaturizer reductions use (ml_prediction.py:50)
                     out["std_vor_dist"].append(
                         float(np.std(kept_d)) if kept_d else None
+                    )
+                    # facet-AREA analog per neighbor: 1/d² (solid-angle
+                    # proxy); per-site std is the Voro_area_std_dev slot
+                    out["std_vor_inv2"].append(
+                        float(np.std([1.0 / (x * x) for x in kept_d]))
+                        if kept_d else None
                     )
             yield pd.DataFrame(out)
 

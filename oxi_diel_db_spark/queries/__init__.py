@@ -96,6 +96,8 @@ _R7_PRIORITY = [
     "ml9_ion_reference_scoring",
     "ml10_el_st_descriptors",
     "ml11_el_st_reference_scoring",
+    "ml12_ion_st_descriptors",
+    "ml13_ion_st_reference_scoring",
     "q99_observation_join",
     "t15_keyword_extraction",
     "dq9_schema_contract",

@@ -850,9 +850,26 @@ _SITE_CTES = f"""
              AVG(vkept.d) AS mean_vd,
              MIN(vkept.d) AS min_vd,
              MAX(vkept.d) AS max_vd,
-             STDDEV_POP(vkept.d) AS std_vd
+             STDDEV_POP(vkept.d) AS std_vd,
+             STDDEV_POP(1.0 / (vkept.d * vkept.d)) AS std_inv2
       FROM s LEFT JOIN vkept ON vkept.mp_id = s.mp_id AND vkept.i = s.idx
       GROUP BY s.mp_id, s.idx
+    ),
+    nn2 AS (
+      SELECT r1.mp_id, r1.i,
+             r1.ux * r2.ux + r1.uy * r2.uy + r1.uz * r2.uz AS cos_nn2
+      FROM rk r1 JOIN rk r2
+        ON r1.mp_id = r2.mp_id AND r1.i = r2.i AND r1.rn = 1 AND r2.rn = 2
+    ),
+    nn3 AS (
+      SELECT r1.mp_id, r1.i,
+             1.0 - abs(r1.ux * (r2.uy * r3.uz - r2.uz * r3.uy)
+                   - r1.uy * (r2.ux * r3.uz - r2.uz * r3.ux)
+                   + r1.uz * (r2.ux * r3.uy - r2.uy * r3.ux)) AS planar3
+      FROM rk r1
+      JOIN rk r2 ON r1.mp_id = r2.mp_id AND r1.i = r2.i AND r2.rn = 2
+      JOIN rk r3 ON r1.mp_id = r3.mp_id AND r1.i = r3.i AND r3.rn = 3
+      WHERE r1.rn = 1
     )
 """
 
@@ -1063,6 +1080,434 @@ def ml11_el_st_reference_scoring(spark, sf_dir):
     prediction_result_el_comp_st.json gated in
     tests/test_reference_parity.py."""
     model, feats = train_el_st_reference(spark)
+    return model.transform(feats).select(
+        "mp_id", F.round("pred_log10", 6).alias("pred_log10")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ml12: the reference's ion_comp_st 45-dim descriptor
+# (ml_prediction.py:230-276) — the heaviest descriptor: composition +
+# density/packing + structural heterogeneity + 8 orientational-order
+# slots + Voronoi/GSF/Ewald tiers + 19 LocalPropertyDifference slots.
+# Analog conventions continue the declared engine kernels; the three
+# CN-affinity OP slots (single-bond / pentagonal / octahedral /
+# symmetry-weighted) use exp(−(CN−k)²/2) over the Voronoi CN, the
+# angular slots use the true two/three-nearest-bond geometry
+# (cos_nn2 / planar3), and GSvolume_pa / SpaceGroupNumber ride the
+# Cordero-sphere-volume / group-number documented stand-ins.
+# ---------------------------------------------------------------------------
+
+_COS150 = -0.8660254037844387  # cos(150°) = −√3/2
+
+ION_COMP_ST_COLUMNS: list[str] = [
+    "std_row", "mean_thermcond", "std_melting",      # ElementProperty :232-234
+    "tm_frac",                                        # TMetalFraction :235
+    "gap_ao",                                         # AtomicOrbitals :236
+    "density", "packing_fraction",                    # DensityFeatures :237-238
+    "nbr_var_mean", "nbr_var_avg_dev",                # StructuralHeterogeneity :239-240
+    "sgl_bd_mean", "bent150_mean", "linear_mean",     # OPSiteFingerprint :241-243
+    "trig_planar_mean", "pent_cn5_std",               # :244-245
+    "oct_cn6_max", "oct_cn6_std", "q6_cn12_mean",     # :246-248
+    "ewald_max",                                      # EwaldSiteEnergy :249 (1/d proxy)
+    "sym_w4_std", "vol_max_mean", "area_std_mean",    # VoronoiFingerprint :250-252
+    "area_min_std", "area_max_min", "dist_std_mean",  # :253-255
+    "g2_80_min", "g4_p1_std",                         # GaussianSymmFunc :256-257
+    "lpd_number_max", "lpd_mendeleev_max", "lpd_mendeleev_min",   # LPD :258-260
+    "lpd_atomicweight_max", "lpd_atomicweight_mean",  # :261-262
+    "lpd_meltingt_mean", "lpd_row_max", "lpd_en_min", # :263-265
+    "lpd_nvalence_std", "lpd_nsunfilled_mean",        # :266-267
+    "lpd_ndunfilled_max", "lpd_ndunfilled_std",       # :268-269
+    "lpd_nunfilled_max", "lpd_nunfilled_min",         # :270-271
+    "lpd_nunfilled_mean", "lpd_nunfilled_std",        # :272-273
+    "lpd_gsvol_max", "lpd_gsvol_min",                 # :274-275 (Cordero-volume analog)
+    "lpd_sg_max",                                     # :276 (group-number stand-in)
+]
+
+_LPD_ION_PROPS = {
+    "lpd_number": VAL.ATOMIC_NUMBER,
+    "lpd_mendeleev": MENDELEEV_NO,
+    "lpd_atomicweight": C.ATOMIC_MASS,
+    "lpd_meltingt": MELTING_POINT,
+    "lpd_row": C.PERIOD,
+    "lpd_en": C.PAULING_EN,
+    "lpd_nvalence": VAL.N_VALENCE,
+    "lpd_nsunfilled": VAL.NS_UNFILLED,
+    "lpd_ndunfilled": VAL.ND_UNFILLED,
+    "lpd_nunfilled": VAL.N_UNFILLED,
+    "lpd_gsvol": C.GS_VOLUME,
+    "lpd_sg": C.GROUP,
+}
+
+
+def _cn_affinity(cn_col, k: float):
+    c = cn_col.cast("double") - F.lit(k)
+    return F.exp(-(c * c) / F.lit(2.0))
+
+
+def _sql_cn_affinity(cn: str, k: float) -> str:
+    c = f"(CAST({cn} AS DOUBLE) - {k!r})"
+    return f"exp(-({c} * {c}) / 2.0)"
+
+
+def ion_comp_st_descriptors(spark) -> "F.DataFrame":
+    """(mp_id, formula, <45 descriptor columns>) — ml13 trains on this.
+    Same plan family as ml10: one compositional projection + the site
+    kernels reduced per material and joined on mp_id."""
+    from oxi_diel_db_spark.operators import site_features as SF
+
+    m = M.materials(spark)
+    staged = m.select(
+        "mp_id", "formula", C._agg_tok_counts("formula").alias("_agg")
+    )
+    agg = F.col("_agg")
+    ep_r = C.matminer_stats("formula", C.PERIOD, agg=agg)
+    ep_t = C.matminer_stats("formula", THERMAL_CONDUCTIVITY, agg=agg)
+    ep_m = C.matminer_stats("formula", MELTING_POINT, agg=agg)
+    comp = staged.select(
+        "mp_id",
+        _r6n(ep_r["std"], "std_row"),
+        _r6n(ep_t["mean"], "mean_thermcond"),
+        _r6n(ep_m["std"], "std_melting"),
+        _r6n(C.tmetal_fraction("formula"), "tm_frac"),
+    )
+    ao = AO.atomic_orbitals_features(m, spark).select("mp_id", "gap_ao")
+    mass = C.mass_map_expr()
+    rad = C.radius_map_expr()
+    import math as _m
+
+    dens = (
+        m.select(
+            "mp_id",
+            F.col("structure.lattice.volume").alias("volume"),
+            F.explode("structure.sites").alias("site"),
+        )
+        .select(
+            "mp_id", "volume",
+            F.element_at(F.col("site.species"), 1)["element"].alias("el"),
+        )
+        .groupBy("mp_id")
+        .agg(
+            _r6n(
+                F.sum(mass[F.col("el")]) / F.any_value("volume")
+                * F.lit(1.66053906660),
+                "density",
+            ),
+            _r6n(
+                F.sum(F.lit(4.0 / 3.0 * _m.pi) * F.pow(rad[F.col("el")], 3))
+                / F.any_value("volume"),
+                "packing_fraction",
+            ),
+        )
+    )
+    vor_site = SF.voronoi_neighbors(m)
+    # StructuralHeterogeneity analog: per-site coefficient of variation
+    # of Voronoi-neighbor distances; mean and mean-absolute-deviation
+    # over sites (two-pass for the avg_dev)
+    v = vor_site.select(
+        "mp_id", (F.col("std_vor_dist") / F.col("mean_vor_dist")).alias("v")
+    )
+    vmean = v.groupBy("mp_id").agg(F.avg("v").alias("vm"))
+    het = (
+        v.join(vmean, "mp_id")
+        .groupBy("mp_id")
+        .agg(
+            _r6n(F.any_value("vm"), "nbr_var_mean"),
+            _r6n(F.avg(F.abs(F.col("v") - F.col("vm"))), "nbr_var_avg_dev"),
+        )
+    )
+    ops = SF.site_order_parameters(m).groupBy("mp_id").agg(
+        _r6n(F.avg((F.lit(1.0) - F.col("cos_nn2")) / F.lit(2.0)), "linear_mean"),
+        _r6n(
+            F.avg(
+                F.exp(
+                    -(F.col("cos_nn2") - F.lit(_COS150))
+                    * (F.col("cos_nn2") - F.lit(_COS150))
+                    / F.lit(0.1)
+                )
+            ),
+            "bent150_mean",
+        ),
+        _r6n(F.avg("planar3"), "trig_planar_mean"),
+        _r6n(F.avg("q6"), "q6_cn12_mean"),
+    )
+    vora = vor_site.groupBy("mp_id").agg(
+        _r6n(F.avg(_cn_affinity(F.col("vor_cn"), 1.0)), "sgl_bd_mean"),
+        _r6n(F.stddev_pop(_cn_affinity(F.col("vor_cn"), 5.0)), "pent_cn5_std"),
+        _r6n(F.max(_cn_affinity(F.col("vor_cn"), 6.0)), "oct_cn6_max"),
+        _r6n(F.stddev_pop(_cn_affinity(F.col("vor_cn"), 6.0)), "oct_cn6_std"),
+        _r6n(F.stddev_pop(_cn_affinity(F.col("vor_cn"), 4.0)), "sym_w4_std"),
+        _r6n(
+            F.avg(
+                F.col("max_vor_dist") * F.col("max_vor_dist") * F.col("max_vor_dist")
+            ),
+            "vol_max_mean",
+        ),
+        _r6n(F.avg("std_vor_inv2"), "area_std_mean"),
+        _r6n(
+            F.stddev_pop(
+                F.lit(1.0) / (F.col("max_vor_dist") * F.col("max_vor_dist"))
+            ),
+            "area_min_std",
+        ),
+        _r6n(
+            F.min(F.lit(1.0) / (F.col("min_vor_dist") * F.col("min_vor_dist"))),
+            "area_max_min",
+        ),
+        _r6n(F.avg("std_vor_dist"), "dist_std_mean"),
+    )
+    se = SF.site_inverse_distance_energy(m).groupBy("mp_id").agg(
+        _r6n(F.max("inv_dist_energy"), "ewald_max")
+    )
+    gsf = SF.gaussian_symm_full(m).groupBy("mp_id").agg(
+        _r6n(F.min("g2_80"), "g2_80_min"),
+        _r6n(F.stddev_pop("g4_p1"), "g4_p1_std"),
+    )
+    lpd = SF.local_property_differences(m, _LPD_ION_PROPS).groupBy("mp_id").agg(
+        _r6n(F.max("lpd_number"), "lpd_number_max"),
+        _r6n(F.max("lpd_mendeleev"), "lpd_mendeleev_max"),
+        _r6n(F.min("lpd_mendeleev"), "lpd_mendeleev_min"),
+        _r6n(F.max("lpd_atomicweight"), "lpd_atomicweight_max"),
+        _r6n(F.avg("lpd_atomicweight"), "lpd_atomicweight_mean"),
+        _r6n(F.avg("lpd_meltingt"), "lpd_meltingt_mean"),
+        _r6n(F.max("lpd_row"), "lpd_row_max"),
+        _r6n(F.min("lpd_en"), "lpd_en_min"),
+        _r6n(F.stddev_pop("lpd_nvalence"), "lpd_nvalence_std"),
+        _r6n(F.avg("lpd_nsunfilled"), "lpd_nsunfilled_mean"),
+        _r6n(F.max("lpd_ndunfilled"), "lpd_ndunfilled_max"),
+        _r6n(F.stddev_pop("lpd_ndunfilled"), "lpd_ndunfilled_std"),
+        _r6n(F.max("lpd_nunfilled"), "lpd_nunfilled_max"),
+        _r6n(F.min("lpd_nunfilled"), "lpd_nunfilled_min"),
+        _r6n(F.avg("lpd_nunfilled"), "lpd_nunfilled_mean"),
+        _r6n(F.stddev_pop("lpd_nunfilled"), "lpd_nunfilled_std"),
+        _r6n(F.max("lpd_gsvol"), "lpd_gsvol_max"),
+        _r6n(F.min("lpd_gsvol"), "lpd_gsvol_min"),
+        _r6n(F.max("lpd_sg"), "lpd_sg_max"),
+    )
+    out = (
+        staged.select("mp_id", "formula")
+        .join(comp, "mp_id")
+        .join(ao, "mp_id")
+        .join(dens, "mp_id")
+        .join(het, "mp_id")
+        .join(ops, "mp_id")
+        .join(vora, "mp_id")
+        .join(se, "mp_id")
+        .join(gsf, "mp_id")
+        .join(lpd, "mp_id")
+    )
+    return out.select("mp_id", "formula", *ION_COMP_ST_COLUMNS)
+
+
+def _ml12_oracle() -> str:
+    ep_r = C.sql_matminer_stats("m.formula", C.PERIOD, agg="m.agg")
+    ep_t = C.sql_matminer_stats("m.formula", THERMAL_CONDUCTIVITY, agg="m.agg")
+    ep_m = C.sql_matminer_stats("m.formula", MELTING_POINT, agg="m.agg")
+    comp_sel = ",\n           ".join(
+        [
+            _sql_r6n(ep_r["std"], "std_row"),
+            _sql_r6n(ep_t["mean"], "mean_thermcond"),
+            _sql_r6n(ep_m["std"], "std_melting"),
+            _sql_r6n(C.sql_tmetal_fraction("m.formula"), "tm_frac"),
+        ]
+    )
+    cos150 = repr(_COS150)
+    return f"""
+    WITH ao AS ({AO.sql_atomic_orbitals(_MAT)}),
+    staged AS (
+      SELECT mp_id, formula, {C.sql_agg_tok_counts('formula')} AS agg
+      FROM {_MAT}
+    ),
+    {_SITE_CTES},
+    {_sql_lpd_cte(_LPD_ION_PROPS)},
+    dens AS (
+      SELECT mp_id,
+             {_sql_r6n("SUM(" + _site_prop_case(C.ATOMIC_MASS, "el") + ") / ANY_VALUE(vol) * 1.66053906660", "density")},
+             {_sql_r6n("SUM(4.0 / 3.0 * pi() * pow(" + _site_prop_case(C.COVALENT_RADIUS, "el") + ", 3)) / ANY_VALUE(vol)", "packing_fraction")}
+      FROM (
+        SELECT s.mp_id, s.el, x.vol
+        FROM s JOIN (SELECT mp_id, structure.lattice.volume AS vol FROM {_MAT}) x
+          ON s.mp_id = x.mp_id
+      ) GROUP BY mp_id
+    ),
+    hv AS (
+      SELECT mp_id, std_vd / mean_vd AS v FROM vor
+    ),
+    hvm AS (SELECT mp_id, AVG(v) AS vm FROM hv GROUP BY mp_id),
+    het AS (
+      SELECT hv.mp_id, {_sql_r6n('ANY_VALUE(hvm.vm)', 'nbr_var_mean')},
+             {_sql_r6n('AVG(ABS(hv.v - hvm.vm))', 'nbr_var_avg_dev')}
+      FROM hv JOIN hvm ON hv.mp_id = hvm.mp_id GROUP BY hv.mp_id
+    ),
+    ops_m AS (
+      SELECT s0.mp_id,
+             {_sql_r6n('AVG((1.0 - nn2.cos_nn2) / 2.0)', 'linear_mean')},
+             {_sql_r6n(f'AVG(exp(-(nn2.cos_nn2 - {cos150}) * (nn2.cos_nn2 - {cos150}) / 0.1))', 'bent150_mean')}
+      FROM (SELECT DISTINCT mp_id FROM s) s0
+      LEFT JOIN nn2 ON nn2.mp_id = s0.mp_id
+      GROUP BY s0.mp_id
+    ),
+    ops3_m AS (
+      SELECT s0.mp_id, {_sql_r6n('AVG(nn3.planar3)', 'trig_planar_mean')}
+      FROM (SELECT DISTINCT mp_id FROM s) s0
+      LEFT JOIN nn3 ON nn3.mp_id = s0.mp_id
+      GROUP BY s0.mp_id
+    ),
+    q6_m AS (
+      SELECT s0.mp_id, {_sql_r6n('AVG(qs.q6)', 'q6_cn12_mean')}
+      FROM (SELECT DISTINCT mp_id FROM s) s0
+      LEFT JOIN qs ON qs.mp_id = s0.mp_id
+      GROUP BY s0.mp_id
+    ),
+    vora AS (
+      SELECT mp_id,
+             {_sql_r6n('AVG(' + _sql_cn_affinity('vor_cn', 1.0) + ')', 'sgl_bd_mean')},
+             {_sql_r6n('STDDEV_POP(' + _sql_cn_affinity('vor_cn', 5.0) + ')', 'pent_cn5_std')},
+             {_sql_r6n('MAX(' + _sql_cn_affinity('vor_cn', 6.0) + ')', 'oct_cn6_max')},
+             {_sql_r6n('STDDEV_POP(' + _sql_cn_affinity('vor_cn', 6.0) + ')', 'oct_cn6_std')},
+             {_sql_r6n('STDDEV_POP(' + _sql_cn_affinity('vor_cn', 4.0) + ')', 'sym_w4_std')},
+             {_sql_r6n('AVG(max_vd * max_vd * max_vd)', 'vol_max_mean')},
+             {_sql_r6n('AVG(std_inv2)', 'area_std_mean')},
+             {_sql_r6n('STDDEV_POP(1.0 / (max_vd * max_vd))', 'area_min_std')},
+             {_sql_r6n('MIN(1.0 / (min_vd * min_vd))', 'area_max_min')},
+             {_sql_r6n('AVG(std_vd)', 'dist_std_mean')}
+      FROM vor GROUP BY mp_id
+    ),
+    se_m AS (
+      SELECT mp_id, {_sql_r6n('MAX(e)', 'ewald_max')} FROM se GROUP BY mp_id
+    ),
+    gsf_m AS (
+      SELECT g2.mp_id, {_sql_r6n('MIN(g2.g2_80)', 'g2_80_min')},
+             {_sql_r6n('STDDEV_POP(g4full.g4_p1)', 'g4_p1_std')}
+      FROM g2 JOIN g4full ON g2.mp_id = g4full.mp_id AND g2.i = g4full.i
+      GROUP BY g2.mp_id
+    ),
+    lpd_m AS (
+      SELECT mp_id,
+             {_sql_r6n('MAX(lpd_number)', 'lpd_number_max')},
+             {_sql_r6n('MAX(lpd_mendeleev)', 'lpd_mendeleev_max')},
+             {_sql_r6n('MIN(lpd_mendeleev)', 'lpd_mendeleev_min')},
+             {_sql_r6n('MAX(lpd_atomicweight)', 'lpd_atomicweight_max')},
+             {_sql_r6n('AVG(lpd_atomicweight)', 'lpd_atomicweight_mean')},
+             {_sql_r6n('AVG(lpd_meltingt)', 'lpd_meltingt_mean')},
+             {_sql_r6n('MAX(lpd_row)', 'lpd_row_max')},
+             {_sql_r6n('MIN(lpd_en)', 'lpd_en_min')},
+             {_sql_r6n('STDDEV_POP(lpd_nvalence)', 'lpd_nvalence_std')},
+             {_sql_r6n('AVG(lpd_nsunfilled)', 'lpd_nsunfilled_mean')},
+             {_sql_r6n('MAX(lpd_ndunfilled)', 'lpd_ndunfilled_max')},
+             {_sql_r6n('STDDEV_POP(lpd_ndunfilled)', 'lpd_ndunfilled_std')},
+             {_sql_r6n('MAX(lpd_nunfilled)', 'lpd_nunfilled_max')},
+             {_sql_r6n('MIN(lpd_nunfilled)', 'lpd_nunfilled_min')},
+             {_sql_r6n('AVG(lpd_nunfilled)', 'lpd_nunfilled_mean')},
+             {_sql_r6n('STDDEV_POP(lpd_nunfilled)', 'lpd_nunfilled_std')},
+             {_sql_r6n('MAX(lpd_gsvol)', 'lpd_gsvol_max')},
+             {_sql_r6n('MIN(lpd_gsvol)', 'lpd_gsvol_min')},
+             {_sql_r6n('MAX(lpd_sg)', 'lpd_sg_max')}
+      FROM lpd GROUP BY mp_id
+    )
+    SELECT m.mp_id,
+           {comp_sel},
+           ao.gap_ao,
+           dens.density, dens.packing_fraction,
+           het.nbr_var_mean, het.nbr_var_avg_dev,
+           vora.sgl_bd_mean, ops_m.bent150_mean, ops_m.linear_mean,
+           ops3_m.trig_planar_mean, vora.pent_cn5_std,
+           vora.oct_cn6_max, vora.oct_cn6_std, q6_m.q6_cn12_mean,
+           se_m.ewald_max,
+           vora.sym_w4_std, vora.vol_max_mean, vora.area_std_mean,
+           vora.area_min_std, vora.area_max_min, vora.dist_std_mean,
+           gsf_m.g2_80_min, gsf_m.g4_p1_std,
+           lpd_m.lpd_number_max, lpd_m.lpd_mendeleev_max, lpd_m.lpd_mendeleev_min,
+           lpd_m.lpd_atomicweight_max, lpd_m.lpd_atomicweight_mean,
+           lpd_m.lpd_meltingt_mean, lpd_m.lpd_row_max, lpd_m.lpd_en_min,
+           lpd_m.lpd_nvalence_std, lpd_m.lpd_nsunfilled_mean,
+           lpd_m.lpd_ndunfilled_max, lpd_m.lpd_ndunfilled_std,
+           lpd_m.lpd_nunfilled_max, lpd_m.lpd_nunfilled_min,
+           lpd_m.lpd_nunfilled_mean, lpd_m.lpd_nunfilled_std,
+           lpd_m.lpd_gsvol_max, lpd_m.lpd_gsvol_min, lpd_m.lpd_sg_max
+    FROM staged m
+    JOIN ao ON m.mp_id = ao.mp_id
+    JOIN dens ON m.mp_id = dens.mp_id
+    JOIN het ON m.mp_id = het.mp_id
+    JOIN ops_m ON m.mp_id = ops_m.mp_id
+    JOIN ops3_m ON m.mp_id = ops3_m.mp_id
+    JOIN q6_m ON m.mp_id = q6_m.mp_id
+    JOIN vora ON m.mp_id = vora.mp_id
+    JOIN se_m ON m.mp_id = se_m.mp_id
+    JOIN gsf_m ON m.mp_id = gsf_m.mp_id
+    JOIN lpd_m ON m.mp_id = lpd_m.mp_id
+    """
+
+
+@register("ml12_ion_st_descriptors", oracle=_ml12_oracle())
+def ml12_ion_st_descriptors(spark, sf_dir):
+    """§2.11/§2.9: the reference's ion_comp_st 45-dim descriptor
+    (ml_prediction.py:230-276), reference slot order, every slot
+    value-hash-gated against the assembled DuckDB twin. Closes the
+    descriptor-assembly tier: all four reference descriptor vectors
+    (el/ion × comp/comp_st) now exist slot-for-slot."""
+    return ion_comp_st_descriptors(spark).drop("formula")
+
+
+# ---------------------------------------------------------------------------
+# ml13: score the corpus on the exact ion_comp_st descriptor set
+# ---------------------------------------------------------------------------
+
+_IONST_DESC_PARQUET = _os.path.join(_SCRATCH, "ref_ion_st_descriptors.parquet")
+_IONST_MODEL_DIR = _os.path.join(_SCRATCH, "models", "ref_ion_st_rf60")
+
+
+def materialized_ion_st_descriptors(spark):
+    if not _os.path.isdir(_IONST_DESC_PARQUET):
+        ion_comp_st_descriptors(spark).write.mode("overwrite").parquet(
+            _IONST_DESC_PARQUET
+        )
+    return spark.read.parquet(_IONST_DESC_PARQUET)
+
+
+def train_ion_st_reference(spark, num_trees: int = 60):
+    from pyspark.ml import Pipeline, PipelineModel
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import RandomForestRegressor
+
+    from oxi_diel_db_spark.ml import comp_model as CM
+    from oxi_diel_db_spark.ml.pipeline import scale_features_pop
+
+    labels = CM._labels(M.materials(spark)).select("mp_id", "label_ion")
+    feats = scale_features_pop(
+        materialized_ion_st_descriptors(spark).join(labels, "mp_id"),
+        ION_COMP_ST_COLUMNS,
+    ).dropna(subset=ION_COMP_ST_COLUMNS + ["label_ion"])
+    if _os.path.isdir(_IONST_MODEL_DIR):
+        return PipelineModel.load(_IONST_MODEL_DIR), feats
+    pipe = Pipeline(
+        stages=[
+            VectorAssembler(inputCols=ION_COMP_ST_COLUMNS, outputCol="features"),
+            RandomForestRegressor(
+                featuresCol="features",
+                labelCol="label_ion",
+                predictionCol="pred_log10",
+                numTrees=num_trees,
+                maxDepth=12,
+                seed=42,
+            ),
+        ]
+    )
+    model = pipe.fit(feats)
+    _os.makedirs(_os.path.dirname(_IONST_MODEL_DIR), exist_ok=True)
+    model.write().overwrite().save(_IONST_MODEL_DIR)
+    return model, feats
+
+
+@register("ml13_ion_st_reference_scoring", oracle=None)  # ML internals —
+# rows-only; golden parity gated in tests/test_reference_parity.py
+def ml13_ion_st_reference_scoring(spark, sf_dir):
+    """§2.11 reference-parity scoring, ion structural tier: RF over the
+    ion_comp_st 45-dim descriptor (ml12); corr vs the reference's
+    golden prediction_result_ion_comp_st.json gated in
+    tests/test_reference_parity.py. With ml7/ml9/ml11 this completes
+    reference-exact scoring for all four model configurations."""
+    model, feats = train_ion_st_reference(spark)
     return model.transform(feats).select(
         "mp_id", F.round("pred_log10", 6).alias("pred_log10")
     )

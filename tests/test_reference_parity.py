@@ -195,3 +195,46 @@ def test_ml11_golden_parity_el_comp_st(spark):
     )
     assert row["n"] >= 1240
     assert row["c"] > 0.98, row["c"]
+
+
+# ---------------------------------------------------------------------------
+# ion_comp_st (ml12/ml13)
+# ---------------------------------------------------------------------------
+
+
+def test_ion_st_descriptor_shape(spark):
+    d = RP.materialized_ion_st_descriptors(spark)
+    n_corpus = M.materials(spark).count()
+    assert d.count() == n_corpus
+    assert set(RP.ION_COMP_ST_COLUMNS) <= set(d.columns)
+    row = d.agg(
+        F.count(F.when(F.col("packing_fraction") <= 0, 1)).alias("bad_pf"),
+        # linear/bent OPs are bounded means of [0,1] quantities
+        F.count(F.when((F.col("linear_mean") < 0) | (F.col("linear_mean") > 1 + 1e-6), 1)).alias("bad_lin"),
+        F.count(F.when((F.col("trig_planar_mean") < 0) | (F.col("trig_planar_mean") > 1 + 1e-6), 1)).alias("bad_tp"),
+        # CN-affinity stats bounded by construction
+        F.count(F.when(F.col("oct_cn6_max") > 1 + 1e-6, 1)).alias("bad_oct"),
+    ).collect()[0]
+    assert row["bad_pf"] == 0
+    assert row["bad_lin"] == 0
+    assert row["bad_tp"] == 0
+    assert row["bad_oct"] == 0
+
+
+def test_ml13_golden_parity_ion_comp_st(spark):
+    """Parity gate, ion structural tier: corr >= 0.96 vs the golden
+    ion_comp_st predictions (measured 0.979 at 60 trees; the analog
+    model measured 0.970)."""
+    model, feats = RP.train_ion_st_reference(spark)
+    scored = model.transform(feats).select("mp_id", "pred_log10")
+    golden = M.predictions(spark).filter(F.col("model") == "ion_comp_st")
+    row = (
+        scored.join(golden, "mp_id")
+        .agg(
+            F.corr("pred_log10", "log10_eps").alias("c"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()[0]
+    )
+    assert row["n"] >= 1235
+    assert row["c"] > 0.96, row["c"]
