@@ -90,7 +90,6 @@ HEADLINE = [
     "q96_observed_metrics",
     "q93_prediction_stdout",
     "q97_group_by_all",
-    "q98_try_arithmetic",
     # round-7 additions
     "q99_observation_join",
     "t15_keyword_extraction",
@@ -105,9 +104,13 @@ HEADLINE = [
 # Queries whose FIRST run is dominated by one-time plan compilation
 # (measured + docstring-documented), not execution: one untimed warm
 # rep precedes the timed reps so the headline reflects execution cost
-# and round-over-round comparisons stay clean (r6 verdict ask #5 —
-# q98's 3.9 s was try-expression plan compile).
-WARM_PLAN = {"q98_try_arithmetic"}
+# and round-over-round comparisons stay clean (r6 verdict ask #5).
+# r7 re-measurement: q98's ~3 s recurs on EVERY invocation (per-row
+# caught-exception cost of try_cast on a mostly-failing string column
+# — execution, not compile), so a warm rep can't help; it moved to
+# SINGLES instead. The set stays for future genuinely-compile-bound
+# entries.
+WARM_PLAN: set = set()
 
 # Capstone/one-shot queries tracked OUTSIDE the min-of-N headline sum:
 # too expensive to rep (c2's CC loop, q90's Python-DataSource runner
@@ -116,6 +119,7 @@ WARM_PLAN = {"q98_try_arithmetic"}
 # to "value". r5 reference numbers (sf0.1): c2 17.7 s, p12 5.8 s,
 # q90 0.55 s warm (9.5 s cold includes one-time runner init).
 SINGLES = [
+    "q98_try_arithmetic",  # per-row caught-exception try_cast cost (see docstring)
     "st12_compaction_cycles",
     "st13_stream_left_outer_join",
     "q94_time_travel",
