@@ -106,11 +106,29 @@ def el_comp_descriptors(spark) -> "F.DataFrame":
     reference that column. Catalyst's CollapseProject declines to
     inline a non-cheap expression referenced this many times, so the
     tokenizer subtree appears once in the plan instead of ~170× —
-    plan compile dropped ~17 s → sub-second."""
+    plan compile dropped ~17 s → sub-second. The finished Column list
+    is memoized at module level: unresolved Column expression trees
+    are session-independent within a JVM, and rebuilding them costs
+    ~4-6 s of py4j round trips per invocation (r7 profiling — the
+    single largest line in the registry timing sweep)."""
     m = M.materials(spark)
     staged = m.select(
         "mp_id", "formula", C._agg_tok_counts("formula").alias("_agg")
     )
+    base = staged.select(*_el_comp_cols())
+    ao = AO.atomic_orbitals_features(m, spark).select(
+        "mp_id", "homo_energy", "lumo_energy", "gap_ao"
+    )
+    return base.join(ao, "mp_id")
+
+
+_EL_COLS_CACHE: list | None = None
+
+
+def _el_comp_cols() -> list:
+    global _EL_COLS_CACHE
+    if _EL_COLS_CACHE is not None:
+        return _EL_COLS_CACHE
     agg = F.col("_agg")
     cols = [F.col("mp_id"), F.col("formula")]
     # build each table's stat dict ONCE (construction cost: every
@@ -137,11 +155,8 @@ def el_comp_descriptors(spark) -> "F.DataFrame":
         cols.append(_r6n(ed[stat], name))
     cols.append(_r6n(C.band_center("formula"), "band_center"))
     cols.append(_r6n(C.oxi_state_std("formula", agg=agg), "std_oxi"))
-    base = staged.select(*cols)
-    ao = AO.atomic_orbitals_features(m, spark).select(
-        "mp_id", "homo_energy", "lumo_energy", "gap_ao"
-    )
-    return base.join(ao, "mp_id")
+    _EL_COLS_CACHE = cols
+    return cols
 
 
 def _ml6_oracle() -> str:
@@ -375,7 +390,8 @@ def ion_comp_descriptors(spark) -> "F.DataFrame":
     """(mp_id, formula, <42 descriptor columns>) — ml9 trains on this.
     Same two-stage staging discipline as el_comp (the shared _agg and
     the staged rbar keep Catalyst from inlining the tokenizer/radius
-    folds into every consumer)."""
+    folds into every consumer); column list memoized like
+    _el_comp_cols (py4j construction dominates otherwise)."""
     m = M.materials(spark)
     staged = m.select(
         "mp_id", "formula", C._agg_tok_counts("formula").alias("_agg")
@@ -384,6 +400,22 @@ def ion_comp_descriptors(spark) -> "F.DataFrame":
         "mp_id", "formula", "_agg",
         C.mean_radius(F.col("_agg")).alias("_rbar"),
     )
+    base = staged2.select(*_ion_comp_cols())
+    ao = AO.atomic_orbitals_features(m, spark).select(
+        "mp_id", "lumo_energy", "gap_ao"
+    )
+    out = base.join(ao, "mp_id").join(_ape_distances(spark, staged), "mp_id")
+    # reference slot order
+    return out.select("mp_id", "formula", *ION_COMP_COLUMNS)
+
+
+_ION_COLS_CACHE: list | None = None
+
+
+def _ion_comp_cols() -> list:
+    global _ION_COLS_CACHE
+    if _ION_COLS_CACHE is not None:
+        return _ION_COLS_CACHE
     agg = F.col("_agg")
     cols = [F.col("mp_id"), F.col("formula")]
     cols.append(_r6n(C.stoichiometry_pnorm("formula", 3), "norm3"))
@@ -411,17 +443,10 @@ def ion_comp_descriptors(spark) -> "F.DataFrame":
     cols.append(_r6n(C.oxi_state_range("formula", agg=agg), "range_oxi"))
     cols.append(_r6n(C.oxi_state_std("formula", agg=agg), "std_oxi"))
     ape = C.ape_stats(agg, F.col("_rbar"))
-    base = staged2.select(
-        *cols,
-        _r6n(ape["mean"], "ape_mean"),
-        _r6n(ape["mean_abs"], "ape_mean_abs"),
-    )
-    ao = AO.atomic_orbitals_features(m, spark).select(
-        "mp_id", "lumo_energy", "gap_ao"
-    )
-    out = base.join(ao, "mp_id").join(_ape_distances(spark, staged), "mp_id")
-    # reference slot order
-    return out.select("mp_id", "formula", *ION_COMP_COLUMNS)
+    cols.append(_r6n(ape["mean"], "ape_mean"))
+    cols.append(_r6n(ape["mean_abs"], "ape_mean_abs"))
+    _ION_COLS_CACHE = cols
+    return cols
 
 
 def _ml8_oracle() -> str:
