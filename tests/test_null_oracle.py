@@ -191,3 +191,52 @@ def test_gate_matches_under_null_text(spark, null_sf_dir, name):
 
     assert sorted(spark_cols) == sorted(duck_cols)
     assert _hash_rows(spark_cols, spark_rows) == _hash_rows(duck_cols, duck_rows)
+
+
+@pytest.fixture(scope="module")
+def null_userid_dir(spark, tmp_path_factory):
+    """sf0.001 events with NULL user_id induced on every 19th event —
+    the adversary for q99's point-in-time join key semantics:
+    NULL-key observations must keep their row with NULL features on
+    BOTH engines (SQL ASOF equality never matches NULL), and NULL-key
+    feature rows must never be carried onto anyone."""
+    from oxi_diel_db_spark import tables
+
+    out = str(tmp_path_factory.mktemp("nulluid_sf"))
+    ev = tables.load(spark, "events", "/root/testdata/sf0.001")
+    ev.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 19 == 0, F.lit(None)).otherwise(
+            F.col("user_id")
+        ),
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out, "events.parquet")
+    )
+    return out
+
+
+def test_q99_matches_under_null_user_id(spark, null_userid_dir):
+    import duckdb
+
+    qdef = load_registry()["q99_observation_join"]
+    sdf = qdef.build(spark, null_userid_dir)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{null_userid_dir}/events.parquet/*.parquet')"
+    )
+    res = con.execute(qdef.oracle)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols)
+    assert _hash_rows(spark_cols, spark_rows) == _hash_rows(duck_cols, duck_rows)
+    # the adversary must bite: NULL-key purchases exist and carry NULL
+    # features
+    i_uid = spark_cols.index("user_id")
+    i_view = spark_cols.index("prior_view_value")
+    nulls = [r for r in spark_rows if r[i_uid] is None]
+    assert nulls and all(r[i_view] is None for r in nulls)
