@@ -122,6 +122,7 @@ SINGLES = [
     "q98_try_arithmetic",  # per-row caught-exception try_cast cost (see docstring)
     "st12_compaction_cycles",
     "st13_stream_left_outer_join",
+    "st14_stream_decontamination",
     "q94_time_travel",
     "c3_hybrid_search",
     "c2_corpus_ledger",

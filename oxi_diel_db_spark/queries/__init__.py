@@ -101,6 +101,7 @@ _R7_PRIORITY = [
     "q99_observation_join",
     "t15_keyword_extraction",
     "dq9_schema_contract",
+    "st14_stream_decontamination",
     "q95_malformed_json",  # NULL-props contract fix (ADVICE r6) — regate
     "p13_curriculum_interleave",  # null-source precondition assert — regate
     "dq8_snapshot_diff",  # the r6 official failure, fixed this round

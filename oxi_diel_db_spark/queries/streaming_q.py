@@ -561,3 +561,41 @@ def q94_time_travel(spark, sf_dir):
             q.awaitTermination()
         ops.compact_rollup(spark, rollup, retain_history=True)
     return ops.read_rollup(spark, rollup, as_of=1)
+
+
+def _st14_oracle() -> str:
+    from oxi_diel_db_spark.operators import dedup as _dedup
+
+    train = "SELECT doc_id, text FROM documents WHERE doc_id % 23 <> 0"
+    bench = "SELECT doc_id, text FROM documents WHERE doc_id % 23 = 0"
+    return f"""
+    WITH {_dedup.sql_bloom_ctes(train, bench, n=3).strip()}
+    SELECT doc_id, n_ngrams, n_flagged, bloom_ratio FROM bloomed
+    """
+
+
+@register("st14_stream_decontamination", oracle=_st14_oracle())
+def st14_stream_decontamination(spark, sf_dir):
+    """Streaming benchmark decontamination — d10's Bloom probe applied
+    to an INGEST STREAM: the fixed 64 Kbit filter is built once from
+    the static benchmark side (batch groupBy/bit_or, bounded ≤1024-long
+    collect) and inlined as a literal; the documents stream then flows
+    through the purely STATELESS per-row probe (array n-grams → md5 →
+    k bit tests) into an append sink. This is the shape a continuous
+    training-data ingest pipeline wants: no streaming state at all —
+    the filter is a broadcast constant, each arriving document is
+    scored in isolation, and the drained sink equals the batch d10
+    result exactly (the hash gate proves streaming==batch for the
+    whole probe). At scale: filter rebuilds are a slow periodic batch
+    job; the stream never shuffles."""
+    from oxi_diel_db_spark.operators import dedup as _dedup
+
+    docs_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .parquet(f"{sf_dir}/documents.parquet*")
+        .filter(F.col("doc_id") % 23 != 0)
+    )
+    bench = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 23 == 0)
+    flagged = _dedup.bloom_decontaminate(stream, bench, "doc_id", "text", n=3)
+    return ops.run_stream_to_memory(flagged, spark, mode="append")
