@@ -1134,6 +1134,82 @@ def retrieval_probe(n_docs: int = 10_000_000) -> None:
     }))
 
 
+
+
+def pit_probe(n_m: float = 30) -> None:
+    """pit_enrich (q99) vs chained asof_join at feature-store scale:
+    one observation stream + THREE feature streams over the same keys.
+    The claim under test: the tagged-union recipe pays ONE key shuffle
+    total, while N chained as-of joins re-shuffle the (growing)
+    observation row N times — wall-clock should separate accordingly
+    as streams are added."""
+    from oxi_diel_db_spark.operators.asof import asof_join, pit_enrich
+    from oxi_diel_db_spark.session import get_spark
+
+    spark = get_spark("pit_probe")
+    n = int(n_m * 1_000_000)
+    base = spark.range(0, n).select(
+        F.col("id"),
+        F.pmod(F.hash("id", F.lit(7)), F.lit(200_000)).alias("k"),
+        F.timestamp_micros(
+            F.lit(1704067200000000) + F.col("id") * 1000
+        ).alias("ts"),
+        (F.pmod(F.hash("id", F.lit(2)), F.lit(100000)) / 100.0).alias("val"),
+    )
+    obs = base.filter(F.col("id") % 4 == 0).select(
+        F.col("id").alias("obs_id"), "k", "ts"
+    )
+    feats = [
+        (
+            base.filter(F.col("id") % 4 == m).select(
+                "k",
+                F.col("ts").alias(f"t{m}"),
+                F.col("val").alias(f"f{m}"),
+            ),
+            f"t{m}",
+            [f"f{m}"],
+        )
+        for m in (1, 2, 3)
+    ]
+    base.limit(5).collect()  # warmup
+    timings: dict[str, float] = {}
+
+    def force(df):
+        return df.agg(
+            F.count(F.lit(1)), F.count("f1"), F.count("f2"), F.count("f3")
+        ).collect()[0][0]
+
+    def run_pit():
+        return force(pit_enrich(obs, feats, on="k", probe_ts="ts"))
+
+    def run_chain():
+        c = obs
+        for bdf, bts, payload in feats:
+            c = asof_join(
+                c, bdf, on="k", probe_ts="ts", build_ts=bts, payload=payload
+            )
+        return force(c)
+
+    # min-of-2 AFTER one untimed warm rep per side: the first execution
+    # of either plan pays whole-stage-codegen JIT for the whole family
+    # and mis-attributes ~2x to whichever side runs first (measured)
+    run_pit(); run_chain()
+    best_pit, best_chain, n_pit, n_chain = 9e9, 9e9, 0, 0
+    for _ in range(2):
+        t0 = time.time(); n_pit = run_pit()
+        best_pit = min(best_pit, time.time() - t0)
+        t0 = time.time(); n_chain = run_chain()
+        best_chain = min(best_chain, time.time() - t0)
+    timings["pit_enrich_3_streams"] = round(best_pit, 2)
+    timings["chained_asof_x3"] = round(best_chain, 2)
+
+    print(json.dumps({
+        "metric": "pit_probe", "rows": n, "unit": "sec",
+        "timings": timings,
+        "counts": {"pit_rows": int(n_pit), "chained_rows": int(n_chain)},
+    }))
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "docs":
         docs_probe(int(float(sys.argv[2]) * 1000) if len(sys.argv) > 2 else 500_000)
@@ -1159,6 +1235,8 @@ if __name__ == "__main__":
         images_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 100)
     elif len(sys.argv) > 1 and sys.argv[1] == "ledger":
         ledger_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 100)
+    elif len(sys.argv) > 1 and sys.argv[1] == "pit":
+        pit_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 30)
     elif len(sys.argv) > 1 and sys.argv[1] == "retrieval":
         retrieval_probe(
             int(float(sys.argv[2]) * 1_000_000) if len(sys.argv) > 2 else 10_000_000
