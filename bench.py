@@ -58,6 +58,7 @@ HEADLINE = [
     "d11_span_dedup",
     "d13_neardup_curation",
     "d15_tfidf_cosine_pairs",
+    "d16_semantic_dedup",
     "s1_ann_brute_force",
     "s3_ann_ivf",
     "s4_pq_adc",

@@ -102,6 +102,7 @@ _R7_PRIORITY = [
     "t15_keyword_extraction",
     "dq9_schema_contract",
     "st14_stream_decontamination",
+    "d16_semantic_dedup",
     "q95_malformed_json",  # NULL-props contract fix (ADVICE r6) — regate
     "p13_curriculum_interleave",  # null-source precondition assert — regate
     "dq8_snapshot_diff",  # the r6 official failure, fixed this round

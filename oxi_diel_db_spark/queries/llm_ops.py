@@ -3603,3 +3603,83 @@ def t15_keyword_extraction(spark, sf_dir):
         "doc_id", "rank", F.col("word").alias("keyword"),
         F.round("score", 6).alias("score"),
     )
+
+
+@register(
+    "d16_semantic_dedup",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (
+      SELECT vec_id AS cent_id, v AS centv
+      FROM e ORDER BY md5('ivf42:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+    ),
+    assign AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, c.cent_id AS cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_SQL_COS.format(a='e.v', b='c.centv')} DESC, c.cent_id) AS crn
+        FROM e CROSS JOIN cents c) WHERE crn = 1
+    ),
+    near AS (
+      SELECT a.vec_id, a.cell,
+             CAST(SUM(CASE WHEN b.vec_id < a.vec_id
+                            AND {_SQL_COS.format(a='a.v', b='b.v')} + 0 >= 0.4
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_near
+      FROM assign a JOIN assign b
+        ON a.cell = b.cell AND a.vec_id <> b.vec_id
+      GROUP BY a.vec_id, a.cell
+    )
+    SELECT av.vec_id, av.cell,
+           COALESCE(n.n_near, 0) AS n_near,
+           CAST(CASE WHEN COALESCE(n.n_near, 0) = 0 THEN 1 ELSE 0 END AS INT) AS keep
+    FROM assign av LEFT JOIN near n ON av.vec_id = n.vec_id
+    """,
+)
+def d16_semantic_dedup(spark, sf_dir):
+    """SemDeDup-shape semantic deduplication (Abbas et al. 2023,
+    public): embeddings partition into IVF cells (the s3 deterministic
+    hash-seeded centroids — value-hash-checkable, unlike MLlib KMeans),
+    pairwise cosine runs WITHIN each cell only, and every vector whose
+    cell contains a smaller-id near-duplicate (cos >= 0.4) is marked
+    drop — keep-first semantics per semantic duplicate set. The scale
+    story IS the cell scoping: pairwise work falls from n² to ~n²/k
+    with cells shuffle-joined on the cell key, and at 100 TB
+    n_centroids grows with the corpus so per-cell membership stays
+    bounded (the same knob as s3). Documented recall trade: near-dup
+    pairs straddling a cell boundary are missed — SemDeDup's own
+    design point; multi-assign (nprobe>1 on the corpus side) buys
+    recall back at proportional cost."""
+    from oxi_diel_db_spark.operators.similarity import dot, ivf_index
+
+    emb = t(spark, sf_dir, "embeddings")
+    assigned, _cents = ivf_index(emb, n_centroids=16, seed=42)
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"), F.col("cv").alias("va"),
+        F.col("cn").alias("na"), "cell",
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"), F.col("cv").alias("vb"),
+        F.col("cn").alias("nb"), "cell",
+    )
+    cos = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6) + F.lit(0.0)
+    near = (
+        a.join(b, "cell")
+        .where(F.col("id_a") != F.col("id_b"))
+        .groupBy(F.col("id_a").alias("vec_id"), "cell")
+        .agg(
+            F.sum(
+                F.when((F.col("id_b") < F.col("id_a")) & (cos >= 0.4), 1).otherwise(0)
+            ).cast("bigint").alias("n_near")
+        )
+    )
+    return (
+        assigned.select("vec_id", "cell")
+        .join(near, ["vec_id", "cell"], "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce("n_near", F.lit(0)).alias("n_near"),
+            F.when(F.coalesce("n_near", F.lit(0)) == 0, 1).otherwise(0)
+            .cast("int").alias("keep"),
+        )
+    )

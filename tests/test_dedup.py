@@ -347,3 +347,46 @@ def test_incremental_lsh_is_asymmetric_and_consistent(spark, docs_df):
     }
     for (a, b), est in inc.items():
         assert full.get(tuple(sorted((a, b)))) == est, (a, b)
+
+
+def test_d16_keep_first_semantics(spark):
+    """d16: keep-first per semantic duplicate set — every dropped
+    vector has a KEPT smaller-id near-dup in its cell, and the kept
+    set contains no within-cell near-pair where the larger id
+    survived (no dup set keeps two members via the smaller-id rule's
+    transitivity direction)."""
+    import numpy as np
+
+    from oxi_diel_db_spark.queries import load_registry
+
+    rows = (
+        load_registry()["d16_semantic_dedup"]
+        .build(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=float)
+        for r in spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).collect()
+    }
+    cell = {r["vec_id"]: r["cell"] for r in rows}
+    keep = {r["vec_id"]: bool(r["keep"]) for r in rows}
+
+    def cos(a, b):
+        va, vb = emb[a], emb[b]
+        return round(float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))), 6)
+
+    dropped = [v for v, k in keep.items() if not k]
+    for v in dropped:
+        mates = [
+            u for u in cell
+            if cell[u] == cell[v] and u < v and cos(u, v) >= 0.4
+        ]
+        assert mates, f"{v} dropped with no smaller-id near-dup in cell"
+    # larger id of any within-cell near-pair must be dropped
+    ids = sorted(cell)
+    for i, u in enumerate(ids):
+        for v in ids[i + 1:]:
+            if cell[u] == cell[v] and cos(u, v) >= 0.4:
+                assert not keep[v], (u, v)
