@@ -94,6 +94,7 @@ HEADLINE = [
     # round-7 additions
     "q99_observation_join",
     "t15_keyword_extraction",
+    "t16_pii_scrub",
     "dq9_schema_contract",
     # materials domain
     "m04_born_trace_invariant",

@@ -103,6 +103,7 @@ _R7_PRIORITY = [
     "dq9_schema_contract",
     "st14_stream_decontamination",
     "d16_semantic_dedup",
+    "t16_pii_scrub",
     "q95_malformed_json",  # NULL-props contract fix (ADVICE r6) — regate
     "p13_curriculum_interleave",  # null-source precondition assert — regate
     "dq8_snapshot_diff",  # the r6 official failure, fixed this round

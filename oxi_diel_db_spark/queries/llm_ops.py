@@ -3683,3 +3683,84 @@ def d16_semantic_dedup(spark, sf_dir):
             .cast("int").alias("keep"),
         )
     )
+
+
+_PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PII_PHONE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "t16_pii_scrub",
+    oracle=f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             CASE
+               WHEN text IS NULL THEN NULL
+               WHEN doc_id % 7 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                 || '@example.com or ' || LPAD(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                 || '-555-' || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(COALESCE(len(regexp_extract_all(text, '{_PII_EMAIL}')), 0) AS BIGINT) AS n_emails,
+           CAST(COALESCE(len(regexp_extract_all(text, '{_PII_PHONE}')), 0) AS BIGINT) AS n_phones,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE md5(regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+                                        '{_PII_PHONE}', '[PHONE]', 'g')) END AS redacted_md5
+    FROM seeded
+    """,
+)
+def t16_pii_scrub(spark, sf_dir):
+    """PII detection + redaction — the scrub pass every training-data
+    pipeline runs before release: detect emails and phone numbers
+    (regex tier restricted to the Java/RE2 COMMON subset — no
+    backrefs/lookahead — so both engines compile the identical
+    patterns), count them per document, and emit the md5 of the
+    redacted text (placeholders [EMAIL]/[PHONE]) so the redaction
+    itself sits under the cross-engine value hash. The word-salad
+    fixture has no organic PII, so deterministic contacts are seeded
+    onto every 7th doc (the q95 injection convention) — the gate has
+    real positives and real redactions. NULL text stays NULL (counted
+    0). One scan, zero shuffles, pure codegen'd string expressions —
+    at 100 TB this rides whatever scan produced the corpus."""
+    d = t(spark, sf_dir, "documents")
+    seeded = d.select(
+        "doc_id",
+        F.when(F.col("text").isNull(), F.lit(None).cast("string"))
+        .when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or "),
+                F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                F.lit("-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _PII_EMAIL, "[EMAIL]"),
+        _PII_PHONE,
+        "[PHONE]",
+    )
+    # explicit NULL-text guard, NOT coalesce(size(...)): legacy-mode
+    # size(NULL) is -1 (not NULL), which sails straight past COALESCE
+    # while the oracle's len(NULL) is NULL -> 0 — found by the NULL
+    # matrix in this query's registering commit (the avgdl class)
+    return seeded.select(
+        "doc_id",
+        F.when(F.col("text").isNull(), F.lit(0))
+        .otherwise(F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_EMAIL), 0)))
+        .cast("bigint").alias("n_emails"),
+        F.when(F.col("text").isNull(), F.lit(0))
+        .otherwise(F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_PHONE), 0)))
+        .cast("bigint").alias("n_phones"),
+        F.when(F.col("text").isNull(), F.lit(None).cast("string"))
+        .otherwise(F.md5(redacted))
+        .alias("redacted_md5"),
+    )

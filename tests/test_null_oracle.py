@@ -30,6 +30,7 @@ GATES = [
     "p14_length_matching",
     # round-7 tokenizing queries
     "t15_keyword_extraction",
+    "t16_pii_scrub",
 ]
 
 
