@@ -81,12 +81,13 @@ def register(name: str, oracle: str | None = None):
 # never-officially-sampled residue (all locally hash-verified green in
 # two independent r6 sweeps), (d) 4 re-verifications whose behavior was
 # touched in r6 with values unchanged (t11 UDTF fold, q90 commit
-# protocol, m34 ANSI guard, st7 as_of read path), (e) 2 r7
+# protocol, m34 ANSI guard, st7 as_of read path), (e) 3 r7
 # behavior-touched re-verifications (st13 single-trigger replay, mm10
-# offset-walk decode; q90's r7 sink-protocol change rides its existing
-# slot). 37 slots; the 13-slot tail stays on the dedup/ANN/text core.
-# After this round the cumulative official coverage closes to 224/224
-# of the pre-r7 registry — zero never-sampled residue for the first
+# offset-walk decode, d15 df-window; q90's r7 sink-protocol change
+# rides its existing slot). 14 births + 3 regates + 23 residue + 7
+# re-verifications = 47 slots; the 3-slot tail stays on the dedup
+# core. After this round the cumulative official coverage closes the
+# ENTIRE pre-r7 registry — zero never-sampled residue for the first
 # time.
 _R7_PRIORITY = [
     # --- born/changed in round 7 ---
