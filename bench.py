@@ -87,6 +87,7 @@ HEADLINE = [
     "t13_vocab_stats",
     "t14_bm25_search",
     "p14_length_matching",
+    "p15_mixture_allocation",
     "q95_malformed_json",
     "q96_observed_metrics",
     "q93_prediction_stdout",

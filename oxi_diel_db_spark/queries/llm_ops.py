@@ -3764,3 +3764,112 @@ def t16_pii_scrub(spark, sf_dir):
         .otherwise(F.md5(redacted))
         .alias("redacted_md5"),
     )
+
+
+@register(
+    "p15_mixture_allocation",
+    oracle=r"""
+    WITH cap AS (
+      SELECT source,
+             CAST(SUM(COALESCE(len(list_filter(string_split_regex(text, '\s+'),
+                                               x -> x <> '')), 0)) AS BIGINT) AS cap
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, cap, sqrt(CAST(cap AS DOUBLE)) AS wt,
+             CAST(FLOOR(0.5 * SUM(cap) OVER ()) AS BIGINT) AS budget
+      FROM cap
+    ),
+    ordered AS (
+      SELECT *,
+             CAST(cap AS DOUBLE) / wt AS r,
+             COALESCE(SUM(cap) OVER (ORDER BY CAST(cap AS DOUBLE) / wt, source
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumcap_before,
+             SUM(wt) OVER (ORDER BY CAST(cap AS DOUBLE) / wt, source
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS sumw_from
+      FROM w
+    ),
+    marked AS (
+      SELECT *,
+             (budget - cumcap_before) / sumw_from AS rate_here,
+             CASE WHEN (budget - cumcap_before) / sumw_from >= r THEN 1 ELSE 0 END AS capped
+      FROM ordered
+    ),
+    rstar AS (
+      -- the water level is the FIRST uncapped row's rate (capped rows
+      -- form a prefix in r-order and rate_here strictly DEcreases once
+      -- uncapped — later uncapped rows' rates wrongly subtract caps the
+      -- prefix never spent and can go negative), i.e. MAX over uncapped
+      SELECT COALESCE(MAX(CASE WHEN capped = 0 THEN rate_here END), 0.0) AS rate
+      FROM marked
+    )
+    SELECT m.source, m.cap AS n_tokens,
+           ROUND(m.wt, 6) AS weight,
+           CAST(CASE WHEN m.capped = 1 THEN m.cap
+                     ELSE CAST(FLOOR(m.wt * rstar.rate) AS BIGINT) END AS BIGINT)
+             AS alloc_tokens,
+           m.capped
+    FROM marked m, rstar
+    """,
+)
+def p15_mixture_allocation(spark, sf_dir):
+    """Training-mixture token budgeting: allocate a global token
+    budget (here 50% of the corpus) across sources proportionally to
+    temperature-smoothed weights w = tokens^0.5 (the sqrt smoothing
+    every mixture recipe starts from), with WATER-FILLING caps — a
+    source can never be allocated more than it has; its surplus
+    redistributes to the uncapped sources. The classic sort-based
+    closed form replaces the iterative loop: order sources by
+    cap/weight ascending; the capped set is a prefix, and the first
+    UNCAPPED row's rate (budget minus capped capacity, per remaining
+    weight) is the water level. Everything is windows over O(sources)
+    rows — at 100 TB the only corpus-sized work is the per-source
+    token count, one map-side-combined aggregate."""
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents")
+    cap = docs.groupBy("source").agg(
+        F.sum(TX.ws_token_count("text")).cast("bigint").alias("cap")
+    )
+    w = cap.select(
+        "source", "cap",
+        F.sqrt(F.col("cap").cast("double")).alias("wt"),
+        F.floor(0.5 * F.sum("cap").over(W.partitionBy())).cast("bigint").alias("budget"),
+    )
+    r = F.col("cap").cast("double") / F.col("wt")
+    order = W.orderBy(r, "source")
+    ordered = w.select(
+        "*",
+        r.alias("r"),
+        F.coalesce(
+            F.sum("cap").over(order.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("cumcap_before"),
+        F.sum("wt").over(order.rowsBetween(W.currentRow, W.unboundedFollowing))
+        .alias("sumw_from"),
+    )
+    marked = ordered.select(
+        "*",
+        ((F.col("budget") - F.col("cumcap_before")) / F.col("sumw_from")).alias(
+            "rate_here"
+        ),
+    ).select(
+        "*",
+        F.when(F.col("rate_here") >= F.col("r"), 1).otherwise(0).alias("capped"),
+    )
+    # first uncapped row's rate == MAX over uncapped (see oracle note)
+    rate = marked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("capped") == 0, F.col("rate_here"))), F.lit(0.0)
+        ).alias("rate")
+    )
+    return marked.join(F.broadcast(rate)).select(
+        "source",
+        F.col("cap").alias("n_tokens"),
+        F.round("wt", 6).alias("weight"),
+        F.when(F.col("capped") == 1, F.col("cap"))
+        .otherwise(F.floor(F.col("wt") * F.col("rate")).cast("bigint"))
+        .cast("bigint")
+        .alias("alloc_tokens"),
+        "capped",
+    )

@@ -31,6 +31,7 @@ GATES = [
     # round-7 tokenizing queries
     "t15_keyword_extraction",
     "t16_pii_scrub",
+    "p15_mixture_allocation",
 ]
 
 

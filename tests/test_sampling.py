@@ -164,3 +164,24 @@ def test_three_way_split_proportions_and_stability(spark, sf_dir):
     again = {r["split"]: r["n"] for r in q(spark, sf_dir).groupBy("split").count()
              .withColumnRenamed("count", "n").collect()}
     assert again == counts
+
+
+def test_p15_budget_conservation(spark):
+    """p15: allocations never exceed availability, capped sources get
+    exactly their capacity, and the total allocation hits the budget
+    (50% of corpus tokens) within per-source floor-rounding slack."""
+    from oxi_diel_db_spark.queries import load_registry
+
+    rows = (
+        load_registry()["p15_mixture_allocation"]
+        .build(spark, "/root/testdata/sf0.01")
+        .collect()
+    )
+    total_tokens = sum(r["n_tokens"] for r in rows)
+    budget = total_tokens // 2
+    total_alloc = sum(r["alloc_tokens"] for r in rows)
+    for r in rows:
+        assert 0 <= r["alloc_tokens"] <= r["n_tokens"]
+        if r["capped"]:
+            assert r["alloc_tokens"] == r["n_tokens"]
+    assert budget - len(rows) <= total_alloc <= budget
