@@ -88,6 +88,7 @@ HEADLINE = [
     "t14_bm25_search",
     "p14_length_matching",
     "p15_mixture_allocation",
+    "t17_perplexity_filter",
     "q95_malformed_json",
     "q96_observed_metrics",
     "q93_prediction_stdout",

@@ -84,9 +84,8 @@ def register(name: str, oracle: str | None = None):
 # protocol, m34 ANSI guard, st7 as_of read path), (e) 3 r7
 # behavior-touched re-verifications (st13 single-trigger replay, mm10
 # offset-walk decode, d15 df-window; q90's r7 sink-protocol change
-# rides its existing slot). 15 births + 3 regates + 23 residue + 7
-# re-verifications = 48 slots; the 2-slot tail stays on the dedup
-# core. After this round the cumulative official coverage closes the
+# rides its existing slot). 16 births + 3 regates + 23 residue + 7
+# re-verifications = 49 slots; the 1-slot tail stays on d1. After this round the cumulative official coverage closes the
 # ENTIRE pre-r7 registry — zero never-sampled residue for the first
 # time.
 _R7_PRIORITY = [
@@ -106,6 +105,7 @@ _R7_PRIORITY = [
     "d16_semantic_dedup",
     "t16_pii_scrub",
     "p15_mixture_allocation",
+    "t17_perplexity_filter",
     "q95_malformed_json",  # NULL-props contract fix (ADVICE r6) — regate
     "p13_curriculum_interleave",  # null-source precondition assert — regate
     "dq8_snapshot_diff",  # the r6 official failure, fixed this round

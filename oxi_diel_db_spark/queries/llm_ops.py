@@ -3873,3 +3873,110 @@ def p15_mixture_allocation(spark, sf_dir):
         .alias("alloc_tokens"),
         "capped",
     )
+
+
+@register(
+    "t17_perplexity_filter",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(
+               translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                               'abcdefghijklmnopqrstuvwxyz'),
+               '[^a-z0-9]+'), x -> x <> '') AS words
+      FROM documents
+    ),
+    bi AS (
+      SELECT doc_id, words[i] AS w1, words[i + 1] AS w2
+      FROM w, UNNEST(range(1, greatest(len(words), 1))) AS t(i)
+      WHERE len(words) >= 2
+    ),
+    ref_bi AS (SELECT w1, w2 FROM bi WHERE doc_id % 31 = 0),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c FROM ref_bi GROUP BY 1, 2),
+    c1 AS (SELECT w1, COUNT(*) AS c FROM ref_bi GROUP BY 1),
+    vocab AS (
+      SELECT CAST(COUNT(DISTINCT x) AS DOUBLE) AS v
+      FROM (SELECT w1 AS x FROM ref_bi UNION SELECT w2 FROM ref_bi)
+    ),
+    scored AS (
+      SELECT b.doc_id,
+             -LOG2((COALESCE(c2.c, 0) + 1.0)
+                   / (COALESCE(c1.c, 0) + vocab.v)) AS nll,
+             1 AS n
+      FROM (SELECT * FROM bi WHERE doc_id % 31 <> 0) b
+      LEFT JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+      LEFT JOIN c1 ON b.w1 = c1.w1
+      CROSS JOIN vocab
+    )
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_bigrams,
+           ROUND(SUM(nll) / SUM(n), 6) AS bits_per_bigram,
+           CAST(CASE WHEN SUM(nll) / SUM(n) <= 5.0 THEN 1 ELSE 0 END AS INT) AS keep
+    FROM scored GROUP BY doc_id
+    """,
+)
+def t17_perplexity_filter(spark, sf_dir):
+    """LM-perplexity quality filtering (the CCNet/ROOTS recipe shape,
+    public): a word-bigram language model with add-one smoothing is
+    fit on a deterministic REFERENCE slice (every 31st doc), every
+    other document is scored by mean bits-per-bigram
+    −log2((c(w1,w2)+1)/(c(w1)+V)), and a fixed threshold (5.0 bits,
+    set inside the fixture's measured 4.5-5.5 range so the verdict
+    genuinely splits) yields the keep verdict — high perplexity against the reference distribution
+    is the gibberish/off-domain signal. Plan: the reference model is
+    two count tables keyed by bigram/unigram (shuffle-joined — at 100
+    TB the model tables are the t14-style posting shape, orders
+    smaller than the corpus), scoring is one join per table plus a
+    per-doc aggregate; nothing iterates. The smoothing guarantees a
+    finite score for unseen bigrams, so the filter degrades to
+    'unusual, not crash' on out-of-vocabulary text."""
+    d = t(spark, sf_dir, "documents")
+    words = d.select("doc_id", TX.norm_words("text").alias("words"))
+    bi = (
+        words.filter(F.size("words") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("words") - 1),
+                    lambda i: F.struct(
+                        F.element_at("words", i).alias("w1"),
+                        F.element_at("words", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    ref = bi.filter(F.col("doc_id") % 31 == 0).select("w1", "w2")
+    c2 = ref.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = ref.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        ref.select(F.col("w1").alias("x"))
+        .union(ref.select("w2"))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("double").alias("v"))
+    )
+    scored = (
+        bi.filter(F.col("doc_id") % 31 != 0)
+        .join(c2, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .join(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            (
+                -F.log2(
+                    (F.coalesce("c2", F.lit(0)) + F.lit(1.0))
+                    / (F.coalesce("c1", F.lit(0)) + F.col("v"))
+                )
+            ).alias("nll"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.round(F.sum("nll") / F.count(F.lit(1)), 6).alias("bits_per_bigram"),
+        F.when(F.sum("nll") / F.count(F.lit(1)) <= 5.0, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("keep"),
+    )

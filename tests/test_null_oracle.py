@@ -32,6 +32,7 @@ GATES = [
     "t15_keyword_extraction",
     "t16_pii_scrub",
     "p15_mixture_allocation",
+    "t17_perplexity_filter",
 ]
 
 
