@@ -93,6 +93,7 @@ HEADLINE = [
     "q96_observed_metrics",
     "q93_prediction_stdout",
     "q97_group_by_all",
+    "q100_grouped_agg_udaf",
     # round-7 additions
     "q99_observation_join",
     "t15_keyword_extraction",

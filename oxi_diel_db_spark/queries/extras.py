@@ -1569,3 +1569,60 @@ def q93_prediction_stdout(spark, sf_dir):
         ).alias("line"),
     )
     return l1.unionByName(l2)
+
+
+@register(
+    "q100_grouped_agg_udaf",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(EXP(AVG(LN(l_extendedprice))), 4) AS geo_mean_price,
+           ROUND(EXP(AVG(LN(CAST(l_quantity AS DOUBLE)))), 4) AS geo_mean_qty
+    FROM lineitem
+    WHERE l_extendedprice > 0 AND l_quantity > 0
+    GROUP BY l_returnflag
+    """,
+)
+def q100_grouped_agg_udaf(spark, sf_dir):
+    """§2.11 GROUPED_AGG pandas UDAF — the one pandas-UDF API shape the
+    registry had not yet exercised (scalar pandas_udf: F3; grouped-map
+    applyInPandas: p5; mapInPandas: site kernels; UDTF: m19/t11). A
+    true vectorized aggregate: the UDAF receives each group's column
+    as ONE Arrow-backed pandas Series and returns a scalar — here the
+    geometric mean via exp(mean(log)), numerically the float shape the
+    DuckDB twin replays as EXP(AVG(LN(x))). Partial aggregation still
+    applies upstream (the filter and column pruning push down; only
+    group columns shuffle) — but note the honest caveat: GROUPED_AGG
+    UDAFs do NOT get map-side combine (each group's full series
+    crosses the shuffle), which is why the built-in expression form is
+    preferred at 100 TB and this entry exists as API-surface coverage
+    with a 4-dp round absorbing pandas' different summation order."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: the module's `from __future__ import
+    # annotations` stringifies type hints, so the inferred-signature
+    # form cannot see pd.Series -> float
+    def _geo_mean(v):
+        import numpy as np
+
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    geo_mean = pandas_udf(_geo_mean, "double", PandasUDFType.GROUPED_AGG)
+
+    def _n(v):
+        return len(v)
+
+    # GROUPED_AGG UDAFs cannot mix with JVM aggregates in one agg()
+    # (INVALID_PANDAS_UDF_PLACEMENT) — so the count is a UDAF too
+    n_udaf = pandas_udf(_n, "long", PandasUDFType.GROUPED_AGG)
+
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_extendedprice") > 0) & (F.col("l_quantity") > 0)
+    )
+    return l.groupBy("l_returnflag").agg(
+        n_udaf("l_orderkey").alias("n"),
+        F.round(geo_mean("l_extendedprice"), 4).alias("geo_mean_price"),
+        F.round(geo_mean(F.col("l_quantity").cast("double")), 4).alias(
+            "geo_mean_qty"
+        ),
+    )
