@@ -99,6 +99,8 @@ HEADLINE = [
     "t15_keyword_extraction",
     "t16_pii_scrub",
     "dq9_schema_contract",
+    "q101_recursive_cte",
+    "q102_lateral_topk",
     # materials domain
     "m04_born_trace_invariant",
     "m11_site_explode_agg",

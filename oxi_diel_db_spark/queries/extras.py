@@ -1626,3 +1626,131 @@ def q100_grouped_agg_udaf(spark, sf_dir):
             "geo_mean_qty"
         ),
     )
+
+
+_Q101_WALK = """
+    e AS (SELECT src, dst FROM eu UNION SELECT dst, src FROM eu),
+    srcs AS (SELECT DISTINCT src AS node FROM e WHERE src % 5 = 0),
+    walk(node, dist) AS (
+      SELECT node, 0 FROM srcs
+      UNION ALL
+      SELECT e.dst, w.dist + 1
+      FROM walk w JOIN e ON e.src = w.node
+      WHERE w.dist < 3
+    )
+    SELECT node AS user_id, CAST(MIN(dist) AS INT) AS dist
+    FROM walk GROUP BY node
+"""
+
+
+@register(
+    "q101_recursive_cte",
+    oracle=f"""
+    WITH RECURSIVE eu AS (
+      SELECT ua AS src, ub AS dst FROM (
+        SELECT a.user_id AS ua, b.user_id AS ub, COUNT(*) AS shared
+        FROM (SELECT DISTINCT user_id,
+                     CAST(REGEXP_EXTRACT(props, '"k":\\s*(-?\\d+)', 1) AS INTEGER) AS k
+              FROM events WHERE event_type = 'purchase') a
+        JOIN (SELECT DISTINCT user_id,
+                     CAST(REGEXP_EXTRACT(props, '"k":\\s*(-?\\d+)', 1) AS INTEGER) AS k
+              FROM events WHERE event_type = 'purchase') b
+          ON a.k = b.k AND a.user_id < b.user_id
+        GROUP BY 1, 2
+      ) WHERE shared >= 4
+    ),
+    {_Q101_WALK}
+    """,
+)
+def q101_recursive_cte(spark, sf_dir):
+    """Spark 4 native ``WITH RECURSIVE`` (SPARK-24497): the SAME
+    multi-source 3-hop BFS as g4_bfs_distances, but executed by
+    Spark's own recursive-CTE operator instead of the hand-rolled
+    frontier-only DataFrame loop in operators/graph.bfs_distances —
+    a three-way cross-check (native recursive SQL vs DataFrame
+    iteration vs the DuckDB recursive oracle) of an iterative
+    traversal under the full value-hash gate. Spark supports only
+    UNION ALL in the recursive member (UNION_NOT_SUPPORTED_IN_
+    RECURSIVE_CTE), so the walk is bounded by ``dist < 3`` and the
+    final MIN(dist) GROUP BY collapses multi-path multiplicity; the
+    oracle replays the identical UNION ALL form. Scale posture: the
+    native operator re-shuffles the full accumulated result each
+    step and cannot prune already-visited nodes (UNION ALL only), so
+    g4's frontier-pruned loop with localCheckpoint remains the
+    100 TB path — this entry is the engine-surface twin, kept
+    hop-bounded for exactly that reason."""
+    t(spark, sf_dir, "events").createOrReplaceTempView("events_q101")
+    return spark.sql(
+        f"""
+        WITH RECURSIVE eu AS (
+          SELECT ua AS src, ub AS dst FROM (
+            SELECT a.user_id AS ua, b.user_id AS ub, COUNT(*) AS shared
+            FROM (SELECT DISTINCT user_id,
+                         CAST(get_json_object(props, '$.k') AS INT) AS k
+                  FROM events_q101 WHERE event_type = 'purchase') a
+            JOIN (SELECT DISTINCT user_id,
+                         CAST(get_json_object(props, '$.k') AS INT) AS k
+                  FROM events_q101 WHERE event_type = 'purchase') b
+              ON a.k = b.k AND a.user_id < b.user_id
+            GROUP BY 1, 2
+          ) WHERE shared >= 4
+        ),
+        {_Q101_WALK}
+        """
+    )
+
+
+@register(
+    "q102_lateral_topk",
+    oracle="""
+    SELECT c.c_custkey,
+           l.o_orderkey,
+           CAST(l.o_orderdate AS DATE) AS o_orderdate,
+           ROUND(l.o_totalprice, 2) AS o_totalprice
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey, o_orderdate, o_totalprice
+      FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o.o_orderdate DESC, o.o_orderkey
+      LIMIT 3
+    ) l
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+)
+def q102_lateral_topk(spark, sf_dir):
+    """Correlated LATERAL subquery with a BARE per-row
+    ORDER BY ... LIMIT — no window function in the subquery at all
+    (q91 is the lateral-with-explicit-ROW_NUMBER form; here Catalyst
+    must SYNTHESIZE the rank itself). The "3 most recent orders per
+    BUILDING customer" shape users otherwise write with a window +
+    rank filter (q06). Spark decorrelates the lateral subquery into
+    a ranked join
+    (DecorrelateInnerQuery rewrites the per-row LIMIT as a
+    partitioned row_number filter), so the physical plan is the same
+    single hash-partitioned shuffle as W4 top-N per group — with
+    WindowGroupLimit doing map-side top-3 pruning BEFORE the
+    exchange, and the filtered customer side broadcast. No
+    nested-loop re-execution per outer row (plan-asserted in
+    tests/test_plans.py), which is what makes the construct safe at
+    100 TB. Ties broken deterministically by o_orderkey so both
+    engines pick identical rows."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer_q102")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_q102")
+    return spark.sql(
+        """
+        SELECT c.c_custkey,
+               l.o_orderkey,
+               CAST(l.o_orderdate AS DATE) AS o_orderdate,
+               ROUND(l.o_totalprice, 2) AS o_totalprice
+        FROM customer_q102 c,
+        LATERAL (
+          SELECT o_orderkey, o_orderdate, o_totalprice
+          FROM orders_q102 o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o.o_orderdate DESC, o.o_orderkey
+          LIMIT 3
+        ) l
+        WHERE c.c_mktsegment = 'BUILDING'
+        """
+    )

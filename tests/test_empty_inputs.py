@@ -56,6 +56,8 @@ REPRESENTATIVE = [
     "q99_observation_join",  # pit_enrich with zero observations+features
     "t15_keyword_extraction",  # tf-idf over an empty corpus
     "dq9_schema_contract",   # contract verdicts on a zero-row drop
+    "q101_recursive_cte",    # native recursion with an empty seed set
+    "q102_lateral_topk",     # bare-LIMIT lateral over empty outer+inner
 ]
 
 

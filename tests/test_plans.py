@@ -290,3 +290,24 @@ def test_t14_postings_filter_before_aggregate(spark):
     bj = plan.index("BroadcastHashJoin")
     agg = plan.index("HashAggregate")
     assert agg < bj  # formatted plans list consumers before producers
+
+
+def test_q101_recursive_cte_runs_natively(spark):
+    """Spark 4's WITH RECURSIVE must resolve to the native
+    UnionLoop recursion operator (not fail analysis), bounded by the
+    dist < 3 guard. Plan-level check only — value parity is the
+    oracle gate."""
+    plan = plan_of(spark, "q101_recursive_cte")
+    assert "UnionLoop" in plan or "Recursion" in plan or "CTE" in plan
+
+
+def test_q102_bare_limit_lateral_decorrelates(spark):
+    """The window-free ORDER BY ... LIMIT lateral must decorrelate
+    into a synthesized ranked window with map-side WindowGroupLimit
+    pruning and a broadcast of the filtered customer side — never a
+    nested-loop/cartesian per-row re-execution."""
+    plan = plan_of(spark, "q102_lateral_topk")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
