@@ -101,6 +101,8 @@ HEADLINE = [
     "dq9_schema_contract",
     "q101_recursive_cte",
     "q102_lateral_topk",
+    "q103_sql_functions",
+    "q104_parameterized_sql",
     # materials domain
     "m04_born_trace_invariant",
     "m11_site_explode_agg",

@@ -1754,3 +1754,100 @@ def q102_lateral_topk(spark, sf_dir):
         WHERE c.c_mktsegment = 'BUILDING'
         """
     )
+
+
+@register(
+    "q103_sql_functions",
+    oracle="""
+    SELECT tier,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100.0
+             AS total_value
+    FROM (
+      SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                  WHEN o_totalprice < 200000 THEN 'mid'
+                  ELSE 'large' END AS tier,
+             o_totalprice
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+    ) GROUP BY tier
+    """,
+)
+def q103_sql_functions(spark, sf_dir):
+    """Spark 4 SQL-defined functions (SPARK-46246): a scalar
+    ``CREATE TEMPORARY FUNCTION ... RETURNS STRING RETURN CASE ...``
+    and a table function ``RETURNS TABLE(...) RETURN SELECT ...`` —
+    the catalog-level reusable-logic surface (DuckDB's MACRO, Trino's
+    SQL routines). Both are inlined into the plan at analysis time
+    (the CASE folds into the projection, the table function's WHERE
+    pushes down to the parquet scan like any view), so unlike Python
+    UDFs they cost nothing at 100 TB — which is exactly why a user
+    should reach for them first. The oracle replays the inlined
+    expressions directly; money sums go through exact cent-BIGINTs
+    per the _util convention."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_q103")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION order_tier_q103(p DOUBLE)
+        RETURNS STRING
+        RETURN CASE WHEN p < 50000 THEN 'small'
+                    WHEN p < 200000 THEN 'mid'
+                    ELSE 'large' END
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION orders_since_q103(cut TIMESTAMP)
+        RETURNS TABLE (o_totalprice DOUBLE)
+        RETURN SELECT o_totalprice FROM orders_q103 WHERE o_orderdate >= cut
+        """
+    )
+    return spark.sql(
+        """
+        SELECT order_tier_q103(o_totalprice) AS tier,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100.0
+                 AS DOUBLE) AS total_value
+        FROM orders_since_q103(TIMESTAMP '1999-01-01')
+        GROUP BY order_tier_q103(o_totalprice)
+        """
+    )
+
+
+@register(
+    "q104_parameterized_sql",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100.0
+             AS total_value
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def q104_parameterized_sql(spark, sf_dir):
+    """Named-parameter ``spark.sql(sql, args=...)`` with an
+    ``IDENTIFIER(:tbl)`` table reference — the injection-safe dynamic
+    SQL surface (parameters bind as typed literals, never string
+    splicing; IDENTIFIER restricts the binding to a name, so a value
+    like ``'orders; DROP ...'`` cannot parse as SQL). Parameter
+    markers are resolved before optimization, so the bound cutoff
+    still reaches the parquet scan as a pushed filter and the
+    IDENTIFIER resolves through the normal catalog path — dynamic SQL
+    without giving up Catalyst. The oracle replays the same query
+    with the constants inlined."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_q104")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100.0
+                 AS DOUBLE) AS total_value
+        FROM IDENTIFIER(:tbl)
+        WHERE o_orderdate >= CAST(:cutoff AS TIMESTAMP)
+          AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"tbl": "orders_q104", "cutoff": "1998-01-01", "status": "O"},
+    )

@@ -58,6 +58,8 @@ REPRESENTATIVE = [
     "dq9_schema_contract",   # contract verdicts on a zero-row drop
     "q101_recursive_cte",    # native recursion with an empty seed set
     "q102_lateral_topk",     # bare-LIMIT lateral over empty outer+inner
+    "q103_sql_functions",    # SQL UDF + table function over no orders
+    "q104_parameterized_sql",  # bound params against an empty table
 ]
 
 
