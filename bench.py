@@ -103,6 +103,7 @@ HEADLINE = [
     "q102_lateral_topk",
     "q103_sql_functions",
     "q104_parameterized_sql",
+    "dq10_ks_drift",
     # materials domain
     "m04_born_trace_invariant",
     "m11_site_explode_agg",

@@ -673,3 +673,125 @@ def dq9_schema_contract(spark, sf_dir):
         F.col("n_violations").cast("bigint").alias("n_violations"),
     )
     return schema_rules.unionByName(data_rules)
+
+
+@register(
+    "dq10_ks_drift",
+    oracle="""
+    WITH v AS (
+      SELECT value,
+             SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS n_ref,
+             SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS n_cur
+      FROM events GROUP BY value
+    ), tot AS (
+      SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+             CAST(SUM(n_cur) AS BIGINT) AS t_cur
+      FROM v
+    ), c AS (
+      SELECT value,
+             SUM(n_ref) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_ref,
+             SUM(n_cur) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cur
+      FROM v
+    ), d AS (
+      SELECT value,
+             ABS(CAST(cum_ref AS DOUBLE) / CAST(t_ref AS DOUBLE)
+               - CAST(cum_cur AS DOUBLE) / CAST(t_cur AS DOUBLE)) AS dd,
+             t_ref, t_cur,
+             1.358 * SQRT(CAST(t_ref + t_cur AS DOUBLE)
+                          / (CAST(t_ref AS DOUBLE) * CAST(t_cur AS DOUBLE)))
+               AS crit
+      FROM c, tot
+    )
+    SELECT t_ref AS n_ref, t_cur AS n_cur,
+           ROUND(dd, 6) + 0 AS ks_d,
+           value AS ks_at,
+           ROUND(crit, 6) + 0 AS crit_05,
+           CAST(ROUND(dd, 6) > ROUND(crit, 6) AS INT) AS drifted
+    FROM d
+    ORDER BY dd DESC, value ASC
+    LIMIT 1
+    """,
+)
+def dq10_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov drift test (even vs odd event_id
+    halves of events.value, same split as dq2's PSI): D = max |F_ref -
+    F_cur| over the pooled distinct values, plus the 5%-level critical
+    value 1.358·sqrt((n+m)/(n·m)) and the verdict — the classical,
+    binning-free complement to dq2 (PSI needs bin choices; KS does
+    not). EXACT at scale without a global window: the empirical CDFs
+    are integer prefix sums computed with the bucketed two-pass from
+    operators/sampling (equal-width value buckets are a monotone
+    prefix of the sort key → per-bucket totals → exclusive offsets
+    over ≤64 aggregate rows → within-bucket cumsum), bit-identical to
+    the oracle's naive ORDER BY window at any parallelism. The argmax
+    row comes off a top-1 TakeOrdered, never a global sort. Integer
+    cumulative counts make the CDFs exact, so the max position and
+    tie-break (smallest value) agree across engines at full double
+    precision."""
+    B = 64
+    ev = t(spark, sf_dir, "events")
+    v = ev.groupBy("value").agg(
+        F.sum(F.when(F.col("event_id") % 2 == 0, 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("event_id") % 2 == 1, 1).otherwise(0)).alias("n_cur"),
+    )
+    bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    v = v.crossJoin(F.broadcast(bounds)).withColumn(
+        "__b",
+        F.coalesce(
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / B)
+                ).cast("int"),
+                F.lit(B - 1),
+            ),
+            F.lit(0),
+        ),
+    )
+    w_off = W.orderBy("__b").rowsBetween(W.unboundedPreceding, -1)
+    off = v.groupBy("__b").agg(
+        F.sum("n_ref").alias("br"), F.sum("n_cur").alias("bc")
+    ).select(
+        "__b",
+        F.coalesce(F.sum("br").over(w_off), F.lit(0)).alias("offr"),
+        F.coalesce(F.sum("bc").over(w_off), F.lit(0)).alias("offc"),
+    )
+    w_cum = W.partitionBy("__b").orderBy("value").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    c = v.join(F.broadcast(off), "__b").select(
+        "value",
+        (F.sum("n_ref").over(w_cum) + F.col("offr")).alias("cum_ref"),
+        (F.sum("n_cur").over(w_cum) + F.col("offc")).alias("cum_cur"),
+    )
+    tot = v.agg(
+        F.sum("n_ref").cast("bigint").alias("t_ref"),
+        F.sum("n_cur").cast("bigint").alias("t_cur"),
+    )
+    crit = 1.358 * F.sqrt(
+        (F.col("t_ref") + F.col("t_cur")).cast("double")
+        / (F.col("t_ref").cast("double") * F.col("t_cur").cast("double"))
+    )
+    d = c.crossJoin(F.broadcast(tot)).select(
+        "value",
+        "t_ref",
+        "t_cur",
+        F.abs(
+            F.col("cum_ref").cast("double") / F.col("t_ref").cast("double")
+            - F.col("cum_cur").cast("double") / F.col("t_cur").cast("double")
+        ).alias("dd"),
+        crit.alias("crit"),
+    )
+    top = d.orderBy(F.col("dd").desc(), F.col("value").asc()).limit(1)
+    return top.select(
+        F.col("t_ref").alias("n_ref"),
+        F.col("t_cur").alias("n_cur"),
+        r6(F.col("dd"), "ks_d"),
+        F.col("value").alias("ks_at"),
+        r6(F.col("crit"), "crit_05"),
+        (F.round(F.col("dd"), 6) > F.round(F.col("crit"), 6))
+        .cast("int")
+        .alias("drifted"),
+    )

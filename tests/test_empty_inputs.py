@@ -60,6 +60,7 @@ REPRESENTATIVE = [
     "q102_lateral_topk",     # bare-LIMIT lateral over empty outer+inner
     "q103_sql_functions",    # SQL UDF + table function over no orders
     "q104_parameterized_sql",  # bound params against an empty table
+    "dq10_ks_drift",         # KS over two empty samples
 ]
 
 

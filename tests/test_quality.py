@@ -304,3 +304,37 @@ def test_dq9_flags_violations_cross_engine(spark, tmp_path):
     )
     duck = {r[0]: (r[1], r[2]) for r in con.execute(qdef.oracle).fetchall()}
     assert duck == got
+
+
+def test_dq10_ks_matches_numpy(spark):
+    """The bucketed two-pass CDF must reproduce the textbook two-sample
+    KS statistic: numpy computes D = max |F_ref - F_cur| naively over
+    the same even/odd split of sf0.001 events.value."""
+    import numpy as np
+
+    from oxi_diel_db_spark.queries import load_registry
+    from oxi_diel_db_spark.queries._util import t
+
+    row = (
+        load_registry()["dq10_ks_drift"]
+        .build(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    pdf = (
+        t(spark, "/root/testdata/sf0.001", "events")
+        .select("event_id", "value")
+        .toPandas()
+    )
+    ref = np.sort(pdf.loc[pdf.event_id % 2 == 0, "value"].to_numpy())
+    cur = np.sort(pdf.loc[pdf.event_id % 2 == 1, "value"].to_numpy())
+    pooled = np.unique(np.concatenate([ref, cur]))
+    f_ref = np.searchsorted(ref, pooled, side="right") / len(ref)
+    f_cur = np.searchsorted(cur, pooled, side="right") / len(cur)
+    d = np.abs(f_ref - f_cur)
+    assert row["n_ref"] == len(ref) and row["n_cur"] == len(cur)
+    assert abs(row["ks_d"] - d.max()) < 1e-6
+    # argmax with smallest-value tie-break
+    assert row["ks_at"] == pooled[np.argmax(d)]
+    crit = 1.358 * np.sqrt((len(ref) + len(cur)) / (len(ref) * len(cur)))
+    assert abs(row["crit_05"] - crit) < 1e-6
+    assert row["drifted"] == int(round(d.max(), 6) > round(crit, 6))
