@@ -104,6 +104,7 @@ HEADLINE = [
     "q103_sql_functions",
     "q104_parameterized_sql",
     "dq10_ks_drift",
+    "ml14_pca_covariance",
     # materials domain
     "m04_born_trace_invariant",
     "m11_site_explode_agg",

@@ -1851,3 +1851,124 @@ def q104_parameterized_sql(spark, sf_dir):
         """,
         args={"tbl": "orders_q104", "cutoff": "1998-01-01", "status": "O"},
     )
+
+
+@register(
+    "ml14_pca_covariance",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id,
+             GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS i,
+             UNNEST(CAST(embedding AS DOUBLE[])) AS xi
+      FROM embeddings
+    )
+    SELECT CAST(a.i AS INT) AS i, CAST(b.i AS INT) AS j,
+           ROUND(COVAR_POP(a.xi, b.xi), 6) + 0 AS cov
+    FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY 1, 2
+    """,
+)
+def ml14_pca_covariance(spark, sf_dir):
+    """Distributed covariance matrix of the 64-dim embedding column —
+    the data-parallel half of PCA (ml15 eigendecomposes the result).
+    Scale shape: mapInPandas accumulates ONE d x d partial outer
+    product per partition in numpy (Arrow-batched, X^T X per batch),
+    so the shuffle carries P x d(d+1)/2 partial rows — never the
+    n x d^2 explosion of a pairwise self-join — and per-dim sums ride
+    a posexplode aggregate (n x d rows). cov = E[xy] - E[x]E[y] from
+    exact counts; the oracle's COVAR_POP accumulates in a different
+    order, so both sides round to 6 dp (FP noise ~1e-12, five orders
+    below the step). Upper triangle only (i <= j): 2,080 gate rows at
+    d=64."""
+    import numpy as np
+    import pandas as pd
+
+    from oxi_diel_db_spark.functions.vectors import as_double
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        as_double("embedding").alias("e")
+    )
+    d = 64
+
+    def _partials(it):
+        ss = np.zeros((d, d))
+        n = 0
+        for pdf in it:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+            ss += m.T @ m
+            n += len(m)
+        if n == 0:
+            return
+        iu, ju = np.triu_indices(d)
+        yield pd.DataFrame(
+            {"i": iu.astype("int32"), "j": ju.astype("int32"),
+             "ss": ss[iu, ju], "pn": np.full(len(iu), n, dtype="int64")}
+        )
+
+    parts = emb.mapInPandas(_partials, "i int, j int, ss double, pn bigint")
+    ss = parts.groupBy("i", "j").agg(F.sum("ss").alias("sxy"))
+    # pn repeats per (i,j) within a partition's frame: count it once
+    # via the (0,0) row of each partition
+    n_total = parts.filter((F.col("i") == 0) & (F.col("j") == 0)).agg(
+        F.sum("pn").alias("n")
+    )
+    sums = (
+        emb.select(F.posexplode("e").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.sum("x").alias("sx"))
+    )
+    si = sums.select(F.col("i").alias("i"), F.col("sx").alias("s_i"))
+    sj = sums.select(F.col("i").alias("j"), F.col("sx").alias("s_j"))
+    return (
+        ss.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "i",
+            "j",
+            r6(
+                F.col("sxy") / F.col("n")
+                - (F.col("s_i") / F.col("n")) * (F.col("s_j") / F.col("n")),
+                "cov",
+            ),
+        )
+    )
+
+
+@register("ml15_pca_explained", oracle=None)  # eigendecomposition — rows-only
+def ml15_pca_explained(spark, sf_dir):
+    """PCA spectrum of the embedding corpus: eigendecompose the d x d
+    covariance from ml14's distributed pass (collect is d(d+1)/2 =
+    2,080 rows — bounded by DIMENSION, not data, the same honest-valve
+    shape as the IVF/PQ index builds in operators/similarity) and emit
+    the top-8 components' eigenvalue, explained-variance ratio, and
+    cumulative ratio. numpy.linalg.eigh on the symmetric matrix is
+    deterministic; no SQL engine can replay it, so this is rows-only
+    with a direct numpy parity test (tests/test_ml.py) — the m10/m34
+    eigvals pattern. At 100 TB the covariance pass is the only part
+    that touches the data; the eigh stays O(d^3) on the driver."""
+    import numpy as np
+
+    rows = ml14_pca_covariance(spark, sf_dir).collect()
+    if not rows:
+        return spark.createDataFrame(
+            [], "component int, eigenvalue double, explained double, cumulative double"
+        )
+    d = 64
+    cov = np.zeros((d, d))
+    for r in rows:
+        cov[r["i"], r["j"]] = r["cov"]
+        cov[r["j"], r["i"]] = r["cov"]
+    vals = np.linalg.eigh(cov)[0][::-1]  # descending
+    tot = float(vals.sum())
+    out = []
+    cum = 0.0
+    for k in range(8):
+        ratio = float(vals[k]) / tot
+        cum += ratio
+        out.append((k + 1, round(float(vals[k]), 6), round(ratio, 6), round(cum, 6)))
+    return spark.createDataFrame(
+        out, "component int, eigenvalue double, explained double, cumulative double"
+    )

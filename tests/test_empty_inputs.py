@@ -61,6 +61,8 @@ REPRESENTATIVE = [
     "q103_sql_functions",    # SQL UDF + table function over no orders
     "q104_parameterized_sql",  # bound params against an empty table
     "dq10_ks_drift",         # KS over two empty samples
+    "ml14_pca_covariance",   # outer-product partials over zero rows
+    "ml15_pca_explained",    # eigh path on an absent covariance
 ]
 
 

@@ -183,3 +183,32 @@ def test_golden_file_parity_all_configs(spark, mats):
     # reference designed them to
     assert measured[("el", "comp_st")] > measured[("el", "comp")]
     assert measured[("ion", "comp_st")] > measured[("ion", "comp")]
+
+
+def test_ml14_ml15_pca_matches_numpy(spark):
+    """The distributed covariance pass + driver eigh must reproduce
+    numpy PCA computed naively on the collected corpus (sf0.001)."""
+    import numpy as np
+
+    from oxi_diel_db_spark.queries import load_registry
+    from oxi_diel_db_spark.queries._util import t
+
+    reg = load_registry()
+    sf = "/root/testdata/sf0.001"
+    m = np.stack(
+        t(spark, sf, "embeddings").select("embedding").toPandas()["embedding"]
+    ).astype(np.float64)
+    ref_cov = np.cov(m, rowvar=False, bias=True)
+    got = {(r["i"], r["j"]): r["cov"] for r in reg["ml14_pca_covariance"].build(spark, sf).collect()}
+    d = m.shape[1]
+    assert len(got) == d * (d + 1) // 2
+    for (i, j), v in got.items():
+        assert abs(v - ref_cov[i, j]) < 1e-5, (i, j)
+    ref_vals = np.linalg.eigh(ref_cov)[0][::-1]
+    ref_tot = ref_vals.sum()
+    rows = reg["ml15_pca_explained"].build(spark, sf).orderBy("component").collect()
+    assert [r["component"] for r in rows] == list(range(1, 9))
+    for k, r in enumerate(rows):
+        assert abs(r["eigenvalue"] - ref_vals[k]) < 1e-3
+        assert abs(r["explained"] - ref_vals[k] / ref_tot) < 1e-4
+    assert rows[-1]["cumulative"] <= 1.0 + 1e-9
