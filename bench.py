@@ -105,6 +105,7 @@ HEADLINE = [
     "q104_parameterized_sql",
     "dq10_ks_drift",
     "ml14_pca_covariance",
+    "t18_bpe_merges",
     # materials domain
     "m04_born_trace_invariant",
     "m11_site_explode_agg",

@@ -3980,3 +3980,107 @@ def t17_perplexity_filter(spark, sf_dir):
         .cast("int")
         .alias("keep"),
     )
+
+
+@register("t18_bpe_merges", oracle=None)  # iterative — Python parity test
+def t18_bpe_merges(spark, sf_dir):
+    """Distributed BPE vocabulary learning (the tokenizer-training
+    step of every LLM data pipeline): learn the first 10 merge rules
+    over documents.text, Sennrich-style — start from characters +
+    '</w>', repeatedly count adjacent symbol pairs weighted by word
+    frequency and merge the most frequent pair (ties: lexicographic
+    on the pair, the deterministic convention).
+
+    Scale shape — the property that makes BPE trainable at 100 TB:
+    the CORPUS is touched exactly once (lower/split/explode →
+    groupBy(word) count, one shuffle with map-side combine); all 10
+    iterations run over the WORD-FREQUENCY table (|distinct words|,
+    millions not billions). Per iteration: adjacent pairs via
+    zip_with(slice, slice) + posexplode (JVM-side), argmax via a
+    top-1 TakeOrdered (never a global sort), and the merge applied
+    with a sequential F.aggregate fold carrying a (out, pending)
+    struct accumulator — left-to-right non-overlapping replacement
+    entirely in codegen, no Python in the loop. The per-iteration
+    collect is ONE row (the argmax pair — a bounded driver valve);
+    localCheckpoint truncates the growing lineage each iteration.
+
+    Iterative (10 data-dependent argmax rounds) → no SQL twin;
+    tests/test_text.py replays the identical algorithm in pure
+    Python over the same corpus and asserts all 10 (pair, freq)
+    merges match exactly."""
+    docs = t(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w")
+        )
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    vocab = words.select(
+        "freq",
+        F.concat(
+            F.filter(F.split("w", ""), lambda c: c != ""),
+            F.array(F.lit("</w>")),
+        ).alias("syms"),
+    ).localCheckpoint()
+
+    merges = []
+    for rank in range(1, 11):
+        n = F.size("syms")
+        pairs = vocab.select(
+            "freq",
+            F.explode(
+                F.zip_with(
+                    F.slice("syms", 1, n - 1),
+                    F.slice("syms", 2, n - 1),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+        ).select("freq", F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        top = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("freq").alias("pf"))
+            .orderBy(F.col("pf").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, pf = top[0]["l"], top[0]["r"], int(top[0]["pf"])
+        merges.append((rank, l, r, l + r, pf))
+        # left-to-right non-overlapping replacement of (l, r) -> l||r,
+        # folded JVM-side: acc = (out array, pending symbol)
+        merged = F.aggregate(
+            "syms",
+            F.struct(
+                F.array().cast("array<string>").alias("out"),
+                F.lit(None).cast("string").alias("pend"),
+            ),
+            lambda acc, x: F.when(
+                (acc["pend"] == F.lit(l)) & (x == F.lit(r)),
+                F.struct(
+                    F.concat(acc["out"], F.array(F.lit(l + r))).alias("out"),
+                    F.lit(None).cast("string").alias("pend"),
+                ),
+            ).otherwise(
+                F.struct(
+                    F.when(
+                        acc["pend"].isNotNull(),
+                        F.concat(acc["out"], F.array(acc["pend"])),
+                    )
+                    .otherwise(acc["out"])
+                    .alias("out"),
+                    x.alias("pend"),
+                )
+            ),
+            lambda acc: F.when(
+                acc["pend"].isNotNull(),
+                F.concat(acc["out"], F.array(acc["pend"])),
+            ).otherwise(acc["out"]),
+        )
+        vocab = vocab.select("freq", merged.alias("syms")).localCheckpoint()
+
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, freq bigint"
+    )

@@ -63,6 +63,7 @@ REPRESENTATIVE = [
     "dq10_ks_drift",         # KS over two empty samples
     "ml14_pca_covariance",   # outer-product partials over zero rows
     "ml15_pca_explained",    # eigh path on an absent covariance
+    "t18_bpe_merges",        # merge loop exits on an empty pair table
 ]
 
 

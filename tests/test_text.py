@@ -194,3 +194,58 @@ def test_ngram_udtf_polymorphic_schema(spark):
         spark.sql(
             "SELECT g.* FROM ngram_probe, LATERAL ngram_explode(text, 0) g"
         ).collect()
+
+
+def test_t18_bpe_matches_pure_python(spark):
+    """The distributed BPE learner must reproduce, merge for merge,
+    a from-scratch single-machine BPE over the same corpus (sf0.001):
+    same pair, same merged token, same weighted frequency, for all 10
+    ranks — including the lexicographic tie-break."""
+    from collections import Counter
+
+    from oxi_diel_db_spark.queries import load_registry
+    from oxi_diel_db_spark.queries._util import t
+
+    sf = "/root/testdata/sf0.001"
+    got = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["freq"])
+        for r in load_registry()["t18_bpe_merges"]
+        .build(spark, sf)
+        .orderBy("rank")
+        .collect()
+    ]
+
+    texts = t(spark, sf, "documents").select("text").toPandas()["text"]
+    wfreq = Counter()
+    for txt in texts:
+        if txt:
+            for w in txt.lower().split():
+                wfreq[w] += 1
+    vocab = {tuple(list(w) + ["</w>"]): f for w, f in wfreq.items()}
+    want = []
+    for rank in range(1, 11):
+        stats = Counter()
+        for syms, f in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                stats[(a, b)] += f
+        if not stats:
+            break
+        # max freq, ties by lexicographic pair
+        (l, r), pf = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((rank, l, r, l + r, pf))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, pend = [], None
+            for x in syms:
+                if pend == l and x == r:
+                    out.append(l + r)
+                    pend = None
+                else:
+                    if pend is not None:
+                        out.append(pend)
+                    pend = x
+            if pend is not None:
+                out.append(pend)
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    assert got == want
