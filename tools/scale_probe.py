@@ -1210,6 +1210,255 @@ def pit_probe(n_m: float = 30) -> None:
     }))
 
 
+
+def ks_probe(n_m: float = 50) -> None:
+    """dq10's bucketed two-pass KS at probe scale: n million rows,
+    split ref/cur by row parity, with a planted location shift on the
+    cur half so the verdict must fire. Sanity: a no-shift control run
+    must NOT drift (D ~ sqrt(1/n) << crit is impossible at this n —
+    identical halves give D near 0). Evidence recorded in SCALE.md."""
+    from oxi_diel_db_spark.session import get_spark
+
+    spark = get_spark("ks_probe")
+    n = int(n_m * 1_000_000)
+
+    def run(shift: float):
+        base = spark.range(0, n).select(
+            F.col("id"),
+            (
+                F.pmod(F.hash("id"), F.lit(1_000_000)) / 1000.0
+                + F.when(F.col("id") % 2 == 1, F.lit(shift)).otherwise(0.0)
+            ).alias("value"),
+        )
+        v = base.groupBy("value").agg(
+            F.sum(F.when(F.col("id") % 2 == 0, 1).otherwise(0)).alias("n_ref"),
+            F.sum(F.when(F.col("id") % 2 == 1, 1).otherwise(0)).alias("n_cur"),
+        )
+        bounds = base.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        B = 64
+        from pyspark.sql import Window as W
+
+        v = v.crossJoin(F.broadcast(bounds)).withColumn(
+            "__b",
+            F.coalesce(
+                F.least(
+                    F.floor(
+                        (F.col("value") - F.col("lo"))
+                        / ((F.col("hi") - F.col("lo")) / B)
+                    ).cast("int"),
+                    F.lit(B - 1),
+                ),
+                F.lit(0),
+            ),
+        )
+        w_off = W.orderBy("__b").rowsBetween(W.unboundedPreceding, -1)
+        off = v.groupBy("__b").agg(
+            F.sum("n_ref").alias("br"), F.sum("n_cur").alias("bc")
+        ).select(
+            "__b",
+            F.coalesce(F.sum("br").over(w_off), F.lit(0)).alias("offr"),
+            F.coalesce(F.sum("bc").over(w_off), F.lit(0)).alias("offc"),
+        )
+        w_cum = W.partitionBy("__b").orderBy("value").rowsBetween(
+            W.unboundedPreceding, 0
+        )
+        c = v.join(F.broadcast(off), "__b").select(
+            "value",
+            (F.sum("n_ref").over(w_cum) + F.col("offr")).alias("cum_ref"),
+            (F.sum("n_cur").over(w_cum) + F.col("offc")).alias("cum_cur"),
+        )
+        tot = v.agg(
+            F.sum("n_ref").cast("bigint").alias("t_ref"),
+            F.sum("n_cur").cast("bigint").alias("t_cur"),
+        )
+        d = c.crossJoin(F.broadcast(tot)).select(
+            F.abs(
+                F.col("cum_ref").cast("double") / F.col("t_ref").cast("double")
+                - F.col("cum_cur").cast("double") / F.col("t_cur").cast("double")
+            ).alias("dd"),
+            (
+                1.358
+                * F.sqrt(
+                    (F.col("t_ref") + F.col("t_cur")).cast("double")
+                    / (
+                        F.col("t_ref").cast("double")
+                        * F.col("t_cur").cast("double")
+                    )
+                )
+            ).alias("crit"),
+        )
+        t0 = time.time()
+        row = d.orderBy(F.col("dd").desc()).limit(1).collect()[0]
+        return round(time.time() - t0, 2), float(row["dd"]), float(row["crit"])
+
+    sec_shift, d_shift, crit = run(5.0)
+    sec_ctl, d_ctl, _ = run(0.0)
+    assert d_shift > crit, (d_shift, crit)
+    assert d_ctl <= crit, (d_ctl, crit)
+    print(json.dumps({
+        "metric": "ks_probe", "rows": n, "unit": "sec",
+        "sec_shifted": sec_shift, "sec_control": sec_ctl,
+        "d_shifted": round(d_shift, 6), "d_control": round(d_ctl, 6),
+        "crit_05": round(crit, 6),
+    }))
+
+
+def pca_probe(n_vecs: int = 2_000_000, dim: int = 64) -> None:
+    """ml14's covariance pass at probe scale: n synthetic dim-d
+    vectors generated executor-side; the shuffle carries only
+    P x d(d+1)/2 partial rows however large n grows. Reports the
+    covariance-pass wall time and the driver eigh time separately."""
+    import numpy as np
+
+    from oxi_diel_db_spark.session import get_spark
+
+    spark = get_spark("pca_probe")
+    cols = [
+        (F.pmod(F.hash("id", F.lit(k)), F.lit(2_000_001)) / 1_000_000.0 - 1.0)
+        for k in range(dim)
+    ]
+    emb = spark.range(0, n_vecs).select(F.array(*cols).alias("e"))
+
+    import pandas as pd
+
+    def _partials(it):
+        ss = np.zeros((dim, dim))
+        cnt = 0
+        for pdf in it:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+            ss += m.T @ m
+            cnt += len(m)
+        if cnt == 0:
+            return
+        iu, ju = np.triu_indices(dim)
+        yield pd.DataFrame(
+            {"i": iu.astype("int32"), "j": ju.astype("int32"),
+             "ss": ss[iu, ju], "pn": np.full(len(iu), cnt, dtype="int64")}
+        )
+
+    t0 = time.time()
+    parts = (
+        emb.mapInPandas(_partials, "i int, j int, ss double, pn bigint")
+        .groupBy("i", "j")
+        .agg(F.sum("ss").alias("sxy"))
+        .collect()
+    )
+    sec_cov = round(time.time() - t0, 2)
+    cov = np.zeros((dim, dim))
+    for r in parts:
+        cov[r["i"], r["j"]] = r["sxy"] / n_vecs
+        cov[r["j"], r["i"]] = cov[r["i"], r["j"]]
+    t0 = time.time()
+    vals = np.linalg.eigh(cov)[0]
+    sec_eigh = round(time.time() - t0, 4)
+    print(json.dumps({
+        "metric": "pca_probe", "vecs": n_vecs, "dim": dim, "unit": "sec",
+        "sec_cov_pass": sec_cov, "sec_eigh": sec_eigh,
+        "gate_rows": dim * (dim + 1) // 2,
+        "top_eig": round(float(vals[-1]), 6),
+    }))
+
+
+def bpe_probe(n_docs: int = 2_000_000, words_per_doc: int = 20) -> None:
+    """t18's claim measured: the corpus is touched once; the 10 merge
+    iterations run over the word-frequency table (vocab-sized). Docs
+    are synthetic skewed draws from a 50k token vocabulary (cube-law
+    skew). Reports corpus-pass vs merge-loop wall time and the vocab
+    size the loop actually iterates over."""
+    from oxi_diel_db_spark.session import get_spark
+
+    spark = get_spark("bpe_probe")
+    V = 50_000
+    tok = F.concat(
+        F.lit("w"),
+        F.floor(
+            F.pow(
+                F.pmod(F.hash("id", F.col("pos")), F.lit(1_000_000)) / 1_000_000.0,
+                F.lit(3.0),
+            )
+            * V
+        ).cast("string"),
+    )
+    t0 = time.time()
+    words = (
+        spark.range(0, n_docs)
+        .select("id", F.explode(F.sequence(F.lit(0), F.lit(words_per_doc - 1))).alias("pos"))
+        .select(tok.alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    vocab = words.select(
+        "freq",
+        F.concat(
+            F.filter(F.split("w", ""), lambda c: c != ""),
+            F.array(F.lit("</w>")),
+        ).alias("syms"),
+    ).localCheckpoint()
+    vocab_n = vocab.count()
+    sec_corpus = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    merges = []
+    for rank in range(1, 11):
+        nsz = F.size("syms")
+        pairs = vocab.select(
+            "freq",
+            F.explode(
+                F.zip_with(
+                    F.slice("syms", 1, nsz - 1),
+                    F.slice("syms", 2, nsz - 1),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+        ).select("freq", F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        top = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("freq").alias("pf"))
+            .orderBy(F.col("pf").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        l, r = top[0]["l"], top[0]["r"]
+        merges.append(l + r)
+        merged = F.aggregate(
+            "syms",
+            F.struct(
+                F.array().cast("array<string>").alias("out"),
+                F.lit(None).cast("string").alias("pend"),
+            ),
+            lambda acc, x: F.when(
+                (acc["pend"] == F.lit(l)) & (x == F.lit(r)),
+                F.struct(
+                    F.concat(acc["out"], F.array(F.lit(l + r))).alias("out"),
+                    F.lit(None).cast("string").alias("pend"),
+                ),
+            ).otherwise(
+                F.struct(
+                    F.when(
+                        acc["pend"].isNotNull(),
+                        F.concat(acc["out"], F.array(acc["pend"])),
+                    )
+                    .otherwise(acc["out"])
+                    .alias("out"),
+                    x.alias("pend"),
+                )
+            ),
+            lambda acc: F.when(
+                acc["pend"].isNotNull(),
+                F.concat(acc["out"], F.array(acc["pend"])),
+            ).otherwise(acc["out"]),
+        )
+        vocab = vocab.select("freq", merged.alias("syms")).localCheckpoint()
+    sec_merges = round(time.time() - t0, 2)
+    print(json.dumps({
+        "metric": "bpe_probe", "docs": n_docs, "tokens": n_docs * words_per_doc,
+        "unit": "sec", "vocab": int(vocab_n), "sec_corpus_pass": sec_corpus,
+        "sec_10_merges": sec_merges, "merges": merges,
+    }))
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "docs":
         docs_probe(int(float(sys.argv[2]) * 1000) if len(sys.argv) > 2 else 500_000)
@@ -1237,6 +1486,12 @@ if __name__ == "__main__":
         ledger_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 100)
     elif len(sys.argv) > 1 and sys.argv[1] == "pit":
         pit_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 30)
+    elif len(sys.argv) > 1 and sys.argv[1] == "ks":
+        ks_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 50)
+    elif len(sys.argv) > 1 and sys.argv[1] == "pca":
+        pca_probe(int(float(sys.argv[2]) * 1_000_000) if len(sys.argv) > 2 else 2_000_000)
+    elif len(sys.argv) > 1 and sys.argv[1] == "bpe":
+        bpe_probe(int(float(sys.argv[2]) * 1_000_000) if len(sys.argv) > 2 else 2_000_000)
     elif len(sys.argv) > 1 and sys.argv[1] == "retrieval":
         retrieval_probe(
             int(float(sys.argv[2]) * 1_000_000) if len(sys.argv) > 2 else 10_000_000
