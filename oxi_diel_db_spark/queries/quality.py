@@ -682,7 +682,7 @@ def dq9_schema_contract(spark, sf_dir):
       SELECT value,
              SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS n_ref,
              SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS n_cur
-      FROM events GROUP BY value
+      FROM events WHERE value IS NOT NULL GROUP BY value
     ), tot AS (
       SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
              CAST(SUM(n_cur) AS BIGINT) AS t_cur
@@ -731,7 +731,12 @@ def dq10_ks_drift(spark, sf_dir):
     tie-break (smallest value) agree across engines at full double
     precision."""
     B = 64
-    ev = t(spark, sf_dir, "events")
+    # NULL value is an explicit exclusion on BOTH sides: a NULL group
+    # would otherwise enter the CDF at a different end per engine
+    # (Spark windows order NULLS FIRST, DuckDB NULLS LAST) — the same
+    # latent-divergence class as the r6 avgdl/q95 fixes. KS is over
+    # observed values; missingness belongs to dq1's audit, not here.
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     v = ev.groupBy("value").agg(
         F.sum(F.when(F.col("event_id") % 2 == 0, 1).otherwise(0)).alias("n_ref"),
         F.sum(F.when(F.col("event_id") % 2 == 1, 1).otherwise(0)).alias("n_cur"),

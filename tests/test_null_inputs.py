@@ -47,6 +47,8 @@ REPRESENTATIVE = [
     "dq7_profile_drift",
     "dq8_snapshot_diff",
     "c3_hybrid_search",
+    "t18_bpe_merges",
+    "dq10_ks_drift",
 ]
 
 

@@ -243,3 +243,54 @@ def test_q99_matches_under_null_user_id(spark, null_userid_dir):
     i_view = spark_cols.index("prior_view_value")
     nulls = [r for r in spark_rows if r[i_uid] is None]
     assert nulls and all(r[i_view] is None for r in nulls)
+
+
+@pytest.fixture(scope="module")
+def null_value_dir(spark, tmp_path_factory):
+    """sf0.001 events with NULL value induced on every 11th event —
+    the adversary for dq10's NULL-exclusion contract (a NULL group
+    enters the CDF at a DIFFERENT end per engine: Spark windows order
+    NULLS FIRST, DuckDB NULLS LAST — every cumulative count after it
+    would shift)."""
+    from oxi_diel_db_spark import tables
+
+    out = str(tmp_path_factory.mktemp("nullval_sf"))
+    ev = tables.load(spark, "events", "/root/testdata/sf0.001")
+    ev.withColumn(
+        "value",
+        F.when(F.col("event_id") % 11 == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ),
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out, "events.parquet")
+    )
+    return out
+
+
+def test_dq10_matches_under_null_value(spark, null_value_dir):
+    import duckdb
+
+    qdef = load_registry()["dq10_ks_drift"]
+    sdf = qdef.build(spark, null_value_dir)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{null_value_dir}/events.parquet/*.parquet')"
+    )
+    res = con.execute(qdef.oracle)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    assert sorted(spark_cols) == sorted(duck_cols)
+    assert _hash_rows(spark_cols, spark_rows) == _hash_rows(duck_cols, duck_rows)
+    # and the NULLs were excluded, not counted into either sample
+    n_nonnull = (
+        spark.read.parquet(os.path.join(null_value_dir, "events.parquet"))
+        .filter(F.col("value").isNotNull())
+        .count()
+    )
+    assert spark_rows[0][spark_cols.index("n_ref")] + spark_rows[0][
+        spark_cols.index("n_cur")
+    ] == n_nonnull
