@@ -99,6 +99,9 @@ def test_global_window_inputs_stay_tiny(spark):
         # rows) — the dense_rank deliberately runs over O(sources),
         # never O(docs); the broadcast 1-row count join is the same
         # bounded shape
+        "dq10_ks_drift": 64,  # per-bucket CDF offset table (B=64) —
+        # the bucketed two-pass keeps the distinct-value relation out
+        # of the single-partition window by construction
     }
     reg = load_registry()
     for name, max_rows in TRIAGED.items():
