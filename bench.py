@@ -106,6 +106,7 @@ HEADLINE = [
     "dq10_ks_drift",
     "ml14_pca_covariance",
     "t18_bpe_merges",
+    "dq11_row_quarantine",
     # materials domain
     "m04_born_trace_invariant",
     "m11_site_explode_agg",

@@ -800,3 +800,64 @@ def dq10_ks_drift(spark, sf_dir):
         .cast("int")
         .alias("drifted"),
     )
+
+
+@register(
+    "dq11_row_quarantine",
+    oracle="""
+    WITH checked AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_type IS NULL OR event_type NOT IN
+                  ('view', 'click', 'purchase', 'signup')
+                  THEN 'bad_enum' END AS r1,
+             CASE WHEN value IS NULL THEN 'null_value' END AS r2,
+             CASE WHEN value > 400 THEN 'high_value' END AS r3
+      FROM events
+    )
+    SELECT event_id, event_type,
+           CONCAT_WS(',', r1, r2, r3) AS reasons,
+           CAST((CASE WHEN r1 IS NOT NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN r2 IS NOT NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN r3 IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+             AS n_reasons
+    FROM checked
+    WHERE r1 IS NOT NULL OR r2 IS NOT NULL OR r3 IS NOT NULL
+    """,
+)
+def dq11_row_quarantine(spark, sf_dir):
+    """Row-level quarantine — the bad-row SIPHON that complements
+    dq1's aggregate audit: every violating row is emitted with the
+    full comma-joined reason list (fixed rule order, so multi-reason
+    rows like an 'error'-typed event with value > 400 hash
+    deterministically) instead of being silently dropped or merely
+    counted. The write-side pattern at 100 TB: main =
+    df.filter(n_reasons = 0) continues the pipeline, quarantine lands
+    in a side table for replay after the upstream fix — one scan,
+    both outputs, no second pass. NULL semantics pinned on both
+    engines: CONCAT_WS skips NULL reason slots (Spark and DuckDB
+    agree) and the range rule's NULL comparison is made explicit by
+    the dedicated null_value rule, so a NULL value row is quarantined
+    as null_value — never dropped by three-valued logic."""
+    ev = t(spark, sf_dir, "events")
+    rules = [
+        (
+            "bad_enum",
+            F.col("event_type").isNull()
+            | ~F.col("event_type").isin("view", "click", "purchase", "signup"),
+        ),
+        ("null_value", F.col("value").isNull()),
+        ("high_value", F.col("value") > 400),
+    ]
+    reason_slots = [F.when(cond, F.lit(code)) for code, cond in rules]
+    n_reasons = sum(
+        F.when(cond, 1).otherwise(0) for _, cond in rules
+    )
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            F.concat_ws(",", *reason_slots).alias("reasons"),
+            n_reasons.cast("int").alias("n_reasons"),
+        )
+        .filter(F.col("n_reasons") >= 1)
+    )

@@ -64,6 +64,7 @@ REPRESENTATIVE = [
     "ml14_pca_covariance",   # outer-product partials over zero rows
     "ml15_pca_explained",    # eigh path on an absent covariance
     "t18_bpe_merges",        # merge loop exits on an empty pair table
+    "dq11_row_quarantine",   # siphon over zero rows
 ]
 
 

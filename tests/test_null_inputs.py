@@ -49,6 +49,7 @@ REPRESENTATIVE = [
     "c3_hybrid_search",
     "t18_bpe_merges",
     "dq10_ks_drift",
+    "dq11_row_quarantine",
 ]
 
 

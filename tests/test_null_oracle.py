@@ -294,3 +294,28 @@ def test_dq10_matches_under_null_value(spark, null_value_dir):
     assert spark_rows[0][spark_cols.index("n_ref")] + spark_rows[0][
         spark_cols.index("n_cur")
     ] == n_nonnull
+
+
+def test_dq11_matches_under_null_value(spark, null_value_dir):
+    """NULL value rows must be QUARANTINED as null_value on both
+    engines (never silently dropped by three-valued logic in the
+    range rule), with full hash parity on the reason strings."""
+    import duckdb
+
+    qdef = load_registry()["dq11_row_quarantine"]
+    sdf = qdef.build(spark, null_value_dir)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{null_value_dir}/events.parquet/*.parquet')"
+    )
+    res = con.execute(qdef.oracle)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    assert sorted(spark_cols) == sorted(duck_cols)
+    assert _hash_rows(spark_cols, spark_rows) == _hash_rows(duck_cols, duck_rows)
+    i_r = spark_cols.index("reasons")
+    assert any("null_value" in (r[i_r] or "") for r in spark_rows)
