@@ -107,6 +107,7 @@ HEADLINE = [
     "ml14_pca_covariance",
     "t18_bpe_merges",
     "dq11_row_quarantine",
+    "q105_gapfill_interpolate",
     # materials domain
     "m04_born_trace_invariant",
     "m11_site_explode_agg",

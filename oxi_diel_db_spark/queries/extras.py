@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from oxi_diel_db_spark.functions import composition as C
@@ -1971,4 +1972,130 @@ def ml15_pca_explained(spark, sf_dir):
         out.append((k + 1, round(float(vals[k]), 6), round(ratio, 6), round(cum, 6)))
     return spark.createDataFrame(
         out, "component int, eigenvalue double, explained double, cumulative double"
+    )
+
+
+@register(
+    "q105_gapfill_interpolate",
+    oracle="""
+    WITH agg AS (
+      SELECT event_type,
+             CAST(to_timestamp(FLOOR(epoch(ts) / 900) * 900) AS TIMESTAMP) AS b,
+             SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0
+               / COUNT(*) AS v
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT MIN(b) AS lo, MAX(b) AS hi FROM agg
+    ), spine AS (
+      SELECT t.event_type, s.b
+      FROM (SELECT DISTINCT event_type FROM agg) t,
+           (SELECT UNNEST(generate_series(lo, hi, INTERVAL 15 MINUTE)) AS b
+            FROM bounds) s
+    ), j AS (
+      SELECT spine.event_type, spine.b, agg.v FROM spine
+      LEFT JOIN agg ON agg.event_type = spine.event_type AND agg.b = spine.b
+    ), w AS (
+      SELECT event_type, b, v,
+             LAST_VALUE(v IGNORE NULLS) OVER
+               (PARTITION BY event_type ORDER BY b
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             LAST_VALUE(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS) OVER
+               (PARTITION BY event_type ORDER BY b
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+             FIRST_VALUE(v IGNORE NULLS) OVER
+               (PARTITION BY event_type ORDER BY b
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             FIRST_VALUE(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS) OVER
+               (PARTITION BY event_type ORDER BY b
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+      FROM j
+    )
+    SELECT event_type, b AS bucket,
+           ROUND(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+               pv + (nv - pv) * ((epoch(b) - epoch(pb)) / (epoch(nb) - epoch(pb)))
+           END, 6) + 0 AS value_filled,
+           CASE WHEN v IS NOT NULL THEN 'actual'
+                WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp'
+                ELSE 'edge' END AS src
+    FROM w
+    """,
+)
+def q105_gapfill_interpolate(spark, sf_dir):
+    """Time-bucket gap-fill with linear interpolation — the hypertable
+    resample staple (TimescaleDB's time_bucket_gapfill + interpolate):
+    15-minute per-type averages of events.value, a dense bucket spine
+    where empty buckets get the linear interpolation between the
+    nearest observed neighbors (edges stay NULL — no extrapolation),
+    each row tagged actual/interp/edge. Windowing is PARTITIONED by
+    series key and the spine is O(time-range / bucket) per key —
+    independent of event count, so a 100 TB ingest gap-fills over the
+    same few-thousand-row-per-key spine. Determinism: bucket averages
+    go through exact cent-sums; the interpolation ratio is a quotient
+    of integer epoch deltas, so both engines compute bit-identical
+    doubles before the shared 6-dp round."""
+    ev = t(spark, sf_dir, "events")
+    b = F.timestamp_seconds(
+        F.floor(F.unix_timestamp("ts") / 900) * 900
+    ).alias("b")
+    agg = ev.groupBy(F.col("event_type"), b).agg(
+        (
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            / 100.0
+            / F.count(F.lit(1))
+        ).alias("v")
+    )
+    bounds = agg.agg(F.min("b").alias("lo"), F.max("b").alias("hi"))
+    types = agg.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 15 minutes"))
+        ).alias("b"),
+    )
+    j = spine.join(agg, ["event_type", "b"], "left")
+    w_prev = (
+        W.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    w_next = (
+        W.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(0, W.unboundedFollowing)
+    )
+    marked = j.select(
+        "event_type",
+        "b",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(
+            F.when(F.col("v").isNotNull(), F.col("b")), ignorenulls=True
+        ).over(w_prev).alias("pb"),
+        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(
+            F.when(F.col("v").isNotNull(), F.col("b")), ignorenulls=True
+        ).over(w_next).alias("nb"),
+    )
+    ratio = (
+        (F.unix_timestamp("b") - F.unix_timestamp("pb")).cast("double")
+        / (F.unix_timestamp("nb") - F.unix_timestamp("pb")).cast("double")
+    )
+    filled = F.when(F.col("v").isNotNull(), F.col("v")).when(
+        F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+        F.col("pv") + (F.col("nv") - F.col("pv")) * ratio,
+    )
+    src = (
+        F.when(F.col("v").isNotNull(), F.lit("actual"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(), F.lit("interp")
+        )
+        .otherwise(F.lit("edge"))
+    )
+    return marked.select(
+        "event_type",
+        F.col("b").alias("bucket"),
+        r6(filled, "value_filled"),
+        src.alias("src"),
     )

@@ -65,6 +65,7 @@ REPRESENTATIVE = [
     "ml15_pca_explained",    # eigh path on an absent covariance
     "t18_bpe_merges",        # merge loop exits on an empty pair table
     "dq11_row_quarantine",   # siphon over zero rows
+    "q105_gapfill_interpolate",  # spine over an absent time range
 ]
 
 
