@@ -107,3 +107,60 @@ def test_gate_survives_unicode(spark, nasty_sf_dir, name):
 
     assert sorted(spark_cols) == sorted(duck_cols)
     assert _hash_rows(spark_cols, spark_rows) == _hash_rows(duck_cols, duck_rows)
+
+
+def test_t18_bpe_unicode_parity(spark, nasty_sf_dir):
+    """t18 is rows-only (iterative — no SQL twin), so its Unicode
+    check is full parity against the pure-Python reference on the
+    NASTY corpus instead: Spark's split(w, '') walks CODEPOINTS
+    (surrogate pairs stay intact — probed, not assumed) and lower()
+    agrees with Python str.lower() on the dotted-I and ess-zett
+    adversaries, so merge sequences must match exactly."""
+    from collections import Counter
+
+    from oxi_diel_db_spark.queries import load_registry
+
+    got = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["freq"])
+        for r in load_registry()["t18_bpe_merges"]
+        .build(spark, nasty_sf_dir)
+        .orderBy("rank")
+        .collect()
+    ]
+    texts = (
+        spark.read.parquet(os.path.join(nasty_sf_dir, "documents.parquet"))
+        .select("text")
+        .toPandas()["text"]
+    )
+    wfreq = Counter()
+    for txt in texts:
+        if txt:
+            for w in txt.lower().split():
+                wfreq[w] += 1
+    vocab = {tuple(list(w) + ["</w>"]): f for w, f in wfreq.items()}
+    want = []
+    for rank in range(1, 11):
+        stats = Counter()
+        for syms, f in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                stats[(a, b)] += f
+        if not stats:
+            break
+        (l, r), pf = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((rank, l, r, l + r, pf))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, pend = [], None
+            for x in syms:
+                if pend == l and x == r:
+                    out.append(l + r)
+                    pend = None
+                else:
+                    if pend is not None:
+                        out.append(pend)
+                    pend = x
+            if pend is not None:
+                out.append(pend)
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    assert got == want
