@@ -108,6 +108,7 @@ HEADLINE = [
     "t18_bpe_merges",
     "dq11_row_quarantine",
     "q105_gapfill_interpolate",
+    "p16_multimodal_packing",
     # materials domain
     "m04_born_trace_invariant",
     "m11_site_explode_agg",

@@ -347,3 +347,54 @@ def temperature_sample(
         / F.lit(4294967296.0)
     )
     return df.join(F.broadcast(rates), stratum).filter(u < F.col("keep_rate"))
+
+
+def pack_multimodal_greedy(
+    df: DataFrame,
+    key: str,
+    token_col: str,
+    patch_col: str,
+    token_budget: int = 1024,
+    patch_budget: int = 576,
+    seed: int = 42,
+    shards: int = 1,
+) -> DataFrame:
+    """Two-budget greedy packing for interleaved multimodal training
+    data (VLM batches): a bin closes when the next doc would push it
+    past EITHER the token budget or the image-patch budget — text-only
+    docs consume tokens only, image docs consume both, and every bin
+    satisfies both caps by construction. Same sharded deterministic
+    walk as pack_sequences_greedy (shard = hash prefix, bins never
+    span shards); both per-doc loads are clamped to their budgets so a
+    single oversized doc still packs alone."""
+    import pandas as pd
+
+    h = hash_hex8(key, seed)
+    prepared = df.withColumn("__h", h).withColumn(
+        "__shard", (F.conv(F.substring(h, 1, 2), 16, 10) % shards).cast("int")
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["__h", key]).reset_index(drop=True)
+        bins, used_t, used_p, cur = [], 0, 0, 0
+        for tok, patch in zip(pdf[token_col], pdf[patch_col]):
+            tok = min(int(tok), token_budget)
+            patch = min(int(patch), patch_budget)
+            if used_t + tok > token_budget or used_p + patch > patch_budget:
+                cur += 1
+                used_t, used_p = 0, 0
+            used_t += tok
+            used_p += patch
+            bins.append(cur)
+        pdf["bin_id"] = [f"{int(s)}_{b}" for s, b in zip(pdf["__shard"], bins)]
+        return pdf.drop(columns=["__h"])
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    out_schema = f"{schema}, __shard int, bin_id string"
+    return (
+        prepared.groupBy("__shard")
+        .applyInPandas(_pack, schema=out_schema)
+        .drop("__shard")
+    )

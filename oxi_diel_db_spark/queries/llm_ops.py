@@ -4084,3 +4084,79 @@ def t18_bpe_merges(spark, sf_dir):
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, freq bigint"
     )
+
+
+@register(
+    "p16_multimodal_packing",
+    # the p5 recursive-CTE replay pattern, extended to TWO sequential
+    # accumulators: one recursion step per (shard, position), bin
+    # closes when EITHER budget would overflow
+    oracle=r"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id,
+             CAST(COALESCE(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')), 0) AS BIGINT) AS n_tok,
+             CAST(CASE WHEN doc_id % 3 = 0
+                       THEN 64 + (doc_id % 5) * 48 ELSE 0 END AS BIGINT) AS n_patch,
+             substring(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+      FROM documents
+    ), ordered AS (
+      SELECT doc_id, n_tok, n_patch, h,
+             CAST('0x' || substring(h, 1, 2) AS INT) % 4 AS shard,
+             LEAST(n_tok, 1024) AS tok,
+             LEAST(n_patch, 576) AS patch,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY CAST('0x' || substring(h, 1, 2) AS INT) % 4
+               ORDER BY h, doc_id) AS INT) AS rn
+      FROM base
+    ), walk(shard, rn, used_t, used_p, bin) AS (
+      SELECT shard, rn, tok, patch, 0 FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.shard, o.rn,
+             CASE WHEN w.used_t + o.tok > 1024 OR w.used_p + o.patch > 576
+                  THEN o.tok ELSE w.used_t + o.tok END,
+             CASE WHEN w.used_t + o.tok > 1024 OR w.used_p + o.patch > 576
+                  THEN o.patch ELSE w.used_p + o.patch END,
+             CASE WHEN w.used_t + o.tok > 1024 OR w.used_p + o.patch > 576
+                  THEN w.bin + 1 ELSE w.bin END
+      FROM walk w JOIN ordered o ON o.shard = w.shard AND o.rn = w.rn + 1
+    )
+    SELECT o.doc_id, o.n_tok, o.n_patch,
+           CAST(o.shard AS VARCHAR) || '_' || CAST(w.bin AS VARCHAR) AS bin_id
+    FROM ordered o JOIN walk w ON o.shard = w.shard AND o.rn = w.rn
+    """,
+)
+def p16_multimodal_packing(spark, sf_dir):
+    """Two-budget greedy packing for INTERLEAVED MULTIMODAL training
+    batches (the VLM analog of p5): every third doc carries an image
+    whose patch load derives deterministically from doc_id (64-256
+    patches — the ViT-patch-count shape), and a bin closes when the
+    next doc would exceed EITHER the 1024-token or the 576-patch
+    budget. Text-only docs consume tokens only, so the packer
+    naturally interleaves them between image docs to fill patch
+    headroom — exactly why VLM pipelines pack both dimensions at
+    once. Sharded sequential walk (operators/sampling.
+    pack_multimodal_greedy); the DuckDB twin replays it with a
+    two-accumulator recursive CTE, putting the applyInPandas state
+    under the full value-hash gate like p5."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        TX.ws_token_count("text").alias("n_tok"),
+        F.when(
+            F.col("doc_id") % 3 == 0, 64 + (F.col("doc_id") % 5) * 48
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("n_patch"),
+    )
+    from oxi_diel_db_spark.operators.sampling import pack_multimodal_greedy
+
+    return pack_multimodal_greedy(
+        d,
+        "doc_id",
+        "n_tok",
+        "n_patch",
+        token_budget=1024,
+        patch_budget=576,
+        seed=42,
+        shards=4,
+    )

@@ -66,6 +66,7 @@ REPRESENTATIVE = [
     "t18_bpe_merges",        # merge loop exits on an empty pair table
     "dq11_row_quarantine",   # siphon over zero rows
     "q105_gapfill_interpolate",  # spine over an absent time range
+    "p16_multimodal_packing",    # two-budget packer over zero docs
 ]
 
 

@@ -50,6 +50,7 @@ REPRESENTATIVE = [
     "t18_bpe_merges",
     "dq10_ks_drift",
     "dq11_row_quarantine",
+    "p16_multimodal_packing",
 ]
 
 

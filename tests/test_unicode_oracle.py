@@ -53,6 +53,7 @@ GATES = [
     "t16_pii_scrub",
     "p15_mixture_allocation",
     "t17_perplexity_filter",
+    "p16_multimodal_packing",
 ]
 
 
