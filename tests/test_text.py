@@ -216,11 +216,17 @@ def test_t18_bpe_matches_pure_python(spark):
     ]
 
     texts = t(spark, sf, "documents").select("text").toPandas()["text"]
+    import re as _re
+
+    # the engine tokenizes with Java-regex \s+ (ASCII whitespace only
+    # — NBSP is NOT a separator, matching DuckDB's RE2 \s); the Python
+    # reference must replicate that, not str.split()'s Unicode set
     wfreq = Counter()
     for txt in texts:
         if txt:
-            for w in txt.lower().split():
-                wfreq[w] += 1
+            for w in _re.split(r"[ \t\n\r\f\v]+", txt.lower()):
+                if w:
+                    wfreq[w] += 1
     vocab = {tuple(list(w) + ["</w>"]): f for w, f in wfreq.items()}
     want = []
     for rank in range(1, 11):
