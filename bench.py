@@ -99,7 +99,6 @@ HEADLINE = [
     "t15_keyword_extraction",
     "t16_pii_scrub",
     "dq9_schema_contract",
-    "q101_recursive_cte",
     "q102_lateral_topk",
     "q103_sql_functions",
     "q104_parameterized_sql",
@@ -135,6 +134,7 @@ WARM_PLAN: set = set()
 # q90 0.55 s warm (9.5 s cold includes one-time runner init).
 SINGLES = [
     "q98_try_arithmetic",  # per-row caught-exception try_cast cost (see docstring)
+    "q101_recursive_cte",  # native-recursion fixed costs (~12 s sf0.1): engine-surface demo, g4 is the scale path
     "st12_compaction_cycles",
     "st13_stream_left_outer_join",
     "st14_stream_decontamination",

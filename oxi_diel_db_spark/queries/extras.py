@@ -1637,7 +1637,7 @@ _Q101_WALK = """
       UNION ALL
       SELECT e.dst, w.dist + 1
       FROM walk w JOIN e ON e.src = w.node
-      WHERE w.dist < 3
+      WHERE w.dist < 2
     )
     SELECT node AS user_id, CAST(MIN(dist) AS INT) AS dist
     FROM walk GROUP BY node
@@ -1658,28 +1658,33 @@ _Q101_WALK = """
               FROM events WHERE event_type = 'purchase') b
           ON a.k = b.k AND a.user_id < b.user_id
         GROUP BY 1, 2
-      ) WHERE shared >= 4
+      ) WHERE shared >= 6
     ),
     {_Q101_WALK}
     """,
 )
 def q101_recursive_cte(spark, sf_dir):
     """Spark 4 native ``WITH RECURSIVE`` (SPARK-24497): the SAME
-    multi-source 3-hop BFS as g4_bfs_distances, but executed by
-    Spark's own recursive-CTE operator instead of the hand-rolled
-    frontier-only DataFrame loop in operators/graph.bfs_distances —
-    a three-way cross-check (native recursive SQL vs DataFrame
-    iteration vs the DuckDB recursive oracle) of an iterative
-    traversal under the full value-hash gate. Spark supports only
-    UNION ALL in the recursive member (UNION_NOT_SUPPORTED_IN_
-    RECURSIVE_CTE), so the walk is bounded by ``dist < 3`` and the
-    final MIN(dist) GROUP BY collapses multi-path multiplicity; the
-    oracle replays the identical UNION ALL form. Scale posture: the
-    native operator re-shuffles the full accumulated result each
-    step and cannot prune already-visited nodes (UNION ALL only), so
-    g4's frontier-pruned loop with localCheckpoint remains the
-    100 TB path — this entry is the engine-surface twin, kept
-    hop-bounded for exactly that reason."""
+    multi-source BFS recipe as g4_bfs_distances (same co-purchase
+    graph construction, tighter ``shared >= 6`` edge threshold and a
+    2-hop bound), but executed by Spark's own recursive-CTE operator
+    instead of the hand-rolled frontier-only DataFrame loop in
+    operators/graph.bfs_distances — a three-way cross-check (native
+    recursive SQL vs DataFrame iteration vs the DuckDB recursive
+    oracle) of an iterative traversal under the full value-hash
+    gate. Spark supports only UNION ALL in the recursive member
+    (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), so the accumulated walk
+    carries multi-path MULTIPLICITY that the final MIN(dist) GROUP
+    BY collapses; the oracle replays the identical UNION ALL form.
+    The parameters are chosen for that multiplicity, measured: at
+    sf0.1 the g4 parameters (>= 4, 3 hops) generate 1.3M walk rows
+    and trip Spark's RECURSION_ROW_LIMIT_EXCEEDED (1M); >= 6 with 2
+    hops stays at 56k. That cliff is structural — the native
+    operator re-shuffles the full accumulated result each step and
+    cannot prune visited nodes — so g4's frontier-pruned loop with
+    localCheckpoint remains the 100 TB path; this entry is the
+    engine-surface twin, bounded for exactly that reason (DEPLOY.md
+    round-7 notes)."""
     t(spark, sf_dir, "events").createOrReplaceTempView("events_q101")
     return spark.sql(
         f"""
@@ -1694,7 +1699,7 @@ def q101_recursive_cte(spark, sf_dir):
                   FROM events_q101 WHERE event_type = 'purchase') b
               ON a.k = b.k AND a.user_id < b.user_id
             GROUP BY 1, 2
-          ) WHERE shared >= 4
+          ) WHERE shared >= 6
         ),
         {_Q101_WALK}
         """
