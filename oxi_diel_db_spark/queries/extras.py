@@ -2016,11 +2016,11 @@ def ml15_pca_explained(spark, sf_dir):
       FROM j
     )
     SELECT event_type, b AS bucket,
-           ROUND(CASE
+           ROUND((CASE
              WHEN v IS NOT NULL THEN v
              WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
                pv + (nv - pv) * ((epoch(b) - epoch(pb)) / (epoch(nb) - epoch(pb)))
-           END, 6) + 0 AS value_filled,
+           END) * 1000000, 0) / 1000000 + 0 AS value_filled,
            CASE WHEN v IS NOT NULL THEN 'actual'
                 WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp'
                 ELSE 'edge' END AS src
@@ -2037,9 +2037,13 @@ def q105_gapfill_interpolate(spark, sf_dir):
     series key and the spine is O(time-range / bucket) per key —
     independent of event count, so a 100 TB ingest gap-fills over the
     same few-thousand-row-per-key spine. Determinism: bucket averages
-    go through exact cent-sums; the interpolation ratio is a quotient
-    of integer epoch deltas, so both engines compute bit-identical
-    doubles before the shared 6-dp round."""
+    go through exact cent-sums and the interpolation ratio is a
+    quotient of integer epoch deltas, so both engines compute
+    bit-identical doubles — which is precisely why the output round
+    must use the multiply-based form on both sides: exact 5e-7 TIES
+    occur (rational values), and Spark's decimal HALF_UP disagrees
+    with DuckDB's multiply-based ROUND on them by 1 ulp (caught by
+    the sf0.001 suite gate, two tie rows in 14,390)."""
     ev = t(spark, sf_dir, "events")
     b = F.timestamp_seconds(
         F.floor(F.unix_timestamp("ts") / 900) * 900
@@ -2098,9 +2102,18 @@ def q105_gapfill_interpolate(spark, sf_dir):
         )
         .otherwise(F.lit("edge"))
     )
+    # NOT r6: interpolation over cent-exact values and rational hop
+    # ratios lands on EXACT 5e-7 ties (two rows at sf0.001), where
+    # Spark's BigDecimal HALF_UP at 6 dp and DuckDB's multiply-based
+    # ROUND disagree by 1 ulp. Multiply-based rounding on BOTH sides
+    # makes the tie rule identical: y = x*1e6 is the same double in
+    # both engines, round-half-away-from-zero at 0 dp agrees
+    # (Java HALF_UP == C++ round for ties), and /1e6 is exact.
     return marked.select(
         "event_type",
         F.col("b").alias("bucket"),
-        r6(filled, "value_filled"),
+        (F.round(filled * 1000000.0, 0) / 1000000.0 + F.lit(0.0)).alias(
+            "value_filled"
+        ),
         src.alias("src"),
     )
