@@ -108,6 +108,7 @@ HEADLINE = [
     "dq11_row_quarantine",
     "q105_gapfill_interpolate",
     "p16_multimodal_packing",
+    "q106_pipe_syntax",
     # materials domain
     "m04_born_trace_invariant",
     "m11_site_explode_agg",

@@ -2117,3 +2117,45 @@ def q105_gapfill_interpolate(spark, sf_dir):
         ),
         src.alias("src"),
     )
+
+
+@register(
+    "q106_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) / 100.0
+             AS sum_base_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    HAVING COUNT(*) > 100
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q106_pipe_syntax(spark, sf_dir):
+    """Spark 4 SQL pipe syntax (SPARK-49555): the flagship pricing
+    summary re-expressed as a linear |> chain — FROM |> WHERE |>
+    AGGREGATE ... GROUP BY |> WHERE (the post-aggregation HAVING
+    stage) |> ORDER BY. Pipe stages are pure parse-time sugar over
+    the same logical plan, so the filter still pushes down to the
+    scan and the aggregate keeps partial+final hash aggregation —
+    asserted by hash-equality with the standard-SQL oracle. The
+    money sum rides the exact cent-BIGINT convention with an explicit
+    DOUBLE cast (Spark parses a bare 100.0 as DECIMAL)."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q106")
+    return spark.sql(
+        """
+        FROM lineitem_q106
+        |> WHERE l_shipdate <= DATE '2001-09-02'
+        |> AGGREGATE
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                  / 100.0 AS DOUBLE) AS sum_base_price,
+             COUNT(*) AS count_order
+           GROUP BY l_returnflag, l_linestatus
+        |> WHERE count_order > 100
+        |> ORDER BY l_returnflag, l_linestatus
+        """
+    )

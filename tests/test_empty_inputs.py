@@ -67,6 +67,7 @@ REPRESENTATIVE = [
     "dq11_row_quarantine",   # siphon over zero rows
     "q105_gapfill_interpolate",  # spine over an absent time range
     "p16_multimodal_packing",    # two-budget packer over zero docs
+    "q106_pipe_syntax",          # pipe chain over no lineitems
 ]
 
 
