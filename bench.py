@@ -109,6 +109,7 @@ HEADLINE = [
     "q105_gapfill_interpolate",
     "p16_multimodal_packing",
     "q106_pipe_syntax",
+    "q107_session_variables",
     # materials domain
     "m04_born_trace_invariant",
     "m11_site_explode_agg",

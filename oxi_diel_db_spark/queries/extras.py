@@ -2159,3 +2159,56 @@ def q106_pipe_syntax(spark, sf_dir):
         |> ORDER BY l_returnflag, l_linestatus
         """
     )
+
+
+@register(
+    "q107_session_variables",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_above,
+           SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100.0
+             AS value_above
+    FROM orders
+    WHERE o_totalprice > (
+      SELECT SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100.0
+             / COUNT(*)
+      FROM orders
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def q107_session_variables(spark, sf_dir):
+    """Spark 4 SQL session variables + EXECUTE IMMEDIATE
+    (SPARK-46908/SPARK-44838): a data-derived threshold is computed
+    once into a DECLAREd variable via SET VAR (scalar subquery), then
+    consumed by a dynamically-executed statement through a ? USING
+    binding — the stored-procedure-style parameter flow users port
+    from warehouse SQL. The variable is a typed session literal at
+    plan time, so the threshold comparison still pushes into the
+    scan, and the exact cent-arithmetic average makes both engines
+    derive a bit-identical threshold (the oracle inlines it as a
+    scalar subquery)."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_q107")
+    spark.sql("DECLARE OR REPLACE VARIABLE v_avg_q107 DOUBLE DEFAULT 0.0")
+    spark.sql(
+        """
+        SET VAR v_avg_q107 = (
+          SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                      / 100.0 / COUNT(*) AS DOUBLE)
+          FROM orders_q107
+        )
+        """
+    )
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT o_orderpriority,
+                  CAST(COUNT(*) AS BIGINT) AS n_above,
+                  CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                       / 100.0 AS DOUBLE) AS value_above
+           FROM orders_q107
+           WHERE o_totalprice > ?
+           GROUP BY o_orderpriority'
+          USING v_avg_q107
+        """
+    )

@@ -68,6 +68,7 @@ REPRESENTATIVE = [
     "q105_gapfill_interpolate",  # spine over an absent time range
     "p16_multimodal_packing",    # two-budget packer over zero docs
     "q106_pipe_syntax",          # pipe chain over no lineitems
+    "q107_session_variables",    # NULL-threshold variable over no orders
 ]
 
 
