@@ -110,6 +110,8 @@ HEADLINE = [
     "p16_multimodal_packing",
     "q106_pipe_syntax",
     "q107_session_variables",
+    "q108_udtf_table_args",
+    "q109_sql_scripting",
     # materials domain
     "m04_born_trace_invariant",
     "m11_site_explode_agg",

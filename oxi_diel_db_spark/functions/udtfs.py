@@ -50,6 +50,13 @@ class FormulaExplode:
 def register_udtfs(spark) -> None:
     spark.udtf.register("formula_explode", FormulaExplode)
     spark.udtf.register("ngram_explode", udtf(NgramExplode))
+    spark.udtf.register(
+        "partition_summarize",
+        udtf(
+            PartitionSummarize,
+            returnType="event_type string, n bigint, total double",
+        ),
+    )
 
 
 class NgramExplode:
@@ -79,3 +86,30 @@ class NgramExplode:
         words = [w for w in re.split("[^a-z0-9]+", folded) if w]
         for i in range(len(words) - n + 1):
             yield (i + 1, *words[i : i + n])
+
+
+class PartitionSummarize:
+    """UDTF consuming a TABLE(...) PARTITION BY input (Spark 3.5+
+    table-argument API, the one UDTF invocation shape scalar-arg
+    UDTFs like formula_explode/ngram_explode don't exercise): rows of
+    one partition stream through eval() and terminate() emits the
+    partition's summary — count plus an exact cent-integer value sum,
+    so the output is hash-comparable to a plain GROUP BY. The Python
+    twin of a partial aggregate; registered by register_udtfs as
+    ``partition_summarize``."""
+
+    def __init__(self):
+        self._key = None
+        self._n = 0
+        self._cents = 0
+
+    def eval(self, row):  # noqa: D102
+        self._key = row["event_type"]
+        self._n += 1
+        v = row["value"]
+        if v is not None:
+            self._cents += int(round(v * 100))
+
+    def terminate(self):  # noqa: D102
+        if self._n:
+            yield self._key, self._n, self._cents / 100.0

@@ -2212,3 +2212,85 @@ def q107_session_variables(spark, sf_dir):
           USING v_avg_q107
         """
     )
+
+
+@register(
+    "q108_udtf_table_args",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS total
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q108_udtf_table_args(spark, sf_dir):
+    """Python UDTF with a TABLE(...) PARTITION BY argument (Spark
+    3.5+/4 table-argument API) — the one UDTF invocation shape the
+    registry's scalar-arg UDTFs (m19 formula_explode, t11 polymorphic
+    ngram_explode) don't exercise: whole partitions stream through
+    eval() and terminate() emits the partition summary, i.e. a
+    Python-side partial aggregate. The exact cent-integer sum makes
+    the Python accumulation hash-equal to the oracle's GROUP BY —
+    pinning not just that the API runs but that partition-complete
+    delivery holds (a dropped or split partition would change n).
+    API-surface row: the JVM GROUP BY is of course the 100 TB path."""
+    from oxi_diel_db_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    t(spark, sf_dir, "events").createOrReplaceTempView("events_q108")
+    return spark.sql(
+        """
+        SELECT event_type, n, CAST(total AS DOUBLE) AS total
+        FROM partition_summarize(TABLE(events_q108) PARTITION BY event_type)
+        """
+    )
+
+
+@register(
+    "q109_sql_scripting",
+    oracle="""
+    WITH RECURSIVE walk(i, thr) AS (
+      SELECT 0, CAST(512.0 AS DOUBLE)
+      UNION ALL
+      SELECT i + 1, thr / 2 FROM walk
+      WHERE i < 12
+        AND (SELECT COUNT(*) FROM events WHERE value > walk.thr) < 1000
+    )
+    SELECT w.thr AS threshold,
+           CAST((SELECT COUNT(*) FROM events e WHERE e.value > w.thr)
+                AS BIGINT) AS n_above
+    FROM walk w ORDER BY w.i DESC LIMIT 1
+    """,
+)
+def q109_sql_scripting(spark, sf_dir):
+    """Spark 4 SQL scripting (SPARK-48338, spark.sql.scripting.
+    enabled): a BEGIN...END block with DECLAREd state and a
+    data-driven WHILE loop — halve a threshold until at least 1,000
+    events exceed it (bounded at 12 iterations so the loop terminates
+    on any input, including empty). The procedural-SQL migration
+    surface warehouse users port PL/SQL-ish jobs through. The loop's
+    per-iteration COUNT is a full aggregate the engine runs
+    distributed; only the control flow is driver-side. Halving is
+    exact in binary FP, so the DuckDB oracle — which cannot run the
+    script — replays the IDENTICAL iteration as a recursive CTE and
+    must land on the same threshold and count."""
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    t(spark, sf_dir, "events").createOrReplaceTempView("events_q109")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE thr DOUBLE DEFAULT 512.0;
+          DECLARE i INT DEFAULT 0;
+          WHILE i < 12
+            AND (SELECT COUNT(*) FROM events_q109 WHERE value > thr) < 1000
+          DO
+            SET thr = thr / 2;
+            SET i = i + 1;
+          END WHILE;
+          SELECT thr AS threshold,
+                 CAST((SELECT COUNT(*) FROM events_q109 WHERE value > thr)
+                      AS BIGINT) AS n_above;
+        END
+        """
+    )

@@ -69,6 +69,8 @@ REPRESENTATIVE = [
     "p16_multimodal_packing",    # two-budget packer over zero docs
     "q106_pipe_syntax",          # pipe chain over no lineitems
     "q107_session_variables",    # NULL-threshold variable over no orders
+    "q108_udtf_table_args",      # partition UDTF over zero partitions
+    "q109_sql_scripting",        # WHILE loop exits on the iteration bound
 ]
 
 
@@ -112,5 +114,10 @@ def test_operator_survives_empty_input(spark, empty_sf_dir, name):
         assert all(
             r["status"] == "pass" and r["n_violations"] == 0 for r in rows
         )
+    elif name == "q109_sql_scripting":
+        # the iteration bound, not the data, terminates the loop: one
+        # summary row with the fully-halved threshold and zero matches
+        assert len(rows) == 1
+        assert rows[0]["n_above"] == 0 and rows[0]["threshold"] == 512.0 / 2**12
     else:
         assert rows == []
