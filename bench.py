@@ -112,6 +112,7 @@ HEADLINE = [
     "q107_session_variables",
     "q108_udtf_table_args",
     "q109_sql_scripting",
+    "p17_preference_pairs",
     # materials domain
     "m04_born_trace_invariant",
     "m11_site_explode_agg",

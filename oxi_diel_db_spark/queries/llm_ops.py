@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from oxi_diel_db_spark.functions import text as TX
 from oxi_diel_db_spark.operators import dedup, similarity
 from oxi_diel_db_spark.queries import register
-from oxi_diel_db_spark.queries._util import t
+from oxi_diel_db_spark.queries._util import r6, t
 
 # Shared DuckDB CTEs for tokenized/shingled documents.
 _SQL_WORDS_CTE = f"""
@@ -4159,4 +4159,92 @@ def p16_multimodal_packing(spark, sf_dir):
         patch_budget=576,
         seed=42,
         shards=4,
+    )
+
+
+@register(
+    "p17_preference_pairs",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             {TX.sql_quality_score('text')} AS q
+      FROM documents WHERE text IS NOT NULL
+    ), ranked AS (
+      SELECT doc_id, source, q,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY q DESC, doc_id ASC) AS rb,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY q ASC, doc_id DESC) AS rw
+      FROM scored
+    )
+    SELECT b.source,
+           b.doc_id AS chosen_id,
+           w.doc_id AS rejected_id,
+           b.q AS chosen_q,
+           w.q AS rejected_q,
+           ROUND(b.q - w.q, 6) + 0 AS margin
+    FROM (SELECT * FROM ranked WHERE rb = 1) b
+    JOIN (SELECT * FROM ranked WHERE rw = 1) w ON b.source = w.source
+    WHERE b.doc_id <> w.doc_id AND b.q - w.q >= 0.05
+    """,
+)
+def p17_preference_pairs(spark, sf_dir):
+    """Preference-pair construction — the DPO/RLHF data-prep shape:
+    within each prompt group (source stands in for the prompt), pick
+    the best- and worst-quality responses (t2's exact-rational
+    quality score), emit (chosen, rejected) with the score margin,
+    and drop groups whose margin is under the 0.05 floor or that
+    can't form a pair (one doc). Deterministic end to end: ties break
+    on doc_id in OPPOSITE directions for the two ranks so a fully
+    tied group yields distinct docs and is then excluded by the
+    margin floor, never by engine-dependent tie order. One window
+    shuffle on the group key; at 100 TB this is the same plan as W4
+    top-N per group — the pair table is O(groups), tiny next to the
+    response corpus."""
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id", "source", TX.quality_score("text").alias("q")
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w_best = W.partitionBy("source").orderBy(
+        F.col("q").desc(), F.col("doc_id").asc()
+    )
+    w_worst = W.partitionBy("source").orderBy(
+        F.col("q").asc(), F.col("doc_id").desc()
+    )
+    ranked = d.select(
+        "doc_id",
+        "source",
+        "q",
+        F.row_number().over(w_best).alias("rb"),
+        F.row_number().over(w_worst).alias("rw"),
+    )
+    best = ranked.filter(F.col("rb") == 1).select(
+        "source",
+        F.col("doc_id").alias("chosen_id"),
+        F.col("q").alias("chosen_q"),
+    )
+    worst = ranked.filter(F.col("rw") == 1).select(
+        "source",
+        F.col("doc_id").alias("rejected_id"),
+        F.col("q").alias("rejected_q"),
+    )
+    return (
+        best.join(worst, "source")
+        .filter(
+            (F.col("chosen_id") != F.col("rejected_id"))
+            & (F.col("chosen_q") - F.col("rejected_q") >= 0.05)
+        )
+        .select(
+            "source",
+            "chosen_id",
+            "rejected_id",
+            "chosen_q",
+            "rejected_q",
+            r6(F.col("chosen_q") - F.col("rejected_q"), "margin"),
+        )
     )

@@ -71,6 +71,7 @@ REPRESENTATIVE = [
     "q107_session_variables",    # NULL-threshold variable over no orders
     "q108_udtf_table_args",      # partition UDTF over zero partitions
     "q109_sql_scripting",        # WHILE loop exits on the iteration bound
+    "p17_preference_pairs",      # pair builder over zero groups
 ]
 
 

@@ -30,6 +30,7 @@ GATES = [
     "p14_length_matching",
     # round-7 tokenizing queries
     "t15_keyword_extraction",
+    "p17_preference_pairs",
     "t16_pii_scrub",
     "p15_mixture_allocation",
     "t17_perplexity_filter",

@@ -54,6 +54,7 @@ GATES = [
     "p15_mixture_allocation",
     "t17_perplexity_filter",
     "p16_multimodal_packing",
+    "p17_preference_pairs",
 ]
 
 
