@@ -113,6 +113,7 @@ HEADLINE = [
     "q108_udtf_table_args",
     "q109_sql_scripting",
     "p17_preference_pairs",
+    "q110_ordered_string_agg",
     # materials domain
     "m04_born_trace_invariant",
     "m11_site_explode_agg",

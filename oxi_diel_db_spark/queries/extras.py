@@ -2294,3 +2294,37 @@ def q109_sql_scripting(spark, sf_dir):
         END
         """
     )
+
+
+@register(
+    "q110_ordered_string_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+             AS statuses,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q110_ordered_string_agg(spark, sf_dir):
+    """Spark 4 ``listagg(...) WITHIN GROUP (ORDER BY ...)``
+    (SPARK-42746) — the ordered string aggregate warehouse SQL leans
+    on for denormalized rollup columns; previously the engine's only
+    deterministic spelling was A11's sort(collect_set) → concat. The
+    WITHIN GROUP ordering is what makes the value hash-stable: an
+    unordered listagg would concatenate in partition-arrival order.
+    DISTINCT + ORDER BY on the same expression keeps both engines'
+    dedup-then-sort semantics aligned (DuckDB string_agg DISTINCT
+    ... ORDER BY)."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_q110")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               listagg(DISTINCT o_orderstatus, ',')
+                 WITHIN GROUP (ORDER BY o_orderstatus) AS statuses,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders_q110
+        GROUP BY o_orderpriority
+        """
+    )

@@ -72,6 +72,7 @@ REPRESENTATIVE = [
     "q108_udtf_table_args",      # partition UDTF over zero partitions
     "q109_sql_scripting",        # WHILE loop exits on the iteration bound
     "p17_preference_pairs",      # pair builder over zero groups
+    "q110_ordered_string_agg",   # ordered listagg over no rows
 ]
 
 
