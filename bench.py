@@ -114,6 +114,7 @@ HEADLINE = [
     "q109_sql_scripting",
     "p17_preference_pairs",
     "q110_ordered_string_agg",
+    "dq12_winsorize",
     # materials domain
     "m04_born_trace_invariant",
     "m11_site_explode_agg",

@@ -861,3 +861,81 @@ def dq11_row_quarantine(spark, sf_dir):
         )
         .filter(F.col("n_reasons") >= 1)
     )
+
+
+@register(
+    "dq12_winsorize",
+    oracle="""
+    WITH p AS (
+      SELECT event_type,
+             quantile_cont(value, 0.01) AS p01,
+             quantile_cont(value, 0.99) AS p99
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
+    )
+    SELECT e.event_type,
+           ROUND(p.p01, 6) + 0 AS p01,
+           ROUND(p.p99, 6) + 0 AS p99,
+           CAST(SUM(CASE WHEN e.value < p.p01 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_low,
+           CAST(SUM(CASE WHEN e.value > p.p99 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_high,
+           ROUND(SUM(CAST(ROUND(e.value * 100, 0) AS BIGINT)) / 100.0
+                 / COUNT(*), 6) + 0 AS mean_before,
+           ROUND((SUM(CASE WHEN e.value >= p.p01 AND e.value <= p.p99
+                           THEN CAST(ROUND(e.value * 100, 0) AS BIGINT)
+                           ELSE 0 END) / 100.0
+                  + SUM(CASE WHEN e.value < p.p01 THEN 1 ELSE 0 END) * p.p01
+                  + SUM(CASE WHEN e.value > p.p99 THEN 1 ELSE 0 END) * p.p99)
+                 / COUNT(*), 6) + 0 AS mean_after
+    FROM events e JOIN p ON e.event_type = p.event_type
+    WHERE e.value IS NOT NULL
+    GROUP BY e.event_type, p.p01, p.p99
+    """,
+)
+def dq12_winsorize(spark, sf_dir):
+    """Per-group winsorization audit — the outlier-clipping step of a
+    feature pipeline: exact interpolated P1/P99 per event_type (Spark
+    ``percentile`` and DuckDB ``quantile_cont`` share the linear-
+    interpolation definition), counts clipped on each side, and the
+    mean before/after clipping. The after-mean is DECOMPOSED so no
+    engine ever sums interpolated doubles in arrival order:
+    cent-exact sum of the unclipped middle + n_low*p01 + n_high*p99,
+    each term deterministic — the same discipline as the _util money
+    convention, extended to derived bounds. Two passes (percentile
+    agg, broadcast back, one summary agg); the percentile state is
+    O(groups), the summary is map-side combined. NULL values are
+    excluded on both sides (dq1/dq11 own missingness)."""
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    p = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.01)).alias("p01"),
+        F.percentile("value", F.lit(0.99)).alias("p99"),
+    )
+    j = ev.join(F.broadcast(p), "event_type")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    mid_cents = F.sum(
+        F.when(
+            (F.col("value") >= F.col("p01")) & (F.col("value") <= F.col("p99")),
+            cents,
+        ).otherwise(F.lit(0))
+    )
+    n_low = F.sum(F.when(F.col("value") < F.col("p01"), 1).otherwise(0))
+    n_high = F.sum(F.when(F.col("value") > F.col("p99"), 1).otherwise(0))
+    n = F.count(F.lit(1))
+    return j.groupBy("event_type", "p01", "p99").agg(
+        n_low.cast("bigint").alias("n_clipped_low"),
+        n_high.cast("bigint").alias("n_clipped_high"),
+        r6(F.sum(cents) / 100.0 / n, "mean_before"),
+        r6(
+            (mid_cents / 100.0 + n_low * F.col("p01") + n_high * F.col("p99"))
+            / n,
+            "mean_after",
+        ),
+    ).select(
+        "event_type",
+        r6(F.col("p01"), "p01"),
+        r6(F.col("p99"), "p99"),
+        "n_clipped_low",
+        "n_clipped_high",
+        "mean_before",
+        "mean_after",
+    )

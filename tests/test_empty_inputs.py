@@ -73,6 +73,7 @@ REPRESENTATIVE = [
     "q109_sql_scripting",        # WHILE loop exits on the iteration bound
     "p17_preference_pairs",      # pair builder over zero groups
     "q110_ordered_string_agg",   # ordered listagg over no rows
+    "dq12_winsorize",            # percentile clip over zero rows
 ]
 
 

@@ -51,6 +51,7 @@ REPRESENTATIVE = [
     "dq10_ks_drift",
     "dq11_row_quarantine",
     "p16_multimodal_packing",
+    "dq12_winsorize",
 ]
 
 
