@@ -115,6 +115,7 @@ HEADLINE = [
     "p17_preference_pairs",
     "q110_ordered_string_agg",
     "dq12_winsorize",
+    "ml16_isotonic_calibration",
     # materials domain
     "m04_born_trace_invariant",
     "m11_site_explode_agg",

@@ -11,6 +11,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from oxi_diel_db_spark.functions import composition as C
+from oxi_diel_db_spark.functions import text as TX
 from oxi_diel_db_spark.functions import formula as FM
 from oxi_diel_db_spark.queries import register
 from oxi_diel_db_spark.queries._util import r6, sql_sum_money, sum_money, t
@@ -2327,4 +2328,51 @@ def q110_ordered_string_agg(spark, sf_dir):
         FROM orders_q110
         GROUP BY o_orderpriority
         """
+    )
+
+
+@register("ml16_isotonic_calibration", oracle=None)  # PAVA — python parity
+def ml16_isotonic_calibration(spark, sf_dir):
+    """MLlib IsotonicRegression (the one classical-regression family
+    the §2.11 surface hadn't exercised): calibrate the t2 quality
+    score into P(doc passes the t12 Gopher ruleset) — the standard
+    monotone-calibration step before using a heuristic score as a
+    sampling weight (a score of 0.61 means nothing until calibrated
+    against an accepted ground truth). Output is the fitted monotone
+    curve evaluated at every distinct score: (score, calibrated,
+    n_docs). Isotonic fit = weighted PAVA, deterministic given the
+    (score, pass-rate, weight) triples — MLlib's parallel
+    pool-adjacent-violators reaches the same optimum as the
+    sequential form, which tests/test_ml.py verifies against a
+    from-scratch Python PAVA point-for-point. Rows-only (no SQL
+    engine fits isotonic); the fit state is O(distinct scores) —
+    score granularity, not corpus size — the same dimension-bounded
+    posture as ml15's eigh."""
+    from pyspark.ml.regression import IsotonicRegression
+
+    from oxi_diel_db_spark.queries.llm_ops import t12_gopher_rules
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", TX.quality_score("text").alias("score"))
+        .join(
+            t12_gopher_rules(spark, sf_dir).select(
+                "doc_id", F.col("pass").cast("double").alias("label")
+            ),
+            "doc_id",
+        )
+    )
+    iso = IsotonicRegression(
+        featuresCol="score", labelCol="label", isotonic=True
+    )
+    model = iso.fit(d.select("score", "label"))
+    fitted = model.transform(d.select("score"))
+    return (
+        fitted.groupBy("score")
+        .agg(
+            F.round(F.first("prediction"), 6).alias("calibrated"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        )
+        .select(F.col("score"), "calibrated", "n_docs")
     )

@@ -74,6 +74,7 @@ REPRESENTATIVE = [
     "p17_preference_pairs",      # pair builder over zero groups
     "q110_ordered_string_agg",   # ordered listagg over no rows
     "dq12_winsorize",            # percentile clip over zero rows
+    "ml16_isotonic_calibration", # isotonic fit over zero docs
 ]
 
 

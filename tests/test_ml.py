@@ -212,3 +212,61 @@ def test_ml14_ml15_pca_matches_numpy(spark):
         assert abs(r["eigenvalue"] - ref_vals[k]) < 1e-3
         assert abs(r["explained"] - ref_vals[k] / ref_tot) < 1e-4
     assert rows[-1]["cumulative"] <= 1.0 + 1e-9
+
+
+def test_ml16_isotonic_matches_pure_pava(spark):
+    """MLlib's parallel pool-adjacent-violators must land on the same
+    optimum as a from-scratch sequential weighted PAVA over the same
+    (score, label) pairs — point-for-point at every distinct score."""
+    from oxi_diel_db_spark.functions import text as TX
+    from oxi_diel_db_spark.queries import load_registry
+    from oxi_diel_db_spark.queries._util import t
+    from oxi_diel_db_spark.queries.llm_ops import t12_gopher_rules
+
+    import pyspark.sql.functions as F
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["score"]: r["calibrated"]
+        for r in load_registry()["ml16_isotonic_calibration"]
+        .build(spark, sf)
+        .collect()
+    }
+    pairs = (
+        t(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", TX.quality_score("text").alias("score"))
+        .join(
+            t12_gopher_rules(spark, sf).select(
+                "doc_id", F.col("pass").cast("double").alias("label")
+            ),
+            "doc_id",
+        )
+        .select("score", "label")
+        .toPandas()
+    )
+    # group ties, then sequential weighted PAVA
+    g = pairs.groupby("score")["label"].agg(["mean", "count"]).reset_index()
+    xs = g["score"].tolist()
+    blocks = [
+        [m * c, c, i, i] for i, (m, c) in enumerate(zip(g["mean"], g["count"]))
+    ]  # [weighted sum, weight, lo idx, hi idx]
+    merged = []
+    for b in blocks:
+        merged.append(b)
+        while len(merged) > 1 and (
+            merged[-2][0] / merged[-2][1] > merged[-1][0] / merged[-1][1]
+        ):
+            s2, w2, lo2, hi2 = merged.pop()
+            s1, w1, lo1, hi1 = merged.pop()
+            merged.append([s1 + s2, w1 + w2, lo1, hi2])
+    want = {}
+    for s_, w_, lo, hi in merged:
+        for i in range(lo, hi + 1):
+            want[xs[i]] = s_ / w_
+    assert len(got) == len(want)
+    for x, y in want.items():
+        assert abs(got[x] - y) < 1e-6, (x, got[x], y)
+    # and the curve is monotone non-decreasing
+    ys = [got[x] for x in sorted(got)]
+    assert all(a <= b + 1e-12 for a, b in zip(ys, ys[1:]))
