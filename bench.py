@@ -116,6 +116,7 @@ HEADLINE = [
     "q110_ordered_string_agg",
     "dq12_winsorize",
     "ml16_isotonic_calibration",
+    "mm11_spectrogram",
     # materials domain
     "m04_born_trace_invariant",
     "m11_site_explode_agg",

@@ -813,3 +813,65 @@ def video_fingerprint(media: DataFrame) -> DataFrame:
     return media.mapInPandas(
         _fp, schema="doc_id bigint, fp string, n_frames bigint, n_scenes bigint"
     )
+
+
+def stft_features(
+    media: DataFrame, frame: int = 256, hop: int = 128, n_bands: int = 4
+) -> DataFrame:
+    """Spectrogram features over WAV payloads — the STFT step every
+    audio-training pipeline runs before token/codec models: Hann-
+    windowed power spectra per frame, averaged over frames, reduced
+    to ``n_bands`` contiguous log-energy bands plus the spectral
+    centroid in Hz. All numpy (rfft is deterministic for a given
+    input), Arrow-batched via mapInPandas; per-doc state is one
+    frame x bins matrix — never materialized across docs. Non-WAV
+    payloads are dropped (schema error upstream, as audio_features)."""
+
+    def _stft(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        win = np.hanning(frame)
+        cols = ("doc_id", "sample_rate", "n_frames", "centroid_hz") + tuple(
+            f"e_band{b}" for b in range(n_bands)
+        )
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(p)
+                if raw[:4] != b"RIFF":
+                    continue
+                d = decode_media(raw, want_array=True)
+                v = d["array"].astype(np.float64) / 2048.0
+                if v.size < frame:
+                    continue
+                nf = 1 + (v.size - frame) // hop
+                idx = np.arange(frame)[None, :] + hop * np.arange(nf)[:, None]
+                spec = np.abs(np.fft.rfft(v[idx] * win, axis=1)) ** 2
+                mean_spec = spec.mean(axis=0)
+                freqs = np.fft.rfftfreq(frame, 1.0 / d["sample_rate"])
+                tot = float(mean_spec.sum())
+                out["doc_id"].append(int(doc_id))
+                out["sample_rate"].append(int(d["sample_rate"]))
+                out["n_frames"].append(int(nf))
+                out["centroid_hz"].append(
+                    float((freqs * mean_spec).sum() / tot) if tot > 0 else 0.0
+                )
+                bins = np.array_split(mean_spec, n_bands)
+                for b in range(n_bands):
+                    out[f"e_band{b}"].append(float(np.log10(1.0 + bins[b].sum())))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "sample_rate": pd.Series(out["sample_rate"], dtype="int32"),
+                    "n_frames": pd.Series(out["n_frames"], dtype="int64"),
+                    "centroid_hz": pd.Series(out["centroid_hz"], dtype="float64"),
+                    **{
+                        f"e_band{b}": pd.Series(out[f"e_band{b}"], dtype="float64")
+                        for b in range(n_bands)
+                    },
+                }
+            )
+
+    schema = (
+        "doc_id bigint, sample_rate int, n_frames bigint, centroid_hz double, "
+        + ", ".join(f"e_band{b} double" for b in range(n_bands))
+    )
+    return media.mapInPandas(_stft, schema)

@@ -4248,3 +4248,34 @@ def p17_preference_pairs(spark, sf_dir):
             r6(F.col("chosen_q") - F.col("rejected_q"), "margin"),
         )
     )
+
+
+@register("mm11_spectrogram", oracle=None)  # FFT — closed-form numpy parity
+def mm11_spectrogram(spark, sf_dir):
+    """STFT spectrogram features over the WAV fixture docs (Hann
+    window, 256-sample frames, 128 hop, 4 log-energy bands + spectral
+    centroid) — the audio-codec/ASR preprocessing shape mm6's
+    time-domain mean/RMS doesn't reach. No SQL engine runs an FFT →
+    rows-only; tests/test_multimodal.py rebuilds the expected values
+    from the fixture's CLOSED-FORM sawtooth signal (not from the WAV
+    payload), so the gate covers decode + framing + windowing + fft
+    end to end: a decoder off by one sample shifts every frame and
+    the spectra stop matching."""
+    from oxi_diel_db_spark.operators.multimodal import (
+        media_fixture_table,
+        stft_features,
+    )
+
+    wavs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 3 == 2)
+    )
+    out = stft_features(media_fixture_table(wavs))
+    return out.select(
+        "doc_id",
+        "sample_rate",
+        "n_frames",
+        F.round("centroid_hz", 6).alias("centroid_hz"),
+        *[F.round(f"e_band{b}", 6).alias(f"e_band{b}") for b in range(4)],
+    )

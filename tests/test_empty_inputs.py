@@ -75,6 +75,7 @@ REPRESENTATIVE = [
     "q110_ordered_string_agg",   # ordered listagg over no rows
     "dq12_winsorize",            # percentile clip over zero rows
     "ml16_isotonic_calibration", # isotonic fit over zero docs
+    "mm11_spectrogram",          # STFT over zero wavs
 ]
 
 

@@ -406,3 +406,45 @@ def test_video_scene_signature_tail_invariant_content_sensitive(spark):
     assert got[2][1] == 8 and got[3][1] == 4
     assert got[4][0] != got[1][0]
     assert 5 not in got  # desynchronized stream skipped, not mis-hashed
+
+
+def test_mm11_stft_matches_closed_form_signal(spark):
+    """The STFT pipeline must reproduce features computed directly
+    from the fixture's closed-form sawtooth DEFINITION (sample i =
+    (seed+i) % 4096 - 2048), bypassing the WAV container entirely —
+    so decode, framing, windowing, and fft are all on the hook: one
+    dropped sample shifts every frame and the spectra diverge."""
+    import numpy as np
+
+    from oxi_diel_db_spark.queries import load_registry
+
+    rows = {
+        r["doc_id"]: r
+        for r in load_registry()["mm11_spectrogram"]
+        .build(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert rows
+    frame, hop = 256, 128
+    win = np.hanning(frame)
+    for doc_id, r in list(rows.items())[:40]:
+        i = int(doc_id)
+        n = 256 + i % 2048
+        sr = 8000 + (i % 5) * 2000
+        v = ((i % 9973 + np.arange(n, dtype=np.int64)) % 4096 - 2048).astype(
+            np.float64
+        ) / 2048.0
+        nf = 1 + (n - frame) // hop
+        idx = np.arange(frame)[None, :] + hop * np.arange(nf)[:, None]
+        spec = np.abs(np.fft.rfft(v[idx] * win, axis=1)) ** 2
+        mean_spec = spec.mean(axis=0)
+        freqs = np.fft.rfftfreq(frame, 1.0 / sr)
+        assert r["sample_rate"] == sr and r["n_frames"] == nf
+        assert abs(
+            r["centroid_hz"] - (freqs * mean_spec).sum() / mean_spec.sum()
+        ) < 1e-4
+        for b, chunk in enumerate(np.array_split(mean_spec, 4)):
+            assert abs(r[f"e_band{b}"] - np.log10(1.0 + chunk.sum())) < 1e-5, (
+                doc_id,
+                b,
+            )
