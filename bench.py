@@ -117,6 +117,7 @@ HEADLINE = [
     "dq12_winsorize",
     "ml16_isotonic_calibration",
     "mm11_spectrogram",
+    "s8_mmr_rerank",
     # materials domain
     "m04_born_trace_invariant",
     "m11_site_explode_agg",

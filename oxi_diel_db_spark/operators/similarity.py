@@ -505,3 +505,83 @@ def filtered_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cos", "rn")
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k_candidates: int = 20,
+    k_select: int = 5,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversification — the context-
+    packing step after retrieval (RAG): from each query's exact
+    top-``k_candidates`` (brute_force_topk), greedily select
+    ``k_select`` maximizing ``lam*rel - (1-lam)*max-sim-to-selected``.
+    The sequential greedy runs per query over a BOUNDED candidate
+    list (k_candidates rows + a k^2 cosine matrix in numpy) via
+    applyInPandas — per-group state is O(k^2), never corpus-sized.
+    Determinism: relevance and the MMR objective are rounded to 6 dp
+    before each argmax and ties break on the lowest candidate id, the
+    brute_force_topk convention. The objective round is an explicit
+    floor(x*1e6 + 0.5)/1e6 — library round() semantics differ between
+    numpy scalars (scaling half-even) and Python floats
+    (decimal-correct) on values a handful of ulps from a tie, which
+    this corpus actually produces."""
+    import math
+
+    import pandas as pd
+
+    cands = brute_force_topk(
+        corpus, probes, k=k_candidates, id_col=id_col, vec_col=vec_col
+    )
+    vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("nv")
+    )
+    joined = cands.join(vecs, "neighbor_id").select(
+        "query_id", "neighbor_id", "cos", "nv"
+    )
+
+    def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
+        m = np.stack(pdf["nv"].to_numpy()).astype(np.float64)
+        nrm = np.sqrt((m * m).sum(axis=1))
+        sim = np.round((m @ m.T) / np.outer(nrm, nrm), 6)
+        rel = pdf["cos"].to_numpy()
+        ids = pdf["neighbor_id"].to_numpy()
+        selected: list[int] = []
+        out = []
+        for step in range(min(k_select, len(pdf))):
+            best_i, best_s = None, None
+            for i in range(len(pdf)):
+                if i in selected:
+                    continue
+                penalty = max(sim[i, j] for j in selected) if selected else 0.0
+                x = float(lam * rel[i] - (1 - lam) * penalty)
+                s = math.floor(x * 1e6 + 0.5) / 1e6
+                if best_s is None or s > best_s or (
+                    s == best_s and ids[i] < ids[best_i]
+                ):
+                    best_i, best_s = i, s
+            selected.append(best_i)
+            out.append(
+                (
+                    int(pdf["query_id"].iloc[0]),
+                    step + 1,
+                    int(ids[best_i]),
+                    float(rel[best_i]),
+                    float(best_s),
+                )
+            )
+        return pd.DataFrame(
+            out,
+            columns=["query_id", "mmr_rank", "neighbor_id", "relevance", "mmr_score"],
+        )
+
+    return joined.groupBy("query_id").applyInPandas(
+        _mmr,
+        "query_id bigint, mmr_rank int, neighbor_id bigint, "
+        "relevance double, mmr_score double",
+    )

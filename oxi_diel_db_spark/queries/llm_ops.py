@@ -4279,3 +4279,32 @@ def mm11_spectrogram(spark, sf_dir):
         F.round("centroid_hz", 6).alias("centroid_hz"),
         *[F.round(f"e_band{b}", 6).alias(f"e_band{b}") for b in range(4)],
     )
+
+
+@register("s8_mmr_rerank", oracle=None)  # sequential greedy — python parity
+def s8_mmr_rerank(spark, sf_dir):
+    """MMR diversification re-rank (Carbonell & Goldstein 1998) — the
+    context-packing step between retrieval and prompt assembly: from
+    each probe's exact top-20 (s1's brute-force tier), greedily pick
+    5 maximizing 0.7*relevance - 0.3*max-similarity-to-already-
+    picked. Near-duplicate candidates (and this corpus has planted
+    near-dups) waste context tokens; MMR is the standard fix. The
+    greedy is sequential per query over a BOUNDED list (20 rows, a
+    20x20 cosine matrix in numpy) via applyInPandas — O(k^2) per
+    group, corpus never shuffles beyond s1's scan. Deterministic
+    (6-dp rounds before each argmax, lowest-id tie-break) and
+    replayed step-for-step by a from-scratch Python MMR in
+    tests/test_similarity.py."""
+    emb = t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.mmr_rerank(emb, probes, k_candidates=20, k_select=5)
+    # relevance (brute_force_topk) and mmr_score (the operator's
+    # in-loop argmax round) are ALREADY 6-dp; re-rounding here would
+    # re-decide exact half-ties with Spark's HALF_UP against the
+    # operator's Python banker's round (0.7*0.340915 = 0.2386405 is a
+    # real tie in this corpus — caught by the parity test)
+    return out.select(
+        "query_id", "mmr_rank", "neighbor_id", "relevance", "mmr_score"
+    )

@@ -76,6 +76,7 @@ REPRESENTATIVE = [
     "dq12_winsorize",            # percentile clip over zero rows
     "ml16_isotonic_calibration", # isotonic fit over zero docs
     "mm11_spectrogram",          # STFT over zero wavs
+    "s8_mmr_rerank",             # greedy over zero candidates
 ]
 
 

@@ -200,3 +200,62 @@ def test_ivf_filtered_respects_predicate_and_recall(spark):
     truth = filtered_topk(emb, probes, filter_col="label", k=10)
     hit = ivf.join(truth, ["query_id", "neighbor_id"], "inner").count()
     assert hit / truth.count() >= 0.3  # aggressive pruning on 500 vecs
+
+
+def test_s8_mmr_matches_pure_python(spark):
+    """The distributed MMR must replay step-for-step against a
+    from-scratch Python greedy over the same candidates: same
+    selections, same order, same scores — including the 6-dp round
+    before each argmax and the lowest-id tie-break."""
+    import numpy as np
+
+    import pyspark.sql.functions as F
+
+    from oxi_diel_db_spark.operators.similarity import brute_force_topk
+    from oxi_diel_db_spark.queries import load_registry
+    from oxi_diel_db_spark.queries._util import t
+
+    sf = "/root/testdata/sf0.001"
+    got = [
+        tuple(r)
+        for r in load_registry()["s8_mmr_rerank"]
+        .build(spark, sf)
+        .orderBy("query_id", "mmr_rank")
+        .collect()
+    ]
+
+    emb = t(spark, sf, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cands = brute_force_topk(emb, probes, k=20).toPandas()
+    vecs = {
+        int(r["vec_id"]): np.array(r["embedding"], dtype=np.float64)
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    lam = 0.7
+    want = []
+    for qid in sorted(cands["query_id"].unique()):
+        sub = cands[cands["query_id"] == qid].sort_values("neighbor_id")
+        ids = sub["neighbor_id"].tolist()
+        rel = dict(zip(sub["neighbor_id"], sub["cos"]))
+        m = np.stack([vecs[i] for i in ids])
+        nrm = np.sqrt((m * m).sum(axis=1))
+        sim = np.round((m @ m.T) / np.outer(nrm, nrm), 6)
+        pos = {d: i for i, d in enumerate(ids)}
+        sel = []
+        for step in range(5):
+            best, best_s = None, None
+            for d in ids:
+                if d in sel:
+                    continue
+                pen = max(sim[pos[d], pos[s]] for s in sel) if sel else 0.0
+                import math
+
+                x = float(lam * rel[d] - (1 - lam) * pen)
+                sc = math.floor(x * 1e6 + 0.5) / 1e6
+                if best_s is None or sc > best_s or (sc == best_s and d < best):
+                    best, best_s = d, sc
+            sel.append(best)
+            want.append((int(qid), step + 1, int(best), float(rel[best]), best_s))
+    assert got == want
