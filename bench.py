@@ -118,6 +118,8 @@ HEADLINE = [
     "ml16_isotonic_calibration",
     "mm11_spectrogram",
     "s8_mmr_rerank",
+    "q111_map_in_arrow",
+    "q112_apply_in_arrow",
     # materials domain
     "m04_born_trace_invariant",
     "m11_site_explode_agg",

@@ -2376,3 +2376,123 @@ def ml16_isotonic_calibration(spark, sf_dir):
         )
         .select(F.col("score"), "calibrated", "n_docs")
     )
+
+
+@register(
+    "q111_map_in_arrow",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_sum_money("l_extendedprice * (1 - l_discount)")} AS net_revenue
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag
+    """,
+)
+def q111_map_in_arrow(spark, sf_dir):
+    """§2.11 mapInArrow — the zero-copy RecordBatch transform, the one
+    Arrow batch API the registry had not yet exercised (mapInPandas:
+    site kernels; scalar pandas_udf: F3; GROUPED_AGG UDAF: q100;
+    Arrow-optimized @udf: q78; UDTF: m19/t11). The per-row net-revenue
+    cents land via pyarrow.compute entirely inside the Arrow batch —
+    no pandas materialization, no per-row Python — then the JVM
+    finishes the hash aggregate, so partial aggregation and shuffle
+    behavior are the ordinary built-in path. round_mode=
+    'half_towards_infinity' matches Spark/DuckDB ROUND (half away
+    from zero) so the cents are bit-identical on both engines; the
+    shipdate filter is applied BEFORE the mapInArrow so the parquet
+    scan still sees the pushable predicate (a filter after a Python
+    map never pushes down — the plan-shape rule this entry documents).
+    Production note: prefer built-in expressions for arithmetic this
+    simple; mapInArrow is the right tool when a kernel needs a real
+    Arrow-native library (compute kernels, Arrow-native encoders) —
+    this entry pins the API contract and its exactness envelope."""
+    import pyarrow as pa
+
+    def net_cents(batches):
+        import pyarrow.compute as pc
+
+        for b in batches:
+            net = pc.multiply(
+                b.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+            )
+            c = pc.cast(
+                pc.round(
+                    pc.multiply(net, pa.scalar(100.0)),
+                    round_mode="half_towards_infinity",
+                ),
+                pa.int64(),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b.column("l_returnflag"), c], ["l_returnflag", "net_cents"]
+            )
+
+    l = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .select("l_returnflag", "l_extendedprice", "l_discount")
+    )
+    mapped = l.mapInArrow(net_cents, "l_returnflag string, net_cents bigint")
+    return mapped.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum("net_cents") / 100.0).alias("net_revenue"),
+    )
+
+
+@register(
+    "q112_apply_in_arrow",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_sum_money("l_extendedprice")} AS sum_price,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q112_apply_in_arrow(spark, sf_dir):
+    """§2.11 applyInArrow — grouped-map over pyarrow Tables (the Arrow
+    sibling of applyInPandas, Spark 4): each (returnflag, linestatus)
+    group arrives as ONE Arrow table and the kernel reduces it with
+    pyarrow.compute aggregates. Exactness: integer cent-sums are
+    order-independent, min/max of raw doubles are exact — so the gate
+    is a full value-hash, no rounding slack. The honest scale caveat
+    (same as q100's): grouped-map gets NO map-side combine — each
+    group's full rows cross the shuffle, and one giant group is one
+    task's memory — so built-in aggregates own this query at 100 TB;
+    the entry exists to pin the API surface with a group-cardinality-
+    bounded (3×2 groups) kernel."""
+    import pyarrow as pa
+
+    def group_stats(table):
+        import pyarrow.compute as pc
+
+        price = table.column("l_extendedprice")
+        c = pc.cast(
+            pc.round(
+                pc.multiply(price, pa.scalar(100.0)),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "l_returnflag": [table.column("l_returnflag")[0].as_py()],
+                "l_linestatus": [table.column("l_linestatus")[0].as_py()],
+                "n": [table.num_rows],
+                "sum_price": [pc.sum(c).as_py() / 100.0],
+                "min_price": [pc.min(price).as_py()],
+                "max_price": [pc.max(price).as_py()],
+            }
+        )
+
+    l = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_extendedprice"
+    )
+    return l.groupBy("l_returnflag", "l_linestatus").applyInArrow(
+        group_stats,
+        "l_returnflag string, l_linestatus string, n bigint, "
+        "sum_price double, min_price double, max_price double",
+    )
