@@ -120,6 +120,8 @@ HEADLINE = [
     "s8_mmr_rerank",
     "q111_map_in_arrow",
     "q112_apply_in_arrow",
+    "q113_transpose",
+    "q114_approx_top_k",
     # materials domain
     "m04_born_trace_invariant",
     "m11_site_explode_agg",

@@ -2496,3 +2496,95 @@ def q112_apply_in_arrow(spark, sf_dir):
         "l_returnflag string, l_linestatus string, n bigint, "
         "sum_price double, min_price double, max_price double",
     )
+
+
+_Q113_CELL = "MAX(CASE WHEN l_returnflag = '{f}' THEN {v} END)"
+
+
+@register(
+    "q113_transpose",
+    oracle=f"""
+    WITH a AS (
+      SELECT l_returnflag,
+             {sql_sum_money("l_extendedprice")} AS sum_price,
+             CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS DOUBLE) AS sum_qty,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT 'sum_price' AS key,
+           {_Q113_CELL.format(f='A', v='sum_price')} AS A,
+           {_Q113_CELL.format(f='N', v='sum_price')} AS N,
+           {_Q113_CELL.format(f='R', v='sum_price')} AS R
+    FROM a
+    UNION ALL
+    SELECT 'sum_qty',
+           {_Q113_CELL.format(f='A', v='sum_qty')},
+           {_Q113_CELL.format(f='N', v='sum_qty')},
+           {_Q113_CELL.format(f='R', v='sum_qty')}
+    FROM a
+    UNION ALL
+    SELECT 'n',
+           {_Q113_CELL.format(f='A', v='n')},
+           {_Q113_CELL.format(f='N', v='n')},
+           {_Q113_CELL.format(f='R', v='n')}
+    FROM a
+    """,
+)
+def q113_transpose(spark, sf_dir):
+    """Spark 4 ``DataFrame.transpose()`` (SPARK-49386): rows of the
+    index column (the FIRST column, l_returnflag) become columns, the
+    remaining metric columns become rows keyed by ``key`` — the
+    metrics-wide → metrics-long reshape every reporting layer does
+    after an aggregate. The DuckDB twin replays it as a conditional-
+    aggregation pivot per former column. Scale posture: transpose is a
+    driver-bounded reshape by construction — Spark caps the index
+    cardinality (spark.sql.transposeMaxValues, default 500) because
+    the index values become the *schema*; it belongs strictly AFTER
+    the aggregate has reduced 100 TB to a report-sized table, exactly
+    where this entry places it. All transposed cells must share a
+    least-common type, so the metrics are cast to DOUBLE up front."""
+    a = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            sum_money("l_extendedprice", "sum_price"),
+            F.sum(F.round("l_quantity", 0).cast("bigint"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.count(F.lit(1)).cast("double").alias("n"),
+        )
+    )
+    return a.transpose()
+
+
+@register(
+    "q114_approx_top_k",
+    oracle="""
+    SELECT event_type AS item, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events
+    WHERE event_type IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q114_approx_top_k(spark, sf_dir):
+    """Spark 4.1 ``approx_top_k`` — the Space-Saving/heavy-hitters
+    sketch surface (A9's third sketch family next to HLL q71 and KLL
+    q74/q75). The sketch is EXACT whenever maxItemsTracked >= the
+    column's distinct count — event_type has single-digit cardinality
+    against a 10^4 tracking budget, and k exceeds the cardinality, so
+    the exploded (item, count) pairs equal the exact GROUP BY and the
+    full value-hash gate applies (no rows-only slack, unlike the
+    inherently-approximate KLL rows). NULLs are excluded on both
+    sides: the sketch ignores NULL inputs by contract, the twin
+    filters them (the NULL-adversary fixture exercises this). At
+    100 TB the sketch is the right tool precisely when the heavy-
+    hitter set is small: per-partition sketches merge associatively
+    (partial aggregation applies), so the full distinct set never
+    shuffles — the same mergeable-sketch posture q71 documents."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    sk = ev.agg(
+        F.expr("approx_top_k(event_type, 50, 10000)").alias("topk")
+    )
+    return sk.select(F.explode("topk").alias("e")).select(
+        F.col("e.item").alias("item"), F.col("e.count").cast("bigint").alias("cnt")
+    )
