@@ -152,6 +152,8 @@ SINGLES = [
     "st12_compaction_cycles",
     "st13_stream_left_outer_join",
     "st14_stream_decontamination",
+    "st15_state_store_reader",
+    "st16_python_stream_source",
     "q94_time_travel",
     "c3_hybrid_search",
     "c2_corpus_ledger",

@@ -599,3 +599,89 @@ def st14_stream_decontamination(spark, sf_dir):
     bench = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 23 == 0)
     flagged = _dedup.bloom_decontaminate(stream, bench, "doc_id", "text", n=3)
     return ops.run_stream_to_memory(flagged, spark, mode="append")
+
+
+@register(
+    "st15_state_store_reader",
+    oracle="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def st15_state_store_reader(spark, sf_dir):
+    """State-store introspection (Spark 4 state data source,
+    SPARK-45511): run the per-user streaming count against a REAL
+    checkpoint, then read the operator's state back OFF THE CHECKPOINT
+    with ``spark.read.format("statestore")`` — the observability
+    surface an on-call engineer uses to answer "what does this
+    stateful query currently believe?" without touching the running
+    stream. The gate is the strongest claim the surface can make: the
+    key/value pairs persisted in the state store must equal the batch
+    GROUP BY exactly. The state row's value field carries the
+    *internal* aggregation-buffer name (``count``), so the projection
+    selects key/value fields positionally — that buffer naming is an
+    implementation detail this entry deliberately does not pin.
+    Scale posture: the state source reads store files directly
+    (partition-parallel, no replay of the input), so inspection cost
+    is O(state), independent of stream history; at 100 TB of history
+    the state is still just one row per live key."""
+    import tempfile
+    import uuid as _uuid
+
+    work = tempfile.mkdtemp(prefix="st15_state_")
+    stream = ops.read_events_stream(spark, sf_dir, max_files_per_trigger=None)
+    counts = stream.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(f"st15_{_uuid.uuid4().hex[:12]}")
+        .outputMode("update")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    st = spark.read.format("statestore").load(f"{work}/ckpt")
+    flat = st.select("key.*", "value.*")
+    return flat.select(
+        F.col(flat.columns[0]).alias("user_id"),
+        F.col(flat.columns[1]).cast("bigint").alias("n_events"),
+    )
+
+
+@register(
+    "st16_python_stream_source",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def st16_python_stream_source(spark, sf_dir):
+    """S9/T8 extension — Python STREAMING data source
+    (SimpleDataSourceStreamReader, sources/events_replay.py): the
+    events parquet replays through a pure-Python micro-batch source
+    (row-offset offsets, WAL-backed replay) into the standard windowless
+    streaming aggregate; the drained complete-mode sink must equal the
+    batch GROUP BY. Closes the Python DataSource API matrix: batch
+    READ (q80 POSCAR), batch WRITE (q90 jsonl shards), streaming READ
+    (this row). ts crosses the Python boundary as BIGINT micros and is
+    rebuilt with timestamp_micros — the tables.normalize_event_ts
+    contract (asserted here by a real event-time column downstream of
+    a Python source in tests/test_streaming.py)."""
+    from oxi_diel_db_spark.sources.events_replay import register_events_replay
+
+    register_events_replay(spark)
+    raw = (
+        spark.readStream.format("events_replay")
+        .option("path", f"{sf_dir}/events.parquet")
+        .load()
+        .withColumn("ts", F.timestamp_micros(F.col("ts")))
+    )
+    agg = raw.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum(F.round(F.col("value") * 100, 0).cast("bigint")) / 100.0).alias(
+            "total_value"
+        ),
+    )
+    return ops.run_stream_to_memory(agg, spark, mode="complete")

@@ -721,3 +721,78 @@ def test_time_travel_snapshots_and_vacuum(spark, tmp_path):
     assert not os.path.exists(f"{out}/MANIFEST-1.json")
     assert not os.path.exists(f"{out}/MANIFEST-2.json")
     assert os.path.exists(f"{out}/MANIFEST-3.json")
+
+
+def test_state_metadata_source_lists_operator(spark):
+    """st15's sibling surface: format('state-metadata') enumerates the
+    checkpoint's stateful operators — name, store, partition count,
+    batch range — the first question state debugging asks."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from oxi_diel_db_spark.streaming import ops
+
+    work = tempfile.mkdtemp(prefix="st15_meta_")
+    stream = ops.read_events_stream(spark, SF, max_files_per_trigger=None)
+    counts = stream.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("st15_meta_demo")
+        .outputMode("update")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    meta = spark.read.format("state-metadata").load(f"{work}/ckpt").collect()
+    assert len(meta) == 1
+    row = meta[0].asDict()
+    assert row["operatorName"] == "stateStoreSave"
+    assert row["numPartitions"] >= 1
+    assert row["maxBatchId"] >= 0
+
+
+def test_python_stream_source_multibatch_equals_batch(spark):
+    """The events_replay Python streaming source must produce identical
+    results whether the replay is one micro-batch or many (batchrows
+    forces 4+ triggers at sf0.001) — offset slicing loses/duplicates
+    nothing. Registration is idempotent (driver invokes queries()
+    repeatedly in one session)."""
+    from pyspark.sql import functions as F
+
+    from oxi_diel_db_spark.sources.events_replay import register_events_replay
+    from oxi_diel_db_spark.streaming import ops
+    from oxi_diel_db_spark.tables import load
+
+    register_events_replay(spark)
+    register_events_replay(spark)  # idempotent re-registration
+
+    def run(batchrows: int):
+        raw = (
+            spark.readStream.format("events_replay")
+            .option("path", f"{SF}/events.parquet")
+            .option("batchrows", str(batchrows))
+            .load()
+            .withColumn("ts", F.timestamp_micros(F.col("ts")))
+        )
+        agg = raw.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("ts").alias("max_ts"),  # event-time survives the boundary
+        )
+        return {
+            r["event_type"]: (r["n"], r["max_ts"])
+            for r in ops.run_stream_to_memory(agg, spark, mode="complete").collect()
+        }
+
+    multi = run(300)   # ~4 triggers over 1000 rows
+    single = run(10**6)  # one trigger
+    assert multi == single and len(multi) > 0
+    ev = load(spark, "events", SF)
+    want = {
+        r["event_type"]: (r["n"], r["max_ts"])
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("ts").alias("max_ts"))
+        .collect()
+    }
+    assert multi == want
