@@ -169,6 +169,7 @@ SINGLES = [
     "ml11_el_st_reference_scoring",
     "ml12_ion_st_descriptors",
     "ml13_ion_st_reference_scoring",
+    "ml17_quality_classifier",  # LBFGS training run (one per invocation)
 ]
 
 

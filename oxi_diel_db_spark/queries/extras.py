@@ -2588,3 +2588,90 @@ def q114_approx_top_k(spark, sf_dir):
     return sk.select(F.explode("topk").alias("e")).select(
         F.col("e.item").alias("item"), F.col("e.count").cast("bigint").alias("cnt")
     )
+
+
+#: ml17 design matrix, exposed for the from-scratch IRLS parity twin in
+#: tests/test_ml.py (the t18/ml14 pattern: the engine result is checked
+#: point-for-point against an independent numpy implementation).
+ML17_FEATURES = ["f_logwords", "f_meanwlen", "f_alphafrac", "f_quality"]
+
+
+def ml17_features(spark, sf_dir):
+    """(doc_id, 4 quality signals, label) — the Gopher-style pseudo-
+    labeled design matrix for the quality classifier: label = t12's
+    composite rule verdict, features = the underlying continuous
+    signals (log word count, mean word length, alphabetic fraction,
+    composite quality score). One tokenization, pure Catalyst — the
+    feature scan is a single pass at any corpus scale."""
+    from oxi_diel_db_spark.queries.llm_ops import t12_gopher_rules
+
+    d = t(spark, sf_dir, "documents")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    words = F.filter(F.split(txt, r"\s+"), lambda x: x != "")
+    n_words = F.size(words)
+    nz = n_words > 0
+    wlen_sum = F.aggregate(
+        words, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    mean_wlen = F.when(nz, wlen_sum / n_words).otherwise(F.lit(0.0))
+    alpha_frac = F.when(
+        nz, F.size(F.filter(words, lambda x: x.rlike("[a-zA-Z]"))) / n_words
+    ).otherwise(F.lit(0.0))
+    feats = d.select(
+        "doc_id",
+        F.log1p(n_words.cast("double")).alias("f_logwords"),
+        mean_wlen.cast("double").alias("f_meanwlen"),
+        alpha_frac.cast("double").alias("f_alphafrac"),
+        TX.quality_score(txt).alias("f_quality"),
+    )
+    labels = t12_gopher_rules(spark, sf_dir).select(
+        "doc_id", F.col("pass").cast("double").alias("label")
+    )
+    return feats.join(labels, "doc_id")
+
+
+@register("ml17_quality_classifier", oracle=None)  # trained-model scores: IRLS parity in tests/test_ml.py
+def ml17_quality_classifier(spark, sf_dir):
+    """The model-based quality filter every production corpus pipeline
+    runs next to its rule-based one (the CCNet/fastText-classifier
+    recipe, public): a logistic-regression classifier trained on
+    Gopher-rule pseudo-labels (t12) over continuous quality signals,
+    scored back over the corpus so borderline documents get a GRADED
+    probability instead of t12's hard conjunction. MLlib
+    LogisticRegression with an explicitly pinned objective —
+    mean-logloss + (1e-4/2)·||w||², standardization OFF, intercept
+    unpenalized — so the from-scratch numpy IRLS twin
+    (tests/test_ml.py) converges to the SAME unique optimum:
+    coefficient-level parity, not a correlation floor. Rows-only gate
+    by design (the model's weights are not SQL-expressible); the
+    feature assembly underneath is the already-hash-gated t12/t2
+    surface. Scale: training collects nothing — MLlib LBFGS
+    aggregates gradient partials tree-wise (O(d) driver state, d=4);
+    scoring is one broadcast-coefficients map pass."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    data = ml17_features(spark, sf_dir)
+    assembled = VectorAssembler(
+        inputCols=ML17_FEATURES, outputCol="features"
+    ).transform(data)
+    lr = LogisticRegression(
+        featuresCol="features",
+        labelCol="label",
+        regParam=1e-4,
+        elasticNetParam=0.0,
+        standardization=False,
+        fitIntercept=True,
+        tol=1e-12,
+        maxIter=500,
+        family="binomial",
+    )
+    model = lr.fit(assembled)
+    p = vector_to_array(F.col("probability")).getItem(1)
+    return model.transform(assembled).select(
+        "doc_id",
+        F.col("label").cast("bigint").alias("label"),
+        F.round(p, 4).alias("p_pass"),
+        (p > 0.5).cast("int").alias("predicted"),
+    )

@@ -270,3 +270,76 @@ def test_ml16_isotonic_matches_pure_pava(spark):
     # and the curve is monotone non-decreasing
     ys = [got[x] for x in sorted(got)]
     assert all(a <= b + 1e-12 for a, b in zip(ys, ys[1:]))
+
+
+def test_ml17_logistic_parity_with_numpy_irls(spark):
+    """ml17's MLlib LogisticRegression minimizes a PINNED objective —
+    mean logloss + (1e-4/2)||w||² (intercept unpenalized,
+    standardization off) — so an independent numpy IRLS/Newton solver
+    on the same design matrix must land on the same unique optimum:
+    coefficients to 1e-4, probabilities to 1e-5. The strong-convexity
+    of the ridge term makes the optimum unique even if the pseudo-
+    labels were linearly separable."""
+    import numpy as np
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    from oxi_diel_db_spark.queries.extras import ML17_FEATURES, ml17_features
+
+    sf = "/root/testdata/sf0.001"
+    pdf = ml17_features(spark, sf).toPandas().sort_values("doc_id")
+    X = pdf[ML17_FEATURES].to_numpy(dtype=np.float64)
+    y = pdf["label"].to_numpy(dtype=np.float64)
+    lam = 1e-4
+    n, d = X.shape
+
+    # Newton/IRLS on f(w,b) = (1/n)·Σ log(1+exp(-s·z)) + lam/2·||w||²
+    beta = np.zeros(d + 1)  # [w..., b]
+    Xb = np.hstack([X, np.ones((n, 1))])
+    reg = np.diag([lam] * d + [0.0])
+    for _ in range(100):
+        z = Xb @ beta
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = Xb.T @ (p - y) / n + reg @ beta
+        W = p * (1 - p)
+        H = (Xb.T * W) @ Xb / n + reg
+        step = np.linalg.solve(H, g)
+        beta -= step
+        if np.max(np.abs(g)) < 1e-12:
+            break
+    w_np, b_np = beta[:d], beta[d]
+
+    assembled = VectorAssembler(
+        inputCols=ML17_FEATURES, outputCol="features"
+    ).transform(ml17_features(spark, sf))
+    lr = LogisticRegression(
+        featuresCol="features", labelCol="label", regParam=lam,
+        elasticNetParam=0.0, standardization=False, fitIntercept=True,
+        tol=1e-12, maxIter=500, family="binomial",
+    )
+    model = lr.fit(assembled)
+    w_ml = np.array(model.coefficients)
+    b_ml = float(model.intercept)
+
+    assert np.max(np.abs(w_ml - w_np)) < 1e-4, (w_ml, w_np)
+    assert abs(b_ml - b_np) < 1e-4
+    p_np = 1.0 / (1.0 + np.exp(-(X @ w_np + b_np)))
+    p_ml = 1.0 / (1.0 + np.exp(-(X @ w_ml + b_ml)))
+    assert np.max(np.abs(p_ml - p_np)) < 1e-5
+    # the classifier must actually LEARN the pseudo-labels it trains on:
+    # a 4-feature linear model can't reproduce t12's box-rule
+    # conjunction exactly (measured ~0.83 here), but it must clearly
+    # beat always-predict-the-majority-class
+    acc = float(np.mean((p_ml > 0.5) == (y > 0.5)))
+    majority = max(float(np.mean(y)), 1.0 - float(np.mean(y)))
+    assert acc > majority + 0.02 and acc > 0.75, (acc, majority)
+
+
+def test_ml17_registered_output_shape(spark):
+    from oxi_diel_db_spark.queries import REGISTRY
+
+    df = REGISTRY["ml17_quality_classifier"].build(spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert len(rows) == 500  # one graded verdict per document
+    assert {r["predicted"] for r in rows} <= {0, 1}
+    assert all(0.0 <= r["p_pass"] <= 1.0 for r in rows)
