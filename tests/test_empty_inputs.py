@@ -77,6 +77,12 @@ REPRESENTATIVE = [
     "ml16_isotonic_calibration", # isotonic fit over zero docs
     "mm11_spectrogram",          # STFT over zero wavs
     "s8_mmr_rerank",             # greedy over zero candidates
+    # round-7 continuation additions
+    "q111_map_in_arrow",         # Arrow batch map over zero batches
+    "q112_apply_in_arrow",       # grouped Arrow kernel over zero groups
+    "q113_transpose",            # transpose with an empty index column
+    "q114_approx_top_k",         # heavy-hitters sketch of nothing
+    "st16_python_stream_source", # Python stream source drains immediately
 ]
 
 
@@ -125,5 +131,10 @@ def test_operator_survives_empty_input(spark, empty_sf_dir, name):
         # summary row with the fully-halved threshold and zero matches
         assert len(rows) == 1
         assert rows[0]["n_above"] == 0 and rows[0]["threshold"] == 512.0 / 2**12
+    elif name == "q113_transpose":
+        # the metric spine survives as rows (transpose keys are the
+        # former COLUMNS); the value columns are data-dependent by
+        # transpose's contract, so an empty index yields none of them
+        assert [r["key"] for r in rows] == ["sum_price", "sum_qty", "n"]
     else:
         assert rows == []

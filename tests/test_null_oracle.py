@@ -320,3 +320,53 @@ def test_dq11_matches_under_null_value(spark, null_value_dir):
     assert _hash_rows(spark_cols, spark_rows) == _hash_rows(duck_cols, duck_rows)
     i_r = spark_cols.index("reasons")
     assert any("null_value" in (r[i_r] or "") for r in spark_rows)
+
+
+@pytest.fixture(scope="module")
+def null_event_type_dir(spark, tmp_path_factory):
+    """sf0.001 events with NULL event_type induced on every 11th event —
+    the adversary for q114's sketch contract (approx_top_k ignores NULL
+    inputs; the oracle must filter them explicitly or the counts since
+    COUNT(*) vs the sketch diverge by the NULL group)."""
+    from oxi_diel_db_spark import tables
+
+    out = str(tmp_path_factory.mktemp("nullet_sf"))
+    ev = tables.load(spark, "events", "/root/testdata/sf0.001")
+    ev.withColumn(
+        "event_type",
+        F.when(F.col("event_id") % 11 == 0, F.lit(None)).otherwise(
+            F.col("event_type")
+        ),
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out, "events.parquet")
+    )
+    return out
+
+
+def test_q114_matches_under_null_event_type(spark, null_event_type_dir):
+    import duckdb
+
+    qdef = load_registry()["q114_approx_top_k"]
+    sdf = qdef.build(spark, null_event_type_dir)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{null_event_type_dir}/events.parquet/*.parquet')"
+    )
+    res = con.execute(qdef.oracle)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols)
+    assert _hash_rows(spark_cols, spark_rows) == _hash_rows(duck_cols, duck_rows)
+    # the NULL group is EXCLUDED, not counted under a sentinel: total
+    # sketched count = non-null events only
+    n_nonnull = (
+        spark.read.parquet(os.path.join(null_event_type_dir, "events.parquet"))
+        .filter(F.col("event_type").isNotNull())
+        .count()
+    )
+    assert sum(r[spark_cols.index("cnt")] for r in spark_rows) == n_nonnull
