@@ -122,6 +122,7 @@ HEADLINE = [
     "q112_apply_in_arrow",
     "q113_transpose",
     "q114_approx_top_k",
+    "g5_connected_components",
     # materials domain
     "m04_born_trace_invariant",
     "m11_site_explode_agg",

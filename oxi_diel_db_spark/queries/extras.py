@@ -2650,7 +2650,6 @@ def ml17_quality_classifier(spark, sf_dir):
     scoring is one broadcast-coefficients map pass."""
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import VectorAssembler
-    from pyspark.ml.functions import vector_to_array
 
     data = ml17_features(spark, sf_dir)
     assembled = VectorAssembler(
@@ -2668,8 +2667,21 @@ def ml17_quality_classifier(spark, sf_dir):
         family="binomial",
     )
     model = lr.fit(assembled)
-    p = vector_to_array(F.col("probability")).getItem(1)
-    return model.transform(assembled).select(
+    # Score with Catalyst expressions from the fitted coefficients, NOT
+    # model.transform: the trained model drags its training summary —
+    # which pins the live SparkSession — into the scoring UDF's closure
+    # (order-dependent NotSerializableException once anything
+    # non-serializable lands in the session, e.g. an ObservationManager
+    # entry), and a 4-term dot product is whole-stage-codegen work
+    # anyway. This IS the "broadcast coefficients, one map pass" the
+    # scale posture promises — as literal plan, not UDF.
+    w = model.coefficients.toArray()
+    b = float(model.intercept)
+    margin = F.lit(b)
+    for feat, wi in zip(ML17_FEATURES, w):
+        margin = margin + F.lit(float(wi)) * F.col(feat)
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+    return data.select(
         "doc_id",
         F.col("label").cast("bigint").alias("label"),
         F.round(p, 4).alias("p_pass"),

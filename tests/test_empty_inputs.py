@@ -83,6 +83,7 @@ REPRESENTATIVE = [
     "q113_transpose",            # transpose with an empty index column
     "q114_approx_top_k",         # heavy-hitters sketch of nothing
     "st16_python_stream_source", # Python stream source drains immediately
+    "g5_connected_components",   # star contraction on an empty edge list
 ]
 
 

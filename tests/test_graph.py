@@ -113,3 +113,40 @@ def test_bfs_distances_path_and_bounds(spark):
     seeds2 = spark.createDataFrame([(1,)], "node long")
     got2 = {r.node: r.dist for r in bfs_distances(edges2, seeds2, max_hops=5).collect()}
     assert got2 == {1: 0, 2: 1, 3: 1, 4: 2}
+
+
+def test_connected_components_star_contraction(spark):
+    """Chain, triangle, and isolated pair resolve to component minima;
+    the fixpoint must label every incident node."""
+    from oxi_diel_db_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (3, 2), (4, 3), (5, 4), (10, 11), (11, 12), (12, 10), (20, 21)],
+        "src long, dst long",
+    )
+    got = {r.node: r.component for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_empty_and_selfloop(spark):
+    from oxi_diel_db_spark.operators.graph import connected_components
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(empty).collect() == []
+    loops = spark.createDataFrame([(7, 7), (3, 8)], "src long, dst long")
+    got = {r.node: r.component for r in connected_components(loops).collect()}
+    assert got == {3: 3, 8: 3}
+
+
+def test_connected_components_long_chain_needs_log_rounds(spark):
+    """A 33-node chain: min-label propagation would need 32 rounds;
+    alternating stars must converge inside the default bound and still
+    label everything with the minimum."""
+    from oxi_diel_db_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 33)], "src long, dst long"
+    )
+    got = {r.node: r.component for r in connected_components(edges).collect()}
+    assert got == {i: 1 for i in range(1, 34)}
