@@ -123,6 +123,11 @@ HEADLINE = [
     "q113_transpose",
     "q114_approx_top_k",
     "g5_connected_components",
+    "q115_count_min_sketch",
+    "q116_bitmap_distinct",
+    "dq13_benford_audit",
+    "t19_vocab_growth",
+    "ml18_frequent_itemsets",
     # materials domain
     "m04_born_trace_invariant",
     "m11_site_explode_agg",

@@ -494,3 +494,59 @@ def q88_ohlc_resample(spark, sf_dir):
             sum_money("value", "volume"),
         )
     )
+
+
+@register(
+    "q116_bitmap_distinct",
+    oracle="""
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    GROUP BY event_type
+    UNION ALL
+    SELECT '__ALL__' AS event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    """,
+)
+def q116_bitmap_distinct(spark, sf_dir):
+    """EXACT distinct counting via the Spark 3.5 bitmap aggregate
+    family (bitmap_bucket_number / bitmap_bit_position /
+    bitmap_construct_agg / bitmap_count / bitmap_or_agg) — the
+    middle ground A9 was missing between exact COUNT(DISTINCT)
+    (re-shuffles raw keys per rollup) and HLL (q71, approximate):
+    keys are folded into fixed 32 Kbit bucket bitmaps that OR
+    together associatively, so any coarser grouping is a cheap
+    bitmap_or_agg over pre-aggregated state with NO error bar — the
+    materialized-bitmap design warehouses use for exact funnel /
+    reach rollups. Per event_type the bitmaps sum to the exact
+    distinct user count; the '__ALL__' row re-derives the global
+    count from the SAME per-type bitmaps via bitmap_or_agg (never
+    rescanning the fact table) — merge correctness is what the gate
+    checks. Shuffle posture: one agg keyed by (type, bucket) where
+    bucket fan-out is |keyspace|/32768, then O(buckets) rows upward."""
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+        .select("event_type", "user_id")
+    )
+    lvl1 = ev.groupBy(
+        "event_type", F.expr("bitmap_bucket_number(user_id)").alias("bucket")
+    ).agg(F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm"))
+    per_type = lvl1.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("n_users")
+    )
+    merged = (
+        lvl1.groupBy("bucket")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        # COALESCE: the twin's global COUNT(DISTINCT) over an empty
+        # table is 0, Spark's SUM over no buckets is NULL
+        .agg(
+            F.coalesce(F.sum(F.expr("bitmap_count(bm)")), F.lit(0))
+            .cast("bigint")
+            .alias("n_users")
+        )
+        .select(F.lit("__ALL__").alias("event_type"), "n_users")
+    )
+    return per_type.unionByName(merged)

@@ -2687,3 +2687,52 @@ def ml17_quality_classifier(spark, sf_dir):
         F.round(p, 4).alias("p_pass"),
         (p > 0.5).cast("int").alias("predicted"),
     )
+
+
+@register(
+    "q115_count_min_sketch",
+    oracle="""
+    SELECT event_type AS item, CAST(COUNT(*) AS BIGINT) AS est_n
+    FROM events
+    WHERE event_type IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q115_count_min_sketch(spark, sf_dir):
+    """A9's fourth sketch family — Count-Min (Cormode & Muthukrishnan
+    2005) via Spark's ``count_min_sketch`` aggregate: point-frequency
+    estimation in fixed memory, the mergeable-summary complement to
+    HLL's distinct count (q71) and Space-Saving's top-k (q114). The
+    query builds TWO sketches over disjoint halves of the stream
+    (event_id parity), merges them driver-side through the public
+    ``CountMinSketch.readFrom``/``mergeInPlace`` API, and answers
+    point queries for every observed item — proving the property that
+    makes CMS the 100 TB tool: per-partition sketches of fixed size
+    (depth x width counters) combine associatively, so per-key
+    frequencies come out of a map-side-combinable aggregate whose
+    state never grows with cardinality. Gate: CMS overestimates ONLY
+    on hash collisions; at width 2000 against single-digit
+    cardinality (and a pinned seed) there are none, so the estimates
+    equal the exact GROUP BY and the full value-hash applies — same
+    exactness argument as q114. The two driver collects are O(sketch)
+    and O(distinct items), both bounded by construction."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    halves = ev.withColumn("half", (F.col("event_id") % 2).cast("int"))
+    sketches = (
+        halves.groupBy("half")
+        .agg(
+            F.expr("count_min_sketch(event_type, 0.001d, 0.99d, 42)").alias("cms")
+        )
+        .collect()
+    )
+    items = sorted(
+        r.item for r in ev.select(F.col("event_type").alias("item")).distinct().collect()
+    )
+    if not sketches:
+        return spark.createDataFrame([], "item string, est_n bigint")
+    jcms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch
+    merged = jcms.readFrom(bytes(sketches[0].cms))
+    for row in sketches[1:]:
+        merged.mergeInPlace(jcms.readFrom(bytes(row.cms)))
+    est = [(it, int(merged.estimateCount(it))) for it in items]
+    return spark.createDataFrame(est, "item string, est_n bigint")

@@ -4389,3 +4389,140 @@ def s8_mmr_rerank(spark, sf_dir):
     return out.select(
         "query_id", "mmr_rank", "neighbor_id", "relevance", "mmr_score"
     )
+
+
+_T19_CHECKPOINTS = (50, 100, 200, 300, 400, 500)
+
+
+@register(
+    "t19_vocab_growth",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {TX.SQL_NORM_WORDS.format(t="text")} AS words FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(words) AS word FROM w),
+    first_seen AS (
+      SELECT word, MIN(doc_id) AS first_doc FROM tok GROUP BY word
+    ),
+    toks_per_doc AS (SELECT doc_id, COUNT(*) AS nt FROM tok GROUP BY doc_id),
+    chk AS (SELECT UNNEST([{", ".join(str(c) for c in _T19_CHECKPOINTS)}]) AS n_docs)
+    SELECT c.n_docs,
+           CAST(COALESCE(SUM(CASE WHEN t.doc_id < c.n_docs THEN t.nt END), 0)
+                AS BIGINT) AS n_tokens,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM first_seen f
+            WHERE f.first_doc < c.n_docs) AS vocab
+    FROM chk c LEFT JOIN toks_per_doc t ON t.doc_id < c.n_docs
+    GROUP BY c.n_docs
+    ORDER BY c.n_docs
+    """,
+)
+def t19_vocab_growth(spark, sf_dir):
+    """Vocabulary-growth (Heaps'-law) curve — the corpus diagnostic
+    behind tokenizer sizing and dedup health (a vocabulary that keeps
+    growing linearly means boilerplate/noise; sublinear V ~ K*N^beta
+    is healthy text): distinct-type count after the first N documents
+    at fixed checkpoints, with the token count beside it so the
+    log-log slope is one division away. ONE corpus pass computes
+    first_seen = MIN(doc_id) per type (the same trick as d14's
+    incremental index — cumulative distinct NEVER needs a global
+    window or a per-checkpoint rescan); each checkpoint is then a
+    counting filter over the O(vocab) table. At 100 TB: tokenize once,
+    groupBy type (map-side combinable), 6 tiny aggregates — no state
+    proportional to corpus length anywhere."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(TX.norm_words(F.col("text"))).alias("word")
+    )
+    first_seen = tok.groupBy("word").agg(F.min("doc_id").alias("first_doc"))
+    toks_per_doc = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nt"))
+    chk = spark.createDataFrame(
+        [(c,) for c in _T19_CHECKPOINTS], "n_docs int"
+    )
+    n_tokens = (
+        chk.join(toks_per_doc, toks_per_doc.doc_id < chk.n_docs, "left")
+        .groupBy("n_docs")
+        .agg(F.coalesce(F.sum("nt"), F.lit(0)).cast("bigint").alias("n_tokens"))
+    )
+    vocab = (
+        chk.join(first_seen, first_seen.first_doc < chk.n_docs, "left")
+        .groupBy("n_docs")
+        .agg(F.count("word").cast("bigint").alias("vocab"))
+    )
+    return n_tokens.join(vocab, "n_docs").orderBy("n_docs")
+
+
+_ML18_BASKETS = """
+      SELECT DISTINCT user_id,
+             CAST(REGEXP_EXTRACT(props, '"k":\\s*(-?\\d+)', 1) AS INTEGER) AS k
+      FROM events
+      WHERE event_type = 'purchase'
+        AND REGEXP_EXTRACT(props, '"k":\\s*(-?\\d+)', 1) <> ''
+"""
+
+
+@register(
+    "ml18_frequent_itemsets",
+    oracle=f"""
+    WITH b AS ({_ML18_BASKETS}),
+    nb AS (SELECT CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n FROM b),
+    s1 AS (
+      SELECT CAST(k AS VARCHAR) AS itemset, 1 AS sz,
+             CAST(COUNT(*) AS BIGINT) AS freq
+      FROM b GROUP BY k
+      HAVING COUNT(*) >= (SELECT CEIL(0.05 * n) FROM nb)
+    ),
+    s2 AS (
+      SELECT CAST(a.k AS VARCHAR) || ',' || CAST(c.k AS VARCHAR) AS itemset,
+             2 AS sz, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM b a JOIN b c ON a.user_id = c.user_id AND a.k < c.k
+      GROUP BY a.k, c.k
+      HAVING COUNT(*) >= (SELECT CEIL(0.05 * n) FROM nb)
+    )
+    SELECT itemset, sz, freq,
+           ROUND(freq / (SELECT n FROM nb), 6) AS support
+    FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+    """,
+)
+def ml18_frequent_itemsets(spark, sf_dir):
+    """Frequent-itemset mining via MLlib FPGrowth (Li et al., PFP:
+    Parallel FP-Growth, RecSys'08 — the distributed market-basket /
+    co-occurrence miner behind "items bought together", co-click
+    analysis, and token-co-occurrence pruning): baskets are each
+    user's distinct purchased props.k set; itemsets kept at
+    minSupport 0.05 (MLlib keeps freq >= ceil(0.05 * n_baskets)).
+    PFP's scale shape: one groupBy builds baskets, frequent items are
+    counted map-side, and conditional FP-trees are mined per
+    group-id partition — no candidate-generation blowup (vs Apriori)
+    and nothing collected to the driver. The gate replays singletons
+    and pairs exactly in SQL (a self-join per size — tractable for
+    the oracle, exponential for it beyond size 2, which is exactly
+    why the engine side uses FP-trees); output is filtered to
+    sz <= 2 so the contract is SQL-checkable end-to-end. Items inside
+    an itemset are sorted numerically; support rounded at 6 dp."""
+    from pyspark.ml.fpm import FPGrowth
+
+    uk = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id", F.get_json_object("props", "$.k").cast("int").alias("k")
+        )
+        .filter(F.col("k").isNotNull())
+        .distinct()
+    )
+    baskets = uk.groupBy("user_id").agg(F.collect_set("k").alias("items"))
+    n = baskets.count()
+    if n == 0:
+        return spark.createDataFrame(
+            [], "itemset string, sz int, freq bigint, support double"
+        )
+    model = FPGrowth(itemsCol="items", minSupport=0.05).fit(baskets)
+    return (
+        model.freqItemsets.filter(F.size("items") <= 2)
+        .select(
+            F.array_join(F.sort_array("items"), ",").alias("itemset"),
+            F.size("items").alias("sz"),
+            F.col("freq").cast("bigint").alias("freq"),
+            F.round(F.col("freq") / F.lit(float(n)), 6).alias("support"),
+        )
+    )

@@ -939,3 +939,68 @@ def dq12_winsorize(spark, sf_dir):
         "mean_before",
         "mean_after",
     )
+
+
+@register(
+    "dq13_benford_audit",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(SUBSTR(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM lineitem WHERE l_extendedprice > 0
+    ),
+    obs AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY digit
+    ),
+    tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM obs),
+    spine AS (SELECT UNNEST(range(1, 10)) AS digit)
+    SELECT s.digit,
+           COALESCE(o.n, 0) AS n,
+           ROUND(COALESCE(o.n, 0) / t.total, 6) AS obs_frac,
+           ROUND(LOG10(1.0 + 1.0 / s.digit), 6) AS exp_frac,
+           ROUND(POWER(COALESCE(o.n, 0) - t.total * LOG10(1.0 + 1.0 / s.digit), 2)
+                 / (t.total * LOG10(1.0 + 1.0 / s.digit)), 4) AS chi2_term
+    FROM spine s LEFT JOIN obs o ON o.digit = s.digit CROSS JOIN tot t
+    ORDER BY s.digit
+    """,
+)
+def dq13_benford_audit(spark, sf_dir):
+    """Benford first-significant-digit audit — the forensic
+    fabricated-data detector every financial/ingest QA suite carries
+    (Nigrini's digit analysis, public): observed first-digit
+    distribution of line amounts vs the Benford expectation
+    log10(1+1/d), with per-digit chi-square contributions so the
+    drilling-down is already done (a synthetic price generator screams
+    at d=1). The audit does NOT assert conformance — TPC-H prices are
+    formula-generated and non-Benford by construction; it reports the
+    evidence, and the gate hashes the evidence. First digit is taken
+    from the INTEGER cents string (exact: avoids the FLOOR(LOG10(x))
+    float edge at powers of ten); a static 1-9 spine keeps absent
+    digits visible as zeros (the dq5 empty-bucket discipline). One
+    scan, 9-row output — free at any scale."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 0)
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    obs = li.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    spine = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    tot = obs.agg(F.sum("n").cast("double").alias("total"))
+    exp_frac = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    n = F.coalesce(F.col("n"), F.lit(0))
+    return (
+        spine.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            n.alias("n"),
+            F.round(n / F.col("total"), 6).alias("obs_frac"),
+            F.round(exp_frac, 6).alias("exp_frac"),
+            F.round(
+                F.pow(n - F.col("total") * exp_frac, F.lit(2))
+                / (F.col("total") * exp_frac),
+                4,
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )

@@ -84,6 +84,11 @@ REPRESENTATIVE = [
     "q114_approx_top_k",         # heavy-hitters sketch of nothing
     "st16_python_stream_source", # Python stream source drains immediately
     "g5_connected_components",   # star contraction on an empty edge list
+    "q115_count_min_sketch",     # CMS of an empty stream (no sketch rows)
+    "q116_bitmap_distinct",      # bitmap rollup over zero events
+    "dq13_benford_audit",        # digit spine over zero amounts
+    "t19_vocab_growth",          # growth curve of an empty corpus
+    "ml18_frequent_itemsets",    # FPGrowth over zero baskets
 ]
 
 
@@ -137,5 +142,19 @@ def test_operator_survives_empty_input(spark, empty_sf_dir, name):
         # former COLUMNS); the value columns are data-dependent by
         # transpose's contract, so an empty index yields none of them
         assert [r["key"] for r in rows] == ["sum_price", "sum_qty", "n"]
+    elif name == "q116_bitmap_distinct":
+        # the merged '__ALL__' row must report a REAL zero (the twin's
+        # global COUNT(DISTINCT) over empty is 0, not NULL)
+        assert len(rows) == 1
+        assert tuple(rows[0]) == ("__ALL__", 0)
+    elif name == "dq13_benford_audit":
+        # the 1-9 digit spine survives with n = 0; fractions are NULL
+        # (0/0 has no value — matching the twin's NULL total)
+        assert [r["digit"] for r in rows] == list(range(1, 10))
+        assert all(r["n"] == 0 and r["obs_frac"] is None for r in rows)
+    elif name == "t19_vocab_growth":
+        # every checkpoint survives with zero tokens and zero vocab
+        assert len(rows) == 6
+        assert all(r["n_tokens"] == 0 and r["vocab"] == 0 for r in rows)
     else:
         assert rows == []

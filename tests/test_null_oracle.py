@@ -34,6 +34,7 @@ GATES = [
     "t16_pii_scrub",
     "p15_mixture_allocation",
     "t17_perplexity_filter",
+    "t19_vocab_growth",
 ]
 
 
@@ -370,3 +371,39 @@ def test_q114_matches_under_null_event_type(spark, null_event_type_dir):
         .count()
     )
     assert sum(r[spark_cols.index("cnt")] for r in spark_rows) == n_nonnull
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q115_count_min_sketch",   # CMS ignores NULL inputs; twin filters
+        "q116_bitmap_distinct",    # bitmap bit position of NULL is undefined
+        "ml18_frequent_itemsets",  # NULL event_type never matches 'purchase'
+        "g5_connected_components", # NULL-typed events fall out of the graph
+    ],
+)
+def test_new_event_gates_match_under_null_event_type(
+    spark, null_event_type_dir, name
+):
+    """The r7-tail event-reading gates under the q114 NULL-event_type
+    adversary: every one must make NULL exclusion an explicit,
+    engine-agreeing case (filter on Spark, predicate in the twin) —
+    never an accident of three-valued logic on one side only."""
+    import duckdb
+
+    qdef = load_registry()[name]
+    sdf = qdef.build(spark, null_event_type_dir)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{null_event_type_dir}/events.parquet/*.parquet')"
+    )
+    res = con.execute(qdef.oracle)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols)
+    assert _hash_rows(spark_cols, spark_rows) == _hash_rows(duck_cols, duck_rows)

@@ -55,6 +55,7 @@ GATES = [
     "t17_perplexity_filter",
     "p16_multimodal_packing",
     "p17_preference_pairs",
+    "t19_vocab_growth",
 ]
 
 
