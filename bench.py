@@ -128,6 +128,7 @@ HEADLINE = [
     "dq13_benford_audit",
     "t19_vocab_growth",
     "ml18_frequent_itemsets",
+    "mm12_phash_neardup",
     # materials domain
     "m04_born_trace_invariant",
     "m11_site_explode_agg",

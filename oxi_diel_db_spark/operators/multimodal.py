@@ -558,6 +558,82 @@ def ahash64(arr: np.ndarray) -> int:
 AHASH_SCHEMA = "doc_id bigint, fmt string, ahash bigint"
 
 
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix C (n x n): C @ x applies the
+    1-D DCT-II; the 2-D transform of image block L is C @ L @ C.T."""
+    k = np.arange(n).reshape(-1, 1)
+    i = np.arange(n).reshape(1, -1)
+    c = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    c[0, :] = np.sqrt(1.0 / n)
+    return c
+
+
+_DCT32 = _dct_matrix(32)
+
+
+def phash64(arr: np.ndarray) -> int:
+    """64-bit DCT perceptual hash of an (h, w, 3) uint8 RGB array —
+    the classic pHash recipe (public: Zauner 2010, "Implementation and
+    Benchmarking of Perceptual Image Hash Functions"): Rec.601 luma →
+    32x32 nearest-neighbor resample → 2-D DCT-II → top-left 8x8
+    low-frequency block → threshold at the block median → row-major
+    bit pack. Differs from ahash64 in WHAT survives: the low-frequency
+    spectrum — on content with real low-frequency structure,
+    high-frequency dither leaves the block's bit pattern intact
+    (asserted in tests; on flat/structureless input the AC
+    coefficients sit near the median and the bits are noise, the
+    known degenerate case of median-threshold spectral hashes).
+    Channel-order-sensitive like ahash64 (luma weights), so a
+    BGR-blind decode still fails mm12's cross-format gate."""
+    h, w = arr.shape[:2]
+    luma = (
+        0.299 * arr[:, :, 0].astype(np.float64)
+        + 0.587 * arr[:, :, 1].astype(np.float64)
+        + 0.114 * arr[:, :, 2].astype(np.float64)
+    )
+    yi = np.arange(32) * h // 32
+    xi = np.arange(32) * w // 32
+    s = luma[yi][:, xi]
+    spectrum = _DCT32 @ s @ _DCT32.T
+    block = spectrum[:8, :8]
+    bits = (block > np.median(block)).reshape(-1)
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+PHASH_SCHEMA = "doc_id bigint, fmt string, phash bigint"
+
+
+def image_phash(media: DataFrame) -> DataFrame:
+    """Arrow-batched decode → DCT perceptual hash per image payload
+    (the phash64 twin of image_ahash; same one-narrow-pass posture:
+    pixels never leave the partition, only 8-byte hashes shuffle)."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "fmt": [], "phash": []}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(p)
+                if raw[:2] not in (b"P6", b"BM"):
+                    continue
+                d = decode_media(raw, want_array=True)
+                out["doc_id"].append(int(doc_id))
+                out["fmt"].append(d["fmt"])
+                out["phash"].append(phash64(d["array"]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "fmt": pd.Series(out["fmt"], dtype="object"),
+                    "phash": pd.Series(out["phash"], dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(_hash, schema=PHASH_SCHEMA)
+
+
+
 def image_ahash(media: DataFrame) -> DataFrame:
     """Arrow-batched decode → perceptual hash per image payload.
     Non-image payloads are dropped. At 100 TB this is one narrow

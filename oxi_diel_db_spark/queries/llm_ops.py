@@ -4526,3 +4526,72 @@ def ml18_frequent_itemsets(spark, sf_dir):
             F.round(F.col("freq") / F.lit(float(n)), 6).alias("support"),
         )
     )
+
+
+@register(
+    "mm12_phash_neardup",
+    # Same closed-form fixture contract as mm8: group g = doc_id % 40
+    # shares CONTENT, occurrences alternate PPM/BMP containers. A
+    # correct decode + DCT makes every within-group pair Hamming-0, so
+    # the banded join recovers EXACTLY the group pairs; a format-blind
+    # decode (or a broken DCT) splits groups by container and the
+    # pair set collapses — count/hash gate fails.
+    oracle="""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 0 AS hamming
+    FROM documents a JOIN documents b
+      ON a.doc_id % 40 = b.doc_id % 40 AND a.doc_id < b.doc_id
+    """,
+)
+def mm12_phash_neardup(spark, sf_dir):
+    """Near-duplicate image pairs via the DCT perceptual hash (pHash —
+    low-frequency spectrum signature, stable under high-frequency
+    dither on structured content, tests/test_multimodal.py) with the
+    Hamming-banded self-join mm8's docstring promises: the 64-bit hash splits into 4 x 16-bit bands;
+    any pair within Hamming distance 3 shares at least one band
+    EXACTLY (pigeonhole), so candidates come from 4 equi-joins on
+    (band_idx, band_value) — never an all-pairs scan — and only
+    candidates pay the bit_count(xor) distance check. The SimHash
+    banding recipe (operators/dedup.simhash) applied to pixels:
+    at 100 TB, pixels never shuffle; the join moves (doc_id, 8-byte
+    hash) pairs, and band fan-out is 4 rows per image."""
+    from oxi_diel_db_spark.operators.multimodal import (
+        image_phash,
+        neardup_fixture_table,
+    )
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    hashed = image_phash(neardup_fixture_table(d)).select("doc_id", "phash")
+    bands = hashed.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("phash", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bv"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "phash", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("phash").alias("ph_a"), "band", "bv"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("phash").alias("ph_b"), "band", "bv"
+    )
+    pairs = (
+        a.join(b, ["band", "bv"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ph_a", "ph_b")
+        .distinct()
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).alias("hamming"),
+    ).where(F.col("hamming") <= 3)

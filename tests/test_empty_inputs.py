@@ -89,6 +89,7 @@ REPRESENTATIVE = [
     "dq13_benford_audit",        # digit spine over zero amounts
     "t19_vocab_growth",          # growth curve of an empty corpus
     "ml18_frequent_itemsets",    # FPGrowth over zero baskets
+    "mm12_phash_neardup",        # banded Hamming join over zero images
 ]
 
 

@@ -448,3 +448,91 @@ def test_mm11_stft_matches_closed_form_signal(spark):
                 doc_id,
                 b,
             )
+
+
+def test_dct_matrix_matches_direct_definition():
+    """The matrix-form 2-D DCT-II (C @ L @ C.T) must equal the direct
+    textbook double sum, orthonormal scaling included."""
+    import numpy as np
+
+    from oxi_diel_db_spark.operators.multimodal import _dct_matrix
+
+    n = 8
+    rng = np.random.RandomState(7)
+    L = rng.rand(n, n)
+    C = _dct_matrix(n)
+    got = C @ L @ C.T
+    want = np.zeros((n, n))
+    for u in range(n):
+        for v in range(n):
+            au = np.sqrt(1.0 / n) if u == 0 else np.sqrt(2.0 / n)
+            av = np.sqrt(1.0 / n) if v == 0 else np.sqrt(2.0 / n)
+            s = 0.0
+            for i in range(n):
+                for j in range(n):
+                    s += (
+                        L[i, j]
+                        * np.cos(np.pi * (2 * i + 1) * u / (2 * n))
+                        * np.cos(np.pi * (2 * j + 1) * v / (2 * n))
+                    )
+            want[u, v] = au * av * s
+    assert np.allclose(got, want, atol=1e-12)
+
+
+def test_phash_high_frequency_noise_and_discrimination():
+    """The property that earns pHash its slot next to aHash: on an
+    image with REAL low-frequency structure (random amplitudes on the
+    8x8 low-freq DCT basis — the content class photos live in), a
+    +/-8 checkerboard (pure highest-frequency energy) leaves the DCT
+    low-frequency bit pattern intact; unrelated random images stay
+    far apart. (On flat/structureless images the 63 AC coefficients
+    sit near the median and the bits are noise — the documented
+    degenerate case of every median-threshold spectral hash, which is
+    why the property is asserted on structured content.)"""
+    import numpy as np
+
+    from oxi_diel_db_spark.operators.multimodal import _dct_matrix, phash64
+
+    rng = np.random.RandomState(11)
+    n = 32
+    C = _dct_matrix(n)
+    A = np.zeros((n, n))
+    A[:8, :8] = rng.uniform(50, 100, (8, 8)) * rng.choice([-1, 1], (8, 8))
+    img = C.T @ A @ C
+    img = (img - img.min()) / (img.max() - img.min()) * 200 + 20
+    noise = 8.0 * ((-1.0) ** (np.add.outer(np.arange(n), np.arange(n))))
+    to_rgb = lambda g: np.clip(  # noqa: E731
+        np.repeat(g[:, :, None], 3, 2), 0, 255
+    ).astype(np.uint8)
+
+    def ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    assert ham(phash64(to_rgb(img)), phash64(to_rgb(img + noise))) == 0
+    a = rng.randint(0, 256, (16, 24, 3)).astype(np.uint8)
+    b = rng.randint(0, 256, (16, 24, 3)).astype(np.uint8)
+    assert ham(phash64(a), phash64(b)) >= 16
+
+
+def test_phash_cross_format_parity():
+    """PPM and BMP containers of the SAME pixels must hash identically
+    (BGR swap + bottom-up rows + padding all undone by the decoder;
+    the BMP file order is pre-arranged bottom-up BGR exactly like the
+    mm8/mm12 fixture does)."""
+    import numpy as np
+
+    from oxi_diel_db_spark.operators.multimodal import (
+        decode_media,
+        encode_bmp,
+        encode_ppm,
+        phash64,
+    )
+
+    rng = np.random.RandomState(3)
+    w, h = 20, 12
+    img = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+    ppm = decode_media(encode_ppm(w, h, img.reshape(-1)), want_array=True)
+    bmp = decode_media(
+        encode_bmp(w, h, img[::-1, :, ::-1].reshape(-1)), want_array=True
+    )
+    assert phash64(ppm["array"]) == phash64(bmp["array"])
