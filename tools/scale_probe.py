@@ -1459,6 +1459,75 @@ def bpe_probe(n_docs: int = 2_000_000, words_per_doc: int = 20) -> None:
     }))
 
 
+def cc_probe(n_edges: int = 10_000_000) -> None:
+    """g5's alternating-star connected components at scale, with the
+    adversarial shape that breaks min-label propagation: the random
+    expander bulk (one giant component) PLUS planted 64-node chains
+    (diameter 63 — label propagation needs 63 rounds; star contraction
+    needs O(log n)). Records rounds-to-fixpoint and per-round edge
+    counts so the O(log n) claim is measured, not asserted."""
+    from oxi_diel_db_spark.session import get_spark
+    from oxi_diel_db_spark.operators.graph import (
+        _large_star,
+        _small_star,
+        connected_components,
+    )
+
+    spark = get_spark("cc_probe")
+    n_nodes = max(1000, n_edges // 10)
+    bulk = spark.range(0, n_edges).select(
+        F.pmod(F.hash("id"), F.lit(n_nodes)).alias("src"),
+        F.pmod(F.hash("id", F.lit(1)), F.lit(n_nodes)).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    # 1000 disjoint 64-node chains living above the bulk id space
+    chain = spark.range(0, 64_000).select(
+        (F.lit(n_nodes) + F.col("id")).alias("src"),
+        (F.lit(n_nodes) + F.col("id") + 1).alias("dst"),
+    ).filter((F.col("id") % 64) != 63)
+    edges = bulk.unionByName(chain)
+    edges.limit(5).collect()
+
+    t0 = time.time()
+    # instrumented copy of connected_components' loop: same steps,
+    # counting rounds and per-round edge-set size
+    e = edges.where(F.col("src") != F.col("dst")).distinct().localCheckpoint(True)
+    cur = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(True)
+    )
+    per_round = []
+    rounds = 0
+    for _ in range(30):
+        rounds += 1
+        sym = cur.unionByName(
+            cur.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+        after = _small_star(_large_star(sym).localCheckpoint(True)).localCheckpoint(True)
+        n_after = after.count()
+        per_round.append(int(n_after))
+        if n_after == cur.count() and after.exceptAll(cur).limit(1).count() == 0:
+            cur = after
+            break
+        cur = after
+    n_comp = cur.select("dst").distinct().count()
+    dt = round(time.time() - t0, 2)
+    print(json.dumps({
+        "metric": "cc_probe", "edges": n_edges, "chain_nodes": 64_000,
+        "unit": "sec", "sec": dt, "rounds": rounds,
+        "n_components_rooted": int(n_comp), "per_round_edges": per_round,
+    }))
+    # cross-check the operator's own public entry point on a slice
+    t1 = time.time()
+    small = edges.filter((F.col("src") % 50 == 0) | (F.col("src") >= n_nodes))
+    cc = connected_components(small)
+    n = cc.count()
+    print(json.dumps({
+        "metric": "cc_probe_slice", "rows": int(n),
+        "sec": round(time.time() - t1, 2),
+    }))
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "docs":
         docs_probe(int(float(sys.argv[2]) * 1000) if len(sys.argv) > 2 else 500_000)
@@ -1466,6 +1535,8 @@ if __name__ == "__main__":
         vectors_probe(int(float(sys.argv[2]) * 1000) if len(sys.argv) > 2 else 200_000)
     elif len(sys.argv) > 1 and sys.argv[1] == "bfs":
         bfs_probe(int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000)
+    elif len(sys.argv) > 1 and sys.argv[1] == "cc":
+        cc_probe(int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000)
     elif len(sys.argv) > 1 and sys.argv[1] == "graph":
         graph_probe(
             int(float(sys.argv[2]) * 1_000_000) if len(sys.argv) > 2 else 5_000_000
