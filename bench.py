@@ -129,6 +129,7 @@ HEADLINE = [
     "t19_vocab_growth",
     "ml18_frequent_itemsets",
     "mm12_phash_neardup",
+    "t20_readability",
     # materials domain
     "m04_born_trace_invariant",
     "m11_site_explode_agg",

@@ -4595,3 +4595,91 @@ def mm12_phash_neardup(spark, sf_dir):
         "doc_b",
         F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).alias("hamming"),
     ).where(F.col("hamming") <= 3)
+
+
+@register(
+    "t20_readability",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, text,
+             {TX.SQL_NORM_WORDS.format(t="COALESCE(text, '')")} AS words
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id,
+             len(words) AS n_words,
+             GREATEST(1, len(regexp_extract_all(COALESCE(text, ''), '[.!?]+')))
+               AS n_sentences,
+             COALESCE(list_sum(list_transform(words,
+                 x -> GREATEST(1, len(regexp_extract_all(x, '[aeiouy]+'))))), 0)
+               AS n_syllables
+      FROM w
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_syllables AS BIGINT) AS n_syllables,
+           CASE WHEN n_words > 0 THEN
+             ROUND(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                           - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4)
+           END AS flesch,
+           CASE WHEN n_words > 0 THEN
+             ROUND(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+                   + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59, 4)
+           END AS fk_grade
+    FROM feat
+    """,
+)
+def t20_readability(spark, sf_dir):
+    """Flesch reading-ease + Flesch-Kincaid grade level (Kincaid et
+    al. 1975 — the readability screen quality pipelines run next to
+    the Gopher rules: too-hard AND too-easy text both correlate with
+    low training value). Syllables via the standard vowel-group
+    heuristic (runs of [aeiouy], floor 1 per word — exact
+    syllabification needs a dictionary; the heuristic is the
+    documented public shape), sentences via terminal-punctuation runs
+    (floor 1 so fragments don't divide by zero). Pure Catalyst
+    expressions over one tokenization — a single corpus scan at any
+    scale, zero UDFs, zero shuffles (per-document map work only).
+    Zero-word docs emit NULL scores on both engines rather than a
+    fake number; NULL text is an EXPLICIT empty-doc case on both
+    engines (legacy size(NULL) = -1 vs DuckDB len(NULL) = NULL — the
+    avgdl divergence class, caught by this gate's NULL-matrix entry)."""
+    d = t(spark, sf_dir, "documents")
+    words = TX.norm_words(F.coalesce(F.col("text"), F.lit("")))
+    n_words = F.size(words).cast("bigint")
+    n_sentences = F.greatest(
+        F.lit(1),
+        F.size(
+            F.regexp_extract_all(
+                F.coalesce(F.col("text"), F.lit("")), F.lit(r"[.!?]+"), F.lit(0)
+            )
+        ),
+    ).cast("bigint")
+    syl = F.aggregate(
+        words,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc
+        + F.greatest(
+            F.lit(1),
+            F.size(F.regexp_extract_all(x, F.lit(r"[aeiouy]+"), F.lit(0))),
+        ).cast("bigint"),
+    )
+    feat = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sentences.alias("n_sentences"),
+        F.coalesce(syl, F.lit(0)).alias("n_syllables"),
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sentences")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words")
+    nz = F.col("n_words") > 0
+    return feat.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.when(nz, F.round(F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 4))
+        .alias("flesch"),
+        F.when(nz, F.round(F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 4))
+        .alias("fk_grade"),
+    )

@@ -90,6 +90,7 @@ REPRESENTATIVE = [
     "t19_vocab_growth",          # growth curve of an empty corpus
     "ml18_frequent_itemsets",    # FPGrowth over zero baskets
     "mm12_phash_neardup",        # banded Hamming join over zero images
+    "t20_readability",           # readability over an empty corpus
 ]
 
 

@@ -35,6 +35,7 @@ GATES = [
     "p15_mixture_allocation",
     "t17_perplexity_filter",
     "t19_vocab_growth",
+    "t20_readability",
 ]
 
 

@@ -56,6 +56,7 @@ GATES = [
     "p16_multimodal_packing",
     "p17_preference_pairs",
     "t19_vocab_growth",
+    "t20_readability",
 ]
 
 
