@@ -130,6 +130,7 @@ HEADLINE = [
     "ml18_frequent_itemsets",
     "mm12_phash_neardup",
     "t20_readability",
+    "dq14_functional_dependency",
     # materials domain
     "m04_born_trace_invariant",
     "m11_site_explode_agg",

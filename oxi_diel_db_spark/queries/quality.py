@@ -1004,3 +1004,64 @@ def dq13_benford_audit(spark, sf_dir):
         )
         .orderBy("digit")
     )
+
+
+_DQ14_FDS = [
+    # (name, table, lhs, rhs) — one held-by-design FD, one PK-backed
+    # FD, and one that FAILS on purpose (an order spans return flags)
+    ("nation_to_region", "nation", "n_nationkey", "n_regionkey"),
+    ("cust_to_nation", "customer", "c_custkey", "c_nationkey"),
+    ("order_to_returnflag", "lineitem", "l_orderkey", "l_returnflag"),
+]
+
+
+def _dq14_oracle() -> str:
+    parts = []
+    for name, tbl, lhs, rhs in _DQ14_FDS:
+        parts.append(f"""
+    SELECT '{name}' AS fd,
+           CAST(COUNT(*) AS BIGINT) AS n_lhs_groups,
+           CAST(COALESCE(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_violating_groups,
+           CAST(COALESCE(MAX(n_rhs), 0) AS INT) AS max_distinct_rhs,
+           CAST(COALESCE(MAX(n_rhs), 0) <= 1 AS INT) AS holds
+    FROM (SELECT {lhs}, COUNT(DISTINCT {rhs}) AS n_rhs
+          FROM {tbl} GROUP BY {lhs})""")
+    return "\nUNION ALL\n".join(parts)
+
+
+@register("dq14_functional_dependency", oracle=_dq14_oracle())
+def dq14_functional_dependency(spark, sf_dir):
+    """Functional-dependency audit (the Deequ/constraint-suggestion
+    primitive next to dq1's declarative checks): for each candidate
+    FD A → B, count LHS groups whose RHS is not single-valued. The
+    suite carries one FD that holds by design (nation → region), one
+    PK-backed FD (customer → nation), and one that FAILS on purpose
+    (an order spans return flags) so the violation path is always
+    exercised — an audit whose red path never fires is untested. Per
+    FD: one groupBy(A) agg countDistinct(B) — map-side combinable,
+    output O(candidates), no cross-table shuffle. At 100 TB, FD
+    auditing is how schema contracts (dq9) get DISCOVERED before
+    they're declared."""
+    out = None
+    for name, tbl, lhs, rhs in _DQ14_FDS:
+        g = (
+            t(spark, sf_dir, tbl)
+            .groupBy(lhs)
+            .agg(F.count_distinct(F.col(rhs)).alias("n_rhs"))
+        )
+        row = g.agg(
+            F.lit(name).alias("fd"),
+            F.count(F.lit(1)).alias("n_lhs_groups"),
+            F.coalesce(
+                F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0)), F.lit(0)
+            ).cast("bigint").alias("n_violating_groups"),
+            # COALESCE on BOTH engines: an empty table holds every FD
+            # vacuously (real zeros, never the NULLs a bare MAX gives)
+            F.coalesce(F.max("n_rhs"), F.lit(0)).cast("int").alias("max_distinct_rhs"),
+            (F.coalesce(F.max("n_rhs"), F.lit(0)) <= 1)
+            .cast("int")
+            .alias("holds"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -91,6 +91,7 @@ REPRESENTATIVE = [
     "ml18_frequent_itemsets",    # FPGrowth over zero baskets
     "mm12_phash_neardup",        # banded Hamming join over zero images
     "t20_readability",           # readability over an empty corpus
+    "dq14_functional_dependency", # vacuous FD verdicts with real zeros
 ]
 
 
@@ -144,6 +145,15 @@ def test_operator_survives_empty_input(spark, empty_sf_dir, name):
         # former COLUMNS); the value columns are data-dependent by
         # transpose's contract, so an empty index yields none of them
         assert [r["key"] for r in rows] == ["sum_price", "sum_qty", "n"]
+    elif name == "dq14_functional_dependency":
+        # every candidate FD holds vacuously over empty tables, with
+        # real zeros in every count
+        assert len(rows) == 3
+        assert all(
+            r["holds"] == 1 and r["n_lhs_groups"] == 0
+            and r["n_violating_groups"] == 0 and r["max_distinct_rhs"] == 0
+            for r in rows
+        )
     elif name == "q116_bitmap_distinct":
         # the merged '__ALL__' row must report a REAL zero (the twin's
         # global COUNT(DISTINCT) over empty is 0, not NULL)
