@@ -179,6 +179,7 @@ SINGLES = [
     "ml12_ion_st_descriptors",
     "ml13_ion_st_reference_scoring",
     "ml17_quality_classifier",  # LBFGS training run (one per invocation)
+    "ml19_poisson_glm",  # GLM IRLS training run (one per invocation)
 ]
 
 

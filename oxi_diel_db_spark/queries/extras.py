@@ -2736,3 +2736,87 @@ def q115_count_min_sketch(spark, sf_dir):
         merged.mergeInPlace(jcms.readFrom(bytes(row.cms)))
     est = [(it, int(merged.estimateCount(it))) for it in items]
     return spark.createDataFrame(est, "item string, est_n bigint")
+
+
+#: ml19 design matrix, exposed for the from-scratch Newton/IRLS parity
+#: twin in tests/test_ml.py (the ml17 pattern).
+ML19_FEATURES = ["x_logviews", "x_logvalue"]
+
+
+def ml19_design(spark, sf_dir):
+    """(user_id, log1p(n_views), log1p(total_value), n_purchases) —
+    the per-user count-model design matrix: one groupBy over events,
+    map-side combinable, O(users) output at any corpus scale."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.log1p(
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .cast("double")
+        ).alias("x_logviews"),
+        F.log1p(
+            (
+                F.coalesce(
+                    F.sum(F.round(F.col("value") * 100, 0).cast("bigint")),
+                    F.lit(0),
+                )
+                / 100.0
+            )
+        ).alias("x_logvalue"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("double")
+        .alias("y"),
+    )
+
+
+@register("ml19_poisson_glm", oracle=None)  # trained-model scores: Newton parity in tests/test_ml.py
+def ml19_poisson_glm(spark, sf_dir):
+    """Poisson regression of per-user purchase counts on activity
+    signals — the GLM count-model family (MLlib
+    GeneralizedLinearRegression, family=poisson, link=log): the
+    workload-forecasting / engagement-rate primitive next to ml2's
+    OLS tier and ml17's logistic tier. regParam 0 and a tight tol pin
+    the UNIQUE MLE, so the from-scratch numpy Newton/IRLS twin
+    (tests/test_ml.py) must land on the SAME coefficients —
+    coefficient-level parity, not a correlation floor. Scoring is a
+    Catalyst exp(b + w·x) map pass from the fitted coefficients (the
+    ml17 lesson: never close over a fitted model whose training
+    summary pins the SparkSession). Rows-only gate by design; the
+    design matrix underneath is plain hash-gateable aggregation.
+    Scale: IRLS aggregates X^T W X gram partials tree-wise (O(d²)
+    driver state, d=3); scoring is one map pass."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import GeneralizedLinearRegression
+
+    data = ml19_design(spark, sf_dir)
+    if data.limit(1).count() == 0:  # fresh-ingest day: nothing to fit
+        return spark.createDataFrame(
+            [],
+            "user_id bigint, n_purchases bigint, mu_hat double, "
+            "pearson_resid double",
+        )
+    assembled = VectorAssembler(
+        inputCols=ML19_FEATURES, outputCol="features"
+    ).transform(data)
+    glr = GeneralizedLinearRegression(
+        family="poisson",
+        link="log",
+        featuresCol="features",
+        labelCol="y",
+        regParam=0.0,
+        fitIntercept=True,
+        tol=1e-12,
+        maxIter=200,
+    )
+    model = glr.fit(assembled)
+    w = model.coefficients.toArray()
+    b = float(model.intercept)
+    eta = F.lit(b)
+    for feat, wi in zip(ML19_FEATURES, w):
+        eta = eta + F.lit(float(wi)) * F.col(feat)
+    mu = F.exp(eta)
+    return data.select(
+        "user_id",
+        F.col("y").cast("bigint").alias("n_purchases"),
+        F.round(mu, 4).alias("mu_hat"),
+        F.round((F.col("y") - mu) / F.sqrt(mu), 4).alias("pearson_resid"),
+    )

@@ -92,6 +92,7 @@ REPRESENTATIVE = [
     "mm12_phash_neardup",        # banded Hamming join over zero images
     "t20_readability",           # readability over an empty corpus
     "dq14_functional_dependency", # vacuous FD verdicts with real zeros
+    "ml19_poisson_glm",          # GLM guard over zero users
 ]
 
 

@@ -343,3 +343,77 @@ def test_ml17_registered_output_shape(spark):
     assert len(rows) == 500  # one graded verdict per document
     assert {r["predicted"] for r in rows} <= {0, 1}
     assert all(0.0 <= r["p_pass"] <= 1.0 for r in rows)
+
+
+def test_ml19_poisson_parity_with_numpy_newton(spark):
+    """ml19's GLR (family=poisson, link=log, regParam=0) maximizes the
+    unpenalized Poisson log-likelihood — a strictly concave objective
+    on a full-rank design, so an independent numpy Newton solver must
+    land on the SAME unique MLE: coefficients to 1e-6, fitted means to
+    1e-6 relative."""
+    import numpy as np
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import GeneralizedLinearRegression
+
+    from oxi_diel_db_spark.queries.extras import ML19_FEATURES, ml19_design
+
+    sf = "/root/testdata/sf0.001"
+    pdf = ml19_design(spark, sf).toPandas().sort_values("user_id")
+    X = pdf[ML19_FEATURES].to_numpy(dtype=np.float64)
+    y = pdf["y"].to_numpy(dtype=np.float64)
+    n, d = X.shape
+    Xb = np.hstack([X, np.ones((n, 1))])
+
+    beta = np.zeros(d + 1)
+    for _ in range(200):
+        mu = np.exp(Xb @ beta)
+        g = Xb.T @ (y - mu)
+        H = (Xb.T * mu) @ Xb
+        step = np.linalg.solve(H, g)
+        beta += step
+        if np.max(np.abs(g)) < 1e-10:
+            break
+    w_np, b_np = beta[:d], beta[d]
+
+    assembled = VectorAssembler(
+        inputCols=ML19_FEATURES, outputCol="features"
+    ).transform(ml19_design(spark, sf))
+    glr = GeneralizedLinearRegression(
+        family="poisson", link="log", featuresCol="features", labelCol="y",
+        regParam=0.0, fitIntercept=True, tol=1e-12, maxIter=200,
+    )
+    model = glr.fit(assembled)
+    w_ml = np.array(model.coefficients)
+    b_ml = float(model.intercept)
+
+    assert np.max(np.abs(w_ml - w_np)) < 1e-6, (w_ml, w_np)
+    assert abs(b_ml - b_np) < 1e-6
+    mu_np = np.exp(X @ w_np + b_np)
+    mu_ml = np.exp(X @ w_ml + b_ml)
+    assert np.max(np.abs(mu_ml - mu_np) / np.maximum(mu_np, 1e-9)) < 1e-6
+    # the model must explain counts better than the constant-rate
+    # baseline (deviance improves), or the features are dead weight
+    dev_model = 2.0 * np.sum(
+        np.where(y > 0, y * np.log(y / mu_np), 0.0) - (y - mu_np)
+    )
+    mu0 = np.full_like(y, y.mean())
+    dev_null = 2.0 * np.sum(
+        np.where(y > 0, y * np.log(y / mu0), 0.0) - (y - mu0)
+    )
+    assert dev_model < dev_null
+
+
+def test_ml19_registered_output_shape(spark):
+    from oxi_diel_db_spark.queries import load_registry
+
+    df = load_registry()["ml19_poisson_glm"].build(
+        spark, "/root/testdata/sf0.001"
+    )
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {
+        "user_id", "n_purchases", "mu_hat", "pearson_resid"
+    }
+    # the Catalyst scoring path must agree with exp-link algebra:
+    # mu > 0 everywhere, residual finite
+    assert all(r["mu_hat"] > 0 for r in rows)
