@@ -131,6 +131,7 @@ HEADLINE = [
     "mm12_phash_neardup",
     "t20_readability",
     "dq14_functional_dependency",
+    "s9_gemm_knn",
     # materials domain
     "m04_born_trace_invariant",
     "m11_site_explode_agg",

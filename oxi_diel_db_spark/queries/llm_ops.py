@@ -4683,3 +4683,37 @@ def t20_readability(spark, sf_dir):
         F.when(nz, F.round(F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 4))
         .alias("fk_grade"),
     )
+
+
+def _s9_oracle() -> str:
+    """s1's exact-brute oracle verbatim (imported from REGISTRY so the
+    two baselines can never drift): GEMM batching must not change a
+    single ranked value."""
+    from oxi_diel_db_spark.queries import REGISTRY
+
+    return REGISTRY["s1_ann_brute_force"].oracle
+
+
+@register("s9_gemm_knn", oracle=_s9_oracle())
+def s9_gemm_knn(spark, sf_dir):
+    """Exact cosine top-10 for the s1 probe set, computed the way
+    production brute-force actually runs: one numpy GEMM per Arrow
+    batch against the broadcast probe matrix (operators/similarity.
+    gemm_brute_topk), per-partition top-k, then a global window over
+    the O(partitions x probes x k) survivor set. Hash-gated against
+    s1's OWN oracle — the vectorized path must reproduce the SQL
+    expression path value-for-value (rounding pinned half-away-from-
+    zero, the s8 lesson). The scale story this entry pins: when no
+    index exists yet (cold corpus, one-off audit), brute force is a
+    GEMM streaming problem, not a cross-join problem — the corpus
+    never shuffles and vectors cross to Python only as Arrow batches.
+    Value equality with the SQL path asserted in
+    tests/test_similarity.py; the speedup is measured by
+    `scale_probe.py vectors` (SCALE.md)."""
+    from oxi_diel_db_spark.operators.similarity import gemm_brute_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return gemm_brute_topk(emb, probes, k=10)

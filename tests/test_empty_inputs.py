@@ -93,6 +93,7 @@ REPRESENTATIVE = [
     "t20_readability",           # readability over an empty corpus
     "dq14_functional_dependency", # vacuous FD verdicts with real zeros
     "ml19_poisson_glm",          # GLM guard over zero users
+    "s9_gemm_knn",               # GEMM top-k over zero probes+corpus
 ]
 
 

@@ -259,3 +259,44 @@ def test_s8_mmr_matches_pure_python(spark):
             sel.append(best)
             want.append((int(qid), step + 1, int(best), float(rel[best]), best_s))
     assert got == want
+
+
+def test_gemm_brute_matches_sql_brute_exactly(spark):
+    """The GEMM path must reproduce brute_force_topk value-for-value
+    on a synthetic corpus large enough to span many Arrow batches and
+    force the two-level top-k reduction (per-partition then global)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from oxi_diel_db_spark.operators.similarity import (
+        brute_force_topk,
+        gemm_brute_topk,
+    )
+
+    rng = np.random.RandomState(5)
+    n, d = 4000, 16
+    vecs = rng.randn(n, d).round(3)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id bigint, embedding array<double>",
+    ).repartition(8)
+    probes = corpus.filter(F.col("vec_id") < 7).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = sorted(map(tuple, brute_force_topk(corpus, probes, k=10).collect()))
+    b = sorted(map(tuple, gemm_brute_topk(corpus, probes, k=10).collect()))
+    assert a == b
+    assert len(a) == 70
+
+
+def test_gemm_brute_empty_probes_and_corpus(spark):
+    from oxi_diel_db_spark.operators.similarity import gemm_brute_topk
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    probes = empty.selectExpr("vec_id AS query_id", "embedding")
+    assert gemm_brute_topk(empty, probes).collect() == []
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id bigint, embedding array<double>"
+    )
+    assert gemm_brute_topk(corpus, probes).collect() == []

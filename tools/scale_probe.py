@@ -269,6 +269,9 @@ def vectors_probe(n_vecs: int = 200_000, dim: int = 64, n_probes_q: int = 100) -
     t0 = time.time()
     counts["brute"] = similarity.brute_force_topk(vecs, probes, k=10).count()
     timings["brute_force"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    counts["gemm"] = similarity.gemm_brute_topk(vecs, probes, k=10).count()
+    timings["gemm_brute"] = round(time.time() - t0, 2)
     # the deployment shape: build the IVF index once (persist), then
     # amortize it over query batches
     t0 = time.time()
