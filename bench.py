@@ -164,6 +164,7 @@ SINGLES = [
     "st14_stream_decontamination",
     "st15_state_store_reader",
     "st16_python_stream_source",
+    "st17_rocksdb_window",
     "q94_time_travel",
     "c3_hybrid_search",
     "c2_corpus_ledger",

@@ -685,3 +685,46 @@ def st16_python_stream_source(spark, sf_dir):
         ),
     )
     return ops.run_stream_to_memory(agg, spark, mode="complete")
+
+
+@register(
+    "st17_rocksdb_window",
+    oracle="""
+    SELECT DATE_TRUNC('hour', ts) AS win_start, event_type,
+           COUNT(*) AS n,
+           SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def st17_rocksdb_window(spark, sf_dir):
+    """st1's tumbling window executed on the ROCKSDB state store
+    provider — the production configuration for large streaming state
+    (the default HDFS-backed store keeps every key on the executor
+    HEAP; RocksDB spills to local disk with changelog checkpointing,
+    which is what makes 10^9-key dedup/session state feasible — and it
+    is the REQUIRED provider for transformWithState,
+    streaming/ops.running_totals_tws). State-provider choice must be
+    invisible to results: the gate is st1's oracle verbatim, so a
+    value divergence between providers fails the hash. The provider
+    conf is read PER QUERY at stream start — pinned here and restored
+    in a finally, the same session-hygiene pattern as dq_delta_sink's
+    partitionOverwriteMode. The RocksDB engagement itself (native
+    rocksdb customMetrics in the query progress) is asserted in
+    tests/test_streaming.py."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = ops.read_events_stream(spark, sf_dir)
+        return ops.run_stream_to_memory(
+            ops.tumbling_counts(stream, "1 hour"), spark
+        )
+    finally:
+        if prev is not None:
+            spark.conf.set(key, prev)
+        else:
+            spark.conf.unset(key)

@@ -796,3 +796,53 @@ def test_python_stream_source_multibatch_equals_batch(spark):
         .collect()
     }
     assert multi == want
+
+
+def test_st17_rocksdb_provider_actually_engages(spark):
+    """st17's gate proves VALUES are provider-independent; this proves
+    the RocksDB provider is actually the one running (native rocksdb
+    custom metrics in the stateOperators progress — absent under the
+    default HDFS-backed provider) and that results equal st1's on the
+    same input."""
+    import json
+
+    from oxi_diel_db_spark.queries import load_registry
+    from oxi_diel_db_spark.streaming import ops
+
+    sf = "/root/testdata/sf0.001"
+    reg = load_registry()
+    base = sorted(map(tuple, reg["st1_tumbling_window"].build(spark, sf).collect()))
+    got = sorted(map(tuple, reg["st17_rocksdb_window"].build(spark, sf).collect()))
+    assert got == base
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = ops.read_events_stream(spark, sf)
+        q = (
+            ops.tumbling_counts(stream, "1 hour")
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("st17_probe")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            progress = q.lastProgress
+        finally:
+            q.stop()
+            q.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set(key, prev)
+        else:
+            spark.conf.unset(key)
+    ops_metrics = progress["stateOperators"]
+    assert ops_metrics, json.dumps(progress)[:500]
+    custom = ops_metrics[0].get("customMetrics", {})
+    assert any("rocksdb" in k.lower() for k in custom), sorted(custom)[:10]
