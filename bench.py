@@ -132,6 +132,7 @@ HEADLINE = [
     "t20_readability",
     "dq14_functional_dependency",
     "s9_gemm_knn",
+    "mm13_shot_boundaries",
     # materials domain
     "m04_born_trace_invariant",
     "m11_site_explode_agg",

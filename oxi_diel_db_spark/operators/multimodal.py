@@ -951,3 +951,93 @@ def stft_features(
         + ", ".join(f"e_band{b} double" for b in range(n_bands))
     )
     return media.mapInPandas(_stft, schema)
+
+
+def jittered_video_fixture_table(
+    docs: DataFrame, id_col: str = "doc_id", group: int = 16
+) -> DataFrame:
+    """Shot-boundary fixtures: a concatenated-P6 stream of
+    ``2 + doc_id % 3`` shots x 3 frames each, where frames WITHIN a
+    shot differ by a small deterministic luma jitter (+frame_idx on
+    every byte — real video is never byte-identical frame to frame)
+    and shots differ by a large content change (fresh ramp seed and
+    stride). An exact-hash scene collapse (mm10's kernel) sees every
+    jittered frame as its own scene; only a TOLERANT frame-delta
+    detector recovers the planted shot count — which is exactly what
+    mm13 gates. Shot structure is pure doc_id arithmetic, so the
+    oracle is closed-form."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                content = i // group
+                w, h = 16, 12
+                frames = []
+                for s in range(2 + i % 3):
+                    seed = (content * 131 + s * 7919) % 9973
+                    base = (
+                        seed
+                        + np.arange(w * h * 3, dtype=np.int64) * (2 * s + 1)
+                    ) % 256
+                    for f in range(3):
+                        frames.append(encode_ppm(w, h, (base + f) % 256))
+                payloads.append(b"".join(frames))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    return docs.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        _encode, schema="doc_id bigint, payload binary"
+    )
+
+
+def shot_boundaries(media: DataFrame, threshold: float = 8.0) -> DataFrame:
+    """Soft shot-boundary detection over concatenated-P6 streams: mean
+    absolute LUMA delta between consecutive frames, cut where the
+    delta exceeds ``threshold`` (the classic pixel-difference detector
+    — Boreczky & Rowe 1996's baseline). Tolerates within-shot jitter
+    that breaks exact-hash scene collapse (mm10's kernel is the
+    held-frame/freeze-frame tool; this is the real-footage tool).
+    Emits (doc_id, n_frames, n_shots, cut_positions) — one Arrow
+    batch pass, frames never leave the decode stage."""
+
+    def _detect(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_frames": [], "n_shots": [], "cut_positions": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    frames = decode_ppm_stream(bytes(payload))
+                except Exception:
+                    continue
+                if not frames:
+                    continue
+                lumas = [
+                    0.299 * fr[:, :, 0].astype(np.float64)
+                    + 0.587 * fr[:, :, 1].astype(np.float64)
+                    + 0.114 * fr[:, :, 2].astype(np.float64)
+                    for fr in frames
+                ]
+                cuts = [
+                    k + 1
+                    for k in range(len(lumas) - 1)
+                    if float(np.mean(np.abs(lumas[k + 1] - lumas[k]))) > threshold
+                ]
+                out["doc_id"].append(int(doc_id))
+                out["n_frames"].append(len(frames))
+                out["n_shots"].append(len(cuts) + 1)
+                out["cut_positions"].append(",".join(str(c) for c in cuts))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "n_frames": pd.Series(out["n_frames"], dtype="int64"),
+                    "n_shots": pd.Series(out["n_shots"], dtype="int64"),
+                    "cut_positions": pd.Series(out["cut_positions"], dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(
+        _detect,
+        schema="doc_id bigint, n_frames bigint, n_shots bigint, cut_positions string",
+    )

@@ -4717,3 +4717,40 @@ def s9_gemm_knn(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return gemm_brute_topk(emb, probes, k=10)
+
+
+@register(
+    "mm13_shot_boundaries",
+    # Closed-form oracle: the jittered fixture plants 2 + doc_id % 3
+    # shots of 3 frames each; cuts land at frame indices 3, 6, 9. A
+    # detector that is too strict (exact-hash: every jittered frame
+    # becomes a "shot") or too loose (misses the content changes)
+    # breaks n_shots/cut_positions and fails the hash.
+    oracle="""
+    SELECT doc_id,
+           CAST(3 * (2 + doc_id % 3) AS BIGINT) AS n_frames,
+           CAST(2 + doc_id % 3 AS BIGINT) AS n_shots,
+           CASE doc_id % 3 WHEN 0 THEN '3' WHEN 1 THEN '3,6'
+                           ELSE '3,6,9' END AS cut_positions
+    FROM documents
+    """,
+)
+def mm13_shot_boundaries(spark, sf_dir):
+    """Soft shot-boundary detection (Boreczky & Rowe 1996's pixel-
+    difference baseline): mean absolute luma delta between consecutive
+    decoded frames, cut where the delta exceeds the threshold. The
+    real-footage complement to mm10's exact-hash scene collapse —
+    consecutive frames of actual video are never byte-identical, so
+    boundary detection must TOLERATE within-shot jitter while firing
+    on content changes; the fixture plants exactly that adversary
+    (per-frame +1 luma jitter inside shots, fresh ramp across them).
+    One Arrow-batched decode pass; only (doc_id, counts, positions)
+    rows ever shuffle, frames stay inside their partition at any
+    corpus scale."""
+    from oxi_diel_db_spark.operators.multimodal import (
+        jittered_video_fixture_table,
+        shot_boundaries,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    return shot_boundaries(jittered_video_fixture_table(docs), threshold=8.0)

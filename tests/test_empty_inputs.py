@@ -94,6 +94,7 @@ REPRESENTATIVE = [
     "dq14_functional_dependency", # vacuous FD verdicts with real zeros
     "ml19_poisson_glm",          # GLM guard over zero users
     "s9_gemm_knn",               # GEMM top-k over zero probes+corpus
+    "mm13_shot_boundaries",      # frame-delta detector over zero streams
 ]
 
 

@@ -536,3 +536,39 @@ def test_phash_cross_format_parity():
         encode_bmp(w, h, img[::-1, :, ::-1].reshape(-1)), want_array=True
     )
     assert phash64(ppm["array"]) == phash64(bmp["array"])
+
+
+def test_shot_boundaries_jitter_vs_cut_margins():
+    """The detector's threshold must sit with wide margin between the
+    within-shot jitter delta (~2 luma units incl. wrap pixels) and the
+    cross-shot content delta (~85): assert both sides numerically so a
+    fixture or luma change that erodes the margin fails loudly."""
+    import numpy as np
+
+    from oxi_diel_db_spark.operators.multimodal import decode_ppm_stream
+
+    # rebuild one doc's stream exactly like the fixture (doc_id=2 → 4 shots)
+    i, group, w, h = 2, 16, 16, 12
+    frames_bytes = []
+    from oxi_diel_db_spark.operators.multimodal import encode_ppm
+
+    for s in range(2 + i % 3):
+        seed = ((i // group) * 131 + s * 7919) % 9973
+        base = (seed + np.arange(w * h * 3, dtype=np.int64) * (2 * s + 1)) % 256
+        for f in range(3):
+            frames_bytes.append(encode_ppm(w, h, (base + f) % 256))
+    frames = decode_ppm_stream(b"".join(frames_bytes))
+    lumas = [
+        0.299 * fr[:, :, 0].astype(np.float64)
+        + 0.587 * fr[:, :, 1].astype(np.float64)
+        + 0.114 * fr[:, :, 2].astype(np.float64)
+        for fr in frames
+    ]
+    deltas = [
+        float(np.mean(np.abs(lumas[k + 1] - lumas[k])))
+        for k in range(len(lumas) - 1)
+    ]
+    within = [d for k, d in enumerate(deltas) if (k + 1) % 3 != 0]
+    across = [d for k, d in enumerate(deltas) if (k + 1) % 3 == 0]
+    assert max(within) < 4.0, within     # jitter stays far under 8
+    assert min(across) > 20.0, across    # cuts stay far over 8
