@@ -133,6 +133,8 @@ HEADLINE = [
     "dq14_functional_dependency",
     "s9_gemm_knn",
     "mm13_shot_boundaries",
+    "ml20_chi_square",
+    "q117_lateral_column_alias",
     # materials domain
     "m04_born_trace_invariant",
     "m11_site_explode_agg",

@@ -2820,3 +2820,122 @@ def ml19_poisson_glm(spark, sf_dir):
         F.round(mu, 4).alias("mu_hat"),
         F.round((F.col("y") - mu) / F.sqrt(mu), 4).alias("pearson_resid"),
     )
+
+
+_ML20_CELLS = """
+      SELECT {cat} AS cat,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+"""
+
+
+def _ml20_chi2_sql(feature: str, cat_expr: str) -> str:
+    base = _ML20_CELLS.format(cat=cat_expr)
+    return f"""
+    SELECT '{feature}' AS feature,
+           ROUND(SUM((c.o - c.e) * (c.o - c.e) / c.e), 6) AS statistic,
+           CAST((COUNT(DISTINCT c.cat) - 1)
+                * (COUNT(DISTINCT c.label) - 1) AS INT) AS dof
+    FROM (
+      WITH b AS ({base}),
+      obs AS (SELECT cat, label, COUNT(*) AS n FROM b GROUP BY 1, 2),
+      rt AS (SELECT cat, SUM(n) AS rn FROM obs GROUP BY 1),
+      ct AS (SELECT label, SUM(n) AS cn FROM obs GROUP BY 1),
+      tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM obs)
+      SELECT r.cat, c.label,
+             CAST(COALESCE(o.n, 0) AS DOUBLE) AS o,
+             r.rn * c.cn / t.t AS e
+      FROM rt r CROSS JOIN ct c CROSS JOIN tot t
+      LEFT JOIN obs o ON o.cat = r.cat AND o.label = c.label
+    ) c
+    """
+
+
+@register(
+    "ml20_chi_square",
+    oracle=(
+        _ml20_chi2_sql("dow", "DAYOFWEEK(ts)")
+        + " UNION ALL "
+        + _ml20_chi2_sql("hour", "HOUR(ts)")
+    ),
+)
+def ml20_chi_square(spark, sf_dir):
+    """Pearson chi-square independence test via MLlib ChiSquareTest —
+    the categorical-feature-selection primitive (does day-of-week /
+    hour-of-day carry signal about purchasing?) and the third
+    hypothesis-test family next to dq10's KS and dq2's PSI. MLlib
+    builds the contingency distributed (one groupBy per feature) and
+    the DuckDB twin recomputes the identical Pearson statistic from
+    first principles — Σ(O−E)²/E over the row-marginal × col-marginal
+    expected cells, zero cells included — so the MLlib implementation
+    is value-hash-checked against the textbook formula (statistic to
+    6 dp, exact dof). Category LABELS never leave the query, so the
+    engines' different weekday numbering conventions cannot matter.
+    p-values are excluded from the gate (no chi² CDF in SQL) — the
+    (statistic, dof) pair determines them."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.stat import ChiSquareTest
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            F.dayofweek("ts").cast("double").alias("dow"),
+            F.hour("ts").cast("double").alias("hour"),
+            (F.col("event_type") == "purchase").cast("double").alias("label"),
+        )
+    )
+    if ev.limit(1).count() == 0:
+        return spark.createDataFrame(
+            [], "feature string, statistic double, dof int"
+        )
+    assembled = VectorAssembler(
+        inputCols=["dow", "hour"], outputCol="features"
+    ).transform(ev)
+    r = ChiSquareTest.test(assembled, "features", "label").head()
+    rows = [
+        ("dow", round(float(r.statistics[0]), 6), int(r.degreesOfFreedom[0])),
+        ("hour", round(float(r.statistics[1]), 6), int(r.degreesOfFreedom[1])),
+    ]
+    return spark.createDataFrame(rows, "feature string, statistic double, dof int")
+
+
+@register(
+    "q117_lateral_column_alias",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+                    AS BIGINT)) / 100.0 AS net,
+           ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+                          AS BIGINT)) / 100.0
+                 / COUNT(*), 4) AS net_per_item,
+           ROUND(ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100,
+                                      0) AS BIGINT)) / 100.0
+                       / COUNT(*), 4) * 365, 4) AS net_per_item_annualized
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q117_lateral_column_alias(spark, sf_dir):
+    """Spark 4 LATERAL COLUMN ALIAS resolution (SPARK-27561): a
+    select-list alias referenced by LATER expressions in the SAME
+    select list — including chained references through two hops and
+    on top of aggregates — instead of repeating the expression or
+    nesting a subquery. Pure analysis-time sugar: the resolved plan
+    is identical to the twin's fully-inlined form (the alias chain
+    collapses at analysis, so nothing about pushdown or partial
+    aggregation changes), which is exactly what the value hash
+    certifies."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("q117_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+                        AS BIGINT)) / CAST(100.0 AS DOUBLE) AS net,
+               ROUND(net / COUNT(*), 4) AS net_per_item,
+               ROUND(net_per_item * CAST(365 AS DOUBLE), 4)
+                 AS net_per_item_annualized
+        FROM q117_lineitem
+        GROUP BY l_returnflag
+        """
+    )

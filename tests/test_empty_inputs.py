@@ -95,6 +95,8 @@ REPRESENTATIVE = [
     "ml19_poisson_glm",          # GLM guard over zero users
     "s9_gemm_knn",               # GEMM top-k over zero probes+corpus
     "mm13_shot_boundaries",      # frame-delta detector over zero streams
+    "ml20_chi_square",           # chi-square guard over zero events
+    "q117_lateral_column_alias", # alias chain over zero lineitems
 ]
 
 
