@@ -90,15 +90,15 @@ def register(name: str, oracle: str | None = None):
 # time.
 #
 # r8 planner note: the post-prefix r7 births — d16, st14, t16, p15,
-# t17, q100, q101, q102, q103, q104, dq10, dq11, ml14, ml15, t18,
-# q105, p16, p17, q106–q116, dq12, dq13, ml16, ml17, ml18, mm11, s8,
-# t19, g5, st15, st16 — have no official row yet (all locally
-# hash/parity green in both modes, see NOTES_r7.md); they are the
-# mandatory head of the r8 prefix, plus dq10 counts as
-# behavior-touched (NULL-exclusion contract added post-registration)
-# and ml17 as behavior-touched (closure-safe Catalyst scoring).
-# tools/rotation_plan.py recomputes the full list from
-# CORRECTNESS_r01..r07 as usual.
+# t17, q100–q117, dq10–dq14, ml14–ml20, mm11–mm13, s8, s9, t18–t20,
+# g5, st15–st17 — have no official row yet (all locally hash/parity
+# green in both modes, see NOTES_r7.md); they are the mandatory head
+# of the r8 prefix (they outnumber 50 slots, so the machine planner
+# must split them across r8/r9 — hash-gated entries before rows-only
+# ones), plus dq10 counts as behavior-touched (NULL-exclusion
+# contract added post-registration) and ml17 as behavior-touched
+# (closure-safe Catalyst scoring). tools/rotation_plan.py recomputes
+# the full list from CORRECTNESS_r01..r07 as usual.
 _R7_PRIORITY = [
     # --- born/changed in round 7 ---
     "ml6_reference_descriptors",
