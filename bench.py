@@ -164,6 +164,7 @@ SINGLES = [
     "q101_recursive_cte",  # native-recursion fixed costs (~12 s sf0.1): engine-surface demo, g4 is the scale path
     "st12_compaction_cycles",
     "st13_stream_left_outer_join",
+    "st18_stream_full_outer_join",
     "st14_stream_decontamination",
     "st15_state_store_reader",
     "st16_python_stream_source",

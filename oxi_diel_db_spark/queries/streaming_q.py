@@ -728,3 +728,72 @@ def st17_rocksdb_window(spark, sf_dir):
             spark.conf.set(key, prev)
         else:
             spark.conf.unset(key)
+
+
+@register(
+    "st18_stream_full_outer_join",
+    # Oracle: st13's left tier plus the symmetric right tier. The
+    # right side's eviction boundary differs by the interval: a
+    # purchase can match views with v.ts in [p.ts - 4h, p.ts], and
+    # new views arrive only above the watermark, so the purchase's
+    # NULL row is emitted once wm > p.ts — no interval shift, unlike
+    # the view side whose window END is v.ts + 4h.
+    oracle="""
+    WITH w AS (
+      SELECT LEAST(
+               (SELECT max(ts) FROM events WHERE event_type = 'view'),
+               (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+             ) - INTERVAL 1 HOUR AS wm
+    ),
+    v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+    p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT v.event_id AS left_id, p.event_id AS right_id, v.user_id,
+           v.ts AS left_ts, p.ts AS right_ts
+    FROM v JOIN p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 4 HOUR
+    UNION ALL
+    SELECT v.event_id, NULL, v.user_id, v.ts, NULL
+    FROM v, w
+    WHERE v.ts + INTERVAL 4 HOUR < w.wm
+      AND NOT EXISTS (
+        SELECT 1 FROM p
+        WHERE p.user_id = v.user_id
+          AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 4 HOUR
+      )
+    UNION ALL
+    SELECT NULL, p.event_id, p.user_id, NULL, p.ts
+    FROM p, w
+    WHERE p.ts < w.wm
+      AND NOT EXISTS (
+        SELECT 1 FROM v
+        WHERE v.user_id = p.user_id
+          AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 4 HOUR
+      )
+    """,
+)
+def st18_stream_full_outer_join(spark, sf_dir):
+    """Stream-stream FULL OUTER interval join — st13's semantics with
+    BOTH null tiers under the gate: unmatched views surface once the
+    watermark passes their window END (v.ts + 4h), unmatched purchases
+    once it passes their own timestamp (their match window reaches
+    BACKWARD, so no future view can pair them after wm > p.ts — the
+    asymmetry is the point of gating both tiers). Same single-trigger
+    replay and 8-way state partitioning as st13; the oracle encodes
+    each side's eviction boundary separately against the final
+    min-policy watermark."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream = ops.read_events_stream(
+            spark, sf_dir, max_files_per_trigger=None
+        )
+        views = stream.filter(F.col("event_type") == "view")
+        purchases = stream.filter(F.col("event_type") == "purchase")
+        joined = ops.stream_stream_join(
+            views, purchases, within="4 hours", watermark="1 hour",
+            how="full_outer",
+        )
+        return ops.run_stream_to_memory(joined, spark, mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

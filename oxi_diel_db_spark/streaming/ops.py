@@ -252,7 +252,10 @@ def stream_stream_join(
     return l.join(r, cond, how).select(
         "left_id",
         "right_id",
-        F.col(key),
+        # COALESCE so a full-outer right tier keeps its key (equi-join
+        # keys are equal wherever both exist, so inner/left tiers are
+        # unchanged)
+        F.coalesce(F.col(key), F.col("__rk")).alias(key),
         F.col("left_ts").cast("timestamp_ntz").alias("left_ts"),
         F.col("right_ts").cast("timestamp_ntz").alias("right_ts"),
     )
