@@ -171,6 +171,7 @@ SINGLES = [
     "st17_rocksdb_window",
     "q94_time_travel",
     "c3_hybrid_search",
+    "c4_multimodal_ledger",
     "c2_corpus_ledger",
     "p12_leakage_safe_split",
     "q90_python_sink",

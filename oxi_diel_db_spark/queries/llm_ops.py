@@ -4754,3 +4754,80 @@ def mm13_shot_boundaries(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents").select("doc_id")
     return shot_boundaries(jittered_video_fixture_table(docs), threshold=8.0)
+
+
+@register(
+    "c4_multimodal_ledger",
+    # Closed-form oracle composed from mm8/mm9/mm10's planted-content
+    # arithmetic: image clusters key on doc_id % 40, audio and video
+    # on doc_id // 16. A doc is KEPT only if it is the canonical
+    # (min-id) member of its cluster in EVERY modality — the
+    # cross-modal curation verdict.
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             MIN(doc_id) OVER (PARTITION BY doc_id % 40)  AS img_cluster,
+             MIN(doc_id) OVER (PARTITION BY doc_id // 16) AS aud_cluster,
+             MIN(doc_id) OVER (PARTITION BY doc_id // 16) AS vid_cluster
+      FROM documents
+    )
+    SELECT doc_id, img_cluster, aud_cluster, vid_cluster,
+           CAST((CASE WHEN doc_id <> img_cluster THEN 1 ELSE 0 END)
+              + (CASE WHEN doc_id <> aud_cluster THEN 1 ELSE 0 END)
+              + (CASE WHEN doc_id <> vid_cluster THEN 1 ELSE 0 END) AS INT)
+             AS n_dup_modalities,
+           CAST(doc_id = img_cluster AND doc_id = aud_cluster
+                AND doc_id = vid_cluster AS INT) AS keep
+    FROM m
+    """,
+)
+def c4_multimodal_ledger(spark, sf_dir):
+    """Modality-aware dedup ledger — the c1/c2 capstone shape applied
+    to MEDIA: per-doc cluster assignments from all three real decode
+    pipelines (image aHash mm8, audio energy-fingerprint mm9, video
+    scene-signature mm10) joined into one ledger with a cross-modal
+    verdict: a document survives only as the canonical member of its
+    cluster in EVERY modality (the conservative rule a multimodal
+    training corpus needs — near-dup IMAGES with fresh captions still
+    leak pixels). Composition cost: three independent fingerprint
+    passes (pixels/samples/frames never shuffle) + three joins on
+    doc_id; at 100 TB each modality tier keeps its own documented
+    posture and the ledger join is co-partitioned on the id."""
+    from pyspark.sql import Window as W
+
+    from oxi_diel_db_spark.operators.multimodal import (
+        audio_content_fixture_table,
+        audio_fingerprint,
+        image_ahash,
+        neardup_fixture_table,
+        video_fingerprint,
+        video_stream_fixture_table,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    img = image_ahash(neardup_fixture_table(docs)).select(
+        "doc_id",
+        F.min("doc_id").over(W.partitionBy("ahash")).alias("img_cluster"),
+    )
+    aud = audio_fingerprint(audio_content_fixture_table(docs, group=16)).select(
+        "doc_id",
+        F.min("doc_id").over(W.partitionBy("fp")).alias("aud_cluster"),
+    )
+    vid = video_fingerprint(video_stream_fixture_table(docs, group=16)).select(
+        "doc_id",
+        F.min("doc_id").over(W.partitionBy("fp")).alias("vid_cluster"),
+    )
+    ledger = img.join(aud, "doc_id").join(vid, "doc_id")
+    dup = (
+        (F.col("doc_id") != F.col("img_cluster")).cast("int")
+        + (F.col("doc_id") != F.col("aud_cluster")).cast("int")
+        + (F.col("doc_id") != F.col("vid_cluster")).cast("int")
+    )
+    return ledger.select(
+        "doc_id",
+        "img_cluster",
+        "aud_cluster",
+        "vid_cluster",
+        dup.alias("n_dup_modalities"),
+        (dup == 0).cast("int").alias("keep"),
+    )

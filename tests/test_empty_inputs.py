@@ -97,6 +97,8 @@ REPRESENTATIVE = [
     "mm13_shot_boundaries",      # frame-delta detector over zero streams
     "ml20_chi_square",           # chi-square guard over zero events
     "q117_lateral_column_alias", # alias chain over zero lineitems
+    "st18_stream_full_outer_join",  # both null tiers over zero events
+    "c4_multimodal_ledger",      # three-modality ledger over zero docs
 ]
 
 
