@@ -135,6 +135,8 @@ HEADLINE = [
     "mm13_shot_boundaries",
     "ml20_chi_square",
     "q117_lateral_column_alias",
+    "q118_explode_outer",
+    "dq15_cusum_shift",
     # materials domain
     "m04_born_trace_invariant",
     "m11_site_explode_agg",

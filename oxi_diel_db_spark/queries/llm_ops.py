@@ -4831,3 +4831,44 @@ def c4_multimodal_ledger(spark, sf_dir):
         dup.alias("n_dup_modalities"),
         (dup == 0).cast("int").alias("keep"),
     )
+
+
+@register(
+    "q118_explode_outer",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             {TX.SQL_NORM_WORDS.format(t="COALESCE(text, '')")} AS words
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN len(words) = 0 THEN 1 ELSE len(words) END
+                AS BIGINT) AS n_rows,
+           CAST(CASE WHEN len(words) = 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS n_null_rows,
+           CASE WHEN len(words) = 0 THEN NULL
+                ELSE CAST(len(words) - 1 AS INT) END AS max_pos
+    FROM w
+    """,
+)
+def q118_explode_outer(spark, sf_dir):
+    """posexplode_outer NULL/empty-array semantics — the production
+    bug class this row pins: plain explode silently DROPS documents
+    whose token array is empty (empty text, NULL text), so any
+    per-doc aggregate downstream of an inner explode undercounts the
+    corpus; the OUTER variant keeps them as a single (NULL pos, NULL
+    word) row. The gate re-aggregates the exploded rows per doc and
+    checks all three signatures — row fan-out, the NULL placeholder
+    count, and max ordinal — against the twin's closed arithmetic on
+    array length. One explode + one groupBy on the id the data is
+    already keyed by."""
+    d = t(spark, sf_dir, "documents")
+    words = TX.norm_words(F.coalesce(F.col("text"), F.lit("")))
+    ex = d.select("doc_id", F.posexplode_outer(words).alias("pos", "word"))
+    return ex.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("word").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_null_rows"),
+        F.max("pos").cast("int").alias("max_pos"),
+    )

@@ -1065,3 +1065,90 @@ def dq14_functional_dependency(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@register(
+    "dq15_cusum_shift",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 / COUNT(*)
+               AS daily_mean
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1
+    ),
+    stats AS (
+      SELECT AVG(daily_mean) AS mu, STDDEV_POP(daily_mean) AS sigma
+      FROM daily
+    ),
+    z AS (
+      SELECT day, n, daily_mean,
+             ROUND((daily_mean - s.mu) / s.sigma, 6) AS z
+      FROM daily CROSS JOIN stats s
+    ),
+    pre AS (
+      SELECT day, n, daily_mean, z,
+             SUM(z - 0.5) OVER (ORDER BY day
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS p
+      FROM z
+    )
+    SELECT day, n, ROUND(daily_mean, 6) AS daily_mean, z,
+           ROUND(p - LEAST(0.0, MIN(p) OVER (ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+             AS cusum,
+           CAST(p - LEAST(0.0, MIN(p) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) > 4.0
+                AS INT) AS alarm
+    FROM pre
+    """,
+)
+def dq15_cusum_shift(spark, sf_dir):
+    """One-sided CUSUM level-shift detector over the daily-mean series
+    (Page 1954 — the SEQUENTIAL drift family next to the two-sample
+    tests: KS dq10, PSI dq2, chi-square ml20; fires as soon as a
+    persistent upward shift accumulates, not at a fixed comparison
+    point). The recursion S_t = max(0, S_{t-1} + z_t - k) is
+    deliberately NOT computed as a loop: with prefix sums P_t it has
+    the closed form S_t = P_t - min(0, min_{j<=t} P_j), which is two
+    ordered windows over the O(days) daily relation — the global
+    window is inherent to sequential detection and its input is the
+    day spine, never the fact table (enrolled in the tiny-input
+    runtime lint). z is rounded at 6 dp BEFORE accumulation on both
+    engines, so the ordered prefix fold is bit-reproducible;
+    reference k = 0.5 sigma, alarm threshold h = 4 sigma (the
+    textbook defaults)."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            / 100.0
+            / F.count(F.lit(1))
+        ).alias("daily_mean"),
+    )
+    stats = daily.agg(
+        F.avg("daily_mean").alias("mu"), F.stddev_pop("daily_mean").alias("sigma")
+    )
+    z = daily.crossJoin(F.broadcast(stats)).select(
+        "day",
+        "n",
+        "daily_mean",
+        F.round((F.col("daily_mean") - F.col("mu")) / F.col("sigma"), 6).alias("z"),
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    pre = z.withColumn("p", F.sum(F.col("z") - F.lit(0.5)).over(w))
+    cusum = F.col("p") - F.least(F.lit(0.0), F.min("p").over(w))
+    return pre.select(
+        "day",
+        "n",
+        F.round("daily_mean", 6).alias("daily_mean"),
+        "z",
+        F.round(cusum, 6).alias("cusum"),
+        (cusum > 4.0).cast("int").alias("alarm"),
+    )

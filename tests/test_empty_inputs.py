@@ -99,6 +99,8 @@ REPRESENTATIVE = [
     "q117_lateral_column_alias", # alias chain over zero lineitems
     "st18_stream_full_outer_join",  # both null tiers over zero events
     "c4_multimodal_ledger",      # three-modality ledger over zero docs
+    "q118_explode_outer",        # outer explode over zero docs
+    "dq15_cusum_shift",          # CUSUM over an empty day spine
 ]
 
 

@@ -102,6 +102,8 @@ def test_global_window_inputs_stay_tiny(spark):
         "dq10_ks_drift": 64,  # per-bucket CDF offset table (B=64) —
         # the bucketed two-pass keeps the distinct-value relation out
         # of the single-partition window by construction
+        "dq15_cusum_shift": 64,  # the day spine — sequential detection
+        # is inherently ordered; its input is O(days), never the facts
     }
     reg = load_registry()
     for name, max_rows in TRIAGED.items():

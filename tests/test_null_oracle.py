@@ -36,6 +36,7 @@ GATES = [
     "t17_perplexity_filter",
     "t19_vocab_growth",
     "t20_readability",
+    "q118_explode_outer",
 ]
 
 

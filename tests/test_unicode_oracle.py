@@ -57,6 +57,7 @@ GATES = [
     "p17_preference_pairs",
     "t19_vocab_growth",
     "t20_readability",
+    "q118_explode_outer",
 ]
 
 
