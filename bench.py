@@ -137,6 +137,7 @@ HEADLINE = [
     "q117_lateral_column_alias",
     "q118_explode_outer",
     "dq15_cusum_shift",
+    "q119_dynamic_session",
     # materials domain
     "m04_born_trace_invariant",
     "m11_site_explode_agg",

@@ -315,3 +315,78 @@ def q85_session_window(spark, sf_dir):
             "total_value",
         )
     )
+
+
+_Q119_GAP_SQL = """CASE event_type
+             WHEN 'purchase' THEN INTERVAL 24 HOUR
+             WHEN 'signup'   THEN INTERVAL 12 HOUR
+             WHEN 'error'    THEN INTERVAL 1 HOUR
+             ELSE INTERVAL 6 HOUR END"""
+
+
+@register(
+    "q119_dynamic_session",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, ts, value,
+             ts + {_Q119_GAP_SQL} AS end_t
+      FROM events
+    ),
+    o AS (
+      SELECT user_id, ts, value, end_t,
+             MAX(end_t) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS prev_max_end
+      FROM g
+    ),
+    s AS (
+      SELECT user_id, ts, value, end_t,
+             SUM(CASE WHEN prev_max_end IS NULL OR ts > prev_max_end
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(end_t) AS session_end,
+           COUNT(*) AS n_events,
+           SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS total_value
+    FROM s
+    GROUP BY user_id, sid
+    """,
+)
+def q119_dynamic_session(spark, sf_dir):
+    """DYNAMIC-GAP sessionization (``session_window`` with an
+    expression gap, SPARK-36465): each event extends its session by a
+    duration that depends on the EVENT — purchases hold attention 24 h,
+    errors 1 h, browse events 6 h — the engagement-modeling refinement
+    a fixed gap (q85) cannot express. Merge semantics are interval
+    union, so the twin is the classic sweep: a session breaks where
+    ts exceeds the running MAX of all previous interval ends (a plain
+    LAG is wrong — an early long-gap event can bridge past a nearer
+    short-gap one), and session_end = MAX(member ends). Same plan
+    shape as q85: ONE shuffle on user_id, in-partition merge."""
+    e = t(spark, sf_dir, "events")
+    gap = (
+        F.when(F.col("event_type") == "purchase", F.lit("24 hours"))
+        .when(F.col("event_type") == "signup", F.lit("12 hours"))
+        .when(F.col("event_type") == "error", F.lit("1 hour"))
+        .otherwise(F.lit("6 hours"))
+    )
+    return (
+        e.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100, 0).cast("bigint")) / 100.0).alias(
+                "total_value"
+            ),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

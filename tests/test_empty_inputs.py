@@ -101,6 +101,7 @@ REPRESENTATIVE = [
     "c4_multimodal_ledger",      # three-modality ledger over zero docs
     "q118_explode_outer",        # outer explode over zero docs
     "dq15_cusum_shift",          # CUSUM over an empty day spine
+    "q119_dynamic_session",      # dynamic-gap sessions over zero events
 ]
 
 
