@@ -138,6 +138,7 @@ HEADLINE = [
     "q118_explode_outer",
     "dq15_cusum_shift",
     "q119_dynamic_session",
+    "p18_epoch_shard_order",
     # materials domain
     "m04_born_trace_invariant",
     "m11_site_explode_agg",
@@ -172,6 +173,7 @@ SINGLES = [
     "st15_state_store_reader",
     "st16_python_stream_source",
     "st17_rocksdb_window",
+    "st19_dedup_within_watermark",
     "q94_time_travel",
     "c3_hybrid_search",
     "c4_multimodal_ledger",

@@ -4872,3 +4872,67 @@ def q118_explode_outer(spark, sf_dir):
         .alias("n_null_rows"),
         F.max("pos").cast("int").alias("max_pos"),
     )
+
+
+_P18_EPOCHS = (1, 2, 3)
+_P18_SHARDS = 8
+
+
+@register(
+    "p18_epoch_shard_order",
+    oracle=f"""
+    WITH e AS (SELECT UNNEST([{", ".join(str(x) for x in _P18_EPOCHS)}]) AS epoch),
+    keyed AS (
+      SELECT e.epoch, d.doc_id,
+             md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR))
+               AS draw
+      FROM documents d CROSS JOIN e
+    )
+    SELECT epoch, doc_id,
+           CAST(CAST('0x' || substring(draw, 1, 4) AS INTEGER) % {_P18_SHARDS} AS INT)
+             AS shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY epoch,
+                          CAST('0x' || substring(draw, 1, 4) AS INTEGER) % {_P18_SHARDS}
+             ORDER BY substring(draw, 5, 8), doc_id
+           ) AS INT) AS pos_in_shard
+    FROM keyed
+    """,
+)
+def p18_epoch_shard_order(spark, sf_dir):
+    """Multi-epoch training data ordering (the GPT/Megatron data-order
+    recipe, public): per epoch, every document gets a seeded md5 draw
+    that determines BOTH its shard (so shards stay balanced and
+    epoch-stable in expectation but re-deal every epoch) and its
+    position within the shard — reproducible end-to-end from
+    (epoch, doc_id) alone, so any worker can recompute its read order
+    without a materialized index, and no two epochs present documents
+    in the same order (the property that matters for optimizer
+    dynamics; asserted in tests/test_sampling.py). p3 is one epoch of
+    this; the epoch dimension makes the reshuffle-not-repeat contract
+    explicit. Shuffle posture: the ranking window partitions by
+    (epoch, shard) — corpus/epochs x 1/shards per partition — never a
+    global order."""
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.createDataFrame([(e,) for e in _P18_EPOCHS], "epoch int")
+    keyed = d.crossJoin(F.broadcast(epochs)).select(
+        "epoch",
+        "doc_id",
+        F.md5(
+            F.concat_ws(":", F.col("epoch").cast("string"),
+                        F.col("doc_id").cast("string"))
+        ).alias("draw"),
+    )
+    from pyspark.sql import Window
+
+    sharded = keyed.withColumn(
+        "shard",
+        (F.conv(F.substring("draw", 1, 4), 16, 10).cast("long") % _P18_SHARDS)
+        .cast("int"),
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy(
+        F.substring("draw", 5, 8), "doc_id"
+    )
+    return sharded.withColumn(
+        "pos_in_shard", F.row_number().over(w).cast("int")
+    ).select("epoch", "doc_id", "shard", "pos_in_shard")

@@ -797,3 +797,42 @@ def st18_stream_full_outer_join(spark, sf_dir):
         return ops.run_stream_to_memory(joined, spark, mode="append")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+@register(
+    "st19_dedup_within_watermark",
+    # Same distinct-set oracle as st4: with the whole replay inside the
+    # watermark horizon, WithinWatermark semantics coincide with exact
+    # dedup — what differs (and what this row exists for) is the STATE
+    # contract, asserted separately in tests/test_streaming.py.
+    oracle="""
+    SELECT DISTINCT event_id, ts, user_id, event_type FROM events
+    """,
+)
+def st19_dedup_within_watermark(spark, sf_dir):
+    """``dropDuplicatesWithinWatermark`` (SPARK-42931) — the
+    production-bounded-state version of st4's dedup: st4's plain
+    dropDuplicates keeps EVERY key forever (state grows with the
+    stream — fine for a replay test, fatal at 100 TB/day), while the
+    WithinWatermark variant expires a key's state once the watermark
+    passes its first-seen time + delay, bounding state to
+    rate x watermark. The trade it buys: duplicates separated by MORE
+    than the watermark are no longer caught — the contract every
+    at-least-once ingest pipeline actually wants, since redeliveries
+    cluster near the original. Here the replay fits inside the 90-day
+    horizon, so the result equals exact dedup and st4's oracle
+    applies; the state-expiry behavior itself is pinned in
+    tests/test_streaming.py with an injected far-apart duplicate."""
+    stream = ops.read_events_stream(spark, sf_dir)
+    deduped = (
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "90 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select(
+            "event_id",
+            F.col("ts").cast("timestamp_ntz").alias("ts"),
+            "user_id",
+            "event_type",
+        )
+    )
+    return ops.run_stream_to_memory(deduped, spark, mode="append")

@@ -102,6 +102,7 @@ REPRESENTATIVE = [
     "q118_explode_outer",        # outer explode over zero docs
     "dq15_cusum_shift",          # CUSUM over an empty day spine
     "q119_dynamic_session",      # dynamic-gap sessions over zero events
+    "p18_epoch_shard_order",     # epoch ordering over zero docs
 ]
 
 

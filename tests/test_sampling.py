@@ -185,3 +185,34 @@ def test_p15_budget_conservation(spark):
         if r["capped"]:
             assert r["alloc_tokens"] == r["n_tokens"]
     assert budget - len(rows) <= total_alloc <= budget
+
+
+def test_p18_epochs_reshuffle_but_reproduce(spark):
+    """Each epoch's order is reproducible run-to-run, shards are
+    near-balanced, and no two epochs present the corpus in the same
+    order (the reshuffle-not-repeat contract)."""
+    from oxi_diel_db_spark.queries import load_registry
+
+    q = load_registry()["p18_epoch_shard_order"].build
+    a = q(spark, "/root/testdata/sf0.001").collect()
+    b = q(spark, "/root/testdata/sf0.001").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    by_epoch = {}
+    for r in a:
+        by_epoch.setdefault(r["epoch"], []).append(
+            (r["shard"], r["pos_in_shard"], r["doc_id"])
+        )
+    orders = {
+        e: [d for _, _, d in sorted(rows)] for e, rows in by_epoch.items()
+    }
+    es = sorted(orders)
+    assert len(es) == 3
+    for i in range(len(es)):
+        for j in range(i + 1, len(es)):
+            assert orders[es[i]] != orders[es[j]]
+    # shard balance: no shard hoards more than 2x its fair share
+    from collections import Counter
+
+    n_docs = len(orders[es[0]])
+    counts = Counter(s for s, _, _ in by_epoch[es[0]])
+    assert max(counts.values()) <= 2 * n_docs / 8

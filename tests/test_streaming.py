@@ -846,3 +846,60 @@ def test_st17_rocksdb_provider_actually_engages(spark):
     assert ops_metrics, json.dumps(progress)[:500]
     custom = ops_metrics[0].get("customMetrics", {})
     assert any("rocksdb" in k.lower() for k in custom), sorted(custom)[:10]
+
+
+def test_st19_within_watermark_drops_near_dups_and_expires_state(spark):
+    """dropDuplicatesWithinWatermark: a redelivery inside the
+    watermark horizon is dropped; a duplicate arriving AFTER the key's
+    state expired passes through — the bounded-state trade st19's
+    docstring claims, pinned on an injected stream."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    work = tempfile.mkdtemp(prefix="st19_")
+    rows1 = [(1, "2024-01-01 00:00:00", 10), (2, "2024-01-01 00:30:00", 20),
+             (1, "2024-01-01 00:40:00", 10)]          # near-dup of key 1
+    rows2 = [(9, "2024-03-01 00:00:00", 90)]           # advances watermark
+    # the far dup must land TWO batches after the watermark-advancing
+    # row: the watermark is recomputed from the PREVIOUS batch's max
+    # event time at batch start, so state eviction driven by row 9's
+    # timestamp first applies in the batch after the one that read it
+    rows3 = [(8, "2024-03-01 00:05:00", 80)]           # filler trigger
+    rows4 = [(1, "2024-03-01 00:10:00", 11)]           # far dup: state expired
+    for i, rows in enumerate([rows1, rows2, rows3, rows4]):
+        df = spark.createDataFrame(rows, "k int, ts string, v int").select(
+            "k", F.col("ts").cast("timestamp").alias("ts"), "v"
+        )
+        p = os.path.join(work, f"b{i}")
+        df.coalesce(1).write.parquet(p)
+        part = [f for f in os.listdir(p) if f.startswith("part-")][0]
+        os.rename(os.path.join(p, part), os.path.join(work, f"f{i}.parquet"))
+        os.utime(os.path.join(work, f"f{i}.parquet"),
+                 (1_000_000_000 + i * 10,) * 2)
+    schema = "k int, ts timestamp, v int"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(work + "/f*.parquet")
+    )
+    name = f"st19_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["k"])
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    got = sorted((r["k"], r["v"]) for r in spark.table(name).collect())
+    # key 1's 00:40 redelivery dropped (inside horizon); its March
+    # occurrence kept (state expired after the watermark passed)
+    assert got == [(1, 10), (1, 11), (2, 20), (8, 80), (9, 90)]
