@@ -139,6 +139,7 @@ HEADLINE = [
     "dq15_cusum_shift",
     "q119_dynamic_session",
     "p18_epoch_shard_order",
+    "g6_kcore",
     # materials domain
     "m04_born_trace_invariant",
     "m11_site_explode_agg",

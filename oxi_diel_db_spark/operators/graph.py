@@ -537,3 +537,48 @@ def connected_components(
         .unionByName(roots.select("node", F.col("node").alias("component")))
         .distinct()
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """The k-core of an undirected graph (Matula & Beck 1983 peeling,
+    distributed): repeatedly delete every node with degree < k until
+    none remain; what survives is the unique maximal subgraph with
+    min-degree >= k — the density backbone behind community seeding,
+    spam-farm detection, and influence-core extraction. Each round is
+    one degree aggregate (groupBy-count, map-side combinable) and one
+    semi-join filter of the edge list; rounds needed = peeling depth
+    (bounded by the degeneracy ordering, small for real graphs).
+    Deterministic: the k-core is unique regardless of removal order,
+    so the fixpoint is engine- and schedule-independent. Returns
+    (node, degree) for surviving nodes; lineage truncated per round
+    (localCheckpoint -> reliable checkpoint() on a cluster)."""
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    cur = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        bad = deg.where(F.col("deg") < k).select(F.col("src").alias("node"))
+        if bad.limit(1).count() == 0:
+            break
+        cur = (
+            cur.join(bad, cur.src == bad.node, "left_anti")
+            .join(bad, cur.dst == bad.node, "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        cur.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("int").alias("degree"))
+    )

@@ -4936,3 +4936,20 @@ def p18_epoch_shard_order(spark, sf_dir):
     return sharded.withColumn(
         "pos_in_shard", F.row_number().over(w).cast("int")
     ).select("epoch", "doc_id", "shard", "pos_in_shard")
+
+
+@register("g6_kcore", oracle=None)  # iterative peeling — python parity test
+def g6_kcore(spark, sf_dir):
+    """3-core of the co-purchase user graph (operators/graph.k_core —
+    Matula-Beck peeling, distributed): the density backbone the
+    similarity graph keeps after every weakly-attached node is peeled
+    away; upstream of community seeding and influence analysis. Each
+    peel round is one degree aggregate + two anti-joins; the fixpoint
+    is UNIQUE regardless of removal order, so the rows-only gate is
+    backed by a from-scratch Python peeling that must agree node-for-
+    node, degree-for-degree (tests/test_graph.py)."""
+    from oxi_diel_db_spark.operators.graph import k_core
+
+    return k_core(_copurchase_edges(spark, sf_dir), k=3).select(
+        F.col("node").alias("user_id"), "degree"
+    )

@@ -103,6 +103,7 @@ REPRESENTATIVE = [
     "dq15_cusum_shift",          # CUSUM over an empty day spine
     "q119_dynamic_session",      # dynamic-gap sessions over zero events
     "p18_epoch_shard_order",     # epoch ordering over zero docs
+    "g6_kcore",                  # peeling loop over an empty edge list
 ]
 
 

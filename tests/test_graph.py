@@ -150,3 +150,51 @@ def test_connected_components_long_chain_needs_log_rounds(spark):
     )
     got = {r.node: r.component for r in connected_components(edges).collect()}
     assert got == {i: 1 for i in range(1, 34)}
+
+
+def test_k_core_matches_python_peeling(spark):
+    """The distributed peel must agree with a from-scratch sequential
+    peeling node-for-node (the k-core is unique), on a graph with a
+    planted 4-clique (survives k=3), a chain (peels away), and a
+    triangle (peels at k=3 after the pendant goes)."""
+    from collections import defaultdict
+
+    from oxi_diel_db_spark.operators.graph import k_core
+
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),  # 4-clique
+        (4, 5), (5, 6), (6, 7),                          # chain tail
+        (10, 11), (11, 12), (12, 10),                    # triangle
+    ]
+    got = {
+        r["node"]: r["degree"]
+        for r in k_core(
+            spark.createDataFrame(edges, "src long, dst long"), k=3
+        ).collect()
+    }
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < 3:
+                for m in adj.pop(n):
+                    adj[m].discard(n)
+                changed = True
+    want = {n: len(ms) for n, ms in adj.items() if ms}
+    assert got == want
+    assert set(got) == {1, 2, 3, 4}  # only the clique survives k=3
+
+
+def test_k_core_registered_runs(spark):
+    from oxi_diel_db_spark.queries import load_registry
+
+    rows = load_registry()["g6_kcore"].build(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    # every surviving node has in-core degree >= 3 by definition
+    assert all(r["degree"] >= 3 for r in rows)
