@@ -140,6 +140,7 @@ HEADLINE = [
     "q119_dynamic_session",
     "p18_epoch_shard_order",
     "g6_kcore",
+    "q120_regexp_family",
     # materials domain
     "m04_born_trace_invariant",
     "m11_site_explode_agg",

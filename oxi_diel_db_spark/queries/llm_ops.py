@@ -4953,3 +4953,46 @@ def g6_kcore(spark, sf_dir):
     return k_core(_copurchase_edges(spark, sf_dir), k=3).select(
         F.col("node").alias("user_id"), "degree"
     )
+
+
+@register(
+    "q120_regexp_family",
+    oracle=r"""
+    WITH f AS (
+      SELECT doc_id, COALESCE(text, '') AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '\d+')) AS INT) AS n_numbers,
+           COALESCE(regexp_extract(t, '(\d+)', 1), '') AS first_number,
+           CAST(len(regexp_extract_all(t, '[A-Z][a-z]+')) AS INT)
+             AS n_capitalized,
+           CAST(regexp_matches(t, '(?i)\b(the|and|of)\b') AS INT)
+             AS has_stopword
+    FROM f
+    """,
+)
+def q120_regexp_family(spark, sf_dir):
+    """The Spark 3.5 regexp function family beyond extract/replace —
+    regexp_count (occurrence counting), regexp_substr (first-match
+    text), regexp_like (boolean) — over document text, each mapped to
+    its DuckDB equivalent (regexp_extract_all length / regexp_extract
+    / regexp_matches). Patterns stay in the Java-RE2-common subset
+    (the t16 rule: \\d, \\b, explicit classes, (?i) — no lookaround,
+    no \\p classes) so both engines compile them identically; NULL
+    text is the explicit empty-doc case. Pure per-row Catalyst
+    expressions — one scan, zero shuffles, whole-stage codegen."""
+    d = t(spark, sf_dir, "documents")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    return d.select(
+        "doc_id",
+        F.regexp_count(txt, F.lit(r"\d+")).cast("int").alias("n_numbers"),
+        F.coalesce(
+            F.regexp_substr(txt, F.lit(r"\d+")), F.lit("")
+        ).alias("first_number"),
+        F.regexp_count(txt, F.lit(r"[A-Z][a-z]+")).cast("int").alias(
+            "n_capitalized"
+        ),
+        F.regexp_like(txt, F.lit(r"(?i)\b(the|and|of)\b")).cast("int").alias(
+            "has_stopword"
+        ),
+    )

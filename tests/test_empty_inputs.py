@@ -104,6 +104,7 @@ REPRESENTATIVE = [
     "q119_dynamic_session",      # dynamic-gap sessions over zero events
     "p18_epoch_shard_order",     # epoch ordering over zero docs
     "g6_kcore",                  # peeling loop over an empty edge list
+    "q120_regexp_family",        # regexp expressions over zero docs
 ]
 
 

@@ -58,6 +58,7 @@ GATES = [
     "t19_vocab_growth",
     "t20_readability",
     "q118_explode_outer",
+    "q120_regexp_family",
 ]
 
 
