@@ -194,6 +194,7 @@ SINGLES = [
     "ml13_ion_st_reference_scoring",
     "ml17_quality_classifier",  # LBFGS training run (one per invocation)
     "ml19_poisson_glm",  # GLM IRLS training run (one per invocation)
+    "ml21_als_recommender",  # blocked-ALS training run (one per invocation)
 ]
 
 

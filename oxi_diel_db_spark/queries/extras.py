@@ -2939,3 +2939,63 @@ def q117_lateral_column_alias(spark, sf_dir):
         GROUP BY l_returnflag
         """
     )
+
+
+def ml21_baskets(spark, sf_dir):
+    """(user_id, item, cnt) implicit-feedback triples: purchase counts
+    of props.k items — ml18's basket data in rating-matrix form."""
+    return (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("int").alias("item"),
+        )
+        .filter(F.col("item").isNotNull())
+        .groupBy("user_id", "item")
+        .agg(F.count(F.lit(1)).cast("float").alias("cnt"))
+    )
+
+
+@register("ml21_als_recommender", oracle=None)  # factorization internals: preference-separation + reproducibility tests
+def ml21_als_recommender(spark, sf_dir):
+    """Implicit-feedback ALS matrix factorization (Hu, Koren & Volinsky
+    2008 — MLlib's blocked ALS): the collaborative-filtering pillar of
+    the MLlib surface (next to RF/OLS/KMeans/LogReg/GLM/Isotonic/PCA/
+    FPGrowth/ChiSq), factoring the user x item purchase-count matrix
+    and emitting top-3 recommendations per user. Seeded and therefore
+    run-to-run reproducible (asserted); the learned preferences must
+    separate held items from non-items (tests/test_ml.py) — the
+    honest gate for a latent-factor model whose internals are not
+    SQL-expressible (rows-only, the m10/ml1 pattern). Scale: blocked
+    ALS shuffles factor blocks, never the ratings cross join; each
+    normal-equation solve is rank x rank per block."""
+    from pyspark.ml.recommendation import ALS
+
+    ratings = ml21_baskets(spark, sf_dir)
+    if ratings.limit(1).count() == 0:
+        return spark.createDataFrame(
+            [], "user_id bigint, rec_rank int, item int, score double"
+        )
+    als = ALS(
+        userCol="user_id",
+        itemCol="item",
+        ratingCol="cnt",
+        rank=8,
+        maxIter=8,
+        seed=42,
+        implicitPrefs=True,
+        alpha=10.0,
+        regParam=0.1,
+        coldStartStrategy="drop",
+    )
+    model = als.fit(ratings)
+    recs = model.recommendForAllUsers(3).select(
+        "user_id", F.posexplode("recommendations").alias("pos", "r")
+    )
+    return recs.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        (F.col("pos") + 1).cast("int").alias("rec_rank"),
+        F.col("r.item").cast("int").alias("item"),
+        F.round(F.col("r.rating").cast("double"), 4).alias("score"),
+    )

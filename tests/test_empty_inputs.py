@@ -105,6 +105,7 @@ REPRESENTATIVE = [
     "p18_epoch_shard_order",     # epoch ordering over zero docs
     "g6_kcore",                  # peeling loop over an empty edge list
     "q120_regexp_family",        # regexp expressions over zero docs
+    "ml21_als_recommender",      # ALS guard over zero ratings
 ]
 
 

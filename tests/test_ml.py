@@ -417,3 +417,39 @@ def test_ml19_registered_output_shape(spark):
     # the Catalyst scoring path must agree with exp-link algebra:
     # mu > 0 everywhere, residual finite
     assert all(r["mu_hat"] > 0 for r in rows)
+
+
+def test_ml21_als_reproducible_and_separates_preferences(spark):
+    """Seeded blocked ALS must be run-to-run reproducible, and the
+    learned preference scores must separate a user's actual items
+    from items they never touched (the honest quality gate for a
+    latent-factor model with no SQL twin)."""
+    from pyspark.ml.recommendation import ALS
+
+    from pyspark.sql import functions as F
+
+    from oxi_diel_db_spark.queries import load_registry
+    from oxi_diel_db_spark.queries.extras import ml21_baskets
+
+    sf = "/root/testdata/sf0.001"
+    q = load_registry()["ml21_als_recommender"].build
+    a = sorted(map(tuple, q(spark, sf).collect()))
+    b = sorted(map(tuple, q(spark, sf).collect()))
+    assert a == b and len(a) > 0
+
+    ratings = ml21_baskets(spark, sf)
+    als = ALS(
+        userCol="user_id", itemCol="item", ratingCol="cnt", rank=8,
+        maxIter=8, seed=42, implicitPrefs=True, alpha=10.0, regParam=0.1,
+        coldStartStrategy="drop",
+    )
+    model = als.fit(ratings)
+    users = ratings.select("user_id").distinct()
+    items = ratings.select("item").distinct()
+    all_pairs = users.crossJoin(items)
+    pos = ratings.select("user_id", "item")
+    neg = all_pairs.join(pos, ["user_id", "item"], "left_anti")
+    p_pos = model.transform(pos).agg(F.avg("prediction")).first()[0]
+    p_neg = model.transform(neg).agg(F.avg("prediction")).first()[0]
+    # implicit ALS targets preference 1 for observed pairs, 0 otherwise
+    assert p_pos > p_neg + 0.2, (p_pos, p_neg)
