@@ -141,6 +141,7 @@ HEADLINE = [
     "p18_epoch_shard_order",
     "g6_kcore",
     "q120_regexp_family",
+    "q121_array_set_ops",
     # materials domain
     "m04_born_trace_invariant",
     "m11_site_explode_agg",

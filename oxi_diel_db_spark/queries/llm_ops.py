@@ -4996,3 +4996,67 @@ def q120_regexp_family(spark, sf_dir):
             "has_stopword"
         ),
     )
+
+
+@register(
+    "q121_array_set_ops",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             list_sort(list_distinct(list(CASE WHEN event_type = 'view'
+                                          THEN CAST(REGEXP_EXTRACT(props, '"k":\\s*(-?\\d+)', 1) AS INTEGER) END)
+                       FILTER (WHERE event_type = 'view'
+                               AND REGEXP_EXTRACT(props, '"k":\\s*(-?\\d+)', 1) <> ''))) AS viewed,
+             list_sort(list_distinct(list(CASE WHEN event_type = 'purchase'
+                                          THEN CAST(REGEXP_EXTRACT(props, '"k":\\s*(-?\\d+)', 1) AS INTEGER) END)
+                       FILTER (WHERE event_type = 'purchase'
+                               AND REGEXP_EXTRACT(props, '"k":\\s*(-?\\d+)', 1) <> ''))) AS bought
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT user_id,
+           COALESCE(array_to_string(list_sort(list_distinct(
+             list_cat(COALESCE(viewed, []), COALESCE(bought, [])))), ','), '')
+             AS union_items,
+           COALESCE(array_to_string(list_sort(list_filter(
+             COALESCE(viewed, []), x -> list_contains(COALESCE(bought, []), x))), ','), '')
+             AS both_items,
+           COALESCE(array_to_string(list_sort(list_filter(
+             COALESCE(bought, []), x -> NOT list_contains(COALESCE(viewed, []), x))), ','), '')
+             AS bought_blind
+    FROM per_user
+    """,
+)
+def q121_array_set_ops(spark, sf_dir):
+    """The array set-algebra family (array_union / array_intersect /
+    array_except + array_distinct/sort) doing real funnel work:
+    per user, the catalog items VIEWED vs BOUGHT as sets — their
+    union (any engagement), intersection (considered purchases), and
+    bought-without-viewing (the attribution gap every recommender
+    audit hunts). Arrays are SORTED and comma-joined before leaving
+    the query (set ops guarantee membership, not order — and the
+    registry's atomic-output rule applies); empty sets are explicit
+    empty strings on both engines. One groupBy on user_id; the set
+    algebra is per-row Catalyst."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    ).filter(F.col("k").isNotNull())
+    per_user = ev.groupBy("user_id").agg(
+        F.collect_set(F.when(F.col("event_type") == "view", F.col("k"))).alias(
+            "viewed"
+        ),
+        F.collect_set(
+            F.when(F.col("event_type") == "purchase", F.col("k"))
+        ).alias("bought"),
+    )
+    j = lambda c: F.coalesce(  # noqa: E731
+        F.array_join(F.array_sort(c), ","), F.lit("")
+    )
+    return per_user.select(
+        "user_id",
+        j(F.array_union("viewed", "bought")).alias("union_items"),
+        j(F.array_intersect("viewed", "bought")).alias("both_items"),
+        j(F.array_except("bought", "viewed")).alias("bought_blind"),
+    )

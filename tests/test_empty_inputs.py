@@ -106,6 +106,7 @@ REPRESENTATIVE = [
     "g6_kcore",                  # peeling loop over an empty edge list
     "q120_regexp_family",        # regexp expressions over zero docs
     "ml21_als_recommender",      # ALS guard over zero ratings
+    "q121_array_set_ops",        # set algebra over zero events
 ]
 
 
