@@ -142,6 +142,7 @@ HEADLINE = [
     "g6_kcore",
     "q120_regexp_family",
     "q121_array_set_ops",
+    "p19_embargo_split",
     # materials domain
     "m04_born_trace_invariant",
     "m11_site_explode_agg",

@@ -5060,3 +5060,42 @@ def q121_array_set_ops(spark, sf_dir):
         j(F.array_intersect("viewed", "bought")).alias("both_items"),
         j(F.array_except("bought", "viewed")).alias("bought_blind"),
     )
+
+
+@register(
+    "p19_embargo_split",
+    oracle="""
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(ts) AS min_ts, MAX(ts) AS max_ts
+    FROM (
+      SELECT CASE
+               WHEN ts <  TIMESTAMP '2024-01-20 00:00:00' THEN 'train'
+               WHEN ts >= TIMESTAMP '2024-01-21 00:00:00' THEN 'test'
+               ELSE 'embargo'
+             END AS split, ts
+      FROM events WHERE ts IS NOT NULL
+    )
+    GROUP BY split
+    """,
+)
+def p19_embargo_split(spark, sf_dir):
+    """Purged time-series split (the finance-style embargoed split, de Prado 2018 ch.7 — public): train strictly
+    before the cutoff, test strictly after cutoff + embargo, the
+    embargo band EXCLUDED from both so label horizons that straddle
+    the boundary cannot leak future information into training — the
+    temporal complement of p12's group-leakage-safe split (p12 stops
+    duplicate/near-dup leakage; this stops look-ahead leakage). The
+    summary emits each band's count and ts extrema, so the
+    no-overlap property (max train ts < embargo < min test ts) is
+    readable off the gated output itself. One scan, one 3-group agg."""
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    split = (
+        F.when(F.col("ts") < F.lit("2024-01-20 00:00:00").cast("timestamp"), "train")
+        .when(F.col("ts") >= F.lit("2024-01-21 00:00:00").cast("timestamp"), "test")
+        .otherwise("embargo")
+    )
+    return ev.select(split.alias("split"), "ts").groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )

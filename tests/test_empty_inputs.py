@@ -107,6 +107,7 @@ REPRESENTATIVE = [
     "q120_regexp_family",        # regexp expressions over zero docs
     "ml21_als_recommender",      # ALS guard over zero ratings
     "q121_array_set_ops",        # set algebra over zero events
+    "p19_embargo_split",         # embargo bands over zero events
 ]
 
 

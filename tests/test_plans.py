@@ -311,3 +311,31 @@ def test_q102_bare_limit_lateral_decorrelates(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """The join-hint surface (SPARK-27225): the optimizer must honor
+    MERGE / SHUFFLE_HASH / BROADCAST hints on the SAME equi-join —
+    the manual override every production tuning guide reaches for
+    when statistics mislead the planner (e.g. a 'small' side that
+    explodes after a filter)."""
+    from oxi_diel_db_spark import tables
+
+    o = tables.load(spark, "orders", SF)
+    c = tables.load(spark, "customer", SF)
+
+    def plan(df):
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        return df._jdf.queryExecution().explainString(mode)
+
+    base = o.join(c.hint("broadcast"), o.o_custkey == c.c_custkey)
+    assert "BroadcastHashJoin" in plan(base)
+    merge = o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+    assert "SortMergeJoin" in plan(merge)
+    shash = o.join(c.hint("shuffle_hash"), o.o_custkey == c.c_custkey)
+    assert "ShuffledHashJoin" in plan(shash)
+    # hints must never change ANSWERS — same row count all three ways
+    n = base.count()
+    assert merge.count() == n and shash.count() == n
