@@ -143,6 +143,7 @@ HEADLINE = [
     "q120_regexp_family",
     "q121_array_set_ops",
     "p19_embargo_split",
+    "mm14_voice_activity",
     # materials domain
     "m04_born_trace_invariant",
     "m11_site_explode_agg",

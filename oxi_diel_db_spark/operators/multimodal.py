@@ -1041,3 +1041,104 @@ def shot_boundaries(media: DataFrame, threshold: float = 8.0) -> DataFrame:
         _detect,
         schema="doc_id bigint, n_frames bigint, n_shots bigint, cut_positions string",
     )
+
+
+def speech_gap_fixture_table(
+    docs: DataFrame, id_col: str = "doc_id", frame: int = 160
+) -> DataFrame:
+    """VAD fixtures: WAV payloads alternating ACTIVE blocks (full-scale
+    square tone) and SILENT blocks (zeros, below any threshold), block
+    boundaries on exact frame multiples. The activity pattern is pure
+    doc_id arithmetic — ``2 + doc_id % 3`` active segments separated by
+    single silent blocks, each block ``2 + (doc_id // 3) % 2`` frames
+    long — so expected segment counts and durations are closed-form
+    and mm14's gate needs no audio engine on the DuckDB side."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                n_active = 2 + i % 3
+                block_frames = 2 + (i // 3) % 2
+                block = frame * block_frames
+                chunks = []
+                for s in range(n_active):
+                    if s:
+                        chunks.append(np.zeros(block, dtype=np.int64))
+                    tone = np.where(
+                        (np.arange(block) // 8) % 2 == 0, 12000, -12000
+                    )
+                    chunks.append(tone)
+                payloads.append(encode_wav(16000, np.concatenate(chunks)))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    return docs.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        _encode, schema="doc_id bigint, payload binary"
+    )
+
+
+def voice_activity(
+    media: DataFrame, frame: int = 160, threshold: float = 1000.0
+) -> DataFrame:
+    """Energy-threshold voice-activity detection (the classic
+    frame-RMS VAD — Rabiner & Sambur 1975's baseline): PCM16 samples →
+    ``frame``-sample frames → RMS per frame → active where RMS >
+    ``threshold`` → consecutive active frames collapse into segments.
+    Emits (doc_id, n_frames, n_active_frames, n_segments,
+    segment_frames) — the speech-data curation primitive (silence
+    trimming, speech-ratio quality filters) over one Arrow-batched
+    decode pass; samples never leave the partition."""
+
+    def _vad(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "n_frames": [], "n_active_frames": [],
+                "n_segments": [], "segment_frames": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                if raw[:4] != b"RIFF":
+                    continue
+                d = decode_media(raw, want_array=True)
+                s = d["array"].astype(np.float64)
+                n_frames = len(s) // frame
+                if n_frames == 0:
+                    continue
+                frames = s[: n_frames * frame].reshape(n_frames, frame)
+                rms = np.sqrt(np.mean(frames * frames, axis=1))
+                active = rms > threshold
+                segs = []
+                run = 0
+                for a in active:
+                    if a:
+                        run += 1
+                    elif run:
+                        segs.append(run)
+                        run = 0
+                if run:
+                    segs.append(run)
+                out["doc_id"].append(int(doc_id))
+                out["n_frames"].append(int(n_frames))
+                out["n_active_frames"].append(int(active.sum()))
+                out["n_segments"].append(len(segs))
+                out["segment_frames"].append(",".join(str(x) for x in segs))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "n_frames": pd.Series(out["n_frames"], dtype="int64"),
+                    "n_active_frames": pd.Series(out["n_active_frames"], dtype="int64"),
+                    "n_segments": pd.Series(out["n_segments"], dtype="int64"),
+                    "segment_frames": pd.Series(out["segment_frames"], dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(
+        _vad,
+        schema=(
+            "doc_id bigint, n_frames bigint, n_active_frames bigint, "
+            "n_segments bigint, segment_frames string"
+        ),
+    )

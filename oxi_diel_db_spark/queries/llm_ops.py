@@ -5099,3 +5099,44 @@ def p19_embargo_split(spark, sf_dir):
         F.min("ts").alias("min_ts"),
         F.max("ts").alias("max_ts"),
     )
+
+
+@register(
+    "mm14_voice_activity",
+    # Closed-form oracle from the fixture arithmetic: n_active
+    # segments of block_frames frames each, separated by single silent
+    # blocks — total frames = (2*n_active - 1) * block_frames.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             2 + doc_id % 3 AS n_active,
+             2 + (doc_id // 3) % 2 AS bf
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST((2 * n_active - 1) * bf AS BIGINT) AS n_frames,
+           CAST(n_active * bf AS BIGINT) AS n_active_frames,
+           CAST(n_active AS BIGINT) AS n_segments,
+           array_to_string(
+             list_transform(range(1, CAST(n_active AS INT) + 1),
+                            x -> CAST(bf AS VARCHAR)), ',') AS segment_frames
+    FROM p
+    """,
+)
+def mm14_voice_activity(spark, sf_dir):
+    """Frame-RMS voice-activity detection (Rabiner & Sambur 1975's
+    energy baseline) over REALLY-decoded WAV payloads: the speech-data
+    curation primitive behind silence trimming and speech-ratio
+    quality filters. The fixture plants tone/silence block patterns by
+    doc_id arithmetic on exact frame boundaries, so segment counts AND
+    per-segment durations sit under the full value-hash gate — an
+    off-by-one in the RIFF walk or the framing shifts a boundary and
+    flips the hash. One Arrow-batched decode pass; only per-doc
+    summaries shuffle."""
+    from oxi_diel_db_spark.operators.multimodal import (
+        speech_gap_fixture_table,
+        voice_activity,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    return voice_activity(speech_gap_fixture_table(docs))

@@ -108,6 +108,7 @@ REPRESENTATIVE = [
     "ml21_als_recommender",      # ALS guard over zero ratings
     "q121_array_set_ops",        # set algebra over zero events
     "p19_embargo_split",         # embargo bands over zero events
+    "mm14_voice_activity",       # VAD over zero wavs
 ]
 
 
