@@ -198,6 +198,7 @@ SINGLES = [
     "ml17_quality_classifier",  # LBFGS training run (one per invocation)
     "ml19_poisson_glm",  # GLM IRLS training run (one per invocation)
     "ml21_als_recommender",  # blocked-ALS training run (one per invocation)
+    "ml22_gbt_scoring",  # 40-stage boosted fit (one per invocation)
 ]
 
 

@@ -2999,3 +2999,44 @@ def ml21_als_recommender(spark, sf_dir):
         F.col("r.item").cast("int").alias("item"),
         F.round(F.col("r.rating").cast("double"), 4).alias("score"),
     )
+
+
+@register("ml22_gbt_scoring", oracle=None)  # boosted ensemble internals: reproducibility + quality-floor tests
+def ml22_gbt_scoring(spark, sf_dir):
+    """Gradient-boosted trees regression (MLlib GBTRegressor) on the
+    ml1 feature pipeline — the boosting pillar of the MLlib surface
+    (sequential residual-fitting ensemble vs ml1's bagged RF): 40
+    depth-4 stages, seeded, batch-scored over the corpus. Scale: GBT
+    is inherently sequential ACROSS stages (40 fits, each one
+    distributed pass) — the structural trade vs RF's fully-parallel
+    trees that makes RF the default at 100 TB and GBT the
+    accuracy-per-tree choice; both share VectorAssembler + pop-std
+    scaling. Rows-only (ensemble internals are not SQL-expressible);
+    seeded reproducibility + an in-corpus quality floor vs ml1's RF in
+    tests/test_ml.py."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import GBTRegressor
+
+    from oxi_diel_db_spark.ml import pipeline as P
+
+    feats = P.scale_features_pop(
+        P.featurize(M.materials(spark)), P.FEATURES
+    ).dropna(subset=P.FEATURES + ["label_el"])
+    gbt = Pipeline(
+        stages=[
+            VectorAssembler(inputCols=P.FEATURES, outputCol="features"),
+            GBTRegressor(
+                featuresCol="features",
+                labelCol="label_el",
+                predictionCol="pred_log10",
+                maxIter=40,
+                maxDepth=4,
+                stepSize=0.1,
+                seed=42,
+            ),
+        ]
+    ).fit(feats)
+    return gbt.transform(feats).select(
+        "mp_id", F.round("pred_log10", 6).alias("pred_log10")
+    )

@@ -453,3 +453,31 @@ def test_ml21_als_reproducible_and_separates_preferences(spark):
     p_neg = model.transform(neg).agg(F.avg("prediction")).first()[0]
     # implicit ALS targets preference 1 for observed pairs, 0 otherwise
     assert p_pos > p_neg + 0.2, (p_pos, p_neg)
+
+
+def test_ml22_gbt_reproducible_and_beats_floor(spark):
+    """Seeded GBT must reproduce run-to-run and clear an in-corpus
+    correlation floor on the same features/label as ml1's RF (boosting
+    typically fits in-corpus tighter than bagging — the floor sits at
+    RF's 0.85 tier)."""
+    from pyspark.sql import functions as F
+
+    from oxi_diel_db_spark.queries import load_registry
+    from oxi_diel_db_spark.ml import pipeline as P
+    from oxi_diel_db_spark.sources import materials as M
+
+    q = load_registry()["ml22_gbt_scoring"].build
+    a = sorted(map(tuple, q(spark, "ignored").collect()))
+    b = sorted(map(tuple, q(spark, "ignored").collect()))
+    assert a == b and len(a) == 1278
+
+    feats = P.scale_features_pop(
+        P.featurize(M.materials(spark)), P.FEATURES
+    ).dropna(subset=P.FEATURES + ["label_el"])
+    scored = spark.createDataFrame(a, "mp_id string, pred_log10 double")
+    c = (
+        scored.join(feats.select("mp_id", "label_el"), "mp_id")
+        .agg(F.corr("pred_log10", "label_el").alias("c"))
+        .first()["c"]
+    )
+    assert c > 0.85, c
