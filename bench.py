@@ -144,6 +144,8 @@ HEADLINE = [
     "q121_array_set_ops",
     "p19_embargo_split",
     "mm14_voice_activity",
+    "q122_locf_impute",
+    "t21_script_profile",
     # materials domain
     "m04_born_trace_invariant",
     "m11_site_explode_agg",

@@ -5140,3 +5140,73 @@ def mm14_voice_activity(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents").select("doc_id")
     return voice_activity(speech_gap_fixture_table(docs))
+
+
+_T21_BUCKETS = [
+    ("n_latin", "(cp BETWEEN 65 AND 90) OR (cp BETWEEN 97 AND 122)"),
+    ("n_digit", "cp BETWEEN 48 AND 57"),
+    ("n_cyrillic", "cp BETWEEN 1024 AND 1279"),
+    ("n_hebrew", "cp BETWEEN 1424 AND 1535"),
+    ("n_cjk", "(cp BETWEEN 19968 AND 40959) OR (cp BETWEEN 12352 AND 12543)"),
+]
+
+
+def _t21_oracle() -> str:
+    cols = ",\n           ".join(
+        "CAST(len(list_filter(words, x -> "
+        + cond.replace("cp", "unicode(x)")
+        + ")) AS BIGINT) AS " + name
+        for name, cond in _T21_BUCKETS
+    )
+    return rf"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(COALESCE(text, ''), '\s+'),
+                         x -> x <> '') AS words
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(words) AS BIGINT) AS n_words,
+           {cols}
+    FROM w
+    """
+
+
+@register("t21_script_profile", oracle=_t21_oracle())
+def t21_script_profile(spark, sf_dir):
+    """Unicode-script profile — the multilingual-corpus diagnostic t1's
+    trigram language-ID can't give (script mixing, transliteration
+    noise, CJK-in-Latin contamination): per document, word counts
+    bucketed by the script block of each word's FIRST codepoint
+    (Latin / digit / Cyrillic / Hebrew / CJK+kana). Tokenization is
+    the raw ASCII-whitespace split (NOT the [a-z0-9] normalizer —
+    that would erase exactly the non-Latin content being measured);
+    codepoints come from Spark ascii() ≡ DuckDB unicode() (probed
+    equal on multibyte input). Pure per-row Catalyst over one scan;
+    the Unicode adversarial matrix is this query's home turf."""
+    d = t(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"),
+        lambda x: x != "",
+    )
+    cols = [F.size(words).cast("bigint").alias("n_words")]
+    for name, cond in _T21_BUCKETS:
+        cond_c = cond
+        def make(cond_c=cond_c):
+            def f(x):
+                cp = F.ascii(x)
+                import re as _re
+                # translate the SQL range expression into Column algebra
+                # (kept in data: the ranges live once in _T21_BUCKETS)
+                terms = []
+                for lo, hi in _re.findall(r"cp BETWEEN (\d+) AND (\d+)", cond_c):
+                    terms.append(cp.between(int(lo), int(hi)))
+                out = terms[0]
+                for t_ in terms[1:]:
+                    out = out | t_
+                return out
+            return f
+        cols.append(
+            F.size(F.filter(words, make())).cast("bigint").alias(name)
+        )
+    return d.select("doc_id", *cols)

@@ -390,3 +390,78 @@ def q119_dynamic_session(spark, sf_dir):
             "total_value",
         )
     )
+
+
+@register(
+    "q122_locf_impute",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS v
+      FROM events
+      WHERE event_type IN ('purchase', 'signup') AND ts IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+    spine AS (
+      SELECT e.event_type, lo + CAST(x.g AS INT) AS day
+      FROM (SELECT UNNEST(['purchase', 'signup']) AS event_type) e
+      CROSS JOIN bounds
+      CROSS JOIN (SELECT UNNEST(range(0, CAST(hi - lo AS INT) + 1)) AS g
+                  FROM bounds) x
+    ),
+    joined AS (
+      SELECT s.event_type, s.day, d.v
+      FROM spine s LEFT JOIN daily d
+        ON d.event_type = s.event_type AND d.day = s.day
+    )
+    SELECT event_type, day,
+           CASE WHEN v IS NULL THEN 1 ELSE 0 END AS imputed,
+           LAST_VALUE(v IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_locf
+    FROM joined
+    """,
+)
+def q122_locf_impute(spark, sf_dir):
+    """Last-observation-carried-forward imputation over a dense date
+    spine — the step-function fill for STATE-like series (prices,
+    configs, inventory) where q105's linear interpolation would
+    invent values that never existed: missing days take the most
+    recent observed value via last_value(..., ignoreNulls) over an
+    ordered window, and an ``imputed`` flag keeps filled rows
+    distinguishable (the audit trail every imputation pass owes its
+    consumers). Days before the first observation stay NULL — LOCF
+    has nothing to carry. Spine is O(range) per series; the window
+    partitions by series key."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "signup") & F.col("ts").isNotNull()
+    )
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        (F.sum(F.round(F.col("value") * 100, 0).cast("bigint")) / 100.0).alias("v")
+    )
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    types = spark.createDataFrame(
+        [("purchase",), ("signup",)], "event_type string"
+    )
+    spine = (
+        F.broadcast(bounds)
+        .select(F.explode(F.sequence("lo", "hi")).alias("day"))
+        .crossJoin(F.broadcast(types))
+    )
+    joined = spine.join(daily, ["event_type", "day"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        "day",
+        F.when(F.col("v").isNull(), 1).otherwise(0).alias("imputed"),
+        F.last("v", ignorenulls=True).over(w).alias("v_locf"),
+    )

@@ -109,6 +109,8 @@ REPRESENTATIVE = [
     "q121_array_set_ops",        # set algebra over zero events
     "p19_embargo_split",         # embargo bands over zero events
     "mm14_voice_activity",       # VAD over zero wavs
+    "q122_locf_impute",          # LOCF over an absent date range
+    "t21_script_profile",        # script buckets over zero docs
 ]
 
 

@@ -59,6 +59,7 @@ GATES = [
     "t20_readability",
     "q118_explode_outer",
     "q120_regexp_family",
+    "t21_script_profile",
 ]
 
 
