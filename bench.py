@@ -184,6 +184,7 @@ SINGLES = [
     "q94_time_travel",
     "c3_hybrid_search",
     "c4_multimodal_ledger",
+    "c5_corpus_health",
     "c2_corpus_ledger",
     "p12_leakage_safe_split",
     "q90_python_sink",

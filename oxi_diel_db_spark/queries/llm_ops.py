@@ -5210,3 +5210,104 @@ def t21_script_profile(spark, sf_dir):
             F.size(F.filter(words, make())).cast("bigint").alias(name)
         )
     return d.select("doc_id", *cols)
+
+
+def _c5_oracle() -> str:
+    """Composed from the registered t12/t16/d1 oracles verbatim (the
+    s5 pattern: imported from REGISTRY so c5 can never drift from the
+    gates it summarizes)."""
+    from oxi_diel_db_spark.queries import REGISTRY
+
+    t12 = REGISTRY["t12_gopher_rules"].oracle
+    t16 = REGISTRY["t16_pii_scrub"].oracle
+    d1 = REGISTRY["d1_exact_dedup"].oracle
+    return f"""
+    SELECT 'docs_total' AS metric,
+           ROUND(COUNT(*), 6) AS value FROM documents
+    UNION ALL
+    SELECT 'empty_doc_rate',
+           ROUND(AVG(CASE WHEN text IS NULL OR length(text) = 0
+                     THEN 1.0 ELSE 0.0 END), 6) FROM documents
+    UNION ALL
+    SELECT 'gopher_pass_rate',
+           ROUND(AVG(CASE WHEN pass THEN 1.0 ELSE 0.0 END), 6)
+    FROM ({t12})
+    UNION ALL
+    SELECT 'pii_doc_rate',
+           ROUND(AVG(CASE WHEN n_emails + n_phones > 0 THEN 1.0 ELSE 0.0 END), 6)
+    FROM ({t16})
+    UNION ALL
+    SELECT 'exact_dup_rate',
+           ROUND(1.0 - COUNT(*) * 1.0 / SUM(n_docs), 6)
+    FROM ({d1})
+    UNION ALL
+    SELECT 'lang_entropy_bits',
+           ROUND(-SUM(p * LN(p) / LN(2)), 6)
+    FROM (SELECT COUNT(*) * 1.0 / SUM(COUNT(*)) OVER () AS p
+          FROM documents GROUP BY lang)
+    """
+
+
+@register("c5_corpus_health", oracle=_c5_oracle())
+def c5_corpus_health(spark, sf_dir):
+    """The corpus-health dashboard — one gated row per headline metric
+    a data-curation on-call reads first: volume, empty-doc rate,
+    Gopher quality pass rate, PII incidence, exact-duplicate rate,
+    and language entropy. Every metric is a one-line fold over an
+    ALREADY-GATED query (t12 / t16 / d1 — builders AND oracles reused
+    from the registry, so the dashboard can never drift from the
+    gates it summarizes: the s5 composition pattern). Six aggregates,
+    each map-side combinable; output O(metrics)."""
+    d = t(spark, sf_dir, "documents")
+
+    def row(metric, df):
+        return df.select(F.lit(metric).alias("metric"), F.col("value"))
+
+    docs_total = d.agg(F.round(F.count(F.lit(1)).cast("double"), 6).alias("value"))
+    empty_rate = d.agg(
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("text").isNull() | (F.length("text") == 0), 1.0
+                ).otherwise(0.0)
+            ),
+            6,
+        ).alias("value")
+    )
+    gopher = t12_gopher_rules(spark, sf_dir).agg(
+        F.round(F.avg(F.col("pass").cast("double")), 6).alias("value")
+    )
+    pii = t16_pii_scrub(spark, sf_dir).agg(
+        F.round(
+            F.avg(
+                F.when(F.col("n_emails") + F.col("n_phones") > 0, 1.0).otherwise(0.0)
+            ),
+            6,
+        ).alias("value")
+    )
+    dup = d1_exact_dedup(spark, sf_dir).agg(
+        F.round(
+            F.lit(1.0) - F.count(F.lit(1)) / F.sum("n_docs"), 6
+        ).alias("value")
+    )
+    from pyspark.sql import Window
+
+    p = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select((F.col("n") / F.sum("n").over(Window.partitionBy())).alias("p"))
+    )
+    entropy = p.agg(
+        F.round(-F.sum(F.col("p") * F.log(F.col("p")) / F.log(F.lit(2.0))), 6)
+        .alias("value")
+    )
+    out = row("docs_total", docs_total)
+    for m, df in [
+        ("empty_doc_rate", empty_rate),
+        ("gopher_pass_rate", gopher),
+        ("pii_doc_rate", pii),
+        ("exact_dup_rate", dup),
+        ("lang_entropy_bits", entropy),
+    ]:
+        out = out.unionByName(row(m, df))
+    return out

@@ -111,6 +111,7 @@ REPRESENTATIVE = [
     "mm14_voice_activity",       # VAD over zero wavs
     "q122_locf_impute",          # LOCF over an absent date range
     "t21_script_profile",        # script buckets over zero docs
+    "c5_corpus_health",          # health metrics over an empty corpus
 ]
 
 
@@ -173,6 +174,12 @@ def test_operator_survives_empty_input(spark, empty_sf_dir, name):
             and r["n_violating_groups"] == 0 and r["max_distinct_rhs"] == 0
             for r in rows
         )
+    elif name == "c5_corpus_health":
+        # the dashboard keeps its metric spine: volume is a REAL zero;
+        # rates over zero docs have no value (NULL, never a fake 0%)
+        got = {r["metric"]: r["value"] for r in rows}
+        assert got["docs_total"] == 0.0
+        assert len(got) == 6
     elif name == "q116_bitmap_distinct":
         # the merged '__ALL__' row must report a REAL zero (the twin's
         # global COUNT(DISTINCT) over empty is 0, not NULL)

@@ -104,6 +104,8 @@ def test_global_window_inputs_stay_tiny(spark):
         # of the single-partition window by construction
         "dq15_cusum_shift": 64,  # the day spine — sequential detection
         # is inherently ordered; its input is O(days), never the facts
+        "c5_corpus_health": 64,  # the per-language share window — its
+        # input is the O(langs) aggregate, never documents
     }
     reg = load_registry()
     for name, max_rows in TRIAGED.items():
