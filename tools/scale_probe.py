@@ -807,6 +807,22 @@ def images_probe(n_k: float = 100) -> None:
         f"ahash {n_k}k images: {dt:.2f}s ({n / dt / 1000:.0f}k img/s), "
         f"{out[0][0]} clusters over {out[0][1]} images"
     )
+    from oxi_diel_db_spark.operators.multimodal import image_phash
+
+    t0 = time.time()
+    out = (
+        image_phash(neardup_fixture_table(docs, n_groups=max(n // 10, 1)))
+        .groupBy("phash")
+        .count()
+        .groupBy()
+        .agg(F.count(F.lit(1)), F.sum("count"))
+        .collect()
+    )
+    dt = time.time() - t0
+    print(
+        f"phash {n_k}k images: {dt:.2f}s ({n / dt / 1000:.0f}k img/s), "
+        f"{out[0][0]} clusters over {out[0][1]} images"
+    )
 
 
 
