@@ -4938,16 +4938,57 @@ def p18_epoch_shard_order(spark, sf_dir):
     ).select("epoch", "doc_id", "shard", "pos_in_shard")
 
 
-@register("g6_kcore", oracle=None)  # iterative peeling — python parity test
+def _g6_oracle(rounds: int = 8) -> str:
+    """Unrolled peeling twin (the sql_lpa_ctes pattern): each round
+    keeps nodes with degree >= 3 and the edges between survivors;
+    extra rounds past the fixpoint are no-ops, and the gate corpora
+    peel in 1-2 rounds (measured), so 8 is comfortable slack."""
+    edges = """
+      SELECT ua AS src, ub AS dst FROM (
+        SELECT a.user_id AS ua, b.user_id AS ub, COUNT(*) AS shared
+        FROM (SELECT DISTINCT user_id,
+                     CAST(REGEXP_EXTRACT(props, '"k":\\s*(-?\\d+)', 1) AS INTEGER) AS k
+              FROM events WHERE event_type = 'purchase') a
+        JOIN (SELECT DISTINCT user_id,
+                     CAST(REGEXP_EXTRACT(props, '"k":\\s*(-?\\d+)', 1) AS INTEGER) AS k
+              FROM events WHERE event_type = 'purchase') b
+          ON a.k = b.k AND a.user_id < b.user_id
+        GROUP BY 1, 2
+      ) WHERE shared >= 4
+    """
+    # AS MATERIALIZED: DuckDB inlines plain CTEs per reference, which
+    # would re-expand the chain exponentially (2^rounds scans of the
+    # parquet — observed as an fd exhaustion, not just slowness)
+    parts = [
+        f"eu AS MATERIALIZED ({edges})",
+        "e0 AS MATERIALIZED (SELECT src, dst FROM eu UNION SELECT dst, src FROM eu)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""n{i} AS MATERIALIZED (SELECT src FROM e{i - 1} GROUP BY src HAVING COUNT(*) >= 3),
+    e{i} AS MATERIALIZED (SELECT e.src, e.dst FROM e{i - 1} e
+             JOIN n{i} a ON e.src = a.src JOIN n{i} b ON e.dst = b.src)"""
+        )
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT src AS user_id, CAST(COUNT(*) AS INT) AS degree
+    FROM e{rounds} GROUP BY src
+    """
+
+
+@register("g6_kcore", oracle=_g6_oracle())
 def g6_kcore(spark, sf_dir):
     """3-core of the co-purchase user graph (operators/graph.k_core —
     Matula-Beck peeling, distributed): the density backbone the
     similarity graph keeps after every weakly-attached node is peeled
     away; upstream of community seeding and influence analysis. Each
     peel round is one degree aggregate + two anti-joins; the fixpoint
-    is UNIQUE regardless of removal order, so the rows-only gate is
-    backed by a from-scratch Python peeling that must agree node-for-
-    node, degree-for-degree (tests/test_graph.py)."""
+    is UNIQUE regardless of removal order, so BOTH gates apply: the
+    full value hash against an unrolled-peeling DuckDB twin (8 rounds
+    — measured depth at the gate corpora is 1-2, extra rounds are
+    no-ops), and node-for-node parity with a from-scratch Python peel
+    (tests/test_graph.py)."""
     from oxi_diel_db_spark.operators.graph import k_core
 
     return k_core(_copurchase_edges(spark, sf_dir), k=3).select(
