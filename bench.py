@@ -181,6 +181,7 @@ SINGLES = [
     "st16_python_stream_source",
     "st17_rocksdb_window",
     "st19_dedup_within_watermark",
+    "st20_stream_model_scoring",
     "q94_time_travel",
     "c3_hybrid_search",
     "c4_multimodal_ledger",

@@ -836,3 +836,70 @@ def st19_dedup_within_watermark(spark, sf_dir):
         )
     )
     return ops.run_stream_to_memory(deduped, spark, mode="append")
+
+
+@register("st20_stream_model_scoring", oracle=None)  # model coefficients not SQL-derivable; stream==batch equality in tests
+def st20_stream_model_scoring(spark, sf_dir):
+    """ML-in-streaming deployment — the serving shape every
+    quality-filter pipeline runs in production: ml17's logistic
+    quality classifier is trained in BATCH (LBFGS over the corpus),
+    then its coefficients score a DOCUMENT STREAM as pure Catalyst
+    expressions inside the micro-batch plan (broadcast-free: the
+    weights are literals in the streaming query — the lightest
+    possible model deployment, and the only one whose streaming plan
+    is whole-stage codegen end to end). Rows-only gate (weights are
+    learned); the binding assertion is stream-equals-batch: the
+    drained sink must equal ml17's batch scoring row-for-row
+    (tests/test_streaming.py) — if the streaming plan evaluated the
+    features differently, the equality would break."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    from oxi_diel_db_spark.queries.extras import ML17_FEATURES, ml17_features
+
+    # batch training (identical pinned objective to ml17)
+    data = ml17_features(spark, sf_dir)
+    assembled = VectorAssembler(
+        inputCols=ML17_FEATURES, outputCol="features"
+    ).transform(data)
+    lr = LogisticRegression(
+        featuresCol="features", labelCol="label", regParam=1e-4,
+        elasticNetParam=0.0, standardization=False, fitIntercept=True,
+        tol=1e-12, maxIter=500, family="binomial",
+    )
+    model = lr.fit(assembled)
+    w = model.coefficients.toArray()
+    b = float(model.intercept)
+
+    # stream the documents table through the same feature expressions
+    from oxi_diel_db_spark.functions import text as TX
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(
+        f"{sf_dir}/documents.parquet*"
+    )
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    words = F.filter(F.split(txt, r"\s+"), lambda x: x != "")
+    n_words = F.size(words)
+    nz = n_words > 0
+    wlen_sum = F.aggregate(
+        words, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    feats = {
+        "f_logwords": F.log1p(n_words.cast("double")),
+        "f_meanwlen": F.when(nz, wlen_sum / n_words).otherwise(F.lit(0.0)).cast("double"),
+        "f_alphafrac": F.when(
+            nz, F.size(F.filter(words, lambda x: x.rlike("[a-zA-Z]"))) / n_words
+        ).otherwise(F.lit(0.0)).cast("double"),
+        "f_quality": TX.quality_score(txt),
+    }
+    margin = F.lit(b)
+    for name, wi in zip(ML17_FEATURES, w):
+        margin = margin + F.lit(float(wi)) * feats[name]
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+    scored = stream.select(
+        "doc_id",
+        F.round(p, 4).alias("p_pass"),
+        (p > 0.5).cast("int").alias("predicted"),
+    )
+    return ops.run_stream_to_memory(scored, spark, mode="append")

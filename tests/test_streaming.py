@@ -903,3 +903,22 @@ def test_st19_within_watermark_drops_near_dups_and_expires_state(spark):
     # key 1's 00:40 redelivery dropped (inside horizon); its March
     # occurrence kept (state expired after the watermark passed)
     assert got == [(1, 10), (1, 11), (2, 20), (8, 80), (9, 90)]
+
+
+def test_st20_stream_scoring_equals_batch(spark):
+    """The streamed classifier scores must equal ml17's batch scoring
+    row-for-row on the same corpus — the stream==batch contract that
+    makes in-stream model serving trustworthy."""
+    from oxi_diel_db_spark.queries import load_registry
+
+    sf = "/root/testdata/sf0.001"
+    reg = load_registry()
+    streamed = {
+        r["doc_id"]: (r["p_pass"], r["predicted"])
+        for r in reg["st20_stream_model_scoring"].build(spark, sf).collect()
+    }
+    batch = {
+        r["doc_id"]: (r["p_pass"], r["predicted"])
+        for r in reg["ml17_quality_classifier"].build(spark, sf).collect()
+    }
+    assert streamed == batch
