@@ -146,6 +146,7 @@ HEADLINE = [
     "mm14_voice_activity",
     "q122_locf_impute",
     "t21_script_profile",
+    "t22_compression_ratio",
     # materials domain
     "m04_born_trace_invariant",
     "m11_site_explode_agg",

@@ -5352,3 +5352,58 @@ def c5_corpus_health(spark, sf_dir):
     ]:
         out = out.unionByName(row(m, df))
     return out
+
+
+@register("t22_compression_ratio", oracle=None)  # zlib bytes not SQL-expressible; signal + parity tests
+def t22_compression_ratio(spark, sf_dir):
+    """Compression-ratio quality signal (the Gopher/DCLM-style
+    deflate-ratio filter, public): highly repetitive or templated text
+    compresses far below natural prose, so deflate(text)/len(text) is
+    a one-number boilerplate detector that needs no tokenizer and no
+    language model — the cheapest quality signal a 100 TB pipeline
+    runs. stdlib zlib level 6 inside an Arrow-batched mapInPandas
+    (text never shuffles; one narrow pass); flags below 0.30 as
+    suspiciously repetitive, above 0.70 as high-entropy (encoded
+    blobs / noise in a text column — UTF-8 text cannot reach
+    raw-bytes ratios, so the ceiling sits at deflate's Huffman bound
+    for character soup, measured ~0.78, not at 1.0). Rows-only (no
+    SQL engine deflates);
+    the planted-signal test proves repetitive text scores under the
+    threshold and prose doesn't (tests/test_text.py)."""
+    import zlib
+
+    import pandas as pd
+
+    def _ratio(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "n_bytes": [], "ratio": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = (text or "").encode("utf-8")
+                out["doc_id"].append(int(doc_id))
+                out["n_bytes"].append(len(raw))
+                out["ratio"].append(
+                    round(len(zlib.compress(raw, 6)) / len(raw), 6)
+                    if raw
+                    else None
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "n_bytes": pd.Series(out["n_bytes"], dtype="int64"),
+                    "ratio": pd.Series(out["ratio"], dtype="float64"),
+                }
+            )
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = d.mapInPandas(
+        _ratio, schema="doc_id bigint, n_bytes bigint, ratio double"
+    )
+    return scored.select(
+        "doc_id",
+        "n_bytes",
+        "ratio",
+        F.when(F.col("ratio") < 0.30, "repetitive")
+        .when(F.col("ratio") > 0.70, "high_entropy")
+        .otherwise("normal")
+        .alias("verdict"),
+    )

@@ -112,6 +112,7 @@ REPRESENTATIVE = [
     "q122_locf_impute",          # LOCF over an absent date range
     "t21_script_profile",        # script buckets over zero docs
     "c5_corpus_health",          # health metrics over an empty corpus
+    "t22_compression_ratio",     # deflate ratio over zero docs
 ]
 
 

@@ -255,3 +255,48 @@ def test_t18_bpe_matches_pure_python(spark):
             new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
         vocab = new_vocab
     assert got == want
+
+
+def test_t22_compression_ratio_separates_repetition_from_prose(spark):
+    """Planted signal: heavy repetition must land under the
+    'repetitive' threshold, natural-ish prose between the thresholds,
+    and random bytes above — and the scores must equal a direct
+    driver-side zlib call (same level, same library)."""
+    import random
+    import zlib
+
+    from oxi_diel_db_spark.queries import load_registry
+
+    rng = random.Random(7)
+    # prose needs a REAL vocabulary: a 12-word loop deflates below the
+    # repetitive threshold itself (correctly!) — draw from a 200-word
+    # pseudo-vocabulary so the ratio sits mid-band with margin
+    vocab200 = [
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz")
+                for _ in range(rng.randint(4, 9)))
+        for _ in range(200)
+    ]
+    prose = " ".join(rng.choice(vocab200) for _ in range(400))
+    rows = [
+        (0, "spam " * 500),
+        (1, prose),
+        (2, "".join(chr(rng.randint(0x21, 0x10FF)) for _ in range(2000))),
+    ]
+    import os, tempfile
+    out = tempfile.mkdtemp(prefix="t22_")
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out, "documents.parquet"))
+    got = {
+        r["doc_id"]: r
+        for r in load_registry()["t22_compression_ratio"]
+        .build(spark, out)
+        .collect()
+    }
+    assert got[0]["verdict"] == "repetitive"
+    assert got[1]["verdict"] == "normal"
+    assert got[2]["verdict"] == "high_entropy"
+    for i, text in rows:
+        raw = text.encode("utf-8")
+        assert got[i]["ratio"] == round(len(zlib.compress(raw, 6)) / len(raw), 6)
+        assert got[i]["n_bytes"] == len(raw)
