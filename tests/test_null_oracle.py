@@ -39,6 +39,7 @@ GATES = [
     "q118_explode_outer",
     "q120_regexp_family",
     "t21_script_profile",
+    "c5_corpus_health",
 ]
 
 
@@ -384,6 +385,10 @@ def test_q114_matches_under_null_event_type(spark, null_event_type_dir):
         "q116_bitmap_distinct",    # bitmap bit position of NULL is undefined
         "ml18_frequent_itemsets",  # NULL event_type never matches 'purchase'
         "g5_connected_components", # NULL-typed events fall out of the graph
+        "g6_kcore",                # same exclusion, peeling twin
+        "q119_dynamic_session",    # NULL type takes the ELSE gap on both engines
+        "q121_array_set_ops",      # NULL type lands in neither item set
+        "dq15_cusum_shift",        # day spine unaffected by type nulls
     ],
 )
 def test_new_event_gates_match_under_null_event_type(

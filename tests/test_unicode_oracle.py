@@ -60,6 +60,7 @@ GATES = [
     "q118_explode_outer",
     "q120_regexp_family",
     "t21_script_profile",
+    "c5_corpus_health",
 ]
 
 
