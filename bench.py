@@ -145,6 +145,7 @@ HEADLINE = [
     "p19_embargo_split",
     "mm14_voice_activity",
     "q122_locf_impute",
+    "q123_timestamp_units",
     "t21_script_profile",
     "t22_compression_ratio",
     # materials domain

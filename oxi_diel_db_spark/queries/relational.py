@@ -787,3 +787,67 @@ def q98_try_arithmetic(spark, sf_dir):
         .cast("bigint")
         .alias("parsed_sum"),
     )
+
+
+@register(
+    "q123_timestamp_units",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_buy
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT user_id, first_view, first_buy,
+           CAST(FLOOR((epoch(first_buy) - epoch(first_view)) / 3600)
+                AS BIGINT) AS hours_to_buy,
+           CAST(FLOOR((epoch(first_buy) - epoch(first_view)) / 86400)
+                AS BIGINT) AS days_to_buy,
+           first_buy + INTERVAL 72 HOUR AS return_deadline
+    FROM f
+    WHERE first_view IS NOT NULL AND first_buy IS NOT NULL
+      AND first_buy >= first_view
+    """,
+)
+def q123_timestamp_units(spark, sf_dir):
+    """``timestampdiff`` / ``timestampadd`` — the ANSI unit-arithmetic
+    surface, with the cross-engine trap PINNED: Spark's timestampdiff
+    counts COMPLETE elapsed units (10:30→12:29:59 is 1 hour), while
+    DuckDB's date_diff counts boundary CROSSINGS (same span: 2) — the
+    off-by-one every SLA report hits. The twin therefore replays the
+    complete-units semantics explicitly as floor(epoch delta / unit),
+    making the contract part of the gate instead of an engine
+    accident. Funnel framing: per user, complete hours/days from first
+    view to first purchase, plus a 72 h return deadline via
+    timestampadd."""
+    ev = t(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_buy"
+        ),
+    )
+    return (
+        f.where(
+            F.col("first_view").isNotNull()
+            & F.col("first_buy").isNotNull()
+            & (F.col("first_buy") >= F.col("first_view"))
+        )
+        .select(
+            "user_id",
+            "first_view",
+            "first_buy",
+            F.expr("timestampdiff(HOUR, first_view, first_buy)")
+            .cast("bigint")
+            .alias("hours_to_buy"),
+            F.expr("timestampdiff(DAY, first_view, first_buy)")
+            .cast("bigint")
+            .alias("days_to_buy"),
+            F.expr("timestampadd(HOUR, 72, first_buy)").alias(
+                "return_deadline"
+            ),
+        )
+    )

@@ -113,6 +113,7 @@ REPRESENTATIVE = [
     "t21_script_profile",        # script buckets over zero docs
     "c5_corpus_health",          # health metrics over an empty corpus
     "t22_compression_ratio",     # deflate ratio over zero docs
+    "q123_timestamp_units",      # unit arithmetic over zero funnels
 ]
 
 
