@@ -137,6 +137,7 @@ HEADLINE = [
     "q117_lateral_column_alias",
     "q118_explode_outer",
     "dq15_cusum_shift",
+    "dq16_ewma_control",
     "q119_dynamic_session",
     "p18_epoch_shard_order",
     "g6_kcore",

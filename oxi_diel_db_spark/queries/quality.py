@@ -1152,3 +1152,113 @@ def dq15_cusum_shift(spark, sf_dir):
         F.round(cusum, 6).alias("cusum"),
         (cusum > 4.0).cast("int").alias("alarm"),
     )
+
+
+@register(
+    "dq16_ewma_control",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 / COUNT(*)
+               AS x
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1
+    ),
+    idx AS (
+      SELECT day, n, x,
+             CAST(ROW_NUMBER() OVER (ORDER BY day) AS INT) AS i
+      FROM daily
+    ),
+    stats AS (
+      SELECT AVG(x) AS mu, STDDEV_POP(x) AS sigma, COUNT(*) AS total
+      FROM idx
+    ),
+    z AS (
+      SELECT day, n, i, ROUND((x - s.mu) / s.sigma, 6) AS z
+      FROM idx CROSS JOIN stats s
+    ),
+    pre AS (
+      SELECT day, n, i, z,
+             SUM(z / POWER(0.7, i)) OVER (ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS u,
+             FIRST_VALUE(z) OVER (ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS z1
+      FROM z
+    )
+    SELECT day, n, z,
+           ROUND(CASE WHEN i = 1 THEN z
+                 ELSE 0.3 * POWER(0.7, i) * (u - z1 / 0.7)
+                      + POWER(0.7, i - 1) * z1 END, 6) AS ewma,
+           CAST(ABS(CASE WHEN i = 1 THEN z
+                ELSE 0.3 * POWER(0.7, i) * (u - z1 / 0.7)
+                     + POWER(0.7, i - 1) * z1 END) >
+                3.0 * SQRT(0.3 / (2 - 0.3)
+                           * (1 - POWER(0.49, CAST(i AS DOUBLE))))
+                AS INT) AS alarm
+    FROM pre
+    """,
+)
+def dq16_ewma_control(spark, sf_dir):
+    """EWMA control chart over the standardized daily-mean series
+    (Roberts 1959 — the small-persistent-shift detector between
+    Shewhart's per-point limits and CUSUM's dq15 accumulation; the
+    fourth member of the drift family after PSI/KS/CUSUM). The
+    recursion s_t = a·z_t + (1−a)·s_{t−1} is computed CLOSED-FORM:
+    with u_i = z_i/(1−a)^i and prefix sums U_t,
+    s_t = a·(1−a)^t·(U_t − u_1) + (1−a)^{t−1}·z_1 — two ordered
+    windows over the O(days) spine, no loop ((1−a)^−t stays ≤ 7e4 for
+    a month of days — no overflow at this horizon; for year-long
+    horizons chunk the series, the standard trick). Control limits
+    use the exact time-varying EWMA variance a/(2−a)·(1−(1−a)^{2t});
+    a = 0.3, 3-sigma. z is rounded before accumulation (the dq15
+    discipline) so the ordered fold is bit-reproducible."""
+    from pyspark.sql import Window as W
+
+    a = 0.3
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            / 100.0
+            / F.count(F.lit(1))
+        ).alias("x"),
+    )
+    stats = daily.agg(
+        F.avg("x").alias("mu"), F.stddev_pop("x").alias("sigma")
+    )
+    wd = W.orderBy("day")
+    z = (
+        daily.crossJoin(F.broadcast(stats))
+        .withColumn("i", F.row_number().over(wd))
+        .select(
+            "day",
+            "n",
+            "i",
+            F.round((F.col("x") - F.col("mu")) / F.col("sigma"), 6).alias("z"),
+        )
+    )
+    wcum = W.orderBy("i").rowsBetween(W.unboundedPreceding, W.currentRow)
+    pre = z.withColumn(
+        "u", F.sum(F.col("z") / F.pow(F.lit(1 - a), F.col("i"))).over(wcum)
+    ).withColumn("z1", F.first("z").over(wcum))
+    ewma = F.when(F.col("i") == 1, F.col("z")).otherwise(
+        F.lit(a)
+        * F.pow(F.lit(1 - a), F.col("i"))
+        * (F.col("u") - F.col("z1") / F.lit(1 - a))
+        + F.pow(F.lit(1 - a), F.col("i") - 1) * F.col("z1")
+    )
+    limit = F.lit(3.0) * F.sqrt(
+        F.lit(a / (2 - a))
+        * (F.lit(1.0) - F.pow(F.lit((1 - a) ** 2), F.col("i").cast("double")))
+    )
+    return pre.select(
+        "day",
+        "n",
+        "z",
+        F.round(ewma, 6).alias("ewma"),
+        (F.abs(ewma) > limit).cast("int").alias("alarm"),
+    )

@@ -114,6 +114,7 @@ REPRESENTATIVE = [
     "c5_corpus_health",          # health metrics over an empty corpus
     "t22_compression_ratio",     # deflate ratio over zero docs
     "q123_timestamp_units",      # unit arithmetic over zero funnels
+    "dq16_ewma_control",         # EWMA over an empty day spine
 ]
 
 

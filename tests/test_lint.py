@@ -106,6 +106,8 @@ def test_global_window_inputs_stay_tiny(spark):
         # is inherently ordered; its input is O(days), never the facts
         "c5_corpus_health": 64,  # the per-language share window — its
         # input is the O(langs) aggregate, never documents
+        "dq16_ewma_control": 64,  # same day spine as dq15 — sequential
+        # detection is inherently ordered over O(days)
     }
     reg = load_registry()
     for name, max_rows in TRIAGED.items():
