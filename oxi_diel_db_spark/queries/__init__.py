@@ -90,7 +90,7 @@ def register(name: str, oracle: str | None = None):
 # time.
 #
 # r8 planner note: the post-prefix r7 births — d16, st14, t16, p15,
-# t17, q100–q123, dq10–dq15, ml14–ml22, mm11–mm14, s8, s9, t18–t22,
+# t17, q100–q123, dq10–dq16, ml14–ml22, mm11–mm14, s8, s9, t18–t22,
 # g5, g6, p18, p19, c4, c5, st15–st20 — have no official row yet (all locally hash/parity
 # green in both modes, see NOTES_r7.md); they are the mandatory head
 # of the r8 prefix (they outnumber 50 slots, so the machine planner
