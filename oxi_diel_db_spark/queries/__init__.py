@@ -89,6 +89,85 @@ def register(name: str, oracle: str | None = None):
 # ENTIRE pre-r7 registry — zero never-sampled residue for the first
 # time.
 #
+# Round-8 sampling rotation (machine-computed: tools/rotation_plan.py
+# over CORRECTNESS_r01..r07 → 65 never-sampled + 1 not-green of 305).
+# The 66 mandatory entries outnumber the 50 slots, so per the r7
+# verdict's rule the prefix orders by risk: (a) q14 leads — the r7
+# official failure (driver canonicalizer hashed Spark's BIGINT floor
+# vs DuckDB's DOUBLE floor differently; oracle now CASTs to BIGINT,
+# and check_oracle.py gained a numeric-family parity lint so the
+# class is structurally dead); (b) stateful/streaming gates
+# (st15–st20); (c) float-heavy statistics (dq10–dq16, ml14–ml22);
+# (d) the multimodal/similarity/graph/capstone/text/packing births;
+# (e) 8 of q100–q123, float/stateful shapes first (q100 UDAF, q101
+# recursion, q105 interpolation, q114/q115/q116 sketches, q119
+# dynamic sessions, q122 LOCF). The 16 deferred to r9 — q102, q103,
+# q104, q106, q107, q108, q109, q110, q111, q112, q113, q117, q118,
+# q120, q121, q123 — are pure SQL-surface shapes whose families
+# (windows, strings, set ops, arrow-batch plumbing) already hold
+# official rows, all locally hash-green in both ANSI modes.
+_R8_PRIORITY = [
+    # --- the r7 official failure, fixed (numeric-family interop) ---
+    "q14_math_funcs",
+    # --- stateful / streaming (never sampled) ---
+    "st15_state_store_reader",
+    "st16_python_stream_source",
+    "st17_rocksdb_window",
+    "st18_stream_full_outer_join",
+    "st19_dedup_within_watermark",
+    "st20_stream_model_scoring",
+    # --- float-heavy data-quality statistics ---
+    "dq10_ks_drift",
+    "dq11_row_quarantine",
+    "dq12_winsorize",
+    "dq13_benford_audit",
+    "dq14_functional_dependency",
+    "dq15_cusum_shift",
+    "dq16_ewma_control",
+    # --- ML tier (PCA/isotonic/classifier/FPGrowth/GLM/chi2/ALS/GBT) ---
+    "ml14_pca_covariance",
+    "ml15_pca_explained",
+    "ml16_isotonic_calibration",
+    "ml17_quality_classifier",
+    "ml18_frequent_itemsets",
+    "ml19_poisson_glm",
+    "ml20_chi_square",
+    "ml21_als_recommender",
+    "ml22_gbt_scoring",
+    # --- multimodal / similarity / graph / capstones ---
+    "mm11_spectrogram",
+    "mm12_phash_neardup",
+    "mm13_shot_boundaries",
+    "mm14_voice_activity",
+    "s8_mmr_rerank",
+    "s9_gemm_knn",
+    "g5_connected_components",
+    "g6_kcore",
+    "c4_multimodal_ledger",
+    "c5_corpus_health",
+    # --- text analysis ---
+    "t18_bpe_merges",
+    "t19_vocab_growth",
+    "t20_readability",
+    "t21_script_profile",
+    "t22_compression_ratio",
+    # --- sampling / packing ---
+    "p16_multimodal_packing",
+    "p17_preference_pairs",
+    "p18_epoch_shard_order",
+    "p19_embargo_split",
+    # --- q1xx: float/stateful shapes first ---
+    "q100_grouped_agg_udaf",
+    "q101_recursive_cte",
+    "q105_gapfill_interpolate",
+    "q114_approx_top_k",
+    "q115_count_min_sketch",
+    "q116_bitmap_distinct",
+    "q119_dynamic_session",
+    "q122_locf_impute",
+]
+
+# Round-7 rotation kept for the record (no longer drives ordering).
 # r8 planner note: the post-prefix r7 births — d16, st14, t16, p15,
 # t17, q100–q123, dq10–dq16, ml14–ml22, mm11–mm14, s8, s9, t18–t22,
 # g5, g6, p18, p19, c4, c5, st15–st20 — have no official row yet (all locally hash/parity
@@ -332,7 +411,7 @@ def load_registry() -> dict[str, QueryDef]:
     )
 
     ordered: dict[str, QueryDef] = {}
-    for name in _R7_PRIORITY:
+    for name in _R8_PRIORITY:
         if name in REGISTRY:  # tolerate renames; never KeyError the gate
             ordered[name] = REGISTRY[name]
     for name, qdef in REGISTRY.items():

@@ -361,8 +361,8 @@ def q13_null_handling(spark, sf_dir):
            ABS(l_discount - l_tax)              AS abs_diff,
            ROUND(SQRT(l_quantity), 6)           AS sqrt_qty,
            ROUND(EXP(l_discount), 6)            AS exp_disc,
-           FLOOR(l_extendedprice)               AS floor_price,
-           CEIL(l_extendedprice)                AS ceil_price,
+           CAST(FLOOR(l_extendedprice) AS BIGINT) AS floor_price,
+           CAST(CEIL(l_extendedprice) AS BIGINT)  AS ceil_price,
            CAST(l_quantity AS BIGINT) % 7       AS qty_mod7
     FROM lineitem WHERE l_orderkey < 200
     """,

@@ -164,3 +164,50 @@ def test_registered_outputs_must_be_atomic(spark):
 
     df = load_registry()["dq8_snapshot_diff"].build(spark, "/root/testdata/sf0.001")
     assert dict(df.dtypes)["changed_cols"] == "string"
+
+
+def test_numeric_family_parity_lint():
+    """Round-7 driver failure class (q14): Spark FLOOR returns BIGINT,
+    DuckDB FLOOR returns DOUBLE; the driver canonicalizer hashes 12345
+    and 12345.0 differently even though values match. The sweep tool's
+    family check must flag a planted int-vs-double mismatch and pass a
+    matched pair."""
+    from tools.check_oracle import numeric_family_mismatches
+
+    # planted mismatch: spark bigint vs duck DOUBLE, and the converse
+    bad = numeric_family_mismatches(
+        {"floor_price": "bigint", "ratio": "double"},
+        ["floor_price", "ratio"],
+        ["DOUBLE", "BIGINT"],
+    )
+    assert bad == ["floor_price:bigint-vs-DOUBLE", "ratio:double-vs-BIGINT"]
+
+    # matched families (and non-numeric columns) stay clean
+    ok = numeric_family_mismatches(
+        {"floor_price": "bigint", "ratio": "double", "name": "string"},
+        ["floor_price", "ratio", "name"],
+        ["BIGINT", "DOUBLE", "VARCHAR"],
+    )
+    assert ok == []
+
+
+def test_q14_numeric_families_match_oracle(spark, sf_dir):
+    """The q14 fix itself: both engines now emit BIGINT floor/ceil."""
+    import duckdb
+
+    from oxi_diel_db_spark.queries import load_registry
+    from tools.check_oracle import TABLES, numeric_family_mismatches
+
+    qd = load_registry()["q14_math_funcs"]
+    sdf = qd.build(spark, sf_dir)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    rel = con.sql(qd.oracle)
+    dcols = [d[0] for d in rel.description]
+    dtypes = [str(x) for x in rel.types]
+    assert numeric_family_mismatches(dict(sdf.dtypes), dcols, dtypes) == []
+    assert dict(sdf.dtypes)["floor_price"] == "bigint"
+    assert dict(zip(dcols, dtypes))["floor_price"] == "BIGINT"

@@ -46,6 +46,35 @@ def norm_val(v):
     return str(v)
 
 
+_SPARK_INT = {"tinyint", "smallint", "int", "bigint"}
+_SPARK_FLOAT = {"float", "double"}
+_DUCK_INT = {
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+}
+_DUCK_FLOAT = {"FLOAT", "DOUBLE"}
+
+
+def numeric_family_mismatches(
+    spark_dtypes: dict[str, str], duck_cols: list[str], duck_types: list[str]
+) -> list[str]:
+    """Columns where Spark emits an int family and the oracle a float
+    family (or vice versa). The driver's pandas canonicalizer hashes
+    12345 and 12345.0 differently, so numerically-identical results
+    still fail the official gate (r7's q14, r6's dq8 class). Local
+    ``norm_val``'s %.9g hides this — flag it structurally instead."""
+    bad = []
+    for c, dty in zip(duck_cols, duck_types):
+        sty = spark_dtypes.get(c)
+        if sty is None:
+            continue  # schema check reports missing columns
+        s_int, s_flt = sty in _SPARK_INT, sty in _SPARK_FLOAT
+        d_int, d_flt = dty in _DUCK_INT, dty in _DUCK_FLOAT
+        if (s_int and d_flt) or (s_flt and d_int):
+            bad.append(f"{c}:{sty}-vs-{dty}")
+    return bad
+
+
 def table_hash(cols: list[str], rows: list[tuple]) -> str:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted("|".join(norm_val(r[i]) for i in order) for r in rows)
@@ -78,6 +107,7 @@ def main() -> None:
         try:
             sdf = fn(spark, SF_DIR)
             scols = sdf.columns
+            stypes = dict(sdf.dtypes)
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             results[name] = f"SPARK-ERROR: {type(e).__name__}: {e}"
@@ -107,6 +137,9 @@ def main() -> None:
         ]
         if bad_types:
             problems.append(f"oracle-type {','.join(bad_types)} (cast to BIGINT/DOUBLE)")
+        fam = numeric_family_mismatches(stypes, dcols, dtypes)
+        if fam:
+            problems.append(f"numeric-family {','.join(fam)}")
         if len(srows) != len(drows):
             problems.append(f"rowcount {len(srows)} vs {len(drows)}")
         if sorted(scols) != sorted(dcols):
