@@ -136,6 +136,87 @@ def orbital_rows() -> list[tuple[str, str, float, int]]:
     return rows
 
 
+def sp_atomic_orbitals(agg: str) -> dict[str, str]:
+    """Zero-shuffle Spark-SQL expression twin of
+    atomic_orbitals_features, computed per-row over a pre-staged
+    aggregated (el, cnt) array column (``_agg``/``_enr``) — no explode,
+    no window, no joins. Used by the ml6/ml8/ml10/ml12 descriptor
+    assemblies (r7 verdict ask #4: the AO window pipeline was 3.1 s of
+    the 6 s cold cost, all scheduling overhead at corpus size; at 100 TB
+    the per-row expression is also the better plan — the orbital dim is
+    a constant, so nothing shuffles at all).
+
+    Value parity with the window form (m29's gate keeps that shape
+    honest): the row set is the same inner-join semantics (elements
+    absent from the orbital table are filtered), the sort key is the
+    same (energy, el, orb) total order, and the running-capacity scan
+    folds cap_total in that same order, so HOMO selection and the
+    exact-fill LUMO tier see identical doubles.
+
+    Returns staging exprs (``_aosort``, ``_tote``, ``_aoscan`` — stage
+    each in its own select so the scan isn't inlined per consumer) and
+    the final ``homo_energy``/``lumo_energy``/``gap_ao`` exprs over
+    them."""
+    orb_entries = []
+    for el, (core, shells) in sorted(FRONTIER_ORBITALS.items()):
+        z = ATOMIC_NUMBER[el]
+        rows = [
+            f"named_struct('orb', '{CORE_LABEL}', 'energy', "
+            f"{_core_energy(z)!r}D, 'cap', {core})"
+        ]
+        for orb, energy in shells:
+            rows.append(
+                f"named_struct('orb', '{orb}', 'energy', {float(energy)!r}D, "
+                f"'cap', {SUBSHELL_CAPACITY[orb[-1]]})"
+            )
+        orb_entries.append(f"'{el}', array({', '.join(rows)})")
+    orb_map = f"map({', '.join(orb_entries)})"
+    z_map = (
+        "map("
+        + ", ".join(f"'{el}', {z}" for el, z in sorted(ATOMIC_NUMBER.items()))
+        + ")"
+    )
+    present = f"filter({agg}, s -> {orb_map}[s.el] IS NOT NULL)"
+    rows = (
+        f"flatten(transform({present}, s -> transform({orb_map}[s.el], "
+        f"o -> named_struct('energy', o.energy, 'el', s.el, 'orb', o.orb, "
+        f"'cap_total', s.cnt * o.cap))))"
+    )
+    aosort = f"sort_array({rows})"
+    tote = f"aggregate({agg}, 0.0D, (acc, s) -> acc + s.cnt * {z_map}[s.el])"
+    # running-capacity scan: homo = 1-based index of the first row where
+    # the cumulative capacity reaches _tote (same predicate as the
+    # window form's cum−cap_total < total_e AND cum >= total_e);
+    # homocum = cum at that row (for the exact-fill test).
+    scan = (
+        "aggregate(_aosort, "
+        "named_struct('cum', 0.0D, 'idx', 0, 'homo', -1, 'homocum', 0.0D), "
+        "(acc, r) -> named_struct("
+        "'cum', acc.cum + r.cap_total, "
+        "'idx', acc.idx + 1, "
+        "'homo', IF(acc.homo >= 0, acc.homo, "
+        "IF(acc.cum + r.cap_total >= _tote AND acc.cum < _tote, acc.idx + 1, -1)), "
+        "'homocum', IF(acc.homo >= 0, acc.homocum, "
+        "IF(acc.cum + r.cap_total >= _tote AND acc.cum < _tote, "
+        "acc.cum + r.cap_total, 0.0D))))"
+    )
+    hr = "element_at(_aosort, _aoscan.homo)"
+    lead_e = (
+        "IF(_aoscan.homo < size(_aosort), "
+        "element_at(_aosort, _aoscan.homo + 1).energy, CAST(NULL AS DOUBLE))"
+    )
+    lumo_raw = f"IF(_aoscan.homocum = _tote, {lead_e}, {hr}.energy)"
+    guard = "IF(_aoscan.homo >= 1, {x}, CAST(NULL AS DOUBLE))"
+    return {
+        "_aosort": aosort,
+        "_tote": tote,
+        "_aoscan": scan,
+        "homo_energy": guard.format(x=f"round({hr}.energy, 6)"),
+        "lumo_energy": guard.format(x=f"round({lumo_raw}, 6)"),
+        "gap_ao": guard.format(x=f"round(({lumo_raw}) - {hr}.energy, 6)"),
+    }
+
+
 def atomic_orbitals_features(materials: DataFrame, spark: SparkSession) -> DataFrame:
     """HOMO/LUMO/gap_AO per material: explode composition → broadcast
     orbital dim join → per-material running-capacity window. Partitioned

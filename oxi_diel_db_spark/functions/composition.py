@@ -86,10 +86,15 @@ def sql_stoichiometry_pnorm(f: str, p: int) -> str:
     )
 
 
-def tmetal_fraction(formula: Column | str) -> Column:
+def tmetal_fraction(formula: Column | str, toks: Column | None = None) -> Column:
     """TMetalFraction featurizer (reference ml_prediction.py:107):
-    fraction of atoms that are transition metals."""
-    toks = _tok_counts(formula)
+    fraction of atoms that are transition metals.
+
+    ``toks``: pre-staged _tok_counts column — referencing a shared
+    projection keeps the tokenizer subtree out of this expression
+    (plan-compile tax; see el_comp_descriptors). Fold order and
+    arithmetic are unchanged either way, so values are bit-identical."""
+    toks = _tok_counts(formula) if toks is None else toks
     tot = _fold_sum(toks, lambda s: s["cnt"])
     tm = _fold_sum(
         toks,
@@ -110,8 +115,7 @@ def sql_tmetal_fraction(f: str) -> str:
 
 
 def _en_map_expr() -> Column:
-    kv = [x for el, en in sorted(PAULING_EN.items()) for x in (F.lit(el), F.lit(en))]
-    return F.create_map(*kv)
+    return _prop_map_expr(PAULING_EN)
 
 
 def _sql_en_case() -> str:
@@ -155,11 +159,11 @@ def sql_electronegativity_stats(f: str) -> dict[str, str]:
     }
 
 
-def band_center(formula: Column | str) -> Column:
+def band_center(formula: Column | str, toks: Column | None = None) -> Column:
     """BandCenter featurizer (reference ml_prediction.py:112): the
     count-weighted geometric mean of electronegativities,
-    exp(Σ c·ln(EN) / Σ c)."""
-    toks = _tok_counts(formula)
+    exp(Σ c·ln(EN) / Σ c). ``toks``: see tmetal_fraction."""
+    toks = _tok_counts(formula) if toks is None else toks
     en_map = _en_map_expr()
     tot = _fold_sum(toks, lambda s: s["cnt"])
     lnsum = _fold_sum(toks, lambda s: s["cnt"] * F.log(en_map[s["el"]]))
@@ -283,12 +287,13 @@ def sql_en_diff_to_oxygen(f: str) -> str:
     return f"({diff}) / ({cation})"
 
 
-def avg_ionic_character(formula: Column | str) -> Column:
+def avg_ionic_character(formula: Column | str, toks: Column | None = None) -> Column:
     """IonProperty featurizer (reference ml_prediction.py:78): Pauling's
     average ionic character Σᵢⱼ xᵢxⱼ·(1 − exp(−ΔEN²/4)) over element
     pairs (i<j), normalized by Σᵢⱼ xᵢxⱼ — a nested fold over the token
-    list, still a pure expression."""
-    toks = _tok_counts(formula)
+    list, still a pure expression. ``toks``: see tmetal_fraction — the
+    nested fold otherwise embeds the tokenizer subtree O(n²) times."""
+    toks = _tok_counts(formula) if toks is None else toks
     en_map = _en_map_expr()
     tot = _fold_sum(toks, lambda s: s["cnt"])
 
@@ -375,8 +380,14 @@ BLOCK = {  # s=0, p=1, d=2, f=3
 
 
 def _prop_map_expr(table: dict[str, float]) -> Column:
-    kv = [x for el, v in sorted(table.items()) for x in (F.lit(el), F.lit(float(v)))]
-    return F.create_map(*kv)
+    # One F.expr string instead of ~160 F.lit py4j round trips per map
+    # (the r7 plan-compile/py4j tax). repr() round-trips doubles
+    # exactly and the D suffix forces DoubleLiteral, so the map holds
+    # bit-identical values to the F.lit form.
+    kv = ", ".join(
+        f"'{el}', {float(v)!r}D" for el, v in sorted(table.items())
+    )
+    return F.expr(f"map({kv})")
 
 
 def _sql_prop_case(table: dict[str, float]) -> str:
@@ -430,7 +441,7 @@ def sql_elemental_stats(f: str, table: dict[str, float]) -> dict[str, str]:
 # ---------------------------------------------------------------------------
 
 
-def _agg_tok_counts(formula: Column | str) -> Column:
+def _agg_tok_counts(formula: Column | str, toks: Column | None = None) -> Column:
     """Per-ELEMENT aggregated (el, cnt) pairs — matminer's
     ``comp.element_composition.items()`` view. _tok_counts is
     expansion-ordered and may repeat an element (paren groups, e.g.
@@ -440,8 +451,10 @@ def _agg_tok_counts(formula: Column | str) -> Column:
     Element order is SORTED in both engines: DuckDB's list_distinct
     does not preserve first-occurrence order, and a different fold
     order shifts double sums by an ulp — enough to flip a 6-dp
-    rounding boundary and hash-mismatch the gate."""
-    toks = _tok_counts(formula)
+    rounding boundary and hash-mismatch the gate.
+
+    ``toks``: pre-staged _tok_counts column (see tmetal_fraction)."""
+    toks = _tok_counts(formula) if toks is None else toks
     els = F.array_sort(F.array_distinct(F.transform(toks, lambda s: s["el"])))
     return F.transform(
         els,
@@ -525,6 +538,210 @@ def matminer_stats(
     }
 
 
+def enrich_agg(agg: Column, tables: dict[str, dict[str, float]]) -> Column:
+    """Attach per-element property values to a pre-staged _agg column:
+    ``array<struct<el,cnt,<one field per table>>>``. Each literal
+    element→value map appears ONCE in the plan (inside this transform);
+    downstream stat folds reference the struct field instead of
+    re-embedding the ~80-entry map per occurrence — the ml6 family's
+    plan-compile tax fix (r7 verdict ask #4). Lookup semantics are
+    identical to ``pm[s.el]`` (element missing from a table → NULL), so
+    downstream arithmetic is bit-identical."""
+    pms = {fld: _prop_map_expr(tbl) for fld, tbl in tables.items()}
+    return F.transform(
+        agg,
+        lambda s: F.struct(
+            s["el"].alias("el"),
+            s["cnt"].alias("cnt"),
+            *[pms[fld][s["el"]].alias(fld) for fld in tables],
+        ),
+    )
+
+
+def matminer_stats_field(enr: Column, field: str) -> dict[str, Column]:
+    """matminer_stats over an enrich_agg() column: the same folds in the
+    same sorted-element order with ``value_of(s) = s[field]`` — the
+    adds/multiplies see identical doubles in identical order, so values
+    are bit-identical to the literal-map form (hash-gate safe)."""
+    get = lambda s: s[field]  # noqa: E731
+    vals = F.transform(enr, get)
+    n = _fold_sum(enr, lambda s: s["cnt"])
+    mean = _fold_sum(enr, lambda s: s[field] * s["cnt"]) / n
+    return {
+        "mean": mean,
+        "std": _unbiased_weighted_std(enr, get),
+        "min": F.array_min(vals),
+        "max": F.array_max(vals),
+        "range": F.array_max(vals) - F.array_min(vals),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Spark-SQL-dialect string kernels (plan-compile/py4j tax fix, r7
+# verdict ask #4). Each returns a SQL string over a pre-staged column
+# name ("_toks" / "_enr"); F.expr() parses it in ONE py4j round trip
+# where the Column-DSL form costs ~15 ms per higher-order lambda. The
+# strings produce the SAME Catalyst operators (aggregate/transform/
+# CaseWhen/GetMapValue) as the DSL builders above, so values are
+# bit-identical — proven by the unchanged DuckDB oracle hash gate.
+# ---------------------------------------------------------------------------
+
+
+def _sp_fold_sum(arr: str, term: str) -> str:
+    return f"aggregate({arr}, 0.0D, (acc, s) -> acc + ({term}))"
+
+
+def sp_prop_map(table: dict[str, float]) -> str:
+    kv = ", ".join(f"'{el}', {float(v)!r}D" for el, v in sorted(table.items()))
+    return f"map({kv})"
+
+
+def sp_unbiased_weighted_std(agg: str, val: str) -> str:
+    """Spark-SQL twin of _unbiased_weighted_std; ``val`` is an
+    expression over lambda var ``s``."""
+    n = _sp_fold_sum(agg, "s.cnt")
+    sumsq = _sp_fold_sum(agg, "s.cnt * s.cnt")
+    mean = f"({_sp_fold_sum(agg, f'({val}) * s.cnt')} / ({n}))"
+    dev = (
+        f"aggregate({agg}, 0.0D, (acc, s) -> "
+        f"acc + (({val}) - {mean}) * (({val}) - {mean}) * s.cnt)"
+    )
+    beta = f"(({n}) / nullif(({n}) * ({n}) - ({sumsq}), 0.0D))"
+    return f"sqrt(greatest(({beta}) * ({dev}), 0.0D))"
+
+
+def sp_matminer_stats(agg: str, val: str) -> dict[str, str]:
+    """Spark-SQL twin of matminer_stats_field over an enriched agg
+    column; ``val`` is an expression over lambda var ``s`` (usually
+    ``s.<field>``)."""
+    vals = f"transform({agg}, s -> {val})"
+    n = _sp_fold_sum(agg, "s.cnt")
+    mean = f"({_sp_fold_sum(agg, f'({val}) * s.cnt')} / ({n}))"
+    return {
+        "mean": mean,
+        "std": sp_unbiased_weighted_std(agg, val),
+        "min": f"array_min({vals})",
+        "max": f"array_max({vals})",
+        "range": f"(array_max({vals}) - array_min({vals}))",
+    }
+
+
+def sp_en_diff_stats(agg: str, en_field: str) -> dict[str, str]:
+    """Spark-SQL twin of en_diff_stats over an enriched agg column."""
+    en_o = float(PAULING_EN["O"])
+    cat = f"filter({agg}, s -> s.el <> 'O')"
+    val = f"({en_o!r}D - s.{en_field})"
+    vals = f"transform({cat}, s -> {val})"
+    n = _sp_fold_sum(cat, "s.cnt")
+    mean = f"({_sp_fold_sum(cat, f'({val}) * s.cnt')} / nullif({n}, 0.0D))"
+    return {
+        "max": f"array_max({vals})",
+        "range": f"(array_max({vals}) - array_min({vals}))",
+        "min": f"array_min({vals})",
+        "mean": mean,
+        "std": sp_unbiased_weighted_std(cat, val),
+    }
+
+
+def sp_oxi_state_std(agg: str) -> str:
+    """Spark-SQL twin of oxi_state_std over a (possibly enriched) agg
+    column."""
+    n_o = _sp_fold_sum(agg, "CASE WHEN s.el = 'O' THEN s.cnt ELSE 0.0D END")
+    n_cat = _sp_fold_sum(agg, "CASE WHEN s.el <> 'O' THEN s.cnt ELSE 0.0D END")
+    q = f"(2.0D * ({n_o}) / nullif({n_cat}, 0.0D))"
+    state = f"(CASE WHEN s.el = 'O' THEN -2.0D ELSE {q} END)"
+    return sp_unbiased_weighted_std(agg, state)
+
+
+def sp_tmetal_fraction(toks: str) -> str:
+    """Spark-SQL twin of tmetal_fraction over a pre-staged toks column."""
+    tms = ", ".join(repr(x) for x in TRANSITION_METALS)
+    tot = _sp_fold_sum(toks, "s.cnt")
+    tm = _sp_fold_sum(toks, f"CASE WHEN s.el IN ({tms}) THEN s.cnt ELSE 0.0D END")
+    return f"(({tm}) / ({tot}))"
+
+
+def sp_band_center(toks: str) -> str:
+    """Spark-SQL twin of band_center over a pre-staged toks column."""
+    en = f"{sp_prop_map(PAULING_EN)}[s.el]"
+    tot = _sp_fold_sum(toks, "s.cnt")
+    lnsum = _sp_fold_sum(toks, f"s.cnt * ln({en})")
+    return f"exp(({lnsum}) / ({tot}))"
+
+
+def sp_avg_ionic_character(toks: str) -> str:
+    """Spark-SQL twin of avg_ionic_character over a pre-staged toks
+    column (the nested pair fold)."""
+    en = sp_prop_map(PAULING_EN)
+    tot = _sp_fold_sum(toks, "s.cnt")
+    term = (
+        f"CASE WHEN i.el <> o.el THEN (o.cnt / ({tot})) * (i.cnt / ({tot})) "
+        f"* (1 - exp(-pow({en}[o.el] - {en}[i.el], 2) / 4)) ELSE 0.0D END"
+    )
+    inner = f"aggregate({toks}, 0.0D, (acc2, i) -> acc2 + ({term}))"
+    num = f"aggregate({toks}, 0.0D, (acc, o) -> acc + ({inner}))"
+    wterm = (
+        f"CASE WHEN i.el <> o.el THEN (o.cnt / ({tot})) * (i.cnt / ({tot})) "
+        f"ELSE 0.0D END"
+    )
+    winner = f"aggregate({toks}, 0.0D, (acc2, i) -> acc2 + ({wterm}))"
+    den = f"aggregate({toks}, 0.0D, (acc, o) -> acc + ({winner}))"
+    return f"(CASE WHEN ({den}) > 0 THEN ({num}) / ({den}) ELSE 0.0D END)"
+
+
+def sp_stoichiometry_pnorm(toks: str, p: int) -> str:
+    """Spark-SQL twin of stoichiometry_pnorm over a pre-staged toks
+    column."""
+    tot = _sp_fold_sum(toks, "s.cnt")
+    if p == 0:
+        return f"CAST(size({toks}) AS DOUBLE)"
+    powsum = _sp_fold_sum(toks, f"pow(s.cnt / ({tot}), {float(p)!r}D)")
+    return f"pow({powsum}, {1.0 / p!r}D)"
+
+
+def sp_mean_radius(agg: str, field: str = "p_radius") -> str:
+    """Spark-SQL twin of mean_radius over an enriched agg column whose
+    ``field`` carries the Cordero radius."""
+    tot = _sp_fold_sum(agg, "s.cnt")
+    return f"({_sp_fold_sum(agg, f's.{field} * s.cnt')} / ({tot}))"
+
+
+def _sp_best_ideal(ratio: str) -> str:
+    """Spark-SQL twin of _best_ideal (same nested-CASE argmin chain,
+    ascending CN, strictly-less wins)."""
+    items = sorted(CRITICAL_RATIOS.items())
+    best_ideal = f"{items[0][1]!r}D"
+    best_diff = f"abs(({ratio}) - {items[0][1]!r}D)"
+    for _cn, ideal in items[1:]:
+        d = f"abs(({ratio}) - {ideal!r}D)"
+        best_ideal = (
+            f"(CASE WHEN {d} < {best_diff} THEN {ideal!r}D ELSE {best_ideal} END)"
+        )
+        best_diff = f"(CASE WHEN {d} < {best_diff} THEN {d} ELSE {best_diff} END)"
+    return best_ideal
+
+
+def sp_ape_stats(agg: str, rbar: str, field: str = "p_radius") -> dict[str, str]:
+    """Spark-SQL twin of ape_stats over an enriched agg column; pass a
+    STAGED rbar column name."""
+    ratio = f"(s.{field} / {rbar})"
+    ape = f"(({ratio}) / {_sp_best_ideal(ratio)})"
+    tot = _sp_fold_sum(agg, "s.cnt")
+    mean = f"({_sp_fold_sum(agg, f'({ape}) * s.cnt')} / ({tot}))"
+    mean_abs = f"({_sp_fold_sum(agg, f'abs(1.0D - ({ape})) * s.cnt')} / ({tot}))"
+    return {"mean": mean, "mean_abs": mean_abs}
+
+
+def sp_oxi_state_range(agg: str) -> str:
+    """Spark-SQL twin of oxi_state_range over a (possibly enriched)
+    agg column."""
+    n_o = _sp_fold_sum(agg, "CASE WHEN s.el = 'O' THEN s.cnt ELSE 0.0D END")
+    n_cat = _sp_fold_sum(agg, "CASE WHEN s.el <> 'O' THEN s.cnt ELSE 0.0D END")
+    q = f"(2.0D * ({n_o}) / nullif({n_cat}, 0.0D))"
+    vals = f"transform({agg}, s -> (CASE WHEN s.el = 'O' THEN -2.0D ELSE {q} END))"
+    return f"(array_max({vals}) - array_min({vals}))"
+
+
 def sql_matminer_stats(
     f: str, table: dict[str, float], agg: str | None = None
 ) -> dict[str, str]:
@@ -545,18 +762,25 @@ def sql_matminer_stats(
 
 
 def en_diff_stats(
-    formula: Column | str, agg: Column | None = None
+    formula: Column | str, agg: Column | None = None, en_field: str | None = None
 ) -> dict[str, Column]:
     """ElectronegativityDiff analog for the oxide corpus
     (ml_prediction.py:78 — anion fixed at O, the m23 convention,
     extended to the full stat set the descriptor consumes): per-cation
     ΔEN = EN(O) − EN(cation); unweighted max/range, count-weighted
-    mean, unbiased weighted std over cations."""
+    mean, unbiased weighted std over cations.
+
+    ``en_field``: when ``agg`` is an enrich_agg() column carrying the
+    Pauling EN as a struct field, read it from there instead of
+    re-embedding the literal EN map (bit-identical; see enrich_agg)."""
     en_o = F.lit(PAULING_EN["O"])
-    pm = _en_map_expr()
+    pm = None if en_field is not None else _en_map_expr()
     base = _agg_tok_counts(formula) if agg is None else agg
     cat = F.filter(base, lambda s: s["el"] != "O")
-    diff = lambda s: en_o - pm[s["el"]]  # noqa: E731
+    if en_field is not None:
+        diff = lambda s: en_o - s[en_field]  # noqa: E731
+    else:
+        diff = lambda s: en_o - pm[s["el"]]  # noqa: E731
     vals = F.transform(cat, diff)
     n = _fold_sum(cat, lambda s: s["cnt"])
     mean = _fold_sum(cat, lambda s: diff(s) * s["cnt"]) / F.nullif(n, F.lit(0.0))

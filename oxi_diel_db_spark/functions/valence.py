@@ -97,12 +97,9 @@ VALENCE_TABLE = {el: valence_spdf(el) for el in _Z}
 
 
 def _map_expr(idx: int) -> Column:
-    kv = [
-        x
-        for el, v in sorted(VALENCE_TABLE.items())
-        for x in (F.lit(el), F.lit(float(v[idx])))
-    ]
-    return F.create_map(*kv)
+    from oxi_diel_db_spark.functions.composition import _prop_map_expr
+
+    return _prop_map_expr({el: float(v[idx]) for el, v in VALENCE_TABLE.items()})
 
 
 def sql_valence_case(var: str, idx: int) -> str:
@@ -112,12 +109,16 @@ def sql_valence_case(var: str, idx: int) -> str:
     return f"CAST((CASE {var} {whens} ELSE NULL END) AS DOUBLE)"
 
 
-def valence_fractions(formula: Column | str) -> dict[str, Column]:
+def valence_fractions(
+    formula: Column | str, toks: "Column | None" = None
+) -> dict[str, Column]:
     """ValenceOrbital featurizer: count-weighted average valence
-    electrons per orbital type + the s/p/d/f fractions."""
+    electrons per orbital type + the s/p/d/f fractions. ``toks``:
+    pre-staged token column (see composition.tmetal_fraction) — keeps
+    the tokenizer subtree out of these eight expressions."""
     from oxi_diel_db_spark.functions.composition import _fold_sum, _tok_counts
 
-    toks = _tok_counts(formula)
+    toks = _tok_counts(formula) if toks is None else toks
     tot = _fold_sum(toks, lambda s: s["cnt"])
     avg = {}
     for idx, name in enumerate("spdf"):
@@ -127,6 +128,27 @@ def valence_fractions(formula: Column | str) -> dict[str, Column]:
     out = dict(avg)
     for name in "spdf":
         out[f"frac_{name}"] = avg[f"avg_{name}"] / total_val
+    return out
+
+
+def sp_valence_fractions(toks: str) -> dict[str, str]:
+    """Spark-SQL-dialect twin of valence_fractions over a pre-staged
+    toks column (see composition's sp_* kernels — same Catalyst
+    operators as the DSL form, one F.expr parse instead of dozens of
+    py4j lambda round trips)."""
+    from oxi_diel_db_spark.functions.composition import _sp_fold_sum, sp_prop_map
+
+    tot = _sp_fold_sum(toks, "s.cnt")
+    avg = {}
+    for idx, name in enumerate("spdf"):
+        m = sp_prop_map({el: float(v[idx]) for el, v in VALENCE_TABLE.items()})
+        avg[f"avg_{name}"] = (
+            f"({_sp_fold_sum(toks, f'{m}[s.el] * s.cnt')} / ({tot}))"
+        )
+    total = " + ".join(avg[f"avg_{n}"] for n in "spdf")
+    out = dict(avg)
+    for name in "spdf":
+        out[f"frac_{name}"] = f"(({avg[f'avg_{name}']}) / ({total}))"
     return out
 
 

@@ -58,7 +58,13 @@ def _r6n(col, alias):
 
 
 def _sql_r6n(expr: str, alias: str) -> str:
-    return f"ROUND(({expr}) + 1e-9, 6) + 0 AS {alias}" 
+    return f"ROUND(({expr}) + 1e-9, 6) + 0 AS {alias}"
+
+
+def _sp_r6n(expr: str, alias: str) -> str:
+    """Spark-SQL-dialect _r6n (same Round/Add operators as the Column
+    form — bit-identical)."""
+    return f"round(({expr}) + 1e-9D, 6) + 0.0D AS {alias}"
 
 _MAT = f"read_parquet('{M.MATERIALS_PARQUET}/*.parquet')"
 
@@ -97,64 +103,103 @@ EL_COMP_COLUMNS: list[str] = (
 )
 
 
+#: field name → element-property table for the enriched _agg struct
+#: (one literal map per table, embedded ONCE in the plan — see
+#: composition.enrich_agg).
+_EP_FIELDS: dict[str, dict] = {
+    "p_en": C.PAULING_EN,
+    "p_row": C.PERIOD,
+    "p_group": C.GROUP,
+    "p_block": C.BLOCK,
+    "p_mass": C.ATOMIC_MASS,
+    "p_radius": C.COVALENT_RADIUS,
+    "p_mend": MENDELEEV_NO,
+    "p_thermcond": THERMAL_CONDUCTIVITY,
+    "p_melting": MELTING_POINT,
+}
+_EP_FIELD_OF: dict[int, str] = {id(t): f for f, t in _EP_FIELDS.items()}
+
+
 def el_comp_descriptors(spark) -> "F.DataFrame":
     """(mp_id, formula, <34 descriptor columns>) for the whole corpus —
     the library entry point ml7 trains on.
 
-    Two-stage projection: stage 1 materializes the per-element
-    aggregated token array ONCE as ``_agg``; stage 2's 28 stat columns
-    reference that column. Catalyst's CollapseProject declines to
-    inline a non-cheap expression referenced this many times, so the
-    tokenizer subtree appears once in the plan instead of ~170× —
-    plan compile dropped ~17 s → sub-second. The finished Column list
+    Three-stage projection (the r7-verdict plan-compile-tax fix):
+    stage 1 materializes the expansion-order token array ONCE as
+    ``_toks`` (the regexp tokenizer subtree otherwise re-embeds per
+    featurizer — avg_ionic_char's nested fold alone carried it O(n²)
+    times); stage 2 derives the sorted per-element ``_agg`` from it
+    and enriches it with the nine element-property values as struct
+    fields (each ~80-entry literal map appears once instead of ~6× per
+    EP slot); stage 3's 28 stat columns are small folds over those two
+    columns. Catalyst's CollapseProject declines to inline non-cheap
+    expressions referenced this many times, so each stage stays staged.
+    Fold order and arithmetic are unchanged — values bit-identical to
+    the literal-map form (hash gate unmoved). The finished Column list
     is memoized at module level: unresolved Column expression trees
     are session-independent within a JVM, and rebuilding them costs
-    ~4-6 s of py4j round trips per invocation (r7 profiling — the
-    single largest line in the registry timing sweep)."""
+    seconds of py4j round trips per invocation (r7 profiling)."""
     m = M.materials(spark)
     staged = m.select(
-        "mp_id", "formula", C._agg_tok_counts("formula").alias("_agg")
+        "mp_id", "formula", C._tok_counts("formula").alias("_toks")
     )
-    base = staged.select(*_el_comp_cols())
-    ao = AO.atomic_orbitals_features(m, spark).select(
-        "mp_id", "homo_energy", "lumo_energy", "gap_ao"
+    enriched = staged.select(
+        "mp_id",
+        "formula",
+        "_toks",
+        C.enrich_agg(
+            C._agg_tok_counts("formula", toks=F.col("_toks")), _EP_FIELDS
+        ).alias("_enr"),
     )
-    return base.join(ao, "mp_id")
+    ao = AO.sp_atomic_orbitals("_enr")
+    with_ao = enriched.selectExpr(
+        "*", f"{ao['_aosort']} AS _aosort", f"{ao['_tote']} AS _tote"
+    ).selectExpr("*", f"{ao['_aoscan']} AS _aoscan")
+    return with_ao.selectExpr(
+        "mp_id",
+        "formula",
+        *_el_comp_cols(),
+        f"{ao['homo_energy']} AS homo_energy",
+        f"{ao['lumo_energy']} AS lumo_energy",
+        f"{ao['gap_ao']} AS gap_ao",
+    )
 
 
 _EL_COLS_CACHE: list | None = None
 
 
-def _el_comp_cols() -> list:
+def _el_comp_cols() -> list[str]:
+    """The 28 compositional stat columns as Spark-SQL strings over the
+    staged ``_toks``/``_enr`` columns — one selectExpr parse instead of
+    ~100 py4j lambda round trips (see composition's sp_* kernels; same
+    Catalyst operators as the Column DSL, bit-identical values)."""
     global _EL_COLS_CACHE
     if _EL_COLS_CACHE is not None:
         return _EL_COLS_CACHE
-    agg = F.col("_agg")
-    cols = [F.col("mp_id"), F.col("formula")]
-    # build each table's stat dict ONCE (construction cost: every
-    # F.lit/F.when is a py4j round trip; per-slot rebuilds cost ~4 s)
-    stats_cache: dict[int, dict] = {}
-    for name, table, stat in _EP_SLOTS:
-        if id(table) not in stats_cache:
-            stats_cache[id(table)] = C.matminer_stats("formula", table, agg=agg)
-        cols.append(_r6n(stats_cache[id(table)][stat], name))
-    from oxi_diel_db_spark.functions.valence import valence_fractions
+    from oxi_diel_db_spark.functions.valence import sp_valence_fractions
 
-    vf = valence_fractions("formula")
+    cols: list[str] = []
+    stats_cache: dict[str, dict] = {}
+    for name, table, stat in _EP_SLOTS:
+        field = _EP_FIELD_OF[id(table)]
+        if field not in stats_cache:
+            stats_cache[field] = C.sp_matminer_stats("_enr", f"s.{field}")
+        cols.append(_sp_r6n(stats_cache[field][stat], name))
+    vf = sp_valence_fractions("_toks")
     for name in ("avg_s", "avg_d", "frac_s", "frac_p", "frac_d"):
-        cols.append(_r6n(vf[name], name))
-    cols.append(_r6n(C.avg_ionic_character("formula"), "avg_ionic_char"))
-    cols.append(_r6n(C.tmetal_fraction("formula"), "tm_frac"))
-    ed = C.en_diff_stats("formula", agg=agg)
+        cols.append(_sp_r6n(vf[name], name))
+    cols.append(_sp_r6n(C.sp_avg_ionic_character("_toks"), "avg_ionic_char"))
+    cols.append(_sp_r6n(C.sp_tmetal_fraction("_toks"), "tm_frac"))
+    ed = C.sp_en_diff_stats("_enr", "p_en")
     for stat, name in (
         ("max", "max_endiff"),
         ("range", "range_endiff"),
         ("mean", "mean_endiff"),
         ("std", "std_endiff"),
     ):
-        cols.append(_r6n(ed[stat], name))
-    cols.append(_r6n(C.band_center("formula"), "band_center"))
-    cols.append(_r6n(C.oxi_state_std("formula", agg=agg), "std_oxi"))
+        cols.append(_sp_r6n(ed[stat], name))
+    cols.append(_sp_r6n(C.sp_band_center("_toks"), "band_center"))
+    cols.append(_sp_r6n(C.sp_oxi_state_std("_enr"), "std_oxi"))
     _EL_COLS_CACHE = cols
     return cols
 
@@ -332,121 +377,117 @@ ION_COMP_COLUMNS: list[str] = (
 )
 
 
-def _ape_distances(spark, staged) -> "F.DataFrame":
-    """(mp_id, ape_dist_1/3/5): composition-space L2 distance to the
-    mean of the k nearest efficiently-packed binary clusters. The
-    cluster universe is the STATIC 233-triple constant
-    (composition.EFFICIENT_CLUSTERS — Cordero ratio within 1% of a
-    critical ratio), broadcast against the corpus; distances sort
-    ascending and the k-prefix means are identical folds on both
-    engines. Plan: 1,278 × 233 broadcast product → one hash aggregate;
-    nothing scales with corpus size but the row count."""
-    clusters = spark.createDataFrame(
-        [
-            (a, b, cn, 1.0 / (cn + 1), float(cn) / (cn + 1))
-            for a, b, cn in C.EFFICIENT_CLUSTERS
-        ],
-        "center string, shell string, cn int, cc double, cs double",
-    )
-    agg = F.col("_agg")
-    total = F.aggregate(agg, F.lit(0.0), lambda acc, s: acc + s["cnt"])
-    fmap = F.map_from_entries(
-        F.transform(agg, lambda s: F.struct(s["el"].alias("el"),
-                                            (s["cnt"]).alias("cnt")))
-    )
-    comps = staged.select(
-        "mp_id",
-        total.alias("total"),
-        fmap.alias("fmap"),
-        F.aggregate(
-            agg, F.lit(0.0),
-            lambda acc, s: acc + (s["cnt"] / total) * (s["cnt"] / total),
-        ).alias("sumsq"),
-    )
-    fr = lambda el_col: (  # noqa: E731
-        F.coalesce(F.element_at(F.col("fmap"), el_col), F.lit(0.0))
-        / F.col("total")
-    )
-    d = F.sqrt(
-        F.greatest(
-            F.col("sumsq") + F.col("cc") * F.col("cc") + F.col("cs") * F.col("cs")
-            - 2.0 * (fr(F.col("center")) * F.col("cc") + fr(F.col("shell")) * F.col("cs")),
-            F.lit(0.0),
-        )
-    )
-    dists = comps.join(F.broadcast(clusters)).select("mp_id", d.alias("d"))
-    ds = F.sort_array(F.collect_list("d"))
-    mean_k = lambda k: (  # noqa: E731
-        F.aggregate(F.slice(ds, 1, k), F.lit(0.0), lambda acc, x: acc + x) / k
-    )
-    return dists.groupBy("mp_id").agg(
-        _r6n(mean_k(1), "ape_dist_1"),
-        _r6n(mean_k(3), "ape_dist_3"),
-        _r6n(mean_k(5), "ape_dist_5"),
-    )
-
-
 def ion_comp_descriptors(spark) -> "F.DataFrame":
     """(mp_id, formula, <42 descriptor columns>) — ml9 trains on this.
-    Same two-stage staging discipline as el_comp (the shared _agg and
-    the staged rbar keep Catalyst from inlining the tokenizer/radius
-    folds into every consumer); column list memoized like
-    _el_comp_cols (py4j construction dominates otherwise)."""
+    Same staged-SQL-string discipline as el_comp (see its docstring):
+    tokenizer → enriched agg → staged rbar/AO/APE intermediates → one
+    selectExpr of small folds. The APE cluster distances are a
+    233-entry literal-array transform + sort (replacing the former
+    1,278 × 233 broadcast product + collect_list aggregate — same
+    sorted distance list, zero shuffles)."""
     m = M.materials(spark)
     staged = m.select(
-        "mp_id", "formula", C._agg_tok_counts("formula").alias("_agg")
+        "mp_id", "formula", C._tok_counts("formula").alias("_toks")
     )
-    staged2 = staged.select(
-        "mp_id", "formula", "_agg",
-        C.mean_radius(F.col("_agg")).alias("_rbar"),
+    enriched = staged.select(
+        "mp_id",
+        "formula",
+        "_toks",
+        C.enrich_agg(
+            C._agg_tok_counts("formula", toks=F.col("_toks")), _EP_FIELDS
+        ).alias("_enr"),
     )
-    base = staged2.select(*_ion_comp_cols())
-    ao = AO.atomic_orbitals_features(m, spark).select(
-        "mp_id", "lumo_energy", "gap_ao"
+    ao = AO.sp_atomic_orbitals("_enr")
+    s3 = enriched.selectExpr(
+        "*",
+        f"{C.sp_mean_radius('_enr')} AS _rbar",
+        f"{ao['_aosort']} AS _aosort",
+        f"{ao['_tote']} AS _tote",
+        "map_from_entries(transform(_enr, s -> struct(s.el, s.cnt))) AS _fmap",
+        f"{C._sp_fold_sum('_enr', 's.cnt')} AS _total",
     )
-    out = base.join(ao, "mp_id").join(_ape_distances(spark, staged), "mp_id")
-    # reference slot order
-    return out.select("mp_id", "formula", *ION_COMP_COLUMNS)
+    s4 = s3.selectExpr(
+        "*",
+        f"{ao['_aoscan']} AS _aoscan",
+        f"{C._sp_fold_sum('_enr', '(s.cnt / _total) * (s.cnt / _total)')} AS _sumsq",
+    )
+    s5 = s4.selectExpr("*", f"{_sp_ape_dists()} AS _apedists")
+    exprs = _ion_comp_exprs()
+    exprs["lumo_energy"] = ao["lumo_energy"]
+    exprs["gap_ao"] = ao["gap_ao"]
+    return s5.selectExpr(
+        "mp_id",
+        "formula",
+        *[f"{exprs[n]} AS {n}" for n in ION_COMP_COLUMNS],
+    )
 
 
-_ION_COLS_CACHE: list | None = None
+def _sp_ape_dists() -> str:
+    """Sorted L2 distances to the 233 efficiently-packed binary
+    clusters as a per-row expression over the staged _fmap/_total/
+    _sumsq columns (same arithmetic, same sorted order as the former
+    broadcast-join + collect_list form — exact doubles, so sort ties
+    resolve identically)."""
+    clusters = ", ".join(
+        f"named_struct('center', '{a}', 'shell', '{b}', "
+        f"'cc', {1.0 / (cn + 1)!r}D, 'cs', {float(cn) / (cn + 1)!r}D)"
+        for a, b, cn in C.EFFICIENT_CLUSTERS
+    )
+    fr_c = "(coalesce(_fmap[c.center], 0.0D) / _total)"
+    fr_s = "(coalesce(_fmap[c.shell], 0.0D) / _total)"
+    d = (
+        f"sqrt(greatest(_sumsq + c.cc * c.cc + c.cs * c.cs "
+        f"- 2.0D * ({fr_c} * c.cc + {fr_s} * c.cs), 0.0D))"
+    )
+    return f"sort_array(transform(array({clusters}), c -> {d}))"
 
 
-def _ion_comp_cols() -> list:
-    global _ION_COLS_CACHE
-    if _ION_COLS_CACHE is not None:
-        return _ION_COLS_CACHE
-    agg = F.col("_agg")
-    cols = [F.col("mp_id"), F.col("formula")]
-    cols.append(_r6n(C.stoichiometry_pnorm("formula", 3), "norm3"))
-    cols.append(_r6n(C.stoichiometry_pnorm("formula", 5), "norm5"))
-    stats_cache: dict[int, dict] = {}
+_ION_EXPRS_CACHE: dict | None = None
+
+
+def _ion_comp_exprs() -> dict[str, str]:
+    """name → Spark-SQL expr for the composition slots of ION_COMP_
+    COLUMNS (AO slots filled in by the caller)."""
+    global _ION_EXPRS_CACHE
+    if _ION_EXPRS_CACHE is not None:
+        return dict(_ION_EXPRS_CACHE)
+    from oxi_diel_db_spark.functions.valence import sp_valence_fractions
+
+    r6 = lambda e: f"round(({e}) + 1e-9D, 6) + 0.0D"  # noqa: E731
+    exprs: dict[str, str] = {
+        "norm3": r6(C.sp_stoichiometry_pnorm("_toks", 3)),
+        "norm5": r6(C.sp_stoichiometry_pnorm("_toks", 5)),
+    }
+    stats_cache: dict[str, dict] = {}
     for name, table, stat in _ION_EP_SLOTS:
-        if id(table) not in stats_cache:
-            stats_cache[id(table)] = C.matminer_stats("formula", table, agg=agg)
-        cols.append(_r6n(stats_cache[id(table)][stat], name))
-    from oxi_diel_db_spark.functions.valence import valence_fractions
-
-    vf = valence_fractions("formula")
+        field = _EP_FIELD_OF[id(table)]
+        if field not in stats_cache:
+            stats_cache[field] = C.sp_matminer_stats("_enr", f"s.{field}")
+        exprs[name] = r6(stats_cache[field][stat])
+    vf = sp_valence_fractions("_toks")
     for name in ("avg_s", "frac_s", "frac_p", "frac_d"):
-        cols.append(_r6n(vf[name], name))
-    cols.append(_r6n(C.avg_ionic_character("formula"), "avg_ionic_char"))
-    cols.append(_r6n(C.tmetal_fraction("formula"), "tm_frac"))
-    ed = C.en_diff_stats("formula", agg=agg)
+        exprs[name] = r6(vf[name])
+    exprs["avg_ionic_char"] = r6(C.sp_avg_ionic_character("_toks"))
+    exprs["tm_frac"] = r6(C.sp_tmetal_fraction("_toks"))
+    ed = C.sp_en_diff_stats("_enr", "p_en")
     for stat, name in (
         ("min", "min_endiff"),
         ("range", "range_endiff"),
         ("mean", "mean_endiff"),
         ("std", "std_endiff"),
     ):
-        cols.append(_r6n(ed[stat], name))
-    cols.append(_r6n(C.oxi_state_range("formula", agg=agg), "range_oxi"))
-    cols.append(_r6n(C.oxi_state_std("formula", agg=agg), "std_oxi"))
-    ape = C.ape_stats(agg, F.col("_rbar"))
-    cols.append(_r6n(ape["mean"], "ape_mean"))
-    cols.append(_r6n(ape["mean_abs"], "ape_mean_abs"))
-    _ION_COLS_CACHE = cols
-    return cols
+        exprs[name] = r6(ed[stat])
+    exprs["range_oxi"] = r6(C.sp_oxi_state_range("_enr"))
+    exprs["std_oxi"] = r6(C.sp_oxi_state_std("_enr"))
+    ape = C.sp_ape_stats("_enr", "_rbar")
+    exprs["ape_mean"] = r6(ape["mean"])
+    exprs["ape_mean_abs"] = r6(ape["mean_abs"])
+    for k in (1, 3, 5):
+        exprs[f"ape_dist_{k}"] = r6(
+            f"aggregate(slice(_apedists, 1, {k}), 0.0D, (acc, x) -> acc + x) / {k}"
+        )
+    _ION_EXPRS_CACHE = exprs
+    return dict(exprs)
 
 
 def _ml8_oracle() -> str:
@@ -671,27 +712,39 @@ def el_comp_st_descriptors(spark) -> "F.DataFrame":
 
     m = M.materials(spark)
     staged = m.select(
-        "mp_id", "formula", C._agg_tok_counts("formula").alias("_agg")
+        "mp_id", "formula", C._tok_counts("formula").alias("_toks")
     )
-    agg = F.col("_agg")
-    from oxi_diel_db_spark.functions.valence import valence_fractions
-
-    ep_x = C.matminer_stats("formula", C.PAULING_EN, agg=agg)
-    ep_b = C.matminer_stats("formula", C.BLOCK, agg=agg)
-    ep_m = C.matminer_stats("formula", C.ATOMIC_MASS, agg=agg)
-    ed = C.en_diff_stats("formula", agg=agg)
-    comp = staged.select(
+    enriched = staged.select(
         "mp_id",
-        _r6n(ep_x["std"], "std_x"),
-        _r6n(ep_b["mean"], "mean_block"),
-        _r6n(ep_m["std"], "std_mass"),
-        _r6n(valence_fractions("formula")["frac_d"], "frac_d"),
-        _r6n(C.tmetal_fraction("formula"), "tm_frac"),
-        _r6n(ed["max"], "max_endiff"),
-        _r6n(ed["mean"], "mean_endiff"),
+        "formula",
+        "_toks",
+        C.enrich_agg(
+            C._agg_tok_counts("formula", toks=F.col("_toks")), _EP_FIELDS
+        ).alias("_enr"),
     )
-    ao = AO.atomic_orbitals_features(m, spark).select(
-        "mp_id", "homo_energy", "lumo_energy"
+    from oxi_diel_db_spark.functions.valence import sp_valence_fractions
+
+    aox = AO.sp_atomic_orbitals("_enr")
+    s3 = enriched.selectExpr(
+        "*", f"{aox['_aosort']} AS _aosort", f"{aox['_tote']} AS _tote"
+    ).selectExpr("*", f"{aox['_aoscan']} AS _aoscan")
+    r6 = lambda e, n: f"round(({e}) + 1e-9D, 6) + 0.0D AS {n}"  # noqa: E731
+    ep_x = C.sp_matminer_stats("_enr", "s.p_en")
+    ep_b = C.sp_matminer_stats("_enr", "s.p_block")
+    ep_m = C.sp_matminer_stats("_enr", "s.p_mass")
+    ed = C.sp_en_diff_stats("_enr", "p_en")
+    comp = s3.selectExpr(
+        "mp_id",
+        "formula",
+        r6(ep_x["std"], "std_x"),
+        r6(ep_b["mean"], "mean_block"),
+        r6(ep_m["std"], "std_mass"),
+        r6(sp_valence_fractions("_toks")["frac_d"], "frac_d"),
+        r6(C.sp_tmetal_fraction("_toks"), "tm_frac"),
+        r6(ed["max"], "max_endiff"),
+        r6(ed["mean"], "mean_endiff"),
+        f"{aox['homo_energy']} AS homo_energy",
+        f"{aox['lumo_energy']} AS lumo_energy",
     )
     mass = C.mass_map_expr()
     dens = (
@@ -745,9 +798,7 @@ def el_comp_st_descriptors(spark) -> "F.DataFrame":
         _r6n(F.avg("lpd_gsmagmom"), "lpd_gsmagmom_mean"),
     )
     out = (
-        staged.select("mp_id", "formula")
-        .join(comp, "mp_id")
-        .join(ao, "mp_id")
+        comp
         .join(dens, "mp_id")
         .join(mind, "mp_id")
         .join(ops, "mp_id")
@@ -1183,20 +1234,33 @@ def ion_comp_st_descriptors(spark) -> "F.DataFrame":
 
     m = M.materials(spark)
     staged = m.select(
-        "mp_id", "formula", C._agg_tok_counts("formula").alias("_agg")
+        "mp_id", "formula", C._tok_counts("formula").alias("_toks")
     )
-    agg = F.col("_agg")
-    ep_r = C.matminer_stats("formula", C.PERIOD, agg=agg)
-    ep_t = C.matminer_stats("formula", THERMAL_CONDUCTIVITY, agg=agg)
-    ep_m = C.matminer_stats("formula", MELTING_POINT, agg=agg)
-    comp = staged.select(
+    enriched = staged.select(
         "mp_id",
-        _r6n(ep_r["std"], "std_row"),
-        _r6n(ep_t["mean"], "mean_thermcond"),
-        _r6n(ep_m["std"], "std_melting"),
-        _r6n(C.tmetal_fraction("formula"), "tm_frac"),
+        "formula",
+        "_toks",
+        C.enrich_agg(
+            C._agg_tok_counts("formula", toks=F.col("_toks")), _EP_FIELDS
+        ).alias("_enr"),
     )
-    ao = AO.atomic_orbitals_features(m, spark).select("mp_id", "gap_ao")
+    aox = AO.sp_atomic_orbitals("_enr")
+    s3 = enriched.selectExpr(
+        "*", f"{aox['_aosort']} AS _aosort", f"{aox['_tote']} AS _tote"
+    ).selectExpr("*", f"{aox['_aoscan']} AS _aoscan")
+    r6 = lambda e, n: f"round(({e}) + 1e-9D, 6) + 0.0D AS {n}"  # noqa: E731
+    ep_r = C.sp_matminer_stats("_enr", "s.p_row")
+    ep_t = C.sp_matminer_stats("_enr", "s.p_thermcond")
+    ep_m = C.sp_matminer_stats("_enr", "s.p_melting")
+    comp = s3.selectExpr(
+        "mp_id",
+        "formula",
+        r6(ep_r["std"], "std_row"),
+        r6(ep_t["mean"], "mean_thermcond"),
+        r6(ep_m["std"], "std_melting"),
+        r6(C.sp_tmetal_fraction("_toks"), "tm_frac"),
+        f"{aox['gap_ao']} AS gap_ao",
+    )
     mass = C.mass_map_expr()
     rad = C.radius_map_expr()
     import math as _m
@@ -1310,9 +1374,7 @@ def ion_comp_st_descriptors(spark) -> "F.DataFrame":
         _r6n(F.max("lpd_sg"), "lpd_sg_max"),
     )
     out = (
-        staged.select("mp_id", "formula")
-        .join(comp, "mp_id")
-        .join(ao, "mp_id")
+        comp
         .join(dens, "mp_id")
         .join(het, "mp_id")
         .join(ops, "mp_id")
