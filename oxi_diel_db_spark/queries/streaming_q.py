@@ -668,23 +668,41 @@ def st16_python_stream_source(spark, sf_dir):
     (this row). ts crosses the Python boundary as BIGINT micros and is
     rebuilt with timestamp_micros — the tables.normalize_event_ts
     contract (asserted here by a real event-time column downstream of
-    a Python source in tests/test_streaming.py)."""
+    a Python source in tests/test_streaming.py).
+
+    Cost story (r7 verdict ask #6, measured sf0.1 = 100k events): the
+    driver-side simple reader costs ~2.3 s per trigger (WAL persist +
+    two scheduling rounds), so replay cadence is THE knob — batchrows
+    50000 keeps a genuine multi-trigger replay (3 triggers: 2 data +
+    1 drain probe) at ~4.3 s vs ~14.7 s at the 20000 default. State
+    partitions pinned to 8 for the query's lifetime (the st13
+    pattern): a 5-group aggregate gains nothing from 32 state-store
+    tasks per trigger. Hash unchanged — cadence and partitioning are
+    invisible to the drained complete-mode result.
+    tests/test_streaming.py asserts the micro-batch count follows
+    ceil(rows / batchrows)."""
     from oxi_diel_db_spark.sources.events_replay import register_events_replay
 
     register_events_replay(spark)
-    raw = (
-        spark.readStream.format("events_replay")
-        .option("path", f"{sf_dir}/events.parquet")
-        .load()
-        .withColumn("ts", F.timestamp_micros(F.col("ts")))
-    )
-    agg = raw.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        (F.sum(F.round(F.col("value") * 100, 0).cast("bigint")) / 100.0).alias(
-            "total_value"
-        ),
-    )
-    return ops.run_stream_to_memory(agg, spark, mode="complete")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        raw = (
+            spark.readStream.format("events_replay")
+            .option("path", f"{sf_dir}/events.parquet")
+            .option("batchrows", "50000")
+            .load()
+            .withColumn("ts", F.timestamp_micros(F.col("ts")))
+        )
+        agg = raw.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (F.sum(F.round(F.col("value") * 100, 0).cast("bigint")) / 100.0).alias(
+                "total_value"
+            ),
+        )
+        return ops.run_stream_to_memory(agg, spark, mode="complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 @register(

@@ -788,6 +788,36 @@ def test_python_stream_source_multibatch_equals_batch(spark):
     multi = run(300)   # ~4 triggers over 1000 rows
     single = run(10**6)  # one trigger
     assert multi == single and len(multi) > 0
+
+    # micro-batch count follows ceil(rows / batchrows) — the tunable
+    # overhead knob of r7 verdict ask #6 (st16 pays ~2.3 s/trigger at
+    # sf0.1, so the registered query sets batchrows for 2 data
+    # triggers; this asserts the cadence contract the tuning relies on)
+    import math
+
+    n_rows = spark.read.parquet(f"{SF}/events.parquet").count()
+    raw = (
+        spark.readStream.format("events_replay")
+        .option("path", f"{SF}/events.parquet")
+        .option("batchrows", "300")
+        .load()
+    )
+    agg = raw.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("st16_cadence_probe")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        data_batches = [
+            p for p in q.recentProgress if p["numInputRows"] > 0
+        ]
+    finally:
+        q.stop()
+        q.awaitTermination()
+    assert len(data_batches) == math.ceil(n_rows / 300)
     ev = load(spark, "events", SF)
     want = {
         r["event_type"]: (r["n"], r["max_ts"])
