@@ -225,6 +225,97 @@ def ivf_index(
     return assigned, cents
 
 
+def ivf_assign_gemm(
+    corpus: DataFrame,
+    cents: list[tuple],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale-path IVF assignment: one numpy GEMM per Arrow batch
+    against the centroid matrix (shipped in the task closure — k×dim
+    doubles, megabytes at most), replacing the per-row O(k)
+    expression fold. The r8 semdedup scale probe measured the fold
+    path at ~0.6 µs/dot — ~2 hours for 10M vectors at k=12800 —
+    versus BLAS minutes; assignment is THE cliff of the SemDeDup
+    shape at corpus scale (tools/scale_probe.py semdedup).
+
+    Same argmax semantics as ivf_index: cosine rounded to 6 dp, ties
+    broken toward the smallest centroid id (centroid columns sorted by
+    id, first-max argmax). numpy's SIMD dot may differ from the
+    sequential fold by an ulp, so a vector whose top-two ROUNDED sims
+    tie at 1e-6 could route differently — which is why the hash-gated
+    d16/s3 queries keep the expression form at gate SF and this is the
+    documented deployment path. Output: (id, cell, cn, <vec_col>)."""
+    import numpy as np
+    import pandas as pd
+
+    order = sorted(range(len(cents)), key=lambda i: int(cents[i][0]))
+    cmat = np.array([list(cents[i][1]) for i in order], dtype=np.float64)
+    cnorm = np.array([float(cents[i][2]) for i in order], dtype=np.float64)
+    cids = np.array([int(cents[i][0]) for i in order], dtype=np.int64)
+
+    def assign(batches):
+        for pdf in batches:
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            vn = np.sqrt((v * v).sum(axis=1))
+            sims = np.round((v @ cmat.T) / np.outer(vn, cnorm), 6)
+            cell = cids[sims.argmax(axis=1)]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "cell": cell,
+                    "cn": vn,
+                    vec_col: pdf[vec_col],
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        assign, f"{id_col} long, cell long, cn double, {vec_col} array<double>"
+    )
+
+
+def semdedup_cells_gemm(
+    assigned: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    row_block: int = 2048,
+) -> DataFrame:
+    """Scale path of d16's within-cell pairwise stage: applyInPandas
+    per IVF cell, cosine matrix via numpy GEMM in row blocks (peak
+    extra memory = row_block × |cell| doubles, independent of cell
+    size), n_near_i = #{j : id_j < id_i ∧ cos(i,j) ≥ threshold},
+    keep = (n_near == 0) — SemDeDup keep-first semantics. The cell
+    sizes are what the IVF knob bounds (n_centroids grows with the
+    corpus), so per-task work stays ~(n/k)² GEMM flops."""
+    import numpy as np
+    import pandas as pd
+
+    def per_cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf[id_col].to_numpy()
+        v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        vn = np.sqrt((v * v).sum(axis=1))
+        vnorm = v / vn[:, None]
+        n_near = np.zeros(len(ids), dtype=np.int64)
+        for s in range(0, len(ids), row_block):
+            e = min(s + row_block, len(ids))
+            sims = np.round(vnorm[s:e] @ vnorm.T, 6)
+            mask = (sims >= threshold) & (ids[None, :] < ids[s:e, None])
+            n_near[s:e] = mask.sum(axis=1)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cell": pdf["cell"].to_numpy(),
+                "n_near": n_near,
+                "keep": (n_near == 0).astype("int32"),
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        per_cell, f"{id_col} long, cell long, n_near long, keep int"
+    )
+
+
 def ivf_search(
     assigned: DataFrame,
     cents: list[tuple],

@@ -300,3 +300,55 @@ def test_gemm_brute_empty_probes_and_corpus(spark):
         [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id bigint, embedding array<double>"
     )
     assert gemm_brute_topk(corpus, probes).collect() == []
+
+
+def test_gemm_ivf_assignment_matches_expression_path(spark, sf_dir):
+    """The r8 semdedup scale probe's deployment path (ivf_assign_gemm)
+    must agree with the hash-gated expression fold (ivf_index) on the
+    gate corpus: same cell for every vector, same norms to 1e-9. The
+    documented divergence risk is a 1e-6 ROUNDED-cosine argmax tie —
+    absent from this corpus, so exact agreement is asserted (if a
+    future testdata refresh plants such a tie, this test is the canary
+    that documents it)."""
+    import pyspark.sql.functions as F
+
+    from oxi_diel_db_spark.operators.similarity import ivf_assign_gemm, ivf_index
+    from oxi_diel_db_spark.tables import load
+
+    emb = load(spark, "embeddings", sf_dir)
+    assigned_expr, cents = ivf_index(emb, n_centroids=16, seed=42)
+    a = assigned_expr.select("vec_id", F.col("cell").alias("cell_e"),
+                             F.col("cn").alias("cn_e"))
+    b = ivf_assign_gemm(emb, cents).select(
+        "vec_id", F.col("cell").alias("cell_g"), F.col("cn").alias("cn_g"))
+    j = a.join(b, "vec_id")
+    assert j.count() == emb.count()
+    assert j.filter(F.col("cell_e") != F.col("cell_g")).count() == 0
+    assert j.filter(F.abs(F.col("cn_e") - F.col("cn_g")) > 1e-9).count() == 0
+
+
+def test_semdedup_gemm_keep_set_matches_d16(spark, sf_dir):
+    """semdedup_cells_gemm (the scale path) must reproduce d16's
+    registered keep/n_near decisions on the gate corpus — same cells,
+    same keep-first semantics, same threshold. d16 rounds cosine to
+    6 dp before the >= test exactly like the GEMM kernel's np.round,
+    so only a true 1e-6 tie could diverge (none in the corpus)."""
+    import pyspark.sql.functions as F
+
+    from oxi_diel_db_spark.operators.similarity import (
+        ivf_assign_gemm, ivf_index, semdedup_cells_gemm)
+    from oxi_diel_db_spark.queries import load_registry
+    from oxi_diel_db_spark.tables import load
+
+    emb = load(spark, "embeddings", sf_dir)
+    _, cents = ivf_index(emb, n_centroids=16, seed=42)
+    assigned = ivf_assign_gemm(emb, cents)
+    got = {
+        r["vec_id"]: (r["cell"], r["n_near"], r["keep"])
+        for r in semdedup_cells_gemm(assigned, threshold=0.4).collect()
+    }
+    want = {
+        r["vec_id"]: (r["cell"], r["n_near"], r["keep"])
+        for r in load_registry()["d16_semantic_dedup"].build(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0

@@ -1547,6 +1547,167 @@ def cc_probe(n_edges: int = 10_000_000) -> None:
     }))
 
 
+def semdedup_probe(n_vecs: int = 10_000_000, dim: int = 16, n_cells: int = 4096) -> None:
+    """d16's SemDeDup shape at 10M vectors (r7 verdict ask #7): IVF
+    assignment + within-cell pairwise, with 1% planted exact
+    duplicates whose recovery is asserted (an exact dup always lands
+    in its original's cell — identical vector, identical argmax — and
+    scores cos 1.0, so recall on plants must be 100%).
+
+    Measures BOTH assignment paths on a 100k slice: the gate-SF
+    expression fold (d16's hash-gated form) and the numpy-GEMM
+    mapInPandas path (similarity.ivf_assign_gemm) — the measured cliff
+    is the fold's O(n·k) per-row cost (~0.6 µs/dot → hours at 10M),
+    which is why assignment and the pairwise stage run GEMM at scale.
+    Cell-count scaling: per-cell membership ~ n/k, pairwise flops
+    ~ n²/k; prints max/avg cell size so skew is visible."""
+    from oxi_diel_db_spark.session import get_spark
+    from oxi_diel_db_spark.operators.similarity import (
+        ivf_assign_gemm,
+        ivf_index,
+        semdedup_cells_gemm,
+    )
+
+    spark = get_spark("semdedup_probe")
+    n_plant = n_vecs // 100
+    # ids >= n_vecs are exact duplicates of ids 0..n_plant
+    base_id = F.when(F.col("id") >= n_vecs, F.col("id") - n_vecs).otherwise(
+        F.col("id")
+    )
+    emb = spark.range(0, n_vecs + n_plant).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: (F.pmod(F.hash(base_id, i), F.lit(1000)) / 500.0 - 1.0),
+        ).alias("embedding"),
+    )
+
+    # expression-path assignment cost on a bounded slice (the cliff)
+    slice_n = 100_000
+    sl = emb.where(F.col("vec_id") < slice_n).localCheckpoint(True)
+    t0 = time.time()
+    a_expr, cents = ivf_index(sl, n_centroids=n_cells, seed=42)
+    a_expr.foreach(lambda r: None)
+    t_expr_slice = round(time.time() - t0, 2)
+
+    # GEMM path, full corpus (reuses the slice-seeded centroids: the
+    # seed set is an index-build artifact either way)
+    t1 = time.time()
+    assigned = ivf_assign_gemm(emb, cents).persist()
+    n_assigned = assigned.count()
+    t_assign = round(time.time() - t1, 2)
+    sizes = assigned.groupBy("cell").count().agg(
+        F.max("count").alias("mx"), F.avg("count").alias("av"),
+        F.count(F.lit(1)).alias("k"),
+    ).collect()[0]
+
+    t2 = time.time()
+    result = semdedup_cells_gemm(assigned, threshold=0.999).persist()
+    n_drop = result.where(F.col("keep") == 0).count()
+    t_pair = round(time.time() - t2, 2)
+    # every planted dup (the larger id of each pair) must be dropped
+    planted_dropped = result.where(
+        (F.col("vec_id") >= n_vecs) & (F.col("keep") == 0)
+    ).count()
+    print(json.dumps({
+        "metric": "semdedup_probe", "n_vecs": n_vecs, "dim": dim,
+        "n_cells": int(sizes["k"]), "unit": "sec",
+        "assign_gemm_sec": t_assign, "pairwise_gemm_sec": t_pair,
+        "assign_expr_sec_100k_slice": t_expr_slice,
+        "max_cell": int(sizes["mx"]), "avg_cell": round(float(sizes["av"]), 1),
+        "n_assigned": int(n_assigned), "n_dropped": int(n_drop),
+        "planted": n_plant, "planted_dropped": int(planted_dropped),
+        "planted_recall": round(planted_dropped / n_plant, 4),
+    }))
+    assert planted_dropped == n_plant, "planted exact dups must all drop"
+
+
+def kcore_probe(n_edges: int = 10_000_000, k: int = 3) -> None:
+    """g6's Matula-Beck peeling at 10M edges on a SKEWED graph (r7
+    verdict ask #7): hub-heavy dst distribution (quadratic
+    concentration — top node collects ~10³× the median degree) plus
+    planted deep-peeling LADDERS (edges i→i+1 and i→i+2): only a
+    ladder's end nodes sit below degree 3, and removing one exposes
+    exactly one more — a 24-node ladder peels ~11 rounds from each
+    end, forcing MULTI-ROUND depth rather than the 1-2 rounds the
+    gate corpora show (a bare path would vanish in ONE round: every
+    path node already has degree ≤ 2). A planted K5 clique (degree
+    4 ≥ k) must survive peeling untouched — asserted through the
+    operator's own entry point. Records rounds, per-round surviving
+    edge counts, and wall time; the groupBy degree count is map-side
+    combinable so the hub skew lands on partial aggregates, not one
+    reducer."""
+    from oxi_diel_db_spark.session import get_spark
+    from oxi_diel_db_spark.operators.graph import k_core
+
+    spark = get_spark("kcore_probe")
+    n_nodes = max(1000, n_edges // 10)
+    u = F.pmod(F.hash("id", F.lit(1)), F.lit(1_000_000)) / 1_000_000.0
+    bulk = spark.range(0, n_edges).select(
+        F.pmod(F.hash("id"), F.lit(n_nodes)).alias("src"),
+        (u * u * n_nodes).cast("long").alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    # 4k disjoint 24-node ladders above the bulk id space (~11 peel
+    # rounds, all ladders in lockstep)
+    lad_n = 96_000
+    lad1 = spark.range(0, lad_n).select(
+        (F.lit(n_nodes) + F.col("id")).alias("src"),
+        (F.lit(n_nodes) + F.col("id") + 1).alias("dst"),
+    ).filter((F.col("id") % 24) != 23)
+    lad2 = spark.range(0, lad_n).select(
+        (F.lit(n_nodes) + F.col("id")).alias("src"),
+        (F.lit(n_nodes) + F.col("id") + 2).alias("dst"),
+    ).filter((F.col("id") % 24) < 22)
+    # K5 clique above the ladder space: must survive at k=3
+    k5_base = n_nodes + lad_n + 10
+    k5 = spark.createDataFrame(
+        [(k5_base + i, k5_base + j) for i in range(5) for j in range(i + 1, 5)],
+        "src long, dst long",
+    )
+    edges = bulk.unionByName(lad1).unionByName(lad2).unionByName(k5)
+    edges.limit(5).collect()
+
+    t0 = time.time()
+    # instrumented copy of k_core's loop: same steps, counting rounds
+    e = edges.where(F.col("src") != F.col("dst")).distinct()
+    cur = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(True)
+    )
+    rounds, per_round = 0, []
+    for _ in range(50):
+        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        bad = deg.where(F.col("deg") < k).select(F.col("src").alias("node"))
+        if bad.limit(1).count() == 0:
+            break
+        rounds += 1
+        cur = (
+            cur.join(bad, cur.src == bad.node, "left_anti")
+            .join(bad, cur.dst == bad.node, "left_anti")
+            .localCheckpoint(True)
+        )
+        per_round.append(int(cur.count()))
+    survivors = cur.select("src").distinct().count()
+    dt = round(time.time() - t0, 2)
+    print(json.dumps({
+        "metric": "kcore_probe", "edges": n_edges, "k": k, "unit": "sec",
+        "sec": dt, "rounds": rounds, "survivor_nodes": int(survivors),
+        "per_round_edges": per_round,
+    }))
+    # cross-check the operator's own entry point on the plants alone:
+    # every ladder node peels, the K5 survives with degree 4
+    t1 = time.time()
+    plants = edges.filter(F.col("src") >= n_nodes)
+    surv = k_core(plants, k=k)
+    rows = surv.collect()
+    assert len(rows) == 5 and all(r["degree"] == 4 for r in rows), rows
+    print(json.dumps({
+        "metric": "kcore_probe_plants", "survivors": len(rows),
+        "sec": round(time.time() - t1, 2),
+    }))
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "docs":
         docs_probe(int(float(sys.argv[2]) * 1000) if len(sys.argv) > 2 else 500_000)
@@ -1582,6 +1743,13 @@ if __name__ == "__main__":
         pca_probe(int(float(sys.argv[2]) * 1_000_000) if len(sys.argv) > 2 else 2_000_000)
     elif len(sys.argv) > 1 and sys.argv[1] == "bpe":
         bpe_probe(int(float(sys.argv[2]) * 1_000_000) if len(sys.argv) > 2 else 2_000_000)
+    elif len(sys.argv) > 1 and sys.argv[1] == "semdedup":
+        semdedup_probe(
+            int(float(sys.argv[2]) * 1_000_000) if len(sys.argv) > 2 else 10_000_000,
+            n_cells=int(sys.argv[3]) if len(sys.argv) > 3 else 4096,
+        )
+    elif len(sys.argv) > 1 and sys.argv[1] == "kcore":
+        kcore_probe(int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000)
     elif len(sys.argv) > 1 and sys.argv[1] == "retrieval":
         retrieval_probe(
             int(float(sys.argv[2]) * 1_000_000) if len(sys.argv) > 2 else 10_000_000
