@@ -672,15 +672,15 @@ def st16_python_stream_source(spark, sf_dir):
 
     Cost story (r7 verdict ask #6, measured sf0.1 = 100k events): the
     driver-side simple reader costs ~2.3 s per trigger (WAL persist +
-    two scheduling rounds), so replay cadence is THE knob — batchrows
-    50000 keeps a genuine multi-trigger replay (3 triggers: 2 data +
-    1 drain probe) at ~4.3 s vs ~14.7 s at the 20000 default. State
-    partitions pinned to 8 for the query's lifetime (the st13
-    pattern): a 5-group aggregate gains nothing from 32 state-store
-    tasks per trigger. Hash unchanged — cadence and partitioning are
-    invisible to the drained complete-mode result.
-    tests/test_streaming.py asserts the micro-batch count follows
-    ceil(rows / batchrows)."""
+    two scheduling rounds), so replay cadence is THE knob — one data
+    trigger (batchrows=100000) runs ~4.5 s vs ~14.7 s at the 20000
+    default (6 triggers). Single-trigger replay is the st13 playbook:
+    the drained complete-mode result is trigger-cadence-invariant, so
+    the hash is unchanged, and the MULTI-trigger contract (batch count
+    = ceil(rows/batchrows), offset slicing loses nothing) stays pinned
+    by tests/test_streaming.py with small batchrows. State partitions
+    pinned to 8 for the query's lifetime (a 5-group aggregate gains
+    nothing from 32 state-store tasks per trigger)."""
     from oxi_diel_db_spark.sources.events_replay import register_events_replay
 
     register_events_replay(spark)
@@ -690,7 +690,7 @@ def st16_python_stream_source(spark, sf_dir):
         raw = (
             spark.readStream.format("events_replay")
             .option("path", f"{sf_dir}/events.parquet")
-            .option("batchrows", "50000")
+            .option("batchrows", "100000")
             .load()
             .withColumn("ts", F.timestamp_micros(F.col("ts")))
         )
