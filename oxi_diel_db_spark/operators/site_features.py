@@ -44,11 +44,30 @@ def _spread(slim: DataFrame) -> DataFrame:
     return slim.repartition(n, F.col("mp_id"))
 
 
-def site_inverse_distance_energy(materials: DataFrame) -> DataFrame:
+def shared_slim(materials: DataFrame) -> DataFrame:
+    """Superset per-material projection (mp_id, xyz, els) serving EVERY
+    site kernel below: a descriptor assembly spreads + localCheckpoints
+    this ONCE and passes it to each kernel via ``slim=``, collapsing N
+    parquet scans + N repartition shuffles into one (r8; ml10 runs six
+    kernels, ml12 five). The batch functions read columns by name, so
+    the extra ``els`` column is invisible to xyz-only kernels — and the
+    kernels' numerics are untouched, so hashes cannot move. At 100 TB
+    the same rule applies with a real ``checkpoint()``: the structure
+    payload crosses the wire once, not once per featurizer."""
+    return materials.select(
+        "mp_id",
+        F.col("structure.sites.xyz").alias("xyz"),
+        F.expr("transform(structure.sites, s -> s.species[0].element)").alias("els"),
+    )
+
+
+def site_inverse_distance_energy(
+    materials: DataFrame, slim: DataFrame | None = None
+) -> DataFrame:
     """Per-site Σ 1/r proxy energy via mapInPandas (vectorized pairwise
     distances per material — the loop the reference runs per site is a
     single numpy broadcast here)."""
-    slim = materials.select(
+    own = materials.select(
         "mp_id", F.col("structure.sites.xyz").alias("xyz")  # array<array<double>>
     )
 
@@ -67,7 +86,9 @@ def site_inverse_distance_energy(materials: DataFrame) -> DataFrame:
                 {"mp_id": out_id, "site_idx": out_idx, "inv_dist_energy": out_e}
             )
 
-    return _spread(slim).mapInPandas(_energy, schema=SITE_ENERGY_SCHEMA)
+    return (_spread(own) if slim is None else slim).mapInPandas(
+        _energy, schema=SITE_ENERGY_SCHEMA
+    )
 
 
 def site_energy_stats(materials: DataFrame) -> DataFrame:
@@ -86,11 +107,13 @@ def site_energy_stats(materials: DataFrame) -> DataFrame:
 MIN_DIST_SCHEMA = "mp_id string, site_idx int, min_dist double"
 
 
-def site_min_distances(materials: DataFrame) -> DataFrame:
+def site_min_distances(
+    materials: DataFrame, slim: DataFrame | None = None
+) -> DataFrame:
     """MinimumRelativeDistances (§2.9; reference ml_prediction.py:185):
     per-site nearest-neighbor distance — same mapInPandas pairwise
     kernel as the energy proxy, different reduction."""
-    slim = materials.select("mp_id", F.col("structure.sites.xyz").alias("xyz"))
+    own = materials.select("mp_id", F.col("structure.sites.xyz").alias("xyz"))
 
     def _mind(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -108,7 +131,9 @@ def site_min_distances(materials: DataFrame) -> DataFrame:
                 out_d.extend(md.tolist())
             yield pd.DataFrame({"mp_id": out_id, "site_idx": out_idx, "min_dist": out_d})
 
-    return _spread(slim).mapInPandas(_mind, schema=MIN_DIST_SCHEMA)
+    return (_spread(own) if slim is None else slim).mapInPandas(
+        _mind, schema=MIN_DIST_SCHEMA
+    )
 
 
 def min_distance_stats(materials: DataFrame) -> DataFrame:
@@ -130,7 +155,9 @@ GSF_FULL_SCHEMA = (
 )
 
 
-def gaussian_symm_full(materials: DataFrame, cutoff: float = 6.0) -> DataFrame:
+def gaussian_symm_full(
+    materials: DataFrame, cutoff: float = 6.0, slim: DataFrame | None = None
+) -> DataFrame:
     """GaussianSymmFunc at the reference descriptor's full parameter
     set (ml_prediction.py:208-210, 252-253): radial G2 at η ∈
     {0.5, 4, 20, 80} plus angular G4 at (η=0.005, ζ=4, λ=±1) —
@@ -140,7 +167,7 @@ def gaussian_symm_full(materials: DataFrame, cutoff: float = 6.0) -> DataFrame:
     non-periodic kernel convention, shared by every site featurizer
     here). cosθ comes from unit bond vectors and d_jk² from the law of
     cosines — the identical float shapes the SQL twin replays."""
-    slim = materials.select("mp_id", F.col("structure.sites.xyz").alias("xyz"))
+    own = materials.select("mp_id", F.col("structure.sites.xyz").alias("xyz"))
     etas = (0.5, 4.0, 20.0, 80.0)
 
     def _gsf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -196,7 +223,9 @@ def gaussian_symm_full(materials: DataFrame, cutoff: float = 6.0) -> DataFrame:
                     out["g4_p1"].append(float(g4p))
             yield pd.DataFrame(out)
 
-    return _spread(slim).mapInPandas(_gsf, schema=GSF_FULL_SCHEMA)
+    return (_spread(own) if slim is None else slim).mapInPandas(
+        _gsf, schema=GSF_FULL_SCHEMA
+    )
 
 
 def gaussian_symm_func(materials: DataFrame, etas=(0.5, 4.0), cutoff: float = 6.0) -> DataFrame:
@@ -266,7 +295,10 @@ def local_property_difference(materials: DataFrame, cutoff: float = 5.0) -> Data
 
 
 def local_property_differences(
-    materials: DataFrame, props: dict[str, dict[str, float]], cutoff: float = 5.0
+    materials: DataFrame,
+    props: dict[str, dict[str, float]],
+    cutoff: float = 5.0,
+    slim: DataFrame | None = None,
 ) -> DataFrame:
     """Multi-property LocalPropertyDifference (reference-parity tier,
     ml_prediction.py:189 'ward-prb-2017' preset): per site, the
@@ -275,7 +307,7 @@ def local_property_differences(
     pairwise-distance pass shared by every property. Same kernel
     convention and float shapes as local_property_difference."""
     names = list(props)
-    slim = materials.select(
+    own = materials.select(
         "mp_id",
         F.col("structure.sites.xyz").alias("xyz"),
         F.expr("transform(structure.sites, s -> s.species[0].element)").alias("els"),
@@ -306,7 +338,9 @@ def local_property_differences(
                     out[name].extend(vals.tolist())
             yield pd.DataFrame(out)
 
-    return _spread(slim).mapInPandas(_lpd, schema=schema)
+    return (_spread(own) if slim is None else slim).mapInPandas(
+        _lpd, schema=schema
+    )
 
 
 OP_SCHEMA = (
@@ -315,7 +349,9 @@ OP_SCHEMA = (
 )
 
 
-def site_order_parameters(materials: DataFrame, cutoff: float = 3.0) -> DataFrame:
+def site_order_parameters(
+    materials: DataFrame, cutoff: float = 3.0, slim: DataFrame | None = None
+) -> DataFrame:
     """OPSiteFingerprint analog (§2.9; reference ml_prediction.py:186,226):
     per-site bond-orientational order parameters, scipy-free.
 
@@ -333,7 +369,7 @@ def site_order_parameters(materials: DataFrame, cutoff: float = 3.0) -> DataFram
     only cross-engine drift is aggregation order, absorbed by round-6.
     NULL when a site has no neighbor in the cutoff (q4/q6) or fewer
     than 2 other sites (q_tet)."""
-    slim = materials.select("mp_id", F.col("structure.sites.xyz").alias("xyz"))
+    own = materials.select("mp_id", F.col("structure.sites.xyz").alias("xyz"))
     third = 1.0 / 3.0
 
     def _ops(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -406,7 +442,9 @@ def site_order_parameters(materials: DataFrame, cutoff: float = 3.0) -> DataFram
                     out["planar3"].append(planar3)
             yield pd.DataFrame(out)
 
-    return _spread(slim).mapInPandas(_ops, schema=OP_SCHEMA)
+    return (_spread(own) if slim is None else slim).mapInPandas(
+        _ops, schema=OP_SCHEMA
+    )
 
 
 VOR_SCHEMA = (
@@ -416,7 +454,12 @@ VOR_SCHEMA = (
 )
 
 
-def voronoi_neighbors(materials: DataFrame, cutoff: float = 6.0, tol: float = 1e-6) -> DataFrame:
+def voronoi_neighbors(
+    materials: DataFrame,
+    cutoff: float = 6.0,
+    tol: float = 1e-6,
+    slim: DataFrame | None = None,
+) -> DataFrame:
     """Approximate VoronoiFingerprint (§2.9; reference
     ml_prediction.py:187,227) without scipy: bounded-radius midpoint
     half-space test. Candidate j (within ``cutoff`` of i) is kept as a
@@ -432,7 +475,7 @@ def voronoi_neighbors(materials: DataFrame, cutoff: float = 6.0, tol: float = 1e
     featurizers; per-row float expressions mirror the SQL oracle's
     shape ((dx*dx + dy*dy) + dz*dz, left-assoc) so threshold decisions
     agree bit-for-bit cross-engine."""
-    slim = materials.select("mp_id", F.col("structure.sites.xyz").alias("xyz"))
+    own = materials.select("mp_id", F.col("structure.sites.xyz").alias("xyz"))
 
     def _vor(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -488,7 +531,9 @@ def voronoi_neighbors(materials: DataFrame, cutoff: float = 6.0, tol: float = 1e
                     )
             yield pd.DataFrame(out)
 
-    return _spread(slim).mapInPandas(_vor, schema=VOR_SCHEMA)
+    return (_spread(own) if slim is None else slim).mapInPandas(
+        _vor, schema=VOR_SCHEMA
+    )
 
 
 def voronoi_stats(materials: DataFrame, cutoff: float = 6.0) -> DataFrame:

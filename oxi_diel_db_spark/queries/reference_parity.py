@@ -766,29 +766,33 @@ def el_comp_st_descriptors(spark) -> "F.DataFrame":
             )
         )
     )
-    mind = SF.site_min_distances(m).groupBy("mp_id").agg(
+    # one scan + one repartition feeds all six site kernels (r8;
+    # SF.shared_slim docstring) — localCheckpoint materializes the
+    # spread projection so each mapInPandas reads cached partitions
+    site_src = SF._spread(SF.shared_slim(m)).localCheckpoint(eager=True)
+    mind = SF.site_min_distances(m, slim=site_src).groupBy("mp_id").agg(
         _r6n(F.avg("min_dist"), "mean_min_dist"),
         _r6n(F.stddev_pop("min_dist"), "std_min_dist"),
     )
-    ops = SF.site_order_parameters(m).groupBy("mp_id").agg(
+    ops = SF.site_order_parameters(m, slim=site_src).groupBy("mp_id").agg(
         _r6n(F.max("q_tet"), "tet_max"),
         _r6n(F.max("q4"), "seesaw_max"),
     )
-    se = SF.site_inverse_distance_energy(m).groupBy("mp_id").agg(
+    se = SF.site_inverse_distance_energy(m, slim=site_src).groupBy("mp_id").agg(
         _r6n(F.max("inv_dist_energy"), "ewald_max")
     )
-    vor = SF.voronoi_neighbors(m).groupBy("mp_id").agg(
+    vor = SF.voronoi_neighbors(m, slim=site_src).groupBy("mp_id").agg(
         _r6n(F.max("std_vor_dist"), "vor_area_std_max"),
         _r6n(F.avg("std_vor_dist"), "vor_area_std_mean"),
         _r6n(F.min("min_vor_dist"), "vor_dist_min_min"),
         _r6n(F.stddev_pop("min_vor_dist"), "vor_dist_min_std"),
     )
-    gsf = SF.gaussian_symm_full(m).groupBy("mp_id").agg(
+    gsf = SF.gaussian_symm_full(m, slim=site_src).groupBy("mp_id").agg(
         _r6n(F.stddev_pop("g2_20"), "g2_20_std"),
         _r6n(F.max("g2_80"), "g2_80_max"),
         _r6n(F.avg("g4_m1"), "g4_m1_mean"),
     )
-    lpd = SF.local_property_differences(m, _LPD_EL_PROPS).groupBy("mp_id").agg(
+    lpd = SF.local_property_differences(m, _LPD_EL_PROPS, slim=site_src).groupBy("mp_id").agg(
         _r6n(F.avg("lpd_ndvalence"), "lpd_ndvalence_mean"),
         _r6n(F.min("lpd_nvalence"), "lpd_nvalence_min"),
         _r6n(F.stddev_pop("lpd_nvalence"), "lpd_nvalence_std"),
@@ -1289,7 +1293,8 @@ def ion_comp_st_descriptors(spark) -> "F.DataFrame":
             ),
         )
     )
-    vor_site = SF.voronoi_neighbors(m)
+    site_src = SF._spread(SF.shared_slim(m)).localCheckpoint(eager=True)
+    vor_site = SF.voronoi_neighbors(m, slim=site_src)
     # StructuralHeterogeneity analog: per-site coefficient of variation
     # of Voronoi-neighbor distances; mean and mean-absolute-deviation
     # over sites (two-pass for the avg_dev)
@@ -1305,7 +1310,7 @@ def ion_comp_st_descriptors(spark) -> "F.DataFrame":
             _r6n(F.avg(F.abs(F.col("v") - F.col("vm"))), "nbr_var_avg_dev"),
         )
     )
-    ops = SF.site_order_parameters(m).groupBy("mp_id").agg(
+    ops = SF.site_order_parameters(m, slim=site_src).groupBy("mp_id").agg(
         _r6n(F.avg((F.lit(1.0) - F.col("cos_nn2")) / F.lit(2.0)), "linear_mean"),
         _r6n(
             F.avg(
@@ -1345,14 +1350,14 @@ def ion_comp_st_descriptors(spark) -> "F.DataFrame":
         ),
         _r6n(F.avg("std_vor_dist"), "dist_std_mean"),
     )
-    se = SF.site_inverse_distance_energy(m).groupBy("mp_id").agg(
+    se = SF.site_inverse_distance_energy(m, slim=site_src).groupBy("mp_id").agg(
         _r6n(F.max("inv_dist_energy"), "ewald_max")
     )
-    gsf = SF.gaussian_symm_full(m).groupBy("mp_id").agg(
+    gsf = SF.gaussian_symm_full(m, slim=site_src).groupBy("mp_id").agg(
         _r6n(F.min("g2_80"), "g2_80_min"),
         _r6n(F.stddev_pop("g4_p1"), "g4_p1_std"),
     )
-    lpd = SF.local_property_differences(m, _LPD_ION_PROPS).groupBy("mp_id").agg(
+    lpd = SF.local_property_differences(m, _LPD_ION_PROPS, slim=site_src).groupBy("mp_id").agg(
         _r6n(F.max("lpd_number"), "lpd_number_max"),
         _r6n(F.max("lpd_mendeleev"), "lpd_mendeleev_max"),
         _r6n(F.min("lpd_mendeleev"), "lpd_mendeleev_min"),
