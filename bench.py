@@ -163,12 +163,24 @@ HEADLINE = [
 # r7 re-measurement: q98's ~3 s recurs on EVERY invocation (per-row
 # caught-exception cost of try_cast on a mostly-failing string column
 # — execution, not compile), so a warm rep can't help; it moved to
-# SINGLES instead. Applies to SINGLES too (r8): st16's first
-# invocation pays ~4.4 s of one-time Python-datasource registration +
-# driver-side reader spin-up (measured 7.9 s cold vs 3.4 s
-# steady-state at sf0.1); the timed single reflects the steady-state
-# replay cost, the one-time spin-up stays documented here.
-WARM_PLAN: set = {"st16_python_stream_source"}
+# SINGLES instead. Applies to SINGLES too (r8):
+# * st16's first invocation pays ~4.4 s of one-time Python-datasource
+#   registration + driver-side reader spin-up (measured 7.9 s cold vs
+#   3.4 s steady-state at sf0.1);
+# * the four descriptor assemblies are compile-bound after the r8
+#   staged-SQL rework (execution is sub-second at sf0.1; the first
+#   invocation pays expression parse/analysis plus ml10/ml12's eager
+#   site-projection checkpoint — e.g. ml10 9.3 s first shot vs 4.5 s
+#   steady-state).
+# The timed single reflects steady-state cost; the one-time spin-up
+# stays documented here and in NOTES_r8.
+WARM_PLAN: set = {
+    "st16_python_stream_source",
+    "ml6_reference_descriptors",
+    "ml8_ion_descriptors",
+    "ml10_el_st_descriptors",
+    "ml12_ion_st_descriptors",
+}
 
 # Capstone/one-shot queries tracked OUTSIDE the min-of-N headline sum:
 # too expensive to rep (c2's CC loop, q90's Python-DataSource runner
