@@ -183,7 +183,15 @@ def sp_atomic_orbitals(agg: str) -> dict[str, str]:
         f"'cap_total', s.cnt * o.cap))))"
     )
     aosort = f"sort_array({rows})"
-    tote = f"aggregate({agg}, 0.0D, (acc, s) -> acc + s.cnt * {z_map}[s.el])"
+    # coalesce: the window form's SUM(cnt * z_map[el]) silently SKIPS
+    # elements missing from the table (SQL SUM ignores NULLs) — the
+    # fold must match that semantics, not NULL-poison the total (the
+    # corpus never hits this; the randomized cross-form parity test in
+    # tests/test_sp_kernels.py does)
+    tote = (
+        f"aggregate({agg}, 0.0D, "
+        f"(acc, s) -> acc + coalesce(s.cnt * {z_map}[s.el], 0.0D))"
+    )
     # running-capacity scan: homo = 1-based index of the first row where
     # the cumulative capacity reaches _tote (same predicate as the
     # window form's cum−cap_total < total_e AND cum >= total_e);
