@@ -254,12 +254,24 @@ def ivf_assign_gemm(
     cnorm = np.array([float(cents[i][2]) for i in order], dtype=np.float64)
     cids = np.array([int(cents[i][0]) for i in order], dtype=np.int64)
 
+    row_block = max(1, 16_777_216 // max(1, len(cids)))  # ≤128 MB sims
+
     def assign(batches):
         for pdf in batches:
             v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             vn = np.sqrt((v * v).sum(axis=1))
-            sims = np.round((v @ cmat.T) / np.outer(vn, cnorm), 6)
-            cell = cids[sims.argmax(axis=1)]
+            cell = np.empty(len(v), dtype=np.int64)
+            # row blocks bound the b×k sims matrix (plus its rounded
+            # copy) to ~128 MB regardless of k — at k=8192 a full
+            # 10k-row Arrow batch would otherwise churn ~1.3 GB per
+            # batch and the 2M-vector sweep measured 9× superlinear
+            # assignment cost from exactly that (SCALE.md §6)
+            for s in range(0, len(v), row_block):
+                e = min(s + row_block, len(v))
+                sims = np.round(
+                    (v[s:e] @ cmat.T) / np.outer(vn[s:e], cnorm), 6
+                )
+                cell[s:e] = cids[sims.argmax(axis=1)]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),
