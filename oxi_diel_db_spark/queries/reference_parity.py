@@ -1294,7 +1294,11 @@ def ion_comp_st_descriptors(spark) -> "F.DataFrame":
         )
     )
     site_src = SF._spread(SF.shared_slim(m)).localCheckpoint(eager=True)
-    vor_site = SF.voronoi_neighbors(m, slim=site_src)
+    # checkpointed: the Voronoi pandas kernel otherwise re-executes for
+    # every consumer branch (het's two-pass mean/avg-dev join reads it
+    # twice, vora once more — Spark doesn't share subplans across
+    # self-joins; same rule as SCALE.md §3's loop-invariant note)
+    vor_site = SF.voronoi_neighbors(m, slim=site_src).localCheckpoint(eager=True)
     # StructuralHeterogeneity analog: per-site coefficient of variation
     # of Voronoi-neighbor distances; mean and mean-absolute-deviation
     # over sites (two-pass for the avg_dev)
