@@ -283,6 +283,37 @@ def main() -> None:
     ) as fh:
         fh.write(line + "\n")
     print(line)
+    # The driver's BENCH_rNN.json keeps only the LAST 2000 chars of
+    # stdout and JSON-parses what it finds there; the full line above
+    # is ~4.6k chars, so r8's record ended up `parsed: null` with the
+    # headline number missing (r8 verdict ask #3). Emit a compact
+    # SECOND line, guaranteed < 1900 chars, as the final stdout line:
+    # headline value + the slowest suite/single entries + a pointer to
+    # the lossless file. Round-over-round comparison reads `value` and
+    # `top` from this line; per-query maps live in BENCH_LAST.json.
+    def _fit(d: dict[str, float], n: int) -> dict[str, float]:
+        return dict(sorted(d.items(), key=lambda kv: -kv[1])[:n])
+
+    compact = {
+        "metric": payload["metric"],
+        "value": total,
+        "unit": "sec",
+        "sf": payload["sf"],
+        "reps": reps,
+        "n_queries": len(timings),
+        "n_singles": len(singles),
+        "top": _fit(timings, 20),
+        "top_singles": _fit(singles, 10),
+        "full": "BENCH_LAST.json",
+    }
+    cline = json.dumps(compact, separators=(",", ":"))
+    while len(cline) > 1900:  # paranoia: shrink until it fits the tail
+        compact["top"] = _fit(compact["top"], max(0, len(compact["top"]) - 5))
+        compact["top_singles"] = _fit(
+            compact["top_singles"], max(0, len(compact["top_singles"]) - 2)
+        )
+        cline = json.dumps(compact, separators=(",", ":"))
+    print(cline)
 
 
 if __name__ == "__main__":

@@ -260,6 +260,15 @@ def ivf_assign_gemm(
         for pdf in batches:
             v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             vn = np.sqrt((v * v).sum(axis=1))
+            # zero-norm guard: 0/0 would yield NaN cosines, and numpy's
+            # argmax treats NaN as maximal while Spark's comparison
+            # semantics rank NaN above every double — an undocumented
+            # divergence between the two paths (r8 advice). With the
+            # guard a zero vector scores cosine 0.0 against every
+            # centroid and routes deterministically to the smallest
+            # centroid id (first-max argmax) in BOTH paths. cn keeps
+            # the true norm (0.0) so downstream consumers see it.
+            vsafe = np.where(vn == 0.0, 1.0, vn)
             cell = np.empty(len(v), dtype=np.int64)
             # row blocks bound the b×k sims matrix (plus its rounded
             # copy) to ~128 MB regardless of k — at k=8192 a full
@@ -269,7 +278,7 @@ def ivf_assign_gemm(
             for s in range(0, len(v), row_block):
                 e = min(s + row_block, len(v))
                 sims = np.round(
-                    (v[s:e] @ cmat.T) / np.outer(vn[s:e], cnorm), 6
+                    (v[s:e] @ cmat.T) / np.outer(vsafe[s:e], cnorm), 6
                 )
                 cell[s:e] = cids[sims.argmax(axis=1)]
             yield pd.DataFrame(
@@ -307,7 +316,11 @@ def semdedup_cells_gemm(
         ids = pdf[id_col].to_numpy()
         v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
         vn = np.sqrt((v * v).sum(axis=1))
-        vnorm = v / vn[:, None]
+        # zero-norm guard (see ivf_assign_gemm): a zero vector keeps
+        # cosine 0.0 against everything — never "near", always kept —
+        # instead of NaN rows whose numpy comparisons silently go
+        # False while Spark's would go True.
+        vnorm = v / np.where(vn == 0.0, 1.0, vn)[:, None]
         n_near = np.zeros(len(ids), dtype=np.int64)
         for s in range(0, len(ids), row_block):
             e = min(s + row_block, len(ids))

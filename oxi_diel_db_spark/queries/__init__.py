@@ -106,6 +106,76 @@ def register(name: str, oracle: str | None = None):
 # q120, q121, q123 — are pure SQL-surface shapes whose families
 # (windows, strings, set ops, arrow-batch plumbing) already hold
 # official rows, all locally hash-green in both ANSI modes.
+# Round-9 sampling rotation (machine-computed: tools/rotation_plan.py
+# --staleness over CORRECTNESS_r01..r08 → 16 never-sampled + 0
+# not-green of 305). Composition: (a) the four descriptor assemblies
+# ml6/ml8/ml10/ml12 lead — their staged-SQL rewrite landed in r8 AFTER
+# their driver-r7 certification, so their official rows predate the
+# code (r8 verdict "What's missing" #2); (b) the 16 never-sampled
+# SQL-surface entries (q102–q123 residue) — closes the registry: after
+# this round every entry has an official row; (c) 30 staleness
+# re-gates — the NEW rotation_plan.py --staleness report orders every
+# sampled entry by whether its newest official row predates the last
+# commit touching its registering module + imported operator files,
+# stalest first; these 30 are that report's head (r1-era joins.py rows
+# q39/q45–q50, then the r3-era extras/aggregates block m13–m28,
+# ml1–ml5, q15/q16). 4 + 16 + 30 = 50 slots.
+_R9_PRIORITY = [
+    # --- (a) behavior-rewritten after certification (r8 staged-SQL) ---
+    "ml6_reference_descriptors",
+    "ml8_ion_descriptors",
+    "ml10_el_st_descriptors",
+    "ml12_ion_st_descriptors",
+    # --- (b) never-sampled residue: registry closure ---
+    "q102_lateral_topk",
+    "q103_sql_functions",
+    "q104_parameterized_sql",
+    "q106_pipe_syntax",
+    "q107_session_variables",
+    "q108_udtf_table_args",
+    "q109_sql_scripting",
+    "q110_ordered_string_agg",
+    "q111_map_in_arrow",
+    "q112_apply_in_arrow",
+    "q113_transpose",
+    "q117_lateral_column_alias",
+    "q118_explode_outer",
+    "q120_regexp_family",
+    "q121_array_set_ops",
+    "q123_timestamp_units",
+    # --- (c) staleness re-gates, stalest first ---
+    "q39_correlated_in",
+    "q45_shipping_priority",
+    "q46_correlated_scalar",
+    "q47_merge_upsert",
+    "q48_scd2_intervals",
+    "q49_market_share",
+    "q50_returned_items",
+    "m13_stoichiometry",
+    "m14_tmetal_fraction",
+    "m15_element_property",
+    "m16_site_energy",
+    "m17_band_center",
+    "m18_min_rel_distances",
+    "m19_formula_udtf",
+    "m20_gaussian_symm",
+    "m21_density",
+    "m22_valence_orbital",
+    "m23_en_diff",
+    "m24_ion_property",
+    "m25_oxidation_balance",
+    "m26_local_property_diff",
+    "m27_packing_fraction",
+    "m28_site_order_params",
+    "ml1_rf_scoring",
+    "ml2_linear_regression",
+    "ml3_feature_importances",
+    "ml4_cross_validation",
+    "ml5_kmeans_embeddings",
+    "q15_pivot",
+    "q16_unpivot",
+]
+
 _R8_PRIORITY = [
     # --- the r7 official failure, fixed (numeric-family interop) ---
     "q14_math_funcs",
@@ -411,7 +481,7 @@ def load_registry() -> dict[str, QueryDef]:
     )
 
     ordered: dict[str, QueryDef] = {}
-    for name in _R8_PRIORITY:
+    for name in _R9_PRIORITY:
         if name in REGISTRY:  # tolerate renames; never KeyError the gate
             ordered[name] = REGISTRY[name]
     for name, qdef in REGISTRY.items():

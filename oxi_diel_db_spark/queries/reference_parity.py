@@ -239,7 +239,7 @@ def _ml6_oracle() -> str:
     SELECT m.mp_id,
            {sel},
            ao.homo_energy, ao.lumo_energy, ao.gap_ao
-    FROM staged m JOIN ao ON m.mp_id = ao.mp_id
+    FROM staged m LEFT JOIN ao ON m.mp_id = ao.mp_id
     """
 
 
@@ -576,7 +576,7 @@ def _ml8_oracle() -> str:
            ao.lumo_energy, ao.gap_ao,
            aped.ape_dist_1, aped.ape_dist_3, aped.ape_dist_5
     FROM m
-    JOIN ao ON m.mp_id = ao.mp_id
+    LEFT JOIN ao ON m.mp_id = ao.mp_id
     JOIN aped ON m.mp_id = aped.mp_id
     """
 
@@ -1076,7 +1076,7 @@ def _ml10_oracle() -> str:
            lpd_m.lpd_nunfilled_min, lpd_m.lpd_nunfilled_mean,
            lpd_m.lpd_gsmagmom_mean
     FROM staged m
-    JOIN ao ON m.mp_id = ao.mp_id
+    LEFT JOIN ao ON m.mp_id = ao.mp_id
     JOIN dens ON m.mp_id = dens.mp_id
     JOIN mind_m ON m.mp_id = mind_m.mp_id
     JOIN ops_m ON m.mp_id = ops_m.mp_id
@@ -1522,7 +1522,7 @@ def _ml12_oracle() -> str:
            lpd_m.lpd_nunfilled_mean, lpd_m.lpd_nunfilled_std,
            lpd_m.lpd_gsvol_max, lpd_m.lpd_gsvol_min, lpd_m.lpd_sg_max
     FROM staged m
-    JOIN ao ON m.mp_id = ao.mp_id
+    LEFT JOIN ao ON m.mp_id = ao.mp_id
     JOIN dens ON m.mp_id = dens.mp_id
     JOIN het ON m.mp_id = het.mp_id
     JOIN ops_m ON m.mp_id = ops_m.mp_id

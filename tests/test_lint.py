@@ -211,3 +211,28 @@ def test_q14_numeric_families_match_oracle(spark, sf_dir):
     assert numeric_family_mismatches(dict(sdf.dtypes), dcols, dtypes) == []
     assert dict(sdf.dtypes)["floor_price"] == "bigint"
     assert dict(zip(dcols, dtypes))["floor_price"] == "BIGINT"
+
+
+def test_numeric_family_lint_flags_decimal():
+    """r8 advice: DuckDB DECIMAL is its own family — it reaches the
+    driver canonicalizer as decimal.Decimal / scaled repr, so BOTH
+    bigint-vs-DECIMAL and double-vs-DECIMAL are the q14 hash class.
+    Spark decimal vs DuckDB DECIMAL stays clean."""
+    from tools.check_oracle import numeric_family_mismatches
+
+    bad = numeric_family_mismatches(
+        {"amt": "bigint", "rate": "double", "money": "decimal(18,2)"},
+        ["amt", "rate", "money"],
+        ["DECIMAL(18,3)", "DECIMAL(10,1)", "DOUBLE"],
+    )
+    assert bad == [
+        "amt:bigint-vs-DECIMAL(18,3)",
+        "rate:double-vs-DECIMAL(10,1)",
+        "money:decimal(18,2)-vs-DOUBLE",
+    ]
+    ok = numeric_family_mismatches(
+        {"money": "decimal(18,2)", "n": "bigint"},
+        ["money", "n"],
+        ["DECIMAL(18,2)", "BIGINT"],
+    )
+    assert ok == []

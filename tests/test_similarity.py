@@ -352,3 +352,33 @@ def test_semdedup_gemm_keep_set_matches_d16(spark, sf_dir):
         for r in load_registry()["d16_semantic_dedup"].build(spark, sf_dir).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_gemm_zero_norm_vector_is_deterministic_and_never_near(spark):
+    """r8 advice: a zero vector's 0/0 cosine used to NaN-poison the
+    GEMM paths (numpy argmax treats NaN as maximal; numpy comparisons
+    with NaN go False while Spark ranks NaN above every double). With
+    the guard, cosine is 0.0 everywhere: assignment routes to the
+    smallest centroid id (first-max argmax, same as the expression
+    fold's all-equal tie rule) and the pairwise stage never counts it
+    near anything — it is always kept, in both paths."""
+    import math
+
+    from oxi_diel_db_spark.operators.similarity import (
+        ivf_assign_gemm, ivf_index, semdedup_cells_gemm)
+
+    rows = [(i, [math.cos(i * 0.7), math.sin(i * 0.7)]) for i in range(1, 40)]
+    rows.append((0, [0.0, 0.0]))  # the zero vector, smallest id
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    _, cents = ivf_index(emb.filter("vec_id > 0"), n_centroids=4, seed=42)
+    assigned = ivf_assign_gemm(emb, cents)
+    zrow = assigned.filter("vec_id = 0").collect()[0]
+    assert zrow["cell"] == min(int(c[0]) for c in cents)  # deterministic
+    assert zrow["cn"] == 0.0  # true norm survives the guard
+    out = {
+        r["vec_id"]: (r["n_near"], r["keep"])
+        for r in semdedup_cells_gemm(assigned, threshold=0.4).collect()
+    }
+    assert out[0] == (0, 1)  # zero vector near nothing, kept
+    # and no NaN leaked anywhere: every other vector got a real cell
+    assert all(not math.isnan(float(r["cn"])) for r in assigned.collect())

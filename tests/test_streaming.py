@@ -791,8 +791,9 @@ def test_python_stream_source_multibatch_equals_batch(spark):
 
     # micro-batch count follows ceil(rows / batchrows) — the tunable
     # overhead knob of r7 verdict ask #6 (st16 pays ~2.3 s/trigger at
-    # sf0.1, so the registered query sets batchrows for 2 data
-    # triggers; this asserts the cadence contract the tuning relies on)
+    # sf0.1, so the registered query sets batchrows=100000 for ONE
+    # data trigger at sf0.1's ~20k events — st13's cadence-invariance
+    # argument; this asserts the cadence contract the tuning relies on)
     import math
 
     n_rows = spark.read.parquet(f"{SF}/events.parquet").count()

@@ -68,9 +68,20 @@ def numeric_family_mismatches(
         sty = spark_dtypes.get(c)
         if sty is None:
             continue  # schema check reports missing columns
+        s_dec = sty.startswith("decimal")
+        d_dec = dty.upper().startswith("DECIMAL")
         s_int, s_flt = sty in _SPARK_INT, sty in _SPARK_FLOAT
         d_int, d_flt = dty in _DUCK_INT, dty in _DUCK_FLOAT
-        if (s_int and d_flt) or (s_flt and d_int):
+        # DECIMAL is its OWN family (r8 advice): DuckDB DECIMAL comes
+        # back through pandas as decimal.Decimal / scaled repr, so both
+        # bigint-vs-DECIMAL AND double-vs-DECIMAL can canonicalize
+        # differently — the exact q14 class the lint exists to kill.
+        if (
+            (s_dec and (d_int or d_flt))
+            or (d_dec and (s_int or s_flt))
+            or (s_int and d_flt)
+            or (s_flt and d_int)
+        ):
             bad.append(f"{c}:{sty}-vs-{dty}")
     return bad
 
