@@ -219,10 +219,33 @@ def ivf_index(
         keep.insert(1, F.col(filter_col).alias("__fc"))
     c = corpus.select(*keep).withColumn("cn", norm(F.col("cv")))
     cents = _seed_centroids(c, n_centroids, id_col, seed)
-    assigned = c.withColumn(
-        "cell", -F.array_max(_cell_sims(cents, F.col("cv"), F.col("cn"))).getField("neg_id")
+    return ivf_assign(c, cents, prepared=True, id_col=id_col), cents
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    cents: list[tuple],
+    prepared: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Expression-path assignment of an arbitrary corpus to FIXED
+    centroids — the incremental-maintenance primitive (new vectors
+    arrive after the index is built; the cells don't move until the
+    next rebuild). Same argmax/tie semantics as ivf_index, which now
+    delegates here; ivf_assign_gemm is the measured deployment twin.
+    With ``prepared=True`` the input already carries cv/cn columns."""
+    c = (
+        corpus
+        if prepared
+        else corpus.select(F.col(id_col), as_double(vec_col).alias("cv")).withColumn(
+            "cn", norm(F.col("cv"))
+        )
     )
-    return assigned, cents
+    return c.withColumn(
+        "cell",
+        -F.array_max(_cell_sims(cents, F.col("cv"), F.col("cn"))).getField("neg_id"),
+    )
 
 
 def ivf_assign_gemm(

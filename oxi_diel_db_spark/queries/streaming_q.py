@@ -921,3 +921,128 @@ def st20_stream_model_scoring(spark, sf_dir):
         (p > 0.5).cast("int").alias("predicted"),
     )
     return ops.run_stream_to_memory(scored, spark, mode="append")
+
+
+_SQL_COS_ST = (
+    "ROUND(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
+@register(
+    "st21_streaming_ivf_upsert",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    hb AS (SELECT (MAX(vec_id) + 1) // 2 AS half FROM e),
+    cents AS (
+      SELECT vec_id AS cent_id, v AS centv
+      FROM e, hb WHERE vec_id < half
+      ORDER BY md5('ivf42:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+    ),
+    assign AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, c.cent_id AS cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_SQL_COS_ST.format(a='e.v', b='c.centv')} DESC, c.cent_id) AS crn
+        FROM e CROSS JOIN cents c) WHERE crn = 1
+    ),
+    probes AS (SELECT vec_id AS query_id, v AS pv FROM e WHERE vec_id < 5),
+    routed AS (
+      SELECT query_id, pv, cell FROM (
+        SELECT p.query_id, p.pv, c.cent_id AS cell,
+               ROW_NUMBER() OVER (PARTITION BY p.query_id
+                 ORDER BY {_SQL_COS_ST.format(a='p.pv', b='c.centv')} DESC, c.cent_id) AS prn
+        FROM probes p CROSS JOIN cents c) WHERE prn <= 2
+    ),
+    scored AS (
+      SELECT r.query_id, a.vec_id AS neighbor_id,
+             {_SQL_COS_ST.format(a='r.pv', b='a.v')} + 0 AS cos
+      FROM routed r JOIN assign a USING (cell)
+      WHERE a.vec_id <> r.query_id
+    )
+    SELECT query_id, neighbor_id, cos, rn FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rn
+      FROM scored)
+    WHERE rn <= 10
+    """,
+)
+def st21_streaming_ivf_upsert(spark, sf_dir):
+    """Incremental/streaming vector-index maintenance — the st-family
+    face of s3 (r8 verdict ask #5a). A production IVF index is built
+    ONCE from a bootstrap corpus (centroids frozen until the next
+    rebuild) and then maintained incrementally: every arriving batch
+    of embeddings is assigned to its nearest frozen cell and APPENDED
+    to the index segment store. Here the first half of the embeddings
+    table bootstraps the index (hash-seeded centroids — the s3
+    deterministic rule, so the oracle recomputes them); the second
+    half replays as a 4-file parquet stream, and each micro-batch
+    foreachBatch-assigns (expression path, zero shuffle) and appends a
+    parquet segment — log-structured maintenance, st12's compaction
+    being the companion operator. After the stream drains, an
+    ivf_search over the MAINTAINED index must equal the one-shot batch
+    build: the oracle IS the batch form, so the stream==batch contract
+    runs under the driver's value-hash gate rather than only in tests.
+
+    100 TB posture: assignment is per-row expression work against 8
+    broadcast centroid literals (ivf_assign; ivf_assign_gemm is the
+    measured deployment twin at k≥4096 — SCALE.md §6); each micro-batch
+    appends O(batch) segment files, never rewriting the index; search
+    cost is the s3 path. Centroid drift is handled by periodic rebuild,
+    not in-stream (SemDeDup/IVF practice)."""
+    import tempfile
+
+    from oxi_diel_db_spark.operators import similarity
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    hi = emb.agg(F.max("vec_id")).collect()[0][0] + 1  # scalar anchor
+    half = hi // 2
+    boot = emb.filter(F.col("vec_id") < half)
+    assigned_boot, cents = similarity.ivf_index(boot, n_centroids=8, seed=42)
+
+    work = tempfile.mkdtemp(prefix="st21_ivf_")
+    index_dir = f"{work}/index"
+    # bootstrap segment: the one-time batch build, persisted
+    assigned_boot.select("vec_id", "cell", "cv", "cn").write.mode(
+        "overwrite"
+    ).parquet(index_dir)
+
+    # the post-bootstrap half arrives as 4 chunk files (one per
+    # micro-batch, mtime-ordered)
+    cuts = [half + (hi - half) * i // 4 for i in range(5)]
+    rest = emb.filter(F.col("vec_id") >= half)
+    chunks = [
+        rest.filter(
+            (F.col("vec_id") >= cuts[i]) & (F.col("vec_id") < cuts[i + 1])
+        )
+        for i in range(4)
+    ]
+    replay_dir = ops.write_replay_files(chunks, work)
+
+    stream = ops.replay_dir_stream(spark, replay_dir)
+
+    def upsert(batch_df, _bid):
+        # per-micro-batch index maintenance: assign to frozen cells,
+        # append a segment (idempotent under foreachBatch replay at
+        # the segment level: reprocessing a batch re-appends the same
+        # rows; exactly-once comes from the checkpoint)
+        similarity.ivf_assign(batch_df, cents).select(
+            "vec_id", "cell", "cv", "cn"
+        ).write.mode("append").parquet(index_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    maintained = spark.read.parquet(index_dir)
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_search(maintained, cents, probes, k=10, nprobe=2)

@@ -340,6 +340,18 @@ def write_late_replay(
         ),
         events.filter(ts >= off(3)),
     ]
+    return write_replay_files(bands, work_dir)
+
+
+def write_replay_files(bands: list[DataFrame], work_dir: str) -> str:
+    """Materialize one parquet file per DataFrame under
+    ``work_dir/replay`` with mtimes pinning the micro-batch order
+    (the file source replays oldest-mtime first). The generic writer
+    behind write_late_replay and every chunked-arrival harness."""
+    import glob
+    import os
+    import shutil
+
     replay_dir = os.path.join(work_dir, "replay")
     os.makedirs(replay_dir, exist_ok=True)
     for i, band in enumerate(bands):
