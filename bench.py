@@ -149,6 +149,11 @@ HEADLINE = [
     "q123_timestamp_units",
     "t21_script_profile",
     "t22_compression_ratio",
+    # round-9 additions: dedup quality harness (constant-cost md5
+    # samples; d17's first rep pays the shingle-join plan compile)
+    "d17_dedup_quality_ngram",
+    "d18_dedup_quality_minhash",
+    "d19_semdedup_quality",
     # materials domain
     "m04_born_trace_invariant",
     "m11_site_explode_agg",
@@ -200,6 +205,7 @@ SINGLES = [
     "st17_rocksdb_window",
     "st19_dedup_within_watermark",
     "st20_stream_model_scoring",
+    "st21_streaming_ivf_upsert",  # stream spin-up + 4-trigger replay + index read-back
     "q94_time_travel",
     "c3_hybrid_search",
     "c4_multimodal_ledger",

@@ -785,7 +785,11 @@ def audio_fingerprint(media: DataFrame, n_windows: int = 16) -> DataFrame:
 
 
 def video_stream_fixture_table(
-    docs: DataFrame, id_col: str = "doc_id", group: int = 16, base_frames: int = 4
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    group: int = 16,
+    base_frames: int = 4,
+    dense_content: bool = False,
 ) -> DataFrame:
     """Video fixtures in a REAL public container: a concatenated-P6
     frame stream — exactly what ``ffmpeg -f image2pipe -vcodec ppm``
@@ -797,7 +801,17 @@ def video_stream_fixture_table(
     frame-count-different while the scene content matches — byte
     dedup and naive per-frame-count signatures both fail; the
     consecutive-duplicate-collapsed scene signature must merge
-    them."""
+    them.
+
+    ``dense_content=False`` (the gated mm10 fixture, byte-pinned) uses
+    arithmetic ramps whose seed enters pixels additively — everything
+    is mod 256, so CONTENT ENTROPY IS BOUNDED (~850 distinct videos;
+    measured by the r9 video scale probe, which planted 12,500 groups
+    and got 837 clusters). Collision-free at gate scale (313 groups at
+    sf0.1), saturating above ~1k groups. ``dense_content=True`` (the
+    probe path) draws frames from a content-seeded RandomState —
+    full-entropy, collision-free at any scale — without touching the
+    gated bytes."""
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -807,14 +821,23 @@ def video_stream_fixture_table(
                 content = i // group
                 w, h = 16, 12
                 frames = []
+                rng = (
+                    np.random.RandomState((content * 2654435761) % 2**31)
+                    if dense_content
+                    else None
+                )
                 for k in range(base_frames):
                     # stride varies per frame (spatial frequency, not
                     # just offset): shifted ramps can COLLIDE on aHash
                     # (measured), different-frequency ramps do not
                     seed = (content * 131 + k * 7919) % 9973
-                    px = (
-                        seed + np.arange(w * h * 3, dtype=np.int64) * (2 * k + 1)
-                    ) % 256
+                    if rng is not None:
+                        px = rng.randint(0, 256, size=w * h * 3)
+                    else:
+                        px = (
+                            seed
+                            + np.arange(w * h * 3, dtype=np.int64) * (2 * k + 1)
+                        ) % 256
                     frames.append(encode_ppm(w, h, px))
                 frames.extend([frames[-1]] * (i % 3))  # freeze-frame tail
                 payloads.append(b"".join(frames))

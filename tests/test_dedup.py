@@ -390,3 +390,75 @@ def test_d16_keep_first_semantics(spark):
         for v in ids[i + 1:]:
             if cell[u] == cell[v] and cos(u, v) >= 0.4:
                 assert not keep[v], (u, v)
+
+
+# ---------------------------------------------------------------------------
+# r9 dedup quality harness (d17/d18/d19)
+# ---------------------------------------------------------------------------
+
+
+def _by_noise(rows, key="noise_pct"):
+    return {r[key]: r for r in rows}
+
+
+def test_d17_exact_jaccard_curve_bounds(spark):
+    """Exact Jaccard at threshold 0.2 MUST catch every 5%-deletion
+    variant: a doc with w >= 8 normalized words loses floor(w/20)
+    words, hence <= 3*floor(w/20) of its w-2 3-shingles — Jaccard
+    stays far above 0.2 for any w (docs under 20 words lose nothing
+    at all). Recall curves are monotone nonincreasing in noise and
+    the planted pairs dominate detections (precision >= 0.5)."""
+    from oxi_diel_db_spark.queries import load_registry
+
+    rows = load_registry()["d17_dedup_quality_ngram"].build(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by = _by_noise(rows)
+    assert set(by) == {5, 10, 20, 33}
+    assert by[5]["recall"] == 1.0
+    rs = [by[p]["recall"] for p in (5, 10, 20, 33)]
+    assert all(a >= b for a, b in zip(rs, rs[1:])), rs
+    assert all(r["precision"] >= 0.5 for r in rows)
+    assert all(r["n_docs"] > 0 for r in rows)
+
+
+def test_d18_lsh_recall_degrades_gracefully(spark):
+    """MinHash-LSH recall: near-perfect at 5% deletion, near-zero at
+    33% — the 1-(1-s^2)^4 banding curve with 8 perms / 4 bands.
+    NOTE the curve is NOT bounded by d17's exact curve pointwise:
+    d18 thresholds the 8-slot SIGNATURE estimate (>= 2/8), so a pair
+    whose true Jaccard sits below d17's exact 0.2 cutoff can still
+    clear it by estimator variance (observed: +0.002 at 33% noise on
+    sf0.001) — comparing the two curves is exactly what the harness
+    is FOR, not an invariant to assert."""
+    from oxi_diel_db_spark.queries import load_registry
+
+    reg = load_registry()
+    sf = "/root/testdata/sf0.001"
+    lsh = _by_noise(reg["d18_dedup_quality_minhash"].build(spark, sf).collect())
+    assert set(lsh) == {5, 10, 20, 33}
+    assert lsh[5]["recall"] >= 0.85
+    assert lsh[33]["recall"] <= 0.15
+    rs = [lsh[p]["recall"] for p in (5, 10, 20, 33)]
+    assert all(a >= b for a, b in zip(rs, rs[1:])), rs
+
+
+def test_d19_semdedup_recall_splits_routing_and_cosine_loss(spark):
+    """d19's two curves decompose SemDeDup's recall: hits require
+    same-cell routing AND cosine >= threshold, so recall <=
+    routing_recall everywhere; both fall as noise amplitude rises;
+    at A=0.4 the cosine test passes whenever routing does (planted
+    cosine ~0.975 >> 0.95) while at A=1.0 recall collapses."""
+    from oxi_diel_db_spark.queries import load_registry
+
+    rows = load_registry()["d19_semdedup_quality"].build(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by = _by_noise(rows, key="amp_pct")
+    assert set(by) == {40, 60, 80, 100}
+    for r in rows:
+        assert r["recall"] <= r["routing_recall"] + 1e-9
+        assert r["n_hits"] <= r["n_same_cell"] <= r["n_vecs"]
+    assert by[40]["routing_recall"] >= by[100]["routing_recall"]
+    assert by[40]["recall"] >= 0.5
+    assert by[100]["recall"] <= 0.1

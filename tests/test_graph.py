@@ -198,3 +198,67 @@ def test_k_core_registered_runs(spark):
     ).collect()
     # every surviving node has in-core degree >= 3 by definition
     assert all(r["degree"] >= 3 for r in rows)
+
+
+def test_copurchase_cap_not_binding_at_gate_sf(spark):
+    """The r9 per-k contribution cap (64, added after the sf1 sweep
+    OOM'd the uncapped quadratic k-join) must be INVISIBLE at gate
+    SF: max users-per-k at sf0.01 is 29, so the capped edge set
+    equals the uncapped one — the five graph queries' official rows
+    stay valid without re-certification."""
+    import pyspark.sql.functions as F
+
+    from oxi_diel_db_spark.queries.llm_ops import _copurchase_edges
+    from oxi_diel_db_spark.queries._util import t
+
+    sf = "/root/testdata/sf0.01"
+    capped = {(r["src"], r["dst"]) for r in _copurchase_edges(spark, sf).collect()}
+
+    uk = (
+        t(spark, sf, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.get_json_object("props", "$.k").cast("int").alias("k"))
+        .distinct()
+    )
+    a = uk.select(F.col("user_id").alias("ua"), "k")
+    b = uk.select(F.col("user_id").alias("ub"), "k")
+    uncapped = {
+        (r["src"], r["dst"])
+        for r in (
+            a.join(b, "k")
+            .where(F.col("ua") < F.col("ub"))
+            .groupBy("ua", "ub")
+            .agg(F.count(F.lit(1)).alias("shared"))
+            .where(F.col("shared") >= 4)
+            .select(F.col("ua").alias("src"), F.col("ub").alias("dst"))
+            .collect()
+        )
+    }
+    assert capped == uncapped and len(capped) > 0
+
+
+def test_copurchase_cap_bounds_hot_key_fanout(spark):
+    """Planted hot key: 200 users all purchasing the same 4 k values
+    would produce C(200,2)=19,900 edges uncapped; the md5-rank cap
+    keeps <= 64 users per k, bounding edges at C(64,2) — the
+    quadratic blowup the sf1 sweep measured (680 s + OOM) cannot
+    recur however hot a key gets."""
+    import pyspark.sql.functions as F
+
+    from oxi_diel_db_spark.operators.sampling import capped_sample_per_key
+
+    rows = [(u, k) for u in range(200) for k in (1, 2, 3, 4)]
+    uk = spark.createDataFrame(rows, "user_id long, k int")
+    capped = capped_sample_per_key(uk, "k", "user_id", max_rows=64)
+    assert capped.groupBy("k").count().agg(F.max("count")).collect()[0][0] == 64
+    a = capped.select(F.col("user_id").alias("ua"), "k")
+    b = capped.select(F.col("user_id").alias("ub"), "k")
+    edges = (
+        a.join(b, "k")
+        .where(F.col("ua") < F.col("ub"))
+        .groupBy("ua", "ub")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= 4)
+    )
+    n = edges.count()
+    assert 0 < n <= 64 * 63 // 2

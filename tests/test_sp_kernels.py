@@ -156,3 +156,53 @@ def test_sp_atomic_orbitals_equals_window_form(spark, staged):
     # the expression side must then be NULL too (join yields NULLs)
     assert _pairs_equal(j) == []
     assert j.count() == staged.count()
+
+
+def test_sp_radius_and_ape_kernels_bitwise_equal_dsl(staged):
+    """r9 (r8 verdict ask #6): the two sp_* kernels the randomized net
+    did not yet cover — sp_mean_radius (reads the enriched s.p_radius
+    field where the DSL re-looks-up the radius map by element: same
+    doubles by construction of enrich_agg) and sp_ape_stats (the
+    nested-CASE argmin chain over critical ratios). Both compared on
+    a SHARED staged rbar so any divergence isolates to the kernel
+    under test, not the divisor."""
+    rbar_sql = C.sp_mean_radius("_enr")
+    df = staged.select(
+        "id",
+        "formula",
+        "_enr",
+        C.mean_radius(F.col("_enr")).alias("a_rbar"),
+        F.expr(rbar_sql).alias("b_rbar"),
+    )
+    assert _pairs_equal(df) == []
+
+    with_rbar = df.withColumnRenamed("b_rbar", "rbar")
+    dsl = C.ape_stats(F.col("_enr"), F.col("rbar"))
+    sql = C.sp_ape_stats("_enr", "rbar")
+    cols = []
+    for stat in ("mean", "mean_abs"):
+        cols.append(dsl[stat].alias(f"a_{stat}"))
+        cols.append(F.expr(sql[stat]).alias(f"b_{stat}"))
+    assert _pairs_equal(with_rbar.select(*cols)) == []
+
+
+def test_sp_prop_map_matches_enrichment(staged):
+    """sp_prop_map literals must agree with what enrich_agg stored in
+    the struct fields — the assumption every sp_* kernel that reads
+    s.<field> instead of map[s.el] rests on (randomized formulas
+    include elements absent from some tables → NULL on both sides)."""
+    from oxi_diel_db_spark.queries.reference_parity import _EP_FIELDS
+
+    field, table = "p_en", C.PAULING_EN
+    assert field in _EP_FIELDS
+    m = F.expr(C.sp_prop_map(table))
+    probe = staged.select(
+        "id",
+        F.explode(F.col("_enr")).alias("s"),
+    ).select(
+        F.col("s.el").alias("el"),
+        F.col(f"s.{field}").alias("a_v"),
+        m[F.col("s.el")].alias("b_v"),
+    )
+    assert probe.filter(~F.col("a_v").eqNullSafe(F.col("b_v"))).count() == 0
+    assert probe.count() > 0

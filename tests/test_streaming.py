@@ -953,3 +953,76 @@ def test_st20_stream_scoring_equals_batch(spark):
         for r in reg["ml17_quality_classifier"].build(spark, sf).collect()
     }
     assert streamed == batch
+
+
+def test_st21_maintained_index_equals_batch_assignment(spark):
+    """st21's core invariant at the INDEX level (the registered gate
+    checks the search results; this pins the store): after the stream
+    drains, the segment store holds every vector exactly once, and
+    each (vec_id, cell) equals the one-shot batch assignment to the
+    same frozen centroids — incremental maintenance loses nothing and
+    duplicates nothing."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from oxi_diel_db_spark.operators.similarity import ivf_assign, ivf_index
+    from oxi_diel_db_spark.streaming import ops
+    from oxi_diel_db_spark.tables import load
+
+    sf = "/root/testdata/sf0.01"
+    emb = load(spark, "embeddings", sf).select("vec_id", "embedding")
+    hi = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    half = hi // 2
+    boot = emb.filter(F.col("vec_id") < half)
+    assigned_boot, cents = ivf_index(boot, n_centroids=8, seed=42)
+
+    work = tempfile.mkdtemp(prefix="st21_test_")
+    index_dir = f"{work}/index"
+    assigned_boot.select("vec_id", "cell", "cv", "cn").write.parquet(index_dir)
+    rest = emb.filter(F.col("vec_id") >= half)
+    mid = half + (hi - half) // 2
+    chunks = [
+        rest.filter(F.col("vec_id") < mid),
+        rest.filter(F.col("vec_id") >= mid),
+    ]
+    replay = ops.write_replay_files(chunks, work)
+    q = (
+        ops.replay_dir_stream(spark, replay)
+        .writeStream.foreachBatch(
+            lambda bdf, _b: ivf_assign(bdf, cents)
+            .select("vec_id", "cell", "cv", "cn")
+            .write.mode("append")
+            .parquet(index_dir)
+        )
+        .option("checkpointLocation", f"{work}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in spark.read.parquet(index_dir).select("vec_id", "cell").collect()
+    }
+    want = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assign(emb, cents).select("vec_id", "cell").collect()
+    }
+    assert len(got) == emb.count()  # exactly once, nothing dropped
+    assert got == want
+
+
+def test_st21_repeat_invocation_identical(spark):
+    """Registered st21 must survive back-to-back driver calls (fresh
+    uuid'd work dirs per invocation) and return identical rows."""
+    from oxi_diel_db_spark.queries import load_registry
+
+    b = load_registry()["st21_streaming_ivf_upsert"].build
+    sf = "/root/testdata/sf0.001"
+    r1 = {tuple(r) for r in b(spark, sf).collect()}
+    r2 = {tuple(r) for r in b(spark, sf).collect()}
+    assert r1 == r2 and len(r1) > 0

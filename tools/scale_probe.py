@@ -1622,6 +1622,66 @@ def semdedup_probe(n_vecs: int = 10_000_000, dim: int = 16, n_cells: int = 4096)
     assert planted_dropped == n_plant, "planted exact dups must all drop"
 
 
+def video_probe(n_k: float = 200, base_frames: int = 4) -> None:
+    """mm10's decode→aHash→scene-collapse throughput at scale (r8
+    verdict ask #5c — the last multimodal dedup tier without a probe;
+    images 500k and audio mm14 probes exist). n_k thousand synthetic
+    concatenated-P6 frame streams (the real ffmpeg image2pipe wire
+    format, byte-different freeze-frame tails within each group of
+    16) through the full video_fingerprint pipeline + clustering.
+    The planted structure makes the answer closed-form: every group
+    of 16 docs must collapse to ONE cluster however long its tail —
+    a throughput probe that also re-proves correctness at volume.
+    Second pass with base_frames=32 isolates per-FRAME decode cost
+    from per-doc overhead (long-video regime)."""
+    import time
+
+    from pyspark.sql import Window as W
+
+    from oxi_diel_db_spark.operators.multimodal import (
+        video_fingerprint,
+        video_stream_fixture_table,
+    )
+    from oxi_diel_db_spark.session import get_spark
+
+    n = int(n_k * 1000)
+    spark = get_spark("video_probe")
+    docs = spark.range(n).withColumnRenamed("id", "doc_id").repartition(32)
+    docs.limit(10).collect()
+
+    for bf in (base_frames, 32):
+        frames_per_doc = bf + 1  # + avg freeze tail (0/1/2 → 1)
+        t0 = time.time()
+        fps = video_fingerprint(
+            # dense_content: the probe plants 12,500 groups — far past
+            # the gated ramp fixture's ~850-video content capacity
+            # (this probe is what MEASURED that capacity; the gated
+            # mm10 bytes are untouched, see the fixture docstring)
+            video_stream_fixture_table(
+                docs, group=16, base_frames=bf, dense_content=True
+            )
+        )
+        clustered = fps.select(
+            "doc_id",
+            F.min("doc_id").over(W.partitionBy("fp")).alias("cluster_id"),
+        )
+        out = clustered.agg(
+            F.countDistinct("cluster_id").alias("clusters"),
+            F.count(F.lit(1)).alias("docs"),
+        ).collect()[0]
+        dt = time.time() - t0
+        expect = (n + 15) // 16
+        print(
+            f"video {n_k}k docs x {bf} frames: {dt:.2f}s "
+            f"({n / dt / 1000:.1f}k doc/s, "
+            f"~{n * frames_per_doc / dt / 1000:.0f}k frame/s), "
+            f"{out['clusters']} clusters (expect {expect}) "
+            f"over {out['docs']} docs"
+        )
+        assert out["clusters"] == expect, (out["clusters"], expect)
+
+
+
 def kcore_probe(n_edges: int = 10_000_000, k: int = 3) -> None:
     """g6's Matula-Beck peeling at 10M edges on a SKEWED graph (r7
     verdict ask #7): hub-heavy dst distribution (quadratic
@@ -1748,6 +1808,8 @@ if __name__ == "__main__":
             int(float(sys.argv[2]) * 1_000_000) if len(sys.argv) > 2 else 10_000_000,
             n_cells=int(sys.argv[3]) if len(sys.argv) > 3 else 4096,
         )
+    elif len(sys.argv) > 1 and sys.argv[1] == "video":
+        video_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 200)
     elif len(sys.argv) > 1 and sys.argv[1] == "kcore":
         kcore_probe(int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000)
     elif len(sys.argv) > 1 and sys.argv[1] == "retrieval":
