@@ -1651,12 +1651,24 @@ _Q101_WALK = """
     WITH RECURSIVE eu AS (
       SELECT ua AS src, ub AS dst FROM (
         SELECT a.user_id AS ua, b.user_id AS ub, COUNT(*) AS shared
-        FROM (SELECT DISTINCT user_id,
-                     CAST(REGEXP_EXTRACT(props, '"k":\\s*(-?\\d+)', 1) AS INTEGER) AS k
-              FROM events WHERE event_type = 'purchase') a
-        JOIN (SELECT DISTINCT user_id,
-                     CAST(REGEXP_EXTRACT(props, '"k":\\s*(-?\\d+)', 1) AS INTEGER) AS k
-              FROM events WHERE event_type = 'purchase') b
+        FROM (SELECT user_id, k FROM (
+                SELECT user_id, k,
+                       ROW_NUMBER() OVER (PARTITION BY k
+                         ORDER BY substring(md5('42:' || CAST(user_id AS VARCHAR)), 1, 8),
+                                  user_id) AS ukr
+                FROM (SELECT DISTINCT user_id,
+                             CAST(REGEXP_EXTRACT(props, '"k":\\s*(-?\\d+)', 1) AS INTEGER) AS k
+                      FROM events WHERE event_type = 'purchase')
+              ) WHERE ukr <= 64) a
+        JOIN (SELECT user_id, k FROM (
+                SELECT user_id, k,
+                       ROW_NUMBER() OVER (PARTITION BY k
+                         ORDER BY substring(md5('42:' || CAST(user_id AS VARCHAR)), 1, 8),
+                                  user_id) AS ukr
+                FROM (SELECT DISTINCT user_id,
+                             CAST(REGEXP_EXTRACT(props, '"k":\\s*(-?\\d+)', 1) AS INTEGER) AS k
+                      FROM events WHERE event_type = 'purchase')
+              ) WHERE ukr <= 64) b
           ON a.k = b.k AND a.user_id < b.user_id
         GROUP BY 1, 2
       ) WHERE shared >= 6
@@ -1685,19 +1697,35 @@ def q101_recursive_cte(spark, sf_dir):
     cannot prune visited nodes — so g4's frontier-pruned loop with
     localCheckpoint remains the 100 TB path; this entry is the
     engine-surface twin, bounded for exactly that reason (DEPLOY.md
-    round-7 notes)."""
+    round-7 notes). r9: the edge builder carries the same per-k
+    md5-rank contribution cap (64) as _copurchase_edges - the first
+    full-registry sf1 run showed the uncapped quadratic k-join alone
+    ran q101 for 517 s before failing; cap not binding at gate SF
+    (max 29 users/k), values unchanged."""
     t(spark, sf_dir, "events").createOrReplaceTempView("events_q101")
     return spark.sql(
         f"""
         WITH RECURSIVE eu AS (
           SELECT ua AS src, ub AS dst FROM (
             SELECT a.user_id AS ua, b.user_id AS ub, COUNT(*) AS shared
-            FROM (SELECT DISTINCT user_id,
-                         CAST(get_json_object(props, '$.k') AS INT) AS k
-                  FROM events_q101 WHERE event_type = 'purchase') a
-            JOIN (SELECT DISTINCT user_id,
-                         CAST(get_json_object(props, '$.k') AS INT) AS k
-                  FROM events_q101 WHERE event_type = 'purchase') b
+            FROM (SELECT user_id, k FROM (
+                    SELECT user_id, k,
+                           ROW_NUMBER() OVER (PARTITION BY k
+                             ORDER BY substring(md5(concat('42:', CAST(user_id AS STRING))), 1, 8),
+                                      user_id) AS ukr
+                    FROM (SELECT DISTINCT user_id,
+                                 CAST(get_json_object(props, '$.k') AS INT) AS k
+                          FROM events_q101 WHERE event_type = 'purchase')
+                  ) WHERE ukr <= 64) a
+            JOIN (SELECT user_id, k FROM (
+                    SELECT user_id, k,
+                           ROW_NUMBER() OVER (PARTITION BY k
+                             ORDER BY substring(md5(concat('42:', CAST(user_id AS STRING))), 1, 8),
+                                      user_id) AS ukr
+                    FROM (SELECT DISTINCT user_id,
+                                 CAST(get_json_object(props, '$.k') AS INT) AS k
+                          FROM events_q101 WHERE event_type = 'purchase')
+                  ) WHERE ukr <= 64) b
               ON a.k = b.k AND a.user_id < b.user_id
             GROUP BY 1, 2
           ) WHERE shared >= 6

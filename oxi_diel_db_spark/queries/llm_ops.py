@@ -3640,8 +3640,12 @@ def t15_keyword_extraction(spark, sf_dir):
     oracle=f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     cents AS (
-      SELECT vec_id AS cent_id, v AS centv
-      FROM e ORDER BY md5('ivf42:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+      SELECT vec_id AS cent_id, v AS centv FROM (
+        SELECT vec_id, v,
+               ROW_NUMBER() OVER (
+                 ORDER BY md5('ivf42:' || CAST(vec_id AS VARCHAR)), vec_id) AS cr
+        FROM e)
+      WHERE cr <= (SELECT LEAST(COUNT(*), GREATEST(16, COUNT(*) // 125)) FROM e)
     ),
     assign AS (
       SELECT vec_id, v, cell FROM (
@@ -3682,7 +3686,39 @@ def d16_semantic_dedup(spark, sf_dir):
     from oxi_diel_db_spark.operators.similarity import dot, ivf_index
 
     emb = t(spark, sf_dir, "embeddings")
-    assigned, _cents = ivf_index(emb, n_centroids=16, seed=42)
+    # adaptive cell count (r9, from the first full-registry sf1 run):
+    # a FIXED k made within-cell pairwise quadratic in corpus size —
+    # 4.8 s at sf0.1 but 128 s at sf1 (n²/k with k pinned at 16).
+    # k = clamp(n/125, 16, n) keeps avg cell membership ~125 at any
+    # scale, exactly the "n_centroids grows with the corpus" knob the
+    # docstring promises; identical rule in the oracle's cents CTE
+    # (COUNT(*)-derived), and k is unchanged at every gate SF
+    # (n=20/200/2000 → 16/16/16), so certified values are untouched.
+    n_emb = emb.count()
+    k_cells = min(n_emb, max(16, n_emb // 125))
+    if k_cells > 64:
+        # deployment regime (above every gate SF): the r8 scale probes
+        # measured the expression fold at ~11 µs/dot vs GEMM's ~0.4 —
+        # use the memory-bounded GEMM twins whose exact parity with
+        # this gated fold form is pinned by tests/test_similarity.py
+        # (same argmax ties, same rounded-cosine threshold). sf1:
+        # 128 s (fold, k=16) → ~20 s (GEMM, k=n/125).
+        from oxi_diel_db_spark.operators.similarity import (
+            ivf_assign_gemm,
+            semdedup_cells_gemm,
+        )
+
+        _lazy, cents = ivf_index(emb, n_centroids=k_cells, seed=42)
+        assigned_g = ivf_assign_gemm(emb, cents)  # _lazy never executes
+        return semdedup_cells_gemm(assigned_g, threshold=0.4).select(
+            "vec_id",
+            "cell",
+            F.col("n_near").cast("bigint").alias("n_near"),
+            F.col("keep").cast("int").alias("keep"),
+        )
+    assigned, _cents = ivf_index(emb, n_centroids=k_cells, seed=42)
+    # one fold execution, not three (a/b/final-join all reuse it)
+    assigned = assigned.localCheckpoint()
     a = assigned.select(
         F.col("vec_id").alias("id_a"), F.col("cv").alias("va"),
         F.col("cn").alias("na"), "cell",
@@ -4481,28 +4517,48 @@ def ml18_frequent_itemsets(spark, sf_dir):
     "mm12_phash_neardup",
     # Same closed-form fixture contract as mm8: group g = doc_id % 40
     # shares CONTENT, occurrences alternate PPM/BMP containers. A
-    # correct decode + DCT makes every within-group pair Hamming-0, so
-    # the banded join recovers EXACTLY the group pairs; a format-blind
-    # decode (or a broken DCT) splits groups by container and the
-    # pair set collapses — count/hash gate fails.
+    # correct decode + DCT makes every within-group phash IDENTICAL,
+    # so the exact-collapse + banded-CC pipeline must recover exactly
+    # the doc_id % 40 clusters; a format-blind decode (or a broken
+    # DCT) splits groups by container and the cluster map diverges.
     oracle="""
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 0 AS hamming
-    FROM documents a JOIN documents b
-      ON a.doc_id % 40 = b.doc_id % 40 AND a.doc_id < b.doc_id
+    SELECT doc_id,
+           CAST(doc_id % 40 AS BIGINT) AS cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY doc_id % 40) AS BIGINT)
+             AS n_members
+    FROM documents
     """,
 )
 def mm12_phash_neardup(spark, sf_dir):
-    """Near-duplicate image pairs via the DCT perceptual hash (pHash —
-    low-frequency spectrum signature, stable under high-frequency
-    dither on structured content, tests/test_multimodal.py) with the
-    Hamming-banded self-join mm8's docstring promises: the 64-bit hash splits into 4 x 16-bit bands;
-    any pair within Hamming distance 3 shares at least one band
-    EXACTLY (pigeonhole), so candidates come from 4 equi-joins on
-    (band_idx, band_value) — never an all-pairs scan — and only
-    candidates pay the bit_count(xor) distance check. The SimHash
-    banding recipe (operators/dedup.simhash) applied to pixels:
-    at 100 TB, pixels never shuffle; the join moves (doc_id, 8-byte
-    hash) pairs, and band fan-out is 4 rows per image."""
+    """Near-duplicate image CLUSTERS via the DCT perceptual hash
+    (pHash — low-frequency spectrum signature, stable under
+    high-frequency dither on structured content,
+    tests/test_multimodal.py), two-layer exactly like the text tier's
+    d1→d3 split:
+
+    1. EXACT COLLAPSE on the 64-bit hash (hash-groupBy — d1's shape):
+       every identical image costs one row from here on. r9's sf1
+       sweep measured why this layer is load-bearing: the prior
+       pair-list form emitted all within-class pairs, and with
+       duplicate classes growing linearly in corpus size the output
+       itself went quadratic — 5.4 s/0.8M pairs at sf0.1 → 267 s/31M
+       pairs at sf1 → dead at 100 TB no matter the join strategy.
+    2. Hamming-banded self-join over the DISTINCT-hash universe (the
+       4×16-bit pigeonhole bands: any pair within Hamming ≤ 3 shares
+       a band exactly), then zero-driver-state connected components
+       (g5's large-star/small-star operator) over the near-graph, so
+       transitive near-duplicate classes merge. The banded join now
+       scales with DISTINCT content count, not corpus count.
+
+    Emits (doc_id, cluster_id, n_members) — the dedup deliverable —
+    with cluster_id = min doc_id of the merged class. On the fixture
+    every group collapses to ONE hash (cross-container, so a BGR- or
+    flip-blind decode still fails the gate) and the near-graph has no
+    edges; the near-path's Hamming teeth stay pinned by the pytest
+    perturbation matrix (tests/test_multimodal.py)."""
+    from pyspark.sql import Window as W
+
+    from oxi_diel_db_spark.operators.graph import connected_components
     from oxi_diel_db_spark.operators.multimodal import (
         image_phash,
         neardup_fixture_table,
@@ -4510,9 +4566,14 @@ def mm12_phash_neardup(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents").select("doc_id")
     hashed = image_phash(neardup_fixture_table(d)).select("doc_id", "phash")
-    bands = hashed.select(
-        "doc_id",
+    # layer 1: exact collapse — one representative row per distinct hash
+    reps = hashed.groupBy("phash").agg(
+        F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("n_docs")
+    )
+    # layer 2: banded Hamming join over DISTINCT hashes only
+    bands = reps.select(
         "phash",
+        "rep_id",
         F.explode(
             F.array(
                 *[
@@ -4526,24 +4587,36 @@ def mm12_phash_neardup(spark, sf_dir):
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "phash", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"), F.col("phash").alias("ph_a"), "band", "bv"
-    )
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"), F.col("phash").alias("ph_b"), "band", "bv"
-    )
-    pairs = (
+    ).select("phash", "rep_id", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
+    a = bands.select(F.col("rep_id").alias("src"), F.col("phash").alias("ph_a"), "band", "bv")
+    b = bands.select(F.col("rep_id").alias("dst"), F.col("phash").alias("ph_b"), "band", "bv")
+    near = (
         a.join(b, ["band", "bv"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "ph_a", "ph_b")
+        .where(F.col("src") < F.col("dst"))
+        .where(
+            F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))) <= 3
+        )
+        .select("src", "dst")
         .distinct()
     )
-    return pairs.select(
-        "doc_a",
-        "doc_b",
-        F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).alias("hamming"),
-    ).where(F.col("hamming") <= 3)
+    # transitive closure over the near-graph; isolated hashes keep
+    # their own rep as the component
+    comp = connected_components(near).select(
+        F.col("node").alias("rep_id"), "component"
+    )
+    rep_cluster = reps.join(comp, "rep_id", "left").select(
+        "phash",
+        F.coalesce(F.col("component"), F.col("rep_id")).alias("cluster_id"),
+    )
+    docs_clustered = hashed.join(rep_cluster, "phash").select(
+        "doc_id", "cluster_id"
+    )
+    w = W.partitionBy("cluster_id")
+    return docs_clustered.select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_members"),
+    )
 
 
 @register(
