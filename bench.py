@@ -154,6 +154,8 @@ HEADLINE = [
     "d17_dedup_quality_ngram",
     "d18_dedup_quality_minhash",
     "d19_semdedup_quality",
+    "dq17_embedding_drift",
+    "s10_two_stage_retrieval",
     # materials domain
     "m04_born_trace_invariant",
     "m11_site_explode_agg",
@@ -206,6 +208,7 @@ SINGLES = [
     "st19_dedup_within_watermark",
     "st20_stream_model_scoring",
     "st21_streaming_ivf_upsert",  # stream spin-up + 4-trigger replay + index read-back
+    "st22_streaming_neardup_ingest",  # signature-store bootstrap + 4-trigger LSH ingest
     "q94_time_travel",
     "c3_hybrid_search",
     "c4_multimodal_ledger",

@@ -1079,6 +1079,43 @@ def sql_bloom_ctes(
     """
 
 
+def band_hash_expr(k: int = N_MINHASH, bands: int = N_BANDS):
+    """The banded-LSH bucket keys as ONE array expression over a
+    ``sig`` column: bh[b] = md5(concat of the band's signature slice).
+    Shared by the batch (minhash_lsh_pairs / incremental_lsh_pairs)
+    and streaming (st22) faces so the bucket rule cannot drift."""
+    rows = k // bands
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.md5(
+            F.concat_ws(
+                "",
+                *[
+                    F.element_at(F.col("sig"), (b * rows + r + 1).cast("int"))
+                    for r in range(rows)
+                ],
+            )
+        ),
+    )
+
+
+def sig_est_jaccard(k: int = N_MINHASH):
+    """Signature-agreement Jaccard estimate over sig_a/sig_b columns —
+    the d3/d14/st22 shared estimator (round before threshold)."""
+    return (
+        F.aggregate(
+            F.zip_with(
+                F.col("sig_a"),
+                F.col("sig_b"),
+                lambda x, y: F.when(x == y, 1).otherwise(0),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        / F.lit(float(k))
+    )
+
+
 def incremental_lsh_pairs(
     new: DataFrame,
     existing: DataFrame,
@@ -1101,19 +1138,7 @@ def incremental_lsh_pairs(
     Returns (new_id, existing_id, est_jaccard ≥ threshold). Same
     md5-based MinHash as d3 → fully value-hash-checkable.
     """
-    rows = k // bands
-    band_hash = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.md5(
-            F.concat_ws(
-                "",
-                *[
-                    F.element_at(F.col("sig"), (b * rows + r + 1).cast("int"))
-                    for r in range(rows)
-                ],
-            )
-        ),
-    )
+    band_hash = band_hash_expr(k, bands)
 
     def banded(docs):
         sig = minhash_signatures(docs, id_col, text_col, k).persist()
@@ -1136,18 +1161,7 @@ def incremental_lsh_pairs(
     sb = sig_e.select(
         F.col(id_col).alias("existing_id"), F.col("sig").alias("sig_b")
     )
-    est = (
-        F.aggregate(
-            F.zip_with(
-                F.col("sig_a"),
-                F.col("sig_b"),
-                lambda x, y: F.when(x == y, 1).otherwise(0),
-            ),
-            F.lit(0),
-            lambda acc, x: acc + x,
-        )
-        / F.lit(float(k))
-    )
+    est = sig_est_jaccard(k)
     return (
         cand.join(sa, "new_id")
         .join(sb, "existing_id")

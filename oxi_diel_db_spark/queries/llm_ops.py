@@ -5847,3 +5847,108 @@ def d19_semdedup_quality(spark, sf_dir):
             "recall"
         ),
     )
+
+
+_SQL_PQ_L2_W4 = (
+    "ROUND(list_sum(list_transform(range(1, 5), "
+    "i -> ({a}[t.s * 4 + i] - {b}[t.s * 4 + i])"
+    " * ({a}[t.s * 4 + i] - {b}[t.s * 4 + i]))), 6)"
+)
+
+
+@register(
+    "s10_two_stage_retrieval",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cb AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS j, v
+      FROM (SELECT md5('pq42:' || CAST(vec_id AS VARCHAR)) AS h, vec_id, v
+            FROM e ORDER BY 1, 2 LIMIT 16)
+    ),
+    sub AS (SELECT s FROM range(0, 16) t(s)),
+    enc AS (
+      SELECT vec_id, s, j AS code FROM (
+        SELECT e.vec_id, t.s, cb.j,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id, t.s
+                 ORDER BY {_SQL_PQ_L2_W4.format(a='e.v', b='cb.v')}, cb.j) AS rn
+        FROM e, sub t, cb) WHERE rn = 1
+    ),
+    probes AS (SELECT vec_id AS query_id, v AS pv FROM e WHERE vec_id < 5),
+    pd AS (
+      SELECT p.query_id, t.s, cb.j, {_SQL_PQ_L2_W4.format(a='p.pv', b='cb.v')} AS dist
+      FROM probes p, sub t, cb
+    ),
+    adc AS (
+      SELECT pd.query_id, enc.vec_id AS neighbor_id, ROUND(SUM(pd.dist), 6) AS adist
+      FROM enc JOIN pd ON pd.s = enc.s AND pd.j = enc.code
+      WHERE enc.vec_id <> pd.query_id
+      GROUP BY pd.query_id, enc.vec_id
+    ),
+    cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adist, neighbor_id) AS crn
+        FROM adc)
+      WHERE crn <= 50
+    ),
+    rer AS (
+      SELECT c.query_id, c.neighbor_id,
+             ROUND(list_sum(list_transform(range(1, len(n.v) + 1),
+                   i -> (p.pv[i] - n.v[i]) * (p.pv[i] - n.v[i]))), 6) AS l2sq
+      FROM cand c
+      JOIN e n ON n.vec_id = c.neighbor_id
+      JOIN probes p ON p.query_id = c.query_id
+    )
+    SELECT query_id, neighbor_id, l2sq, rn FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY l2sq, neighbor_id) AS rn
+      FROM rer)
+    WHERE rn <= 10
+    """,
+)
+def s10_two_stage_retrieval(spark, sf_dir):
+    """Two-stage retrieval — the standard production serving shape the
+    s-family was missing: a CHEAP candidate generator over the
+    compressed index (s4's PQ/ADC scan, top-50 per query — the
+    encoded corpus is ~2 orders smaller than raw vectors, so this
+    stage is the one that touches everything) followed by an EXACT
+    cosine rerank of only the candidate set (50 true-vector reads per
+    query, however big the corpus). ADC's quantization error decides
+    at most which vectors ENTER the candidate list; the final
+    ordering is exact — the recall/latency knob is the candidate
+    width alone. Both stages are the already-gated deterministic
+    kernels (s4's hash-seeded codebook + round-6 argmin, s1's rounded
+    cosine), so the full two-stage composition sits under the
+    value-hash gate."""
+    from pyspark.sql import Window as W
+
+    from oxi_diel_db_spark.functions.vectors import as_double
+    from oxi_diel_db_spark.operators.similarity import _l2sq
+
+    emb = t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cand = similarity.pq_topk(emb, probes, k=50, m=16, n_codes=16, seed=42).select(
+        "query_id", "neighbor_id"
+    )
+    nvec = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        as_double("embedding").alias("nv"),
+    )
+    pvec = probes.select("query_id", as_double("embedding").alias("pv"))
+    rer = (
+        cand.join(nvec, "neighbor_id")
+        .join(F.broadcast(pvec), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_l2sq(F.col("pv"), F.col("nv")), 6).alias("l2sq"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("l2sq").asc(), "neighbor_id")
+    return (
+        rer.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "neighbor_id", "l2sq", "rn")
+    )

@@ -1262,3 +1262,75 @@ def dq16_ewma_control(spark, sf_dir):
         F.round(ewma, 6).alias("ewma"),
         (F.abs(ewma) > limit).cast("int").alias("alarm"),
     )
+
+
+@register(
+    "dq17_embedding_drift",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    hb AS (SELECT (MAX(vec_id) + 1) // 2 AS half FROM e),
+    ex AS (
+      SELECT CASE WHEN vec_id < (SELECT half FROM hb) THEN 0 ELSE 1 END AS cur,
+             t.dim, v[t.dim] AS x
+      FROM e, UNNEST(range(1, len(v) + 1)) AS t(dim)
+    ),
+    stats AS (
+      SELECT dim, cur, AVG(x) AS m, VAR_SAMP(x) AS s2, COUNT(*) AS n
+      FROM ex GROUP BY dim, cur
+    )
+    SELECT CAST(r.dim AS INT) AS dim,
+           ROUND(r.m, 6) AS mean_ref,
+           ROUND(c.m, 6) AS mean_cur,
+           ROUND(c.m - r.m, 6) AS delta,
+           ROUND((c.m - r.m) / sqrt(r.s2 / r.n + c.s2 / c.n), 4) AS z,
+           CAST(CASE WHEN abs((c.m - r.m) / sqrt(r.s2 / r.n + c.s2 / c.n)) > 3
+                THEN 1 ELSE 0 END AS INT) AS drifted
+    FROM stats r JOIN stats c ON r.dim = c.dim AND r.cur = 0 AND c.cur = 1
+    """,
+)
+def dq17_embedding_drift(spark, sf_dir):
+    """Embedding-population drift monitor — the dq-family face of the
+    vector tier (dq2/dq10 watch scalar columns; a training pipeline
+    must also watch its FEATURE VECTORS between snapshot and serving
+    populations, or a silently-updated encoder poisons every
+    downstream similarity/dedup threshold). Reference = first half of
+    the embeddings table, current = second half; per-DIMENSION Welch
+    z on the mean shift, drifted = |z| > 3.
+
+    Plan shape at 100 TB: posexplode(64 dims) feeds a groupBy(dim,
+    population) whose map-side partial aggregation reduces the
+    shuffle to 128 rows per input partition (sum/sumsq/count per
+    dim) — the same single-pass profile posture as dq1/dq2; no
+    window, no join bigger than 64×2 rows."""
+    emb = t(spark, sf_dir, "embeddings")
+    half = (emb.agg(F.max("vec_id")).collect()[0][0] + 1) // 2  # scalar anchor
+    ex = emb.select(
+        (F.col("vec_id") >= half).cast("int").alias("cur"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim0", "x"
+        ),
+    ).select("cur", (F.col("dim0") + 1).alias("dim"), "x")  # 1-based like SQL
+    stats = ex.groupBy("dim", "cur").agg(
+        F.avg("x").alias("m"),
+        F.var_samp("x").alias("s2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    r = stats.filter(F.col("cur") == 0).select(
+        "dim", F.col("m").alias("m_r"), F.col("s2").alias("s2_r"),
+        F.col("n").alias("n_r"),
+    )
+    c = stats.filter(F.col("cur") == 1).select(
+        "dim", F.col("m").alias("m_c"), F.col("s2").alias("s2_c"),
+        F.col("n").alias("n_c"),
+    )
+    z = (F.col("m_c") - F.col("m_r")) / F.sqrt(
+        F.col("s2_r") / F.col("n_r") + F.col("s2_c") / F.col("n_c")
+    )
+    return r.join(c, "dim").select(
+        F.col("dim").cast("int").alias("dim"),
+        F.round("m_r", 6).alias("mean_ref"),
+        F.round("m_c", 6).alias("mean_cur"),
+        F.round(F.col("m_c") - F.col("m_r"), 6).alias("delta"),
+        F.round(z, 4).alias("z"),
+        (F.abs(z) > 3).cast("int").alias("drifted"),
+    )

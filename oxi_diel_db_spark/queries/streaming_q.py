@@ -1046,3 +1046,159 @@ def st21_streaming_ivf_upsert(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return similarity.ivf_search(maintained, cents, probes, k=10, nprobe=2)
+
+
+@register(
+    "st22_streaming_neardup_ingest",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(
+               translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                               'abcdefghijklmnopqrstuvwxyz'),
+               '[^a-z0-9]+'), x -> x <> '') AS words
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN len(words) >= 3 THEN
+                 list_transform(range(1, len(words) - 1),
+                   i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+                 ELSE [] END) AS shingle
+        FROM w
+      )
+    ),
+    hb AS (SELECT (MAX(doc_id) + 1) // 2 AS half FROM documents),
+    mh AS (
+      SELECT doc_id, s.seed, MIN(md5(s.seed::VARCHAR || ':' || shingle)) AS mh
+      FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed) s
+      GROUP BY doc_id, s.seed
+    ),
+    sig AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, sig, b.band,
+             md5(sig[2 * b.band + 1] || sig[2 * b.band + 2]) AS bh
+      FROM sig CROSS JOIN (SELECT unnest(range(4)) AS band) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.sig AS sig_a, b.sig AS sig_b
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+      WHERE b.doc_id >= (SELECT half FROM hb)
+    )
+    SELECT doc_a, doc_b,
+           ROUND(list_sum(list_transform(range(1, 9),
+                 i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)) / 8.0, 6)
+             AS est_jaccard
+    FROM cand
+    WHERE ROUND(list_sum(list_transform(range(1, 9),
+                i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)) / 8.0, 6) >= 0.25
+    """,
+)
+def st22_streaming_neardup_ingest(spark, sf_dir):
+    """Streaming near-dup ingest — the TEXT face of st21's incremental
+    index maintenance, streaming d14's asymmetric-LSH pattern (r8
+    verdict ask #5a named the pairing). A signature STORE bootstraps
+    from the first half of the documents table (MinHash computed once
+    per doc — the persisted-signature contract d14's docstring
+    promises); the second half replays as a 4-file stream. Every
+    micro-batch: (1) compute the batch's signatures ONCE, (2)
+    banded-join them against the store (bucket keys from the SHARED
+    band_hash_expr, so the batch and streaming faces cannot drift),
+    keeping (store_id < new_id) — which yields batch-vs-everything-
+    earlier AND within-batch pairs exactly once, (3) append the
+    batch's signatures to the store and its pairs to the result log.
+    The union over batches is EXACTLY the d3 pair set restricted to
+    pairs whose LATER doc arrived by stream — the oracle is that
+    closed form, so the cumulative-ingest semantics sit under the
+    driver's value-hash gate.
+
+    100 TB posture: each increment costs O(n_new · bands) bucket
+    probes against the store's bucket table (shuffle on (band, bh)),
+    signatures are never recomputed for old docs, and the store/log
+    are append-only parquet segments (st12 compaction is the
+    companion). Hot buckets: the same max_bucket_size valve as d3
+    applies; the corpus never self-joins again after bootstrap."""
+    import tempfile
+
+    from oxi_diel_db_spark.operators.dedup import (
+        band_hash_expr,
+        minhash_signatures,
+        sig_est_jaccard,
+    )
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    hi = d.agg(F.max("doc_id")).collect()[0][0] + 1  # scalar anchor
+    half = hi // 2
+    boot = d.filter(F.col("doc_id") < half)
+    rest = d.filter(F.col("doc_id") >= half)
+
+    work = tempfile.mkdtemp(prefix="st22_lsh_")
+    store = f"{work}/sigstore"
+    result = f"{work}/pairs"
+    minhash_signatures(boot).write.mode("overwrite").parquet(store)
+
+    cuts = [half + (hi - half) * i // 4 for i in range(5)]
+    chunks = [
+        rest.filter(
+            (F.col("doc_id") >= cuts[i]) & (F.col("doc_id") < cuts[i + 1])
+        )
+        for i in range(4)
+    ]
+    replay_dir = ops.write_replay_files(chunks, work)
+    stream = ops.replay_dir_stream(spark, replay_dir)
+
+    # Append order matters: the batch goes INTO the store FIRST,
+    # then pairs batch-vs-store — (store_id < new_id) yields
+    # batch-vs-everything-earlier AND within-batch pairs exactly once,
+    # and old-vs-old never re-pairs.
+    def ingest_ordered(batch_df, _bid):
+        sig_b = minhash_signatures(batch_df).localCheckpoint()
+        if not sig_b.take(1):
+            return
+        sig_b.write.mode("append").parquet(store)
+        store_sigs = spark.read.parquet(store)
+        bb_new = sig_b.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("sig").alias("sig_b"),
+            F.posexplode(band_hash_expr()).alias("band", "bh"),
+        )
+        bb_old = store_sigs.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("sig").alias("sig_a"),
+            F.posexplode(band_hash_expr()).alias("band", "bh"),
+        )
+        (
+            bb_old.join(bb_new, ["band", "bh"])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "sig_a", "sig_b")
+            .distinct()
+            .select(
+                "doc_a",
+                "doc_b",
+                F.round(sig_est_jaccard(), 6).alias("est_jaccard"),
+            )
+            .filter(F.col("est_jaccard") >= 0.25)
+            .write.mode("append")
+            .parquet(result)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(ingest_ordered)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    try:
+        return spark.read.parquet(result)
+    except Exception:  # no pair ever crossed the threshold
+        return spark.createDataFrame(
+            [], "doc_a bigint, doc_b bigint, est_jaccard double"
+        )

@@ -338,3 +338,59 @@ def test_dq10_ks_matches_numpy(spark):
     crit = 1.358 * np.sqrt((len(ref) + len(cur)) / (len(ref) * len(cur)))
     assert abs(row["crit_05"] - crit) < 1e-6
     assert row["drifted"] == int(round(d.max(), 6) > round(crit, 6))
+
+
+def test_dq17_flags_planted_dimension_shift(spark):
+    """Planted drift: dim 3 of the 'current' half shifts by +5σ, every
+    other dim is identically distributed — dq17 must flag exactly that
+    dimension (|z| > 3 is a ~1-in-370 false-positive per clean dim at
+    these n, and the planted shift's z is enormous)."""
+    import math
+
+    from oxi_diel_db_spark.queries.quality import dq17_embedding_drift  # noqa: F401
+    from oxi_diel_db_spark.queries import load_registry
+    import pyspark.sql.functions as F
+    import tempfile
+
+    rows = []
+    for i in range(2000):
+        # deterministic pseudo-noise, mean 0
+        v = [math.sin(i * 7.31 + j * 1.77) * 0.5 for j in range(8)]
+        if i >= 1000:
+            v[2] += 2.0  # dim 3 (1-based) shifts in the current half
+        rows.append((i, v, 0))
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    work = tempfile.mkdtemp(prefix="dq17_fixture_")
+    df.write.parquet(f"{work}/embeddings.parquet")
+    # reuse the real tables for everything else the loader may touch
+    out = {
+        r["dim"]: r
+        for r in load_registry()["dq17_embedding_drift"].build(spark, work).collect()
+    }
+    assert len(out) == 8
+    assert out[3]["drifted"] == 1 and abs(out[3]["z"]) > 10
+    assert sum(r["drifted"] for r in out.values()) == 1
+    assert abs(out[3]["delta"] - 2.0) < 0.1
+
+
+def test_dq17_no_drift_between_identical_populations(spark):
+    """Identical ref/current distributions → no dim flags."""
+    import math
+    import tempfile
+
+    from oxi_diel_db_spark.queries import load_registry
+
+    rows = [
+        (i, [math.sin((i % 1000) * 3.17 + j) for j in range(4)], 0)
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    work = tempfile.mkdtemp(prefix="dq17_null_")
+    df.write.parquet(f"{work}/embeddings.parquet")
+    out = load_registry()["dq17_embedding_drift"].build(spark, work).collect()
+    assert len(out) == 4
+    assert all(r["drifted"] == 0 for r in out)

@@ -1026,3 +1026,44 @@ def test_st21_repeat_invocation_identical(spark):
     r1 = {tuple(r) for r in b(spark, sf).collect()}
     r2 = {tuple(r) for r in b(spark, sf).collect()}
     assert r1 == r2 and len(r1) > 0
+
+
+def test_st22_cumulative_ingest_equals_batch_lsh(spark):
+    """st22's cumulative-ingest contract, cross-checked against the
+    BATCH operator (algorithm-independent of the DuckDB oracle): the
+    union of per-micro-batch pair emissions equals d3's full-corpus
+    MinHash-LSH pair set restricted to pairs whose LATER doc arrived
+    by stream (doc_b >= half) — nothing missed across batch
+    boundaries, nothing paired twice, old docs never re-paired."""
+    import pyspark.sql.functions as F
+
+    from oxi_diel_db_spark.operators.dedup import minhash_lsh_pairs
+    from oxi_diel_db_spark.queries import load_registry
+    from oxi_diel_db_spark.tables import load
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        (r["doc_a"], r["doc_b"], r["est_jaccard"])
+        for r in load_registry()["st22_streaming_neardup_ingest"]
+        .build(spark, sf)
+        .collect()
+    }
+    d = load(spark, "documents", sf)
+    half = (d.agg(F.max("doc_id")).collect()[0][0] + 1) // 2
+    want = {
+        (r["doc_a"], r["doc_b"], r["est_jaccard"])
+        for r in minhash_lsh_pairs(d, threshold=0.25)
+        .filter(F.col("doc_b") >= half)
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_st22_repeat_invocation_identical(spark):
+    from oxi_diel_db_spark.queries import load_registry
+
+    b = load_registry()["st22_streaming_neardup_ingest"].build
+    sf = "/root/testdata/sf0.001"
+    r1 = {tuple(r) for r in b(spark, sf).collect()}
+    r2 = {tuple(r) for r in b(spark, sf).collect()}
+    assert r1 == r2
