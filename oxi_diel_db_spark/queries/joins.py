@@ -1047,7 +1047,14 @@ def q83_bucketed_join(spark, sf_dir):
     import os
     import tempfile
 
-    base = os.path.join(tempfile.gettempdir(), "spark_graft_scratch", "bucketed")
+    # per-PROCESS scratch: a fixed shared path let two concurrent
+    # sessions race (one rebuilding b_customer while the other's scan
+    # read it → FAILED_READ_FILE.FILE_NOT_EXIST, observed when the r9
+    # default and ANSI sweeps overlapped). Same-session invocations
+    # still reuse the tables; separate processes get separate dirs.
+    base = os.path.join(
+        tempfile.gettempdir(), "spark_graft_scratch", f"bucketed_{os.getpid()}"
+    )
     os.makedirs(base, exist_ok=True)
     # explicit LOCATION: the default warehouse dir is relative to the
     # DRIVER's cwd, which a host process may not be able to write
