@@ -155,7 +155,7 @@ HEADLINE = [
     "d18_dedup_quality_minhash",
     "d19_semdedup_quality",
     "dq17_embedding_drift",
-    "s10_two_stage_retrieval",
+    "dq18_payload_integrity",
     # materials domain
     "m04_born_trace_invariant",
     "m11_site_explode_agg",
@@ -209,6 +209,7 @@ SINGLES = [
     "st20_stream_model_scoring",
     "st21_streaming_ivf_upsert",  # stream spin-up + 4-trigger replay + index read-back
     "st22_streaming_neardup_ingest",  # signature-store bootstrap + 4-trigger LSH ingest
+    "s10_two_stage_retrieval",  # in-query PQ index BUILD (m=16 encode, one-time at deployment) + ADC scan + rerank
     "q94_time_travel",
     "c3_hybrid_search",
     "c4_multimodal_ledger",

@@ -1334,3 +1334,83 @@ def dq17_embedding_drift(spark, sf_dir):
         F.round(z, 4).alias("z"),
         (F.abs(z) > 3).cast("int").alias("drifted"),
     )
+
+
+@register(
+    "dq18_payload_integrity",
+    # Closed-form oracle: the corruption is PLANTED by doc_id rule
+    # (order matters: %11 truncation wins over %13 magic damage for
+    # ids divisible by both), the intact payloads' container is the
+    # mm8 fixture's parity rule — so the oracle knows every verdict
+    # WITHOUT decoding a byte, and the gate checks that the Spark
+    # side's REAL header/length inspection recovers exactly the
+    # planted truth (the mm8/mm10 gate pattern).
+    oracle="""
+    WITH v AS (
+      SELECT source,
+             CASE WHEN doc_id % 11 = 0 THEN 'truncated'
+                  WHEN doc_id % 13 = 0 THEN 'unknown_magic'
+                  WHEN (doc_id // 40) % 2 = 0 THEN 'valid_ppm'
+                  ELSE 'valid_bmp' END AS verdict
+      FROM documents
+    )
+    SELECT source, verdict, COUNT(*) AS n_docs,
+           ROUND(CAST(COUNT(*) AS DOUBLE) /
+                 SUM(COUNT(*)) OVER (PARTITION BY source), 6) AS share
+    FROM v GROUP BY source, verdict
+    """,
+)
+def dq18_payload_integrity(spark, sf_dir):
+    """Media-ingest quarantine audit — the dq-family face of the
+    multimodal tier: classify every payload by REAL byte inspection
+    (magic sniff + the container's own declared size vs actual byte
+    count — operators/multimodal.payload_integrity) and report the
+    per-source verdict mix. A truncated or magic-corrupted blob must
+    be routed out BEFORE decode/dedup stages, not crash a decoder
+    mid-job; the share column is what a pipeline alarms on (a source
+    whose truncation share jumps = a broken crawler or transfer).
+
+    Fixture: the mm8 image payloads with planted damage — doc_id % 11
+    truncated to 60% (headers survive, so only the length-vs-declared
+    check catches it), else doc_id % 13 magic bytes overwritten. Both
+    injections are pure Spark expressions over the binary column
+    (substring/concat work on BINARY — no extra Python pass); the
+    classifier is the only Arrow stage, and bytes never shuffle."""
+    from oxi_diel_db_spark.operators.multimodal import (
+        neardup_fixture_table,
+        payload_integrity,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    media = neardup_fixture_table(docs.select("doc_id"))
+    damaged = media.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.expr(
+                "substring(payload, 1, cast(octet_length(payload) * 0.6 AS INT))"
+            ),
+        )
+        .when(
+            F.col("doc_id") % 13 == 0,
+            F.expr(
+                "concat(X'5858', substring(payload, 3, octet_length(payload)))"
+            ),
+        )
+        .otherwise(F.col("payload"))
+        .alias("payload"),
+    )
+    verdicts = payload_integrity(damaged).join(docs, "doc_id")
+    counts = verdicts.groupBy("source", "verdict").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return counts.select(
+        "source",
+        "verdict",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(W.partitionBy("source")),
+            6,
+        ).alias("share"),
+    )

@@ -572,3 +572,60 @@ def test_shot_boundaries_jitter_vs_cut_margins():
     across = [d for k, d in enumerate(deltas) if (k + 1) % 3 == 0]
     assert max(within) < 4.0, within     # jitter stays far under 8
     assert min(across) > 20.0, across    # cuts stay far over 8
+
+
+def test_payload_integrity_classifies_planted_damage(spark):
+    """Operator-level matrix for dq18's classifier: intact PPM/BMP,
+    header-surviving truncation of each, corrupted magic, and a
+    sub-header stub — every class by REAL byte inspection."""
+    import numpy as np
+
+    from oxi_diel_db_spark.operators.multimodal import (
+        encode_bmp,
+        encode_ppm,
+        payload_integrity,
+    )
+
+    px = np.arange(8 * 8 * 3, dtype=np.int64) % 256
+    ppm = encode_ppm(8, 8, px)
+    bmp = encode_bmp(8, 8, px)
+    rows = [
+        (1, bytearray(ppm)),
+        (2, bytearray(bmp)),
+        (3, bytearray(ppm[: int(len(ppm) * 0.6)])),   # truncated, header ok
+        (4, bytearray(bmp[: int(len(bmp) * 0.6)])),   # truncated, header ok
+        (5, bytearray(b"XX" + ppm[2:])),              # magic damage
+        (6, bytearray(b"BM\x01")),                    # sub-header stub
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    out = {r["doc_id"]: r for r in payload_integrity(df).collect()}
+    assert out[1]["verdict"] == "valid_ppm"
+    assert out[2]["verdict"] == "valid_bmp"
+    assert out[3]["verdict"] == "truncated"
+    assert out[4]["verdict"] == "truncated"
+    assert out[5]["verdict"] == "unknown_magic"
+    assert out[6]["verdict"] == "malformed_header"
+    # declared sizes are the containers' own numbers
+    assert out[1]["declared_bytes"] == len(ppm)
+    assert out[2]["declared_bytes"] == len(bmp)
+    assert out[3]["declared_bytes"] == len(ppm)  # truncation doesn't change the claim
+
+
+def test_dq18_clean_corpus_reports_no_quarantine(spark):
+    """Null case: with no planted damage every payload is valid and
+    the verdict mix is exactly the fixture's container parity."""
+    import pyspark.sql.functions as F
+
+    from oxi_diel_db_spark.operators.multimodal import (
+        neardup_fixture_table,
+        payload_integrity,
+    )
+    from oxi_diel_db_spark.tables import load
+
+    docs = load(spark, "documents", "/root/testdata/sf0.001").select("doc_id")
+    out = payload_integrity(neardup_fixture_table(docs))
+    verdicts = {r["verdict"] for r in out.select("verdict").distinct().collect()}
+    assert verdicts == {"valid_ppm", "valid_bmp"}
+    n_ppm = out.filter(F.col("verdict") == "valid_ppm").count()
+    want = docs.filter((F.col("doc_id") / 40).cast("int") % 2 == 0).count()
+    assert n_ppm == want
