@@ -1115,12 +1115,18 @@ def st22_streaming_neardup_ingest(spark, sf_dir):
     closed form, so the cumulative-ingest semantics sit under the
     driver's value-hash gate.
 
-    100 TB posture: each increment costs O(n_new · bands) bucket
-    probes against the store's bucket table (shuffle on (band, bh)),
-    signatures are never recomputed for old docs, and the store/log
-    are append-only parquet segments (st12 compaction is the
-    companion). Hot buckets: the same max_bucket_size valve as d3
-    applies; the corpus never self-joins again after bootstrap."""
+    100 TB posture, stated honestly: signatures are computed once per
+    doc and never again (the store is the amortization); the corpus
+    never self-joins after bootstrap; store/log are append-only
+    parquet segments (st12 compaction is the companion). The
+    per-batch JOIN as implemented scans the store's signature table
+    (O(store) IO per increment — fine at replay scale, and the r9
+    ingest probe measures the growth curve); the deployment layout
+    that removes the scan is bucketBy(bh) on the persisted bucket
+    table + a broadcast semi-join of the batch's (band, bh) keys, so
+    each increment reads only matching buckets — the same
+    pay-at-ingest trade as q83's bucketed facts. Hot buckets: d3's
+    max_bucket_size valve applies."""
     import tempfile
 
     from oxi_diel_db_spark.operators.dedup import (

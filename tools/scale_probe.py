@@ -1622,6 +1622,75 @@ def semdedup_probe(n_vecs: int = 10_000_000, dim: int = 16, n_cells: int = 4096)
     assert planted_dropped == n_plant, "planted exact dups must all drop"
 
 
+def ingest_probe(n_docs: int = 500_000, n_batches: int = 8) -> None:
+    """st22's per-increment cost growth (r9): a signature store
+    bootstraps from half of n_docs synthetic documents; the other
+    half arrives in n_batches increments. Measures per-batch wall
+    time as the store grows — the curve SHOULD rise ~linearly in
+    store size with the scan-based join the query ships (the
+    docstring's stated trade), and the probe quantifies the slope so
+    the bucketed-store deployment note has a number behind it.
+    Planted near-dups (every doc in a group of 25 shares its text)
+    keep the pair output real."""
+    import time
+
+    from oxi_diel_db_spark.operators.dedup import (
+        band_hash_expr,
+        minhash_signatures,
+        sig_est_jaccard,
+    )
+    from oxi_diel_db_spark.session import get_spark
+
+    spark = get_spark("ingest_probe")
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit(f"w{i}x"), ((F.col("id") / 25).cast("long") * (i + 7)) % 9973)
+                for i in range(30)
+            ],
+        ).alias("text"),
+    ).repartition(32)
+    half = n_docs // 2
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="ingest_probe_")
+    store = f"{work}/sigstore"
+    t0 = time.time()
+    minhash_signatures(docs.filter(F.col("doc_id") < half)).write.parquet(store)
+    print(f"bootstrap {half/1000:.0f}k sigs: {time.time()-t0:.1f}s")
+    cuts = [half + (n_docs - half) * i // n_batches for i in range(n_batches + 1)]
+    for b in range(n_batches):
+        batch = docs.filter(
+            (F.col("doc_id") >= cuts[b]) & (F.col("doc_id") < cuts[b + 1])
+        )
+        t0 = time.time()
+        sig_b = minhash_signatures(batch).localCheckpoint()
+        sig_b.write.mode("append").parquet(store)
+        store_sigs = spark.read.parquet(store)
+        bb_new = sig_b.select(
+            F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"),
+            F.posexplode(band_hash_expr()).alias("band", "bh"))
+        bb_old = store_sigs.select(
+            F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"),
+            F.posexplode(band_hash_expr()).alias("band", "bh"))
+        n_pairs = (
+            bb_old.join(bb_new, ["band", "bh"])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "sig_a", "sig_b").distinct()
+            .select("doc_a", "doc_b", F.round(sig_est_jaccard(), 6).alias("ej"))
+            .filter(F.col("ej") >= 0.25).count()
+        )
+        store_n = half + cuts[b + 1] - half if False else cuts[b + 1]
+        print(
+            f"batch {b}: +{(cuts[b+1]-cuts[b])/1000:.0f}k docs vs "
+            f"{store_n/1000:.0f}k-doc store: {time.time()-t0:.1f}s, "
+            f"{n_pairs} pairs"
+        )
+
+
+
 def video_probe(n_k: float = 200, base_frames: int = 4) -> None:
     """mm10's decode→aHash→scene-collapse throughput at scale (r8
     verdict ask #5c — the last multimodal dedup tier without a probe;
@@ -1808,6 +1877,8 @@ if __name__ == "__main__":
             int(float(sys.argv[2]) * 1_000_000) if len(sys.argv) > 2 else 10_000_000,
             n_cells=int(sys.argv[3]) if len(sys.argv) > 3 else 4096,
         )
+    elif len(sys.argv) > 1 and sys.argv[1] == "ingest":
+        ingest_probe(int(float(sys.argv[2]) * 1000) if len(sys.argv) > 2 else 500_000)
     elif len(sys.argv) > 1 and sys.argv[1] == "video":
         video_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 200)
     elif len(sys.argv) > 1 and sys.argv[1] == "kcore":
