@@ -5433,7 +5433,12 @@ def t22_compression_ratio(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _DQL_LEVELS = [(1, 20, 5), (2, 10, 10), (3, 5, 20), (4, 3, 33)]
-_DQL_OFF = 1_000_000
+# Variant-id offset: 10^12 so a planted variant id can NEVER collide
+# with a real doc id (a 1e6 offset broke at corpora past 1M docs —
+# variant-of-X and original-X+1e6 became indistinguishable to the
+# same-origin modulus; caught by the r9 self-audit, metric outputs
+# carry no ids so gate hashes are unchanged by the widening)
+_DQL_OFF = 10**12
 
 
 _DQL_SAMPLE = 500  # deterministic md5-ordered sample: constant harness
