@@ -1310,23 +1310,24 @@ def dq17_embedding_drift(spark, sf_dir):
             "dim0", "x"
         ),
     ).select("cur", (F.col("dim0") + 1).alias("dim"), "x")  # 1-based like SQL
-    stats = ex.groupBy("dim", "cur").agg(
-        F.avg("x").alias("m"),
-        F.var_samp("x").alias("s2"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    r = stats.filter(F.col("cur") == 0).select(
-        "dim", F.col("m").alias("m_r"), F.col("s2").alias("s2_r"),
-        F.col("n").alias("n_r"),
-    )
-    c = stats.filter(F.col("cur") == 1).select(
-        "dim", F.col("m").alias("m_c"), F.col("s2").alias("s2_c"),
-        F.col("n").alias("n_c"),
+    # ONE corpus pass: conditional aggregates per population instead
+    # of filtering the stats subtree twice (the two-branch form
+    # re-executed the explode+partial-agg per side — visible as two
+    # Generate/HashAggregate subtrees in the plan)
+    ref_x = F.when(F.col("cur") == 0, F.col("x"))
+    cur_x = F.when(F.col("cur") == 1, F.col("x"))
+    stats = ex.groupBy("dim").agg(
+        F.avg(ref_x).alias("m_r"),
+        F.var_samp(ref_x).alias("s2_r"),
+        F.count(ref_x).alias("n_r"),
+        F.avg(cur_x).alias("m_c"),
+        F.var_samp(cur_x).alias("s2_c"),
+        F.count(cur_x).alias("n_c"),
     )
     z = (F.col("m_c") - F.col("m_r")) / F.sqrt(
         F.col("s2_r") / F.col("n_r") + F.col("s2_c") / F.col("n_c")
     )
-    return r.join(c, "dim").select(
+    return stats.select(
         F.col("dim").cast("int").alias("dim"),
         F.round("m_r", 6).alias("mean_ref"),
         F.round("m_c", 6).alias("mean_cur"),
