@@ -4565,7 +4565,14 @@ def mm12_phash_neardup(spark, sf_dir):
     )
 
     d = t(spark, sf_dir, "documents").select("doc_id")
-    hashed = image_phash(neardup_fixture_table(d)).select("doc_id", "phash")
+    # checkpoint: the decode+DCT pass feeds BOTH the collapse and the
+    # final doc→cluster join; uncheckpointed it executed twice (the
+    # expensive stage of the whole query — 50k image decodes at sf1)
+    hashed = (
+        image_phash(neardup_fixture_table(d))
+        .select("doc_id", "phash")
+        .localCheckpoint()
+    )
     # layer 1: exact collapse — one representative row per distinct hash
     reps = hashed.groupBy("phash").agg(
         F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("n_docs")
