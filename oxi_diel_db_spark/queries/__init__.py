@@ -120,6 +120,76 @@ def register(name: str, oracle: str | None = None):
 # stalest first; these 30 are that report's head (r1-era joins.py rows
 # q39/q45–q50, then the r3-era extras/aggregates block m13–m28,
 # ml1–ml5, q15/q16). 4 + 16 + 30 = 50 slots.
+# Round-10 sampling rotation (machine-computed: tools/rotation_plan.py
+# --staleness over CORRECTNESS_r01..r09 → 8 never-sampled, 0 not-green
+# of 305 sampled). Composition per the r9 verdict: (a) the 8 r9 births
+# (st21/st22/d17/d18/d19/dq17/dq18/s10) — judge-verified green at
+# sf0.01 but never driver-sampled; (b) mm12 — its GATED VALUES changed
+# in r9 (pair-list → cluster output, llm_ops.py:4532) AFTER its r8
+# official row, so the record must be refreshed; (c) 41 staleness
+# re-gates from the --staleness report head — the r3-era
+# extras/aggregates/joins rows (q17–q38, q56, q69–q72), then the
+# r4-era dedup/graph/materials head (c1, d2–d9, g1–g3, m01, m02, mm1).
+# 9 + 41 = 50 slots. New r10 births (d20, t23, ...) are locally
+# hash-verified this round and take rotation slots in r11 per the
+# standing deferral rule (hash-gated before rows-only).
+_R10_PRIORITY = [
+    # --- (a) r9 births, never driver-sampled ---
+    "st21_streaming_ivf_upsert",
+    "st22_streaming_neardup_ingest",
+    "d17_dedup_quality_ngram",
+    "d18_dedup_quality_minhash",
+    "d19_semdedup_quality",
+    "dq17_embedding_drift",
+    "dq18_payload_integrity",
+    "s10_two_stage_retrieval",
+    # --- (b) behavior-rewritten after certification (r9 two-layer) ---
+    "mm12_phash_neardup",
+    # --- (c) staleness re-gates, stalest first (r3-era rows) ---
+    "q17_values_source",
+    "q18_partitioned_sink_roundtrip",
+    "q19_csv_roundtrip",
+    "q20_count_distinct",
+    "q21_approx_distinct",
+    "q22_rollup",
+    "q23_cube",
+    "q24_grouping_sets",
+    "q25_stat_aggs",
+    "q26_percentiles",
+    "q27_ordered_set_agg",
+    "q28_conditional_agg",
+    "q30_multiway_join",
+    "q31_left_join_agg",
+    "q32_full_outer",
+    "q33_semi_join",
+    "q34_anti_join",
+    "q35_range_join",
+    "q36_cross_join",
+    "q37_asof_join",
+    "q38_scalar_subquery",
+    "q56_time_rollup",
+    "q69_zorder_stats",
+    "q70_orc_roundtrip",
+    "q71_hll_mergeable",
+    "q72_gapfill_interpolate",
+    # --- (c cont.) r4-era rows ---
+    "c1_curation_pipeline",
+    "d2_ngram_jaccard",
+    "d3_minhash_lsh",
+    "d4_simhash",
+    "d5_embedding_neardup",
+    "d6_fuzzy_levenshtein",
+    "d7_dedup_keep_best",
+    "d8_dedup_clusters",
+    "d9_decontamination",
+    "g1_pagerank",
+    "g2_triangle_count",
+    "g3_label_propagation",
+    "m01_point_lookup",
+    "m02_eps_avg_invariant",
+    "mm1_binary_meta",
+]
+
 _R9_PRIORITY = [
     # --- (a) behavior-rewritten after certification (r8 staged-SQL) ---
     "ml6_reference_descriptors",
@@ -481,7 +551,7 @@ def load_registry() -> dict[str, QueryDef]:
     )
 
     ordered: dict[str, QueryDef] = {}
-    for name in _R9_PRIORITY:
+    for name in _R10_PRIORITY:
         if name in REGISTRY:  # tolerate renames; never KeyError the gate
             ordered[name] = REGISTRY[name]
     for name, qdef in REGISTRY.items():
