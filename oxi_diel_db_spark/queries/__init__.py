@@ -548,6 +548,7 @@ def load_registry() -> dict[str, QueryDef]:
         extras,
         quality,
         reference_parity,
+        site_exact,
     )
 
     ordered: dict[str, QueryDef] = {}
