@@ -493,3 +493,288 @@ def m37_voronoi_tessellation(spark, sf_dir):
             "vor_dist_std_mean",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# m38: OPSiteFingerprint slots (reference ml_prediction.py:186,226;
+# slot list at :204-205 and :251-259), gated against a relational twin
+# of operators/op_fingerprint.py — adaptive shell radius, relative-
+# distance binning at three dr widths, prefix-CN shells with zero_ops,
+# (mean 1/drel)^2 distance weighting, per-motif pairwise kernels,
+# median over the dr variants. Constants (SIGMA, DRS, target-angle
+# multisets) are EMITTED from the kernel module so both engines
+# evaluate identical doubles.
+# ---------------------------------------------------------------------------
+
+
+def _gauss_pair_sql(motif: str) -> str:
+    """max over the motif's target angles of the Gaussian kernel, as
+    SQL over a pair's cos(θ) column ``cost`` — mirrors _gauss_kernel."""
+    from oxi_diel_db_spark.operators.op_fingerprint import (
+        MOTIF_TARGETS,
+        SIGMA,
+    )
+
+    th = "acos(LEAST(GREATEST(cost, -1.0), 1.0))"
+    terms = [
+        f"exp(-0.5 * (({th} - {t!r}) / {SIGMA!r})"
+        f" * (({th} - {t!r}) / {SIGMA!r}))"
+        for t in MOTIF_TARGETS[motif]
+    ]
+    if len(terms) == 1:
+        return terms[0]
+    return "GREATEST(" + ", ".join(terms) + ")"
+
+
+def opsf_site_ctes(mat_rel: str) -> str:
+    """WITH-chain (no leading WITH) ending in ``opsf_site``:
+    (mp_id, i, sgl_bd, lin, bent150, tri_plan, pent_plan, oct,
+    seesaw, tet, q6) — the DuckDB twin of
+    operators/op_fingerprint.op_fingerprint_sites."""
+    from oxi_diel_db_spark.operators.op_fingerprint import DRS
+
+    drs_values = ", ".join(f"({v!r})" for v in DRS)
+    gauss_cols = "".join(
+        f"""
+             SUM({_gauss_pair_sql(m)}) / COUNT(*) AS q_{m},"""
+        for m in ("lin", "bent150", "tri_plan", "pent_plan", "oct",
+                  "seesaw")
+    )
+    return f"""
+    osites AS MATERIALIZED (
+      SELECT ROW_NUMBER() OVER (ORDER BY mp_id, i) AS sid, *
+      FROM (
+        SELECT mp_id, t.idx AS i,
+               structure.sites[t.idx].abc[1] AS fa,
+               structure.sites[t.idx].abc[2] AS fb,
+               structure.sites[t.idx].abc[3] AS fc
+        FROM {mat_rel},
+             UNNEST(range(1, len(structure.sites) + 1)) AS t(idx)
+      )
+    ),
+    olat AS MATERIALIZED (
+      SELECT *,
+             vvol / sqrt(((a2y * a3z - a2z * a3y) * (a2y * a3z - a2z * a3y)
+                 + (a2z * a3x - a2x * a3z) * (a2z * a3x - a2x * a3z))
+                 + (a2x * a3y - a2y * a3x) * (a2x * a3y - a2y * a3x)) AS h1,
+             vvol / sqrt(((a1y * a3z - a1z * a3y) * (a1y * a3z - a1z * a3y)
+                 + (a1z * a3x - a1x * a3z) * (a1z * a3x - a1x * a3z))
+                 + (a1x * a3y - a1y * a3x) * (a1x * a3y - a1y * a3x)) AS h2,
+             vvol / sqrt(((a1y * a2z - a1z * a2y) * (a1y * a2z - a1z * a2y)
+                 + (a1z * a2x - a1x * a2z) * (a1z * a2x - a1x * a2z))
+                 + (a1x * a2y - a1y * a2x) * (a1x * a2y - a1y * a2x)) AS h3
+      FROM (
+        SELECT *,
+               abs(a1x * (a2y * a3z - a2z * a3y)
+                 - a1y * (a2x * a3z - a2z * a3x)
+                 + a1z * (a2x * a3y - a2y * a3x)) AS vvol
+        FROM (
+          SELECT mp_id,
+                 structure.lattice.matrix[1][1] AS a1x,
+                 structure.lattice.matrix[1][2] AS a1y,
+                 structure.lattice.matrix[1][3] AS a1z,
+                 structure.lattice.matrix[2][1] AS a2x,
+                 structure.lattice.matrix[2][2] AS a2y,
+                 structure.lattice.matrix[2][3] AS a2z,
+                 structure.lattice.matrix[3][1] AS a3x,
+                 structure.lattice.matrix[3][2] AS a3y,
+                 structure.lattice.matrix[3][3] AS a3z
+          FROM {mat_rel})
+      )
+    ),
+    ooff AS (SELECT UNNEST(range(-9, 10)) AS o),
+    ocand AS MATERIALIZED (
+      SELECT sid, sqrt(dsq) AS d, vx, vy, vz,
+             ROW_NUMBER() OVER (PARTITION BY sid
+                                ORDER BY dsq, j, oa, ob, oc) AS rnk
+      FROM (
+        SELECT c.*, (vx * vx + vy * vy) + vz * vz AS dsq
+        FROM (
+          SELECT p.sid, p.j, p.oa, p.ob, p.oc,
+                 (p.dfa * p.a1x + p.dfb * p.a2x) + p.dfc * p.a3x AS vx,
+                 (p.dfa * p.a1y + p.dfb * p.a2y) + p.dfc * p.a3y AS vy,
+                 (p.dfa * p.a1z + p.dfb * p.a2z) + p.dfc * p.a3z AS vz
+          FROM (
+            SELECT p.*, f.o AS oc, (p.fcj + f.o) - p.fci AS dfc
+            FROM (
+              SELECT p.*, f.o AS ob, (p.fbj + f.o) - p.fbi AS dfb
+              FROM (
+                SELECT p.*, f.o AS oa, (p.faj + f.o) - p.fai AS dfa
+                FROM (
+                  SELECT a.sid, b.sid AS j,
+                         a.fa AS fai, a.fb AS fbi, a.fc AS fci,
+                         b.fa AS faj, b.fb AS fbj, b.fc AS fcj,
+                         l.a1x, l.a1y, l.a1z, l.a2x, l.a2y, l.a2z,
+                         l.a3x, l.a3y, l.a3z, l.h1, l.h2, l.h3
+                  FROM osites a
+                  JOIN osites b ON a.mp_id = b.mp_id
+                  JOIN olat l ON l.mp_id = a.mp_id
+                ) p, ooff f
+                WHERE abs((p.faj + f.o) - p.fai) * p.h1 <= 12.0
+              ) p, ooff f
+              WHERE abs((p.fbj + f.o) - p.fbi) * p.h2 <= 12.0
+            ) p, ooff f
+            WHERE abs((p.fcj + f.o) - p.fci) * p.h3 <= 12.0
+          ) p
+        ) c
+        WHERE (vx * vx + vy * vy) + vz * vz > 1e-12
+          AND (vx * vx + vy * vy) + vz * vz <= 144.0
+      )
+    ),
+    ocut AS MATERIALIZED (
+      SELECT sid,
+             GREATEST(6.0, ceil(MAX(CASE WHEN rnk = 12 THEN d END)))
+               AS rcut,
+             MAX(CASE WHEN rnk = 1 THEN d END) AS d1,
+             MAX(CASE WHEN rnk = 2 THEN d END) AS d2
+      FROM ocand GROUP BY sid
+    ),
+    onbr AS MATERIALIZED (
+      SELECT c.sid, c.rnk, c.d, c.d / k.d1 AS drel,
+             c.vx / c.d AS ux, c.vy / c.d AS uy, c.vz / c.d AS uz
+      FROM ocand c JOIN ocut k ON k.sid = c.sid
+      WHERE c.d <= k.rcut
+    ),
+    obin AS MATERIALIZED (
+      SELECT n.*, v.dr,
+             (floor(n.drel / v.dr + 0.5) + 0.5) * v.dr AS dbin
+      FROM onbr n, (VALUES {drs_values}) AS v(dr)
+    ),
+    oshell AS MATERIALIZED (
+      SELECT sid, dr, dbin,
+             CAST(SUM(cnt) OVER w AS INTEGER) AS cn,
+             SUM(inv_sum) OVER w AS inv_cum
+      FROM (SELECT sid, dr, dbin, COUNT(*) AS cnt,
+                   SUM(1.0 / drel) AS inv_sum
+            FROM obin GROUP BY sid, dr, dbin)
+      WINDOW w AS (PARTITION BY sid, dr ORDER BY dbin)
+    ),
+    oprefix AS MATERIALIZED (
+      SELECT sid, dr, dbin, cn,
+             (inv_cum / cn) * (inv_cum / cn) AS dfac
+      FROM oshell WHERE cn IN (2, 3, 4, 5, 6, 12)
+    ),
+    opair AS (
+      SELECT s.sid, s.dr, s.cn, s.dfac,
+             (n1.ux * n2.ux + n1.uy * n2.uy) + n1.uz * n2.uz AS cost
+      FROM oprefix s
+      JOIN obin n1 ON n1.sid = s.sid AND n1.dr = s.dr
+                  AND n1.dbin <= s.dbin
+      JOIN obin n2 ON n2.sid = s.sid AND n2.dr = s.dr
+                  AND n2.dbin <= s.dbin AND n2.rnk > n1.rnk
+    ),
+    omotif AS MATERIALIZED (
+      SELECT sid, dr, cn, ANY_VALUE(dfac) AS dfac,{gauss_cols}
+             1.0 - 0.375 * SUM((cost + (1.0 / 3.0))
+                               * (cost + (1.0 / 3.0))) AS q_tet
+      FROM opair GROUP BY sid, dr, cn
+    ),
+    oq6 AS MATERIALIZED (
+      SELECT s.sid, s.dr, ANY_VALUE(s.dfac) AS dfac,
+             sqrt(GREATEST(SUM(
+               ((231.0 * c2 * c2 * c2 - 315.0 * c2 * c2)
+                + 105.0 * c2 - 5.0) / 16.0) / (144.0), 0.0)) AS q6
+      FROM (
+        SELECT s.sid, s.dr, s.dfac,
+               ((n1.ux * n2.ux + n1.uy * n2.uy) + n1.uz * n2.uz)
+               * ((n1.ux * n2.ux + n1.uy * n2.uy) + n1.uz * n2.uz) AS c2
+        FROM (SELECT * FROM oprefix WHERE cn = 12) s
+        JOIN obin n1 ON n1.sid = s.sid AND n1.dr = s.dr
+                    AND n1.dbin <= s.dbin
+        JOIN obin n2 ON n2.sid = s.sid AND n2.dr = s.dr
+                    AND n2.dbin <= s.dbin
+      ) s GROUP BY s.sid, s.dr
+    ),
+    ovariant AS MATERIALIZED (
+      SELECT v.sid, v.dr,
+             COALESCE(m2.dfac * m2.q_lin, 0.0) AS lin,
+             COALESCE(m2.dfac * m2.q_bent150, 0.0) AS bent150,
+             COALESCE(m3.dfac * m3.q_tri_plan, 0.0) AS tri_plan,
+             COALESCE(m5.dfac * m5.q_pent_plan, 0.0) AS pent_plan,
+             COALESCE(m6.dfac * m6.q_oct, 0.0) AS oct,
+             COALESCE(m4.dfac * m4.q_seesaw, 0.0) AS seesaw,
+             COALESCE(m4.dfac * m4.q_tet, 0.0) AS tet,
+             COALESCE(q.dfac * q.q6, 0.0) AS q6
+      FROM (SELECT DISTINCT sid, dr FROM obin) v
+      LEFT JOIN omotif m2 ON m2.sid = v.sid AND m2.dr = v.dr
+                         AND m2.cn = 2
+      LEFT JOIN omotif m3 ON m3.sid = v.sid AND m3.dr = v.dr
+                         AND m3.cn = 3
+      LEFT JOIN omotif m4 ON m4.sid = v.sid AND m4.dr = v.dr
+                         AND m4.cn = 4
+      LEFT JOIN omotif m5 ON m5.sid = v.sid AND m5.dr = v.dr
+                         AND m5.cn = 5
+      LEFT JOIN omotif m6 ON m6.sid = v.sid AND m6.dr = v.dr
+                         AND m6.cn = 6
+      LEFT JOIN oq6 q ON q.sid = v.sid AND q.dr = v.dr
+    ),
+    opsf_site AS (
+      SELECT s.mp_id, s.i,
+             1.0 - k.d1 / k.d2 AS sgl_bd,
+             a.lin, a.bent150, a.tri_plan, a.pent_plan,
+             a.oct, a.seesaw, a.tet, a.q6
+      FROM (
+        SELECT sid, MEDIAN(lin) AS lin, MEDIAN(bent150) AS bent150,
+               MEDIAN(tri_plan) AS tri_plan,
+               MEDIAN(pent_plan) AS pent_plan, MEDIAN(oct) AS oct,
+               MEDIAN(seesaw) AS seesaw, MEDIAN(tet) AS tet,
+               MEDIAN(q6) AS q6
+        FROM ovariant GROUP BY sid
+      ) a
+      JOIN ocut k ON k.sid = a.sid
+      JOIN osites s ON s.sid = a.sid
+    )"""
+
+
+@register(
+    "m38_op_fingerprint",
+    oracle=f"""
+    WITH {opsf_site_ctes(_MAT_SAMPLE)}
+    SELECT mp_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sites,
+           {_sql_r6n("MAX(tet)", "tet_max")},
+           {_sql_r6n("MAX(seesaw)", "seesaw_max")},
+           {_sql_r6n("AVG(sgl_bd)", "sgl_bd_mean")},
+           {_sql_r6n("AVG(bent150)", "bent150_mean")},
+           {_sql_r6n("AVG(lin)", "lin_mean")},
+           {_sql_r6n("AVG(tri_plan)", "tri_plan_mean")},
+           {_sql_r6n("STDDEV_POP(pent_plan)", "pent_plan_std")},
+           {_sql_r6n("MAX(oct)", "oct_max")},
+           {_sql_r6n("STDDEV_POP(oct)", "oct_std")},
+           {_sql_r6n("AVG(q6)", "q6_mean")}
+    FROM opsf_site GROUP BY mp_id
+    """,
+)
+def m38_op_fingerprint(spark, sf_dir):
+    """§2.9 OPSiteFingerprint, slot-for-slot (reference
+    ml_prediction.py:186,226; consumed slots at :204-205,:251-259) —
+    supersedes the m28 Steinhardt-proxy analog for the ml10/ml12
+    descriptor slots. Per-material reductions of the nine per-site
+    motif fingerprints computed under the published scheme (adaptive
+    ≥12-neighbor shell, relative-distance binning at dr ± ddr,
+    zero_ops prefix-CN matching, (mean 1/drel)² weighting, median
+    across the three dr variants); kernels per motif: exact
+    Chau–Hardwick q_tet, exact Steinhardt q6, exact 1 − d₁/d₂ single-
+    bond, Gaussian angular family at the ideal motif angle multisets
+    for the rest. Gated on the md5-'0%' material sample (constant gate
+    cost at any corpus scale); the Spark production path is the
+    mapInPandas kernel over the full corpus."""
+    from oxi_diel_db_spark.operators.op_fingerprint import (
+        op_fingerprint_sites,
+    )
+
+    m = M.materials(spark).filter(F.md5("mp_id").startswith("0"))
+    per_site = op_fingerprint_sites(m)
+    return per_site.groupBy("mp_id").agg(
+        F.count(F.lit(1)).alias("n_sites"),
+        _r6n(F.max("tet"), "tet_max"),
+        _r6n(F.max("seesaw"), "seesaw_max"),
+        _r6n(F.avg("sgl_bd"), "sgl_bd_mean"),
+        _r6n(F.avg("bent150"), "bent150_mean"),
+        _r6n(F.avg("lin"), "lin_mean"),
+        _r6n(F.avg("tri_plan"), "tri_plan_mean"),
+        _r6n(F.stddev_pop("pent_plan"), "pent_plan_std"),
+        _r6n(F.max("oct"), "oct_max"),
+        _r6n(F.stddev_pop("oct"), "oct_std"),
+        _r6n(F.avg("q6"), "q6_mean"),
+    )
