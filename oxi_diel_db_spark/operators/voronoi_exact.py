@@ -424,7 +424,7 @@ def voronoi_cell_faces(
 VORX_SCHEMA = (
     "mp_id string, site_idx int, n_faces int, symw4 double, "
     "area_min double, area_max double, area_std double, "
-    "dist_min double, dist_std double, vol_max double, "
+    "dist_min double, dist_mean double, dist_std double, vol_max double, "
     "vol_sum double, omega_sum double"
 )
 
@@ -457,8 +457,8 @@ def voronoi_fingerprint_sites(
         for pdf in batches:
             out = {k: [] for k in (
                 "mp_id", "site_idx", "n_faces", "symw4", "area_min",
-                "area_max", "area_std", "dist_min", "dist_std",
-                "vol_max", "vol_sum", "omega_sum",
+                "area_max", "area_std", "dist_min", "dist_mean",
+                "dist_std", "vol_max", "vol_sum", "omega_sum",
             )}
             for mp_id, abc, lat in zip(pdf["mp_id"], pdf["abc"], pdf["lat"]):
                 fr = np.array([np.asarray(p, dtype=float) for p in abc])
@@ -484,6 +484,7 @@ def voronoi_fingerprint_sites(
                     out["area_max"].append(float(ar.max()))
                     out["area_std"].append(float(ar.std()))
                     out["dist_min"].append(float(di.min()))
+                    out["dist_mean"].append(float(di.mean()))
                     out["dist_std"].append(float(di.std()))
                     out["vol_max"].append(float(vo.max()))
                     out["vol_sum"].append(float(vo.sum()))

@@ -68,6 +68,31 @@ def _sp_r6n(expr: str, alias: str) -> str:
 
 _MAT = f"read_parquet('{M.MATERIALS_PARQUET}/*.parquet')"
 
+#: Deterministic structural-descriptor gate sample (md5-prefix rule;
+#: see queries/site_exact.py — constant gate cost at any corpus
+#: scale). The LIBRARY descriptor functions stay full-corpus (ml11/
+#: ml13 train on every material); only the REGISTERED ml10/ml12 gates
+#: restrict to the sample, because their exact-tessellation oracles
+#: re-derive the full Voronoi/OPSF construction relationally. Every
+#: compositional slot family remains full-corpus-gated through
+#: ml6/ml8.
+VOR_SAMPLE_SQL = "md5(mp_id) LIKE '0%'"
+_MAT_SAMPLE = f"(SELECT * FROM {_MAT} WHERE {VOR_SAMPLE_SQL})"
+
+
+def _exact_site_slim(m):
+    """Shared spread projection for the exact-tessellation kernels
+    (abc + lattice; the legacy kernels read xyz via shared_slim)."""
+    from oxi_diel_db_spark.operators import site_features as SF
+
+    return SF._spread(
+        m.select(
+            "mp_id",
+            F.col("structure.sites.abc").alias("abc"),
+            F.col("structure.lattice.matrix").alias("lat"),
+        )
+    ).localCheckpoint(eager=True)
+
 #: (column, table, stat) for the 18 ElementProperty slots of the
 #: el_comp descriptor, in reference order (ml_prediction.py:83-100).
 _EP_SLOTS: list[tuple[str, dict, str]] = [
@@ -701,7 +726,7 @@ _LPD_EL_PROPS = {
 }
 
 
-def el_comp_st_descriptors(spark) -> "F.DataFrame":
+def el_comp_st_descriptors(spark, mats=None) -> "F.DataFrame":
     """(mp_id, formula, <29 descriptor columns>) — ml11 trains on this.
     Plan: one compositional projection (staged _agg) + five site-kernel
     mapInPandas passes reduced by per-material hash aggregates, joined
@@ -710,7 +735,7 @@ def el_comp_st_descriptors(spark) -> "F.DataFrame":
     site-count bounded."""
     from oxi_diel_db_spark.operators import site_features as SF
 
-    m = M.materials(spark)
+    m = mats if mats is not None else M.materials(spark)
     staged = m.select(
         "mp_id", "formula", C._tok_counts("formula").alias("_toks")
     )
@@ -774,18 +799,28 @@ def el_comp_st_descriptors(spark) -> "F.DataFrame":
         _r6n(F.avg("min_dist"), "mean_min_dist"),
         _r6n(F.stddev_pop("min_dist"), "std_min_dist"),
     )
-    ops = SF.site_order_parameters(m, slim=site_src).groupBy("mp_id").agg(
-        _r6n(F.max("q_tet"), "tet_max"),
-        _r6n(F.max("q4"), "seesaw_max"),
+    # exact-tessellation kernels for the OPSF/Voronoi slots (r10:
+    # analogs superseded; reference ml_prediction.py:186-187,204-210)
+    from oxi_diel_db_spark.operators.op_fingerprint import (
+        op_fingerprint_sites,
+    )
+    from oxi_diel_db_spark.operators.voronoi_exact import (
+        voronoi_fingerprint_sites,
+    )
+
+    exact_src = _exact_site_slim(m)
+    ops = op_fingerprint_sites(m, slim=exact_src).groupBy("mp_id").agg(
+        _r6n(F.max("tet"), "tet_max"),
+        _r6n(F.max("seesaw"), "seesaw_max"),
     )
     se = SF.site_inverse_distance_energy(m, slim=site_src).groupBy("mp_id").agg(
         _r6n(F.max("inv_dist_energy"), "ewald_max")
     )
-    vor = SF.voronoi_neighbors(m, slim=site_src).groupBy("mp_id").agg(
-        _r6n(F.max("std_vor_dist"), "vor_area_std_max"),
-        _r6n(F.avg("std_vor_dist"), "vor_area_std_mean"),
-        _r6n(F.min("min_vor_dist"), "vor_dist_min_min"),
-        _r6n(F.stddev_pop("min_vor_dist"), "vor_dist_min_std"),
+    vor = voronoi_fingerprint_sites(m, slim=exact_src).groupBy("mp_id").agg(
+        _r6n(F.max("area_std"), "vor_area_std_max"),
+        _r6n(F.avg("area_std"), "vor_area_std_mean"),
+        _r6n(F.min("dist_min"), "vor_dist_min_min"),
+        _r6n(F.stddev_pop("dist_min"), "vor_dist_min_std"),
     )
     gsf = SF.gaussian_symm_full(m, slim=site_src).groupBy("mp_id").agg(
         _r6n(F.stddev_pop("g2_20"), "g2_20_std"),
@@ -823,11 +858,15 @@ def _site_prop_case(table: dict[str, float], var: str = "el") -> str:
 
 #: Shared site/pair CTE prefix for the structural oracles (the proven
 #: m16/m18/m20/m26/m28/m30 float shapes, verbatim).
-_SITE_CTES = f"""
+def _site_ctes(mat_rel: str) -> str:
+    """Shared site/pair CTE prefix for the structural oracles (the
+    proven m16/m18/m20/m26/m28/m30 float shapes), parameterized over
+    the material relation (full corpus or the md5 gate sample)."""
+    return f"""
     s AS (
       SELECT mp_id, t.idx AS idx, structure.sites[t.idx].xyz AS xyz,
              structure.sites[t.idx].species[1].element AS el
-      FROM {_MAT}, UNNEST(range(1, len(structure.sites) + 1)) AS t(idx)
+      FROM {mat_rel}, UNNEST(range(1, len(structure.sites) + 1)) AS t(idx)
     ),
     p AS (
       SELECT a.mp_id, a.idx AS i, b.idx AS j, b.el AS el_j, a.el AS el_i,
@@ -954,6 +993,9 @@ _SITE_CTES = f"""
 """
 
 
+_SITE_CTES = _site_ctes(_MAT)
+
+
 def _sql_lpd_cte(props: dict[str, dict[str, float]]) -> str:
     """Per-site multi-property LPD CTE over the shared pair CTE ``p``
     (m26's proven float shape, one numerator per property)."""
@@ -1000,13 +1042,20 @@ def _ml10_oracle() -> str:
             _sql_r6n(ed["mean"], "mean_endiff"),
         ]
     )
+    from oxi_diel_db_spark.queries._site_sql import (
+        opsf_site_ctes,
+        vor_site_ctes,
+    )
+
     return f"""
-    WITH ao AS ({AO.sql_atomic_orbitals(_MAT)}),
+    WITH ao AS ({AO.sql_atomic_orbitals(_MAT_SAMPLE)}),
     staged AS (
       SELECT mp_id, formula, {C.sql_agg_tok_counts('formula')} AS agg
-      FROM {_MAT}
+      FROM {_MAT_SAMPLE}
     ),
-    {_SITE_CTES},
+    {_site_ctes(_MAT_SAMPLE)},
+    {vor_site_ctes(_MAT_SAMPLE)},
+    {opsf_site_ctes(_MAT_SAMPLE)},
     {_sql_lpd_cte(_LPD_EL_PROPS)},
     dens AS (
       SELECT mp_id, {_sql_r6n(
@@ -1014,7 +1063,7 @@ def _ml10_oracle() -> str:
           "density")}
       FROM (
         SELECT s.mp_id, s.el, x.vol
-        FROM s JOIN (SELECT mp_id, structure.lattice.volume AS vol FROM {_MAT}) x
+        FROM s JOIN (SELECT mp_id, structure.lattice.volume AS vol FROM {_MAT_SAMPLE}) x
           ON s.mp_id = x.mp_id
       ) GROUP BY mp_id
     ),
@@ -1024,25 +1073,21 @@ def _ml10_oracle() -> str:
       FROM mind GROUP BY mp_id
     ),
     ops_m AS (
-      -- base on ALL materials: a cell with no neighbor inside the 3.0
-      -- OPS cutoff has q4 NULL everywhere (qs empty) but must keep its
-      -- row with NULL maxima, exactly like the Spark kernel's output
-      SELECT s0.mp_id, {_sql_r6n('MAX(tet.q_tet)', 'tet_max')},
-             {_sql_r6n('MAX(qs.q4)', 'seesaw_max')}
-      FROM (SELECT DISTINCT mp_id FROM s) s0
-      LEFT JOIN qs ON qs.mp_id = s0.mp_id
-      LEFT JOIN tet ON tet.mp_id = s0.mp_id
-      GROUP BY s0.mp_id
+      -- exact OPSiteFingerprint slots (opsf_site chain; r10)
+      SELECT mp_id, {_sql_r6n('MAX(tet)', 'tet_max')},
+             {_sql_r6n('MAX(seesaw)', 'seesaw_max')}
+      FROM opsf_site GROUP BY mp_id
     ),
     se_m AS (
       SELECT mp_id, {_sql_r6n('MAX(e)', 'ewald_max')} FROM se GROUP BY mp_id
     ),
     vor_m AS (
-      SELECT mp_id, {_sql_r6n('MAX(std_vd)', 'vor_area_std_max')},
-             {_sql_r6n('AVG(std_vd)', 'vor_area_std_mean')},
-             {_sql_r6n('MIN(min_vd)', 'vor_dist_min_min')},
-             {_sql_r6n('STDDEV_POP(min_vd)', 'vor_dist_min_std')}
-      FROM vor GROUP BY mp_id
+      -- exact tessellation slots (vor_site chain; r10)
+      SELECT mp_id, {_sql_r6n('MAX(area_std)', 'vor_area_std_max')},
+             {_sql_r6n('AVG(area_std)', 'vor_area_std_mean')},
+             {_sql_r6n('MIN(dist_min)', 'vor_dist_min_min')},
+             {_sql_r6n('STDDEV_POP(dist_min)', 'vor_dist_min_std')}
+      FROM vor_site GROUP BY mp_id
     ),
     gsf_m AS (
       SELECT g2.mp_id, {_sql_r6n('STDDEV_POP(g2.g2_20)', 'g2_20_std')},
@@ -1091,11 +1136,17 @@ def _ml10_oracle() -> str:
 def ml10_el_st_descriptors(spark, sf_dir):
     """§2.11/§2.9: the reference's el_comp_st 29-dim descriptor
     (ml_prediction.py:190-220), reference slot order. Compositional
-    slots exact; structural slots ride the engine's declared site
-    kernels (q_tet/q4 for the two OPSF slots, dist-std for Voro areas,
-    the 1/d site-energy proxy for Ewald, Hund unpaired for GSmagmom) —
-    every slot value-hash-gated against the assembled DuckDB twin."""
-    return el_comp_st_descriptors(spark).drop("formula")
+    slots exact; the OPSF/Voronoi slots are the EXACT kernels as of
+    r10 (m37 periodic tessellation face statistics, m38 motif
+    fingerprints — analogs superseded; Ewald keeps the documented 1/d
+    proxy, GSmagmom the Hund count). Gated on the md5-'0%' material
+    sample because the oracle re-derives the full tessellation
+    relationally (constant gate cost at any corpus scale; the
+    compositional families stay full-corpus-gated via ml6), while the
+    library function feeds ml11 training over the full corpus."""
+    return el_comp_st_descriptors(
+        spark, M.materials(spark).filter(F.md5("mp_id").startswith("0"))
+    ).drop("formula")
 
 
 # ---------------------------------------------------------------------------
@@ -1230,13 +1281,13 @@ def _sql_cn_affinity(cn: str, k: float) -> str:
     return f"exp(-({c} * {c}) / 2.0)"
 
 
-def ion_comp_st_descriptors(spark) -> "F.DataFrame":
+def ion_comp_st_descriptors(spark, mats=None) -> "F.DataFrame":
     """(mp_id, formula, <45 descriptor columns>) — ml13 trains on this.
     Same plan family as ml10: one compositional projection + the site
     kernels reduced per material and joined on mp_id."""
     from oxi_diel_db_spark.operators import site_features as SF
 
-    m = M.materials(spark)
+    m = mats if mats is not None else M.materials(spark)
     staged = m.select(
         "mp_id", "formula", C._tok_counts("formula").alias("_toks")
     )
@@ -1294,16 +1345,27 @@ def ion_comp_st_descriptors(spark) -> "F.DataFrame":
         )
     )
     site_src = SF._spread(SF.shared_slim(m)).localCheckpoint(eager=True)
-    # checkpointed: the Voronoi pandas kernel otherwise re-executes for
-    # every consumer branch (het's two-pass mean/avg-dev join reads it
-    # twice, vora once more — Spark doesn't share subplans across
-    # self-joins; same rule as SCALE.md §3's loop-invariant note)
-    vor_site = SF.voronoi_neighbors(m, slim=site_src).localCheckpoint(eager=True)
-    # StructuralHeterogeneity analog: per-site coefficient of variation
-    # of Voronoi-neighbor distances; mean and mean-absolute-deviation
+    # exact-tessellation kernels for the OPSF/Voronoi/heterogeneity
+    # slots (r10: analogs superseded; reference ml_prediction.py:
+    # 186-187,251-269); checkpointed because het's two-pass mean/
+    # avg-dev join reads the per-site table twice and vora once more —
+    # Spark doesn't share subplans across self-joins (SCALE.md §3)
+    from oxi_diel_db_spark.operators.op_fingerprint import (
+        op_fingerprint_sites,
+    )
+    from oxi_diel_db_spark.operators.voronoi_exact import (
+        voronoi_fingerprint_sites,
+    )
+
+    exact_src = _exact_site_slim(m)
+    vor_site = voronoi_fingerprint_sites(m, slim=exact_src).localCheckpoint(
+        eager=True
+    )
+    # StructuralHeterogeneity: per-site coefficient of variation of the
+    # TRUE Voronoi face distances; mean and mean-absolute-deviation
     # over sites (two-pass for the avg_dev)
     v = vor_site.select(
-        "mp_id", (F.col("std_vor_dist") / F.col("mean_vor_dist")).alias("v")
+        "mp_id", (F.col("dist_std") / F.col("dist_mean")).alias("v")
     )
     vmean = v.groupBy("mp_id").agg(F.avg("v").alias("vm"))
     het = (
@@ -1314,45 +1376,24 @@ def ion_comp_st_descriptors(spark) -> "F.DataFrame":
             _r6n(F.avg(F.abs(F.col("v") - F.col("vm"))), "nbr_var_avg_dev"),
         )
     )
-    ops = SF.site_order_parameters(m, slim=site_src).groupBy("mp_id").agg(
-        _r6n(F.avg((F.lit(1.0) - F.col("cos_nn2")) / F.lit(2.0)), "linear_mean"),
-        _r6n(
-            F.avg(
-                F.exp(
-                    -(F.col("cos_nn2") - F.lit(_COS150))
-                    * (F.col("cos_nn2") - F.lit(_COS150))
-                    / F.lit(0.1)
-                )
-            ),
-            "bent150_mean",
-        ),
-        _r6n(F.avg("planar3"), "trig_planar_mean"),
+    opsf_site = op_fingerprint_sites(m, slim=exact_src)
+    ops = opsf_site.groupBy("mp_id").agg(
+        _r6n(F.avg("lin"), "linear_mean"),
+        _r6n(F.avg("bent150"), "bent150_mean"),
+        _r6n(F.avg("tri_plan"), "trig_planar_mean"),
         _r6n(F.avg("q6"), "q6_cn12_mean"),
+        _r6n(F.avg("sgl_bd"), "sgl_bd_mean"),
+        _r6n(F.stddev_pop("pent_plan"), "pent_cn5_std"),
+        _r6n(F.max("oct"), "oct_cn6_max"),
+        _r6n(F.stddev_pop("oct"), "oct_cn6_std"),
     )
     vora = vor_site.groupBy("mp_id").agg(
-        _r6n(F.avg(_cn_affinity(F.col("vor_cn"), 1.0)), "sgl_bd_mean"),
-        _r6n(F.stddev_pop(_cn_affinity(F.col("vor_cn"), 5.0)), "pent_cn5_std"),
-        _r6n(F.max(_cn_affinity(F.col("vor_cn"), 6.0)), "oct_cn6_max"),
-        _r6n(F.stddev_pop(_cn_affinity(F.col("vor_cn"), 6.0)), "oct_cn6_std"),
-        _r6n(F.stddev_pop(_cn_affinity(F.col("vor_cn"), 4.0)), "sym_w4_std"),
-        _r6n(
-            F.avg(
-                F.col("max_vor_dist") * F.col("max_vor_dist") * F.col("max_vor_dist")
-            ),
-            "vol_max_mean",
-        ),
-        _r6n(F.avg("std_vor_inv2"), "area_std_mean"),
-        _r6n(
-            F.stddev_pop(
-                F.lit(1.0) / (F.col("max_vor_dist") * F.col("max_vor_dist"))
-            ),
-            "area_min_std",
-        ),
-        _r6n(
-            F.min(F.lit(1.0) / (F.col("min_vor_dist") * F.col("min_vor_dist"))),
-            "area_max_min",
-        ),
-        _r6n(F.avg("std_vor_dist"), "dist_std_mean"),
+        _r6n(F.stddev_pop("symw4"), "sym_w4_std"),
+        _r6n(F.avg("vol_max"), "vol_max_mean"),
+        _r6n(F.avg("area_std"), "area_std_mean"),
+        _r6n(F.stddev_pop("area_min"), "area_min_std"),
+        _r6n(F.min("area_max"), "area_max_min"),
+        _r6n(F.avg("dist_std"), "dist_std_mean"),
     )
     se = SF.site_inverse_distance_energy(m, slim=site_src).groupBy("mp_id").agg(
         _r6n(F.max("inv_dist_energy"), "ewald_max")
@@ -1407,14 +1448,20 @@ def _ml12_oracle() -> str:
             _sql_r6n(C.sql_tmetal_fraction("m.formula"), "tm_frac"),
         ]
     )
-    cos150 = repr(_COS150)
+    from oxi_diel_db_spark.queries._site_sql import (
+        opsf_site_ctes,
+        vor_site_ctes,
+    )
+
     return f"""
-    WITH ao AS ({AO.sql_atomic_orbitals(_MAT)}),
+    WITH ao AS ({AO.sql_atomic_orbitals(_MAT_SAMPLE)}),
     staged AS (
       SELECT mp_id, formula, {C.sql_agg_tok_counts('formula')} AS agg
-      FROM {_MAT}
+      FROM {_MAT_SAMPLE}
     ),
-    {_SITE_CTES},
+    {_site_ctes(_MAT_SAMPLE)},
+    {vor_site_ctes(_MAT_SAMPLE)},
+    {opsf_site_ctes(_MAT_SAMPLE)},
     {_sql_lpd_cte(_LPD_ION_PROPS)},
     dens AS (
       SELECT mp_id,
@@ -1422,12 +1469,13 @@ def _ml12_oracle() -> str:
              {_sql_r6n("SUM(4.0 / 3.0 * pi() * pow(" + _site_prop_case(C.COVALENT_RADIUS, "el") + ", 3)) / ANY_VALUE(vol)", "packing_fraction")}
       FROM (
         SELECT s.mp_id, s.el, x.vol
-        FROM s JOIN (SELECT mp_id, structure.lattice.volume AS vol FROM {_MAT}) x
+        FROM s JOIN (SELECT mp_id, structure.lattice.volume AS vol FROM {_MAT_SAMPLE}) x
           ON s.mp_id = x.mp_id
       ) GROUP BY mp_id
     ),
     hv AS (
-      SELECT mp_id, std_vd / mean_vd AS v FROM vor
+      -- exact per-site face-distance variation (vor_site chain; r10)
+      SELECT mp_id, i, dist_std / dist_mean AS v FROM vor_site
     ),
     hvm AS (SELECT mp_id, AVG(v) AS vm FROM hv GROUP BY mp_id),
     het AS (
@@ -1436,38 +1484,28 @@ def _ml12_oracle() -> str:
       FROM hv JOIN hvm ON hv.mp_id = hvm.mp_id GROUP BY hv.mp_id
     ),
     ops_m AS (
-      SELECT s0.mp_id,
-             {_sql_r6n('AVG((1.0 - nn2.cos_nn2) / 2.0)', 'linear_mean')},
-             {_sql_r6n(f'AVG(exp(-(nn2.cos_nn2 - {cos150}) * (nn2.cos_nn2 - {cos150}) / 0.1))', 'bent150_mean')}
-      FROM (SELECT DISTINCT mp_id FROM s) s0
-      LEFT JOIN nn2 ON nn2.mp_id = s0.mp_id
-      GROUP BY s0.mp_id
-    ),
-    ops3_m AS (
-      SELECT s0.mp_id, {_sql_r6n('AVG(nn3.planar3)', 'trig_planar_mean')}
-      FROM (SELECT DISTINCT mp_id FROM s) s0
-      LEFT JOIN nn3 ON nn3.mp_id = s0.mp_id
-      GROUP BY s0.mp_id
-    ),
-    q6_m AS (
-      SELECT s0.mp_id, {_sql_r6n('AVG(qs.q6)', 'q6_cn12_mean')}
-      FROM (SELECT DISTINCT mp_id FROM s) s0
-      LEFT JOIN qs ON qs.mp_id = s0.mp_id
-      GROUP BY s0.mp_id
+      -- exact OPSiteFingerprint slots (opsf_site chain; r10)
+      SELECT mp_id,
+             {_sql_r6n('AVG(lin)', 'linear_mean')},
+             {_sql_r6n('AVG(bent150)', 'bent150_mean')},
+             {_sql_r6n('AVG(tri_plan)', 'trig_planar_mean')},
+             {_sql_r6n('AVG(q6)', 'q6_cn12_mean')},
+             {_sql_r6n('AVG(sgl_bd)', 'sgl_bd_mean')},
+             {_sql_r6n('STDDEV_POP(pent_plan)', 'pent_cn5_std')},
+             {_sql_r6n('MAX(oct)', 'oct_cn6_max')},
+             {_sql_r6n('STDDEV_POP(oct)', 'oct_cn6_std')}
+      FROM opsf_site GROUP BY mp_id
     ),
     vora AS (
+      -- exact tessellation slots (vor_site chain; r10)
       SELECT mp_id,
-             {_sql_r6n('AVG(' + _sql_cn_affinity('vor_cn', 1.0) + ')', 'sgl_bd_mean')},
-             {_sql_r6n('STDDEV_POP(' + _sql_cn_affinity('vor_cn', 5.0) + ')', 'pent_cn5_std')},
-             {_sql_r6n('MAX(' + _sql_cn_affinity('vor_cn', 6.0) + ')', 'oct_cn6_max')},
-             {_sql_r6n('STDDEV_POP(' + _sql_cn_affinity('vor_cn', 6.0) + ')', 'oct_cn6_std')},
-             {_sql_r6n('STDDEV_POP(' + _sql_cn_affinity('vor_cn', 4.0) + ')', 'sym_w4_std')},
-             {_sql_r6n('AVG(max_vd * max_vd * max_vd)', 'vol_max_mean')},
-             {_sql_r6n('AVG(std_inv2)', 'area_std_mean')},
-             {_sql_r6n('STDDEV_POP(1.0 / (max_vd * max_vd))', 'area_min_std')},
-             {_sql_r6n('MIN(1.0 / (min_vd * min_vd))', 'area_max_min')},
-             {_sql_r6n('AVG(std_vd)', 'dist_std_mean')}
-      FROM vor GROUP BY mp_id
+             {_sql_r6n('STDDEV_POP(symw4)', 'sym_w4_std')},
+             {_sql_r6n('AVG(vol_max)', 'vol_max_mean')},
+             {_sql_r6n('AVG(area_std)', 'area_std_mean')},
+             {_sql_r6n('STDDEV_POP(area_min)', 'area_min_std')},
+             {_sql_r6n('MIN(area_max)', 'area_max_min')},
+             {_sql_r6n('AVG(dist_std)', 'dist_std_mean')}
+      FROM vor_site GROUP BY mp_id
     ),
     se_m AS (
       SELECT mp_id, {_sql_r6n('MAX(e)', 'ewald_max')} FROM se GROUP BY mp_id
@@ -1506,9 +1544,9 @@ def _ml12_oracle() -> str:
            ao.gap_ao,
            dens.density, dens.packing_fraction,
            het.nbr_var_mean, het.nbr_var_avg_dev,
-           vora.sgl_bd_mean, ops_m.bent150_mean, ops_m.linear_mean,
-           ops3_m.trig_planar_mean, vora.pent_cn5_std,
-           vora.oct_cn6_max, vora.oct_cn6_std, q6_m.q6_cn12_mean,
+           ops_m.sgl_bd_mean, ops_m.bent150_mean, ops_m.linear_mean,
+           ops_m.trig_planar_mean, ops_m.pent_cn5_std,
+           ops_m.oct_cn6_max, ops_m.oct_cn6_std, ops_m.q6_cn12_mean,
            se_m.ewald_max,
            vora.sym_w4_std, vora.vol_max_mean, vora.area_std_mean,
            vora.area_min_std, vora.area_max_min, vora.dist_std_mean,
@@ -1526,8 +1564,6 @@ def _ml12_oracle() -> str:
     JOIN dens ON m.mp_id = dens.mp_id
     JOIN het ON m.mp_id = het.mp_id
     JOIN ops_m ON m.mp_id = ops_m.mp_id
-    JOIN ops3_m ON m.mp_id = ops3_m.mp_id
-    JOIN q6_m ON m.mp_id = q6_m.mp_id
     JOIN vora ON m.mp_id = vora.mp_id
     JOIN se_m ON m.mp_id = se_m.mp_id
     JOIN gsf_m ON m.mp_id = gsf_m.mp_id
@@ -1538,11 +1574,15 @@ def _ml12_oracle() -> str:
 @register("ml12_ion_st_descriptors", oracle=_ml12_oracle())
 def ml12_ion_st_descriptors(spark, sf_dir):
     """§2.11/§2.9: the reference's ion_comp_st 45-dim descriptor
-    (ml_prediction.py:230-276), reference slot order, every slot
-    value-hash-gated against the assembled DuckDB twin. Closes the
-    descriptor-assembly tier: all four reference descriptor vectors
-    (el/ion × comp/comp_st) now exist slot-for-slot."""
-    return ion_comp_st_descriptors(spark).drop("formula")
+    (ml_prediction.py:230-276), reference slot order. The eight OPSF
+    slots, six Voronoi slots and the two StructuralHeterogeneity slots
+    are the EXACT kernels as of r10 (m37/m38 — analogs superseded).
+    Gated on the md5-'0%' sample (oracle re-derives the tessellation
+    relationally; ml8 keeps the compositional families full-corpus);
+    the library function feeds ml13 training over the full corpus."""
+    return ion_comp_st_descriptors(
+        spark, M.materials(spark).filter(F.md5("mp_id").startswith("0"))
+    ).drop("formula")
 
 
 # ---------------------------------------------------------------------------
