@@ -687,7 +687,11 @@ def mmr_rerank(
         pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
         m = np.stack(pdf["nv"].to_numpy()).astype(np.float64)
         nrm = np.sqrt((m * m).sum(axis=1))
-        sim = np.round((m @ m.T) / np.outer(nrm, nrm), 6)
+        # +1e-9 nudge before the 6-dp round (the repo's cross-engine
+        # rule): the corpus produces candidate cosines EXACTLY at a
+        # .5e-6 boundary, where numpy's half-even and the SQL twin's
+        # half-away disagree — r10, found by s8's new hash gate
+        sim = np.round((m @ m.T) / np.outer(nrm, nrm) + 1e-9, 6)
         rel = pdf["cos"].to_numpy()
         ids = pdf["neighbor_id"].to_numpy()
         selected: list[int] = []

@@ -4048,7 +4048,63 @@ def t17_perplexity_filter(spark, sf_dir):
     )
 
 
-@register("t18_bpe_merges", oracle=None)  # iterative — Python parity test
+def _t18_oracle(n_merges: int = 10) -> str:
+    """Unrolled-CTE DuckDB replay of the 10 data-dependent BPE merges
+    (the g1 fixed-iteration pattern). The merge application uses the
+    wrapped-delimiter string form — every symbol is enclosed in its
+    own chr(1) pair, so SQL replace()'s left-to-right non-overlapping
+    semantics IS the BPE merge convention ("a a a a" merges to
+    [aa, aa], not [aa, a, a]); the Spark side keeps its JVM
+    (out, pending) fold, so the gate cross-checks two independent
+    implementations of the same convention."""
+    d = "chr(1)"
+    steps = []
+    for k in range(1, n_merges + 1):
+        steps.append(f"""
+    p{k} AS (
+      SELECT z[1] AS l, z[2] AS r, CAST(SUM(freq) AS BIGINT) AS pf
+      FROM (SELECT freq,
+                   UNNEST(list_zip(syms[:-1], syms[2:])) AS z
+            FROM v{k - 1})
+      GROUP BY z[1], z[2] HAVING z[1] IS NOT NULL AND z[2] IS NOT NULL
+    ),
+    m{k} AS (
+      SELECT l, r, pf FROM p{k} ORDER BY pf DESC, l ASC, r ASC LIMIT 1
+    ),
+    v{k} AS (
+      SELECT v.freq,
+             string_split(
+               trim(replace({d} || array_to_string(v.syms, {d} || {d})
+                              || {d},
+                            {d} || m.l || {d} || {d} || m.r || {d},
+                            {d} || m.l || m.r || {d}),
+                    chr(1)),
+               {d} || {d}) AS syms
+      FROM v{k - 1} v, m{k} m
+    )""")
+    unions = "\n      UNION ALL ".join(
+        f"SELECT {k} AS rank, l AS left, r AS right, l || r AS merged, "
+        f"pf AS freq FROM m{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return f"""
+    WITH v0 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS freq,
+             list_append(
+               list_filter(string_split(w, ''), x -> x <> ''),
+               '</w>') AS syms
+      FROM (
+        SELECT UNNEST(list_filter(
+                 string_split_regex(lower(text), '\\s+'),
+                 x -> x <> '')) AS w
+        FROM documents
+      ) GROUP BY w
+    ),{','.join(steps)}
+    SELECT * FROM ({unions}) ORDER BY rank
+    """
+
+
+@register("t18_bpe_merges", oracle=_t18_oracle())
 def t18_bpe_merges(spark, sf_dir):
     """Distributed BPE vocabulary learning (the tokenizer-training
     step of every LLM data pipeline): learn the first 10 merge rules
@@ -4347,7 +4403,96 @@ def mm11_spectrogram(spark, sf_dir):
     )
 
 
-@register("s8_mmr_rerank", oracle=None)  # sequential greedy — python parity
+def _s8_oracle(k_cand: int = 20, k_sel: int = 5) -> str:
+    """Unrolled-CTE DuckDB replay of the MMR greedy (the t18/g1
+    fixed-iteration pattern): top-20 candidates per probe via the s1
+    cosine convention, then five argmax steps, each recomputing every
+    remaining candidate's objective floor((0.7·rel − (1.0−0.7)·max-sim
+    -to-selected)·1e6 + 0.5)/1e6 — the (1 − lam) factor is emitted as the
+    exact Python double 0.30000000000000004 (DuckDB's own (1.0 - 0.7)
+    is DECIMAL-exact 0.3, one ulp away), and the explicit floor-round is
+    the operator's own tie rule, so both engines re-decide the
+    corpus's real half-ties identically."""
+    steps = []
+    # (1 − lam) as the exact PYTHON double — DuckDB's (1.0 - 0.7) is
+    # DECIMAL arithmetic (exactly 0.3, one ulp away), which flips the
+    # corpus's real half-ties (found by this gate)
+    one_minus_lam = repr(1 - 0.7) + "::DOUBLE"
+    score1 = (f"floor((0.7 * cos - {one_minus_lam} * 0.0) * 1e6 + 0.5)"
+              " / 1e6")
+    steps.append(f"""
+    sel1 AS (
+      SELECT query_id, neighbor_id, cos AS relevance,
+             {score1} AS score
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY {score1} DESC, neighbor_id) AS rn FROM cands)
+      WHERE rn = 1
+    ),
+    selall1 AS (SELECT query_id, neighbor_id FROM sel1)""")
+    for k in range(2, k_sel + 1):
+        sc = (f"floor((0.7 * c.cos - {one_minus_lam} * p.pen) * 1e6"
+              " + 0.5) / 1e6")
+        steps.append(f"""
+    sel{k} AS (
+      SELECT query_id, neighbor_id, relevance, score FROM (
+        SELECT c.query_id, c.neighbor_id, c.cos AS relevance,
+               {sc} AS score,
+               ROW_NUMBER() OVER (PARTITION BY c.query_id
+                 ORDER BY {sc} DESC, c.neighbor_id) AS rn
+        FROM cands c
+        JOIN (SELECT s.query_id, s.i AS neighbor_id, MAX(s.sim) AS pen
+              FROM sims s
+              JOIN selall{k - 1} x ON x.query_id = s.query_id
+                                  AND x.neighbor_id = s.j
+              GROUP BY s.query_id, s.i) p
+          ON p.query_id = c.query_id AND p.neighbor_id = c.neighbor_id
+        WHERE NOT EXISTS (SELECT 1 FROM selall{k - 1} x
+                          WHERE x.query_id = c.query_id
+                            AND x.neighbor_id = c.neighbor_id)
+      ) WHERE rn = 1
+    ),
+    selall{k} AS (SELECT * FROM selall{k - 1}
+                  UNION ALL SELECT query_id, neighbor_id FROM sel{k})""")
+    unions = "\n      UNION ALL ".join(
+        f"SELECT query_id, {k} AS mmr_rank, neighbor_id, relevance, "
+        f"score AS mmr_score FROM sel{k}"
+        for k in range(1, k_sel + 1)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (SELECT vec_id AS query_id, v AS pv FROM e WHERE vec_id < 5),
+    scored AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             ROUND(list_dot_product(p.pv, c.v)
+                   / (sqrt(list_dot_product(p.pv, p.pv))
+                      * sqrt(list_dot_product(c.v, c.v))), 6) + 0 AS cos
+      FROM p CROSS JOIN e c
+      WHERE c.vec_id <> p.query_id
+    ),
+    cands AS (
+      SELECT query_id, neighbor_id, cos FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rn
+        FROM scored
+      ) WHERE rn <= {k_cand}
+    ),
+    cv AS (
+      SELECT c.query_id, c.neighbor_id, e.v
+      FROM cands c JOIN e ON e.vec_id = c.neighbor_id
+    ),
+    sims AS (
+      SELECT a.query_id, a.neighbor_id AS i, b.neighbor_id AS j,
+             ROUND(list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))) + 1e-9, 6)
+               + 0 AS sim
+      FROM cv a JOIN cv b ON a.query_id = b.query_id
+    ),{','.join(steps)}
+    SELECT * FROM ({unions}) ORDER BY query_id, mmr_rank
+    """
+
+
+@register("s8_mmr_rerank", oracle=_s8_oracle())
 def s8_mmr_rerank(spark, sf_dir):
     """MMR diversification re-rank (Carbonell & Goldstein 1998) — the
     context-packing step between retrieval and prompt assembly: from
@@ -5371,7 +5516,10 @@ def c5_corpus_health(spark, sf_dir):
     return out
 
 
-@register("t22_compression_ratio", oracle=None)  # zlib bytes not SQL-expressible; signal + parity tests
+@register("t22_compression_ratio", oracle=None)  # zlib bytes not SQL-expressible
+# (r10 upgrade audit: DuckDB exposes no deflate/compress scalar, so a
+# value twin cannot exist; stays rows-only BY NECESSITY, not neglect —
+# signal + parity pytest cover the numerics)
 def t22_compression_ratio(spark, sf_dir):
     """Compression-ratio quality signal (the Gopher/DCLM-style
     deflate-ratio filter, public): highly repetitive or templated text

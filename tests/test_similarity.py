@@ -241,7 +241,7 @@ def test_s8_mmr_matches_pure_python(spark):
         rel = dict(zip(sub["neighbor_id"], sub["cos"]))
         m = np.stack([vecs[i] for i in ids])
         nrm = np.sqrt((m * m).sum(axis=1))
-        sim = np.round((m @ m.T) / np.outer(nrm, nrm), 6)
+        sim = np.round((m @ m.T) / np.outer(nrm, nrm) + 1e-9, 6)
         pos = {d: i for i, d in enumerate(ids)}
         sel = []
         for step in range(5):
