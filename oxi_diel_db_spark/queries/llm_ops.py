@@ -4048,6 +4048,14 @@ def t17_perplexity_filter(spark, sf_dir):
     )
 
 
+def _t18_chain(n_merges: int = 10) -> str:
+    """The WITH-body of _t18_oracle (v0..v{n}, m1..m{n}) — reused by
+    t23's application oracle, which tokenizes the corpus with the
+    final vocabulary v{n}."""
+    sql = _t18_oracle(n_merges)
+    return sql[sql.index("WITH ") + 5 : sql.index("\n    SELECT * FROM (")]
+
+
 def _t18_oracle(n_merges: int = 10) -> str:
     """Unrolled-CTE DuckDB replay of the 10 data-dependent BPE merges
     (the g1 fixed-iteration pattern). The merge application uses the
@@ -4072,7 +4080,7 @@ def _t18_oracle(n_merges: int = 10) -> str:
       SELECT l, r, pf FROM p{k} ORDER BY pf DESC, l ASC, r ASC LIMIT 1
     ),
     v{k} AS (
-      SELECT v.freq,
+      SELECT v.w, v.freq,
              string_split(
                trim(replace({d} || array_to_string(v.syms, {d} || {d})
                               || {d},
@@ -4087,9 +4095,8 @@ def _t18_oracle(n_merges: int = 10) -> str:
         f"pf AS freq FROM m{k}"
         for k in range(1, n_merges + 1)
     )
-    return f"""
-    WITH v0 AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS freq,
+    chain = f"""v0 AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
              list_append(
                list_filter(string_split(w, ''), x -> x <> ''),
                '</w>') AS syms
@@ -4099,13 +4106,155 @@ def _t18_oracle(n_merges: int = 10) -> str:
                  x -> x <> '')) AS w
         FROM documents
       ) GROUP BY w
-    ),{','.join(steps)}
+    ),{','.join(steps)}"""
+    return f"""
+    WITH {chain}
     SELECT * FROM ({unions}) ORDER BY rank
     """
 
 
-@register("t18_bpe_merges", oracle=_t18_oracle())
-def t18_bpe_merges(spark, sf_dir):
+@register(
+    "d20_substring_dedup",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, t.i AS pos,
+             md5(substring(text, t.i, 50)) AS h
+      FROM documents,
+           UNNEST(range(1, length(text) - 50 + 2)) AS t(i)
+      WHERE length(text) >= 50
+    ),
+    rep AS (
+      SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2
+    ),
+    hits AS (
+      SELECT g.doc_id, g.pos,
+             CASE WHEN g.pos - LAG(g.pos) OVER (
+                    PARTITION BY g.doc_id ORDER BY g.pos) <= 50
+                  THEN 0 ELSE 1 END AS new_island
+      FROM g JOIN rep ON rep.h = g.h
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos)
+               AS island
+      FROM hits
+    ),
+    spans AS (
+      SELECT doc_id, island,
+             MIN(pos) AS s, MAX(pos) + 50 AS e
+      FROM isl GROUP BY doc_id, island
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_spans,
+             CAST(SUM(e - s) AS BIGINT) AS flagged_chars
+      FROM spans GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.n_chars,
+           COALESCE(p.n_spans, 0) AS n_spans,
+           COALESCE(p.flagged_chars, 0) AS flagged_chars,
+           ROUND(COALESCE(p.flagged_chars, 0)
+                 / CAST(d.n_chars AS DOUBLE) + 1e-9, 6) + 0 AS flag_rate
+    FROM documents d
+    LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+    """,
+)
+def d20_substring_dedup(spark, sf_dir):
+    """Exact repeated-substring detection at document granularity —
+    the suffix-array recipe of the public "Deduplicating Training
+    Data Makes Language Models Better" pipeline, re-expressed
+    Spark-first: a repeat of length ≥ L exists iff some L-gram
+    (L = 50 chars, step 1) occurs twice anywhere in the corpus, so
+    the L-gram position table IS the suffix-array repeat query.
+    d11's fixed-stride span hashing misses repeats that straddle its
+    span boundaries (non-aligned); the step-1 window cannot.
+
+    Pipeline: every character position emits md5(substring(text, i,
+    50)) → one groupBy finds grams with corpus count ≥ 2 (map-side
+    combine carries the load; the gram table is the shuffle, the
+    documents are scanned once) → repeated positions per doc merge
+    into maximal spans with one gaps-and-islands window (adjacent or
+    overlapping [p, p+50) intervals coalesce) → per-doc flagged-char
+    accounting. At 100 TB the md5 keys bound the shuffle payload at
+    16 bytes/position regardless of L; collisions (2^-128) are the
+    standard engineering trade of the published pipeline.
+
+    Output: (doc_id, n_chars, n_spans, flagged_chars, flag_rate) for
+    every document — fully hash-gated; non-aligned planted repeats
+    are pinned in tests/test_dedup.py."""
+    L = 50
+    docs = t(spark, sf_dir, "documents")
+    g = (
+        docs.filter(F.length("text") >= L)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(text) - {L} + 1), "
+                    f"i -> struct(i AS pos, md5(substring(text, i, {L})) AS h))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    )
+    rep = (
+        g.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("h")
+    )
+    from pyspark.sql import Window as W
+
+    w_doc = W.partitionBy("doc_id").orderBy("pos")
+    hits = g.join(rep, "h").select(
+        "doc_id",
+        "pos",
+        F.when(
+            F.col("pos") - F.lag("pos").over(W.partitionBy("doc_id").orderBy("pos"))
+            <= F.lit(L),
+            F.lit(0),
+        )
+        .otherwise(F.lit(1))
+        .alias("new_island"),
+    )
+    isl = hits.select(
+        "doc_id", "pos", F.sum("new_island").over(
+            W.partitionBy("doc_id").orderBy("pos")
+        ).alias("island")
+    )
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s"), (F.max("pos") + F.lit(L)).alias("e")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("e") - F.col("s")).alias("flagged_chars"),
+    )
+    return (
+        docs.select("doc_id", "n_chars")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("flagged_chars", F.lit(0)).alias("flagged_chars"),
+            (
+                F.round(
+                    F.coalesce("flagged_chars", F.lit(0))
+                    / F.col("n_chars").cast("double")
+                    + F.lit(1e-9),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("flag_rate"),
+        )
+    )
+
+
+def _bpe_learn(spark, sf_dir, n_merges: int = 10):
+    """Shared BPE learner behind t18 (merge table) and t23 (corpus
+    tokenization): returns (merges, vocab) — the merge list
+    [(rank, l, r, merged, freq)] and the word-frequency DataFrame
+    (w, freq, syms) with all merges applied."""
     """Distributed BPE vocabulary learning (the tokenizer-training
     step of every LLM data pipeline): learn the first 10 merge rules
     over documents.text, Sennrich-style — start from characters +
@@ -4140,6 +4289,7 @@ def t18_bpe_merges(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("freq"))
     )
     vocab = words.select(
+        "w",
         "freq",
         F.concat(
             F.filter(F.split("w", ""), lambda c: c != ""),
@@ -4148,7 +4298,7 @@ def t18_bpe_merges(spark, sf_dir):
     ).localCheckpoint()
 
     merges = []
-    for rank in range(1, 11):
+    for rank in range(1, n_merges + 1):
         n = F.size("syms")
         pairs = vocab.select(
             "freq",
@@ -4201,10 +4351,72 @@ def t18_bpe_merges(spark, sf_dir):
                 F.concat(acc["out"], F.array(acc["pend"])),
             ).otherwise(acc["out"]),
         )
-        vocab = vocab.select("freq", merged.alias("syms")).localCheckpoint()
+        vocab = vocab.select("w", "freq", merged.alias("syms")).localCheckpoint()
 
+    return merges, vocab
+
+
+@register("t18_bpe_merges", oracle=_t18_oracle())
+def t18_bpe_merges(spark, sf_dir):
+    """Distributed BPE vocabulary learning — see _bpe_learn (the
+    docstring there covers the scheme and the scale shape). Gated by
+    the 10-step unrolled-CTE DuckDB replay (_t18_oracle)."""
+    merges, _ = _bpe_learn(spark, sf_dir)
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, freq bigint"
+    )
+
+
+@register(
+    "t23_bpe_apply",
+    oracle=f"""
+    WITH {_t18_chain()},
+    tok AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_bpe FROM v10),
+    dw AS (
+      SELECT doc_id, UNNEST(list_filter(
+               string_split_regex(lower(text), '\\s+'),
+               x -> x <> '')) AS w
+      FROM documents
+    )
+    SELECT dw.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(length(dw.w) + 1) AS BIGINT) AS n_syms_init,
+           CAST(SUM(tok.n_bpe) AS BIGINT) AS n_tokens_bpe
+    FROM dw JOIN tok ON tok.w = dw.w
+    GROUP BY dw.doc_id
+    """,
+)
+def t23_bpe_apply(spark, sf_dir):
+    """BPE tokenizer APPLICATION at corpus scale (the encode step that
+    t18's learner feeds — the r9 verdict's named gap): tokenize every
+    document with the 10 learned merges and emit per-document token
+    accounting (words, initial character symbols incl. '</w>', final
+    BPE tokens).
+
+    Scale shape — the property that makes encoding cheap at 100 TB:
+    merges are applied ONCE to the distinct-WORD table (_bpe_learn's
+    vocab output, |vocab| rows, all 10 folds JVM-side), and the corpus
+    is then a word→token-count broadcast-style equi-join plus one
+    aggregation — the documents themselves are scanned once and never
+    carry symbol arrays. Gated end-to-end: the oracle replays the
+    merge learning (t18's unrolled chain) AND the application
+    relationally, so a single wrong merge or a wrong fold shifts the
+    token counts and the hash."""
+    _, vocab = _bpe_learn(spark, sf_dir)
+    tok = vocab.select("w", F.size("syms").cast("long").alias("n_bpe"))
+    docs = t(spark, sf_dir, "documents")
+    dw = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w"),
+    ).filter(F.length("w") > 0)
+    return (
+        dw.join(tok, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("w") + F.lit(1)).alias("n_syms_init"),
+            F.sum("n_bpe").alias("n_tokens_bpe"),
+        )
     )
 
 

@@ -462,3 +462,56 @@ def test_d19_semdedup_recall_splits_routing_and_cosine_loss(spark):
     assert by[40]["routing_recall"] >= by[100]["routing_recall"]
     assert by[40]["recall"] >= 0.5
     assert by[100]["recall"] <= 0.1
+
+
+# ---- d20: exact repeated-substring detection (r10 birth) -----------------
+
+
+def test_d20_nonaligned_overlapping_repeats(spark, tmp_path):
+    """Planted repeats that d11's fixed-stride span hashing cannot see:
+    the shared block starts at DIFFERENT, non-stride offsets in each
+    document, and two repeats overlap inside one document — the step-1
+    window + gaps-and-islands union must merge them exactly."""
+    import pyspark.sql.functions as F
+
+    from oxi_diel_db_spark.queries.llm_ops import d20_substring_dedup
+
+    block = "The quick brown fox jumps over the lazy dog again and again!"
+    assert len(block) >= 50
+    docs = [
+        # doc 0: block at offset 3 (non-aligned)
+        (0, "abc" + block + "x" * 40),
+        # doc 1: the same block at offset 17 (different alignment)
+        (1, "y" * 17 + block + "z" * 10),
+        # doc 2: the block again behind a 30-char copy of its own
+        # prefix — the prefix repeat is BELOW the L=50 threshold and
+        # must NOT be flagged (threshold semantics of the published
+        # recipe), while the full block is
+        (2, block[:30] + block + "tail" * 5),
+        # doc 3: clean (no 50-gram repeated anywhere — genuinely
+        # aperiodic text; a periodic filler like "qwerty "*8 would be
+        # a REAL self-repeat and correctly flagged)
+        (3, "completely unique aperiodic text zero one two three four"
+            " five six seven eight nine ten eleven twelve thirteen"),
+    ]
+    pdf = spark.createDataFrame(
+        [(i, s, "en", "test", len(s)) for i, s in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = str(tmp_path / "sf")
+    pdf.write.parquet(sf + "/documents.parquet")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in d20_substring_dedup(spark, sf).collect()
+    }
+    # docs 0 and 1 share `block`: every 50-gram of block repeats →
+    # flagged span = the full block, at two different alignments
+    assert out[0]["n_spans"] == 1
+    assert out[0]["flagged_chars"] == len(block)
+    assert out[1]["flagged_chars"] == len(block)
+    # doc 2: only the ≥50-char repeat (the full block) is flagged; the
+    # 30-char prefix repeat is below threshold by design
+    assert out[2]["n_spans"] == 1
+    assert out[2]["flagged_chars"] == len(block)
+    # the clean doc flags nothing
+    assert out[3]["n_spans"] == 0 and out[3]["flagged_chars"] == 0

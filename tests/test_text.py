@@ -300,3 +300,69 @@ def test_t22_compression_ratio_separates_repetition_from_prose(spark):
         raw = text.encode("utf-8")
         assert got[i]["ratio"] == round(len(zlib.compress(raw, 6)) / len(raw), 6)
         assert got[i]["n_bytes"] == len(raw)
+
+
+# ---- t23: BPE application (r10 birth) -------------------------------------
+
+
+def test_t23_token_accounting_matches_pure_python(spark):
+    """Replay the full learn+apply pipeline in pure Python over the
+    same sf0.001 corpus and compare every document's token counts —
+    the same from-scratch-replay contract as t18's merge test."""
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    from oxi_diel_db_spark.queries.llm_ops import t23_bpe_apply
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchall()
+    freq = Counter()
+    doc_words = {}
+    for doc_id, text in rows:
+        ws = [w for w in re.split(r"\s+", text.lower()) if w]
+        doc_words[doc_id] = ws
+        freq.update(ws)
+    vocab = {w: list(w) + ["</w>"] for w in freq}
+    for _ in range(10):
+        pc = Counter()
+        for w, syms in vocab.items():
+            f = freq[w]
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += f
+        if not pc:
+            break
+        (l, r), _pf = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        for w, syms in vocab.items():
+            out, pend = [], None
+            for x in syms:
+                if pend == l and x == r:
+                    out.append(l + r)
+                    pend = None
+                else:
+                    if pend is not None:
+                        out.append(pend)
+                    pend = x
+            if pend is not None:
+                out.append(pend)
+            vocab[w] = out
+    expect = {
+        doc_id: (
+            len(ws),
+            sum(len(w) + 1 for w in ws),
+            sum(len(vocab[w]) for w in ws),
+        )
+        for doc_id, ws in doc_words.items()
+        if ws
+    }
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_syms_init"], r["n_tokens_bpe"])
+        for r in t23_bpe_apply(spark, sf).collect()
+    }
+    assert got == expect
