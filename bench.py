@@ -105,6 +105,8 @@ HEADLINE = [
     "dq10_ks_drift",
     "ml14_pca_covariance",
     "t18_bpe_merges",
+    "t23_bpe_apply",  # r10: learn + corpus tokenization (word-table fold + count join)
+    "d20_substring_dedup",  # r10: step-1 repeated-50-gram spans (suffix-array recipe)
     "dq11_row_quarantine",
     "q105_gapfill_interpolate",
     "p16_multimodal_packing",
@@ -227,6 +229,8 @@ SINGLES = [
     "ml11_el_st_reference_scoring",
     "ml12_ion_st_descriptors",
     "ml13_ion_st_reference_scoring",
+    "m37_voronoi_tessellation",  # r10: exact tessellation, md5-sample gate population
+    "m38_op_fingerprint",  # r10: exact OPSF slots, md5-sample gate population
     "ml17_quality_classifier",  # LBFGS training run (one per invocation)
     "ml19_poisson_glm",  # GLM IRLS training run (one per invocation)
     "ml21_als_recommender",  # blocked-ALS training run (one per invocation)
@@ -312,6 +316,10 @@ def main() -> None:
         "reps": reps,
         "n_queries": len(timings),
         "n_singles": len(singles),
+        # 1-minute load average at finish: driver-box contention is the
+        # usual cause of round-over-round spread (r9 verdict ask #7) —
+        # a delta measured under load > ncpu/2 is box noise, not code
+        "load1": round(os.getloadavg()[0], 1),
         "top": _fit(timings, 20),
         "top_singles": _fit(singles, 10),
         "full": "BENCH_LAST.json",

@@ -1,6 +1,12 @@
 #!/usr/bin/env python
 """Quantify the two declared featurizer analogs (r7 verdict ask #5).
 
+HISTORICAL as of r10: the OPSF/Voronoi slots the two analogs filled
+are now the EXACT kernels (operators/voronoi_exact.py,
+operators/op_fingerprint.py; m37/m38 hash gates). This tool remains
+runnable as the measurement that justified the interim analogs
+(corr delta ≤ 0.002) and as the ablation harness pattern.
+
 OPSiteFingerprint and VoronoiFingerprint ship as documented public
 analogs (Steinhardt q4/q6 + q_tet; bounded-radius Voronoi proxies)
 rather than matminer-0.6.0-exact numerics (reference
