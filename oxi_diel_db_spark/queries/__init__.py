@@ -130,9 +130,15 @@ def register(name: str, oracle: str | None = None):
 # re-gates from the --staleness report head — the r3-era
 # extras/aggregates/joins rows (q17–q38, q56, q69–q72), then the
 # r4-era dedup/graph/materials head (c1, d2–d9, g1–g3, m01, m02, mm1).
-# 9 + 41 = 50 slots. New r10 births (d20, t23, ...) are locally
-# hash-verified this round and take rotation slots in r11 per the
-# standing deferral rule (hash-gated before rows-only).
+# 9 + 41 = 50 slots. r11 planner note (the mm12 precedent — entries
+# changed/born AFTER this prefix was frozen): the MANDATORY head of
+# _R11_PRIORITY is m37_voronoi_tessellation, m38_op_fingerprint,
+# d20_substring_dedup, t23_bpe_apply (r10 births),
+# ml10_el_st_descriptors + ml12_ion_st_descriptors (slots swapped to
+# the exact kernels and gate population moved to the md5 sample),
+# s8_mmr_rerank (one half-tie row changed by the sim nudge) and
+# t18_bpe_merges (values unchanged, oracle added — re-gate cheap).
+# All verified hash-green locally in both ANSI modes (NOTES_r10).
 _R10_PRIORITY = [
     # --- (a) r9 births, never driver-sampled ---
     "st21_streaming_ivf_upsert",
