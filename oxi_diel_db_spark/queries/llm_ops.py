@@ -4197,25 +4197,29 @@ def d20_substring_dedup(spark, sf_dir):
         )
         .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
     )
-    rep = (
-        g.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 2)
-        .select("h")
-    )
     from pyspark.sql import Window as W
 
-    w_doc = W.partitionBy("doc_id").orderBy("pos")
-    hits = g.join(rep, "h").select(
-        "doc_id",
-        "pos",
-        F.when(
-            F.col("pos") - F.lag("pos").over(W.partitionBy("doc_id").orderBy("pos"))
-            <= F.lit(L),
-            F.lit(0),
+    # repeated grams via a COUNT window over h — one shuffle, and the
+    # gram table (with the text column behind it) is scanned ONCE; the
+    # groupBy+join-back form re-scanned documents.text per consumer
+    # (plan-audited r10; same values, the gate is indifferent)
+    hits = (
+        g.withColumn("nh", F.count(F.lit(1)).over(W.partitionBy("h")))
+        .filter(F.col("nh") >= 2)
+        .select(
+            "doc_id",
+            "pos",
+            F.when(
+                F.col("pos")
+                - F.lag("pos").over(
+                    W.partitionBy("doc_id").orderBy("pos")
+                )
+                <= F.lit(L),
+                F.lit(0),
+            )
+            .otherwise(F.lit(1))
+            .alias("new_island"),
         )
-        .otherwise(F.lit(1))
-        .alias("new_island"),
     )
     isl = hits.select(
         "doc_id", "pos", F.sum("new_island").over(
