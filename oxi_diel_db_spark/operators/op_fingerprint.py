@@ -208,7 +208,8 @@ def op_fingerprint_sites(
                 fr = np.array([np.asarray(p, dtype=float) for p in abc])
                 lt = np.array([np.asarray(r, dtype=float) for r in lat])
                 # 12 Å candidate pool covers the adaptive shell for
-                # every corpus site (d12 max is asserted in pytest)
+                # every corpus site (d12 ≤ 12 Å per site is asserted
+                # by tests/test_voronoi_exact.py corpus certification)
                 vecs, _ = candidate_images(fr, lt, cutoff=12.0)
                 for s in range(len(fr)):
                     vals = op_fingerprint_site(vecs[s])

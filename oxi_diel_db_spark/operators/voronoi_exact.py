@@ -336,8 +336,9 @@ def voronoi_cell_faces(
     # membership at near-degenerate vertices (a tolerance test on a
     # deduped representative dropped faces to 1-2 vertices on the real
     # corpus and broke closure). Duplicate solves of the same geometric
-    # vertex are deduped PER FACE on the 4-dp grid; the representative
-    # is the first (lex-smallest generating triple) occurrence.
+    # vertex are deduped PER FACE on the 5-dp (DEDUP_DP) grid; the
+    # representative is the first (lex-smallest generating triple)
+    # occurrence.
     key = np.round(pts + 1e-9, DEDUP_DP)
     faces: list[dict] = []
     for p in range(kb):

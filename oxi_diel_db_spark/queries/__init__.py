@@ -139,6 +139,78 @@ def register(name: str, oracle: str | None = None):
 # s8_mmr_rerank (one half-tie row changed by the sim nudge) and
 # t18_bpe_merges (values unchanged, oracle added — re-gate cheap).
 # All verified hash-green locally in both ANSI modes (NOTES_r10).
+#
+# Round-11 sampling rotation (machine-computed: tools/rotation_plan.py
+# --staleness over CORRECTNESS_r01..r10 → 4 never-sampled + 2
+# not-green-latest of 317). Composition per the r10 verdict: (a) the
+# MANDATORY head exactly as the planted r11 planner note above — the 4
+# r10 births (m37, m38, d20, t23: never driver-sampled), the 2
+# exact-kernel slot swaps (ml10, ml12: their r9 official rows predate
+# the r10 staged-SQL→exact-Voronoi/OPSF swap), and the 2 gate upgrades
+# (s8: one half-tie row changed by the sim nudge; t18: oracle added,
+# latest official row says no_oracle); (b) 42 staleness re-gates from
+# the --staleness report head, stalest first — the r4-era llm_ops
+# block (mm3/mm4, p1–p8, q73, s1–s4, t1–t9), the r4-era streaming rows
+# (st1/st2/st3/st5/st8), then the r5-era dedup/quality/materials head
+# (c2, d10–d13, dq1–dq4, m06–m09, m29). 8 + 42 = 50 slots.
+_R11_PRIORITY = [
+    # --- (a) mandatory head: r10 births, never driver-sampled ---
+    "m37_voronoi_tessellation",
+    "m38_op_fingerprint",
+    "d20_substring_dedup",
+    "t23_bpe_apply",
+    # --- (a cont.) behavior-rewritten after their official rows ---
+    "ml10_el_st_descriptors",
+    "ml12_ion_st_descriptors",
+    # --- (a cont.) gate upgrades: latest official row not hash-green ---
+    "s8_mmr_rerank",
+    "t18_bpe_merges",
+    # --- (b) staleness re-gates, stalest first (r4-era rows) ---
+    "mm3_frame_sampling",
+    "mm4_audio_chunks",
+    "p1_hash_sample",
+    "p2_stratified_sample",
+    "p3_deterministic_shuffle",
+    "p4_sequence_packing",
+    "p6_corpus_mixing",
+    "p7_capped_per_key",
+    "p8_three_way_split",
+    "q73_salted_join",
+    "s1_ann_brute_force",
+    "s2_ann_lsh",
+    "s3_ann_ivf",
+    "s4_pq_adc",
+    "st1_tumbling_window",
+    "st2_sliding_window",
+    "st3_session_window",
+    "st5_stream_static_join",
+    "st8_stream_stream_join",
+    "t1_lang_id",
+    "t2_quality_score",
+    "t3_token_count",
+    "t4_fingerprint",
+    "t5_tfidf_topterms",
+    "t6_redact_pii",
+    "t7_repetition_filters",
+    "t8_unigram_perplexity",
+    "t9_chunking",
+    # --- (b cont.) r5-era rows ---
+    "c2_corpus_ledger",
+    "d10_bloom_decontamination",
+    "d11_span_dedup",
+    "d12_containment_pairs",
+    "d13_neardup_curation",
+    "dq1_constraint_audit",
+    "dq2_distribution_drift",
+    "dq3_freshness_lag",
+    "dq4_k_anonymity",
+    "m06_screening",
+    "m07_join_predictions",
+    "m08_unscored_anti_join",
+    "m09_parse_formula",
+    "m29_atomic_orbitals",
+]
+
 _R10_PRIORITY = [
     # --- (a) r9 births, never driver-sampled ---
     "st21_streaming_ivf_upsert",
@@ -558,7 +630,7 @@ def load_registry() -> dict[str, QueryDef]:
     )
 
     ordered: dict[str, QueryDef] = {}
-    for name in _R10_PRIORITY:
+    for name in _R11_PRIORITY:
         if name in REGISTRY:  # tolerate renames; never KeyError the gate
             ordered[name] = REGISTRY[name]
     for name, qdef in REGISTRY.items():

@@ -40,20 +40,11 @@ _CRAMER_PXYZ = """
 
 
 
-def _dirs_values() -> str:
-    from oxi_diel_db_spark.operators.voronoi_exact import DIRS
-
-    return ", ".join(
-        f"({v[0]!r}, {v[1]!r}, {v[2]!r})" for v in DIRS
-    )
-
-
-
 def vor_site_ctes(mat_rel: str) -> str:
     """WITH-chain (no leading WITH) ending in ``vor_site``:
     (mp_id, i, n_faces, symw4, area_min, area_max, area_std, dist_min,
-    dist_std, vol_max, vol_sum, omega_sum) — the DuckDB twin of
-    operators/voronoi_exact.voronoi_fingerprint_sites.
+    dist_mean, dist_std, vol_max, vol_sum, omega_sum) — the DuckDB
+    twin of operators/voronoi_exact.voronoi_fingerprint_sites.
 
     Engineering notes (all measured on the gated fixture): every join
     below the pair stage uses a dense integer site key ``sid`` (string
@@ -375,9 +366,12 @@ def _gauss_pair_sql(motif: str) -> str:
     )
 
     th = "acos(LEAST(GREATEST(cost, -1.0), 1.0))"
+    # float() before !r: SIGMA / the targets are numpy.float64, whose
+    # repr under numpy >= 2.0 is 'np.float64(...)' — invalid SQL.
+    sig = repr(float(SIGMA))
     terms = [
-        f"exp(-0.5 * (({th} - {t!r}) / {SIGMA!r})"
-        f" * (({th} - {t!r}) / {SIGMA!r}))"
+        f"exp(-0.5 * (({th} - {float(t)!r}) / {sig})"
+        f" * (({th} - {float(t)!r}) / {sig}))"
         for t in MOTIF_TARGETS[motif]
     ]
     if len(terms) == 1:

@@ -4258,13 +4258,14 @@ def _bpe_learn(spark, sf_dir, n_merges: int = 10):
     """Shared BPE learner behind t18 (merge table) and t23 (corpus
     tokenization): returns (merges, vocab) — the merge list
     [(rank, l, r, merged, freq)] and the word-frequency DataFrame
-    (w, freq, syms) with all merges applied."""
-    """Distributed BPE vocabulary learning (the tokenizer-training
-    step of every LLM data pipeline): learn the first 10 merge rules
-    over documents.text, Sennrich-style — start from characters +
-    '</w>', repeatedly count adjacent symbol pairs weighted by word
-    frequency and merge the most frequent pair (ties: lexicographic
-    on the pair, the deterministic convention).
+    (w, freq, syms) with all merges applied.
+
+    Distributed BPE vocabulary learning (the tokenizer-training step
+    of every LLM data pipeline): learn the first 10 merge rules over
+    documents.text, Sennrich-style — start from characters + '</w>',
+    repeatedly count adjacent symbol pairs weighted by word frequency
+    and merge the most frequent pair (ties: lexicographic on the
+    pair, the deterministic convention).
 
     Scale shape — the property that makes BPE trainable at 100 TB:
     the CORPUS is touched exactly once (lower/split/explode →
@@ -4279,10 +4280,10 @@ def _bpe_learn(spark, sf_dir, n_merges: int = 10):
     collect is ONE row (the argmax pair — a bounded driver valve);
     localCheckpoint truncates the growing lineage each iteration.
 
-    Iterative (10 data-dependent argmax rounds) → no SQL twin;
-    tests/test_text.py replays the identical algorithm in pure
-    Python over the same corpus and asserts all 10 (pair, freq)
-    merges match exactly."""
+    Correctness: tests/test_text.py replays the identical algorithm
+    in pure Python over the same corpus and asserts all 10
+    (pair, freq) merges match exactly; since r10, t18 also carries a
+    full DuckDB oracle (_t18_oracle — the unrolled-CTE fold replay)."""
     docs = t(spark, sf_dir, "documents")
     words = (
         docs.select(

@@ -131,7 +131,15 @@ def test_corpus_invariants_and_guards():
     """Deterministic 150-material sample: every cell closes (Σω = 4π),
     cells tile the cell volume, no guard fires, max vertex radius
     stays inside the certification bound, and the corpus min cell
-    height clears the SQL twin's fixed ±9 offset table (h ≥ 1.25 Å)."""
+    height clears the fixed ±9 offset table shared by BOTH SQL twins
+    at the LARGER cutoff — ±9 offsets cover cutoff C when (9−1)·h ≥ C
+    (the −1 absorbs fractional site offsets up to one cell), so the
+    binding bound is h ≥ 12/8 = 1.5 Å from the OPSF twin's 12 Å pool,
+    not the Voronoi twin's 10/8 = 1.25 Å. Also certifies the OPSF
+    kernel's candidate-pool adequacy: the adaptive shell radius is
+    max(6, ceil(d12)), so every site's 12th-nearest periodic neighbor
+    must sit within the 12 Å pool (op_fingerprint.py cites this
+    assertion)."""
     import duckdb
 
     con = duckdb.connect()
@@ -146,11 +154,22 @@ def test_corpus_invariants_and_guards():
     for mp_id, m, abc, vol in rows:
         lat = np.array(m)
         fr = np.array([np.array(p) for p in abc])
-        # SQL-twin offset-table coverage bound
+        # SQL-twin offset-table coverage bound at the max cutoff
+        # (OPSF twin: 12 Å over the same ±9 table → h ≥ 12/8)
         v = abs(np.linalg.det(lat))
         for u, w in ((1, 2), (0, 2), (0, 1)):
             h = v / np.linalg.norm(np.cross(lat[u], lat[w]))
-            assert h >= 1.25, (mp_id, h)
+            assert h >= 12.0 / 8.0, (mp_id, h)
+        # OPSF candidate-pool adequacy: adaptive shell radius is
+        # max(6, ceil(d12)) ≤ 12 requires d12 ≤ 12 Å for every site
+        vecs12, _ = candidate_images(fr, lat, cutoff=12.0)
+        for s in range(len(fr)):
+            d = np.sort(np.linalg.norm(vecs12[s], axis=1))
+            assert len(d) >= 12 and d[11] <= 12.0, (
+                mp_id,
+                s,
+                d[11] if len(d) >= 12 else len(d),
+            )
         vecs, _ = candidate_images(fr, lat)
         total = 0.0
         for s in range(len(fr)):
