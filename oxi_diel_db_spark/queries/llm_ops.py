@@ -4184,7 +4184,26 @@ def d20_substring_dedup(spark, sf_dir):
     are pinned in tests/test_dedup.py."""
     L = 50
     docs = t(spark, sf_dir, "documents")
-    g = (
+    g = _gram_positions(docs, L)
+    from pyspark.sql import Window as W
+
+    # repeated grams via a COUNT window over h — one shuffle, and the
+    # gram table (with the text column behind it) is scanned ONCE; the
+    # groupBy+join-back form re-scanned documents.text per consumer
+    # (plan-audited r10; same values, the gate is indifferent)
+    repeated = (
+        g.withColumn("nh", F.count(F.lit(1)).over(W.partitionBy("h")))
+        .filter(F.col("nh") >= 2)
+        .select("doc_id", "pos")
+    )
+    return _span_accounting(docs, repeated, L)
+
+
+def _gram_positions(docs, L: int):
+    """(doc_id, pos, h): every step-1 character position's L-gram md5
+    — the suffix-array repeat query's position table, shared by d20
+    (closed batch) and d21 (incremental)."""
+    return (
         docs.filter(F.length("text") >= L)
         .select(
             "doc_id",
@@ -4197,29 +4216,26 @@ def d20_substring_dedup(spark, sf_dir):
         )
         .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
     )
+
+
+def _span_accounting(out_docs, repeated, L: int):
+    """Gaps-and-islands union of repeated L-gram positions into maximal
+    spans plus per-doc flagged-char accounting — the tail shared by d20
+    and d21. ``repeated`` is (doc_id, pos); ``out_docs`` the documents
+    to report (left join → zero rows for clean docs)."""
     from pyspark.sql import Window as W
 
-    # repeated grams via a COUNT window over h — one shuffle, and the
-    # gram table (with the text column behind it) is scanned ONCE; the
-    # groupBy+join-back form re-scanned documents.text per consumer
-    # (plan-audited r10; same values, the gate is indifferent)
-    hits = (
-        g.withColumn("nh", F.count(F.lit(1)).over(W.partitionBy("h")))
-        .filter(F.col("nh") >= 2)
-        .select(
-            "doc_id",
-            "pos",
-            F.when(
-                F.col("pos")
-                - F.lag("pos").over(
-                    W.partitionBy("doc_id").orderBy("pos")
-                )
-                <= F.lit(L),
-                F.lit(0),
-            )
-            .otherwise(F.lit(1))
-            .alias("new_island"),
+    hits = repeated.select(
+        "doc_id",
+        "pos",
+        F.when(
+            F.col("pos")
+            - F.lag("pos").over(W.partitionBy("doc_id").orderBy("pos"))
+            <= F.lit(L),
+            F.lit(0),
         )
+        .otherwise(F.lit(1))
+        .alias("new_island"),
     )
     isl = hits.select(
         "doc_id", "pos", F.sum("new_island").over(
@@ -4234,7 +4250,7 @@ def d20_substring_dedup(spark, sf_dir):
         F.sum(F.col("e") - F.col("s")).alias("flagged_chars"),
     )
     return (
-        docs.select("doc_id", "n_chars")
+        out_docs.select("doc_id", "n_chars")
         .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
@@ -4251,6 +4267,110 @@ def d20_substring_dedup(spark, sf_dir):
                 + F.lit(0.0)
             ).alias("flag_rate"),
         )
+    )
+
+
+@register(
+    "d21_incremental_substring_dedup",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, t.i AS pos,
+             md5(substring(text, t.i, 50)) AS h
+      FROM documents,
+           UNNEST(range(1, length(text) - 50 + 2)) AS t(i)
+      WHERE length(text) >= 50
+    ),
+    store AS (
+      SELECT h, CAST(COUNT(*) AS BIGINT) AS ne
+      FROM g WHERE doc_id % 7 <> 0 GROUP BY h
+    ),
+    newg AS (
+      SELECT doc_id, pos, h,
+             COUNT(*) OVER (PARTITION BY h) AS nb
+      FROM g WHERE doc_id % 7 = 0
+    ),
+    hits AS (
+      SELECT n.doc_id, n.pos,
+             CASE WHEN n.pos - LAG(n.pos) OVER (
+                    PARTITION BY n.doc_id ORDER BY n.pos) <= 50
+                  THEN 0 ELSE 1 END AS new_island
+      FROM (
+        SELECT ng.doc_id, ng.pos
+        FROM newg ng LEFT JOIN store s ON s.h = ng.h
+        WHERE COALESCE(s.ne, 0) + ng.nb >= 2
+      ) n
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos)
+               AS island
+      FROM hits
+    ),
+    spans AS (
+      SELECT doc_id, island,
+             MIN(pos) AS s, MAX(pos) + 50 AS e
+      FROM isl GROUP BY doc_id, island
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_spans,
+             CAST(SUM(e - s) AS BIGINT) AS flagged_chars
+      FROM spans GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.n_chars,
+           COALESCE(p.n_spans, 0) AS n_spans,
+           COALESCE(p.flagged_chars, 0) AS flagged_chars,
+           ROUND(COALESCE(p.flagged_chars, 0)
+                 / CAST(d.n_chars AS DOUBLE) + 1e-9, 6) + 0 AS flag_rate
+    FROM documents d
+    LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+    WHERE d.doc_id % 7 = 0
+    """,
+)
+def d21_incremental_substring_dedup(spark, sf_dir):
+    """Incremental repeated-substring detection — d20's new-batch-vs-
+    corpus face, the d14 daily-ingest pattern at substring granularity:
+    the arriving batch (doc_id % 7 == 0 plays today's crawl) is checked
+    against a PERSISTED per-gram count store of the existing corpus
+    WITHOUT re-gramming the corpus (the store is computed once at
+    ingest and reused forever — at 100 TB the corpus is never
+    re-scanned for a new batch).
+
+    The exact incremental identity that makes the store sufficient: an
+    L-gram at a new-batch position is corpus-repeated iff
+    store_count + batch_count >= 2 — grams seen anywhere in the
+    existing corpus (store_count >= 1) OR repeated within the batch
+    itself (batch_count >= 2). That is precisely d20's closed-batch
+    "corpus count >= 2" predicate restricted to new-doc positions, so
+    d21's cumulative spans EQUAL d20's closed form on the same corpus
+    (asserted both by the hash gate, whose oracle replays the split,
+    and by a direct d20-restriction equality in tests/test_dedup.py).
+
+    Scale shape: batch grams shuffle ONCE on the md5 key (the window
+    count and the store join share the hash partitioning); the store
+    side of the join is prunable by a runtime Bloom filter on the
+    batch's gram keys (spark.sql.optimizer.runtime.bloomFilter), so
+    the store read scales with the BATCH size, not the corpus."""
+    L = 50
+    docs = t(spark, sf_dir, "documents")
+    g = _gram_positions(docs, L)
+    from pyspark.sql import Window as W
+
+    store = (
+        g.filter(F.col("doc_id") % 7 != 0)
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("ne"))
+    )
+    newg = g.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "nb", F.count(F.lit(1)).over(W.partitionBy("h"))
+    )
+    repeated = (
+        newg.join(store, "h", "left")
+        .filter(F.coalesce("ne", F.lit(0)) + F.col("nb") >= 2)
+        .select("doc_id", "pos")
+    )
+    return _span_accounting(
+        docs.filter(F.col("doc_id") % 7 == 0), repeated, L
     )
 
 

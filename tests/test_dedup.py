@@ -515,3 +515,67 @@ def test_d20_nonaligned_overlapping_repeats(spark, tmp_path):
     assert out[2]["flagged_chars"] == len(block)
     # the clean doc flags nothing
     assert out[3]["n_spans"] == 0 and out[3]["flagged_chars"] == 0
+
+
+# ---- d21: incremental substring dedup (r11 birth) -------------------------
+
+
+def test_d21_incremental_matches_closed_form(spark, tmp_path):
+    """The incremental identity: store_count + batch_count >= 2 over
+    the persisted gram store must reproduce d20's closed-batch spans
+    exactly, restricted to the new batch. Plants each detection class:
+    a batch doc repeating an EXISTING doc's block (caught only via the
+    store — within-batch count is 1), two batch docs sharing a block
+    the corpus never saw (caught only via batch_count >= 2), and a
+    clean batch doc (no flag either way)."""
+    import pyspark.sql.functions as F
+
+    from oxi_diel_db_spark.queries.llm_ops import (
+        d20_substring_dedup,
+        d21_incremental_substring_dedup,
+    )
+
+    old_block = "Historic corpus paragraph that new crawls keep quoting verbatim!"
+    new_block = "Fresh duplicated press release only today's crawl contains, twice."
+    assert len(old_block) >= 50 and len(new_block) >= 50
+    docs = [
+        # existing corpus (doc_id % 7 != 0)
+        (1, "lead-in " + old_block + " trailing prose " + "a" * 20),
+        (2, "unrelated existing text " + "b" * 60),
+        # new batch (doc_id % 7 == 0)
+        (0, "xx" + old_block + "yy" * 20),          # store-only hit
+        (7, "p" * 9 + new_block + "q" * 12),         # batch-pair hit
+        (14, new_block + " postscript " + "r" * 30),  # batch-pair hit
+        (21, "singular novel batch document with nothing repeated at"
+             " all anywhere in this tiny corpus, honest"),  # clean
+    ]
+    pdf = spark.createDataFrame(
+        [(i, s, "en", "test", len(s)) for i, s in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = str(tmp_path / "sf")
+    pdf.write.parquet(sf + "/documents.parquet")
+
+    inc = {
+        r["doc_id"]: r.asDict()
+        for r in d21_incremental_substring_dedup(spark, sf).collect()
+    }
+    # only the batch is reported
+    assert sorted(inc) == [0, 7, 14, 21]
+    # store-only: old_block repeats across the store boundary
+    assert inc[0]["n_spans"] == 1
+    assert inc[0]["flagged_chars"] == len(old_block)
+    # batch-pair: new_block unseen by the store, repeated in-batch
+    assert inc[7]["flagged_chars"] == len(new_block)
+    assert inc[14]["flagged_chars"] == len(new_block)
+    # clean batch doc
+    assert inc[21]["n_spans"] == 0 and inc[21]["flagged_chars"] == 0
+
+    # cumulative equality: d20's closed form restricted to the batch
+    closed = {
+        r["doc_id"]: r.asDict()
+        for r in d20_substring_dedup(spark, sf)
+        .filter(F.col("doc_id") % 7 == 0)
+        .collect()
+    }
+    assert closed == inc
