@@ -4545,6 +4545,171 @@ def t23_bpe_apply(spark, sf_dir):
     )
 
 
+# ---- t24: HTML main-content extraction -----------------------------------
+
+# Deterministic page template around documents.text — the planted
+# boilerplate every block-classification rule must reject: chrome
+# (title/nav/footer), a link-farm ad div on every 3rd doc (long enough
+# to pass the length floor, killed by link density alone), and a
+# too-short filler <p> on every 5th doc (killed by the length floor
+# alone). Both engines build the IDENTICAL string, so the gate pins
+# the extractor, not the fixture.
+_T24_NAV = (
+    '<nav><a href="/">Home</a> <a href="/news">News</a>'
+    ' <a href="/about">About</a></nav>'
+)
+_T24_AD = (
+    '<div><a href="/buy">Buy now before midnight</a>'
+    ' <a href="/deal">Todays deal of the day</a> extra</div>'
+)
+_T24_FOOT = (
+    '<footer><a href="/tos">Terms</a>'
+    ' <a href="/privacy">Privacy</a> (c) example</footer>'
+)
+_T24_TAGS = ["<nav", "<div", "<main", "<p>", "<h1", "<footer"]
+_T24_MIN_LEN = 25  # chars of tag-stripped text a block must carry
+_T24_A_RE = "<a [^>]*>([^<]*)</a>"
+
+
+def _t24_oracle() -> str:
+    sql_html = (
+        "'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||"
+        " '</title><style>p{margin:0}</style>"
+        "<script>var u=\"/t?id=' || CAST(doc_id AS VARCHAR) ||"
+        " '\";track(u);</script></head><body>'"
+        f" || '{_T24_NAV}'"
+        f" || CASE WHEN doc_id % 3 = 0 THEN '{_T24_AD}' ELSE '' END"
+        " || '<main><h1>Story ' || CAST(doc_id AS VARCHAR) ||"
+        " ': the full breaking report</h1><p>' || text ||"
+        " '</p><p>Related: see our <a href=\"/archive\">archive</a>"
+        " for more coverage of this developing story.</p></main>'"
+        " || CASE WHEN doc_id % 5 = 0 THEN '<p>ads</p>' ELSE '' END"
+        f" || '{_T24_FOOT}' || '</body></html>'"
+    )
+    marked = (
+        "regexp_replace(regexp_replace(html,"
+        " '(?s)<script.*?</script>', ' ', 'g'),"
+        " '(?s)<style.*?</style>', ' ', 'g')"
+    )
+    for tag in _T24_TAGS:
+        marked = f"replace({marked}, '{tag}', chr(30) || '{tag}')"
+    return f"""
+    WITH pages AS (SELECT doc_id, {sql_html} AS html FROM documents),
+    blk AS (
+      SELECT doc_id,
+             list_filter(
+               list_transform(
+                 string_split({marked}, chr(30)),
+                 b -> struct_pack(
+                   txt := trim(regexp_replace(regexp_replace(
+                            b, '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')),
+                   lc := CAST(coalesce(list_sum(list_transform(
+                            regexp_extract_all(b, '{_T24_A_RE}', 1),
+                            x -> length(x))), 0) AS BIGINT))),
+               s -> s.txt <> '') AS bl
+      FROM pages
+    ),
+    kept AS (
+      SELECT doc_id, bl,
+             list_filter(bl, s -> length(s.txt) >= {_T24_MIN_LEN}
+                                  AND s.lc * 3 < length(s.txt)) AS kp
+      FROM blk
+    )
+    SELECT doc_id,
+           CAST(len(bl) AS BIGINT) AS n_blocks,
+           CAST(len(kp) AS BIGINT) AS n_kept,
+           CAST(coalesce(list_sum(list_transform(kp,
+                  s -> length(s.txt))), 0) AS BIGINT) AS extracted_chars,
+           md5(array_to_string(list_transform(kp, s -> s.txt),
+               chr(31))) AS content_md5
+    FROM kept
+    """
+
+
+@register("t24_html_extract", oracle=_t24_oracle())
+def t24_html_extract(spark, sf_dir):
+    """HTML boilerplate removal / main-content extraction — the public
+    CommonCrawl→text step (jusText/trafilatura class) that precedes
+    every t-tier quality filter in a pretraining pipeline, re-expressed
+    as pure Catalyst expressions (zero Python in the hot path):
+
+    1. drop <script>/<style> subtrees (non-greedy (?s) regex — works
+       identically in Java regex and RE2),
+    2. segment into blocks at block-level tag boundaries via literal
+       sentinel insertion + split (no lookahead — RE2-safe),
+    3. per block, compute tag-stripped text and anchor-label char
+       count with higher-order array functions (transform/filter/
+       aggregate — all whole-stage-codegen),
+    4. classify: keep blocks with >= 25 text chars AND link density
+       < 1/3 (the jusText rule shape: short or link-dominated blocks
+       are boilerplate).
+
+    The page fixture is built deterministically around documents.text
+    in BOTH engines (planted chrome/ad/filler blocks — see _T24_*),
+    so the hash gate pins the extractor's decisions: content_md5
+    covers the ordered concatenation of every kept block's text.
+    At 100 TB this is a single narrow projection per page — no
+    shuffle, no UDF; the only wide columns (the block arrays) live
+    inside one select and never materialize to the shuffle layer."""
+    docs = t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), did,
+        F.lit('</title><style>p{margin:0}</style><script>var u="/t?id='),
+        did, F.lit('";track(u);</script></head><body>'),
+        F.lit(_T24_NAV),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(_T24_AD)).otherwise(F.lit("")),
+        F.lit("<main><h1>Story "), did,
+        F.lit(": the full breaking report</h1><p>"), F.col("text"),
+        F.lit('</p><p>Related: see our <a href="/archive">archive</a>'
+              " for more coverage of this developing story.</p></main>"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("<p>ads</p>")).otherwise(
+            F.lit("")
+        ),
+        F.lit(_T24_FOOT), F.lit("</body></html>"),
+    )
+    marked = F.regexp_replace(
+        F.regexp_replace(html, r"(?s)<script.*?</script>", " "),
+        r"(?s)<style.*?</style>", " ",
+    )
+    for tag in _T24_TAGS:
+        marked = F.replace(marked, F.lit(tag), F.lit("\x1e" + tag))
+
+    def block(b):
+        txt = F.trim(
+            F.regexp_replace(
+                F.regexp_replace(b, "<[^>]*>", " "), r"\s+", " "
+            )
+        )
+        lc = F.aggregate(
+            F.regexp_extract_all(b, F.lit(_T24_A_RE), F.lit(1)),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + F.length(x),
+        )
+        return F.struct(txt.alias("txt"), lc.alias("lc"))
+
+    bl = F.filter(
+        F.transform(F.split(marked, "\x1e"), block),
+        lambda s: s["txt"] != "",
+    )
+    kp = F.filter(
+        bl,
+        lambda s: (F.length(s["txt"]) >= _T24_MIN_LEN)
+        & (s["lc"] * 3 < F.length(s["txt"])),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(bl).cast("bigint").alias("n_blocks"),
+        F.size(kp).cast("bigint").alias("n_kept"),
+        F.aggregate(
+            kp, F.lit(0).cast("bigint"), lambda a, s: a + F.length(s["txt"])
+        ).alias("extracted_chars"),
+        F.md5(
+            F.array_join(F.transform(kp, lambda s: s["txt"]), "\x1f")
+        ).alias("content_md5"),
+    )
+
+
 @register(
     "p16_multimodal_packing",
     # the p5 recursive-CTE replay pattern, extended to TWO sequential

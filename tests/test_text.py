@@ -366,3 +366,54 @@ def test_t23_token_accounting_matches_pure_python(spark):
         for r in t23_bpe_apply(spark, sf).collect()
     }
     assert got == expect
+
+
+# ---- t24: HTML main-content extraction (r11 birth) ------------------------
+
+
+def test_t24_block_classification(spark, tmp_path):
+    """Pins every planted block's fate on a doc that carries ALL the
+    boilerplate (doc_id 15 = ad div AND filler <p>): chrome dropped by
+    the length floor, the ad div dropped by link density ALONE (it
+    passes the floor), the filler by the floor alone, and exactly the
+    headline + article text + related-links paragraph kept — with
+    content_md5 recomputed in pure Python."""
+    import hashlib
+
+    from oxi_diel_db_spark.queries.llm_ops import t24_html_extract
+
+    text15 = "word " * 30 + "final sentence of the article body"
+    docs = [
+        (15, text15),          # %3==0 and %5==0: ad + filler present
+        (1, "short body " * 8),  # no ad, no filler
+    ]
+    pdf = spark.createDataFrame(
+        [(i, s, "en", "test", len(s)) for i, s in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = str(tmp_path / "sf")
+    pdf.write.parquet(sf + "/documents.parquet")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in t24_html_extract(spark, sf).collect()
+    }
+
+    def expected(doc_id, text):
+        squeezed = " ".join(text.split())
+        return [
+            f"Story {doc_id}: the full breaking report",
+            squeezed,
+            "Related: see our archive for more coverage of this"
+            " developing story.",
+        ]
+
+    for doc_id, text in docs:
+        kp = expected(doc_id, text)
+        assert out[doc_id]["n_kept"] == 3
+        assert out[doc_id]["extracted_chars"] == sum(len(x) for x in kp)
+        assert out[doc_id]["content_md5"] == hashlib.md5(
+            "\x1f".join(kp).encode()
+        ).hexdigest()
+    # doc 15 carries 2 extra planted boilerplate blocks (ad + filler):
+    # they raise n_blocks but never n_kept
+    assert out[15]["n_blocks"] == out[1]["n_blocks"] + 2
