@@ -1230,3 +1230,120 @@ def payload_integrity(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
         schema=f"{id_col} bigint, verdict string, n_bytes bigint, "
         "declared_bytes bigint",
     )
+
+
+# --------------------------------------------------------------------
+# Content-defined chunking (CDC) — rolling-hash chunk boundaries for
+# binary payloads, connecting the mm tier to the d tier at SUB-FILE
+# granularity (reference scope: sub-file dedup of media/binary blobs;
+# the public FastCDC/LBFS recipe). A boundary is declared after byte i
+# whenever the polynomial hash of the LAST `CDC_WINDOW` bytes is
+# 0 mod `CDC_MOD` — a purely content-LOCAL predicate, so chunk
+# boundaries re-align after any insertion/deletion/shift: shifted
+# duplicate payloads share all chunks past the first boundary, which
+# fixed-offset chunking provably misses (pinned in pytest).
+# --------------------------------------------------------------------
+
+CDC_WINDOW = 8  # rolling-hash window (bytes)
+CDC_POW = 31  # polynomial base
+CDC_MOD = 64  # boundary divisor → expected chunk length ≈ 64 bytes
+
+
+def cdc_fixture_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic binary payloads with planted SHIFTED duplicates —
+    mirrored literally by mm15's oracle SQL (1-indexed byte i):
+
+    * base(d): n = 1200 + d % 7 * 100 bytes,
+      b[i] = (d·7919 + i·104729 + (i² mod 251)·31) mod 256
+    * doc_id % 10 == 1: payload = filler(1 + doc_id % 7 bytes,
+      f[j] = (doc_id·31 + j·17) mod 256) ++ base(doc_id − 1) — the
+      previous doc's ENTIRE payload at a 1-7 byte shift (never a
+      multiple of any fixed chunk size)."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def base(d: int) -> np.ndarray:
+            n = 1200 + (d % 7) * 100
+            i = np.arange(1, n + 1, dtype=np.int64)
+            return (
+                (d * 7919 + i * 104729 + ((i * i) % 251) * 31) % 256
+            ).astype(np.uint8)
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                if d % 10 == 1:
+                    shift = 1 + d % 7
+                    j = np.arange(1, shift + 1, dtype=np.int64)
+                    filler = ((d * 31 + j * 17) % 256).astype(np.uint8)
+                    payloads.append(
+                        np.concatenate([filler, base(d - 1)]).tobytes()
+                    )
+                else:
+                    payloads.append(base(d).tobytes())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload": payloads,
+                }
+            )
+
+    return docs.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        _gen, schema="doc_id bigint, payload binary"
+    )
+
+
+def cdc_chunk_list(b: np.ndarray) -> list[tuple[int, int, int, str]]:
+    """Chunk one payload: [(chunk_idx, offset, length, md5)] with
+    1-indexed offsets. The rolling hash over every window is one
+    vectorized sliding-window dot product (no per-byte Python loop);
+    md5 keys use the cross-engine canonical form — comma-joined
+    decimal byte values — so DuckDB can rebuild identical keys
+    without BLOB encoding pitfalls."""
+    n = len(b)
+    bi = b.astype(np.int64)
+    bds: list[int] = []
+    if n >= CDC_WINDOW:
+        pows = CDC_POW ** np.arange(CDC_WINDOW, dtype=np.int64)
+        win = np.lib.stride_tricks.sliding_window_view(bi, CDC_WINDOW)
+        h = win @ pows[::-1]  # h[k] ends at 1-indexed position k + 8
+        bds = (np.nonzero(h % CDC_MOD == 0)[0] + CDC_WINDOW).tolist()
+    if not bds or bds[-1] != n:
+        bds.append(n)
+    out, s = [], 1
+    for k, e in enumerate(bds, 1):
+        seg = bi[s - 1 : e]
+        chash = hashlib.md5(
+            ",".join(str(int(x)) for x in seg).encode()
+        ).hexdigest()
+        out.append((k, s, e - s + 1, chash))
+        s = e + 1
+    return out
+
+
+def cdc_chunks(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, chunk_idx, c_off, c_len, chash) for every payload —
+    one Arrow-batched pass; payload bytes never leave their partition,
+    only the 16-byte chunk keys shuffle for the dedup join."""
+
+    def _split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "chunk_idx": [], "c_off": [],
+                "c_len": [], "chash": [],
+            }
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                for k, s, ln, chash in cdc_chunk_list(b):
+                    rows["doc_id"].append(int(doc_id))
+                    rows["chunk_idx"].append(k)
+                    rows["c_off"].append(s)
+                    rows["c_len"].append(ln)
+                    rows["chash"].append(chash)
+            yield pd.DataFrame(rows)
+
+    return media.select(id_col, "payload").mapInPandas(
+        _split,
+        schema=f"{id_col} bigint, chunk_idx bigint, c_off bigint, "
+        "c_len bigint, chash string",
+    )

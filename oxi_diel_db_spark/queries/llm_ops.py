@@ -5847,6 +5847,117 @@ def mm14_voice_activity(spark, sf_dir):
     return voice_activity(speech_gap_fixture_table(docs))
 
 
+@register(
+    "mm15_cdc_chunk_dedup",
+    # Full value-hash oracle: DuckDB rebuilds the identical payloads
+    # (operators/multimodal.cdc_fixture_table's generator, 1-indexed),
+    # replays the rolling-hash boundary predicate per position with an
+    # unrolled 8-term polynomial, re-chunks via list slicing, and
+    # rebuilds the same comma-joined-decimal md5 chunk keys.
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 1 THEN
+               list_concat(
+                 list_transform(range(1, 1 + (1 + doc_id % 7)),
+                   j -> CAST((doc_id * 31 + j * 17) % 256 AS BIGINT)),
+                 list_transform(
+                   range(1, 1200 + ((doc_id - 1) % 7) * 100 + 1),
+                   i -> CAST(((doc_id - 1) * 7919 + i * 104729
+                              + ((i * i) % 251) * 31) % 256 AS BIGINT)))
+             ELSE
+               list_transform(range(1, 1200 + (doc_id % 7) * 100 + 1),
+                 i -> CAST((doc_id * 7919 + i * 104729
+                            + ((i * i) % 251) * 31) % 256 AS BIGINT))
+             END AS b
+      FROM documents
+    ),
+    bnd AS (
+      SELECT doc_id, b,
+             list_sort(list_distinct(list_append(
+               list_filter(range(8, len(b) + 1),
+                 i -> (b[i] + b[i-1]*31 + b[i-2]*961 + b[i-3]*29791
+                     + b[i-4]*923521 + b[i-5]*28629151
+                     + b[i-6]*887503681 + b[i-7]*27512614111)
+                     % 64 = 0),
+               len(b)))) AS bds
+      FROM base
+    ),
+    chunks AS (
+      SELECT doc_id,
+             CASE WHEN k = 1 THEN 1 ELSE bds[k-1] + 1 END AS s,
+             bds[k] AS e,
+             md5(array_to_string(
+               b[(CASE WHEN k = 1 THEN 1 ELSE bds[k-1] + 1 END):(bds[k])],
+               ',')) AS chash
+      FROM bnd, UNNEST(range(1, len(bds) + 1)) t(k)
+    ),
+    cnt AS (SELECT chash, COUNT(*) AS c FROM chunks GROUP BY chash)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(e - s + 1) AS BIGINT) AS n_bytes,
+           CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           CAST(SUM(CASE WHEN c >= 2 THEN e - s + 1 ELSE 0 END) AS BIGINT)
+             AS dup_bytes,
+           ROUND(SUM(CASE WHEN c >= 2 THEN e - s + 1 ELSE 0 END)
+                 / CAST(SUM(e - s + 1) AS DOUBLE) + 1e-9, 6) + 0
+             AS dup_ratio
+    FROM chunks JOIN cnt USING (chash)
+    GROUP BY doc_id
+    """,
+)
+def mm15_cdc_chunk_dedup(spark, sf_dir):
+    """Content-defined chunking dedup for binary payloads — sub-file
+    granularity dedup connecting the mm tier to the d tier (the public
+    FastCDC/LBFS recipe): rolling-hash boundaries are content-LOCAL
+    (hash of the last 8 bytes ≡ 0 mod 64), so chunk boundaries
+    re-align after any byte shift and shifted duplicate payloads share
+    every chunk past the first boundary. The fixture plants exactly
+    that adversary: each doc_id % 10 == 1 payload is the previous
+    doc's ENTIRE payload behind a 1-7 byte filler — offsets no fixed
+    chunk size divides, so fixed-offset chunking finds ZERO shared
+    chunks (proven in tests/test_multimodal.py) while CDC recovers
+    ~97% of the bytes.
+
+    Scale shape: one Arrow-batched chunking pass — payload bytes never
+    leave their partition; only (doc_id, 16-byte chunk key, length)
+    rows shuffle, so the dedup cost at 100 TB is the d1 exact-dedup
+    shuffle over keys ~64× smaller than the data. The accounting
+    (chunk key seen ≥ 2 times corpus-wide) is one count window over
+    the key — d20's repeated-gram plan shape on binary content."""
+    from oxi_diel_db_spark.operators.multimodal import (
+        cdc_chunks,
+        cdc_fixture_table,
+    )
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    chunks = cdc_chunks(cdc_fixture_table(docs))
+    dup = F.col("c") >= 2
+    return (
+        chunks.withColumn("c", F.count(F.lit(1)).over(W.partitionBy("chash")))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("c_len").alias("n_bytes"),
+            F.sum(dup.cast("bigint")).alias("n_dup_chunks"),
+            F.sum(F.when(dup, F.col("c_len")).otherwise(F.lit(0))).alias(
+                "dup_bytes"
+            ),
+            (
+                F.round(
+                    F.sum(F.when(dup, F.col("c_len")).otherwise(F.lit(0)))
+                    / F.sum("c_len").cast("double")
+                    + F.lit(1e-9),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("dup_ratio"),
+        )
+    )
+
+
 _T21_BUCKETS = [
     ("n_latin", "(cp BETWEEN 65 AND 90) OR (cp BETWEEN 97 AND 122)"),
     ("n_digit", "cp BETWEEN 48 AND 57"),

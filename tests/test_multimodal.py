@@ -629,3 +629,97 @@ def test_dq18_clean_corpus_reports_no_quarantine(spark):
     n_ppm = out.filter(F.col("verdict") == "valid_ppm").count()
     want = docs.filter((F.col("doc_id") / 40).cast("int") % 2 == 0).count()
     assert n_ppm == want
+
+
+# ---- mm15: content-defined chunking dedup (r11 birth) ---------------------
+
+
+def test_mm15_cdc_realigns_where_fixed_offset_misses(spark, tmp_path):
+    """The planted shifted-duplicate pair: doc 11's payload is doc
+    10's entire payload behind a 5-byte filler. CDC boundaries are
+    content-local, so the two docs share every chunk past the first
+    boundary; fixed-offset chunking at ANY block size the shift does
+    not divide shares ZERO chunks. Also pins the tiling invariant
+    (chunk lengths sum to the payload) and boundary content-locality
+    (every boundary position's window hash is 0 mod 64)."""
+    import hashlib
+
+    import numpy as np
+
+    from oxi_diel_db_spark.operators.multimodal import (
+        CDC_MOD,
+        CDC_POW,
+        CDC_WINDOW,
+        cdc_chunk_list,
+        cdc_chunks,
+        cdc_fixture_table,
+    )
+    from oxi_diel_db_spark.queries.llm_ops import mm15_cdc_chunk_dedup
+
+    pdf = spark.createDataFrame(
+        [(i, "x", "en", "t", 1) for i in (10, 11, 42)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = str(tmp_path / "sf")
+    pdf.write.parquet(sf + "/documents.parquet")
+
+    media = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in cdc_fixture_table(
+            spark.createDataFrame([(10,), (11,), (42,)], "doc_id long")
+        ).collect()
+    }
+    # planted shift: doc 11 = 5 filler bytes + doc 10's payload
+    assert media[11][5:] == media[10]
+    assert len(media[11]) == len(media[10]) + 5
+
+    chunks = {
+        d: cdc_chunk_list(np.frombuffer(media[d], dtype=np.uint8))
+        for d in media
+    }
+    for d, cl in chunks.items():
+        b = np.frombuffer(media[d], dtype=np.uint8).astype(np.int64)
+        # tiling: offsets contiguous, lengths sum to the payload
+        assert cl[0][1] == 1 and sum(c[2] for c in cl) == len(b)
+        # content-locality: every non-final boundary's window hash
+        # is 0 mod CDC_MOD
+        pows = CDC_POW ** np.arange(CDC_WINDOW, dtype=np.int64)
+        for _, s, ln, _h in cl[:-1]:
+            e = s + ln - 1  # 1-indexed end
+            w = b[e - CDC_WINDOW : e]
+            assert int(w @ pows[::-1]) % CDC_MOD == 0
+
+    # CDC: docs 10 and 11 share all but the first (shift-polluted) chunk
+    h10 = {c[3] for c in chunks[10]}
+    h11 = {c[3] for c in chunks[11]}
+    shared = h10 & h11
+    assert len(shared) >= len(h10) - 1
+    assert not (h10 & {c[3] for c in chunks[42]})
+
+    # fixed-offset chunking at several block sizes: ZERO shared chunks
+    # (the 5-byte shift divides none of them)
+    for block in (64, 100, 128):
+        fx = {
+            d: {
+                hashlib.md5(media[d][o : o + block]).hexdigest()
+                for o in range(0, len(media[d]), block)
+            }
+            for d in (10, 11)
+        }
+        assert not (fx[10] & fx[11]), block
+
+    # registered accounting over the 3-doc corpus: the pair is ~all-dup,
+    # the loner clean
+    out = {
+        r["doc_id"]: r.asDict() for r in mm15_cdc_chunk_dedup(spark, sf).collect()
+    }
+    assert out[42]["n_dup_chunks"] == 0 and out[42]["dup_ratio"] < 1e-6
+    assert out[10]["dup_ratio"] > 0.9 and out[11]["dup_ratio"] > 0.9
+    assert out[10]["n_bytes"] == len(media[10])
+
+    # distributed chunker agrees with the local kernel
+    dist = cdc_chunks(cdc_fixture_table(
+        spark.createDataFrame([(10,)], "doc_id long")
+    )).collect()
+    assert [(r["chunk_idx"], r["c_off"], r["c_len"], r["chash"]) for r in
+            sorted(dist, key=lambda r: r["chunk_idx"])] == chunks[10]
