@@ -1972,7 +1972,7 @@ def ml14_pca_covariance(spark, sf_dir):
     )
 
 
-@register("ml15_pca_explained", oracle=None)  # eigendecomposition — rows-only
+@register("ml15_pca_explained", oracle=None)  # rows-only BY NECESSITY, see below
 def ml15_pca_explained(spark, sf_dir):
     """PCA spectrum of the embedding corpus: eigendecompose the d x d
     covariance from ml14's distributed pass (collect is d(d+1)/2 =
@@ -1980,10 +1980,18 @@ def ml15_pca_explained(spark, sf_dir):
     shape as the IVF/PQ index builds in operators/similarity) and emit
     the top-8 components' eigenvalue, explained-variance ratio, and
     cumulative ratio. numpy.linalg.eigh on the symmetric matrix is
-    deterministic; no SQL engine can replay it, so this is rows-only
-    with a direct numpy parity test (tests/test_ml.py) — the m10/m34
-    eigvals pattern. At 100 TB the covariance pass is the only part
-    that touches the data; the eigh stays O(d^3) on the driver."""
+    deterministic; rows-only BY NECESSITY: DuckDB has no eigensolver,
+    and the one SQL-expressible replacement — unrolled fixed-iteration
+    power iteration with deflation (the g1/t18 fold pattern) — was
+    measured (r11) and REJECTED: the synthetic embedding spectrum is
+    near-flat (adjacent eigenvalue ratios 0.95-0.99), so even 120
+    unrolled iterations leave |λ̂ − λ| ≈ 5e-5, two orders above the
+    5e-7 a 6-dp hash gate needs. The gate that IS possible is ml14's:
+    the full COVAR_POP matrix the eigh consumes is hash-verified, and
+    tests/test_ml.py pins the eigh output against an independent
+    numpy replay — the m10/m34 eigvals pattern. At 100 TB the
+    covariance pass is the only part that touches the data; the eigh
+    stays O(d^3) on the driver."""
     import numpy as np
 
     rows = ml14_pca_covariance(spark, sf_dir).collect()
@@ -2359,7 +2367,53 @@ def q110_ordered_string_agg(spark, sf_dir):
     )
 
 
-@register("ml16_isotonic_calibration", oracle=None)  # PAVA — python parity
+def _ml16_oracle() -> str:
+    """Full value-hash replay of the isotonic fit WITHOUT iterating
+    PAVA: the minimax characterization (Robertson/Wright/Dykstra) —
+    fitted value at point k = max_{i<=k} min_{j>=k} of the weighted
+    mean over [i, j] — is closed-form SQL: prefix sums over the
+    (score, weight, weighted-label) table, an i<=j interval-mean
+    self-join (O(d²) rows at d = distinct scores — 494 at sf0.01,
+    score granularity not corpus size), one suffix-MIN window per i,
+    one MAX per k. Both engines divide exact integer-valued sums, so
+    the pooled means are bit-identical before the shared 6-dp round.
+    Composed from the registered t2/t12 oracles verbatim (the c5
+    pattern — ml16 can never drift from the gates it builds on)."""
+    from oxi_diel_db_spark.queries import REGISTRY
+    from oxi_diel_db_spark.queries import llm_ops  # noqa: F401 (registers t2/t12)
+
+    t2 = REGISTRY["t2_quality_score"].oracle
+    t12 = REGISTRY["t12_gopher_rules"].oracle
+    return f"""
+    WITH sc AS ({t2}),
+    gp AS ({t12}),
+    pts AS (
+      SELECT sc.quality AS score, CAST(COUNT(*) AS BIGINT) AS w,
+             SUM(CASE WHEN gp.pass THEN 1.0 ELSE 0.0 END) AS wy
+      FROM sc JOIN gp USING (doc_id) GROUP BY sc.quality
+    ),
+    idx AS (
+      SELECT score, w, wy, ROW_NUMBER() OVER (ORDER BY score) AS k,
+             SUM(w)  OVER (ORDER BY score) AS cw,
+             SUM(wy) OVER (ORDER BY score) AS cwy
+      FROM pts
+    ),
+    pairs AS (
+      SELECT a.k AS i, b.k AS j,
+             (b.cwy - (a.cwy - a.wy)) / (b.cw - (a.cw - a.w)) AS m
+      FROM idx a JOIN idx b ON a.k <= b.k
+    ),
+    suff AS (
+      SELECT i, j, MIN(m) OVER (PARTITION BY i ORDER BY j DESC) AS mn
+      FROM pairs
+    ),
+    fit AS (SELECT j AS k, MAX(mn) AS f FROM suff GROUP BY j)
+    SELECT idx.score, ROUND(fit.f, 6) + 0 AS calibrated, idx.w AS n_docs
+    FROM idx JOIN fit ON fit.k = idx.k
+    """
+
+
+@register("ml16_isotonic_calibration", oracle=_ml16_oracle())
 def ml16_isotonic_calibration(spark, sf_dir):
     """MLlib IsotonicRegression (the one classical-regression family
     the §2.11 surface hadn't exercised): calibrate the t2 quality
@@ -2372,10 +2426,9 @@ def ml16_isotonic_calibration(spark, sf_dir):
     (score, pass-rate, weight) triples — MLlib's parallel
     pool-adjacent-violators reaches the same optimum as the
     sequential form, which tests/test_ml.py verifies against a
-    from-scratch Python PAVA point-for-point. Rows-only (no SQL
-    engine fits isotonic); the fit state is O(distinct scores) —
-    score granularity, not corpus size — the same dimension-bounded
-    posture as ml15's eigh."""
+    from-scratch Python PAVA point-for-point; since r11 the gate is
+    a FULL value-hash via the minimax closed form (_ml16_oracle —
+    no SQL engine iterates PAVA, but none needs to)."""
     from pyspark.ml.regression import IsotonicRegression
 
     from oxi_diel_db_spark.queries.llm_ops import t12_gopher_rules
