@@ -90,7 +90,10 @@ def _triples(k: int) -> np.ndarray:
 
 
 def candidate_images(
-    abc: np.ndarray, lat: np.ndarray, cutoff: float = CUT
+    abc: np.ndarray,
+    lat: np.ndarray,
+    cutoff: float = CUT,
+    sites: "np.ndarray | list[int] | None" = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """All periodic-image displacement vectors within ``cutoff`` of
     each site, from FRACTIONAL coordinates (``structure.sites.abc`` —
@@ -98,6 +101,13 @@ def candidate_images(
     identical candidate set). Returns (vecs, meta): vecs[s] is the
     (m_s, 3) array of site-s→image cartesian vectors sorted by
     (d, j, oa, ob, oc); meta[s] the matching (m_s, 4) [j, oa, ob, oc].
+
+    ``sites`` restricts the ORIGIN sites computed (targets j always
+    span the full cell); vecs/meta are then indexed by position in
+    ``sites``. Per-site arithmetic is untouched — vecs for site s is
+    bit-identical with or without the restriction (the r11 site-level
+    parallel path behind exact_site_features relies on this; asserted
+    in tests/test_voronoi_exact.py).
 
     Offsets range per axis over ceil(cutoff / h_axis) + 1 — the +1
     covers |Δfrac| up to 1 for site pairs near opposite cell faces
@@ -138,16 +148,19 @@ def candidate_images(
     )
     offs = np.stack([oa.ravel(), ob.ravel(), oc.ravel()], axis=1)  # (O,3)
     n = len(abc)
+    origins = np.arange(n) if sites is None else np.asarray(sites, dtype=int)
     # fractional displacement i→image(j,o): abc[j] + o − abc[i]
     df = (
-        abc[None, :, None, :] + offs[None, None, :, :] - abc[:, None, None, :]
-    )  # (n_i, n_j, O, 3)
-    df_flat = df.reshape(n, -1, 3)
+        abc[None, :, None, :]
+        + offs[None, None, :, :]
+        - abc[origins, None, None, :]
+    )  # (n_origins, n_j, O, 3)
+    df_flat = df.reshape(len(origins), -1, 3)
     j_ids = np.repeat(np.arange(n), len(offs))
     off_ids = np.tile(offs, (n, 1))
     vecs_out, meta_out = [], []
     cut2 = cutoff * cutoff
-    for i in range(n):
+    for i in range(len(origins)):
         f = df_flat[i]
         pre = (np.abs(f) * h[None, :] <= cutoff).all(axis=1)
         f = f[pre]

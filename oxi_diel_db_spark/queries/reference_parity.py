@@ -93,6 +93,20 @@ def _exact_site_slim(m):
         )
     ).localCheckpoint(eager=True)
 
+
+def _exact_site_features(m):
+    """One fused OPSF + Voronoi per-site pass (r11: replaces the two
+    standalone kernel passes behind ml10/ml12 — one 12 Å image build
+    serves both slot families, and the kernel parallelizes per SITE).
+    No checkpoint of the projection: with a single consumer the eager
+    barrier only serializes (the _exact_site_slim checkpoint existed
+    to share the projection across TWO kernel scans)."""
+    from oxi_diel_db_spark.operators.op_fingerprint import (
+        exact_site_features,
+    )
+
+    return exact_site_features(m)
+
 #: (column, table, stat) for the 18 ElementProperty slots of the
 #: el_comp descriptor, in reference order (ml_prediction.py:83-100).
 _EP_SLOTS: list[tuple[str, dict, str]] = [
@@ -800,23 +814,21 @@ def el_comp_st_descriptors(spark, mats=None) -> "F.DataFrame":
         _r6n(F.stddev_pop("min_dist"), "std_min_dist"),
     )
     # exact-tessellation kernels for the OPSF/Voronoi slots (r10:
-    # analogs superseded; reference ml_prediction.py:186-187,204-210)
-    from oxi_diel_db_spark.operators.op_fingerprint import (
-        op_fingerprint_sites,
+    # analogs superseded; reference ml_prediction.py:186-187,204-210).
+    # r11: ONE fused pass serves both slot families — the 12 Å image
+    # build is shared and the per-site rows checkpoint once, instead
+    # of two kernels re-building images over the same projection
+    exact = (
+        _exact_site_features(m).localCheckpoint(eager=True)
     )
-    from oxi_diel_db_spark.operators.voronoi_exact import (
-        voronoi_fingerprint_sites,
-    )
-
-    exact_src = _exact_site_slim(m)
-    ops = op_fingerprint_sites(m, slim=exact_src).groupBy("mp_id").agg(
+    ops = exact.groupBy("mp_id").agg(
         _r6n(F.max("tet"), "tet_max"),
         _r6n(F.max("seesaw"), "seesaw_max"),
     )
     se = SF.site_inverse_distance_energy(m, slim=site_src).groupBy("mp_id").agg(
         _r6n(F.max("inv_dist_energy"), "ewald_max")
     )
-    vor = voronoi_fingerprint_sites(m, slim=exact_src).groupBy("mp_id").agg(
+    vor = exact.groupBy("mp_id").agg(
         _r6n(F.max("area_std"), "vor_area_std_max"),
         _r6n(F.avg("area_std"), "vor_area_std_mean"),
         _r6n(F.min("dist_min"), "vor_dist_min_min"),
@@ -1347,20 +1359,11 @@ def ion_comp_st_descriptors(spark, mats=None) -> "F.DataFrame":
     site_src = SF._spread(SF.shared_slim(m)).localCheckpoint(eager=True)
     # exact-tessellation kernels for the OPSF/Voronoi/heterogeneity
     # slots (r10: analogs superseded; reference ml_prediction.py:
-    # 186-187,251-269); checkpointed because het's two-pass mean/
-    # avg-dev join reads the per-site table twice and vora once more —
-    # Spark doesn't share subplans across self-joins (SCALE.md §3)
-    from oxi_diel_db_spark.operators.op_fingerprint import (
-        op_fingerprint_sites,
-    )
-    from oxi_diel_db_spark.operators.voronoi_exact import (
-        voronoi_fingerprint_sites,
-    )
-
-    exact_src = _exact_site_slim(m)
-    vor_site = voronoi_fingerprint_sites(m, slim=exact_src).localCheckpoint(
-        eager=True
-    )
+    # 186-187,251-269); r11: ONE fused OPSF+Voronoi pass, checkpointed
+    # because het's two-pass mean/avg-dev join reads the per-site
+    # table twice and ops/vora once more each — Spark doesn't share
+    # subplans across self-joins (SCALE.md §3)
+    vor_site = _exact_site_features(m).localCheckpoint(eager=True)
     # StructuralHeterogeneity: per-site coefficient of variation of the
     # TRUE Voronoi face distances; mean and mean-absolute-deviation
     # over sites (two-pass for the avg_dev)
@@ -1376,8 +1379,7 @@ def ion_comp_st_descriptors(spark, mats=None) -> "F.DataFrame":
             _r6n(F.avg(F.abs(F.col("v") - F.col("vm"))), "nbr_var_avg_dev"),
         )
     )
-    opsf_site = op_fingerprint_sites(m, slim=exact_src)
-    ops = opsf_site.groupBy("mp_id").agg(
+    ops = vor_site.groupBy("mp_id").agg(
         _r6n(F.avg("lin"), "linear_mean"),
         _r6n(F.avg("bent150"), "bent150_mean"),
         _r6n(F.avg("tri_plan"), "trig_planar_mean"),

@@ -185,3 +185,75 @@ def test_corpus_invariants_and_guards():
             total,
             vol,
         )
+
+
+def test_fused_exact_site_features_bit_identical(spark):
+    """The r11 fused OPSF+Voronoi pass must be BIT-identical to the two
+    standalone kernels: (a) candidate_images(sites=subset) returns the
+    same arrays as the full build's subset, (b) the 12 Å pool filtered
+    to d² ≤ CUT² equals a dedicated CUT build, (c) the registered
+    DataFrames agree cell-for-cell on a corpus slice."""
+    import numpy as np
+    import duckdb
+
+    from oxi_diel_db_spark.operators.op_fingerprint import (
+        exact_site_features,
+        op_fingerprint_sites,
+    )
+    from oxi_diel_db_spark.operators.voronoi_exact import (
+        CUT,
+        candidate_images,
+        voronoi_fingerprint_sites,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(
+        """SELECT mp_id, structure.lattice.matrix,
+                  [s.abc FOR s IN structure.sites]
+           FROM read_parquet('data/materials.parquet/*.parquet')
+           ORDER BY md5(mp_id) LIMIT 12"""
+    ).fetchall()
+    for mp_id, m, abc in rows:
+        lt = np.array(m)
+        fr = np.array([np.array(p) for p in abc])
+        full12, meta12 = candidate_images(fr, lt, cutoff=12.0)
+        full10, _ = candidate_images(fr, lt)
+        sub, subm = candidate_images(
+            fr, lt, cutoff=12.0, sites=[0, len(fr) - 1]
+        )
+        # (a) origin restriction is exact
+        assert np.array_equal(sub[0], full12[0])
+        assert np.array_equal(subm[1], meta12[len(fr) - 1])
+        # (b) d² prefix of the 12 Å pool == dedicated 10 Å build
+        for s in range(len(fr)):
+            v12 = full12[s]
+            d2 = (
+                v12[:, 0] * v12[:, 0] + v12[:, 1] * v12[:, 1]
+            ) + v12[:, 2] * v12[:, 2]
+            assert np.array_equal(v12[d2 <= CUT * CUT], full10[s])
+
+    # (c) registered-surface equality on a 12-material slice
+    from pyspark.sql import functions as F
+
+    from oxi_diel_db_spark.sources import materials as M
+
+    mats = (
+        M.materials(spark)
+        .withColumn("_h", F.md5("mp_id"))
+        .orderBy("_h")
+        .limit(12)
+        .drop("_h")
+    )
+    key = lambda r: (r["mp_id"], r["site_idx"])  # noqa: E731
+    fused = {key(r): r.asDict() for r in exact_site_features(mats).collect()}
+    ops = {key(r): r.asDict() for r in op_fingerprint_sites(mats).collect()}
+    vor = {
+        key(r): r.asDict()
+        for r in voronoi_fingerprint_sites(mats).collect()
+    }
+    assert set(fused) == set(ops) == set(vor)
+    for k, f in fused.items():
+        for col, v in ops[k].items():
+            assert f[col] == v, (k, col)
+        for col, v in vor[k].items():
+            assert f[col] == v, (k, col)
