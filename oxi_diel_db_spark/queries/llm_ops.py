@@ -4874,17 +4874,85 @@ def p17_preference_pairs(spark, sf_dir):
     )
 
 
-@register("mm11_spectrogram", oracle=None)  # FFT — closed-form numpy parity
+@register(
+    "mm11_spectrogram",
+    # Full value-hash oracle (r11; was rows-only): DuckDB replays the
+    # STFT as a NAIVE DFT — a shared 129×256 twiddle/Hann table
+    # (np.hanning's 2πn/(M−1) convention verbatim), per-(doc, frame, k)
+    # real/imag sums over the closed-form sawtooth samples, frame-mean
+    # power, array_split band edges [0..32 | 33..64 | 65..96 | 97..128]
+    # and k·sr/256 centroid weights. numpy's pocketfft butterflies and
+    # the sequential SQL sums differ at ~1e-13 relative — four orders
+    # below the shared 6-dp round, and the gate data is FIXED, so the
+    # match is deterministic (166/166 bit-identical after rounding,
+    # measured before registering). ~50M twiddle-join rows, 1.5 s in
+    # DuckDB — cheaper than the m37 tessellation twin.
+    oracle="""
+    WITH wavs AS (
+      SELECT doc_id,
+             doc_id % 9973 AS seed,
+             CAST(8000 + (doc_id % 5) * 2000 AS INT) AS sr,
+             256 + doc_id % 2048 AS n
+      FROM documents WHERE doc_id % 3 = 2
+    ),
+    frames AS (
+      SELECT doc_id, seed, sr, n,
+             CAST(1 + (n - 256) // 128 AS BIGINT) AS nf
+      FROM wavs
+    ),
+    tw AS (
+      SELECT k.k, s.s AS n,
+             (0.5 - 0.5 * cos((2.0 * pi() * s.s) / 255.0)) AS w,
+             cos((2.0 * pi() * k.k * s.s) / 256.0) AS c,
+             sin((2.0 * pi() * k.k * s.s) / 256.0) AS si
+      FROM (SELECT UNNEST(range(129)) AS k) k,
+           (SELECT UNNEST(range(256)) AS s) s
+    ),
+    fk AS (
+      SELECT fr.doc_id, fr.sr, fr.nf, f.f AS f, tw.k,
+             SUM(tw.w * (((fr.seed + (f.f * 128 + tw.n)) % 4096 - 2048)
+                         / 2048.0) * tw.c) AS re,
+             SUM(tw.w * (((fr.seed + (f.f * 128 + tw.n)) % 4096 - 2048)
+                         / 2048.0) * tw.si) AS im
+      FROM frames fr
+      JOIN LATERAL (SELECT UNNEST(range(fr.nf)) AS f) f ON TRUE
+      CROSS JOIN tw
+      GROUP BY fr.doc_id, fr.sr, fr.nf, f.f, tw.k
+    ),
+    ms AS (
+      SELECT doc_id, sr, nf, k, AVG(re * re + im * im) AS m
+      FROM fk GROUP BY doc_id, sr, nf, k
+    ),
+    agg AS (
+      SELECT doc_id, ANY_VALUE(sr) AS sample_rate,
+             ANY_VALUE(nf) AS n_frames,
+             SUM(k * (sr / 256.0) * m) / SUM(m) AS centroid,
+             SUM(CASE WHEN k <= 32 THEN m ELSE 0 END) AS s0,
+             SUM(CASE WHEN k BETWEEN 33 AND 64 THEN m ELSE 0 END) AS s1,
+             SUM(CASE WHEN k BETWEEN 65 AND 96 THEN m ELSE 0 END) AS s2,
+             SUM(CASE WHEN k >= 97 THEN m ELSE 0 END) AS s3
+      FROM ms GROUP BY doc_id
+    )
+    SELECT doc_id, sample_rate, n_frames,
+           ROUND(centroid, 6) + 0 AS centroid_hz,
+           ROUND(log10(1.0 + s0), 6) + 0 AS e_band0,
+           ROUND(log10(1.0 + s1), 6) + 0 AS e_band1,
+           ROUND(log10(1.0 + s2), 6) + 0 AS e_band2,
+           ROUND(log10(1.0 + s3), 6) + 0 AS e_band3
+    FROM agg
+    """,
+)
 def mm11_spectrogram(spark, sf_dir):
     """STFT spectrogram features over the WAV fixture docs (Hann
     window, 256-sample frames, 128 hop, 4 log-energy bands + spectral
     centroid) — the audio-codec/ASR preprocessing shape mm6's
-    time-domain mean/RMS doesn't reach. No SQL engine runs an FFT →
-    rows-only; tests/test_multimodal.py rebuilds the expected values
-    from the fixture's CLOSED-FORM sawtooth signal (not from the WAV
-    payload), so the gate covers decode + framing + windowing + fft
-    end to end: a decoder off by one sample shifts every frame and
-    the spectra stop matching."""
+    time-domain mean/RMS doesn't reach. Since r11 the gate is a FULL
+    value hash: the oracle replays the whole pipeline as a naive DFT
+    in DuckDB (see the registration comment for the FP argument), so
+    decode + framing + windowing + spectrum are cross-engine-checked
+    end to end — a decoder off by one sample shifts every frame and
+    the spectra stop matching. tests/test_multimodal.py additionally
+    rebuilds expected values from the closed-form sawtooth in numpy."""
     from oxi_diel_db_spark.operators.multimodal import (
         media_fixture_table,
         stft_features,

@@ -1837,11 +1837,69 @@ def kcore_probe(n_edges: int = 10_000_000, k: int = 3) -> None:
     }))
 
 
+
+def dedup_probe(sf_dir: str, names: "list[str] | None" = None) -> None:
+    """Dedup-tier growth-law probe over a REAL generated corpus dir
+    (r10 verdict #6): times the pair-bound dedup entries on corpora of
+    differing duplication density so the tier's growth is
+    characterized on BOTH regimes —
+
+    * data/sf1 (gen_sf1 default): 50k docs in 10-member near-dup
+      clusters — NATURAL duplication (web-crawl-like);
+    * data/sf3 (gen_sf1 ×30): 150k docs in 30-member clusters — the
+      ADVERSARIAL density that stresses pair output ~9× harder at
+      only 3× the rows.
+
+    A pair-bound operator's cost model is a·rows + b·pairs; two
+    corpora with different (rows, pairs) mixes pin both terms, which
+    one corpus cannot. Usage:
+      python tools/scale_probe.py dedup data/sf1 [names...]
+    Prints one JSON line; run solo (sweep-concurrency lesson, r9)."""
+    import __spark_entry__ as E
+    from oxi_diel_db_spark.session import get_spark
+
+    spark = get_spark("dedup_probe")
+    qs = E.queries()
+    names = names or [
+        "d2_ngram_jaccard",
+        "d8_dedup_clusters",
+        "d12_containment_pairs",
+        "d13_neardup_curation",
+        "d20_substring_dedup",
+        "p12_leakage_safe_split",
+    ]
+    import duckdb
+
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
+    # warm parquet footers + session
+    qs["d1_exact_dedup"](spark, sf_dir).collect()
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        qs[name](spark, sf_dir).collect()
+        timings[name] = round(time.time() - t0, 1)
+    print(
+        json.dumps(
+            {
+                "metric": "dedup_probe",
+                "dir": sf_dir,
+                "docs": n_docs,
+                "unit": "sec",
+                "timings": timings,
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "docs":
         docs_probe(int(float(sys.argv[2]) * 1000) if len(sys.argv) > 2 else 500_000)
     elif len(sys.argv) > 1 and sys.argv[1] == "vectors":
         vectors_probe(int(float(sys.argv[2]) * 1000) if len(sys.argv) > 2 else 200_000)
+    elif len(sys.argv) > 1 and sys.argv[1] == "dedup":
+        dedup_probe(sys.argv[2] if len(sys.argv) > 2 else "data/sf1", sys.argv[3:] or None)
     elif len(sys.argv) > 1 and sys.argv[1] == "bfs":
         bfs_probe(int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000)
     elif len(sys.argv) > 1 and sys.argv[1] == "cc":
