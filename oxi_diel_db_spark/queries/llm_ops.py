@@ -4710,6 +4710,156 @@ def t24_html_extract(spark, sf_dir):
     )
 
 
+# ---- t25: URL canonicalization + dedup ------------------------------------
+
+#: tracking params every crawl canonicalizer strips (the public
+#: SafeURL/trafilatura blocklist head)
+_T25_TRACKING = ("utm_", "ref=", "fbclid=", "gclid=")
+
+
+def _t25_url_sql() -> str:
+    """The raw-URL fixture as SQL — decoration varies on independent
+    doc_id residues so every canonicalization rule is exercised AND
+    groups of decorated variants collapse onto one canonical form:
+    scheme/host case, www. prefix, explicit default port, tracking
+    params, param ORDER, trailing slash, fragment."""
+    return (
+        "CASE doc_id % 4 WHEN 0 THEN 'HTTPS' WHEN 1 THEN 'https'"
+        " WHEN 2 THEN 'http' ELSE 'HTTP' END"
+        " || '://'"
+        " || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END"
+        " || 'Site' || CAST(doc_id % 20 AS STRING) || '.Example.COM'"
+        " || CASE WHEN doc_id % 5 = 0 THEN"
+        "      (CASE WHEN doc_id % 4 <= 1 THEN ':443' ELSE ':80' END)"
+        "    ELSE '' END"
+        " || '/articles/' || CAST(doc_id % 20 AS STRING)"
+        " || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END"
+        " || CASE doc_id % 4"
+        "      WHEN 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 20 AS STRING)"
+        "      WHEN 1 THEN '?id=' || CAST(doc_id % 20 AS STRING)"
+        "                 || '&utm_campaign=x&ref=tw'"
+        "      WHEN 2 THEN '?b=2&a=1&id=' || CAST(doc_id % 20 AS STRING)"
+        "      ELSE '' END"
+        " || CASE WHEN doc_id % 7 = 0 THEN '#section2' ELSE '' END"
+    )
+
+
+def _t25_oracle() -> str:
+    drop = " OR ".join(f"starts_with(p, '{t}')" for t in _T25_TRACKING)
+    return f"""
+    WITH raw AS (
+      SELECT doc_id, {_t25_url_sql()} AS url FROM documents
+    ),
+    parts AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(url, '^([a-zA-Z]+)://', 1)) AS scheme,
+             lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1))
+               AS hostport,
+             COALESCE(regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1),
+                      '') AS path,
+             -- DuckDB regexp_extract is NULL on no match; Spark's is ''
+             COALESCE(regexp_extract(url, '\\?([^#]*)', 1), '') AS query
+      FROM raw
+    ),
+    norm AS (
+      SELECT doc_id, url, scheme,
+             regexp_replace(
+               CASE WHEN starts_with(hostport, 'www.')
+                    THEN hostport[5:] ELSE hostport END,
+               CASE WHEN scheme = 'https' THEN ':443$' ELSE ':80$' END,
+               '') AS host,
+             CASE WHEN path IN ('', '/') THEN '/'
+                  ELSE regexp_replace(path, '/+$', '') END AS cpath,
+             -- COALESCE: DuckDB array_to_string([]) is NULL, not ''
+             COALESCE(array_to_string(list_sort(list_filter(
+               string_split(query, '&'),
+               p -> p <> '' AND NOT ({drop}))), '&'), '') AS cquery
+      FROM parts
+    ),
+    canon AS (
+      SELECT doc_id, url,
+             scheme || '://' || host || cpath
+               || CASE WHEN cquery = '' THEN '' ELSE '?' || cquery END
+               AS canon_url
+      FROM norm
+    )
+    SELECT doc_id, canon_url,
+           COUNT(*) OVER (PARTITION BY canon_url) AS n_members,
+           CAST(doc_id = MIN(doc_id) OVER (PARTITION BY canon_url)
+                AS INT) AS is_canonical
+    FROM canon
+    """
+
+
+@register("t25_url_canonicalize", oracle=_t25_oracle())
+def t25_url_canonicalize(spark, sf_dir):
+    """URL canonicalization + canonical-form dedup — the crawl-frontier
+    step every CommonCrawl-class pipeline runs before fetch/dedup (and
+    the natural companion to t24's content extraction): lowercase
+    scheme+host, strip the www. prefix and the scheme's default port,
+    drop fragments and tracking params (utm_*/ref/fbclid/gclid),
+    SORT the surviving query params (param order is not identity),
+    and trim trailing slashes off non-root paths — all as Catalyst
+    string/array expressions (zero UDFs; regexes RE2-safe).
+
+    The fixture decorates each doc's URL on independent doc_id
+    residues, so the same logical article appears under mixed case,
+    www/port/tracking/fragment noise and scrambled param order; the
+    canonicalizer must collapse exactly those and NOTHING else (the
+    %4==2 arm carries REAL a/b params — its canon form stays distinct;
+    pinned in pytest). Dedup verdict per doc: n_members via one count
+    window over canon_url, canonical = min doc_id (the d1/d7 keep-best
+    convention). At 100 TB this is a projection + one shuffle on the
+    canonical key — the cheapest dedup tier there is, which is why
+    production pipelines run it FIRST."""
+    docs = t(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    url = F.expr(_t25_url_sql())
+    scheme = F.lower(F.regexp_extract(url, r"^([a-zA-Z]+)://", 1))
+    hostport = F.lower(F.regexp_extract(url, r"^[a-zA-Z]+://([^/?#]+)", 1))
+    path = F.regexp_extract(url, r"^[a-zA-Z]+://[^/?#]+([^?#]*)", 1)
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    host = F.regexp_replace(
+        F.when(
+            hostport.startswith("www."),
+            hostport.substr(F.lit(5), F.length(hostport)),
+        ).otherwise(hostport),
+        F.when(scheme == "https", F.lit(":443$")).otherwise(F.lit(":80$")),
+        F.lit(""),
+    )
+    cpath = F.when(path.isin("", "/"), F.lit("/")).otherwise(
+        F.regexp_replace(path, r"/+$", "")
+    )
+    keep = lambda p: (p != "") & ~(  # noqa: E731
+        p.startswith("utm_")
+        | p.startswith("ref=")
+        | p.startswith("fbclid=")
+        | p.startswith("gclid=")
+    )
+    cquery = F.array_join(
+        F.array_sort(F.filter(F.split(query, "&"), keep)), "&"
+    )
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        cpath,
+        F.when(cquery == "", F.lit("")).otherwise(F.concat(F.lit("?"), cquery)),
+    )
+    return docs.select("doc_id", canon.alias("canon_url")).select(
+        "doc_id",
+        "canon_url",
+        F.count(F.lit(1)).over(W.partitionBy("canon_url")).alias("n_members"),
+        (
+            F.col("doc_id")
+            == F.min("doc_id").over(W.partitionBy("canon_url"))
+        )
+        .cast("int")
+        .alias("is_canonical"),
+    )
+
+
 @register(
     "p16_multimodal_packing",
     # the p5 recursive-CTE replay pattern, extended to TWO sequential

@@ -417,3 +417,55 @@ def test_t24_block_classification(spark, tmp_path):
     # doc 15 carries 2 extra planted boilerplate blocks (ad + filler):
     # they raise n_blocks but never n_kept
     assert out[15]["n_blocks"] == out[1]["n_blocks"] + 2
+
+
+# ---- t25: URL canonicalization + dedup (r11 birth) ------------------------
+
+
+def test_t25_canonicalization_rules(spark, tmp_path):
+    """Pins every rule on hand-picked doc_ids: case folding, www./
+    default-port strip, fragment drop, tracking-param drop, param
+    SORT, trailing-slash trim — decorated variants of the same
+    article collapse to ONE canonical form, while the %4==2 arm's
+    REAL a/b params stay a distinct group (dropping too much is as
+    wrong as dropping too little)."""
+    from oxi_diel_db_spark.queries.llm_ops import t25_url_canonicalize
+
+    # article key is doc_id % 20 and 4 | 20, so the %4 query arm is
+    # FIXED per article class: ids {10,30,...,110} are all article 10
+    # in the %4==2 arm with varying www/port/slash decoration (must
+    # collapse to one canon), and {3,...,23} are article-id%20 docs in
+    # the no-query arm with fragment/www decoration.
+    ids = [10, 30, 50, 70, 90, 110, 3, 7, 11, 15, 19, 23]
+    pdf = spark.createDataFrame(
+        [(i, "x", "en", "t", 1) for i in ids],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = str(tmp_path / "sf")
+    pdf.write.parquet(sf + "/documents.parquet")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in t25_url_canonicalize(spark, sf).collect()
+    }
+    # ids 10,30,50,70,90,110: all %4==2 (b=2&a=1&id=k) and article
+    # k = id % 20 ∈ {10, 30%20=10, 50%20=10, ...} → SAME article 10,
+    # decorations differ (www on 30/90, port on 10/50/70/90/110 %5,
+    # slash on evens): all collapse to one canonical URL with sorted
+    # a=1&b=2&id=10
+    canon10 = out[10]["canon_url"]
+    assert canon10 == "http://site10.example.com/articles/10?a=1&b=2&id=10"
+    group = [i for i in ids if out[i]["canon_url"] == canon10]
+    assert sorted(group) == [10, 30, 50, 70, 90, 110]
+    assert out[10]["n_members"] == 6 and out[10]["is_canonical"] == 1
+    assert out[110]["is_canonical"] == 0
+    # %4==3 arm (3,7,11,15,19,23): no query at all; article = id%20;
+    # fragment dropped on 7 (%7==0); www dropped on 3/15 (%3==0)
+    assert out[3]["canon_url"] == "http://site3.example.com/articles/3"
+    assert out[7]["canon_url"] == "http://site7.example.com/articles/7"
+    assert "#" not in out[7]["canon_url"]
+    # 3 and 23 share article 3: 23 has no www, 3 does → same canon
+    assert out[23]["canon_url"] == out[3]["canon_url"]
+    assert out[3]["n_members"] == 2
+    # https default-port strip: id 15 (%4=3 → scheme HTTP? 15%4=3 →
+    # 'HTTP'; %5==0 adds :80) — port stripped
+    assert ":" not in out[15]["canon_url"].split("//")[1]
