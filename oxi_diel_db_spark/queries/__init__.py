@@ -153,6 +153,16 @@ def register(name: str, oracle: str | None = None):
 # block (mm3/mm4, p1–p8, q73, s1–s4, t1–t9), the r4-era streaming rows
 # (st1/st2/st3/st5/st8), then the r5-era dedup/quality/materials head
 # (c2, d10–d13, dq1–dq4, m06–m09, m29). 8 + 42 = 50 slots.
+# r12 planner note (the mm12 precedent — entries born/changed AFTER
+# this prefix was frozen): the MANDATORY head of _R12_PRIORITY is the
+# five r11 births d21_incremental_substring_dedup, t24_html_extract,
+# mm15_cdc_chunk_dedup, t25_url_canonicalize, c6_crawl_curation, plus
+# the two oracle upgrades ml16_isotonic_calibration (minimax closed
+# form) and mm11_spectrogram (naive-DFT replay) whose latest official
+# rows still say rows-only. The r11 fused-kernel rewire behind
+# ml10/ml12/m37/m38 needs NO carry — those four lead THIS round's
+# prefix, so their official rows already reflect the fused code. All
+# seven verified hash-green locally in both ANSI modes (NOTES_r11).
 _R11_PRIORITY = [
     # --- (a) mandatory head: r10 births, never driver-sampled ---
     "m37_voronoi_tessellation",

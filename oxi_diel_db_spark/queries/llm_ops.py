@@ -6943,3 +6943,73 @@ def s10_two_stage_retrieval(spark, sf_dir):
         .filter(F.col("rn") <= 10)
         .select("query_id", "neighbor_id", "l2sq", "rn")
     )
+
+
+# ---- c6: crawl-curation capstone (r11) ------------------------------------
+
+
+def _c6_oracle() -> str:
+    """Composed verbatim from the registered t24/t25/t2 oracles (the
+    c5/s5 pattern — c6 can never drift from the gates it chains)."""
+    from oxi_diel_db_spark.queries import REGISTRY
+
+    t24 = REGISTRY["t24_html_extract"].oracle
+    t25 = REGISTRY["t25_url_canonicalize"].oracle
+    t2 = REGISTRY["t2_quality_score"].oracle
+    return f"""
+    WITH x24 AS ({t24}),
+    x25 AS ({t25}),
+    x2 AS ({t2})
+    SELECT x24.doc_id,
+           x24.extracted_chars,
+           x25.is_canonical,
+           x25.n_members,
+           x2.quality,
+           CAST(x25.is_canonical = 1 AND x2.quality >= 0.55
+                AND x24.extracted_chars >= 50 AS INT) AS keep
+    FROM x24
+    JOIN x25 ON x25.doc_id = x24.doc_id
+    JOIN x2  ON x2.doc_id  = x24.doc_id
+    """
+
+
+@register("c6_crawl_curation", oracle=_c6_oracle())
+def c6_crawl_curation(spark, sf_dir):
+    """The crawl→corpus curation verdict, end to end — the exact chain
+    a CommonCrawl-class ingest runs, each stage an ALREADY-GATED
+    registry entry (builders AND oracles reused, the c5 composition
+    pattern): t25 canonical-URL dedup decides whether this fetch is
+    the canonical copy, t24 main-content extraction decides whether
+    any article text survives boilerplate removal, t2 quality scores
+    what survived. keep = canonical AND quality ≥ 0.55 AND ≥ 50
+    extracted chars — the conservative conjunction a pretraining
+    corpus wants at the TOP of the funnel, where a dropped doc costs
+    nothing downstream.
+
+    Plan shape: three projections over one documents scan joined on
+    doc_id — the t25 window is the only shuffle (canonical key), t24
+    and t2 are stateless projections; at 100 TB the funnel's first
+    stage stays the cheapest."""
+    x24 = t24_html_extract(spark, sf_dir).select("doc_id", "extracted_chars")
+    x25 = t25_url_canonicalize(spark, sf_dir).select(
+        "doc_id", "is_canonical", "n_members"
+    )
+    x2 = t2_quality_score(spark, sf_dir).select("doc_id", "quality")
+    return (
+        x24.join(x25, "doc_id")
+        .join(x2, "doc_id")
+        .select(
+            "doc_id",
+            "extracted_chars",
+            "is_canonical",
+            "n_members",
+            "quality",
+            (
+                (F.col("is_canonical") == 1)
+                & (F.col("quality") >= 0.55)
+                & (F.col("extracted_chars") >= 50)
+            )
+            .cast("int")
+            .alias("keep"),
+        )
+    )
