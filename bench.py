@@ -107,6 +107,10 @@ HEADLINE = [
     "t18_bpe_merges",
     "t23_bpe_apply",  # r10: learn + corpus tokenization (word-table fold + count join)
     "d20_substring_dedup",  # r10: step-1 repeated-50-gram spans (suffix-array recipe)
+    "d21_incremental_substring_dedup",  # r11: batch-vs-store gram join
+    "t24_html_extract",  # r11: boilerplate removal, pure Catalyst
+    "t25_url_canonicalize",  # r11: URL canon + canonical-key dedup
+    "mm15_cdc_chunk_dedup",  # r11: rolling-hash CDC + chunk-key dedup
     "dq11_row_quarantine",
     "q105_gapfill_interpolate",
     "p16_multimodal_packing",
@@ -231,6 +235,7 @@ SINGLES = [
     "ml13_ion_st_reference_scoring",
     "m37_voronoi_tessellation",  # r10: exact tessellation, md5-sample gate population
     "m38_op_fingerprint",  # r10: exact OPSF slots, md5-sample gate population
+    "c6_crawl_curation",  # r11: t25→t24→t2 funnel composition
     "ml17_quality_classifier",  # LBFGS training run (one per invocation)
     "ml19_poisson_glm",  # GLM IRLS training run (one per invocation)
     "ml21_als_recommender",  # blocked-ALS training run (one per invocation)
