@@ -339,3 +339,34 @@ def test_join_strategy_hints_are_honored(spark):
     # hints must never change ANSWERS — same row count all three ways
     n = base.count()
     assert merge.count() == n and shash.count() == n
+
+
+def test_t24_extraction_is_shuffle_free(spark):
+    """t24's whole extraction (page build, block split, classification,
+    content hash) is one narrow projection per document — ZERO
+    exchanges: nothing about a page depends on any other page, and a
+    plan that shuffles here would be wrong at any corpus scale."""
+    plan = plan_of(spark, "t24_html_extract")
+    assert "Exchange" not in plan
+
+
+def test_t25_single_shuffle_on_canonical_key(spark):
+    """t25's dedup verdict needs exactly ONE hash exchange — the
+    canonical URL key shared by both windows (count + min). A second
+    exchange would mean the windows failed to share partitioning."""
+    plan = plan_of(spark, "t25_url_canonicalize")
+    assert plan.count("Arguments: hashpartitioning") == 1
+
+
+def test_d21_store_join_reuses_gram_partitioning(spark):
+    """d21's batch side shuffles ONCE on the gram key: the in-batch
+    count window and the store join share hashpartitioning(h) (at
+    gate scale AQE broadcasts the aggregated store, which also needs
+    no batch-side re-exchange). doc_id-keyed exchanges belong to the
+    islands/accounting tail, not the gram stage."""
+    plan = plan_of(spark, "d21_incremental_substring_dedup")
+    import re
+
+    gram_ex = re.findall(r"Arguments: hashpartitioning\(h#\d+", plan)
+    # one per side (batch window + store aggregate), never a third
+    assert len(gram_ex) == 2, gram_ex
