@@ -215,6 +215,7 @@ SINGLES = [
     "st20_stream_model_scoring",
     "st21_streaming_ivf_upsert",  # stream spin-up + 4-trigger replay + index read-back
     "st22_streaming_neardup_ingest",  # signature-store bootstrap + 4-trigger LSH ingest
+    "st23_streaming_cdc_ingest",  # r11: chunk-store bootstrap + 4-trigger CDC ingest
     "s10_two_stage_retrieval",  # in-query PQ index BUILD (m=16 encode, one-time at deployment) + ADC scan + rerank
     "q94_time_travel",
     "c3_hybrid_search",

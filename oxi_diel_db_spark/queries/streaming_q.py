@@ -1208,3 +1208,186 @@ def st22_streaming_neardup_ingest(spark, sf_dir):
         return spark.createDataFrame(
             [], "doc_a bigint, doc_b bigint, est_jaccard double"
         )
+
+
+@register(
+    "st23_streaming_cdc_ingest",
+    # Closed form of the cumulative ingest: the dup rule is a PAIR rule
+    # on (doc_id, chunk_idx) order — instance (d, k) is dup iff some
+    # instance with the same 64-byte-content key exists at d' < d, or
+    # within the same doc at another chunk — so the union over
+    # micro-batches is arrival-order independent and DuckDB can replay
+    # it over the whole corpus (mm15's chunk CTEs + the order rule +
+    # the stream-half filter). Engine-agnostic by the same argument as
+    # st22: the store is append-first, so when doc d's batch lands the
+    # store holds every d' < d.
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 1 THEN
+               list_concat(
+                 list_transform(range(1, 1 + (1 + doc_id % 7)),
+                   j -> CAST((doc_id * 31 + j * 17) % 256 AS BIGINT)),
+                 list_transform(
+                   range(1, 1200 + ((doc_id - 1) % 7) * 100 + 1),
+                   i -> CAST(((doc_id - 1) * 7919 + i * 104729
+                              + ((i * i) % 251) * 31) % 256 AS BIGINT)))
+             ELSE
+               list_transform(range(1, 1200 + (doc_id % 7) * 100 + 1),
+                 i -> CAST((doc_id * 7919 + i * 104729
+                            + ((i * i) % 251) * 31) % 256 AS BIGINT))
+             END AS b
+      FROM documents
+    ),
+    bnd AS (
+      SELECT doc_id, b,
+             list_sort(list_distinct(list_append(
+               list_filter(range(8, len(b) + 1),
+                 i -> (b[i] + b[i-1]*31 + b[i-2]*961 + b[i-3]*29791
+                     + b[i-4]*923521 + b[i-5]*28629151
+                     + b[i-6]*887503681 + b[i-7]*27512614111)
+                     % 64 = 0),
+               len(b)))) AS bds
+      FROM base
+    ),
+    chunks AS (
+      SELECT doc_id, k AS chunk_idx,
+             CASE WHEN k = 1 THEN 1 ELSE bds[k-1] + 1 END AS s,
+             bds[k] AS e,
+             md5(array_to_string(
+               b[(CASE WHEN k = 1 THEN 1 ELSE bds[k-1] + 1 END):(bds[k])],
+               ',')) AS chash
+      FROM bnd, UNNEST(range(1, len(bds) + 1)) t(k)
+    ),
+    hb AS (SELECT (MAX(doc_id) + 1) // 2 AS half FROM documents),
+    dup AS (
+      SELECT c.doc_id, c.chunk_idx, c.e - c.s + 1 AS c_len,
+             CASE WHEN EXISTS (
+               SELECT 1 FROM chunks p
+               WHERE p.chash = c.chash
+                 AND (p.doc_id < c.doc_id
+                      OR (p.doc_id = c.doc_id
+                          AND p.chunk_idx <> c.chunk_idx))
+             ) THEN 1 ELSE 0 END AS is_dup
+      FROM chunks c
+      WHERE c.doc_id >= (SELECT half FROM hb)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(c_len) AS BIGINT) AS n_bytes,
+           CAST(SUM(is_dup) AS BIGINT) AS n_dup_chunks,
+           CAST(SUM(is_dup * c_len) AS BIGINT) AS dup_bytes,
+           ROUND(SUM(is_dup * c_len) / CAST(SUM(c_len) AS DOUBLE)
+                 + 1e-9, 6) + 0 AS dup_ratio
+    FROM dup GROUP BY doc_id
+    """,
+)
+def st23_streaming_cdc_ingest(spark, sf_dir):
+    """Streaming sub-file dedup ingest — the BINARY face of st22's
+    incremental signature store, streaming mm15's CDC chunking (as
+    st22 streams d14's MinHash): a chunk-key STORE bootstraps from the
+    first half of the corpus (payloads chunked once — the persisted-
+    chunk contract every dedup-at-ingest system relies on); the second
+    half replays as a 4-file stream. Every micro-batch: (1) CDC-chunk
+    the batch payloads ONCE (Arrow-batched, rolling-hash boundaries —
+    operators/multimodal.cdc_chunks), (2) append them to the store
+    FIRST, (3) score each batch doc against the store under the ORDER
+    rule — a chunk is duplicated iff its content key already exists at
+    a lower doc_id or elsewhere in the same doc. Append-first makes
+    the store hold every earlier doc when a batch lands, so the
+    cumulative result is arrival-order independent and equals the
+    closed form the oracle replays — the st22/d21 ingest contract at
+    sub-file granularity.
+
+    100 TB posture: chunk keys are 16 bytes at ~64-byte granularity;
+    the store is append-only parquet (st12 compaction applies); the
+    per-batch join scans the store at replay scale, and the
+    deployment layout that bounds it is bucketBy(chash) + a broadcast
+    semi-join of the batch's keys — the same pay-at-ingest trade
+    documented on st22."""
+    import tempfile
+
+    from oxi_diel_db_spark.operators.multimodal import (
+        cdc_chunks,
+        cdc_fixture_table,
+    )
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    hi = d.agg(F.max("doc_id")).collect()[0][0] + 1
+    half = hi // 2
+    boot = d.filter(F.col("doc_id") < half)
+    rest = d.filter(F.col("doc_id") >= half)
+
+    work = tempfile.mkdtemp(prefix="st23_cdc_")
+    store = f"{work}/chunkstore"
+    result = f"{work}/accounting"
+    cdc_chunks(cdc_fixture_table(boot)).write.mode("overwrite").parquet(store)
+
+    cuts = [half + (hi - half) * i // 4 for i in range(5)]
+    chunks_in = [
+        rest.filter(
+            (F.col("doc_id") >= cuts[i]) & (F.col("doc_id") < cuts[i + 1])
+        )
+        for i in range(4)
+    ]
+    replay_dir = ops.write_replay_files(chunks_in, work)
+    stream = ops.replay_dir_stream(spark, replay_dir)
+
+    def ingest_ordered(batch_df, _bid):
+        ch_b = cdc_chunks(cdc_fixture_table(batch_df)).localCheckpoint()
+        if not ch_b.take(1):
+            return
+        ch_b.write.mode("append").parquet(store)
+        store_ch = spark.read.parquet(store).select(
+            F.col("doc_id").alias("p_doc"),
+            F.col("chunk_idx").alias("p_idx"),
+            F.col("chash"),
+        )
+        hit = (
+            ch_b.join(store_ch, "chash", "left")
+            .withColumn(
+                "m",
+                (
+                    (F.col("p_doc") < F.col("doc_id"))
+                    | (
+                        (F.col("p_doc") == F.col("doc_id"))
+                        & (F.col("p_idx") != F.col("chunk_idx"))
+                    )
+                ).cast("int"),
+            )
+            .groupBy("doc_id", "chunk_idx", "c_len")
+            .agg(F.max(F.coalesce("m", F.lit(0))).alias("is_dup"))
+        )
+        (
+            hit.groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_chunks"),
+                F.sum("c_len").alias("n_bytes"),
+                F.sum("is_dup").cast("bigint").alias("n_dup_chunks"),
+                F.sum(F.col("is_dup") * F.col("c_len")).alias("dup_bytes"),
+                (
+                    F.round(
+                        F.sum(F.col("is_dup") * F.col("c_len"))
+                        / F.sum("c_len").cast("double")
+                        + F.lit(1e-9),
+                        6,
+                    )
+                    + F.lit(0.0)
+                ).alias("dup_ratio"),
+            )
+            .write.mode("append")
+            .parquet(result)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(ingest_ordered)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    return spark.read.parquet(result)
