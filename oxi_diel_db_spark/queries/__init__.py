@@ -159,7 +159,8 @@ def register(name: str, oracle: str | None = None):
 # mm15_cdc_chunk_dedup, t25_url_canonicalize, c6_crawl_curation, plus
 # the two oracle upgrades ml16_isotonic_calibration (minimax closed
 # form) and mm11_spectrogram (naive-DFT replay) whose latest official
-# rows still say rows-only. The r11 fused-kernel rewire behind
+# rows still say rows-only, and the late birth
+# st23_streaming_cdc_ingest (mm15's streaming face). The r11 fused-kernel rewire behind
 # ml10/ml12/m37/m38 needs NO carry — those four lead THIS round's
 # prefix, so their official rows already reflect the fused code. All
 # seven verified hash-green locally in both ANSI modes (NOTES_r11).
