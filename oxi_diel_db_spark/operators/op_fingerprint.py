@@ -265,10 +265,14 @@ def exact_site_features(
         voronoi_cell_faces,
     )
 
-    own = materials.select(
-        "mp_id",
-        F.col("structure.sites.abc").alias("abc"),
-        F.col("structure.lattice.matrix").alias("lat"),
+    own = (
+        None
+        if slim is not None  # don't resolve structure.* on slim callers
+        else materials.select(
+            "mp_id",
+            F.col("structure.sites.abc").alias("abc"),
+            F.col("structure.lattice.matrix").alias("lat"),
+        )
     )
     op_cols = (
         "sgl_bd lin bent150 tri_plan pent_plan oct seesaw tet q6"
@@ -336,6 +340,11 @@ def exact_site_features(
     # — offset meshgrid + id tables — ~15× for no extra balance)
     src = slim if slim is not None else own
     n = 2 * src.sparkSession.sparkContext.defaultParallelism
+    # zero-site guard: sequence(0, -1) is DESCENDING [0, -1] in Spark,
+    # so an empty material would emit site_idx=-1 and abc[origins]
+    # would IndexError in the Arrow worker; the standalone kernels emit
+    # zero rows for such a material — match that by filtering first
+    src = src.where(F.size("abc") > 0)
     per_site = (
         src.select(
             "mp_id",

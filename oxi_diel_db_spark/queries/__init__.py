@@ -164,6 +164,77 @@ def register(name: str, oracle: str | None = None):
 # ml10/ml12/m37/m38 needs NO carry — those four lead THIS round's
 # prefix, so their official rows already reflect the fused code. All
 # seven verified hash-green locally in both ANSI modes (NOTES_r11).
+# Round-12 sampling rotation (machine-computed: tools/rotation_plan.py
+# --staleness over CORRECTNESS_r01..r11 → 6 never-sampled + 2
+# not-green-latest of 323). Composition per the r11 verdict: (a) the
+# MANDATORY head exactly as the planted r12 planner note above — the
+# six r11 births (d21, t24, t25, mm15, c6, st23: never driver-sampled;
+# c6's gated values additionally changed THIS round when the funnel
+# grew a d22 blocklist stage, so its official row lands on the r12
+# code) and the two oracle upgrades (ml16 minimax closed form, mm11
+# naive-DFT replay: latest official rows still say no_oracle); (b) 42
+# staleness re-gates from the --staleness report head, stalest first —
+# the r5-era extras/llm_ops/relational/windows/joins rows (m30–m32,
+# mm2/mm5/mm7/mm8, p9/p11, q01–q43 block, q67/q68, q76–q89, st9/st10),
+# then the r6-era head (c3, d14, dq5–dq7, g4, mm6, mm9, p10).
+# 8 + 42 = 50 slots.
+_R12_PRIORITY = [
+    # --- (a) mandatory head: r11 births, never driver-sampled ---
+    "d21_incremental_substring_dedup",
+    "t24_html_extract",
+    "t25_url_canonicalize",
+    "mm15_cdc_chunk_dedup",
+    "c6_crawl_curation",
+    "st23_streaming_cdc_ingest",
+    # --- (a cont.) oracle upgrades: latest official row says no_oracle ---
+    "ml16_isotonic_calibration",
+    "mm11_spectrogram",
+    # --- (b) staleness re-gates, stalest first (r5-era rows) ---
+    "m30_voronoi_neighbors",
+    "m31_ewald_site_energy",
+    "m32_element_property_full",
+    "mm2_decode_features",
+    "mm5_resize_pipeline",
+    "mm7_modality_coverage",
+    "mm8_image_neardup",
+    "p11_temperature_sampling",
+    "p9_weighted_sample",
+    "q01_pricing_summary",
+    "q03_predicates",
+    "q06_topk",
+    "q08_intersect",
+    "q09_except",
+    "q12_json_extract",
+    "q40_ranking",
+    "q41_lag_lead",
+    "q42_running_frames",
+    "q43_range_frame",
+    "q67_top_supplier",
+    "q68_waiting_suppliers",
+    "q76_merge_upsert",
+    "q78_arrow_udf",
+    "q80_poscar_source",
+    "q81_dataset_profile",
+    "q83_bucketed_join",
+    "q85_session_window",
+    "q86_variant_json",
+    "q87_runtime_bloom_join",
+    "q88_ohlc_resample",
+    "q89_xml_source",
+    "st10_stream_upsert_sink",
+    "st9_late_data",
+    # --- (b cont.) r6-era rows ---
+    "c3_hybrid_search",
+    "d14_incremental_neardup",
+    "dq5_volume_anomaly",
+    "dq6_reconciliation",
+    "dq7_profile_drift",
+    "g4_bfs_distances",
+    "mm6_audio_features",
+    "mm9_audio_neardup",
+    "p10_length_buckets",
+]
+
 _R11_PRIORITY = [
     # --- (a) mandatory head: r10 births, never driver-sampled ---
     "m37_voronoi_tessellation",
@@ -641,7 +712,7 @@ def load_registry() -> dict[str, QueryDef]:
     )
 
     ordered: dict[str, QueryDef] = {}
-    for name in _R11_PRIORITY:
+    for name in _R12_PRIORITY:
         if name in REGISTRY:  # tolerate renames; never KeyError the gate
             ordered[name] = REGISTRY[name]
     for name, qdef in REGISTRY.items():

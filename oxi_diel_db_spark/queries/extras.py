@@ -2378,7 +2378,13 @@ def _ml16_oracle() -> str:
     one MAX per k. Both engines divide exact integer-valued sums, so
     the pooled means are bit-identical before the shared 6-dp round.
     Composed from the registered t2/t12 oracles verbatim (the c5
-    pattern — ml16 can never drift from the gates it builds on)."""
+    pattern — ml16 can never drift from the gates it builds on).
+
+    Margin audit (r12, ADVICE ask): measured AT THE GATE SCALE,
+    sf0.01 (494 fit values) — min distance to a 6-dp boundary
+    4.05e-8 on bit-identical ROUND inputs; asserted in
+    tests/test_round_margin.py. Re-measure there before gating at a
+    larger sf."""
     from oxi_diel_db_spark.queries import REGISTRY
     from oxi_diel_db_spark.queries import llm_ops  # noqa: F401 (registers t2/t12)
 

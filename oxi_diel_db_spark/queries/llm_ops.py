@@ -5037,6 +5037,12 @@ def p17_preference_pairs(spark, sf_dir):
     # match is deterministic (166/166 bit-identical after rounding,
     # measured before registering). ~50M twiddle-join rows, 1.5 s in
     # DuckDB — cheaper than the m37 tessellation twin.
+    # Margin audit (r12, ADVICE ask): bit-identity was measured AT THE
+    # GATE SCALE, sf0.01 (166 docs / 830 rounded values). Min distance
+    # to a 6-dp boundary 9.0e-10; max naive-vs-pocketfft delta 1.6e-14
+    # (8.1e4x headroom) — asserted in tests/test_round_margin.py.
+    # Re-measure there BEFORE gating this entry at a larger sf: a new
+    # doc_id population redraws every value's boundary distance.
     oracle="""
     WITH wavs AS (
       SELECT doc_id,

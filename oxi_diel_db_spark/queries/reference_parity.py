@@ -80,27 +80,13 @@ VOR_SAMPLE_SQL = "md5(mp_id) LIKE '0%'"
 _MAT_SAMPLE = f"(SELECT * FROM {_MAT} WHERE {VOR_SAMPLE_SQL})"
 
 
-def _exact_site_slim(m):
-    """Shared spread projection for the exact-tessellation kernels
-    (abc + lattice; the legacy kernels read xyz via shared_slim)."""
-    from oxi_diel_db_spark.operators import site_features as SF
-
-    return SF._spread(
-        m.select(
-            "mp_id",
-            F.col("structure.sites.abc").alias("abc"),
-            F.col("structure.lattice.matrix").alias("lat"),
-        )
-    ).localCheckpoint(eager=True)
-
-
 def _exact_site_features(m):
     """One fused OPSF + Voronoi per-site pass (r11: replaces the two
     standalone kernel passes behind ml10/ml12 — one 12 Å image build
     serves both slot families, and the kernel parallelizes per SITE).
     No checkpoint of the projection: with a single consumer the eager
-    barrier only serializes (the _exact_site_slim checkpoint existed
-    to share the projection across TWO kernel scans)."""
+    barrier only serializes (the deleted _exact_site_slim checkpoint
+    existed to share the projection across TWO kernel scans)."""
     from oxi_diel_db_spark.operators.op_fingerprint import (
         exact_site_features,
     )

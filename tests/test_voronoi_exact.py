@@ -257,3 +257,31 @@ def test_fused_exact_site_features_bit_identical(spark):
             assert f[col] == v, (k, col)
         for col, v in vor[k].items():
             assert f[col] == v, (k, col)
+
+
+def test_fused_pass_zero_site_material_emits_no_rows(spark):
+    """A zero-site material must yield ZERO rows, matching the
+    standalone kernels' behavior — NOT crash. Without the size guard,
+    sequence(0, size(abc)-1) = sequence(0, -1) is DESCENDING [0, -1]
+    in Spark, so site_idx=-1 reached candidate_images and abc[origins]
+    raised IndexError in the Arrow worker (r11 ADVICE, latent — no
+    zero-site material exists in the corpus)."""
+    from pyspark.sql import functions as F
+
+    from oxi_diel_db_spark.operators.op_fingerprint import (
+        exact_site_features,
+    )
+
+    a = 3.0
+    cubic = [[0.0, 0.0, 0.0]]
+    lat = [[a, 0.0, 0.0], [0.0, a, 0.0], [0.0, 0.0, a]]
+    slim = spark.createDataFrame(
+        [("mp-real", cubic, lat), ("mp-empty", [], lat)],
+        "mp_id string, abc array<array<double>>, lat array<array<double>>",
+    )
+    rows = exact_site_features(slim, slim=slim).collect()
+    assert {r["mp_id"] for r in rows} == {"mp-real"}
+    assert len(rows) == 1 and rows[0]["site_idx"] == 0
+    # sc lattice sanity: 6 square faces (pins that the guard filters
+    # rows, not arithmetic)
+    assert rows[0]["n_faces"] == 6
