@@ -203,6 +203,54 @@ def pack_sequences_greedy(
     )
 
 
+def assign_shards(
+    packed: DataFrame,
+    token_col: str,
+    bin_col: str = "bin_id",
+    shard_budget: int = 8192,
+    budget: int = 2048,
+    bin_bucket: int = 65536,
+) -> DataFrame:
+    """Token-budget shard assignment over a packed table (pack_sequences
+    output): bins are walked in ``bin_col`` order and cut into shards
+    every ``shard_budget`` tokens of the running bin-total cumsum — the
+    fixed-size-file export step of a training pipeline (a shard is one
+    output file of ~shard_budget tokens; the WebDataset/Megatron shard
+    recipe, public). A shard whose last bin straddles the boundary can
+    exceed the budget by < that bin's total, mirroring pack_sequences'
+    straddle rule one level up.
+
+    Scale posture: the same deterministic bucketed two-pass as
+    pack_sequences, with bucket = floor(bin_id / bin_bucket) — a prefix
+    of the walk order, so (bucket, bin_id) order ≡ bin_id order. Pass 1
+    reduces the packed table to ONE token sum per bin (map-side
+    combined; bins ≈ corpus_tokens / budget rows — 4 orders below doc
+    count); the cumsum window then partitions by bin-bucket (≤
+    bin_bucket rows each, never the data), and the exclusive bucket
+    offsets table (bins / bin_bucket rows) broadcasts. The doc → shard
+    map joins back on ``bin_col``; AQE broadcasts it when small.
+    """
+    clamped = F.least(F.col(token_col).cast("bigint"), F.lit(budget))
+    bins = packed.groupBy(bin_col).agg(F.sum(clamped).alias("__bt"))
+    b = bins.withColumn("__bb", F.floor(F.col(bin_col) / bin_bucket).cast("int"))
+    tot = b.groupBy("__bb").agg(F.sum("__bt").alias("__n"))
+    wo = Window.orderBy("__bb").rowsBetween(Window.unboundedPreceding, -1)
+    off = tot.select(
+        "__bb", F.coalesce(F.sum("__n").over(wo), F.lit(0)).alias("__off")
+    )
+    w = (
+        Window.partitionBy("__bb")
+        .orderBy(bin_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("__bt").over(w), F.lit(0)) + F.col("__off")
+    shard_map = b.join(F.broadcast(off), "__bb").select(
+        bin_col,
+        F.floor(cum_before / shard_budget).cast("bigint").alias("shard_id"),
+    )
+    return packed.join(shard_map, bin_col)
+
+
 def mix_corpora(
     df: DataFrame,
     key: str,

@@ -6030,6 +6030,146 @@ def p19_embargo_split(spark, sf_dir):
     )
 
 
+_P20_BIN_BUDGET = 2048
+_P20_SHARD_BUDGET = 8192
+
+
+def _p20_oracle() -> str:
+    """Replays the full export chain on the p4 gate's own oracle (the
+    c5 composition pattern — p20 can never drift from the packing it
+    builds on): bin totals → exclusive cumsum in bin order → shard =
+    floor(cum_before / shard_budget) → md5 split lineage → doc-level
+    assignment joined to the per-shard manifest accounting. packed is
+    AS MATERIALIZED — referenced twice and small (DuckDB re-executes
+    plain CTEs per reference)."""
+    from oxi_diel_db_spark.queries import REGISTRY
+
+    p4 = REGISTRY["p4_sequence_packing"].oracle
+    return f"""
+    WITH packed AS MATERIALIZED ({p4}),
+    bins AS (
+      SELECT bin_id, SUM(n_tok) AS bt FROM packed GROUP BY bin_id
+    ),
+    sh AS (
+      SELECT bin_id,
+             CAST(FLOOR((SUM(bt) OVER (ORDER BY bin_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         - bt) / {_P20_SHARD_BUDGET}) AS BIGINT) AS shard_id
+      FROM bins
+    ),
+    asg AS (
+      SELECT p.doc_id, p.n_tok, p.bin_id, s.shard_id,
+             CASE WHEN substring(md5('split:' || CAST(s.shard_id AS VARCHAR)), 1, 1) < 'd'
+                  THEN 'train' ELSE 'val' END AS split
+      FROM packed p JOIN sh s USING (bin_id)
+    ),
+    man AS (
+      SELECT split, shard_id,
+             CAST(MAX(bin_id) - MIN(bin_id) + 1 AS BIGINT) AS shard_bins,
+             CAST(COUNT(*) AS BIGINT) AS shard_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS shard_tok
+      FROM asg GROUP BY split, shard_id
+    )
+    SELECT a.doc_id, a.n_tok, a.bin_id, a.shard_id, a.split,
+           m.shard_bins, m.shard_docs, m.shard_tok
+    FROM asg a JOIN man m USING (split, shard_id)
+    """
+
+
+@register("p20_shard_export", oracle=_p20_oracle())
+def p20_shard_export(spark, sf_dir):
+    """Token-budget training-shard export — the pipeline's last mile
+    after p4 packs sequences: bins are cut into ~8192-token shards by
+    cumulative-sum bucketing over the packed table
+    (operators/sampling.assign_shards), every shard gets an md5 split
+    lineage (train/val ≈ 13/16 by shard hash — deterministic, engine-
+    neutral hex compare), the doc-level assignment is WRITTEN as a
+    (split, shard_id)-partitioned parquet tree (the q18 roundtrip
+    pattern: at scale this layout IS the exported dataset, and split/
+    shard pruning comes free afterwards), and the registered output is
+    the READ-BACK assignment joined to the per-shard manifest
+    accounting (shard_bins / shard_docs / shard_tok) — so write
+    fidelity, shard assignment, lineage, and accounting all sit under
+    one full value-hash gate. n_tok is clamped to the bin budget
+    before the write, matching the packing arithmetic (p4's oracle
+    clamps identically).
+
+    Plan shape (asserted in tests/test_plans.py): downstream of the
+    read-back, exactly ONE exchange on the shard key serves BOTH the
+    manifest aggregate and the join back to doc rows. Scale posture:
+    the shard walk runs over the BIN table (corpus_tokens / 2048
+    rows), never the docs; see assign_shards' bucketed two-pass note."""
+    from oxi_diel_db_spark.operators.sampling import (
+        assign_shards,
+        pack_sequences,
+    )
+    from oxi_diel_db_spark.queries.extras import _scratch
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", TX.ws_token_count("text").alias("n_tok")
+    )
+    packed = pack_sequences(
+        d, "doc_id", "n_tok", budget=_P20_BIN_BUDGET, seed=42
+    )
+    assigned = assign_shards(
+        packed,
+        "n_tok",
+        "bin_id",
+        shard_budget=_P20_SHARD_BUDGET,
+        budget=_P20_BIN_BUDGET,
+    ).withColumn(
+        "split",
+        F.when(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("shard_id").cast("string"))),
+                1,
+                1,
+            )
+            < "d",
+            F.lit("train"),
+        ).otherwise(F.lit("val")),
+    )
+    out = _scratch("p20_shards")
+    assigned.select(
+        "doc_id",
+        F.least(F.col("n_tok").cast("bigint"), F.lit(_P20_BIN_BUDGET)).alias(
+            "n_tok"
+        ),
+        "bin_id",
+        "shard_id",
+        "split",
+    ).write.mode("overwrite").partitionBy("split", "shard_id").parquet(out)
+    back = spark.read.parquet(out).select(
+        "doc_id",
+        "n_tok",
+        "bin_id",
+        F.col("shard_id").cast("bigint").alias("shard_id"),
+        F.col("split").cast("string").alias("split"),
+    )
+    # shard_bins = max - min + 1: a shard's bins are a CONTIGUOUS,
+    # gap-free bin_id range by construction (bins are cut into shards
+    # in cumsum order and p4's bins have no holes), and the closed
+    # form spares the count-distinct Expand + its second exchange —
+    # the manifest costs exactly one shuffle on the shard key
+    manifest = back.groupBy("split", "shard_id").agg(
+        (F.max("bin_id") - F.min("bin_id") + 1)
+        .cast("bigint")
+        .alias("shard_bins"),
+        F.count(F.lit(1)).cast("bigint").alias("shard_docs"),
+        F.sum("n_tok").cast("bigint").alias("shard_tok"),
+    )
+    return back.join(manifest, ["split", "shard_id"]).select(
+        "doc_id",
+        "n_tok",
+        "bin_id",
+        "shard_id",
+        "split",
+        "shard_bins",
+        "shard_docs",
+        "shard_tok",
+    )
+
+
 @register(
     "mm14_voice_activity",
     # Closed-form oracle from the fixture arithmetic: n_active

@@ -370,3 +370,20 @@ def test_d21_store_join_reuses_gram_partitioning(spark):
     gram_ex = re.findall(r"Arguments: hashpartitioning\(h#\d+", plan)
     # one per side (batch window + store aggregate), never a third
     assert len(gram_ex) == 2, gram_ex
+
+
+def test_p20_manifest_single_shard_key_exchange(spark):
+    """Downstream of the partitioned read-back, p20 costs exactly ONE
+    hash exchange — the (split, shard_id) manifest aggregate; the doc
+    rows reach the manifest join via broadcast, never a reshuffle.
+    shard_bins is the max-min+1 closed form precisely so no
+    count-distinct Expand sneaks in a second exchange."""
+    plan = plan_of(spark, "p20_shard_export")
+    import re
+
+    hashex = re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan)
+    assert len(hashex) == 1, hashex
+    assert "split" in hashex[0] and "shard_id" in hashex[0]
+    assert "BroadcastHashJoin" in plan
+    # partition pruning is live on the exported tree
+    assert "PartitionFilters" in plan

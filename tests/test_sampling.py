@@ -216,3 +216,89 @@ def test_p18_epochs_reshuffle_but_reproduce(spark):
     n_docs = len(orders[es[0]])
     counts = Counter(s for s, _, _ in by_epoch[es[0]])
     assert max(counts.values()) <= 2 * n_docs / 8
+
+
+def test_assign_shards_matches_sequential_replay(spark):
+    """assign_shards' bucketed two-pass must equal a sequential Python
+    replay of the cumsum rule (shard = floor(tokens-before-bin /
+    budget)) — forced across MULTIPLE bin-buckets (bin_bucket=4) so the
+    offset/broadcast path is actually exercised — and must be invariant
+    to input partitioning. Straddle bound: every shard's total < budget
+    + its last bin's total (mirrors pack_sequences one level up)."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    # packed table: 60 bins, ragged totals, several docs per bin
+    rows = []
+    k = 0
+    bin_tot = {}
+    for b in range(60):
+        for _ in range(int(rng.randint(1, 5))):
+            tok = int(rng.randint(50, 700))
+            rows.append((k, tok, b))
+            bin_tot[b] = bin_tot.get(b, 0) + min(tok, 1000)
+            k += 1
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long, bin_id long")
+    got = sampling.assign_shards(
+        df, "n_tok", "bin_id", shard_budget=3000, budget=1000, bin_bucket=4
+    )
+    m = {r["doc_id"]: r["shard_id"] for r in got.collect()}
+    # sequential replay
+    cum, want_shard = 0, {}
+    for b in sorted(bin_tot):
+        want_shard[b] = cum // 3000
+        cum += bin_tot[b]
+    for doc_id, tok, b in rows:
+        assert m[doc_id] == want_shard[b], (doc_id, b)
+    # partitioning-invariant
+    got2 = sampling.assign_shards(
+        df.repartition(13), "n_tok", "bin_id",
+        shard_budget=3000, budget=1000, bin_bucket=4,
+    )
+    assert {r["doc_id"]: r["shard_id"] for r in got2.collect()} == m
+    # straddle bound per shard
+    shard_tot: dict = {}
+    for b, s in want_shard.items():
+        shard_tot[s] = shard_tot.get(s, 0) + bin_tot[b]
+    for s, tot in shard_tot.items():
+        last_bin = max(b for b, sh in want_shard.items() if sh == s)
+        assert tot < 3000 + bin_tot[last_bin]
+
+
+def test_p20_export_roundtrip_manifest_and_lineage(spark):
+    """The registered p20 gate output must be self-consistent: every
+    doc exactly once, bins never span shards, the manifest columns
+    re-derive from the doc rows, and the split lineage matches an
+    independent md5 recomputation."""
+    import hashlib
+    from collections import defaultdict
+
+    from oxi_diel_db_spark.queries import load_registry
+
+    rows = (
+        load_registry()["p20_shard_export"]
+        .build(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert len(rows) == len({r["doc_id"] for r in rows}) == 500
+    by_shard = defaultdict(list)
+    bin_to_shard = {}
+    for r in rows:
+        by_shard[(r["split"], r["shard_id"])].append(r)
+        prev = bin_to_shard.setdefault(r["bin_id"], r["shard_id"])
+        assert prev == r["shard_id"]  # a bin never spans shards
+        want = (
+            "train"
+            if hashlib.md5(f"split:{r['shard_id']}".encode()).hexdigest()[0] < "d"
+            else "val"
+        )
+        assert r["split"] == want
+        assert r["n_tok"] <= 2048
+    for (_, _), grp in by_shard.items():
+        g0 = grp[0]
+        assert g0["shard_docs"] == len(grp)
+        assert g0["shard_tok"] == sum(r["n_tok"] for r in grp)
+        assert g0["shard_bins"] == len({r["bin_id"] for r in grp})
+    # shard ids are contiguous from 0
+    shards = sorted({r["shard_id"] for r in rows})
+    assert shards == list(range(len(shards)))
