@@ -112,6 +112,7 @@ HEADLINE = [
     "t25_url_canonicalize",  # r11: URL canon + canonical-key dedup
     "mm15_cdc_chunk_dedup",  # r11: rolling-hash CDC + chunk-key dedup
     "p20_shard_export",  # r12: token-budget shard export + manifest roundtrip
+    "d22_domain_blocklist",  # r12: registrable-domain blocklist decontamination
     "dq11_row_quarantine",
     "q105_gapfill_interpolate",
     "p16_multimodal_packing",

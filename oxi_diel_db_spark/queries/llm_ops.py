@@ -4860,6 +4860,135 @@ def t25_url_canonicalize(spark, sf_dir):
     )
 
 
+# ---- d22: URL/domain blocklist decontamination ------------------------------
+
+#: public-suffix-style 2-label rules (representative head of the PSL —
+#: the full list is data, not logic; swap in the published file at
+#: deployment). A host's registrable domain is the label left of its
+#: public suffix plus the suffix itself.
+_D22_SUFFIX2 = ("co.uk", "com.au", "github.io", "ac.uk", "gov.uk")
+#: blocked REGISTRABLE domains (benchmark/eval-site decontamination:
+#: the whole bench.* family across every suffix arm, plus one specific
+#: org) — equality on the registrable domain IS the *.domain suffix
+#: match, which is what makes this tier a broadcast HASH join
+_D22_BLOCK_DOMAINS = (
+    "bench.com",
+    "bench.org",
+    "bench.co.uk",
+    "bench.github.io",
+    "bench.com.au",
+    "wiki.co.uk",
+)
+#: blocked exact hosts (a single bad subdomain of an otherwise-fine
+#: domain; matches docs 35/385 and 16/366 under the fixture residues)
+_D22_BLOCK_HOSTS = ("h35.news.com", "h16.wiki.org")
+
+
+def _d22_host_sql() -> str:
+    """Raw-host fixture: subdomain presence, org, and suffix family
+    vary on independent doc_id residues (so every suffix rule and both
+    blocklist tiers are exercised), with case noise on odd doc_ids the
+    canonicalizer must fold."""
+    h = (
+        "(CASE WHEN doc_id % 3 = 0 THEN ''"
+        " ELSE 'h' || CAST(doc_id % 50 AS STRING) || '.' END)"
+        " || CASE doc_id % 7 WHEN 0 THEN 'news' WHEN 1 THEN 'blogs'"
+        "      WHEN 2 THEN 'wiki' WHEN 3 THEN 'bench' WHEN 4 THEN 'data'"
+        "      WHEN 5 THEN 'forum' ELSE 'shop' END"
+        " || '.' || CASE doc_id % 5 WHEN 0 THEN 'com' WHEN 1 THEN 'org'"
+        "      WHEN 2 THEN 'co.uk' WHEN 3 THEN 'github.io'"
+        "      ELSE 'com.au' END"
+    )
+    return f"CASE WHEN doc_id % 2 = 1 THEN upper({h}) ELSE {h} END"
+
+
+def _d22_oracle() -> str:
+    suf = ", ".join(f"'{s}'" for s in _D22_SUFFIX2)
+    doms = ", ".join(f"('{d}')" for d in _D22_BLOCK_DOMAINS)
+    hosts = ", ".join(f"('{h}')" for h in _D22_BLOCK_HOSTS)
+    return f"""
+    WITH raw AS (
+      SELECT doc_id, lower({_d22_host_sql()}) AS host FROM documents
+    ),
+    reg AS (
+      SELECT doc_id, host,
+             string_split(host, '.') AS ls,
+             len(string_split(host, '.')) AS n
+      FROM raw
+    ),
+    ext AS (
+      SELECT doc_id, host,
+             CASE WHEN n >= 3
+                       AND ls[n - 1] || '.' || ls[n] IN ({suf})
+                  THEN ls[n - 2] || '.' || ls[n - 1] || '.' || ls[n]
+                  ELSE ls[n - 1] || '.' || ls[n] END AS reg_domain
+      FROM reg
+    ),
+    bd(pattern) AS (VALUES {doms}),
+    bh(pattern) AS (VALUES {hosts})
+    SELECT e.doc_id, e.host, e.reg_domain,
+           CAST(COALESCE(bh.pattern, bd.pattern) IS NOT NULL AS INT)
+             AS blocked,
+           COALESCE(bh.pattern, bd.pattern, '') AS rule
+    FROM ext e
+    LEFT JOIN bh ON e.host = bh.pattern
+    LEFT JOIN bd ON e.reg_domain = bd.pattern
+    """
+
+
+@register("d22_domain_blocklist", oracle=_d22_oracle())
+def d22_domain_blocklist(spark, sf_dir):
+    """URL/domain blocklist decontamination — the crawl-frontier drop
+    step between t25's canonicalization and t24's extraction: extract
+    each canonical host's REGISTRABLE domain with public-suffix-style
+    rules (pure Catalyst array/string expressions — split, element_at,
+    a broadcastable 2-label suffix set folded into an isin), then drop
+    hosts matching either blocklist tier: exact bad hosts (equi-join
+    on host) and blocklisted registrable domains (equi-join on
+    reg_domain — equality at the registrable level IS the *.domain
+    suffix match, so the scale path stays a broadcast HASH join, never
+    a LIKE-suffix nested loop). Per-doc verdict + matched rule is the
+    accounting output; the kept set feeds c6's extended funnel.
+
+    At 100 TB: one narrow projection per doc and two broadcast joins
+    against O(blocklist) rows — zero exchanges (plan-asserted in
+    tests/test_plans.py). The suffix RULE SET is data (swap in the
+    published PSL file at deployment); the logic handles exactly the
+    2-label-rule shape the PSL head uses."""
+    docs = t(spark, sf_dir, "documents")
+    host = F.lower(F.expr(_d22_host_sql()))
+    ls = F.split(host, r"\.")
+    n = F.size(ls)
+    last2 = F.concat_ws(".", F.element_at(ls, -2), F.element_at(ls, -1))
+    reg_domain = F.when(
+        (n >= 3) & last2.isin(*_D22_SUFFIX2),
+        F.concat_ws(".", F.element_at(ls, -3), last2),
+    ).otherwise(last2)
+    ext = docs.select(
+        "doc_id", host.alias("host"), reg_domain.alias("reg_domain")
+    )
+    bh = spark.createDataFrame(
+        [(p,) for p in _D22_BLOCK_HOSTS], "hpat string"
+    )
+    bd = spark.createDataFrame(
+        [(p,) for p in _D22_BLOCK_DOMAINS], "dpat string"
+    )
+    return (
+        ext.join(F.broadcast(bh), ext.host == bh.hpat, "left")
+        .join(F.broadcast(bd), ext.reg_domain == bd.dpat, "left")
+        .select(
+            "doc_id",
+            "host",
+            "reg_domain",
+            F.coalesce("hpat", "dpat")
+            .isNotNull()
+            .cast("int")
+            .alias("blocked"),
+            F.coalesce("hpat", "dpat", F.lit("")).alias("rule"),
+        )
+    )
+
+
 @register(
     "p16_multimodal_packing",
     # the p5 recursive-CTE replay pattern, extended to TWO sequential
@@ -7095,26 +7224,33 @@ def s10_two_stage_retrieval(spark, sf_dir):
 
 
 def _c6_oracle() -> str:
-    """Composed verbatim from the registered t24/t25/t2 oracles (the
-    c5/s5 pattern — c6 can never drift from the gates it chains)."""
+    """Composed verbatim from the registered t25/d22/t24/t2 oracles
+    (the c5/s5 pattern — c6 can never drift from the gates it
+    chains). r12: the d22 blocklist stage joined in; keep demands
+    blocked = 0."""
     from oxi_diel_db_spark.queries import REGISTRY
 
     t24 = REGISTRY["t24_html_extract"].oracle
     t25 = REGISTRY["t25_url_canonicalize"].oracle
+    d22 = REGISTRY["d22_domain_blocklist"].oracle
     t2 = REGISTRY["t2_quality_score"].oracle
     return f"""
     WITH x24 AS ({t24}),
     x25 AS ({t25}),
+    x22 AS ({d22}),
     x2 AS ({t2})
     SELECT x24.doc_id,
            x24.extracted_chars,
            x25.is_canonical,
            x25.n_members,
+           x22.blocked,
            x2.quality,
-           CAST(x25.is_canonical = 1 AND x2.quality >= 0.55
+           CAST(x25.is_canonical = 1 AND x22.blocked = 0
+                AND x2.quality >= 0.55
                 AND x24.extracted_chars >= 50 AS INT) AS keep
     FROM x24
     JOIN x25 ON x25.doc_id = x24.doc_id
+    JOIN x22 ON x22.doc_id = x24.doc_id
     JOIN x2  ON x2.doc_id  = x24.doc_id
     """
 
@@ -7125,33 +7261,38 @@ def c6_crawl_curation(spark, sf_dir):
     a CommonCrawl-class ingest runs, each stage an ALREADY-GATED
     registry entry (builders AND oracles reused, the c5 composition
     pattern): t25 canonical-URL dedup decides whether this fetch is
-    the canonical copy, t24 main-content extraction decides whether
-    any article text survives boilerplate removal, t2 quality scores
-    what survived. keep = canonical AND quality ≥ 0.55 AND ≥ 50
-    extracted chars — the conservative conjunction a pretraining
-    corpus wants at the TOP of the funnel, where a dropped doc costs
-    nothing downstream.
+    the canonical copy, d22 (r12) drops blocklisted registrable
+    domains / benchmark hosts, t24 main-content extraction decides
+    whether any article text survives boilerplate removal, t2 quality
+    scores what survived. keep = canonical AND NOT blocked AND
+    quality ≥ 0.55 AND ≥ 50 extracted chars — the conservative
+    conjunction a pretraining corpus wants at the TOP of the funnel,
+    where a dropped doc costs nothing downstream.
 
-    Plan shape: three projections over one documents scan joined on
-    doc_id — the t25 window is the only shuffle (canonical key), t24
-    and t2 are stateless projections; at 100 TB the funnel's first
-    stage stays the cheapest."""
+    Plan shape: four projections over one documents scan joined on
+    doc_id — the t25 window is the only shuffle (canonical key); t24
+    and t2 are stateless projections and d22 adds only two broadcast
+    joins; at 100 TB the funnel's first stage stays the cheapest."""
     x24 = t24_html_extract(spark, sf_dir).select("doc_id", "extracted_chars")
     x25 = t25_url_canonicalize(spark, sf_dir).select(
         "doc_id", "is_canonical", "n_members"
     )
+    x22 = d22_domain_blocklist(spark, sf_dir).select("doc_id", "blocked")
     x2 = t2_quality_score(spark, sf_dir).select("doc_id", "quality")
     return (
         x24.join(x25, "doc_id")
+        .join(x22, "doc_id")
         .join(x2, "doc_id")
         .select(
             "doc_id",
             "extracted_chars",
             "is_canonical",
             "n_members",
+            "blocked",
             "quality",
             (
                 (F.col("is_canonical") == 1)
+                & (F.col("blocked") == 0)
                 & (F.col("quality") >= 0.55)
                 & (F.col("extracted_chars") >= 50)
             )

@@ -387,3 +387,16 @@ def test_p20_manifest_single_shard_key_exchange(spark):
     assert "BroadcastHashJoin" in plan
     # partition pruning is live on the exported tree
     assert "PartitionFilters" in plan
+
+
+def test_d22_blocklist_is_broadcast_only(spark):
+    """d22 costs ZERO hash exchanges: registrable-domain extraction is
+    a narrow projection and both blocklist tiers are broadcast hash
+    joins against O(blocklist) rows — equality on the registrable
+    domain IS the *.domain suffix match, so no LIKE nested loop and
+    no shuffle at any corpus scale."""
+    plan = plan_of(spark, "d22_domain_blocklist")
+    assert "Arguments: hashpartitioning" not in plan
+    # formatted mode prints each node twice (tree + detail section)
+    assert plan.count("BroadcastHashJoin") == 4
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -469,3 +469,61 @@ def test_t25_canonicalization_rules(spark, tmp_path):
     # https default-port strip: id 15 (%4=3 → scheme HTTP? 15%4=3 →
     # 'HTTP'; %5==0 adds :80) — port stripped
     assert ":" not in out[15]["canon_url"].split("//")[1]
+
+
+def test_d22_registrable_extraction_and_blocklist_tiers(spark, tmp_path):
+    """Pins the public-suffix extraction (2-label rule vs plain TLD,
+    with and without a subdomain, case folded) and BOTH blocklist
+    tiers on hand-picked doc_ids: the bench.* registrable-domain
+    family, the wiki.co.uk specific domain, the exact-host entries
+    (h35.news.com, h16.wiki.org), and clean docs that must survive."""
+    from oxi_diel_db_spark.queries.llm_ops import d22_domain_blocklist
+
+    # fixture residues: sub present iff id%3 != 0; org = id%7
+    # (0 news, 1 blogs, 2 wiki, 3 bench, 4 data, 5 forum, 6 shop);
+    # suffix = id%5 (0 com, 1 org, 2 co.uk, 3 github.io, 4 com.au)
+    ids = [35, 16, 3, 17, 37, 30, 1, 44, 105]
+    pdf = spark.createDataFrame(
+        [(i, "x", "en", "t", 1) for i in ids],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = str(tmp_path / "sf")
+    pdf.write.parquet(sf + "/documents.parquet")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in d22_domain_blocklist(spark, sf).collect()
+    }
+    # 35: %3=2 sub h35, %7=0 news, %5=0 com → exact-host tier
+    assert out[35]["host"] == "h35.news.com"
+    assert out[35]["reg_domain"] == "news.com"
+    assert out[35]["blocked"] == 1 and out[35]["rule"] == "h35.news.com"
+    # 16: h16.wiki.org → the other exact-host entry (odd id → the raw
+    # fixture is UPPERCASED; canonical host must fold it back)
+    assert out[16]["host"] == "h16.wiki.org"
+    assert out[16]["blocked"] == 1 and out[16]["rule"] == "h16.wiki.org"
+    # 3: %3=0 no sub, %7=3 bench, %5=3 github.io → 2-label suffix
+    # rule: registrable = bench.github.io → domain tier
+    assert out[3]["host"] == "bench.github.io"
+    assert out[3]["reg_domain"] == "bench.github.io"
+    assert out[3]["blocked"] == 1 and out[3]["rule"] == "bench.github.io"
+    # 17: h17.bench.co.uk → registrable bench.co.uk blocked even
+    # though the HOST itself is in no list (the *.domain suffix match)
+    assert out[17]["host"] == "h17.bench.co.uk"
+    assert out[17]["reg_domain"] == "bench.co.uk"
+    assert out[17]["blocked"] == 1 and out[17]["rule"] == "bench.co.uk"
+    # 37: h37.wiki.co.uk → the specific wiki.co.uk domain entry
+    assert out[37]["reg_domain"] == "wiki.co.uk"
+    assert out[37]["blocked"] == 1
+    # 30: wiki.com (no sub) — wiki is only blocked under co.uk
+    assert out[30]["host"] == "wiki.com"
+    assert out[30]["blocked"] == 0 and out[30]["rule"] == ""
+    # 1: h1.blogs.org → clean, plain-TLD registrable
+    assert out[1]["reg_domain"] == "blogs.org"
+    assert out[1]["blocked"] == 0
+    # 44: h44.wiki.com.au → 2-label suffix, clean
+    assert out[44]["reg_domain"] == "wiki.com.au"
+    assert out[44]["blocked"] == 0
+    # 105: %3=0 no sub, %7=0 news, %5=0 com → news.com clean (only
+    # the h35 SUBDOMAIN of news.com is blocked, not the domain)
+    assert out[105]["host"] == "news.com"
+    assert out[105]["blocked"] == 0
