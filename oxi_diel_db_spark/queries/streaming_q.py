@@ -1302,15 +1302,22 @@ def st23_streaming_cdc_ingest(spark, sf_dir):
     100 TB posture: chunk keys are 16 bytes at ~64-byte granularity;
     the store is append-only parquet (st12 compaction applies); the
     per-batch join scans the store at replay scale, and the
-    deployment layout that bounds it is bucketBy(chash) + a broadcast
-    semi-join of the batch's keys — the same pay-at-ingest trade
-    documented on st22."""
+    deployment layout that bounds the join input is bucketBy(chash) +
+    a broadcast semi-join of the batch's keys — implemented behind
+    SPARK_GRAFT_ST23_STORE=bucketed (r12; gate values identical by
+    construction: the semi-join drops only store rows whose key no
+    batch chunk carries, which can never match the left join). Both
+    layouts' ingest growth curves are measured in SCALE.md §18 —
+    scale_probe.py cdc_ingest."""
+    import os
     import tempfile
 
     from oxi_diel_db_spark.operators.multimodal import (
         cdc_chunks,
         cdc_fixture_table,
     )
+
+    bucketed = os.environ.get("SPARK_GRAFT_ST23_STORE", "") == "bucketed"
 
     d = t(spark, sf_dir, "documents").select("doc_id")
     hi = d.agg(F.max("doc_id")).collect()[0][0] + 1
@@ -1321,7 +1328,23 @@ def st23_streaming_cdc_ingest(spark, sf_dir):
     work = tempfile.mkdtemp(prefix="st23_cdc_")
     store = f"{work}/chunkstore"
     result = f"{work}/accounting"
-    cdc_chunks(cdc_fixture_table(boot)).write.mode("overwrite").parquet(store)
+    boot_ch = cdc_chunks(cdc_fixture_table(boot))
+    if bucketed:
+        # one table per invocation: the driver runs queries() entries
+        # repeatedly in one session (uuid, the memory-sink convention)
+        import uuid
+
+        store_tbl = f"st23_store_{uuid.uuid4().hex[:8]}"
+        (
+            boot_ch.write.bucketBy(16, "chash")
+            .sortBy("chash")
+            .mode("overwrite")
+            .option("path", store)
+            .format("parquet")
+            .saveAsTable(store_tbl)
+        )
+    else:
+        boot_ch.write.mode("overwrite").parquet(store)
 
     cuts = [half + (hi - half) * i // 4 for i in range(5)]
     chunks_in = [
@@ -1337,8 +1360,34 @@ def st23_streaming_cdc_ingest(spark, sf_dir):
         ch_b = cdc_chunks(cdc_fixture_table(batch_df)).localCheckpoint()
         if not ch_b.take(1):
             return
-        ch_b.write.mode("append").parquet(store)
-        store_ch = spark.read.parquet(store).select(
+        if bucketed:
+            (
+                # one file per bucket per append: align partitions to
+                # the bucket hash so the store's file count grows by
+                # 16/batch, not 16×tasks (small-file + re-list cost)
+                ch_b.repartition(16, F.col("chash"))
+                .write.bucketBy(16, "chash")
+                .sortBy("chash")
+                .mode("append")
+                .format("parquet")
+                .saveAsTable(store_tbl)
+            )
+            # the relation cache keeps the FIRST batch's file-listing
+            # snapshot across micro-batches — without the refresh,
+            # batch N>0 misses its own append (measured: in-batch dup
+            # matches silently lost)
+            spark.catalog.refreshTable(store_tbl)
+            # broadcast semi-join of the batch's keys: bounds the join
+            # input to store rows whose 16-byte key the batch carries
+            store_src = spark.table(store_tbl).join(
+                F.broadcast(ch_b.select("chash").distinct()),
+                "chash",
+                "leftsemi",
+            )
+        else:
+            ch_b.write.mode("append").parquet(store)
+            store_src = spark.read.parquet(store)
+        store_ch = store_src.select(
             F.col("doc_id").alias("p_doc"),
             F.col("chunk_idx").alias("p_idx"),
             F.col("chash"),
@@ -1389,5 +1438,7 @@ def st23_streaming_cdc_ingest(spark, sf_dir):
     finally:
         q.stop()
         q.awaitTermination()
+        if bucketed:  # metastore hygiene; the result dir is separate
+            spark.sql(f"DROP TABLE IF EXISTS {store_tbl}")
 
     return spark.read.parquet(result)

@@ -1691,6 +1691,121 @@ def ingest_probe(n_docs: int = 500_000, n_batches: int = 8) -> None:
 
 
 
+def cdc_ingest_probe(n_docs: int = 60_000, n_batches: int = 8) -> None:
+    """st23's ingest growth curve in BOTH store layouts (r12 verdict
+    ask #4), batch-interleaved on one box so the per-batch deltas are
+    same-JIT/same-load comparable: a CDC chunk store bootstraps from
+    half of n_docs synthetic payloads (operators/multimodal's
+    cdc_fixture_table — ~1.2-1.8 KB each, ~30 chunks/doc, doc_id %
+    10 == 1 shifted dups keep the dup matches real); the other half
+    arrives in n_batches increments ingested into (a) the append-only
+    parquet dir the registered query ships by default (full store
+    scan per batch) and (b) the bucketBy(16, chash) + sortBy table
+    with a broadcast semi-join of the batch's keys
+    (SPARK_GRAFT_ST23_STORE=bucketed). Both must produce IDENTICAL
+    dup counts per batch (asserted)."""
+    import tempfile
+    import time
+    import uuid
+
+    from oxi_diel_db_spark.operators.multimodal import (
+        cdc_chunks,
+        cdc_fixture_table,
+    )
+    from oxi_diel_db_spark.session import get_spark
+
+    spark = get_spark("cdc_ingest_probe")
+    docs = spark.range(1, n_docs + 1).select(
+        F.col("id").alias("doc_id")
+    ).repartition(32)
+    half = n_docs // 2
+    work = tempfile.mkdtemp(prefix="cdc_ingest_")
+    scan_store = f"{work}/scan"
+    tbl = f"cdcprobe_{uuid.uuid4().hex[:6]}"
+    boot = cdc_chunks(
+        cdc_fixture_table(docs.filter(F.col("doc_id") <= half))
+    ).localCheckpoint()
+    n_boot = boot.count()
+    t0 = time.time()
+    boot.write.parquet(scan_store)
+    t_scan = time.time() - t0
+    t0 = time.time()
+    (
+        boot.write.bucketBy(16, "chash")
+        .sortBy("chash")
+        .option("path", f"{work}/bkt")
+        .format("parquet")
+        .saveAsTable(tbl)
+    )
+    t_bkt = time.time() - t0
+    print(
+        f"bootstrap {n_boot / 1e6:.2f}M chunks: plain-write {t_scan:.1f}s"
+        f" bucketed-write {t_bkt:.1f}s"
+    )
+
+    def dup_count(ch_b, store_src):
+        st = store_src.select(
+            F.col("doc_id").alias("p_doc"),
+            F.col("chunk_idx").alias("p_idx"),
+            "chash",
+        )
+        return (
+            ch_b.join(st, "chash", "left")
+            .withColumn(
+                "m",
+                (
+                    (F.col("p_doc") < F.col("doc_id"))
+                    | (
+                        (F.col("p_doc") == F.col("doc_id"))
+                        & (F.col("p_idx") != F.col("chunk_idx"))
+                    )
+                ).cast("int"),
+            )
+            .groupBy("doc_id", "chunk_idx")
+            .agg(F.max(F.coalesce("m", F.lit(0))).alias("d"))
+            .agg(F.sum("d"))
+            .collect()[0][0]
+        )
+
+    cuts = [half + (n_docs - half) * i // n_batches for i in range(n_batches + 1)]
+    for b in range(n_batches):
+        batch = docs.filter(
+            (F.col("doc_id") > cuts[b]) & (F.col("doc_id") <= cuts[b + 1])
+        )
+        ch_b = cdc_chunks(cdc_fixture_table(batch)).localCheckpoint()
+        t0 = time.time()
+        ch_b.write.mode("append").parquet(scan_store)
+        d_scan = dup_count(ch_b, spark.read.parquet(scan_store))
+        w_scan = time.time() - t0
+        t0 = time.time()
+        (
+            ch_b.repartition(16, F.col("chash"))
+            .write.bucketBy(16, "chash")
+            .sortBy("chash")
+            .mode("append")
+            .format("parquet")
+            .saveAsTable(tbl)
+        )
+        spark.catalog.refreshTable(tbl)
+        d_bkt = dup_count(
+            ch_b,
+            spark.table(tbl).join(
+                F.broadcast(ch_b.select("chash").distinct()),
+                "chash",
+                "leftsemi",
+            ),
+        )
+        w_bkt = time.time() - t0
+        assert d_scan == d_bkt, (b, d_scan, d_bkt)
+        store_docs = cuts[b + 1]
+        print(
+            f"batch {b}: +{(cuts[b + 1] - cuts[b]) / 1000:.1f}k docs vs "
+            f"{store_docs / 1000:.0f}k-doc store: scan {w_scan:.1f}s "
+            f"bucketed+semi {w_bkt:.1f}s, {d_scan} dup chunks"
+        )
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
 def video_probe(n_k: float = 200, base_frames: int = 4) -> None:
     """mm10's decode→aHash→scene-collapse throughput at scale (r8
     verdict ask #5c — the last multimodal dedup tier without a probe;
@@ -1937,6 +2052,10 @@ if __name__ == "__main__":
         )
     elif len(sys.argv) > 1 and sys.argv[1] == "ingest":
         ingest_probe(int(float(sys.argv[2]) * 1000) if len(sys.argv) > 2 else 500_000)
+    elif len(sys.argv) > 1 and sys.argv[1] == "cdc_ingest":
+        cdc_ingest_probe(
+            int(float(sys.argv[2]) * 1000) if len(sys.argv) > 2 else 60_000
+        )
     elif len(sys.argv) > 1 and sys.argv[1] == "video":
         video_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 200)
     elif len(sys.argv) > 1 and sys.argv[1] == "kcore":
