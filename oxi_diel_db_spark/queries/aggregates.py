@@ -349,35 +349,88 @@ def q72_gapfill_interpolate(spark, sf_dir):
     return gap_fill(rev, "n_name", "mi", "val")
 
 
-@register("q74_approx_percentiles", oracle=None)  # sketch → rows-only; tolerance pytest
+#: GK exactness-regime accuracy for the q74/q75 gates: the sketch's
+#: per-tuple delta bound is floor(2·ε·n) with ε = 1/accuracy, so with
+#: n/group ≤ 1.5M at the largest swept corpus (data/sf3) and accuracy
+#: 1e7 the bound is 0 — the summary provably never merges and its
+#: query IS the exact lower order statistic, which DuckDB replays as
+#: quantile_disc (r12 measurement: 9/9 values bit-identical at sf0.01
+#: AND at sf1/sf3; accuracy 1e5 already diverges at sf1 — 1/3 groups —
+#: exactly the compression onset the bound predicts).
+_GK_EXACT_ACC = 10_000_000
+
+
+@register(
+    "q74_approx_percentiles",
+    # Full value-hash gate (r12; was rows-only): the r11 audit measured
+    # GK compressing at accuracy 1e4 even at 5k rows/group, so THAT
+    # regime can never hash-match an exact engine. The registered gate
+    # instead runs the same operator in its EXACTNESS regime (see
+    # _GK_EXACT_ACC) where the answer is provably the exact lower order
+    # statistic — no tolerance anywhere. The compressed regime stays
+    # exercised and bounded in tests/test_aggregates.py, including an
+    # assertion that accuracy 1e4 really does diverge from exact (the
+    # sketch is approximating, not idling).
+    oracle="""
+    SELECT o_orderstatus,
+           quantile_disc(o_totalprice, 0.25) AS p25,
+           quantile_disc(o_totalprice, 0.50) AS p50,
+           quantile_disc(o_totalprice, 0.75) AS p75,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
 def q74_approx_percentiles(spark, sf_dir):
     """A11's 100 TB path, exercised for real (q26's docstring names it;
     this runs it): percentile_approx — the mergeable Greenwald-Khanna
     sketch, map-side partials like any hash aggregate, no sort, no
-    whole-data shuffle. Deterministic for a given dataset + accuracy, so
-    rows are stable run-to-run; tolerance vs the exact interpolated
-    percentiles asserted in tests/test_aggregates.py."""
+    whole-data shuffle. Gate accuracy sits in the exactness regime
+    (floor(2·ε·n) = 0 → no compression → exact order statistics; the
+    _GK_EXACT_ACC note has the measured regime boundary). At a true
+    100 TB group you run accuracy ~1e4 and accept ε·n rank error with
+    O((1/ε)·log(ε·n)) state — that compressed regime is pinned by the
+    tolerance tests, not the hash gate."""
     o = t(spark, sf_dir, "orders")
+    acc = F.lit(_GK_EXACT_ACC)
     return o.groupBy("o_orderstatus").agg(
-        F.round(F.percentile_approx("o_totalprice", F.lit(0.25), F.lit(10000)), 4).alias("p25"),
-        F.round(F.percentile_approx("o_totalprice", F.lit(0.50), F.lit(10000)), 4).alias("p50"),
-        F.round(F.percentile_approx("o_totalprice", F.lit(0.75), F.lit(10000)), 4).alias("p75"),
+        F.percentile_approx("o_totalprice", F.lit(0.25), acc).alias("p25"),
+        F.percentile_approx("o_totalprice", F.lit(0.50), acc).alias("p50"),
+        F.percentile_approx("o_totalprice", F.lit(0.75), acc).alias("p75"),
         F.count(F.lit(1)).alias("n"),
     )
 
 
-@register("q75_approx_ntile", oracle=None)  # sketch boundaries → rows-only; pytest vs exact
+@register(
+    "q75_approx_ntile",
+    # Full value-hash gate (r12; was rows-only) — same exactness-regime
+    # argument as q74: the decile boundaries are exact lower order
+    # statistics, and the bucket-by-comparison rule is identical SQL in
+    # both engines.
+    oracle="""
+    WITH b AS (
+      SELECT quantile_disc(c_acctbal,
+               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+      FROM customer
+    )
+    SELECT c_custkey, c_acctbal,
+           1 + len(list_filter(b.bs, v -> c_acctbal > v)) AS decile
+    FROM customer, b
+    """,
+)
 def q75_approx_ntile(spark, sf_dir):
     """q44's 100 TB rewrite, exercised for real: decile assignment
-    WITHOUT the single-partition ntile window — approx decile
-    boundaries (one mergeable-sketch aggregate) broadcast back onto the
-    stream, each row bucketed by comparison. The scan never converges
-    to one task; agreement with exact ntile is asserted in pytest
-    (disagreement bounded by sketch error at the boundaries)."""
+    WITHOUT the single-partition ntile window — decile boundaries from
+    one mergeable-sketch aggregate broadcast back onto the stream,
+    each row bucketed by comparison. The scan never converges to one
+    task. Gate accuracy sits in GK's exactness regime (see
+    _GK_EXACT_ACC); the compressed regime's boundary error stays
+    bounded in pytest."""
     c = t(spark, sf_dir, "customer")
     bounds = c.agg(
         F.percentile_approx(
-            "c_acctbal", F.array([F.lit(i / 10.0) for i in range(1, 10)]), F.lit(10000)
+            "c_acctbal",
+            F.array([F.lit(i / 10.0) for i in range(1, 10)]),
+            F.lit(_GK_EXACT_ACC),
         ).alias("bs")
     )
     bucketed = c.select("c_custkey", "c_acctbal").crossJoin(F.broadcast(bounds))

@@ -163,3 +163,45 @@ def test_ohlc_open_close_tie_break(spark):
     )
     assert row["open"] == 5.0  # event_id 1 wins the ts tie
     assert row["close"] == 6.0
+
+
+def test_gk_exactness_regime_boundary(spark):
+    """The r12 q74/q75 gate upgrade rests on a regime claim: at
+    accuracy = _GK_EXACT_ACC the GK summary's delta bound floor(2·ε·n)
+    is 0, so percentile_approx returns EXACT lower order statistics —
+    and at the old accuracy 1e4 it genuinely compresses (the sketch is
+    approximating, not idling). Pin both halves on synthetic data with
+    DISTINCT values (any rank slip must change the value), at an even
+    and an odd n to pin the rank convention."""
+    import pyspark.sql.functions as F
+
+    from oxi_diel_db_spark.queries.aggregates import _GK_EXACT_ACC
+
+    for n in (20000, 20001):
+        # distinct, shuffled-ish values: v = (i * 7919) % n is a
+        # permutation of 0..n-1 when gcd(7919, n) = 1
+        assert 7919 % 7 != 0 and n % 7919 != 0
+        df = spark.range(n).select(
+            ((F.col("id") * 7919) % n).cast("double").alias("v")
+        )
+        ps = [0.1, 0.25, 0.5, 0.75, 0.9]
+        exact_regime = df.agg(
+            F.percentile_approx(
+                "v", F.array(*[F.lit(p) for p in ps]), F.lit(_GK_EXACT_ACC)
+            ).alias("qs")
+        ).collect()[0]["qs"]
+        # lower order statistic: smallest v with CDF >= p over 0..n-1
+        import math
+
+        want = [float(math.ceil(p * n) - 1) for p in ps]
+        assert exact_regime == want, (n, exact_regime, want)
+        compressed = df.agg(
+            F.percentile_approx(
+                "v", F.array(*[F.lit(p) for p in ps]), F.lit(10000)
+            ).alias("qs")
+        ).collect()[0]["qs"]
+        # the compressed sketch must differ somewhere (it really
+        # approximates at 2·ε·n = 4) while staying within ε·n ranks
+        assert compressed != want, "accuracy 1e4 unexpectedly exact"
+        for c, w, p in zip(compressed, want, ps):
+            assert abs(c - w) <= n / 10000 + 1, (n, p, c, w)
