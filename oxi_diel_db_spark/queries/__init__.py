@@ -178,6 +178,15 @@ def register(name: str, oracle: str | None = None):
 # mm2/mm5/mm7/mm8, p9/p11, q01–q43 block, q67/q68, q76–q89, st9/st10),
 # then the r6-era head (c3, d14, dq5–dq7, g4, mm6, mm9, p10).
 # 8 + 42 = 50 slots.
+# r13 planner note (the mm12 precedent — entries born/changed AFTER
+# this prefix froze): the MANDATORY head of _R13_PRIORITY is the two
+# r12 births p20_shard_export (llm_ops.py) and d22_domain_blocklist
+# (llm_ops.py), plus the two oracle upgrades q74_approx_percentiles
+# and q75_approx_ntile (GK exactness regime, aggregates.py — latest
+# official rows still say no_oracle from r8). c6's d22-extension and
+# st23's store-layout flag need NO carry: both lead THIS round's
+# prefix, so their official rows already reflect the r12 code. All
+# four verified hash-green locally in both ANSI modes (NOTES_r12).
 _R12_PRIORITY = [
     # --- (a) mandatory head: r11 births, never driver-sampled ---
     "d21_incremental_substring_dedup",

@@ -6268,13 +6268,13 @@ def p20_shard_export(spark, sf_dir):
         "shard_id",
         "split",
     ).write.mode("overwrite").partitionBy("split", "shard_id").parquet(out)
-    back = spark.read.parquet(out).select(
-        "doc_id",
-        "n_tok",
-        "bin_id",
-        F.col("shard_id").cast("bigint").alias("shard_id"),
-        F.col("split").cast("string").alias("split"),
-    )
+    # explicit schema (the S9 rule — and inference THROWS on the
+    # zero-row partition tree an empty ingest day writes); partition
+    # columns typed here, no inference casts
+    back = spark.read.schema(
+        "doc_id bigint, n_tok bigint, bin_id bigint,"
+        " split string, shard_id bigint"
+    ).parquet(out)
     # shard_bins = max - min + 1: a shard's bins are a CONTIGUOUS,
     # gap-free bin_id range by construction (bins are cut into shards
     # in cumsum order and p4's bins have no holes), and the closed

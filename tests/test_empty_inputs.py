@@ -115,6 +115,16 @@ REPRESENTATIVE = [
     "t22_compression_ratio",     # deflate ratio over zero docs
     "q123_timestamp_units",      # unit arithmetic over zero funnels
     "dq16_ewma_control",         # EWMA over an empty day spine
+    # round-12 additions (incl. the r10/r11 births the list had missed)
+    "d20_substring_dedup",       # gram windows over zero docs
+    "d21_incremental_substring_dedup",  # store join over zero batches
+    "t23_bpe_apply",             # learned merges applied to no corpus
+    "t24_html_extract",          # block classifier over zero pages
+    "t25_url_canonicalize",      # canonical-key dedup over zero urls
+    "mm15_cdc_chunk_dedup",      # CDC chunking over zero payloads
+    "c6_crawl_curation",         # four-stage funnel over zero docs
+    "p20_shard_export",          # partitioned write+read-back of zero shards
+    "d22_domain_blocklist",      # broadcast blocklist joins over zero docs
 ]
 
 
