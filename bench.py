@@ -113,6 +113,7 @@ HEADLINE = [
     "mm15_cdc_chunk_dedup",  # r11: rolling-hash CDC + chunk-key dedup
     "p20_shard_export",  # r12: token-budget shard export + manifest roundtrip
     "d22_domain_blocklist",  # r12: registrable-domain blocklist decontamination
+    "p21_incremental_shard_export",  # r12: ledger-continued flush export
     "dq11_row_quarantine",
     "q105_gapfill_interpolate",
     "p16_multimodal_packing",

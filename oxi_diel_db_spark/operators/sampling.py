@@ -210,6 +210,7 @@ def assign_shards(
     shard_budget: int = 8192,
     budget: int = 2048,
     bin_bucket: int = 65536,
+    token_offset: int = 0,
 ) -> DataFrame:
     """Token-budget shard assignment over a packed table (pack_sequences
     output): bins are walked in ``bin_col`` order and cut into shards
@@ -229,6 +230,10 @@ def assign_shards(
     bin_bucket rows each, never the data), and the exclusive bucket
     offsets table (bins / bin_bucket rows) broadcasts. The doc → shard
     map joins back on ``bin_col``; AQE broadcasts it when small.
+
+    ``token_offset`` continues a ledger: tokens already exported by
+    earlier flushes shift the cumsum, so an open shard keeps filling
+    across flushes until its budget (the p21 incremental contract).
     """
     clamped = F.least(F.col(token_col).cast("bigint"), F.lit(budget))
     bins = packed.groupBy(bin_col).agg(F.sum(clamped).alias("__bt"))
@@ -243,7 +248,11 @@ def assign_shards(
         .orderBy(bin_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    cum_before = F.coalesce(F.sum("__bt").over(w), F.lit(0)) + F.col("__off")
+    cum_before = (
+        F.coalesce(F.sum("__bt").over(w), F.lit(0))
+        + F.col("__off")
+        + F.lit(token_offset).cast("bigint")
+    )
     shard_map = b.join(F.broadcast(off), "__bb").select(
         bin_col,
         F.floor(cum_before / shard_budget).cast("bigint").alias("shard_id"),

@@ -6299,6 +6299,162 @@ def p20_shard_export(spark, sf_dir):
     )
 
 
+_P21_BATCHES = 4
+
+
+def _p21_oracle() -> str:
+    """Closed form of the cumulative incremental export: batches are
+    doc_id-range cuts, each batch packs its own bins in (h, doc_id)
+    order (bins close at flush — a real exporter writes out whatever
+    the flush holds), bin ids and the shard cumsum CONTINUE across
+    batches through the ledger offsets. The whole chain is replayable
+    because the ledger state before batch b is a pure function of
+    batches < b."""
+    n_b = _P21_BATCHES
+    return f"""
+    WITH bounds AS (
+      SELECT MIN(doc_id) AS lo, MAX(doc_id) + 1 AS hi FROM documents
+    ),
+    toks AS (
+      SELECT doc_id,
+             LEAST(CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT), {_P20_BIN_BUDGET}) AS n_tok,
+             substring(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8) AS h,
+             CAST(CASE {" ".join(
+                 f"WHEN doc_id < b.lo + ((b.hi - b.lo) * {k + 1}) // {n_b} THEN {k}"
+                 for k in range(n_b)
+             )} END AS INT) AS batch
+      FROM documents, bounds b
+    ),
+    binned AS (
+      SELECT doc_id, n_tok, batch,
+             CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY batch
+                          ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED
+                          PRECEDING AND CURRENT ROW) - n_tok)
+                        / {_P20_BIN_BUDGET}) AS BIGINT) AS lbin
+      FROM toks
+    ),
+    per_batch AS (
+      SELECT batch, MAX(lbin) + 1 AS nb, SUM(n_tok) AS btok
+      FROM binned GROUP BY batch
+    ),
+    ledger AS (
+      SELECT batch,
+             COALESCE(SUM(nb) OVER (ORDER BY batch ROWS BETWEEN
+               UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bin_off,
+             COALESCE(SUM(btok) OVER (ORDER BY batch ROWS BETWEEN
+               UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_off
+      FROM per_batch
+    ),
+    bins AS (
+      SELECT batch, lbin, SUM(n_tok) AS bt
+      FROM binned GROUP BY batch, lbin
+    ),
+    sh AS (
+      SELECT b.batch, b.lbin,
+             CAST(FLOOR((o.tok_off
+                         + SUM(b.bt) OVER (PARTITION BY b.batch
+                             ORDER BY b.lbin ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND CURRENT ROW) - b.bt)
+                        / {_P20_SHARD_BUDGET}) AS BIGINT) AS shard_id
+      FROM bins b JOIN ledger o USING (batch)
+    )
+    SELECT d.doc_id, d.n_tok, d.batch AS batch_id,
+           CAST(o.bin_off + d.lbin AS BIGINT) AS bin_id, s.shard_id
+    FROM binned d
+    JOIN ledger o USING (batch)
+    JOIN sh s ON s.batch = d.batch AND s.lbin = d.lbin
+    """
+
+
+@register("p21_incremental_shard_export", oracle=_p21_oracle())
+def p21_incremental_shard_export(spark, sf_dir):
+    """Incremental token-budget shard export — p20's daily-ingest face
+    (the d21/st23 incremental-contract pattern): documents arrive in
+    {n} doc_id-range flushes; each flush packs ITS OWN bins (the
+    exporter writes out what the flush holds — bins never reopen), but
+    bin ids and the shard token-cumsum CONTINUE from a persisted
+    ledger, so an open SHARD keeps filling across flushes until its
+    budget and history is never re-sharded. The ledger is two bigints
+    (tokens exported, bins exported) — O(1) driver state by design,
+    the honest 100 TB answer (contrast d21, whose per-gram store is
+    data-sized and therefore persisted/joined distributedly). Four
+    1-row collects update it; every other step is the p4/p20
+    machinery: pack_sequences per flush + assign_shards with the
+    ledger's token_offset. Cumulative output equals the oracle's
+    closed form because ledger state before flush b is a pure function
+    of flushes < b (the st22/d21/st23 ingest argument).
+
+    Restriction equality (pytest): with ONE flush, (bin, shard)
+    assignment is bit-identical to the batch p20 machinery; with 4, a
+    shard provably spans a flush boundary (ledger continuity is doing
+    real work)."""
+    from oxi_diel_db_spark.operators.sampling import (
+        assign_shards,
+        pack_sequences,
+    )
+
+    toks = t(spark, sf_dir, "documents").select(
+        "doc_id", TX.ws_token_count("text").alias("n_tok")
+    )
+    lo_hi = toks.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    if lo_hi[0] is None:  # empty corpus: no flushes, empty export
+        return spark.createDataFrame(
+            [],
+            "doc_id bigint, n_tok bigint, batch_id int,"
+            " bin_id bigint, shard_id bigint",
+        )
+    lo, hi = int(lo_hi[0]), int(lo_hi[1]) + 1
+    cuts = [lo + (hi - lo) * i // _P21_BATCHES for i in range(_P21_BATCHES + 1)]
+    tokens_so_far = 0
+    bins_so_far = 0
+    parts = []
+    for b in range(_P21_BATCHES):
+        batch = toks.filter(
+            (F.col("doc_id") >= cuts[b]) & (F.col("doc_id") < cuts[b + 1])
+        )
+        packed = pack_sequences(
+            batch, "doc_id", "n_tok", budget=_P20_BIN_BUDGET, seed=42
+        )
+        asg = assign_shards(
+            packed,
+            "n_tok",
+            "bin_id",
+            shard_budget=_P20_SHARD_BUDGET,
+            budget=_P20_BIN_BUDGET,
+            token_offset=tokens_so_far,
+        )
+        clamped = F.least(
+            F.col("n_tok").cast("bigint"), F.lit(_P20_BIN_BUDGET)
+        )
+        parts.append(
+            asg.select(
+                "doc_id",
+                clamped.alias("n_tok"),
+                F.lit(b).cast("int").alias("batch_id"),
+                (F.col("bin_id") + F.lit(bins_so_far)).alias("bin_id"),
+                "shard_id",
+            )
+        )
+        stats = packed.agg(
+            F.sum(clamped).alias("tok"), F.max("bin_id").alias("mb")
+        ).collect()[0]
+        if stats["tok"] is None:  # empty flush: ledger unchanged
+            parts.pop()
+            continue
+        tokens_so_far += int(stats["tok"])
+        bins_so_far += int(stats["mb"]) + 1
+    if not parts:
+        return spark.createDataFrame(
+            [],
+            "doc_id bigint, n_tok bigint, batch_id int,"
+            " bin_id bigint, shard_id bigint",
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 @register(
     "mm14_voice_activity",
     # Closed-form oracle from the fixture arithmetic: n_active

@@ -124,6 +124,7 @@ REPRESENTATIVE = [
     "mm15_cdc_chunk_dedup",      # CDC chunking over zero payloads
     "c6_crawl_curation",         # four-stage funnel over zero docs
     "p20_shard_export",          # partitioned write+read-back of zero shards
+    "p21_incremental_shard_export",  # ledger loop over zero flushes
     "d22_domain_blocklist",      # broadcast blocklist joins over zero docs
 ]
 

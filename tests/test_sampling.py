@@ -302,3 +302,76 @@ def test_p20_export_roundtrip_manifest_and_lineage(spark):
     # shard ids are contiguous from 0
     shards = sorted({r["shard_id"] for r in rows})
     assert shards == list(range(len(shards)))
+
+
+def test_p21_ledger_continuity_and_single_flush_restriction(spark):
+    """p21's incremental contract: (a) with the corpus as ONE flush the
+    (bin, shard) assignment is bit-identical to the batch p4+assign
+    machinery (restriction equality, the d21 pattern); (b) in the
+    registered 4-flush run bin ids are globally contiguous, flush
+    boundaries never reopen a bin, and at least one SHARD spans a
+    flush boundary — the ledger continuation doing real work."""
+    from collections import defaultdict
+
+    from oxi_diel_db_spark.functions import text as TX
+    from oxi_diel_db_spark.operators.sampling import (
+        assign_shards,
+        pack_sequences,
+    )
+    from oxi_diel_db_spark.queries import load_registry
+    from oxi_diel_db_spark.queries._util import t
+    import pyspark.sql.functions as FF
+
+    sf = "/root/testdata/sf0.001"
+    rows = (
+        load_registry()["p21_incremental_shard_export"]
+        .build(spark, sf)
+        .collect()
+    )
+    assert len(rows) == 500
+    # (a) single-flush restriction: re-run the batch machinery on
+    # flush 0's docs alone and compare bit-for-bit
+    f0_docs = {r["doc_id"] for r in rows if r["batch_id"] == 0}
+    toks = (
+        t(spark, sf, "documents")
+        .filter(FF.col("doc_id").isin(*f0_docs))
+        .select("doc_id", TX.ws_token_count("text").alias("n_tok"))
+    )
+    ref = {
+        r["doc_id"]: (r["bin_id"], r["shard_id"])
+        for r in assign_shards(
+            pack_sequences(toks, "doc_id", "n_tok", budget=2048, seed=42),
+            "n_tok",
+            "bin_id",
+            shard_budget=8192,
+            budget=2048,
+        ).collect()
+    }
+    got0 = {
+        r["doc_id"]: (r["bin_id"], r["shard_id"])
+        for r in rows
+        if r["batch_id"] == 0
+    }
+    assert got0 == ref
+    # (b) global bin contiguity + no bin spans flushes
+    bin_batches = defaultdict(set)
+    for r in rows:
+        bin_batches[r["bin_id"]].add(r["batch_id"])
+    assert sorted(bin_batches) == list(range(len(bin_batches)))
+    assert all(len(bs) == 1 for bs in bin_batches.values())
+    # shards contiguous from 0, and some shard spans a flush boundary
+    shard_batches = defaultdict(set)
+    for r in rows:
+        shard_batches[r["shard_id"]].add(r["batch_id"])
+    assert sorted(shard_batches) == list(range(len(shard_batches)))
+    assert any(len(bs) > 1 for bs in shard_batches.values()), (
+        "no shard spans a flush boundary — ledger continuation idle"
+    )
+    # ledger arithmetic: each shard's token total < budget + last
+    # bin's total (the straddle bound, now across flushes)
+    shard_tok = defaultdict(int)
+    for r in rows:
+        shard_tok[r["shard_id"]] += r["n_tok"]
+    full = [s for s in sorted(shard_tok) if s < max(shard_tok)]
+    for s in full:
+        assert shard_tok[s] >= 8192 - 2048  # never closed early
