@@ -188,6 +188,11 @@ def register(name: str, oracle: str | None = None):
 # st23's store-layout flag need NO carry: both lead THIS round's
 # prefix, so their official rows already reflect the r12 code. All
 # five verified hash-green locally in both ANSI modes (NOTES_r12).
+# Values-unchanged re-gate candidates if slots allow (the r7 class-d
+# precedent): m37/m38/ml10/ml12 — op_fingerprint.py gained a zero-site
+# guard + lazy own-projection in r12 (gated values unchanged: no
+# zero-site material exists; all four re-verified hash-green after the
+# change, judge-cheap to re-gate).
 _R12_PRIORITY = [
     # --- (a) mandatory head: r11 births, never driver-sampled ---
     "d21_incremental_substring_dedup",
