@@ -114,6 +114,7 @@ HEADLINE = [
     "p20_shard_export",  # r12: token-budget shard export + manifest roundtrip
     "d22_domain_blocklist",  # r12: registrable-domain blocklist decontamination
     "p21_incremental_shard_export",  # r12: ledger-continued flush export
+    "dq19_split_leakage_audit",  # r12: near-dup pairs straddling the split
     "dq11_row_quarantine",
     "q105_gapfill_interpolate",
     "p16_multimodal_packing",

@@ -179,15 +179,16 @@ def register(name: str, oracle: str | None = None):
 # then the r6-era head (c3, d14, dq5–dq7, g4, mm6, mm9, p10).
 # 8 + 42 = 50 slots.
 # r13 planner note (the mm12 precedent — entries born/changed AFTER
-# this prefix froze): the MANDATORY head of _R13_PRIORITY is the three
-# r12 births p20_shard_export, d22_domain_blocklist and
-# p21_incremental_shard_export (all llm_ops.py, never driver-sampled),
+# this prefix froze): the MANDATORY head of _R13_PRIORITY is the four
+# r12 births p20_shard_export, d22_domain_blocklist,
+# p21_incremental_shard_export (llm_ops.py) and
+# dq19_split_leakage_audit (quality.py), never driver-sampled,
 # plus the two oracle upgrades q74_approx_percentiles
 # and q75_approx_ntile (GK exactness regime, aggregates.py — latest
 # official rows still say no_oracle from r8). c6's d22-extension and
 # st23's store-layout flag need NO carry: both lead THIS round's
 # prefix, so their official rows already reflect the r12 code. All
-# five verified hash-green locally in both ANSI modes (NOTES_r12).
+# six verified hash-green locally in both ANSI modes (NOTES_r12).
 # Values-unchanged re-gate candidates if slots allow (the r7 class-d
 # precedent): m37/m38/ml10/ml12 — op_fingerprint.py gained a zero-site
 # guard + lazy own-projection in r12 (gated values unchanged: no

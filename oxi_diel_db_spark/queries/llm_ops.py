@@ -6188,7 +6188,7 @@ def _p20_oracle() -> str:
     ),
     asg AS (
       SELECT p.doc_id, p.n_tok, p.bin_id, s.shard_id,
-             CASE WHEN substring(md5('split:' || CAST(s.shard_id AS VARCHAR)), 1, 1) < 'd'
+             CASE WHEN substring(md5('split:' || CAST(s.shard_id AS VARCHAR)), 1, 1) < 'b'
                   THEN 'train' ELSE 'val' END AS split
       FROM packed p JOIN sh s USING (bin_id)
     ),
@@ -6211,8 +6211,10 @@ def p20_shard_export(spark, sf_dir):
     after p4 packs sequences: bins are cut into ~8192-token shards by
     cumulative-sum bucketing over the packed table
     (operators/sampling.assign_shards), every shard gets an md5 split
-    lineage (train/val ≈ 13/16 by shard hash — deterministic, engine-
-    neutral hex compare), the doc-level assignment is WRITTEN as a
+    lineage (train/val ≈ 11/16 by shard hash — deterministic, engine-
+    neutral hex compare; threshold 'b' chosen so BOTH classes exist at
+    the sf0.01 gate's 4 shards — shards 1 and 3 draw val — keeping the
+    split column and dq19's leak audit non-vacuous), the doc-level assignment is WRITTEN as a
     (split, shard_id)-partitioned parquet tree (the q18 roundtrip
     pattern: at scale this layout IS the exported dataset, and split/
     shard pruning comes free afterwards), and the registered output is
@@ -6254,7 +6256,7 @@ def p20_shard_export(spark, sf_dir):
                 1,
                 1,
             )
-            < "d",
+            < "b",
             F.lit("train"),
         ).otherwise(F.lit("val")),
     )

@@ -1415,3 +1415,72 @@ def dq18_payload_integrity(spark, sf_dir):
             6,
         ).alias("share"),
     )
+
+
+def _dq19_oracle() -> str:
+    """Composed verbatim from the registered d3/p20 oracles (the
+    c5/ml16 pattern — the audit can never drift from the dedup pairs
+    or the split assignment it audits)."""
+    from oxi_diel_db_spark.queries import REGISTRY
+    from oxi_diel_db_spark.queries import llm_ops  # noqa: F401 (registers d3/p20)
+
+    d3 = REGISTRY["d3_minhash_lsh"].oracle
+    p20 = REGISTRY["p20_shard_export"].oracle
+    return f"""
+    WITH prs AS ({d3}),
+    sp AS ({p20})
+    SELECT p.doc_a, p.doc_b,
+           sa.split AS split_a, sb.split AS split_b,
+           p.est_jaccard,
+           CAST(sa.split <> sb.split AS INT) AS leaked
+    FROM prs p
+    JOIN sp sa ON sa.doc_id = p.doc_a
+    JOIN sp sb ON sb.doc_id = p.doc_b
+    """
+
+
+@register("dq19_split_leakage_audit", oracle=_dq19_oracle())
+def dq19_split_leakage_audit(spark, sf_dir):
+    """Train/val split-leakage audit — the DETECTION face of p12's
+    leakage-safe split (which PREVENTS): after p20 assigns every doc a
+    shard + split, any near-duplicate pair (d3's banded MinHash, the
+    100 TB dedup default) whose members landed in DIFFERENT splits is
+    contamination — the val member leaks training signal. Real
+    pipelines run exactly this audit before trusting held-out metrics
+    (test-set decontamination's intra-corpus sibling; d9/d10 audit
+    against EXTERNAL benchmarks, this audits the corpus against its
+    own split). Pair-level verdicts under the full value hash:
+    (pair, both splits, similarity, leaked flag) — builders AND
+    oracles composed verbatim from the registered d3 and p20 gates.
+
+    Plan shape: d3's banded self-join produces O(near-dup pairs), the
+    split table joins in by doc key twice — two key-equi joins over
+    pair rows, no new shuffle class; at 100 TB the audit costs one
+    dedup pass it shares with curation anyway."""
+    from oxi_diel_db_spark.queries.llm_ops import (
+        d3_minhash_lsh,
+        p20_shard_export,
+    )
+
+    pairs = d3_minhash_lsh(spark, sf_dir).select(
+        "doc_a", "doc_b", "est_jaccard"
+    )
+    splits = p20_shard_export(spark, sf_dir).select("doc_id", "split")
+    a = splits.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    b = splits.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "split_a",
+            "split_b",
+            "est_jaccard",
+            (F.col("split_a") != F.col("split_b")).cast("int").alias("leaked"),
+        )
+    )

@@ -126,6 +126,7 @@ REPRESENTATIVE = [
     "p20_shard_export",          # partitioned write+read-back of zero shards
     "p21_incremental_shard_export",  # ledger loop over zero flushes
     "d22_domain_blocklist",      # broadcast blocklist joins over zero docs
+    "dq19_split_leakage_audit",  # leak audit over zero pairs + zero splits
 ]
 
 

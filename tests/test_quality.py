@@ -394,3 +394,32 @@ def test_dq17_no_drift_between_identical_populations(spark):
     out = load_registry()["dq17_embedding_drift"].build(spark, work).collect()
     assert len(out) == 4
     assert all(r["drifted"] == 0 for r in out)
+
+
+def test_dq19_leak_flags_and_composition(spark):
+    """dq19's verdicts must re-derive from its own inputs: the pair set
+    IS d3's output (no pair invented or dropped), each pair's splits
+    match p20's assignment, leaked ≡ split mismatch — and at gate
+    scale BOTH leak classes must be populated (the split threshold was
+    chosen so the audit is non-vacuous; a constant column would pin
+    nothing)."""
+    from oxi_diel_db_spark.queries import load_registry
+
+    sf = "/root/testdata/sf0.01"
+    reg = load_registry()
+    rows = reg["dq19_split_leakage_audit"].build(spark, sf).collect()
+    d3 = {
+        (r["doc_a"], r["doc_b"])
+        for r in reg["d3_minhash_lsh"].build(spark, sf).collect()
+    }
+    assert {(r["doc_a"], r["doc_b"]) for r in rows} == d3
+    split = {
+        r["doc_id"]: r["split"]
+        for r in reg["p20_shard_export"].build(spark, sf).collect()
+    }
+    for r in rows:
+        assert r["split_a"] == split[r["doc_a"]]
+        assert r["split_b"] == split[r["doc_b"]]
+        assert r["leaked"] == int(r["split_a"] != r["split_b"])
+    leaked = sum(r["leaked"] for r in rows)
+    assert 0 < leaked < len(rows)  # both classes populated

@@ -289,7 +289,7 @@ def test_p20_export_roundtrip_manifest_and_lineage(spark):
         assert prev == r["shard_id"]  # a bin never spans shards
         want = (
             "train"
-            if hashlib.md5(f"split:{r['shard_id']}".encode()).hexdigest()[0] < "d"
+            if hashlib.md5(f"split:{r['shard_id']}".encode()).hexdigest()[0] < "b"
             else "val"
         )
         assert r["split"] == want
