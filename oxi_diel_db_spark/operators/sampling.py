@@ -208,7 +208,8 @@ def assign_shards(
     token_col: str,
     bin_col: str = "bin_id",
     shard_budget: int = 8192,
-    budget: int = 2048,
+    *,
+    budget: int,
     bin_bucket: int = 65536,
     token_offset: int = 0,
 ) -> DataFrame:
@@ -220,6 +221,11 @@ def assign_shards(
     recipe, public). A shard whose last bin straddles the boundary can
     exceed the budget by < that bin's total, mirroring pack_sequences'
     straddle rule one level up.
+
+    ``budget`` is keyword-required with no default: it must be the SAME
+    clamp pack_sequences built the bins with — a divergent default here
+    would silently cut shards under a different per-doc clamp than the
+    bins were packed with (r12 ADVICE).
 
     Scale posture: the same deterministic bucketed two-pass as
     pack_sequences, with bucket = floor(bin_id / bin_bucket) — a prefix

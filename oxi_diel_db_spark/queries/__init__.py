@@ -194,6 +194,85 @@ def register(name: str, oracle: str | None = None):
 # guard + lazy own-projection in r12 (gated values unchanged: no
 # zero-site material exists; all four re-verified hash-green after the
 # change, judge-cheap to re-gate).
+# Round-13 sampling rotation (machine-computed: tools/rotation_plan.py
+# --staleness over CORRECTNESS_r01..r12 → 4 never-sampled + 2
+# not-green-latest of 323 sampled). Composition per the r12 verdict's
+# Next-round #1: (a) the MANDATORY head exactly as the planted r13
+# planner note above — the two oracle upgrades q74/q75 (GK exactness
+# regime; latest official rows still say no_oracle from r07) lead per
+# the not-green-first rule, then the four r12 births p20, d22, p21,
+# dq19 (never driver-sampled, judge-verified green both modes in r12);
+# (b) the r13 births c7_release_gate and d23_retroactive_decontam
+# (registered THIS round, before this prefix froze — the early-birth
+# variant of the mm12 precedent, so their official rows land on their
+# birth round); (c) the 4 values-unchanged re-gates m37/m38/ml10/ml12
+# (op_fingerprint.py zero-site guard landed r12 after their r11 rows);
+# (d) 38 staleness re-gates from the --staleness report head, stalest
+# first — the r6-era llm_ops/relational/windows/extras/streaming rows
+# (p5/p12/p14, q04, q52, q55, q57, q64, q82/q84, q91–q98 block,
+# s5–s7, st4/st6/st11/st12, t10/t12–t14), then the r7-era head
+# (d1/d15/d16, dq8/dq9, m33, ml7/ml9/ml11/ml13). 6 + 2 + 4 + 38
+# = 50 slots.
+_R13_PRIORITY = [
+    # --- (a) not-green-latest: oracle upgrades, official row says
+    # no_oracle from r07 ---
+    "q74_approx_percentiles",
+    "q75_approx_ntile",
+    # --- (a cont.) r12 births, never driver-sampled ---
+    "p20_shard_export",
+    "d22_domain_blocklist",
+    "p21_incremental_shard_export",
+    "dq19_split_leakage_audit",
+    # --- (b) r13 births (registered before the prefix froze) ---
+    "c7_release_gate",
+    "d23_retroactive_decontam",
+    # --- (c) values-unchanged re-gates (r12 zero-site guard) ---
+    "m37_voronoi_tessellation",
+    "m38_op_fingerprint",
+    "ml10_el_st_descriptors",
+    "ml12_ion_st_descriptors",
+    # --- (d) staleness re-gates, stalest first (r6-era rows) ---
+    "p12_leakage_safe_split",
+    "p14_length_matching",
+    "p5_greedy_packing",
+    "q04_case_buckets",
+    "q52_intersect_all",
+    "q55_event_transitions",
+    "q57_recursive_date_spine",
+    "q64_idle_rich_customers",
+    "q82_schema_evolution",
+    "q84_dpp_join",
+    "q91_lateral_topn",
+    "q92_collations",
+    "q93_prediction_stdout",
+    "q94_time_travel",
+    "q96_observed_metrics",
+    "q97_group_by_all",
+    "q98_try_arithmetic",
+    "s5_ann_recall",
+    "s6_filtered_ann",
+    "s7_ivf_filtered",
+    "st11_stream_dq_monitor",
+    "st12_compaction_cycles",
+    "st4_stream_dedup",
+    "st6_stateful_counts",
+    "t10_bigram_perplexity",
+    "t12_gopher_rules",
+    "t13_vocab_stats",
+    "t14_bm25_search",
+    # --- (d cont.) r7-era rows ---
+    "d15_tfidf_cosine_pairs",
+    "d16_semantic_dedup",
+    "d1_exact_dedup",
+    "dq8_snapshot_diff",
+    "dq9_schema_contract",
+    "m33_tensor_invariants",
+    "ml11_el_st_reference_scoring",
+    "ml13_ion_st_reference_scoring",
+    "ml7_reference_scoring",
+    "ml9_ion_reference_scoring",
+]
+
 _R12_PRIORITY = [
     # --- (a) mandatory head: r11 births, never driver-sampled ---
     "d21_incremental_substring_dedup",
@@ -728,7 +807,7 @@ def load_registry() -> dict[str, QueryDef]:
     )
 
     ordered: dict[str, QueryDef] = {}
-    for name in _R12_PRIORITY:
+    for name in _R13_PRIORITY:
         if name in REGISTRY:  # tolerate renames; never KeyError the gate
             ordered[name] = REGISTRY[name]
     for name, qdef in REGISTRY.items():

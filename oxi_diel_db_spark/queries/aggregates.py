@@ -351,13 +351,47 @@ def q72_gapfill_interpolate(spark, sf_dir):
 
 #: GK exactness-regime accuracy for the q74/q75 gates: the sketch's
 #: per-tuple delta bound is floor(2·ε·n) with ε = 1/accuracy, so with
-#: n/group ≤ 1.5M at the largest swept corpus (data/sf3) and accuracy
-#: 1e7 the bound is 0 — the summary provably never merges and its
-#: query IS the exact lower order statistic, which DuckDB replays as
-#: quantile_disc (r12 measurement: 9/9 values bit-identical at sf0.01
-#: AND at sf1/sf3; accuracy 1e5 already diverges at sf1 — 1/3 groups —
-#: exactly the compression onset the bound predicts).
+#: n/group ≤ 1,505,670 measured at the largest swept corpus (data/sf3
+#: orders, F-status group) and accuracy 1e7 the bound is 0 — the
+#: summary provably never merges and its query IS the exact lower
+#: order statistic, which DuckDB replays as quantile_disc (r12
+#: measurement: 9/9 values bit-identical at sf0.01 AND at sf1/sf3;
+#: accuracy 1e5 already diverges at sf1 — 1/3 groups — exactly the
+#: compression onset the bound predicts). The regime holds while
+#: n/group < accuracy/2 = 5M, i.e. orders up to roughly sf10; the
+#: builders carry a LAZY in-plan guard (F.assert_true riding a kept
+#: output column — zero extra jobs) that fails the gate with THIS
+#: pointer instead of a silent hash mismatch when a group crosses the
+#: boundary, and tools/time_registry.py refuses to hash-gate q74/q75
+#: above the certified sf (r12 ADVICE + verdict Next #2). Boundary
+#: measured empirically in tests/test_aggregates.py
+#: (test_gk_exactness_regime_boundary): bit-identity to the exact
+#: order statistic holds up to floor(2·ε·n)=0 and flips exactly where
+#: the bound predicts.
 _GK_EXACT_ACC = 10_000_000
+
+#: Largest SF whose per-group n has been certified inside the GK
+#: exactness window (sf3 measured max group = 1,505,670 < 5M). Sweep
+#: tooling must not hash-gate q74/q75 above this without re-measuring.
+_GK_MAX_CERTIFIED_SF = 3.0
+
+
+def _gk_regime_guard(n_col, entry: str):
+    """NULL iff the group size stays inside the GK exactness window
+    (floor(2·ε·n) = 0 ⇔ n < accuracy/2); raises with a regime pointer
+    otherwise. Lazy by construction: ride it on a kept output column
+    via F.when(guard.isNull(), col) so Catalyst cannot prune it and no
+    extra job runs."""
+    return F.assert_true(
+        n_col < F.lit(_GK_EXACT_ACC // 2),
+        F.lit(
+            f"{entry}: GK exactness regime exceeded — a group holds >= "
+            f"accuracy/2 = {_GK_EXACT_ACC // 2} rows, so floor(2*eps*n) > 0, "
+            "the sketch compresses, and the hash gate is no longer exact. "
+            "See the _GK_EXACT_ACC note in queries/aggregates.py; re-certify "
+            "or gate rows-only above sf%s." % _GK_MAX_CERTIFIED_SF
+        ),
+    )
 
 
 @register(
@@ -392,11 +426,19 @@ def q74_approx_percentiles(spark, sf_dir):
     tolerance tests, not the hash gate."""
     o = t(spark, sf_dir, "orders")
     acc = F.lit(_GK_EXACT_ACC)
-    return o.groupBy("o_orderstatus").agg(
+    agg = o.groupBy("o_orderstatus").agg(
         F.percentile_approx("o_totalprice", F.lit(0.25), acc).alias("p25"),
         F.percentile_approx("o_totalprice", F.lit(0.50), acc).alias("p50"),
         F.percentile_approx("o_totalprice", F.lit(0.75), acc).alias("p75"),
         F.count(F.lit(1)).alias("n"),
+    )
+    guard = _gk_regime_guard(F.col("n"), "q74_approx_percentiles")
+    return agg.select(
+        "o_orderstatus",
+        "p25",
+        "p50",
+        "p75",
+        F.when(guard.isNull(), F.col("n")).alias("n"),
     )
 
 
@@ -431,7 +473,8 @@ def q75_approx_ntile(spark, sf_dir):
             "c_acctbal",
             F.array([F.lit(i / 10.0) for i in range(1, 10)]),
             F.lit(_GK_EXACT_ACC),
-        ).alias("bs")
+        ).alias("bs"),
+        F.count(F.lit(1)).alias("__n"),
     )
     bucketed = c.select("c_custkey", "c_acctbal").crossJoin(F.broadcast(bounds))
     # decile = 1 + number of boundaries strictly below the value
@@ -440,7 +483,15 @@ def q75_approx_ntile(spark, sf_dir):
         F.lit(1),
         lambda acc, b: acc + F.when(F.col("c_acctbal") > b, 1).otherwise(0),
     )
-    return bucketed.select("c_custkey", "c_acctbal", decile.alias("decile"))
+    # one global group here, so the regime bound applies to the whole
+    # table count rides the broadcast row; guard stays lazy (see
+    # _gk_regime_guard)
+    guard = _gk_regime_guard(F.col("__n"), "q75_approx_ntile")
+    return bucketed.select(
+        "c_custkey",
+        "c_acctbal",
+        F.when(guard.isNull(), decile).alias("decile"),
+    )
 
 
 @register(

@@ -110,9 +110,42 @@ def main() -> None:
         )
 
     qs, os_ = queries(), oracle_sql()
+
+    # GK exactness-regime refusal (r12 verdict Next #2): the q74/q75
+    # hash gates are provably exact only while every group holds
+    # < accuracy/2 rows (see _GK_EXACT_ACC in queries/aggregates.py).
+    # Above that the in-plan assert_true guard fails the Spark side
+    # loudly; here we refuse up front with the regime pointer so a
+    # large-sf sweep degrades to an explicit SKIP, never a silent red.
+    from oxi_diel_db_spark.queries.aggregates import _GK_EXACT_ACC
+
+    gk_limit = _GK_EXACT_ACC // 2
+    gk_skip: dict[str, str] = {}
+    for gk_name, probe_sql in (
+        (
+            "q74_approx_percentiles",
+            "SELECT MAX(n) FROM (SELECT COUNT(*) AS n FROM orders "
+            "GROUP BY o_orderstatus)",
+        ),
+        ("q75_approx_ntile", "SELECT COUNT(*) FROM customer"),
+    ):
+        if gk_name in qs and (not ONLY or gk_name in ONLY):
+            n_max = con.sql(probe_sql).fetchone()[0] or 0
+            if n_max >= gk_limit:
+                gk_skip[gk_name] = (
+                    f"SKIP gk-regime: max group {n_max} >= accuracy/2 "
+                    f"({gk_limit}); hash gate only certified inside the "
+                    "GK exactness window (queries/aggregates.py "
+                    "_GK_EXACT_ACC note) — re-certify before gating here"
+                )
+
     results = {}
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
+            continue
+        if name in gk_skip:
+            results[name] = gk_skip[name]
+            print(f"{name:28s} {gk_skip[name]}", flush=True)
             continue
         t0 = time.time()
         try:
@@ -174,11 +207,15 @@ def main() -> None:
 
     n_ok = sum(1 for v in results.values() if v == "OK")
     n_ro = sum(1 for v in results.values() if str(v).startswith("rows-only"))
-    n_bad = len(results) - n_ok - n_ro
-    print(f"\n{n_ok} OK, {n_ro} rows-only, {n_bad} FAILING of {len(results)}")
+    n_skip = sum(1 for v in results.values() if str(v).startswith("SKIP"))
+    n_bad = len(results) - n_ok - n_ro - n_skip
+    print(
+        f"\n{n_ok} OK, {n_ro} rows-only, {n_skip} skipped, "
+        f"{n_bad} FAILING of {len(results)}"
+    )
     if n_bad:
         for k, v in results.items():
-            if v != "OK" and not str(v).startswith("rows-only"):
+            if v != "OK" and not str(v).startswith(("rows-only", "SKIP")):
                 print(f"  FAIL {k}: {v}")
         sys.exit(1)
 
