@@ -1347,3 +1347,62 @@ def cdc_chunks(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
         schema=f"{id_col} bigint, chunk_idx bigint, c_off bigint, "
         "c_len bigint, chash string",
     )
+
+
+def cdc_chunk_state(chunks: DataFrame) -> DataFrame:
+    """Compact per-key CDC dedup state — ONE row per distinct chunk
+    key: ``(chash, min_doc, cnt_min)`` where ``min_doc`` is the lowest
+    doc_id holding the key and ``cnt_min`` how many instances that doc
+    holds. This is the ENTIRE state the st23 order rule needs: with an
+    append-first store, a chunk ``(doc_id, idx, chash)`` is duplicated
+    iff some OTHER instance exists at ``p_doc < doc_id``, or in the
+    same doc at another index. Equivalently, against the compact
+    state: ``min_doc < doc_id`` (an earlier doc holds the content) or
+    ``min_doc == doc_id AND cnt_min > 1`` (the key's first doc holds
+    it at least twice — chunk_idx is unique within a doc, so a second
+    instance necessarily sits at a different index). Instances at
+    HIGHER doc_ids can never flip the rule, so nothing else needs
+    storing.
+
+    This is the st23 chunk-store "rung 2" (r12 verdict Next #3): the
+    store the per-batch score joins against holds O(distinct keys)
+    rows instead of O(all chunk instances) — the d21-style count-store
+    compaction, run continuously (every batch merges into the compact
+    state rather than appending raw instances). Store-read growth per
+    batch is therefore bounded by UNIQUE content, sub-linear in
+    ingested bytes whenever duplication exists — which is the regime a
+    dedup store exists for."""
+    per_doc = chunks.groupBy("chash", "doc_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # doc_id is unique within each chash group after the per-doc agg,
+    # so min(struct) is deterministic (no tie on the leading field)
+    return (
+        per_doc.groupBy("chash")
+        .agg(F.min(F.struct("doc_id", "cnt")).alias("s"))
+        .select(
+            "chash",
+            F.col("s.doc_id").alias("min_doc"),
+            F.col("s.cnt").alias("cnt_min"),
+        )
+    )
+
+
+def cdc_state_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two compact CDC states built over DISJOINT doc sets (a
+    doc's chunks never split across micro-batches, so the same doc_id
+    cannot appear on both sides). Per key, the row with the smaller
+    min_doc wins outright — disjointness makes min_doc ties
+    impossible, so min(struct) is exact, and the merge is associative:
+    any batch arrival grouping folds to the same state (the
+    arrival-order-independence the st23 oracle replays)."""
+    u = a.unionByName(b)
+    return (
+        u.groupBy("chash")
+        .agg(F.min(F.struct("min_doc", "cnt_min")).alias("s"))
+        .select(
+            "chash",
+            F.col("s.min_doc").alias("min_doc"),
+            F.col("s.cnt_min").alias("cnt_min"),
+        )
+    )

@@ -7458,3 +7458,299 @@ def c6_crawl_curation(spark, sf_dir):
             .alias("keep"),
         )
     )
+
+
+def _c7_oracle() -> str:
+    """Composed verbatim from the registered c2/d3 oracles plus the
+    p20/p21-validated packing-and-shard window algebra, partitioned by
+    split (the c5/c6/dq19 pattern — the release gate can never drift
+    from the curation, dedup, or export gates it chains). led/prs are
+    AS MATERIALIZED: both are small (ledger = one row per doc, pairs =
+    near-dup pairs) and referenced 2-3 times — DuckDB re-executes
+    plain CTEs per reference."""
+    from oxi_diel_db_spark.queries import REGISTRY
+
+    c2 = REGISTRY["c2_corpus_ledger"].oracle
+    d3 = REGISTRY["d3_minhash_lsh"].oracle
+    tok = TX.SQL_WS_TOKEN_COUNT.format(t="text")
+    h = "substring(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8)"
+    return f"""
+    WITH RECURSIVE led AS MATERIALIZED ({c2}),
+    prs AS MATERIALIZED ({d3}),
+    toks AS (
+      SELECT doc_id,
+             LEAST(CAST({tok} AS BIGINT), {_P20_BIN_BUDGET}) AS n_tok,
+             {h} AS h
+      FROM documents
+    ),
+    kept AS (
+      SELECT l.doc_id, l.split, t.n_tok, t.h
+      FROM led l JOIN toks t USING (doc_id) WHERE l.stage = 'kept'
+    ),
+    binned AS (
+      SELECT doc_id, split, n_tok,
+             CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY split
+                 ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) - n_tok)
+                 / {_P20_BIN_BUDGET}) AS BIGINT) AS bin_id
+      FROM kept
+    ),
+    bins AS (
+      SELECT split, bin_id, SUM(n_tok) AS bt FROM binned GROUP BY 1, 2
+    ),
+    sh AS (
+      SELECT split, bin_id,
+             CAST(FLOOR((SUM(bt) OVER (PARTITION BY split ORDER BY bin_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bt)
+                 / {_P20_SHARD_BUDGET}) AS BIGINT) AS shard_id
+      FROM bins
+    ),
+    asg AS (
+      SELECT b.doc_id, b.split, b.n_tok, b.bin_id, s.shard_id
+      FROM binned b JOIN sh s USING (split, bin_id)
+    ),
+    leakdoc AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT p.doc_a AS doc_id FROM prs p
+        JOIN kept ka ON ka.doc_id = p.doc_a
+        JOIN kept kb ON kb.doc_id = p.doc_b
+        WHERE ka.split <> kb.split
+        UNION ALL
+        SELECT p.doc_b FROM prs p
+        JOIN kept ka ON ka.doc_id = p.doc_a
+        JOIN kept kb ON kb.doc_id = p.doc_b
+        WHERE ka.split <> kb.split
+      )
+    ),
+    man AS (
+      SELECT 'shard' AS kind, a.split AS k1,
+             CAST(a.shard_id AS VARCHAR) AS k2,
+             CAST(COUNT(*) AS BIGINT) AS docs,
+             CAST(SUM(a.n_tok) AS BIGINT) AS tokens,
+             CAST(MAX(a.bin_id) - MIN(a.bin_id) + 1 AS BIGINT) AS bins,
+             CAST(COUNT(ld.doc_id) AS BIGINT) AS leak_docs
+      FROM asg a LEFT JOIN leakdoc ld ON ld.doc_id = a.doc_id
+      GROUP BY a.split, a.shard_id
+    ),
+    stages AS (
+      SELECT 'stage' AS kind, l.stage AS k1, CAST(NULL AS VARCHAR) AS k2,
+             CAST(COUNT(*) AS BIGINT) AS docs,
+             CAST(SUM(t.n_tok) AS BIGINT) AS tokens,
+             CAST(NULL AS BIGINT) AS bins, CAST(NULL AS BIGINT) AS leak_docs
+      FROM led l JOIN toks t USING (doc_id)
+      GROUP BY l.stage
+    ),
+    pdisp AS (
+      SELECT CASE
+          WHEN la.stage = 'kept' AND lb.stage = 'kept'
+               AND la.split <> lb.split THEN 'leaked'
+          WHEN la.stage = 'kept' AND lb.stage = 'kept' THEN 'safe'
+          WHEN la.stage IN ('exact_dup', 'near_dup')
+               OR lb.stage IN ('exact_dup', 'near_dup') THEN 'dedup_resolved'
+          ELSE 'dropped_other' END AS k1
+      FROM prs p
+      JOIN led la ON la.doc_id = p.doc_a
+      JOIN led lb ON lb.doc_id = p.doc_b
+    ),
+    pcls AS (
+      SELECT 'pairs' AS kind, k1, CAST(NULL AS VARCHAR) AS k2,
+             CAST(COUNT(*) AS BIGINT) AS docs,
+             CAST(NULL AS BIGINT) AS tokens,
+             CAST(NULL AS BIGINT) AS bins, CAST(NULL AS BIGINT) AS leak_docs
+      FROM pdisp GROUP BY k1
+    )
+    SELECT * FROM man
+    UNION ALL SELECT * FROM stages
+    UNION ALL SELECT * FROM pcls
+    """
+
+
+@register("c7_release_gate", oracle=_c7_oracle())
+def c7_release_gate(spark, sf_dir):
+    """The end-to-end RELEASE GATE — the capstone of capstones (r12
+    verdict Next #4): c2's curation ledger decides WHAT ships and its
+    cluster-aware split, the p20/p21 shard machinery cuts each split's
+    kept docs into token-budget shards (bins and the shard cumsum walk
+    run PER SPLIT — a real exporter writes train/val/test shard
+    sequences separately), and the dq19-style audit (d3's banded
+    MinHash pairs vs the release's own split) signs off. ONE hash-
+    gated query returns the release manifest, three row kinds:
+
+    * kind='shard'  (k1=split, k2=shard_id): docs / tokens / bins
+      accounting per exported shard + leak_docs (docs in this shard
+      participating in a cross-split near-dup pair);
+    * kind='stage'  (k1=ledger stage): survivorship — doc count AND
+      token mass per curation disposition (what each stage cost);
+    * kind='pairs'  (k1=disposition): every d3 near-dup pair's release
+      verdict — leaked / safe (both kept), dedup_resolved (a member
+      dropped by the dedup stages), dropped_other (a member dropped by
+      quality/benchmark/decontamination/sampling).
+
+    At the gate corpus, c2's CLUSTER-keyed split plus its keep-best
+    dedup resolves every d3 pair before export (28 pairs → 8
+    dedup_resolved + 20 dropped_other; leaked = 0 and leak_docs = 0
+    everywhere) — that zero is the audit PASSING, not idling: the
+    detection path is proven live by the planted-leak fixture test
+    (tests/test_quality.py::test_c7_release_gate_detects_planted_leak)
+    exactly like dq19's non-vacuity pytest.
+
+    Plan/scale shape: the ledger materializes once (lazy
+    localCheckpoint — every downstream kind reads the checkpoint, the
+    curation never re-runs per branch); each split's pack walk is the
+    p4 bucketed two-pass over that split's BIN table; the audit adds
+    two key-equi joins over O(pair) rows (dq19's shape). At 100 TB
+    every stage is the plan its standalone gate already certified."""
+    from oxi_diel_db_spark.operators.sampling import (
+        assign_shards,
+        pack_sequences,
+    )
+
+    led = c2_corpus_ledger(spark, sf_dir).localCheckpoint(eager=False)
+    toks = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.least(
+            TX.ws_token_count("text").cast("bigint"), F.lit(_P20_BIN_BUDGET)
+        ).alias("n_tok"),
+    )
+    # lazy checkpoints: kept feeds 3 pack walks (x2 subtree refs each,
+    # the bucketed two-pass) plus both audit sides, prs feeds the leak
+    # and disposition branches — barriers make the release set and the
+    # pair set materialize ONCE instead of re-tokenizing/re-signing
+    # documents per branch (the c2 per-stage reuse note; swap for
+    # reliable checkpoint()/persist(DISK) on a cluster)
+    kept = (
+        led.filter(F.col("stage") == "kept")
+        .select("doc_id", "split")
+        .join(toks, "doc_id")
+        .localCheckpoint(eager=False)
+    )
+
+    parts = []
+    for sp in ("train", "val", "test"):
+        sub = kept.filter(F.col("split") == sp).select("doc_id", "n_tok")
+        packed = pack_sequences(
+            sub, "doc_id", "n_tok", budget=_P20_BIN_BUDGET, seed=42
+        )
+        asg_sp = assign_shards(
+            packed,
+            "n_tok",
+            "bin_id",
+            shard_budget=_P20_SHARD_BUDGET,
+            budget=_P20_BIN_BUDGET,
+        )
+        parts.append(
+            asg_sp.select("doc_id", "n_tok", "bin_id", "shard_id").withColumn(
+                "split", F.lit(sp)
+            )
+        )
+    asg = parts[0].unionByName(parts[1]).unionByName(parts[2])
+
+    prs = (
+        d3_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    ka = kept.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    kb = kept.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    leaked = (
+        prs.join(ka, "doc_a")
+        .join(kb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+    )
+    leakdoc = (
+        leaked.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(leaked.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("__lk", F.lit(1))
+    )
+
+    nul_s = F.lit(None).cast("string")
+    nul_b = F.lit(None).cast("bigint")
+    man = (
+        asg.join(leakdoc, "doc_id", "left")
+        .groupBy("split", "shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("docs"),
+            F.sum("n_tok").cast("bigint").alias("tokens"),
+            (F.max("bin_id") - F.min("bin_id") + 1)
+            .cast("bigint")
+            .alias("bins"),
+            F.sum(F.coalesce("__lk", F.lit(0))).cast("bigint").alias(
+                "leak_docs"
+            ),
+        )
+        .select(
+            F.lit("shard").alias("kind"),
+            F.col("split").alias("k1"),
+            F.col("shard_id").cast("string").alias("k2"),
+            "docs",
+            "tokens",
+            "bins",
+            "leak_docs",
+        )
+    )
+    stages = (
+        led.join(toks, "doc_id")
+        .groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("docs"),
+            F.sum("n_tok").cast("bigint").alias("tokens"),
+        )
+        .select(
+            F.lit("stage").alias("kind"),
+            F.col("stage").alias("k1"),
+            nul_s.alias("k2"),
+            "docs",
+            "tokens",
+            nul_b.alias("bins"),
+            nul_b.alias("leak_docs"),
+        )
+    )
+    la = led.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("stage").alias("st_a"),
+        F.col("split").alias("spl_a"),
+    )
+    lb = led.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("stage").alias("st_b"),
+        F.col("split").alias("spl_b"),
+    )
+    pcls = (
+        prs.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .select(
+            F.when(
+                (F.col("st_a") == "kept")
+                & (F.col("st_b") == "kept")
+                & (F.col("spl_a") != F.col("spl_b")),
+                "leaked",
+            )
+            .when(
+                (F.col("st_a") == "kept") & (F.col("st_b") == "kept"), "safe"
+            )
+            .when(
+                F.col("st_a").isin("exact_dup", "near_dup")
+                | F.col("st_b").isin("exact_dup", "near_dup"),
+                "dedup_resolved",
+            )
+            .otherwise("dropped_other")
+            .alias("k1")
+        )
+        .groupBy("k1")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("docs"))
+        .select(
+            F.lit("pairs").alias("kind"),
+            "k1",
+            nul_s.alias("k2"),
+            "docs",
+            nul_b.alias("tokens"),
+            nul_b.alias("bins"),
+            nul_b.alias("leak_docs"),
+        )
+    )
+    return man.unionByName(stages).unionByName(pcls)

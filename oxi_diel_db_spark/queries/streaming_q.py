@@ -1306,18 +1306,28 @@ def st23_streaming_cdc_ingest(spark, sf_dir):
     a broadcast semi-join of the batch's keys — implemented behind
     SPARK_GRAFT_ST23_STORE=bucketed (r12; gate values identical by
     construction: the semi-join drops only store rows whose key no
-    batch chunk carries, which can never match the left join). Both
+    batch chunk carries, which can never match the left join). Rung 2
+    (r13): SPARK_GRAFT_ST23_STORE=compacted persists the COMPACT
+    per-key state instead of raw instances (one row per distinct chunk
+    key — operators/multimodal.cdc_chunk_state proves the order rule
+    needs nothing more), so the per-batch store READ is O(distinct
+    keys), sub-linear in ingested bytes under duplication, where both
+    raw layouts still scan every instance ever ingested. All three
     layouts' ingest growth curves are measured in SCALE.md §18 —
     scale_probe.py cdc_ingest."""
     import os
     import tempfile
 
     from oxi_diel_db_spark.operators.multimodal import (
+        cdc_chunk_state,
         cdc_chunks,
         cdc_fixture_table,
+        cdc_state_merge,
     )
 
-    bucketed = os.environ.get("SPARK_GRAFT_ST23_STORE", "") == "bucketed"
+    layout = os.environ.get("SPARK_GRAFT_ST23_STORE", "scan")
+    bucketed = layout == "bucketed"
+    compacted = layout == "compacted"
 
     d = t(spark, sf_dir, "documents").select("doc_id")
     hi = d.agg(F.max("doc_id")).collect()[0][0] + 1
@@ -1329,14 +1339,29 @@ def st23_streaming_cdc_ingest(spark, sf_dir):
     store = f"{work}/chunkstore"
     result = f"{work}/accounting"
     boot_ch = cdc_chunks(cdc_fixture_table(boot))
-    if bucketed:
+    # rung 2 (compacted): the persisted store is the COMPACT per-key
+    # state (operators/multimodal.cdc_chunk_state) — one row per
+    # distinct chunk key, versioned parquet; each batch reads the
+    # previous version (O(distinct keys), sub-linear in ingested bytes
+    # under duplication), merges its own compact state, writes the new
+    # version, and scores against the read-back of what it WROTE (the
+    # persisted-chunk contract, same as the raw layouts).
+    cur_state = {"path": f"{store}_state_v_boot", "ver": 0}
+    if compacted:
+        cdc_chunk_state(boot_ch).write.parquet(cur_state["path"])
+    elif bucketed:
         # one table per invocation: the driver runs queries() entries
         # repeatedly in one session (uuid, the memory-sink convention)
         import uuid
 
         store_tbl = f"st23_store_{uuid.uuid4().hex[:8]}"
         (
-            boot_ch.write.bucketBy(16, "chash")
+            # same bucket-aligned repartition as the per-batch appends:
+            # without it the bootstrap lands as 16 x tasks files — the
+            # exact small-file/re-list pressure the append path avoids
+            # (r12 ADVICE)
+            boot_ch.repartition(16, F.col("chash"))
+            .write.bucketBy(16, "chash")
             .sortBy("chash")
             .mode("overwrite")
             .option("path", store)
@@ -1356,9 +1381,62 @@ def st23_streaming_cdc_ingest(spark, sf_dir):
     replay_dir = ops.write_replay_files(chunks_in, work)
     stream = ops.replay_dir_stream(spark, replay_dir)
 
+    def _write_accounting(hit):
+        """Per-doc accounting over (doc_id, chunk_idx, c_len, is_dup)
+        — identical across store layouts, so the gate values are
+        layout-independent by construction."""
+        (
+            hit.groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_chunks"),
+                F.sum("c_len").alias("n_bytes"),
+                F.sum("is_dup").cast("bigint").alias("n_dup_chunks"),
+                F.sum(F.col("is_dup") * F.col("c_len")).alias("dup_bytes"),
+                (
+                    F.round(
+                        F.sum(F.col("is_dup") * F.col("c_len"))
+                        / F.sum("c_len").cast("double")
+                        + F.lit(1e-9),
+                        6,
+                    )
+                    + F.lit(0.0)
+                ).alias("dup_ratio"),
+            )
+            .write.mode("append")
+            .parquet(result)
+        )
+
     def ingest_ordered(batch_df, _bid):
         ch_b = cdc_chunks(cdc_fixture_table(batch_df)).localCheckpoint()
         if not ch_b.take(1):
+            return
+        if compacted:
+            prev = spark.read.parquet(cur_state["path"])
+            merged = cdc_state_merge(prev, cdc_chunk_state(ch_b))
+            cur_state["ver"] += 1
+            new_path = f"{store}_state_v{cur_state['ver']}"
+            merged.write.parquet(new_path)
+            cur_state["path"] = new_path
+            state = spark.read.parquet(new_path)
+            # 1:1 join (state is unique per chash; every batch chunk
+            # matches — its own doc is in the state), so the order rule
+            # evaluates directly, no per-chunk max over partners needed
+            hit = ch_b.join(state, "chash", "left").select(
+                "doc_id",
+                "chunk_idx",
+                "c_len",
+                F.coalesce(
+                    (
+                        (F.col("min_doc") < F.col("doc_id"))
+                        | (
+                            (F.col("min_doc") == F.col("doc_id"))
+                            & (F.col("cnt_min") > 1)
+                        )
+                    ).cast("int"),
+                    F.lit(0),
+                ).alias("is_dup"),
+            )
+            _write_accounting(hit)
             return
         if bucketed:
             (
@@ -1407,26 +1485,7 @@ def st23_streaming_cdc_ingest(spark, sf_dir):
             .groupBy("doc_id", "chunk_idx", "c_len")
             .agg(F.max(F.coalesce("m", F.lit(0))).alias("is_dup"))
         )
-        (
-            hit.groupBy("doc_id")
-            .agg(
-                F.count(F.lit(1)).alias("n_chunks"),
-                F.sum("c_len").alias("n_bytes"),
-                F.sum("is_dup").cast("bigint").alias("n_dup_chunks"),
-                F.sum(F.col("is_dup") * F.col("c_len")).alias("dup_bytes"),
-                (
-                    F.round(
-                        F.sum(F.col("is_dup") * F.col("c_len"))
-                        / F.sum("c_len").cast("double")
-                        + F.lit(1e-9),
-                        6,
-                    )
-                    + F.lit(0.0)
-                ).alias("dup_ratio"),
-            )
-            .write.mode("append")
-            .parquet(result)
-        )
+        _write_accounting(hit)
 
     q = (
         stream.writeStream.foreachBatch(ingest_ordered)

@@ -400,3 +400,20 @@ def test_d22_blocklist_is_broadcast_only(spark):
     # formatted mode prints each node twice (tree + detail section)
     assert plan.count("BroadcastHashJoin") == 4
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_c7_release_gate_plan_shape(spark):
+    """c7 chains curation -> per-split shard walk -> leak audit with
+    only key-equi machinery: no cartesian/nested-loop join anywhere
+    (the pair audit joins by doc key, the shard walk exchanges only on
+    bucket/bin/shard keys), and every documents scan is column-pruned
+    to the three fields the chain needs (doc_id, text, lang) — at
+    100 TB nothing drags source/n_chars through the curation."""
+    plan = plan_of(spark, "c7_release_gate")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    import re
+
+    for rs in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = {c.split(":")[0] for c in rs.split(",") if c}
+        assert cols <= {"doc_id", "text", "lang"}, cols

@@ -423,3 +423,105 @@ def test_dq19_leak_flags_and_composition(spark):
         assert r["leaked"] == int(r["split_a"] != r["split_b"])
     leaked = sum(r["leaked"] for r in rows)
     assert 0 < leaked < len(rows)  # both classes populated
+
+
+def test_c7_release_gate_detects_planted_leak(spark, tmp_path):
+    """c7's leak columns are legitimately ZERO on the gate corpus
+    (c2's cluster-aware split + keep-best dedup resolves every d3 pair
+    before export — that zero is the audit passing). This test proves
+    the detection path is LIVE, the dq19 non-vacuity pattern: plant a
+    corpus holding a pair that d3's banded MinHash flags (a shared
+    2-slot band → est_jaccard = 0.25) but whose exact 3-shingle
+    Jaccard sits under c2's 0.2 clustering threshold, so BOTH members
+    survive curation in separate clusters whose csplit hashes land in
+    different splits — a genuine leak. c7 must report the pair as
+    'leaked' and flag both members' shards in both splits."""
+    import hashlib
+
+    import pyspark.sql.functions as F
+
+    from oxi_diel_db_spark.functions import text as TX
+    from oxi_diel_db_spark.queries import load_registry
+
+    def sh3(words):
+        return {" ".join(words[i : i + 3]) for i in range(len(words) - 2)}
+
+    def sig8(shingle_set):
+        return [
+            min(
+                hashlib.md5(f"{s}:{x}".encode()).hexdigest()
+                for x in shingle_set
+            )
+            for s in range(8)
+        ]
+
+    def bandkeys(sig):
+        return [
+            hashlib.md5((sig[2 * b] + sig[2 * b + 1]).encode()).hexdigest()
+            for b in range(4)
+        ]
+
+    def split_of(doc_id):
+        h = hashlib.md5(f"csplit:{doc_id}".encode()).hexdigest()[:8]
+        return "train" if h < "cccccccc" else ("val" if h < "e6666666" else "test")
+
+    # doc ids in different splits, outside the benchmark residue class
+    ids = [i for i in range(1, 60) if i % 23 != 0]
+    id_a = next(i for i in ids if split_of(i) == "train")
+    id_b = next(i for i in ids if split_of(i) == "val")
+
+    shared = "the fast data engine and the sort".split()  # 5 shared shingles
+    stops = ["the", "and", "of", "in", "a", "is", "the", "and", "now"]
+    planted = None
+    for i in range(5000):
+        # regenerate BOTH fillers per salt: a fixed doc A pins its
+        # 8 slot argmins, and if none falls in the shared run NO B can
+        # ever match a slot (measured: exactly that happened) — fresh
+        # fillers on both sides make each trial an independent
+        # ~4*j^2 band-collision draw
+        ua = [f"f{i}a{k}" for k in range(9)]
+        ub = [f"f{i}b{k}" for k in range(9)]
+        words_a = shared + [w for p in zip(stops, ua) for w in p]
+        words_b = shared + [w for p in zip(stops, ub) for w in p]
+        s_a, s_b = sh3(words_a), sh3(words_b)
+        if len(s_a & s_b) / len(s_a | s_b) >= 0.2:  # c2's cluster gate
+            continue
+        if set(bandkeys(sig8(s_a))) & set(bandkeys(sig8(s_b))):
+            planted = (words_a, words_b)
+            break
+    assert planted is not None, "no band collision found in 5000 salts"
+
+    text_a, text_b = " ".join(planted[0]), " ".join(planted[1])
+    # distinct vocabularies for the rest of the corpus: no accidental
+    # d3 pairs, zero 3-gram contamination overlap with the benchmark
+    others = [
+        (23, "zebra yak xylem wombat vulture umbra toucan swan raven "
+             "quail puffin osprey newt moth lark koala ibis heron"),
+        (24, "anchor bronze copper driftwood ember flint granite "
+             "harbor ingot jasper kelp lumen marble nickel onyx"),
+        (25, "apple berry cedar daisy elm fern grove hazel iris "
+             "juniper kale lotus maple nettle oak poppy"),
+    ]
+    rows = [(id_a, text_a), (id_b, text_b)] + others
+    df = spark.createDataFrame(
+        [(i, tx, "en", "src0", len(tx)) for i, tx in rows],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    # fixture sanity: both planted docs clear the c2 quality gate
+    q = {
+        r["doc_id"]: r["q"]
+        for r in df.select(
+            "doc_id", TX.quality_score("text").alias("q")
+        ).collect()
+    }
+    assert q[id_a] >= 0.45 and q[id_b] >= 0.45, q
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = (
+        load_registry()["c7_release_gate"].build(spark, str(tmp_path)).collect()
+    )
+    pair_rows = {r["k1"]: r["docs"] for r in out if r["kind"] == "pairs"}
+    assert pair_rows.get("leaked", 0) >= 1, pair_rows
+    shard_rows = [(r["k1"], r["leak_docs"]) for r in out if r["kind"] == "shard"]
+    assert sum(n for _, n in shard_rows) >= 2, shard_rows
+    assert len({sp for sp, n in shard_rows if n >= 1}) == 2, shard_rows

@@ -1139,3 +1139,80 @@ def test_st23_cumulative_ingest_equals_batch_cdc(spark):
     # the planted shifted-duplicate pairs make real dup mass flow
     # through the stream: at least one streamed doc is >90% dup bytes
     assert any(r[5] > 0.9 for r in got)
+
+
+def test_st23_store_layouts_agree(spark, monkeypatch):
+    """The three store layouts (scan / bucketed / compacted) must be
+    pure deployment choices: identical accounting rows from the same
+    corpus. In particular the r13 compacted layout's order-rule
+    reduction (min_doc < doc | (min_doc == doc & cnt_min > 1)) must
+    reproduce the raw instance-join's max-over-partners verdict."""
+    from oxi_diel_db_spark.queries import load_registry
+
+    sf = "/root/testdata/sf0.001"
+    reg = load_registry()
+    out = {}
+    for layout in ("scan", "bucketed", "compacted"):
+        monkeypatch.setenv("SPARK_GRAFT_ST23_STORE", layout)
+        out[layout] = {
+            tuple(r)
+            for r in reg["st23_streaming_cdc_ingest"].build(spark, sf).collect()
+        }
+    assert out["scan"] == out["bucketed"] == out["compacted"]
+    assert out["scan"]  # non-vacuous
+
+
+def test_cdc_chunk_state_rule_equivalence(spark):
+    """cdc_chunk_state's compact rule == the raw order rule on a
+    constructed chunk table covering every branch: earlier-doc dup,
+    same-doc two-instance dup (BOTH copies flagged), first-ever chunk
+    (clean), and a key whose min doc holds ONE instance but a later
+    doc repeats it (later dup, min doc clean). Also pins merge
+    associativity across a batch split."""
+    import pyspark.sql.functions as F
+
+    from oxi_diel_db_spark.operators.multimodal import (
+        cdc_chunk_state,
+        cdc_state_merge,
+    )
+
+    rows = [
+        # (doc_id, chunk_idx, c_len, chash)
+        (1, 0, 10, "A"),  # first ever -> clean
+        (1, 1, 10, "B"),  # same-doc pair -> dup
+        (1, 2, 10, "B"),  # same-doc pair -> dup
+        (2, 0, 10, "A"),  # earlier doc holds A -> dup
+        (2, 1, 10, "C"),  # first ever -> clean
+        (3, 0, 10, "C"),  # doc 2 holds C once -> dup (doc 2 stays clean)
+        (3, 1, 10, "D"),  # first ever -> clean
+    ]
+    ch = spark.createDataFrame(
+        rows, "doc_id bigint, chunk_idx bigint, c_len bigint, chash string"
+    )
+    state = cdc_chunk_state(ch)
+    got = {
+        (r["doc_id"], r["chunk_idx"]): r["is_dup"]
+        for r in ch.join(state, "chash")
+        .select(
+            "doc_id",
+            "chunk_idx",
+            (
+                (F.col("min_doc") < F.col("doc_id"))
+                | ((F.col("min_doc") == F.col("doc_id")) & (F.col("cnt_min") > 1))
+            )
+            .cast("int")
+            .alias("is_dup"),
+        )
+        .collect()
+    }
+    want = {
+        (1, 0): 0, (1, 1): 1, (1, 2): 1,
+        (2, 0): 1, (2, 1): 0,
+        (3, 0): 1, (3, 1): 0,
+    }
+    assert got == want
+    # merge associativity: state(all) == merge(state(docs 1-2), state(doc 3))
+    s12 = cdc_chunk_state(ch.filter(F.col("doc_id") <= 2))
+    s3 = cdc_chunk_state(ch.filter(F.col("doc_id") == 3))
+    merged = {tuple(r) for r in cdc_state_merge(s12, s3).collect()}
+    assert merged == {tuple(r) for r in state.collect()}

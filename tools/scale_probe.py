@@ -1702,15 +1702,22 @@ def cdc_ingest_probe(n_docs: int = 60_000, n_batches: int = 8) -> None:
     parquet dir the registered query ships by default (full store
     scan per batch) and (b) the bucketBy(16, chash) + sortBy table
     with a broadcast semi-join of the batch's keys
-    (SPARK_GRAFT_ST23_STORE=bucketed). Both must produce IDENTICAL
-    dup counts per batch (asserted)."""
+    (SPARK_GRAFT_ST23_STORE=bucketed), and (c) the r13 rung-2
+    COMPACTED per-key count store (SPARK_GRAFT_ST23_STORE=compacted:
+    one row per distinct chunk key, merged every batch — the store
+    READ is O(distinct keys) instead of O(all instances); see
+    operators/multimodal.cdc_chunk_state). All three must produce
+    IDENTICAL dup counts per batch (asserted); the per-batch state
+    row count vs raw instance count quantifies the read pruning."""
     import tempfile
     import time
     import uuid
 
     from oxi_diel_db_spark.operators.multimodal import (
+        cdc_chunk_state,
         cdc_chunks,
         cdc_fixture_table,
+        cdc_state_merge,
     )
     from oxi_diel_db_spark.session import get_spark
 
@@ -1731,16 +1738,24 @@ def cdc_ingest_probe(n_docs: int = 60_000, n_batches: int = 8) -> None:
     t_scan = time.time() - t0
     t0 = time.time()
     (
-        boot.write.bucketBy(16, "chash")
+        # bucket-aligned like the appends: 16 files, not 16 x tasks
+        boot.repartition(16, F.col("chash"))
+        .write.bucketBy(16, "chash")
         .sortBy("chash")
         .option("path", f"{work}/bkt")
         .format("parquet")
         .saveAsTable(tbl)
     )
     t_bkt = time.time() - t0
+    t0 = time.time()
+    state_path = [f"{work}/state_v0"]
+    cdc_chunk_state(boot).write.parquet(state_path[0])
+    t_cmp = time.time() - t0
+    n_state0 = spark.read.parquet(state_path[0]).count()
     print(
         f"bootstrap {n_boot / 1e6:.2f}M chunks: plain-write {t_scan:.1f}s"
-        f" bucketed-write {t_bkt:.1f}s"
+        f" bucketed-write {t_bkt:.1f}s compacted-write {t_cmp:.1f}s"
+        f" ({n_state0} distinct keys)"
     )
 
     def dup_count(ch_b, store_src):
@@ -1796,12 +1811,39 @@ def cdc_ingest_probe(n_docs: int = 60_000, n_batches: int = 8) -> None:
             ),
         )
         w_bkt = time.time() - t0
+        t0 = time.time()
+        prev = spark.read.parquet(state_path[0])
+        merged = cdc_state_merge(prev, cdc_chunk_state(ch_b))
+        state_path[0] = f"{work}/state_v{b + 1}"
+        merged.write.parquet(state_path[0])
+        state = spark.read.parquet(state_path[0])
+        d_cmp = (
+            ch_b.join(state, "chash", "left")
+            .select(
+                F.coalesce(
+                    (
+                        (F.col("min_doc") < F.col("doc_id"))
+                        | (
+                            (F.col("min_doc") == F.col("doc_id"))
+                            & (F.col("cnt_min") > 1)
+                        )
+                    ).cast("int"),
+                    F.lit(0),
+                ).alias("d")
+            )
+            .agg(F.sum("d"))
+            .collect()[0][0]
+        )
+        w_cmp = time.time() - t0
+        n_state = state.count()  # outside the timed window
         assert d_scan == d_bkt, (b, d_scan, d_bkt)
+        assert d_scan == d_cmp, (b, d_scan, d_cmp)
         store_docs = cuts[b + 1]
         print(
             f"batch {b}: +{(cuts[b + 1] - cuts[b]) / 1000:.1f}k docs vs "
             f"{store_docs / 1000:.0f}k-doc store: scan {w_scan:.1f}s "
-            f"bucketed+semi {w_bkt:.1f}s, {d_scan} dup chunks"
+            f"bucketed+semi {w_bkt:.1f}s compacted {w_cmp:.1f}s "
+            f"({n_state} state rows), {d_scan} dup chunks"
         )
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
