@@ -314,10 +314,19 @@ def main() -> None:
     # ALSO persist to a file: the driver's stdout tail buffer truncated
     # the head of r6's (long) JSON line, losing q01/q30/q31 from the
     # record (r6 verdict ask #7) — the file is the lossless copy.
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST.json"),
-        "w",
-    ) as fh:
+    repo = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(repo, "BENCH_LAST.json"), "w") as fh:
+        fh.write(line + "\n")
+    # AND an immutable per-run copy: BENCH_LAST.json is clobbered by
+    # ANY bench run (the r12 judge's independent run overwrote the
+    # builder's working-tree record — r12 verdict Next #5), so each run
+    # also lands in bench_runs/<utc-stamp>.json; NOTES' like-for-like
+    # tables and the compact line's `full` pointer cite the stamp.
+    stamp = time.strftime("%Y%m%dT%H%M%SZ", time.gmtime())
+    runs_dir = os.path.join(repo, "bench_runs")
+    os.makedirs(runs_dir, exist_ok=True)
+    stamped_rel = f"bench_runs/{stamp}.json"
+    with open(os.path.join(repo, stamped_rel), "w") as fh:
         fh.write(line + "\n")
     print(line)
     # The driver's BENCH_rNN.json keeps only the LAST 2000 chars of
@@ -346,7 +355,7 @@ def main() -> None:
         "load1_post": round(os.getloadavg()[0], 1),
         "top": _fit(timings, 20),
         "top_singles": _fit(singles, 10),
-        "full": "BENCH_LAST.json",
+        "full": stamped_rel,
     }
     if load1_pre > ncpu / 4:
         compact["noisy"] = (

@@ -7754,3 +7754,112 @@ def c7_release_gate(spark, sf_dir):
         )
     )
     return man.unionByName(stages).unionByName(pcls)
+
+
+#: r13 blocklist DELTA — rules that arrived AFTER the p20 shards
+#: shipped: two newly-blocked registrable domains (one plain-TLD, one
+#: under a 2-label public suffix), one newly-bad exact host (matches
+#: doc 314 under the fixture residues), and one domain no fixture host
+#: carries (the registered gate itself proves a miss contributes
+#: nothing). None overlaps the original d22 lists — a delta rescans
+#: what ingest-time filtering could not have known.
+_D23_DELTA_DOMAINS = ("data.com", "forum.github.io", "quiet.net")
+_D23_DELTA_HOSTS = ("h14.shop.com.au",)
+
+
+def _d23_recall(spark, sf_dir, hosts, domains):
+    """Affected-shard recall set for a blocklist delta: join the delta
+    (broadcast, O(delta rows)) against d22's per-doc host/registrable-
+    domain extraction, then against p20's exported manifest — per
+    affected (split, shard) the docs/tokens now blocked plus the
+    shard's totals (the whole shard file is re-exported, so shard_tok
+    IS the re-export bill). The corpus TEXT is never touched: the
+    rescan costs one pass over the doc->host projection and the
+    manifest, however large the payload bytes."""
+    ext = d22_domain_blocklist(spark, sf_dir).select(
+        "doc_id", "host", "reg_domain"
+    )
+    dh = spark.createDataFrame([(h,) for h in hosts], "hpat string")
+    dd = spark.createDataFrame([(d,) for d in domains], "dpat string")
+    hit = (
+        ext.join(F.broadcast(dh), ext.host == dh.hpat)
+        .select("doc_id")
+        .unionAll(
+            ext.join(F.broadcast(dd), ext.reg_domain == dd.dpat).select(
+                "doc_id"
+            )
+        )
+        .distinct()
+    )
+    exp = p20_shard_export(spark, sf_dir)
+    return (
+        exp.join(hit, "doc_id")
+        .groupBy("split", "shard_id", "shard_docs", "shard_tok")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("blocked_docs"),
+            F.sum("n_tok").cast("bigint").alias("blocked_tok"),
+        )
+        .select(
+            "split",
+            "shard_id",
+            "blocked_docs",
+            "blocked_tok",
+            "shard_docs",
+            "shard_tok",
+        )
+    )
+
+
+def _d23_oracle() -> str:
+    """Composed verbatim from the registered d22 (host/registrable
+    extraction) and p20 (export manifest) oracles — the d23 recall can
+    never drift from the extraction or the export it audits."""
+    from oxi_diel_db_spark.queries import REGISTRY
+
+    d22 = REGISTRY["d22_domain_blocklist"].oracle
+    p20 = REGISTRY["p20_shard_export"].oracle
+    dh = ", ".join(f"('{h}')" for h in _D23_DELTA_HOSTS)
+    dd = ", ".join(f"('{d}')" for d in _D23_DELTA_DOMAINS)
+    return f"""
+    WITH ext AS ({d22}),
+    exp AS MATERIALIZED ({p20}),
+    dh(hpat) AS (VALUES {dh}),
+    dd(dpat) AS (VALUES {dd}),
+    hit AS (
+      SELECT e.doc_id FROM ext e JOIN dh ON e.host = dh.hpat
+      UNION
+      SELECT e.doc_id FROM ext e JOIN dd ON e.reg_domain = dd.dpat
+    )
+    SELECT x.split, x.shard_id,
+           CAST(COUNT(*) AS BIGINT) AS blocked_docs,
+           CAST(SUM(x.n_tok) AS BIGINT) AS blocked_tok,
+           x.shard_docs, x.shard_tok
+    FROM exp x JOIN hit USING (doc_id)
+    GROUP BY x.split, x.shard_id, x.shard_docs, x.shard_tok
+    """
+
+
+@register("d23_retroactive_decontam", oracle=_d23_oracle())
+def d23_retroactive_decontam(spark, sf_dir):
+    """Retroactive decontamination — the blocklist GREW after the
+    shards shipped (r12 verdict Next #6): d22 drops blocklisted
+    domains at the crawl frontier, but real pipelines also receive
+    blocklist DELTAS (new eval sites, takedown notices, licensing
+    changes) long after p20 exported the training shards. The recall
+    set answers the operational question: WHICH shard files must be
+    re-exported, and what do they cost — per affected (split, shard):
+    newly-blocked doc count + token mass, alongside the shard's total
+    docs/tokens (the re-export bill — shards are immutable files, the
+    whole file rewrites).
+
+    Scale posture: the delta broadcasts (O(delta) rows); the rescan
+    reads the doc->host projection and the export MANIFEST, never the
+    corpus text — a blocklist delta at 100 TB costs one manifest pass,
+    not a corpus pass. The registered fixture delta includes a rule no
+    host matches, proving misses contribute nothing; the planted
+    hit/miss test is tests/test_text.py::test_d23_delta_hit_and_miss.
+    Builders AND oracle composed verbatim from the registered d22/p20
+    gates (the c5/dq19 pattern)."""
+    return _d23_recall(
+        spark, sf_dir, _D23_DELTA_HOSTS, _D23_DELTA_DOMAINS
+    )

@@ -527,3 +527,71 @@ def test_d22_registrable_extraction_and_blocklist_tiers(spark, tmp_path):
     # the h35 SUBDOMAIN of news.com is blocked, not the domain)
     assert out[105]["host"] == "news.com"
     assert out[105]["blocked"] == 0
+
+
+def test_d23_delta_hit_and_miss(spark, sf_dir):
+    """The planted hit/miss contract from the d23 docstring: a delta
+    naming a domain real fixture hosts carry must recall the exact
+    shards holding those docs (cross-checked doc-by-doc against the
+    d22 extraction and the p20 assignment), and a delta naming nothing
+    must recall ZERO shards. Also pins the accounting invariants:
+    blocked <= shard totals, and the registered fixture's miss rule
+    ('quiet.net') adds nothing over the hitting rules alone."""
+    import pyspark.sql.functions as F
+
+    from oxi_diel_db_spark.queries.llm_ops import (
+        _D23_DELTA_DOMAINS,
+        _D23_DELTA_HOSTS,
+        _d23_recall,
+        d22_domain_blocklist,
+        d23_retroactive_decontam,
+        p20_shard_export,
+    )
+
+    # miss: a delta no fixture host can match
+    miss = _d23_recall(spark, sf_dir, ("h9.none.net",), ("quiet.net",))
+    assert miss.count() == 0
+
+    # hit: one real domain; replay the expected recall independently
+    hit = _d23_recall(spark, sf_dir, (), ("data.com",)).collect()
+    assert hit, "delta hitting real hosts recalled no shards"
+    blocked_ids = {
+        r["doc_id"]
+        for r in d22_domain_blocklist(spark, sf_dir)
+        .filter(F.col("reg_domain") == "data.com")
+        .collect()
+    }
+    assert blocked_ids
+    exp = {
+        r["doc_id"]: (r["split"], r["shard_id"], r["n_tok"])
+        for r in p20_shard_export(spark, sf_dir).collect()
+    }
+    want = {}
+    for d in blocked_ids:
+        sp, sh, tok = exp[d]
+        docs, toks = want.get((sp, sh), (0, 0))
+        want[(sp, sh)] = (docs + 1, toks + tok)
+    got = {
+        (r["split"], r["shard_id"]): (r["blocked_docs"], r["blocked_tok"])
+        for r in hit
+    }
+    assert got == want
+    for r in hit:
+        assert r["blocked_docs"] <= r["shard_docs"]
+        assert r["blocked_tok"] <= r["shard_tok"]
+
+    # the registered fixture: its miss rule contributes nothing
+    reg_rows = {
+        (r["split"], r["shard_id"]): (r["blocked_docs"], r["blocked_tok"])
+        for r in d23_retroactive_decontam(spark, sf_dir).collect()
+    }
+    no_miss = {
+        (r["split"], r["shard_id"]): (r["blocked_docs"], r["blocked_tok"])
+        for r in _d23_recall(
+            spark,
+            sf_dir,
+            _D23_DELTA_HOSTS,
+            tuple(d for d in _D23_DELTA_DOMAINS if d != "quiet.net"),
+        ).collect()
+    }
+    assert reg_rows == no_miss and reg_rows
