@@ -115,6 +115,7 @@ HEADLINE = [
     "d22_domain_blocklist",  # r12: registrable-domain blocklist decontamination
     "p21_incremental_shard_export",  # r12: ledger-continued flush export
     "dq19_split_leakage_audit",  # r12: near-dup pairs straddling the split
+    "d23_retroactive_decontam",  # r13: blocklist-delta shard recall
     "dq11_row_quarantine",
     "q105_gapfill_interpolate",
     "p16_multimodal_packing",
@@ -241,6 +242,7 @@ SINGLES = [
     "m37_voronoi_tessellation",  # r10: exact tessellation, md5-sample gate population
     "m38_op_fingerprint",  # r10: exact OPSF slots, md5-sample gate population
     "c6_crawl_curation",  # r11: t25→t24→t2 funnel composition
+    "c7_release_gate",  # r13: curation→per-split shard export→leak audit (chains c2, single-shot like it)
     "ml17_quality_classifier",  # LBFGS training run (one per invocation)
     "ml19_poisson_glm",  # GLM IRLS training run (one per invocation)
     "ml21_als_recommender",  # blocked-ALS training run (one per invocation)
