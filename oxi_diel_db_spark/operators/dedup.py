@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from oxi_diel_db_spark.functions.text import norm_words, shingles, fingerprint
+from oxi_diel_db_spark.tables import fanout
 
 N_MINHASH = 8  # signature length
 N_BANDS = 4  # → rows-per-band = 2
@@ -36,8 +37,11 @@ N_BANDS = 4  # → rows-per-band = 2
 def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Group docs by bag-of-words fingerprint; keep_id = min id per group.
     One hash shuffle on the 32-hex fingerprint — the classic exact dedup."""
+    # fanout (r13 opt): the bag-of-words fingerprint is regex/sort-dense
+    # and otherwise runs at scan parallelism; identity at real scale
     return (
-        docs.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        fanout(docs, id_col)
+        .select(F.col(id_col), fingerprint(text_col).alias("fp"))
         .groupBy("fp")
         .agg(
             F.min(id_col).alias("keep_id"),
@@ -63,7 +67,11 @@ def _exploded_shingles(
     follow, so this trades a small cheap shuffle for full-cluster CPU.
     Pass False when the input already has enough file parallelism."""
     if pre_shuffle:
-        docs = docs.repartition(F.col(id_col))
+        # fanout (r13 opt) replaces the unconditional repartition: same
+        # spread of the regex chain when the scan is under-parallel, but
+        # an identity at real scale — the old form ALWAYS shuffled the
+        # text, even when the scan already had thousands of splits.
+        docs = fanout(docs, id_col)
     words = docs.select(F.col(id_col), norm_words(text_col).alias("__w"))
     return words.select(
         F.col(id_col), F.explode(shingles(F.col("__w"), n)).alias("shingle")
@@ -276,7 +284,11 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     gate AND paid the Arrow crossing). Docs with no tokens get
     fingerprint 0.
     """
-    w = docs.select(F.col(id_col), F.explode(norm_words(text_col)).alias("__w"))
+    # fanout (r13 opt): per-token md5 + hex decode is the CPU hot spot
+    # and otherwise runs at scan parallelism; identity at real scale
+    w = fanout(docs, id_col).select(
+        F.col(id_col), F.explode(norm_words(text_col)).alias("__w")
+    )
     w = w.withColumn("__h16", F.substring(F.md5("__w"), 1, 16))
     # decode the 16 hex chars ONCE per token; the 64 bit-sums below
     # read these columns (no CSE reliance across agg expressions)
@@ -650,8 +662,10 @@ def ngram_decontaminate(
     # the whole regex/shingle chain twice. Words materialized as their
     # own projection (the no-CSE-across-HOF pitfall). 14 s → ~3 s at
     # sf0.1; semantics unchanged (hash gate green).
+    # fanout (r13 opt): both regex/shingle chains below otherwise run at
+    # scan parallelism (one task on the gate file); identity at scale
     be = (
-        bench.select(F.col(text_col))
+        fanout(bench, id_col).select(F.col(text_col))
         .select(norm_words(text_col).alias("__w"))
         .select(F.explode(shingles(F.col("__w"), n)).alias("ng"))
         .select(F.xxhash64("ng").alias("h"))
@@ -659,7 +673,7 @@ def ngram_decontaminate(
         .withColumn("__hit", F.lit(1))
     )
     ex = (
-        train.select(F.col(id_col), norm_words(text_col).alias("__w"))
+        fanout(train, id_col).select(F.col(id_col), norm_words(text_col).alias("__w"))
         .select(
             F.col(id_col),
             F.array_distinct(shingles(F.col("__w"), n)).alias("__ngs"),
@@ -764,7 +778,9 @@ def span_dedup(
     at a few KB; at larger docs widen the shift), so the argmin is a
     plain MIN both here and in the DuckDB twin.
     """
-    w = docs.repartition(F.col(id_col)).select(
+    # fanout (r13 opt) replaces the unconditional repartition: identity
+    # at real scale instead of an always-on text shuffle
+    w = fanout(docs, id_col).select(
         F.col(id_col), norm_words(text_col).alias("__w")
     )
     nspans = F.ceil(F.size("__w") / F.lit(span)).cast("int")
@@ -913,8 +929,11 @@ def bloom_decontaminate(
     benchmark n-grams to hold FP ≈ (fill)³ well under 1%.
     """
     n_words = BLOOM_M_BITS // 64
+    # fanout (r13 opt): the filter-build regex/shingle chain otherwise
+    # runs at scan parallelism; identity at real scale
     be = (
-        bench.select(F.explode(shingles(norm_words(F.col(text_col)), n)).alias("ng"))
+        fanout(bench, id_col)
+        .select(F.explode(shingles(norm_words(F.col(text_col)), n)).alias("ng"))
         .distinct()
     )
     seeds = F.explode(F.array(*[F.lit(s) for s in range(BLOOM_K)])).alias("seed")
@@ -968,8 +987,12 @@ def bloom_decontaminate(
     # then the distinct n-gram set, then its md5s — so the regex runs
     # once, each n-gram is hashed once, and the filter lambda only
     # does conv-slices + two array lookups per slot.
+    # fanout (r13 opt): the zero-shuffle probe is exactly why the scan's
+    # parallelism is the ONLY parallelism this chain ever gets — at gate
+    # scale that is one task; identity at real scale
     base = (
-        train.select(F.col(id_col), norm_words(text_col).alias("__w"))
+        fanout(train, id_col)
+        .select(F.col(id_col), norm_words(text_col).alias("__w"))
         .select(
             F.col(id_col),
             F.array_distinct(shingles(F.col("__w"), n)).alias("__ngs"),

@@ -34,6 +34,7 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     weight_col: str | None = None,
+    broadcast_max_nodes: int = 1_000_000,
 ) -> DataFrame:
     """Weighted PageRank over (src, dst[, weight]) edges; returns
     (node, rank) rounded to 6 dp. Nodes = union of endpoints; dangling
@@ -77,15 +78,33 @@ def pagerank(
     base = F.round(F.lit(1.0 / n_nodes), 9)
     ranks = nodes.select("node", base.alias("rank"))
     teleport = F.round(F.lit((1.0 - damping) / n_nodes), 9)
+    # Join strategy (r13 opt, guide §3.1): the rank/contrib tables are
+    # node-count-sized, and n_nodes was just MEASURED — when the whole
+    # rank table fits a broadcast (1M nodes ≈ tens of MB, under the
+    # session's 64m threshold), hint it explicitly. The checkpointed
+    # trans side reports UnknownPartitioning/huge stats, so without the
+    # hint the planner falls back to 2 sort-merge joins per iteration —
+    # measured 62 exchanges across the unrolled 10-iteration plan at
+    # sf0.1 (plans/r13/g1_pagerank_before.txt). With the hint each
+    # iteration is 2 BroadcastHashJoins + ONE node-sized aggregation
+    # exchange — the irreducible data movement. Big graphs (> the
+    # threshold) keep the sort-merge path unchanged.
+    small = n_nodes <= broadcast_max_nodes
+
+    def _b(df):
+        return F.broadcast(df) if small else df
+
     for _ in range(iters):
+        r = _b(ranks)
         contrib = (
-            trans.join(ranks, trans.src == ranks.node)
+            trans.join(r, trans.src == r.node)
             .select("dst", (F.col("rank") * F.col("p")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("inflow"))
         )
+        c = _b(contrib)
         ranks = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            nodes.join(c, nodes.node == c.dst, "left")
             .select(
                 "node",
                 F.round(
@@ -519,18 +538,32 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # r13 opt — two job-count cuts per round, values untouched:
+    # * after_large is no longer checkpointed: _small_star references
+    #   its (distinct-terminated) subtree through ONE `oriented`
+    #   projection whose exchange Spark reuses (ReusedExchange), so the
+    #   extra materialization job bought nothing;
+    # * cur's row count is carried in a Python variable instead of
+    #   re-counting the checkpointed RDD every round (one count job per
+    #   round saved; the exceptAll probe still runs only when counts
+    #   match, i.e. normally once, at the fixpoint).
+    cur_count = cur.count()
     for _ in range(max_rounds):
         after_large = _large_star(
             cur.unionByName(
                 cur.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
             ).distinct()
-        ).localCheckpoint(eager=True)
+        )
         after_small = _small_star(after_large).localCheckpoint(eager=True)
-        same_count = after_small.count() == cur.count()
-        if same_count and after_small.exceptAll(cur).limit(1).count() == 0:
+        new_count = after_small.count()
+        if (
+            new_count == cur_count
+            and after_small.exceptAll(cur).limit(1).count() == 0
+        ):
             cur = after_small
             break
         cur = after_small
+        cur_count = new_count
     roots = cur.select(F.col("dst").alias("node")).distinct()
     return (
         cur.select(F.col("src").alias("node"), F.col("dst").alias("component"))

@@ -32,6 +32,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from oxi_diel_db_spark.tables import fanout
+
 # Metadata struct carried beside every payload.
 MEDIA_META_SCHEMA = (
     "doc_id bigint, media_type string, n_bytes int, content_md5 string"
@@ -48,7 +50,10 @@ def to_binary_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
     Here payload = utf-8 bytes of text (the container has no real media);
     schema/partitioning identical to an image table."""
     payload = F.encode(F.col(text_col), "UTF-8")
-    return docs.select(
+    # fanout (r13 opt): downstream decode stages (mapInPandas) inherit
+    # this table's partitioning — without it they run in ONE Python
+    # worker at gate scale; identity at real scale
+    return fanout(docs, id_col).select(
         F.col(id_col),
         payload.alias("payload"),
         F.lit("image/fake").alias("media_type"),
@@ -341,7 +346,12 @@ def media_fixture_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return docs.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+    # fanout (r13 opt): synth+encode is CPU-dense and otherwise runs in
+    # ONE Python worker at the gate file's scan parallelism; identity at
+    # real scale (scan splits >= cores)
+    return fanout(
+        docs.select(F.col(id_col).cast("long").alias(id_col)), id_col
+    ).mapInPandas(
         _encode, schema="doc_id bigint, payload binary, n_bytes int"
     )
 
@@ -428,7 +438,8 @@ def to_audio_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     deterministically from the byte length so every engine agrees."""
     payload = F.encode(F.col(text_col), "UTF-8")
     n = F.octet_length(payload)
-    return docs.select(
+    # fanout (r13 opt): see to_binary_table
+    return fanout(docs, id_col).select(
         F.col(id_col),
         payload.alias("payload"),
         F.lit("audio/pcm16").alias("media_type"),
@@ -700,7 +711,12 @@ def neardup_fixture_table(docs: DataFrame, id_col: str = "doc_id", n_groups: int
                 }
             )
 
-    return docs.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+    # fanout (r13 opt): synth+encode is CPU-dense and otherwise runs in
+    # ONE Python worker at the gate file's scan parallelism; identity at
+    # real scale (scan splits >= cores)
+    return fanout(
+        docs.select(F.col(id_col).cast("long").alias(id_col)), id_col
+    ).mapInPandas(
         _encode, schema="doc_id bigint, payload binary"
     )
 
@@ -732,7 +748,12 @@ def audio_content_fixture_table(
                 {"doc_id": pdf[id_col].astype("int64"), "payload": payloads}
             )
 
-    return docs.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+    # fanout (r13 opt): synth+encode is CPU-dense and otherwise runs in
+    # ONE Python worker at the gate file's scan parallelism; identity at
+    # real scale (scan splits >= cores)
+    return fanout(
+        docs.select(F.col(id_col).cast("long").alias(id_col)), id_col
+    ).mapInPandas(
         _encode, schema="doc_id bigint, payload binary"
     )
 
@@ -845,7 +866,12 @@ def video_stream_fixture_table(
                 {"doc_id": pdf[id_col].astype("int64"), "payload": payloads}
             )
 
-    return docs.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+    # fanout (r13 opt): synth+encode is CPU-dense and otherwise runs in
+    # ONE Python worker at the gate file's scan parallelism; identity at
+    # real scale (scan splits >= cores)
+    return fanout(
+        docs.select(F.col(id_col).cast("long").alias(id_col)), id_col
+    ).mapInPandas(
         _encode, schema="doc_id bigint, payload binary"
     )
 
@@ -1011,7 +1037,12 @@ def jittered_video_fixture_table(
                 {"doc_id": pdf[id_col].astype("int64"), "payload": payloads}
             )
 
-    return docs.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+    # fanout (r13 opt): synth+encode is CPU-dense and otherwise runs in
+    # ONE Python worker at the gate file's scan parallelism; identity at
+    # real scale (scan splits >= cores)
+    return fanout(
+        docs.select(F.col(id_col).cast("long").alias(id_col)), id_col
+    ).mapInPandas(
         _encode, schema="doc_id bigint, payload binary"
     )
 
@@ -1098,7 +1129,12 @@ def speech_gap_fixture_table(
                 {"doc_id": pdf[id_col].astype("int64"), "payload": payloads}
             )
 
-    return docs.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+    # fanout (r13 opt): synth+encode is CPU-dense and otherwise runs in
+    # ONE Python worker at the gate file's scan parallelism; identity at
+    # real scale (scan splits >= cores)
+    return fanout(
+        docs.select(F.col(id_col).cast("long").alias(id_col)), id_col
+    ).mapInPandas(
         _encode, schema="doc_id bigint, payload binary"
     )
 
@@ -1288,7 +1324,12 @@ def cdc_fixture_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return docs.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+    # fanout (r13 opt): synth+encode is CPU-dense and otherwise runs in
+    # ONE Python worker at the gate file's scan parallelism; identity at
+    # real scale (scan splits >= cores)
+    return fanout(
+        docs.select(F.col(id_col).cast("long").alias(id_col)), id_col
+    ).mapInPandas(
         _gen, schema="doc_id bigint, payload binary"
     )
 

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from oxi_diel_db_spark.functions.vectors import as_double, dot, norm
+from oxi_diel_db_spark.tables import fanout
 
 
 def brute_force_topk(
@@ -47,10 +48,12 @@ def brute_force_topk(
     Ranking ties break on candidate id; cosine is rounded to 6 dp BEFORE
     ranking so the rank order is identical across engines.
     """
-    # per-vector norms precomputed once, never per pair
-    c = corpus.select(F.col(id_col), as_double(vec_col).alias("cv")).withColumn(
-        "cn", norm(F.col("cv"))
-    )
+    # per-vector norms precomputed once, never per pair. fanout (r13
+    # opt): the per-row probe-dot chain runs at scan parallelism — one
+    # task on a one-row-group gate file; identity at real scale.
+    c = fanout(corpus, id_col).select(
+        F.col(id_col), as_double(vec_col).alias("cv")
+    ).withColumn("cn", norm(F.col("cv")))
     p = probes.select(
         F.col(probe_id_col).alias("query_id"), as_double(vec_col).alias("pv")
     ).withColumn("pn", norm(F.col("pv")))
@@ -113,9 +116,9 @@ def lsh_topk(
     )  # driver reads ONE row for the dimension — not a data pass
     planes = _hyperplanes(dim, n_planes, seed)
 
-    c = corpus.select(F.col(id_col), as_double(vec_col).alias("cv")).withColumn(
-        "cn", norm(F.col("cv"))
-    )
+    c = fanout(corpus, id_col).select(
+        F.col(id_col), as_double(vec_col).alias("cv")
+    ).withColumn("cn", norm(F.col("cv")))
     c = c.withColumn("bucket", lsh_bucket(F.col("cv"), planes))
     p = probes.select(
         F.col(probe_id_col).alias("query_id"), as_double(vec_col).alias("pv")
@@ -217,7 +220,9 @@ def ivf_index(
         # metadata rides the index (s6/s7's hybrid-search predicate is
         # applied INSIDE the selected cells — never post-filtered)
         keep.insert(1, F.col(filter_col).alias("__fc"))
-    c = corpus.select(*keep).withColumn("cn", norm(F.col("cv")))
+    # fanout (r13 opt): the O(n·k) assignment dots are the expensive
+    # pass and otherwise run at scan parallelism; identity at scale
+    c = fanout(corpus, id_col).select(*keep).withColumn("cn", norm(F.col("cv")))
     cents = _seed_centroids(c, n_centroids, id_col, seed)
     return ivf_assign(c, cents, prepared=True, id_col=id_col), cents
 
@@ -238,9 +243,9 @@ def ivf_assign(
     c = (
         corpus
         if prepared
-        else corpus.select(F.col(id_col), as_double(vec_col).alias("cv")).withColumn(
-            "cn", norm(F.col("cv"))
-        )
+        else fanout(corpus, id_col)
+        .select(F.col(id_col), as_double(vec_col).alias("cv"))
+        .withColumn("cn", norm(F.col("cv")))
     )
     return c.withColumn(
         "cell",
@@ -502,7 +507,12 @@ def pq_index(
     assignment: argmin of ROUND(l2², 6) with smallest-code tie-break →
     the encoding is bit-identical across engines, so PQ search gets a
     full value-hash oracle."""
-    c = corpus.select(F.col(id_col), as_double(vec_col).alias("cv"))
+    # fanout (r13 opt): the m-subspace encode argmins below are the
+    # expensive pass and otherwise run at scan parallelism; identity at
+    # real scale
+    c = fanout(corpus, id_col).select(
+        F.col(id_col), as_double(vec_col).alias("cv")
+    )
     rows = (
         c.withColumn(
             "__h", F.md5(F.concat(F.lit(f"pq{seed}:"), F.col(id_col).cast("string")))
@@ -619,7 +629,7 @@ def filtered_topk(
     posture); the IVF variant applies the same predicate inside the
     selected cells only. Here: broadcast probes, stream corpus, one
     top-k window per probe — no corpus shuffle."""
-    c = corpus.select(
+    c = fanout(corpus, id_col).select(
         F.col(id_col), F.col(filter_col).alias("__fc"), as_double(vec_col).alias("cv")
     ).withColumn("cn", norm(F.col("cv")))
     p = probes.select(

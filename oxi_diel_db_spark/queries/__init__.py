@@ -57,9 +57,15 @@ def register(name: str, oracle: str | None = None):
     """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under ``name``."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        def wrapped(
+            spark: SparkSession, sf_dir: str, **build_opts
+        ) -> DataFrame:
             configure(spark)  # UTC tz, AQE, Arrow — idempotent
-            df = fn(spark, sf_dir)
+            # build_opts: value-preserving build options a COMPOSING
+            # query may pass (e.g. p20's roundtrip=False lets dq19/d23
+            # skip the parquet write+read-back they don't need — r13
+            # opt); the registry/driver path never passes any.
+            df = fn(spark, sf_dir, **build_opts)
             _assert_atomic_output(name, df)
             return df
 

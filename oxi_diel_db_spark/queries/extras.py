@@ -14,7 +14,7 @@ from oxi_diel_db_spark.functions import composition as C
 from oxi_diel_db_spark.functions import text as TX
 from oxi_diel_db_spark.functions import formula as FM
 from oxi_diel_db_spark.queries import register
-from oxi_diel_db_spark.queries._util import r6, sql_sum_money, sum_money, t
+from oxi_diel_db_spark.queries._util import fanout, r6, sql_sum_money, sum_money, t
 from oxi_diel_db_spark.sources import materials as M
 
 _MAT = f"read_parquet('{M.MATERIALS_PARQUET}/*.parquet')"
@@ -2440,7 +2440,8 @@ def ml16_isotonic_calibration(spark, sf_dir):
     from oxi_diel_db_spark.queries.llm_ops import t12_gopher_rules
 
     d = (
-        t(spark, sf_dir, "documents")
+        # fanout (r13 opt): quality_score regexes at scan parallelism
+        fanout(t(spark, sf_dir, "documents"), "doc_id")
         .filter(F.col("text").isNotNull())
         .select("doc_id", TX.quality_score("text").alias("score"))
         .join(

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from oxi_diel_db_spark.functions import text as TX
 from oxi_diel_db_spark.operators import dedup, similarity
 from oxi_diel_db_spark.queries import register
-from oxi_diel_db_spark.queries._util import r6, t
+from oxi_diel_db_spark.queries._util import fanout, r6, t
 
 # Shared DuckDB CTEs for tokenized/shingled documents.
 _SQL_WORDS_CTE = f"""
@@ -840,7 +840,9 @@ def c1_curation_pipeline(spark, sf_dir):
     from pyspark.sql import Window
 
     d = t(spark, sf_dir, "documents")
-    staged = d.select(
+    # fanout (r13 opt): all five per-row scores compute in one pass
+    # BEFORE the first exchange — spread the scan; identity at scale
+    staged = fanout(d, "doc_id").select(
         "doc_id",
         TX.lang_id(TX.norm_words("text")).alias("lang_pred"),
         TX.quality_score("text").alias("quality"),
@@ -2622,7 +2624,10 @@ def c2_corpus_ledger(spark, sf_dir):
     from oxi_diel_db_spark.operators.sampling import temperature_sample
 
     d = t(spark, sf_dir, "documents")
-    base = d.select(
+    # fanout (r13 opt): quality_score + the fingerprint-window hash are
+    # regex-dense and otherwise run at scan parallelism before the
+    # first exchange; identity at real scale
+    base = fanout(d, "doc_id").select(
         "doc_id", "lang", "text", TX.quality_score("text").alias("quality")
     )
     is_bench = F.col("doc_id") % 23 == 0
@@ -2856,7 +2861,8 @@ def t12_gopher_rules(spark, sf_dir):
     engines)."""
     txt = F.coalesce(F.col("text"), F.lit(""))
     words = F.filter(F.split(txt, r"\s+"), lambda x: x != "")
-    d = t(spark, sf_dir, "documents").select(
+    # fanout (r13 opt): regex-dense per-doc rules at scan parallelism
+    d = fanout(t(spark, sf_dir, "documents"), "doc_id").select(
         "doc_id", words.alias("words")
     )
     n_words = F.size("words")
@@ -3054,7 +3060,7 @@ def t13_vocab_stats(spark, sf_dir):
     from pyspark.sql import Window as W
 
     wc = (
-        t(spark, sf_dir, "documents")
+        fanout(t(spark, sf_dir, "documents"), "doc_id")
         .select("source", F.explode(TX.norm_words("text")).alias("word"))
         .groupBy("source", "word")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -3127,7 +3133,10 @@ def _bm25_ranked(spark, sf_dir):
     are rounded BEFORE ranking so order is engine-independent."""
     from pyspark.sql import Window as W
 
-    d = t(spark, sf_dir, "documents").select(
+    # fanout (r13 opt): norm_words regex at scan parallelism; the frame
+    # is consumed by dl/stats/tf (3 subtree refs) — each re-runs the
+    # regex, all spread now
+    d = fanout(t(spark, sf_dir, "documents"), "doc_id").select(
         "doc_id", TX.norm_words("text").alias("words")
     )
     # greatest(·,0): legacy size(NULL) = -1 — a NULL-text doc must
@@ -3242,7 +3251,8 @@ def p14_length_matching(spark, sf_dir):
     skew from becoming the model's length prior. Rates are derived
     from the corpus in one tiny aggregate and broadcast; the sampling
     pass is a single scan."""
-    d = t(spark, sf_dir, "documents").select(
+    # fanout (r13 opt): tokenization at scan parallelism (3 subtree refs)
+    d = fanout(t(spark, sf_dir, "documents"), "doc_id").select(
         "doc_id", TX.ws_token_count("text").alias("n_tok")
     )
     band = (
@@ -3496,7 +3506,8 @@ def d15_tfidf_cosine_pairs(spark, sf_dir):
     posting list, the same valve as d2's shingle cap. Both engines
     round the cosine before the 0.5 threshold so the kept set is
     knife-edge-free."""
-    d = t(spark, sf_dir, "documents").select(
+    # fanout (r13 opt): the norm_words regex + explode at scan parallelism
+    d = fanout(t(spark, sf_dir, "documents"), "doc_id").select(
         "doc_id", TX.norm_words("text").alias("words")
     )
     from pyspark.sql import Window as _W
@@ -3601,7 +3612,9 @@ def t15_keyword_extraction(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     tf = (
-        docs.select("doc_id", F.explode(TX.norm_words("text")).alias("word"))
+        # fanout (r13 opt): regex+explode at scan parallelism
+        fanout(docs, "doc_id")
+        .select("doc_id", F.explode(TX.norm_words("text")).alias("word"))
         .filter(
             (F.length("word") >= 3) & ~F.col("word").isin(_T15_STOP)
         )
@@ -3790,7 +3803,7 @@ def t16_pii_scrub(spark, sf_dir):
     real positives and real redactions. NULL text stays NULL (counted
     0). One scan, zero shuffles, pure codegen'd string expressions —
     at 100 TB this rides whatever scan produced the corpus."""
-    d = t(spark, sf_dir, "documents")
+    d = fanout(t(spark, sf_dir, "documents"), "doc_id")
     seeded = d.select(
         "doc_id",
         F.when(F.col("text").isNull(), F.lit(None).cast("string"))
@@ -3996,7 +4009,7 @@ def t17_perplexity_filter(spark, sf_dir):
     per-doc aggregate; nothing iterates. The smoothing guarantees a
     finite score for unseen bigrams, so the filter degrades to
     'unusual, not crash' on out-of-vocabulary text."""
-    d = t(spark, sf_dir, "documents")
+    d = fanout(t(spark, sf_dir, "documents"), "doc_id")
     words = d.select("doc_id", TX.norm_words("text").alias("words"))
     bi = (
         words.filter(F.size("words") >= 2)
@@ -4202,9 +4215,14 @@ def d20_substring_dedup(spark, sf_dir):
 def _gram_positions(docs, L: int):
     """(doc_id, pos, h): every step-1 character position's L-gram md5
     — the suffix-array repeat query's position table, shared by d20
-    (closed batch) and d21 (incremental)."""
+    (closed batch) and d21 (incremental).
+
+    fanout (r13 opt): the per-position substring+md5 chain is the CPU
+    hot spot and otherwise runs at the scan's file parallelism — one
+    task on a one-row-group gate file (measured 2.27 s → 0.31 s for the
+    explode at sf0.1). Identity at real scale (scan splits ≥ cores)."""
     return (
-        docs.filter(F.length("text") >= L)
+        fanout(docs, "doc_id").filter(F.length("text") >= L)
         .select(
             "doc_id",
             F.explode(
@@ -4405,8 +4423,10 @@ def _bpe_learn(spark, sf_dir, n_merges: int = 10):
     (pair, freq) merges match exactly; since r10, t18 also carries a
     full DuckDB oracle (_t18_oracle — the unrolled-CTE fold replay)."""
     docs = t(spark, sf_dir, "documents")
+    # fanout (r13 opt): the lower/split/explode corpus pass otherwise
+    # runs at scan parallelism (one task on the gate file)
     words = (
-        docs.select(
+        fanout(docs, "doc_id").select(
             F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w")
         )
         .filter(F.length("w") > 0)
@@ -4651,7 +4671,11 @@ def t24_html_extract(spark, sf_dir):
     At 100 TB this is a single narrow projection per page — no
     shuffle, no UDF; the only wide columns (the block arrays) live
     inside one select and never materialize to the shuffle layer."""
-    docs = t(spark, sf_dir, "documents")
+    # fanout (r13 opt): the whole synth+extract chain is CPU-dense and
+    # shuffle-free, so the scan's parallelism is all it gets; identity
+    # at real scale (the zero-exchange scale posture is unchanged —
+    # the plan test pins "no exchange beyond the adaptive fanout")
+    docs = fanout(t(spark, sf_dir, "documents"), "doc_id")
     did = F.col("doc_id").cast("string")
     html = F.concat(
         F.lit("<html><head><title>Doc "), did,
@@ -4812,7 +4836,9 @@ def t25_url_canonicalize(spark, sf_dir):
     convention). At 100 TB this is a projection + one shuffle on the
     canonical key — the cheapest dedup tier there is, which is why
     production pipelines run it FIRST."""
-    docs = t(spark, sf_dir, "documents")
+    # fanout (r13 opt): the URL synth + canonicalization regex chain
+    # runs before the one canonical-key exchange; spread it
+    docs = fanout(t(spark, sf_dir, "documents"), "doc_id")
     from pyspark.sql import Window as W
 
     url = F.expr(_t25_url_sql())
@@ -5414,7 +5440,7 @@ def t19_vocab_growth(spark, sf_dir):
     counting filter over the O(vocab) table. At 100 TB: tokenize once,
     groupBy type (map-side combinable), 6 tiny aggregates — no state
     proportional to corpus length anywhere."""
-    d = t(spark, sf_dir, "documents")
+    d = fanout(t(spark, sf_dir, "documents"), "doc_id")
     tok = d.select(
         "doc_id", F.explode(TX.norm_words(F.col("text"))).alias("word")
     )
@@ -5673,7 +5699,7 @@ def t20_readability(spark, sf_dir):
     fake number; NULL text is an EXPLICIT empty-doc case on both
     engines (legacy size(NULL) = -1 vs DuckDB len(NULL) = NULL — the
     avgdl divergence class, caught by this gate's NULL-matrix entry)."""
-    d = t(spark, sf_dir, "documents")
+    d = fanout(t(spark, sf_dir, "documents"), "doc_id")
     words = TX.norm_words(F.coalesce(F.col("text"), F.lit("")))
     n_words = F.size(words).cast("bigint")
     n_sentences = F.greatest(
@@ -6206,7 +6232,7 @@ def _p20_oracle() -> str:
 
 
 @register("p20_shard_export", oracle=_p20_oracle())
-def p20_shard_export(spark, sf_dir):
+def p20_shard_export(spark, sf_dir, roundtrip: bool = True):
     """Token-budget training-shard export — the pipeline's last mile
     after p4 packs sequences: bins are cut into ~8192-token shards by
     cumulative-sum bucketing over the packed table
@@ -6236,8 +6262,17 @@ def p20_shard_export(spark, sf_dir):
     )
     from oxi_diel_db_spark.queries.extras import _scratch
 
-    d = t(spark, sf_dir, "documents").select(
-        "doc_id", TX.ws_token_count("text").alias("n_tok")
+    # fanout + lazy barrier (r13 opt): the regex tokenization is the
+    # CPU-dense step and the pack/shard two-pass references its subtree
+    # ~4x (offsets agg, cumsum walk, bin agg, join-back) — fanout
+    # spreads the single-row-group scan across cores and the checkpoint
+    # makes the (doc_id, n_tok) projection materialize ONCE instead of
+    # re-tokenizing per reference. Identity/swap for reliable
+    # checkpoint() at cluster scale.
+    d = (
+        fanout(t(spark, sf_dir, "documents"), "doc_id")
+        .select("doc_id", TX.ws_token_count("text").alias("n_tok"))
+        .localCheckpoint(eager=False)
     )
     packed = pack_sequences(
         d, "doc_id", "n_tok", budget=_P20_BIN_BUDGET, seed=42
@@ -6260,8 +6295,7 @@ def p20_shard_export(spark, sf_dir):
             F.lit("train"),
         ).otherwise(F.lit("val")),
     )
-    out = _scratch("p20_shards")
-    assigned.select(
+    final = assigned.select(
         "doc_id",
         F.least(F.col("n_tok").cast("bigint"), F.lit(_P20_BIN_BUDGET)).alias(
             "n_tok"
@@ -6269,14 +6303,30 @@ def p20_shard_export(spark, sf_dir):
         "bin_id",
         "shard_id",
         "split",
-    ).write.mode("overwrite").partitionBy("split", "shard_id").parquet(out)
-    # explicit schema (the S9 rule — and inference THROWS on the
-    # zero-row partition tree an empty ingest day writes); partition
-    # columns typed here, no inference casts
-    back = spark.read.schema(
-        "doc_id bigint, n_tok bigint, bin_id bigint,"
-        " split string, shard_id bigint"
-    ).parquet(out)
+    )
+    if roundtrip:
+        out = _scratch("p20_shards")
+        final.write.mode("overwrite").partitionBy("split", "shard_id").parquet(
+            out
+        )
+        # explicit schema (the S9 rule — and inference THROWS on the
+        # zero-row partition tree an empty ingest day writes); partition
+        # columns typed here, no inference casts
+        back = spark.read.schema(
+            "doc_id bigint, n_tok bigint, bin_id bigint,"
+            " split string, shard_id bigint"
+        ).parquet(out)
+    else:
+        # r13 opt — composed-audit path (dq19/d23): skip the parquet
+        # write + read-back and serve the assignment directly (lazy
+        # barrier replaces the write as the materialize-once point; the
+        # manifest aggregate and the doc join both read it). Values are
+        # identical by p20's own gate (which proves write/read-back
+        # fidelity every round); a DEPLOYED audit reads the
+        # already-written export tree instead of recomputing either way.
+        back = final.select(
+            "doc_id", "n_tok", "bin_id", "split", "shard_id"
+        ).localCheckpoint(eager=False)
     # shard_bins = max - min + 1: a shard's bins are a CONTIGUOUS,
     # gap-free bin_id range by construction (bins are cut into shards
     # in cumsum order and p4's bins have no holes), and the closed
@@ -6395,8 +6445,15 @@ def p21_incremental_shard_export(spark, sf_dir):
         pack_sequences,
     )
 
-    toks = t(spark, sf_dir, "documents").select(
-        "doc_id", TX.ws_token_count("text").alias("n_tok")
+    # fanout + eager barrier (r13 opt): every flush's pack/shard walk
+    # (and the final union's re-evaluation, and the per-flush ledger
+    # stats) re-referenced the tokenize subtree — ~10 full regex passes
+    # over the corpus per invocation. One fanned-out materialization
+    # serves them all; at cluster scale swap for reliable checkpoint().
+    toks = (
+        fanout(t(spark, sf_dir, "documents"), "doc_id")
+        .select("doc_id", TX.ws_token_count("text").alias("n_tok"))
+        .localCheckpoint(eager=True)
     )
     lo_hi = toks.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
     if lo_hi[0] is None:  # empty corpus: no flushes, empty export
@@ -6414,9 +6471,12 @@ def p21_incremental_shard_export(spark, sf_dir):
         batch = toks.filter(
             (F.col("doc_id") >= cuts[b]) & (F.col("doc_id") < cuts[b + 1])
         )
+        # per-flush barrier (r13 opt): this flush's packed table is read
+        # 4x (ledger stats, shard bin-agg, shard join-back, final union
+        # collect) — materialize the small (doc, bin) table once
         packed = pack_sequences(
             batch, "doc_id", "n_tok", budget=_P20_BIN_BUDGET, seed=42
-        )
+        ).localCheckpoint(eager=False)
         asg = assign_shards(
             packed,
             "n_tok",
@@ -6651,7 +6711,7 @@ def t21_script_profile(spark, sf_dir):
     codepoints come from Spark ascii() ≡ DuckDB unicode() (probed
     equal on multibyte input). Pure per-row Catalyst over one scan;
     the Unicode adversarial matrix is this query's home turf."""
-    d = t(spark, sf_dir, "documents")
+    d = fanout(t(spark, sf_dir, "documents"), "doc_id")
     words = F.filter(
         F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"),
         lambda x: x != "",
@@ -6823,7 +6883,10 @@ def t22_compression_ratio(spark, sf_dir):
                 }
             )
 
-    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    # fanout (r13 opt): one Python worker otherwise does every zlib pass
+    d = fanout(t(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", "text"
+    )
     scored = d.mapInPandas(
         _ratio, schema="doc_id bigint, n_bytes bigint, ratio double"
     )
@@ -7187,7 +7250,10 @@ def d19_semdedup_quality(spark, sf_dir):
             for i, p in _DQE_LEVELS
         ]
     )
-    base = emb.select(
+    # fanout (r13 opt): the per-(vec, level, dim) md5 noise transform
+    # below is the CPU hot spot and otherwise runs on the scan's single
+    # task (one-row-group gate file); identity at real scale
+    base = fanout(emb, "vec_id").select(
         F.col("vec_id").alias("orig_id"),
         F.col("embedding").cast("array<double>").alias("v"),
         F.explode(lv).alias("l"),
@@ -7606,11 +7672,19 @@ def c7_release_gate(spark, sf_dir):
     )
 
     led = c2_corpus_ledger(spark, sf_dir).localCheckpoint(eager=False)
-    toks = t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.least(
-            TX.ws_token_count("text").cast("bigint"), F.lit(_P20_BIN_BUDGET)
-        ).alias("n_tok"),
+    # fanout + lazy barrier (r13 opt): the tokenize projection feeds the
+    # kept-join AND the stage-survivorship branch — one fanned-out
+    # materialization instead of two single-task regex passes
+    toks = (
+        fanout(t(spark, sf_dir, "documents"), "doc_id")
+        .select(
+            "doc_id",
+            F.least(
+                TX.ws_token_count("text").cast("bigint"),
+                F.lit(_P20_BIN_BUDGET),
+            ).alias("n_tok"),
+        )
+        .localCheckpoint(eager=False)
     )
     # lazy checkpoints: kept feeds 3 pack walks (x2 subtree refs each,
     # the bucketed two-pass) plus both audit sides, prs feeds the leak
@@ -7791,7 +7865,10 @@ def _d23_recall(spark, sf_dir, hosts, domains):
         )
         .distinct()
     )
-    exp = p20_shard_export(spark, sf_dir)
+    # roundtrip=False (r13 opt): the recall set needs the assignment
+    # VALUES, not the parquet tree — skip p20's write+read-back (a
+    # deployed delta rescan reads the already-written manifest anyway)
+    exp = p20_shard_export(spark, sf_dir, roundtrip=False)
     return (
         exp.join(hit, "doc_id")
         .groupBy("split", "shard_id", "shard_docs", "shard_tok")

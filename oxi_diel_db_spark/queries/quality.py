@@ -1472,7 +1472,12 @@ def dq19_split_leakage_audit(spark, sf_dir):
     pairs = d3_minhash_lsh(spark, sf_dir).select(
         "doc_a", "doc_b", "est_jaccard"
     )
-    splits = p20_shard_export(spark, sf_dir).select("doc_id", "split")
+    # roundtrip=False (r13 opt): the audit needs the split VALUES, not
+    # the parquet tree — skip p20's write+read-back (see its docstring's
+    # deployment note; values identical by p20's own fidelity gate)
+    splits = p20_shard_export(spark, sf_dir, roundtrip=False).select(
+        "doc_id", "split"
+    )
     a = splits.select(
         F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
     )
