@@ -2085,13 +2085,21 @@ def q105_gapfill_interpolate(spark, sf_dir):
     b = F.timestamp_seconds(
         F.floor(F.unix_timestamp("ts") / 900) * 900
     ).alias("b")
+    # lazy barrier (r13 opt, guide §3.3): this bucket-average table is
+    # referenced THREE times below (bounds, types, the spine join) and
+    # Spark does not share common subplans across self-references — the
+    # events scan + group agg ran 3x (6 parquet scans, 10 Exchange in
+    # the before plan; 2 scans, 7 Exchange after). The table is
+    # spine-sized (types x buckets, bounded regardless of event count),
+    # so materializing it once is safe at any scale; swap for reliable
+    # checkpoint() on a real cluster.
     agg = ev.groupBy(F.col("event_type"), b).agg(
         (
             F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
             / 100.0
             / F.count(F.lit(1))
         ).alias("v")
-    )
+    ).localCheckpoint(eager=False)
     bounds = agg.agg(F.min("b").alias("lo"), F.max("b").alias("hi"))
     types = agg.select("event_type").distinct()
     spine = types.crossJoin(F.broadcast(bounds)).select(
@@ -2276,10 +2284,18 @@ def q108_udtf_table_args(spark, sf_dir):
 
     register_udtfs(spark)
     t(spark, sf_dir, "events").createOrReplaceTempView("events_q108")
+    # r13 opt (guide §4.1 "pass only the columns the function needs"):
+    # TABLE(events_q108) shipped all 6 event columns through the
+    # pickled row boundary while the UDTF reads only event_type and
+    # value — the inner SELECT prunes the scan AND the per-row payload
+    # (ReadSchema in the plan drops event_id/ts/user_id/props). Values
+    # unchanged: the function never touched the pruned columns.
     return spark.sql(
         """
         SELECT event_type, n, CAST(total AS DOUBLE) AS total
-        FROM partition_summarize(TABLE(events_q108) PARTITION BY event_type)
+        FROM partition_summarize(
+          TABLE(SELECT event_type, value FROM events_q108)
+          PARTITION BY event_type)
         """
     )
 

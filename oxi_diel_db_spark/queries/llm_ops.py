@@ -1052,6 +1052,20 @@ def _copurchase_edges(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("shared"))
         .where(F.col("shared") >= 4)
         .select(F.col("ua").alias("src"), F.col("ub").alias("dst"))
+        # lazy barrier (r13 opt, guide §3.3/§5): every graph consumer
+        # references this subtree 2-4x (g4's seed derivation + BFS's
+        # symmetrized edge build alone walk it 4x), and each walk
+        # replays scan → json-extract → distinct → capped-rank window →
+        # k-self-join → pair agg. The edge list is bounded at nk·cap²
+        # pairs BY CONSTRUCTION (the per-k reservoir above), so one
+        # materialization is safe at any corpus scale; swap for
+        # reliable checkpoint() on a real cluster (DEPLOY.md §1).
+        # Measured (one-session interleaved A/B, min-of-3 x2, sf0.1):
+        # g4 2.33 → 1.93 s, g2 4.47 → 2.55 s (stash A/B); g3/g6 are a
+        # wash (their operators already checkpoint the edge list as
+        # their first step, so the barrier only pre-empts ONE of the
+        # duplicate walks).
+        .localCheckpoint(eager=False)
     )
 
 
@@ -4433,6 +4447,18 @@ def _bpe_learn(spark, sf_dir, n_merges: int = 10):
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+    # lazy barriers (r13 opt, guide §5 "localCheckpoint to cut lineage"
+    # + §1.2 job-count): eager=False halves the loop's job count — each
+    # iteration's fold materializes as a side effect of the very next
+    # argmax job instead of in its own checkpoint job, and the FINAL
+    # fold is never materialized for t18 at all (only the merge list is
+    # returned; t23 materializes it in its own downstream job). Values
+    # identical — eagerness changes when the checkpoint runs, not what
+    # it holds. Measured (one-session interleaved A/B, min-of-3 x2,
+    # sf0.1): t23 eager 5.56 s → lazy 4.65 s (the skipped final-fold
+    # materialization); t18 7.97 → 7.79 s (the fold work itself, not
+    # job count, dominates its loop — kept because lazy is never worse
+    # and drops 10 scheduler round-trips).
     vocab = words.select(
         "w",
         "freq",
@@ -4440,7 +4466,7 @@ def _bpe_learn(spark, sf_dir, n_merges: int = 10):
             F.filter(F.split("w", ""), lambda c: c != ""),
             F.array(F.lit("</w>")),
         ).alias("syms"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     merges = []
     for rank in range(1, n_merges + 1):
@@ -4496,7 +4522,9 @@ def _bpe_learn(spark, sf_dir, n_merges: int = 10):
                 F.concat(acc["out"], F.array(acc["pend"])),
             ).otherwise(acc["out"]),
         )
-        vocab = vocab.select("w", "freq", merged.alias("syms")).localCheckpoint()
+        vocab = vocab.select("w", "freq", merged.alias("syms")).localCheckpoint(
+            eager=False
+        )
 
     return merges, vocab
 
