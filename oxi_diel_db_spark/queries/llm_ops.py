@@ -2004,7 +2004,12 @@ def d13_neardup_curation(spark, sf_dir):
     pairs = dedup.ngram_jaccard_pairs(d, threshold=0.2)
     clusters = dedup.dedup_clusters(pairs)
     assigned = (
-        d.select("doc_id", "source", TX.quality_score("text").alias("quality"))
+        # fanout (r13 opt): the quality_score regex chain otherwise
+        # runs at scan parallelism (one task on the gate file) — the
+        # pair chain is fanned inside ngram_jaccard_pairs but this
+        # projection reads the raw scan directly; identity at scale
+        fanout(d, "doc_id")
+        .select("doc_id", "source", TX.quality_score("text").alias("quality"))
         .join(clusters.withColumnRenamed("cluster_id", "__c"), "doc_id", "left")
         .withColumn("cluster_id", F.coalesce("__c", F.col("doc_id")))
     )
@@ -7878,9 +7883,16 @@ def _d23_recall(spark, sf_dir, hosts, domains):
     IS the re-export bill). The corpus TEXT is never touched: the
     rescan costs one pass over the doc->host projection and the
     manifest, however large the payload bytes."""
+    # lazy barrier (r13 opt, guide §3.3): the host-join and the
+    # reg-domain-join below each walk this subtree — d22's URL synth +
+    # host/registrable-domain regex extraction ran twice per recall.
+    # The projection is three narrow columns per doc (exactly what a
+    # deployed pipeline PERSISTS as its doc->host index; the docstring's
+    # "rescan reads the doc->host projection" is this table), so one
+    # materialization is the deployment posture, not a local trick.
     ext = d22_domain_blocklist(spark, sf_dir).select(
         "doc_id", "host", "reg_domain"
-    )
+    ).localCheckpoint(eager=False)
     dh = spark.createDataFrame([(h,) for h in hosts], "hpat string")
     dd = spark.createDataFrame([(d,) for d in domains], "dpat string")
     hit = (
