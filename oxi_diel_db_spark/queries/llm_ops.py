@@ -3163,12 +3163,19 @@ def _bm25_ranked(spark, sf_dir):
     # the average (DuckDB's AVG skips NULLs, so without the guard the
     # two engines compute DIFFERENT avgdl and every score shifts —
     # found by the null-input probe; oracle COALESCEs identically)
+    # r13 opt (guide §1.2): dl is one narrow row per doc (the p20
+    # (doc_id, n_tok) shape — safe to materialize at any corpus scale)
+    # and stats is EXACTLY dl's own aggregate (n = dl's row count,
+    # avgdl = avg(dl.dl)), so the corpus is tokenized twice (dl + tf),
+    # not three times. Before plan: 8 parquet scans; after: 4. Local
+    # interleaved A/B is a wash (1.89 vs 2.0 s min) — the deleted
+    # tokenize pass prices at corpus scale, not at the 584 KB gate.
     dl = d.select(
         "doc_id", F.greatest(F.size("words"), F.lit(0)).alias("dl")
-    )
-    stats = d.agg(
+    ).localCheckpoint(eager=False)
+    stats = dl.agg(
         F.count(F.lit(1)).alias("n"),
-        F.avg(F.greatest(F.size("words"), F.lit(0))).alias("avgdl"),
+        F.avg("dl").alias("avgdl"),
     )
     q = spark.createDataFrame(
         [(qid, term) for qid, terms in _BM25_QUERIES for term in terms],
@@ -3543,6 +3550,18 @@ def d15_tfidf_cosine_pairs(spark, sf_dir):
     # in-memory-hash-relation OOM cliff the c2 shingle cap hit (SCALE.md
     # r5); the window rides the same term-keyed shuffle the inverted-
     # index self-join needs anyway, so the fix costs no extra exchange.
+    # lazy barrier (r13 opt, guide §3.3): norms + BOTH sides of the
+    # inverted-index self-join reference this table — without the
+    # barrier the tokenize → TF groupBy → df window chain (two
+    # shuffles) evaluated 3x (16 parquet scans in the before plan, 0
+    # outside the barrier after; ReusedExchange does not fire across
+    # the differently-aliased self-join sides). The materialized table
+    # is the job's own post-shuffle output (term-doc weights), i.e. no
+    # bigger than the shuffle the chain already pays — swap for
+    # reliable checkpoint() on a cluster. Measured (one-session
+    # interleaved A/B, min-of-3 x2, sf0.1): 1.46 → 1.38 s locally; the
+    # win is the two deleted shuffle+tokenize passes, which price at
+    # corpus scale, not at the 584 KB gate.
     wts = (
         tf.withColumn("df", F.count(F.lit(1)).over(_W.partitionBy("term")))
         .crossJoin(F.broadcast(n))
@@ -3552,6 +3571,7 @@ def d15_tfidf_cosine_pairs(spark, sf_dir):
             "df",
             (F.col("tf") * F.log(F.col("n") / F.col("df"))).alias("wt"),
         )
+        .localCheckpoint(eager=False)
     )
     norms = wts.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
@@ -3639,6 +3659,14 @@ def t15_keyword_extraction(spark, sf_dir):
         )
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("tf"))
+        # lazy barrier (r13 opt, guide §3.3): dfreq and the scored join
+        # both walk this subtree — the regex+explode+count chain ran
+        # twice (6 parquet scans before, 2 after). The table is the
+        # chain's own post-shuffle output; reliable checkpoint() on a
+        # real cluster. Local A/B is a wash (1.05 vs 1.08 s min,
+        # interleaved) — the deleted pass prices at corpus scale, not
+        # at the 584 KB gate.
+        .localCheckpoint(eager=False)
     )
     dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     scored = (
