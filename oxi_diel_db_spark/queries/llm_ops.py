@@ -3287,7 +3287,13 @@ def p14_length_matching(spark, sf_dir):
         .when(F.col("n_tok") < 80, "m")
         .otherwise("l")
     )
-    banded = d.select("doc_id", band.alias("band"))
+    # lazy barrier (r13 opt, guide §3.3): shares, n_all and the final
+    # sampling join each walk this subtree — the ws-token regex ran 3x
+    # (6 parquet scans before, 2 after). One narrow row per doc (the
+    # p20 (doc_id, n_tok) shape), safe to materialize at any scale.
+    banded = d.select("doc_id", band.alias("band")).localCheckpoint(
+        eager=False
+    )
     shares = banded.groupBy("band").agg(F.count(F.lit(1)).alias("n_band"))
     n_all = banded.agg(F.count(F.lit(1)).alias("n_all"))
     rates = shares.crossJoin(F.broadcast(n_all)).select(
