@@ -3289,7 +3289,8 @@ def p14_length_matching(spark, sf_dir):
     )
     # lazy barrier (r13 opt, guide §3.3): shares, n_all and the final
     # sampling join each walk this subtree — the ws-token regex ran 3x
-    # (6 parquet scans before, 2 after). One narrow row per doc (the
+    # (6 parquet scans before, 0 outside the barrier after). One
+    # narrow row per doc (the
     # p20 (doc_id, n_tok) shape), safe to materialize at any scale.
     banded = d.select("doc_id", band.alias("band")).localCheckpoint(
         eager=False

@@ -426,3 +426,26 @@ def test_c7_release_gate_plan_shape(spark):
     for rs in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
         cols = {c.split(":")[0] for c in rs.split(",") if c}
         assert cols <= {"doc_id", "text", "lang"}, cols
+
+
+def test_r13_single_walk_barriers(spark):
+    """r13 opt: queries whose shared subtree used to be re-evaluated
+    per reference (Spark does not share common subplans) now walk it
+    once behind a lazy localCheckpoint barrier. The visible plan keeps
+    at most the irreducible scans: d15's 16 scans (norms + both
+    self-join sides re-tokenized) and q105's 6 (bounds/types/spine)
+    collapse behind the barrier; t17 keeps exactly its 2 corpus
+    tokenization passes (model build + scoring), t14 its 2 (dl + tf),
+    t15/p14 at most 2. A regression that re-inlines a subtree
+    reappears here as a scan-count jump."""
+    for name, max_scans in (
+        ("d15_tfidf_cosine_pairs", 2),
+        ("q105_gapfill_interpolate", 2),
+        ("t17_perplexity_filter", 2),
+        ("t14_bm25_search", 4),
+        ("t15_keyword_extraction", 2),
+        ("p14_length_matching", 2),
+    ):
+        plan = plan_of(spark, name)
+        assert plan.count("Scan parquet") <= max_scans, (
+            name, plan.count("Scan parquet"))
