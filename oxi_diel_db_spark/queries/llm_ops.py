@@ -361,7 +361,9 @@ def s4_pq_adc(spark, sf_dir):
 def t1_lang_id(spark, sf_dir):
     """Stopword-profile language ID (deterministic heuristic; the corpus
     text is synthetic so parity, not accuracy, is the check)."""
-    d = t(spark, sf_dir, "documents")
+    # fanout (r13 opt): the stopword-profile scan is regex-dense and
+    # otherwise runs at scan parallelism (1 task on the gate file)
+    d = fanout(t(spark, sf_dir, "documents"), "doc_id")
     return d.select("doc_id", TX.lang_id(TX.norm_words("text")).alias("pred_lang"))
 
 
@@ -375,7 +377,9 @@ def t1_lang_id(spark, sf_dir):
 def t2_quality_score(spark, sf_dir):
     """Doc-quality scoring: stopword/alpha/length/punctuation mix — the
     standard pre-training corpus filter signal."""
-    d = t(spark, sf_dir, "documents")
+    # fanout (r13 opt): quality_score is a 3-regex-pass chain per doc —
+    # the same shape t12/t21/t24 measured 2-3x on (session-4 A/B below)
+    d = fanout(t(spark, sf_dir, "documents"), "doc_id")
     return d.select("doc_id", TX.quality_score("text").alias("quality"))
 
 
@@ -391,7 +395,8 @@ def t2_quality_score(spark, sf_dir):
 )
 def t3_token_count(spark, sf_dir):
     """Token counting: whitespace + BPE-ish regex tokenizations."""
-    d = t(spark, sf_dir, "documents")
+    # fanout (r13 opt): two regex tokenizations per doc at scan parallelism
+    d = fanout(t(spark, sf_dir, "documents"), "doc_id")
     return d.select(
         "doc_id",
         TX.ws_token_count("text").alias("ws_tokens"),
@@ -410,7 +415,8 @@ def t3_token_count(spark, sf_dir):
 )
 def t4_fingerprint(spark, sf_dir):
     """Document fingerprints: bag-of-words md5 + raw md5."""
-    d = t(spark, sf_dir, "documents")
+    # fanout (r13 opt): norm_words sort + double md5 per doc — CPU-dense
+    d = fanout(t(spark, sf_dir, "documents"), "doc_id")
     return d.select(
         "doc_id",
         TX.fingerprint("text").alias("fp"),
@@ -4633,7 +4639,9 @@ def t23_bpe_apply(spark, sf_dir):
     token counts and the hash."""
     _, vocab = _bpe_learn(spark, sf_dir)
     tok = vocab.select("w", F.size("syms").cast("long").alias("n_bpe"))
-    docs = t(spark, sf_dir, "documents")
+    # fanout (r13 opt): the encode pass (lower/split/explode + join) is
+    # the learner's `words` pass shape — spread it the same way
+    docs = fanout(t(spark, sf_dir, "documents"), "doc_id")
     dw = docs.select(
         "doc_id",
         F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w"),
