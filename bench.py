@@ -268,6 +268,24 @@ def main() -> None:
     load1_pre = round(os.getloadavg()[0], 1)
     ncpu = os.cpu_count() or 32
 
+    # r13 protocol addition: hypervisor STEAL time. The r13 ABAB
+    # adjudication (OPTIMIZATION_r13.md) measured identical code at
+    # 133.9 s and 214.0 s an hour apart on an idle box — load1 cannot
+    # see a noisy HOST, /proc/stat's steal counter can. Sampled before
+    # and after; steal_pct is the share of this run's total cpu-jiffies
+    # the hypervisor withheld. A few percent sustained ≈ the 1.2-1.6x
+    # drift windows we measured — treat cross-run deltas accordingly.
+    def _stat_jiffies() -> tuple[int, int] | None:
+        try:
+            with open("/proc/stat") as fh:
+                parts = fh.readline().split()
+            vals = [int(x) for x in parts[1:]]
+            return (vals[7] if len(vals) > 7 else 0, sum(vals))
+        except (OSError, ValueError, IndexError):
+            return None
+
+    stat_pre = _stat_jiffies()
+
     # warmup: JVM + codegen + parquet footer caches
     qs["q01_pricing_summary"](spark, sf_dir).collect()
 
@@ -312,6 +330,14 @@ def main() -> None:
         "reps": reps,
         "load1_pre": load1_pre,
     }
+    stat_post = _stat_jiffies()
+    if stat_pre and stat_post and stat_post[1] > stat_pre[1]:
+        payload["steal_pct"] = round(
+            100.0
+            * (stat_post[0] - stat_pre[0])
+            / (stat_post[1] - stat_pre[1]),
+            2,
+        )
     line = json.dumps(payload)
     # ALSO persist to a file: the driver's stdout tail buffer truncated
     # the head of r6's (long) JSON line, losing q01/q30/q31 from the
@@ -355,6 +381,10 @@ def main() -> None:
         # a delta measured from a loaded start is box noise, not code
         "load1_pre": load1_pre,
         "load1_post": round(os.getloadavg()[0], 1),
+        # share of this run's cpu-jiffies stolen by the hypervisor
+        # (r13: the drift signal load1 cannot see; absent if /proc/stat
+        # is unreadable)
+        "steal_pct": payload.get("steal_pct"),
         "top": _fit(timings, 20),
         "top_singles": _fit(singles, 10),
         "full": stamped_rel,
