@@ -221,9 +221,16 @@ def ivf_index(
         # applied INSIDE the selected cells — never post-filtered)
         keep.insert(1, F.col(filter_col).alias("__fc"))
     # fanout (r13 opt): the O(n·k) assignment dots are the expensive
-    # pass and otherwise run at scan parallelism; identity at scale
+    # pass and otherwise run at scan parallelism; identity at scale.
+    # Seed pass reads the RAW scan (r14 opt): _seed_centroids' collect
+    # is its own action, so seeding from the fanned projection executed
+    # the fanout exchange twice — once for the seed job, once again in
+    # the main query (measured: the r13 fanout made s3 0.9x). The seed
+    # is a TakeOrdered over md5(id); the picked rows and their cv/cn
+    # expressions are identical either way.
+    raw = corpus.select(*keep).withColumn("cn", norm(F.col("cv")))
+    cents = _seed_centroids(raw, n_centroids, id_col, seed)
     c = fanout(corpus, id_col).select(*keep).withColumn("cn", norm(F.col("cv")))
-    cents = _seed_centroids(c, n_centroids, id_col, seed)
     return ivf_assign(c, cents, prepared=True, id_col=id_col), cents
 
 
@@ -509,12 +516,15 @@ def pq_index(
     full value-hash oracle."""
     # fanout (r13 opt): the m-subspace encode argmins below are the
     # expensive pass and otherwise run at scan parallelism; identity at
-    # real scale
+    # real scale. Codebook seed pass reads the RAW scan (r14 opt, same
+    # reasoning as ivf_index): the collect is its own action and must
+    # not execute the fanout exchange a second time.
     c = fanout(corpus, id_col).select(
         F.col(id_col), as_double(vec_col).alias("cv")
     )
+    raw = corpus.select(F.col(id_col), as_double(vec_col).alias("cv"))
     rows = (
-        c.withColumn(
+        raw.withColumn(
             "__h", F.md5(F.concat(F.lit(f"pq{seed}:"), F.col(id_col).cast("string")))
         )
         .orderBy("__h", id_col)

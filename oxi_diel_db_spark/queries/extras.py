@@ -2281,20 +2281,35 @@ def q108_udtf_table_args(spark, sf_dir):
     delivery holds (a dropped or split partition would change n).
     API-surface row: the JVM GROUP BY is of course the 100 TB path."""
     from oxi_diel_db_spark.functions.udtfs import register_udtfs
+    from oxi_diel_db_spark.tables import small_scan
 
     register_udtfs(spark)
-    t(spark, sf_dir, "events").createOrReplaceTempView("events_q108")
+    ev = t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_q108")
     # r13 opt (guide §4.1 "pass only the columns the function needs"):
-    # TABLE(events_q108) shipped all 6 event columns through the
-    # pickled row boundary while the UDTF reads only event_type and
-    # value — the inner SELECT prunes the scan AND the per-row payload
-    # (ReadSchema in the plan drops event_id/ts/user_id/props). Values
-    # unchanged: the function never touched the pruned columns.
+    # the inner SELECT prunes the scan AND the per-row pickled payload
+    # to event_type+value (ReadSchema drops event_id/ts/user_id/props).
+    # r14 adjudication of the r13 local regression: the pruned PARTITION
+    # BY shuffle lands under AQE's coalescePartitions.minPartitionSize
+    # at gate scale, so the BatchEvalPythonUDTF stage — the query's real
+    # cost — coalesces to ONE task (stage decomposition: 1 task/2.4 s
+    # pruned vs 2 tasks/1.8 s unpruned wall; interleaved A/B 1.2x,
+    # steal 0.01). Condition on the same split estimate fanout uses:
+    # small local scan → keep the declared 6-col surface (Python-stage
+    # parallelism dominates bytes); real scale → prune (the shuffle is
+    # then far above minPartitionSize and the pickle bytes dominate).
+    # Values identical either way: the UDTF never reads the pruned
+    # columns (both variants oracle-verified).
+    table_arg = (
+        "TABLE(events_q108)"
+        if small_scan(ev)
+        else "TABLE(SELECT event_type, value FROM events_q108)"
+    )
     return spark.sql(
-        """
+        f"""
         SELECT event_type, n, CAST(total AS DOUBLE) AS total
         FROM partition_summarize(
-          TABLE(SELECT event_type, value FROM events_q108)
+          {table_arg}
           PARTITION BY event_type)
         """
     )

@@ -59,36 +59,60 @@ def fanout(df: DataFrame, *keys: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
+    if not small_scan(df):
+        return df
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *[F.col(k) for k in keys])
+
+
+#: Session-lifetime (path → byte size) memo for small_scan (r14 opt,
+#: r13 verdict Next #7): the registry runs 329 entries back-to-back and
+#: every fanout call re-statted the same immutable gate/fixture parquet
+#: files — O(files) driver syscalls per query build. Inputs that route
+#: through fanout/small_scan are immutable within a session (gate
+#: tables, fixture parquet written once to fresh uuid/tmp paths), so a
+#: plain path-keyed memo cannot go stale; per-batch streaming stores are
+#: read with spark.read directly and never pass through here.
+_FILE_SIZES: dict[str, int] = {}
+
+
+def small_scan(df: DataFrame) -> bool:
+    """True iff every input file of ``df``'s scan is local AND the
+    estimated split count (Spark's own formula: bytes /
+    maxPartitionBytes, >= 1 per file) is below defaultParallelism —
+    i.e. the scan cannot feed every core. This is fanout()'s decision
+    predicate, exposed for other scale-adaptive choices (q108's TABLE-
+    arg pruning). Decide from the scan's FILE layout, not from df.rdd:
+    converting to an RDD forces a full physical-planning + Python-
+    conversion pass (~1 s of DRIVER time per call, measured). Unknown
+    layouts (non-local URIs, stat failures, empty file lists) return
+    False: never treat a possibly-big table as small.
+    """
     sc = df.sparkSession.sparkContext
     n = sc.defaultParallelism
-    # Decide from the scan's FILE layout, not from df.rdd: converting to
-    # an RDD forces a full physical-planning + Python-conversion pass
-    # (~1 s of DRIVER time per call, measured — more than the win on
-    # most queries). inputFiles() only needs analysis and the already-
-    # cached file index. Estimate the scan's split count the way Spark
-    # does (bytes / maxPartitionBytes, >= 1 per file); if the estimate
-    # already covers the cores — always true at real scale — do nothing.
-    # Non-local URIs (no cheap stat) conservatively return unchanged:
-    # this helper must never risk repartitioning a big remote table.
     try:
         files = df.inputFiles()
     except Exception:
-        return df
+        return False
     if not files or len(files) >= n:
-        return df
+        return False
     max_bytes = 128 << 20  # spark.sql.files.maxPartitionBytes default
     est = 0
     for f in files:
         if not f.startswith("file:"):
-            return df
+            return False
         path = f[len("file://"):] if f.startswith("file://") else f[len("file:"):]
-        try:
-            est += max(1, os.path.getsize(path) // max_bytes)
-        except OSError:
-            return df
+        size = _FILE_SIZES.get(path)
+        if size is None:
+            try:
+                size = os.path.getsize(path)
+            except OSError:
+                return False
+            _FILE_SIZES[path] = size
+        est += max(1, size // max_bytes)
         if est >= n:
-            return df
-    return df.repartition(n, *[F.col(k) for k in keys])
+            return False
+    return True
 
 
 def load(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:

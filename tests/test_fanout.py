@@ -60,3 +60,29 @@ def test_fanout_identity_when_splits_cover_cores(spark, tmp_path):
     df = spark.read.parquet(p)
     assert len(df.inputFiles()) >= n
     assert tables.fanout(df, "id") is df
+
+
+def test_small_scan_predicate_and_memo(spark, tmp_path):
+    # r14: small_scan is fanout's decision predicate, exposed for other
+    # scale-adaptive choices (q108's TABLE-arg pruning), with a
+    # session-lifetime (path -> size) memo so back-to-back registry
+    # builds stop re-statting the same immutable files.
+    docs = tables.load(spark, "documents", SF_DIR)
+    assert tables.small_scan(docs) is True
+    # memo now holds the gate file(s) and the cached decision agrees
+    for f in docs.inputFiles():
+        path = f[len("file://"):] if f.startswith("file://") else f[len("file:"):]
+        assert tables._FILE_SIZES.get(path) == os.path.getsize(path)
+    assert tables.small_scan(docs) is True  # memoized path, same answer
+    # non-file-backed plan: never "small" (unknown must read as big)
+    assert tables.small_scan(spark.range(5)) is False
+    # enough splits to cover the cores: not small
+    n = spark.sparkContext.defaultParallelism
+    p = os.path.join(str(tmp_path), "many2")
+    spark.range(n * 4).repartition(n).write.parquet(p)
+    assert tables.small_scan(spark.read.parquet(p)) is False
+    # fanout decisions are unchanged by the memo: identity at scale,
+    # active on the small scan (same asserts as the r13 tests above)
+    big = spark.read.parquet(p)
+    assert tables.fanout(big, "id") is big
+    assert tables.fanout(docs, "doc_id") is not docs
