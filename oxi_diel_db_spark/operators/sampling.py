@@ -87,14 +87,24 @@ def _bucket_col(h: Column, bucket_chars: int) -> Column:
     return F.conv(F.substring(h, 1, bucket_chars), 16, 10).cast("int")
 
 
-def _bucket_offsets(prepared: DataFrame, value: Column) -> DataFrame:
+def _bucket_offsets(
+    prepared: DataFrame, value: Column, within: tuple[str, ...] = ()
+) -> DataFrame:
     """(bucket, exclusive-prefix-sum of ``value`` over lower buckets).
     The inner window runs over at most 16^bucket_chars aggregate rows,
-    never over the data — single-partition there is intentional."""
-    tot = prepared.groupBy("__b").agg(F.sum(value).alias("__n"))
-    w = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    never over the data — single-partition there is intentional.
+    ``within`` columns partition the prefix sum: each group gets its own
+    independent bucket walk (r14: lets one plan run N per-group walks —
+    identical per-group results to N separate calls by construction,
+    since every aggregate/window below is keyed by the group)."""
+    tot = prepared.groupBy(*within, "__b").agg(F.sum(value).alias("__n"))
+    w = (
+        Window.partitionBy(*within)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     return tot.select(
-        "__b", F.coalesce(F.sum("__n").over(w), F.lit(0)).alias("__off")
+        *within, "__b", F.coalesce(F.sum("__n").over(w), F.lit(0)).alias("__off")
     )
 
 
@@ -125,6 +135,7 @@ def pack_sequences(
     budget: int = 4096,
     seed: int = 42,
     bucket_chars: int = 2,
+    within: tuple[str, ...] = (),
 ) -> DataFrame:
     """Cumsum sequence packing: consecutive docs in shuffle order are
     bucketed at budget boundaries of the running token total. Exact
@@ -136,7 +147,13 @@ def pack_sequences(
     The running total is the same bucketed two-pass as
     deterministic_shuffle: per-bucket token sums → broadcast exclusive
     offsets → within-bucket cumsum + offset. Identical bins at every
-    parallelism."""
+    parallelism.
+
+    ``within`` columns run one INDEPENDENT packing walk per group in a
+    single plan (r14, for c7's per-split shard walks): every aggregate,
+    window and join below is additionally keyed by the group columns,
+    so each group's bin_ids equal a separate pack_sequences call over
+    that group — same math, one chain instead of N."""
     h = hash_hex8(key, seed)
     clamped = F.least(F.col(token_col).cast("bigint"), F.lit(budget))
     prepared = (
@@ -144,14 +161,16 @@ def pack_sequences(
         .withColumn("__b", _bucket_col(h, bucket_chars))
         .withColumn("__ct", clamped)
     )
-    off = _bucket_offsets(prepared, F.col("__ct"))
-    w = Window.partitionBy("__b").orderBy(F.col("__h").asc(), F.col(key).asc())
+    off = _bucket_offsets(prepared, F.col("__ct"), within=within)
+    w = Window.partitionBy(*within, "__b").orderBy(
+        F.col("__h").asc(), F.col(key).asc()
+    )
     cum = (
         F.sum("__ct").over(w.rowsBetween(Window.unboundedPreceding, 0))
         + F.col("__off")
     )
     return (
-        prepared.join(F.broadcast(off), "__b")
+        prepared.join(F.broadcast(off), [*within, "__b"])
         .withColumn("bin_id", F.floor((cum - F.col("__ct")) / budget))
         .drop("__b", "__h", "__ct", "__off")
     )
@@ -212,6 +231,7 @@ def assign_shards(
     budget: int,
     bin_bucket: int = 65536,
     token_offset: int = 0,
+    within: tuple[str, ...] = (),
 ) -> DataFrame:
     """Token-budget shard assignment over a packed table (pack_sequences
     output): bins are walked in ``bin_col`` order and cut into shards
@@ -240,17 +260,26 @@ def assign_shards(
     ``token_offset`` continues a ledger: tokens already exported by
     earlier flushes shift the cumsum, so an open shard keeps filling
     across flushes until its budget (the p21 incremental contract).
+
+    ``within`` columns run one INDEPENDENT shard walk per group in a
+    single plan (r14, the pack_sequences counterpart): every aggregate,
+    window and join below is additionally keyed by the group columns,
+    so per-group shard_ids equal separate assign_shards calls.
     """
     clamped = F.least(F.col(token_col).cast("bigint"), F.lit(budget))
-    bins = packed.groupBy(bin_col).agg(F.sum(clamped).alias("__bt"))
+    bins = packed.groupBy(*within, bin_col).agg(F.sum(clamped).alias("__bt"))
     b = bins.withColumn("__bb", F.floor(F.col(bin_col) / bin_bucket).cast("int"))
-    tot = b.groupBy("__bb").agg(F.sum("__bt").alias("__n"))
-    wo = Window.orderBy("__bb").rowsBetween(Window.unboundedPreceding, -1)
+    tot = b.groupBy(*within, "__bb").agg(F.sum("__bt").alias("__n"))
+    wo = (
+        Window.partitionBy(*within)
+        .orderBy("__bb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     off = tot.select(
-        "__bb", F.coalesce(F.sum("__n").over(wo), F.lit(0)).alias("__off")
+        *within, "__bb", F.coalesce(F.sum("__n").over(wo), F.lit(0)).alias("__off")
     )
     w = (
-        Window.partitionBy("__bb")
+        Window.partitionBy(*within, "__bb")
         .orderBy(bin_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -259,11 +288,12 @@ def assign_shards(
         + F.col("__off")
         + F.lit(token_offset).cast("bigint")
     )
-    shard_map = b.join(F.broadcast(off), "__bb").select(
+    shard_map = b.join(F.broadcast(off), [*within, "__bb"]).select(
+        *within,
         bin_col,
         F.floor(cum_before / shard_budget).cast("bigint").alias("shard_id"),
     )
-    return packed.join(shard_map, bin_col)
+    return packed.join(shard_map, [*within, bin_col])
 
 
 def mix_corpora(

@@ -7791,25 +7791,33 @@ def c7_release_gate(spark, sf_dir):
         .localCheckpoint(eager=False)
     )
 
-    parts = []
-    for sp in ("train", "val", "test"):
-        sub = kept.filter(F.col("split") == sp).select("doc_id", "n_tok")
-        packed = pack_sequences(
-            sub, "doc_id", "n_tok", budget=_P20_BIN_BUDGET, seed=42
-        )
-        asg_sp = assign_shards(
-            packed,
-            "n_tok",
-            "bin_id",
-            shard_budget=_P20_SHARD_BUDGET,
-            budget=_P20_BIN_BUDGET,
-        )
-        parts.append(
-            asg_sp.select("doc_id", "n_tok", "bin_id", "shard_id").withColumn(
-                "split", F.lit(sp)
-            )
-        )
-    asg = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    # r14 opt (guide §3.3): the three per-split pack walks ran as three
+    # separate chains over the kept checkpoint — 3x (bucket-offsets
+    # aggregate + broadcast build + cumsum window + shard walk), each a
+    # sequential job chain at the gate SF (c7's wall is ~139 mostly-
+    # serial stages; avg parallelism 3 of 32 measured). within=("split",)
+    # runs the SAME per-split walks keyed by split in ONE chain: every
+    # aggregate/window/join in pack_sequences/assign_shards is
+    # additionally keyed by split, so each split's bin_id/shard_id
+    # equals the separate-call result by construction (hash gate
+    # re-verified; the p20/p21 callers pass no `within` and keep their
+    # exact r13 plans).
+    packed = pack_sequences(
+        kept.select("split", "doc_id", "n_tok"),
+        "doc_id",
+        "n_tok",
+        budget=_P20_BIN_BUDGET,
+        seed=42,
+        within=("split",),
+    )
+    asg = assign_shards(
+        packed,
+        "n_tok",
+        "bin_id",
+        shard_budget=_P20_SHARD_BUDGET,
+        budget=_P20_BIN_BUDGET,
+        within=("split",),
+    ).select("doc_id", "n_tok", "bin_id", "shard_id", "split")
 
     prs = (
         d3_minhash_lsh(spark, sf_dir)

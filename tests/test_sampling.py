@@ -375,3 +375,47 @@ def test_p21_ledger_continuity_and_single_flush_restriction(spark):
     full = [s for s in sorted(shard_tok) if s < max(shard_tok)]
     for s in full:
         assert shard_tok[s] >= 8192 - 2048  # never closed early
+
+
+def test_within_grouped_walk_equals_per_group_calls(spark):
+    """r14: pack_sequences/assign_shards with within=("grp",) must give
+    each group EXACTLY what a separate per-group call gives — the c7
+    release gate replaced its three per-split chains with one grouped
+    walk on the strength of this identity."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = [
+        (int(i), int(rng.randint(10, 900)), ("a", "b", "c")[i % 3])
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long, grp string")
+
+    grouped = sampling.assign_shards(
+        sampling.pack_sequences(
+            df, "doc_id", "n_tok", budget=1000, seed=42, within=("grp",)
+        ),
+        "n_tok",
+        "bin_id",
+        shard_budget=3000,
+        budget=1000,
+        bin_bucket=4,  # force multiple bin-buckets per group
+        within=("grp",),
+    )
+    got = {
+        r["doc_id"]: (r["grp"], r["bin_id"], r["shard_id"])
+        for r in grouped.collect()
+    }
+    assert len(got) == 300
+    for g in ("a", "b", "c"):
+        sub = df.filter(F.col("grp") == g).select("doc_id", "n_tok")
+        ref = sampling.assign_shards(
+            sampling.pack_sequences(sub, "doc_id", "n_tok", budget=1000, seed=42),
+            "n_tok",
+            "bin_id",
+            shard_budget=3000,
+            budget=1000,
+            bin_bucket=4,
+        )
+        for r in ref.collect():
+            assert got[r["doc_id"]] == (g, r["bin_id"], r["shard_id"])
