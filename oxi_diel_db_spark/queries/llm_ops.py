@@ -2728,9 +2728,22 @@ def c2_corpus_ledger(spark, sf_dir):
         "cluster_id",
         F.lit(None).cast("string").alias("split"),
     )
+    # r14 opt (guide §8 "decide with small rows"): the 'quality' ledger
+    # branch was pipe.filter(fail_q) — a SECOND full quality-regex +
+    # fanout pass over the corpus text just to list the failing ids.
+    # The ledger invariant gives them for free: every non-bench doc is
+    # in s1 xor fails the gate (fail_q is NULL-safe), so the branch is
+    # an id anti-join against the s1r checkpoint — ids move, text does
+    # not (at 100 TB: an id-set shuffle instead of re-reading corpus
+    # bytes). Values identical by the invariant; hash gate re-verified.
+    fail_ids = (
+        d.filter(~is_bench)
+        .select("doc_id")
+        .join(s1r.select("doc_id"), "doc_id", "left_anti")
+    )
     out = (
         mark(d.filter(is_bench), "benchmark")
-        .unionByName(mark(pipe.filter(fail_q), "quality"))
+        .unionByName(mark(fail_ids, "quality"))
         .unionByName(mark(s1r.filter(F.col("__fprn") > 1), "exact_dup"))
         .unionByName(with_cluster(s2cb.filter(F.col("__bestrn") > 1), "near_dup"))
         .unionByName(
