@@ -280,14 +280,21 @@ def main() -> None:
             with open("/proc/stat") as fh:
                 parts = fh.readline().split()
             vals = [int(x) for x in parts[1:]]
-            return (vals[7] if len(vals) > 7 else 0, sum(vals))
+            # denominator: user..steal only (vals[0:8]) — guest and
+            # guest_nice are already counted inside user/nice, so
+            # summing them double-counts guest time and understates
+            # steal on hosts running nested guests (r13 ADVICE).
+            return (vals[7] if len(vals) > 7 else 0, sum(vals[:8]))
         except (OSError, ValueError, IndexError):
             return None
 
-    stat_pre = _stat_jiffies()
-
     # warmup: JVM + codegen + parquet footer caches
     qs["q01_pricing_summary"](spark, sf_dir).collect()
+
+    # sampled AFTER the warmup so the steal window matches the timed
+    # window the headline measures (r13 ADVICE: a steal burst during
+    # warmup previously inflated the reported share).
+    stat_pre = _stat_jiffies()
 
     # min-of-N per query: single-shot timings on a busy box carry ±20%
     # noise (NOTES_r2), which round-over-round comparisons then chase.
@@ -381,18 +388,32 @@ def main() -> None:
         # a delta measured from a loaded start is box noise, not code
         "load1_pre": load1_pre,
         "load1_post": round(os.getloadavg()[0], 1),
-        # share of this run's cpu-jiffies stolen by the hypervisor
-        # (r13: the drift signal load1 cannot see; absent if /proc/stat
-        # is unreadable)
-        "steal_pct": payload.get("steal_pct"),
         "top": _fit(timings, 20),
         "top_singles": _fit(singles, 10),
         "full": stamped_rel,
     }
+    # share of this run's cpu-jiffies stolen by the hypervisor (r13:
+    # the drift signal load1 cannot see). Included only when /proc/stat
+    # was readable — matching the documented 'absent if unreadable'
+    # contract (r13 ADVICE: emitting null broke presence-keyed readers).
+    if "steal_pct" in payload:
+        compact["steal_pct"] = payload["steal_pct"]
     if load1_pre > ncpu / 4:
         compact["noisy"] = (
             f"pre-run load1 {load1_pre} > ncpu/4 ({ncpu}/4) — do not "
             "compare this record across rounds without a same-box A/B"
+        )
+    # r14 (r13 verdict Next #2): extend the refusal note to hypervisor
+    # steal. Threshold from this box's measurements: quiet windows show
+    # steal_pct <= 0.2 (every interleaved A/B block this round), while
+    # the r13 ABAB drift windows and the 156 s r14 baseline carried
+    # 1.3-3.1 — a sustained share above ~1% marks the 1.2-1.6x drift
+    # regime where cross-run comparison is meaningless.
+    if payload.get("steal_pct", 0.0) > 1.0:
+        compact["noisy_steal"] = (
+            f"steal_pct {payload['steal_pct']} > 1.0 — hypervisor was "
+            "withholding cycles during the timed window; do not compare "
+            "this record across runs without an interleaved A/B"
         )
     cline = json.dumps(compact, separators=(",", ":"))
     while len(cline) > 1900:  # paranoia: shrink until it fits the tail
