@@ -219,6 +219,85 @@ def register(name: str, oracle: str | None = None):
 # s5–s7, st4/st6/st11/st12, t10/t12–t14), then the r7-era head
 # (d1/d15/d16, dq8/dq9, m33, ml7/ml9/ml11/ml13). 6 + 2 + 4 + 38
 # = 50 slots.
+# Round-14 sampling rotation. NEW STANDING RULE (r13 verdict Next #2):
+# the r13 rotation had ZERO overlap with r12's 50, so the driver's PERF
+# comparator produced n_common=0 and an empty per-query table — the
+# round-over-round diff starved itself. _SENTINELS is a FIXED set of 6
+# entries, one per major tier, re-sampled EVERY round at the head of
+# the prefix so consecutive CORRECTNESS files always intersect and
+# PERF's per-query comparison always has common rows. Every future
+# _R{N}_PRIORITY must start with _SENTINELS verbatim; the 6 slots are
+# the standing price of a working comparator. All 6 were sampled in
+# r13 (hash-green), so the r13→r14 diff is the first beneficiary.
+_SENTINELS = [
+    "d1_exact_dedup",  # dedup tier
+    "t13_vocab_stats",  # text tier
+    "q64_idle_rich_customers",  # relational/TPC-H tier
+    "dq8_snapshot_diff",  # quality tier
+    "p20_shard_export",  # packing/export tier
+    "st4_stream_dedup",  # streaming tier
+]
+
+# Composition: (a) _SENTINELS head per the standing rule above;
+# (b) the 19 r14 behavior-touched paths — similarity seed-pass rework
+# (s3/s4/s7/s10 + the ivf consumers d16/d19/dq17/st21), the q108
+# scale-conditioned TABLE-arg prune, the c2 quality-branch anti-join
+# (+ its composers c1/p12/dq19 and d23's p20 ride), the c7 grouped
+# pack walk (+ pack/assign consumers p4/p5/p21), ml17's fanout+barrier
+# — all values-unchanged by construction, locally hash-verified in
+# both ANSI modes this round, re-gated here so the official record
+# reflects the r14 code; (c) 25 staleness re-gates from the
+# tools/rotation_plan.py --staleness head (r7/r8-era rows), stalest
+# first. 6 + 19 + 25 = 50 slots.
+_R14_PRIORITY = _SENTINELS + [
+    # --- (b) r14 behavior-touched re-gates ---
+    "q108_udtf_table_args",
+    "s3_ann_ivf",
+    "s4_pq_adc",
+    "s7_ivf_filtered",
+    "s10_two_stage_retrieval",
+    "d16_semantic_dedup",
+    "d19_semdedup_quality",
+    "dq17_embedding_drift",
+    "st21_streaming_ivf_upsert",
+    "c2_corpus_ledger",
+    "c7_release_gate",
+    "c1_curation_pipeline",
+    "p12_leakage_safe_split",
+    "dq19_split_leakage_audit",
+    "p21_incremental_shard_export",
+    "p4_sequence_packing",
+    "p5_greedy_packing",
+    "ml17_quality_classifier",
+    "d23_retroactive_decontam",
+    # --- (c) staleness re-gates (r7/r8-era rows, stalest first) ---
+    "mm10_video_neardup",
+    "p13_curriculum_interleave",
+    "p15_mixture_allocation",
+    "q02_point_lookup",
+    "q05_global_sort",
+    "q07_union_all",
+    "q10_string_funcs",
+    "q11_datetime",
+    "q13_null_handling",
+    "q51_large_volume",
+    "q53_except_all",
+    "q58_volume_shipping",
+    "q59_promo_revenue",
+    "q60_priority_late_ships",
+    "q61_custorder_distribution",
+    "q62_small_qty_revenue",
+    "q63_disjunctive_filter",
+    "q65_forecast_revenue",
+    "q66_priority_ship_class",
+    "q79_jsonl_roundtrip",
+    "q90_python_sink",
+    "q95_malformed_json",
+    "q99_observation_join",
+    "st13_stream_left_outer_join",
+    "st14_stream_decontamination",
+]
+
 _R13_PRIORITY = [
     # --- (a) not-green-latest: oracle upgrades, official row says
     # no_oracle from r07 ---
@@ -813,7 +892,7 @@ def load_registry() -> dict[str, QueryDef]:
     )
 
     ordered: dict[str, QueryDef] = {}
-    for name in _R13_PRIORITY:
+    for name in _R14_PRIORITY:
         if name in REGISTRY:  # tolerate renames; never KeyError the gate
             ordered[name] = REGISTRY[name]
     for name, qdef in REGISTRY.items():
